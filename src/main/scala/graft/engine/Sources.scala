@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File sources (SURVEY §2.1 S1-S6).
+  *
+  * All readers take an explicit schema — the reference never infers
+  * (tpcdi.py:192-535), and at 100 TB schema inference would mean an extra
+  * full pass over the data.
+  */
+object Sources {
+
+  /** S1: delimited text with declared schema; delimiter auto-picked by
+    * suffix like the reference (`.csv` => ',', else '|'; tpcdi.py:102-106).
+    */
+  def delimited(spark: SparkSession, path: String, schema: StructType,
+                sep: Option[String] = None): DataFrame = {
+    val d = sep.getOrElse(if (path.endsWith(".csv")) "," else "|")
+    spark.read.schema(schema).option("sep", d).csv(path)
+  }
+
+  /** S4+S5: fixed-width file scan — whole lines (optionally globbed, e.g.
+    * `FINWIRE??????`, tpcdi.py:95-96) plus `substring` projection. The
+    * scan stays a single narrow stage: no shuffle, column pruning is
+    * irrelevant (one string column), and the substring projection is
+    * whole-stage-codegen'd.
+    *
+    * @param fields (name, start (1-based), length, cast/transform)
+    */
+  def fixedWidth(spark: SparkSession, pathGlob: String,
+                 fields: Seq[(String, Int, Int, Column => Column)]): DataFrame = {
+    val raw = spark.read.text(pathGlob)
+    val cols = fields.map { case (name, start, len, f) =>
+      f(substring(col("value"), start, len)).as(name)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** Identity transform for fixedWidth fields. */
+  val asIs: Column => Column = identity
+
+  /** S3: XML document source. Spark 4 native XML: `rowTag` plays the role
+    * of the reference's STRIP_OUTER_ELEMENT (tpcdi.py:271-275) — each
+    * matching element becomes one row; attributes surface as `_attr`
+    * fields and mixed-content text as `_VALUE`.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
+    spark.read.option("rowTag", rowTag).xml(path)
+}

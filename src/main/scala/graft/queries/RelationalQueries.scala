@@ -1,0 +1,409 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+
+/** One query definition = Spark plan + (optional) DuckDB oracle SQL over
+  * the same parquet tables. Aggregates over raw doubles are made
+  * exact-safe (integral sums, or cents as bigint) so the driver's hash
+  * compare is deterministic across engines.
+  */
+final case class QueryDef(name: String,
+                          fn: (SparkSession, String) => DataFrame,
+                          oracle: Option[String])
+
+/** Relational operator coverage (SURVEY §2.1-§2.8) demonstrated over the
+  * driver testdata. Names are prefixed with the SURVEY §2 operator ids
+  * they exercise so the inventory can be checked line by line.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // -- SCD2 dim over purchase events, shared by several queries ----------
+  /** Reference kernel W1/W2 applied to the `events` log: each user's
+    * purchase stream becomes SCD2 versions.
+    */
+  def purchaseDim(s: SparkSession, dir: String): DataFrame =
+    Scd2.scd2(
+      t(s, dir, "events").filter(col("event_type") === "purchase"),
+      Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+
+  private val purchaseDimSql =
+    """SELECT user_id, event_id, value, ts AS effective_timestamp,
+      |  coalesce(lag(ts) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+      |             - INTERVAL 1 MILLISECOND,
+      |           TIMESTAMP '9999-12-31 23:59:59.999') AS end_timestamp,
+      |  (row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+      |    AS is_current
+      |FROM events WHERE event_type = 'purchase'""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1/P5/A1: scan + filter + group aggregate (pushdown-friendly).
+    QueryDef("q01_s1_a1_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("count_order"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  count(*) AS count_order,
+             |  cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+             |  min(l_extendedprice) AS min_price,
+             |  max(l_extendedprice) AS max_price
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // P2: rename projection (models/silver/employees.sql:1-11 shape).
+    QueryDef("q02_p2_rename_projection",
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_custkey").as("customer_id"),
+        col("c_name").as("customer_name"),
+        col("c_mktsegment").as("segment")),
+      Some("SELECT c_custkey AS customer_id, c_name AS customer_name, " +
+        "c_mktsegment AS segment FROM customer")),
+
+    // P5/P6/P7: equality + NOT NULL + IN-list filters.
+    QueryDef("q03_p5_p6_p7_filters",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("O", "F")
+          && col("o_totalprice") > 1000.0
+          && col("o_orderpriority").isNotNull
+          && col("o_custkey") =!= 13)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders
+             |WHERE o_orderstatus IN ('O','F') AND o_totalprice > 1000.0
+             |  AND o_orderpriority IS NOT NULL AND o_custkey <> 13""".stripMargin)),
+
+    // P8: SELECT DISTINCT (models/silver/trades.sql:2).
+    QueryDef("q04_p8_distinct",
+      (s, dir) => t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // P9: QUALIFY row_number()=1 dedup (models/silver/daily_market.sql:36-40).
+    QueryDef("q05_p9_qualify_latest_event",
+      (s, dir) => Dialect.qualifyRowNumber(
+        t(s, dir, "events"),
+        Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type", "ts"),
+      Some("""SELECT user_id, event_id, event_type, ts FROM events
+             |QUALIFY row_number() OVER
+             |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin)),
+
+    // W1/W2: the SCD2 kernel itself.
+    QueryDef("q06_w1_w2_scd2_events",
+      (s, dir) => purchaseDim(s, dir)
+        .select("user_id", "event_id", "value", "effective_timestamp",
+          "end_timestamp", "is_current"),
+      Some(purchaseDimSql)),
+
+    // J4: temporal join — click facts against the purchase SCD2 dim.
+    QueryDef("q07_j4_temporal_join",
+      (s, dir) => {
+        val dim = purchaseDim(s, dir).select(
+          col("user_id").as("d_user_id"), col("event_id").as("purchase_id"),
+          col("effective_timestamp"), col("end_timestamp"))
+        val fact = t(s, dir, "events").filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        TemporalJoin.temporalJoin(fact, dim,
+            fact("user_id"), dim("d_user_id"), fact("ts"))
+          .select("click_id", "purchase_id", "user_id")
+      },
+      Some(s"""WITH dim AS ($purchaseDimSql)
+              |SELECT e.event_id AS click_id, d.event_id AS purchase_id, e.user_id
+              |FROM events e JOIN dim d
+              |  ON e.user_id = d.user_id
+              | AND e.ts BETWEEN d.effective_timestamp AND d.end_timestamp
+              |WHERE e.event_type = 'click'""".stripMargin)),
+
+    // J5: dual-key temporal join with coalesce fallback
+    // (models/silver/financials.sql:17-26 shape): error events match the
+    // purchase dim first, else the signup dim.
+    QueryDef("q08_j5_dual_key_temporal",
+      (s, dir) => {
+        def dimOf(tpe: String, idAs: String) =
+          Scd2.scd2(t(s, dir, "events").filter(col("event_type") === tpe),
+              Seq("user_id"), "ts", Seq("event_id"))
+            .select(col("user_id").as(s"${idAs}_user"), col("event_id").as(idAs),
+              col("effective_timestamp").as(s"${idAs}_eff"),
+              col("end_timestamp").as(s"${idAs}_end"))
+        val p = dimOf("purchase", "purchase_id")
+        val g = dimOf("signup", "signup_id")
+        val fact = t(s, dir, "events").filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+        fact
+          .join(p, fact("user_id") === p("purchase_id_user")
+            && fact("ts").between(p("purchase_id_eff"), p("purchase_id_end")), "left")
+          .join(g, fact("user_id") === g("signup_id_user")
+            && fact("ts").between(g("signup_id_eff"), g("signup_id_end")), "left")
+          .select(col("error_id"), col("user_id"),
+            coalesce(col("purchase_id"), col("signup_id")).as("matched_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, event_id, ts AS eff,
+             |    coalesce(lag(ts) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+             |      - INTERVAL 1 MILLISECOND, TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+             |  FROM events WHERE event_type = 'purchase'),
+             |g AS (
+             |  SELECT user_id, event_id, ts AS eff,
+             |    coalesce(lag(ts) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+             |      - INTERVAL 1 MILLISECOND, TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+             |  FROM events WHERE event_type = 'signup')
+             |SELECT e.event_id AS error_id, e.user_id,
+             |       coalesce(p.event_id, g.event_id) AS matched_id
+             |FROM events e
+             |LEFT JOIN p ON e.user_id = p.user_id AND e.ts BETWEEN p.eff AND p.endt
+             |LEFT JOIN g ON e.user_id = g.user_id AND e.ts BETWEEN g.eff AND g.endt
+             |WHERE e.event_type = 'error'""".stripMargin)),
+
+    // J1/J2: multi-way equi-join with a role-playing dim (nation twice),
+    // small dims broadcast (models/silver/trades_history.sql:43-59 shape).
+    QueryDef("q09_j2_multiway_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val su = broadcast(t(s, dir, "supplier"))
+        val cn = broadcast(t(s, dir, "nation"))
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        val sn = broadcast(t(s, dir, "nation"))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(cn, c("c_nationkey") === cn("cn_key"))
+          .join(sn, su("s_nationkey") === sn("sn_key"))
+          .groupBy(col("cust_nation"), col("supp_nation"))
+          .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      },
+      Some("""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+             |  count(*) AS n_lines, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |GROUP BY cn.n_name, sn.n_name""".stripMargin)),
+
+    // J8: multi-column join USING (models/gold/dim_customer.sql:6-8 shape).
+    QueryDef("q10_j8_join_using_composite",
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val g = part.groupBy("p_brand", "p_type", "p_size")
+          .agg(count(lit(1)).as("n_same"))
+        part.join(g, Seq("p_brand", "p_type", "p_size"))
+          .select("p_partkey", "p_brand", "p_type", "p_size", "n_same")
+      },
+      Some("""SELECT p_partkey, p_brand, p_type, p_size, n_same
+             |FROM part
+             |JOIN (SELECT p_brand, p_type, p_size, count(*) AS n_same
+             |      FROM part GROUP BY 1,2,3) g
+             |USING (p_brand, p_type, p_size)""".stripMargin)),
+
+    // J1: left join with filtered dim + coalesce of missing attrs.
+    QueryDef("q11_j1_left_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        o.join(rich, o("o_custkey") === rich("c_custkey"), "left")
+          .select(col("o_orderkey"), col("c_custkey"),
+            coalesce(col("c_name"), lit("unknown")).as("cust_name"))
+      },
+      Some("""SELECT o_orderkey, c_custkey, coalesce(c_name, 'unknown') AS cust_name
+             |FROM orders LEFT JOIN
+             |  (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+             |  ON o_custkey = c_custkey""".stripMargin)),
+
+    // A2: GROUP BY ALL min/max (models/silver/watches.sql:22-34 shape).
+    QueryDef("q12_a2_groupby_minmax",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT user_id, event_type, min(ts) AS first_seen,
+             |  max(ts) AS last_seen, count(*) AS n_events
+             |FROM events GROUP BY user_id, event_type""".stripMargin)),
+
+    // A3: count(*) HAVING (tests/fact_trade__unique_trade.sql:1-6 shape).
+    QueryDef("q13_a3_group_having",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 5),
+      Some("SELECT l_orderkey, count(*) AS n FROM lineitem " +
+        "GROUP BY l_orderkey HAVING count(*) > 5")),
+
+    // W4 + P8: whole-partition window then DISTINCT — order matters
+    // (models/silver/trades.sql:1-21, SURVEY §7.4.4).
+    QueryDef("q14_w4_whole_partition_window",
+      (s, dir) => Windows.overPartition(t(s, dir, "events"),
+          Seq(col("user_id")),
+          "first_ts" -> min(col("ts")), "last_ts" -> max(col("ts")))
+        .select("user_id", "first_ts", "last_ts").distinct(),
+      Some("""SELECT DISTINCT user_id,
+             |  min(ts) OVER (PARTITION BY user_id) AS first_ts,
+             |  max(ts) OVER (PARTITION BY user_id) AS last_ts
+             |FROM events""".stripMargin)),
+
+    // W3: rolling 364-row min/max (models/silver/daily_market.sql:4-14).
+    QueryDef("q15_w3_rolling_window",
+      (s, dir) => Windows.rolling(t(s, dir, "lineitem"),
+          Seq(col("l_partkey")),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          364,
+          "rolling_max_price" -> max(col("l_extendedprice")),
+          "rolling_min_price" -> min(col("l_extendedprice")),
+          "rolling_qty" -> sum(col("l_quantity")))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate",
+          "rolling_max_price", "rolling_min_price", "rolling_qty"),
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+             |  max(l_extendedprice) OVER w AS rolling_max_price,
+             |  min(l_extendedprice) OVER w AS rolling_min_price,
+             |  sum(l_quantity) OVER w AS rolling_qty
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_partkey
+             |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |  ROWS BETWEEN 364 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // W5: trailing-4 sum excluding current (wrk_company_financials.sql:5-9).
+    QueryDef("q16_w5_trailing_sum",
+      (s, dir) => {
+        val monthly = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("mo"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+        Windows.trailingSumExclusive(monthly,
+          Seq(col("o_custkey")), Seq(col("mo")), col("rev_cents"), 4, "prior4_rev_cents")
+      },
+      Some("""WITH monthly AS (
+             |  SELECT o_custkey, date_trunc('month', o_orderdate) AS mo,
+             |    cast(sum(cast(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_custkey, mo, rev_cents,
+             |  cast(sum(rev_cents) OVER (PARTITION BY o_custkey ORDER BY mo
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) - rev_cents AS BIGINT)
+             |    AS prior4_rev_cents
+             |FROM monthly""".stripMargin)),
+
+    // W6: gap-fill last non-null (models/gold/dim_customer.sql:14-80).
+    QueryDef("q17_w6_gap_fill",
+      (s, dir) => {
+        val e = t(s, dir, "events").withColumn("v_sparse",
+          when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+        Windows.gapFill(e, Seq(col("user_id")),
+            Seq(col("ts"), col("event_id")), Seq("v_sparse"))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("v_sparse"), lit(-1.0)).as("carried_value"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  coalesce(last_value(CASE WHEN event_type = 'click' THEN NULL
+             |                           ELSE value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    -1.0) AS carried_value
+             |FROM events""".stripMargin)),
+
+    // decode + searched CASE + IN-list CASE (SURVEY §2.8).
+    QueryDef("q18_f_decode_case",
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        Dialect.decode(col("event_type"),
+          Seq(lit("click") -> lit(1), lit("view") -> lit(2), lit("purchase") -> lit(3)),
+          default = lit(0)).as("type_code"),
+        col("event_type").isin("purchase", "signup").as("is_conversion"),
+        when(col("value") >= 900, lit("high"))
+          .when(col("value") >= 500, lit("mid"))
+          .otherwise(lit("low")).as("value_band")),
+      Some("""SELECT event_id,
+             |  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+             |       WHEN 'purchase' THEN 3 ELSE 0 END AS type_code,
+             |  event_type IN ('purchase','signup') AS is_conversion,
+             |  CASE WHEN value >= 900 THEN 'high'
+             |       WHEN value >= 500 THEN 'mid' ELSE 'low' END AS value_band
+             |FROM events""".stripMargin)),
+
+    // Surrogate key: dbt_utils.generate_surrogate_key expansion.
+    QueryDef("q19_f_surrogate_key",
+      (s, dir) => t(s, dir, "orders").select(
+        col("o_orderkey"),
+        Keys.surrogateKey(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority")).as("sk_order")),
+      Some(s"""SELECT o_orderkey,
+              |  md5(concat_ws('-',
+              |    coalesce(cast(o_orderkey AS VARCHAR), '${Keys.NullSentinel}'),
+              |    coalesce(cast(o_custkey AS VARCHAR), '${Keys.NullSentinel}'),
+              |    coalesce(o_orderpriority, '${Keys.NullSentinel}'))) AS sk_order
+              |FROM orders""".stripMargin)),
+
+    // Datetime function census: to_date, year/month/day, add_months,
+    // interval millisecond arithmetic, date_trunc.
+    QueryDef("q20_f_datetime",
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        to_date(col("ts")).as("d"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("dom"),
+        add_months(to_date(col("ts")), -12).as("year_ago"),
+        Dialect.minusMillis(col("ts"), 1).as("ts_minus_1ms"),
+        date_trunc("hour", col("ts")).as("hour_bucket")),
+      Some("""SELECT event_id, cast(ts AS DATE) AS d,
+             |  year(ts) AS y, month(ts) AS m, day(ts) AS dom,
+             |  cast(cast(ts AS DATE) - INTERVAL 12 MONTH AS DATE) AS year_ago,
+             |  ts - INTERVAL 1 MILLISECOND AS ts_minus_1ms,
+             |  date_trunc('hour', ts) AS hour_bucket
+             |FROM events""".stripMargin)),
+
+    // String function census: substring/trim/concat/upper/length/replace.
+    QueryDef("q21_f_strings",
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_custkey"),
+        substring(col("c_name"), 10, 9).as("name_digits"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        length(col("c_name")).as("name_len"),
+        trim(regexp_replace(col("c_name"), "0+", " ")).as("name_squeezed")),
+      Some("""SELECT c_custkey,
+             |  substring(c_name, 10, 9) AS name_digits,
+             |  upper(c_mktsegment) AS seg_upper,
+             |  concat_ws('/', c_mktsegment, c_name) AS seg_name,
+             |  length(c_name) AS name_len,
+             |  trim(regexp_replace(c_name, '0+', ' ', 'g')) AS name_squeezed
+             |FROM customer""".stripMargin)),
+
+    // try_cast (tpcdi.py:299 / finwire try_to_number shape).
+    QueryDef("q22_f_try_cast",
+      (s, dir) => t(s, dir, "customer").select(
+        col("c_custkey"),
+        Dialect.tryCast(substring(col("c_name"), 10, 9), "bigint").as("id_from_name"),
+        Dialect.tryCast(col("c_mktsegment"), "bigint").as("seg_as_number"),
+        Dialect.tryCast(col("c_name"), "date").as("name_as_date")),
+      Some("""SELECT c_custkey,
+             |  try_cast(substring(c_name, 10, 9) AS BIGINT) AS id_from_name,
+             |  try_cast(c_mktsegment AS BIGINT) AS seg_as_number,
+             |  try_cast(c_name AS DATE) AS name_as_date
+             |FROM customer""".stripMargin)),
+
+    // A3 port of the reference's only test: surrogate-key uniqueness
+    // violations must be empty (tests/fact_trade__unique_trade.sql).
+    QueryDef("q23_test_unique_key",
+      (s, dir) => t(s, dir, "orders")
+        .select(Keys.surrogateKey(col("o_orderkey")).as("sk"))
+        .groupBy("sk").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1),
+      Some(s"""SELECT sk, n FROM (
+              |  SELECT md5(concat_ws('-',
+              |    coalesce(cast(o_orderkey AS VARCHAR), '${Keys.NullSentinel}'))) AS sk,
+              |    count(*) AS n
+              |  FROM orders GROUP BY 1)
+              |WHERE n > 1""".stripMargin))
+  )
+}
