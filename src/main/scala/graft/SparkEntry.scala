@@ -8,7 +8,7 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] = RelationalQueries.defs
+  private def allDefs: Seq[QueryDef] = RelationalQueries.defs ++ OpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

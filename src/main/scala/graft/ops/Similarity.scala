@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Brute-force cosine top-k is the exact baseline (query-set broadcast
+  * against a partitioned corpus — embarrassingly parallel, no shuffle
+  * until the final per-query top-k). The LSH variant is the 100 TB
+  * path: sign-random-projection buckets turn all-pairs into per-bucket
+  * joins.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float/double> columns, computed in
+    * double. Pure `functions._` (zip_with/aggregate) — codegen-friendly,
+    * no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), _ + _)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector by brute force.
+    * The query side should be small (it is broadcast); the corpus side
+    * scans in parallel. Ties broken by neighbor id for determinism.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(r.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id (0 .. 2^nPlanes-1). */
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = (0 until dim).map(j =>
+        element_at(emb, j + 1).cast("double") * lit(p(j))).reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: queries only compare against corpus vectors in
+    * the same sign-LSH bucket (IVF-style coarse quantization with
+    * hash-derived centroids). Recall < 1; the scale path — the join key
+    * is the bucket id, so work is per-bucket, not all-pairs.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets. */
+  def cosineNearDups(vecs: DataFrame, threshold: Double,
+                     nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

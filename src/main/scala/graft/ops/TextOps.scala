@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All built from codegen'd `functions._` expressions — no UDFs — so
+  * they stay inside WholeStageCodegen and scale linearly with input
+  * splits (no shuffle at all for per-document scoring).
+  */
+object TextOps {
+
+  /** Count non-overlapping occurrences of literal `marker` in `c`,
+    * exactly and engine-portably: (len(x) - len(replace(x, m, ''))) / len(m).
+    */
+  def occurrences(c: Column, marker: String): Column =
+    (length(c) - length(replace(c, lit(marker), lit(""))))
+      ./(lit(marker.length)).cast("int")
+
+  /** Language-ID by stopword-marker scoring (n-gram heuristic).
+    * Wraps the text in spaces so markers match at boundaries; the
+    * language with the highest marker count wins, ties broken in
+    * (en, fr, de, es) order.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(markers: Seq[String]): Column =
+      markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+    val en = score(Seq("the", "a", "and", "of", "is"))
+    val fr = score(Seq("le", "la", "et", "les", "est"))
+    val de = score(Seq("der", "die", "und", "das", "ist"))
+    val es = score(Seq("el", "los", "las", "es", "y"))
+    when(en >= fr && en >= de && en >= es, lit("en"))
+      .when(fr >= de && fr >= es, lit("fr"))
+      .when(de >= es, lit("de"))
+      .otherwise(lit("es"))
+  }
+
+  /** Whitespace token count: single-space-separated word count, exact. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token.
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Quality metrics: length, word count, average word length,
+    * punctuation count, stopword ratio, and a composite keep/drop flag —
+    * the usual pre-training heuristics (length + punct + stopword ratio).
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nWords = tokenCountWs(text)
+    val nSpaces = occurrences(text, " ")
+    val nPunct = occurrences(text, ".") + occurrences(text, ",") +
+      occurrences(text, "!") + occurrences(text, "?")
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val nStop = Seq("the", "a", "and", "of", "is", "to", "in")
+      .map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+    val avgWordLen = (nChars - nSpaces).cast("double") /
+      when(nWords === 0, lit(1)).otherwise(nWords).cast("double")
+    val stopRatio = nStop.cast("double") /
+      when(nWords === 0, lit(1)).otherwise(nWords).cast("double")
+    val keep = nChars >= 20 && nWords >= 5 && avgWordLen.between(1.5, 12.0)
+    Seq("n_chars" -> nChars, "n_words" -> nWords, "n_punct" -> nPunct,
+      "avg_word_len" -> avgWordLen, "stopword_ratio" -> stopRatio,
+      "keep" -> keep)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase,
+    * collapse whitespace, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint = md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+}

@@ -392,6 +392,54 @@ object RelationalQueries {
              |  try_cast(c_name AS DATE) AS name_as_date
              |FROM customer""".stripMargin)),
 
+    // J9+W3+W7: the 52-week high/low pattern (models/silver/daily_market.sql
+    // :1-40) — rolling ROWS-based extrema, then a self-join with value
+    // equality + calendar (add_months) range to recover the extremum's
+    // date, deduped with QUALIFY row_number()=1.
+    QueryDef("q24_j9_w3_w7_52wk_high_low",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dm = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"), to_date(col("l_shipdate")).as("d"))
+          .agg(max(col("l_extendedprice")).as("hi"), min(col("l_extendedprice")).as("lo"))
+        val w = Window.partitionBy("pk").orderBy("d").rowsBetween(-364, 0)
+        val w52 = dm
+          .withColumn("high_52wk", max(col("hi")).over(w))
+          .withColumn("low_52wk", min(col("lo")).over(w))
+        val bLo = dm.select(col("pk").as("lo_pk"), col("d").as("low_date"),
+          col("lo").as("b_lo"))
+        val bHi = dm.select(col("pk").as("hi_pk"), col("d").as("high_date"),
+          col("hi").as("b_hi"))
+        val j = w52
+          .join(bLo, col("pk") === col("lo_pk") && col("low_52wk") === col("b_lo")
+            && col("low_date").between(add_months(col("d"), -12), col("d")))
+          .join(bHi, col("pk") === col("hi_pk") && col("high_52wk") === col("b_hi")
+            && col("high_date").between(add_months(col("d"), -12), col("d")))
+        Dialect.qualifyRowNumber(j, Seq(col("pk"), col("d")),
+            Seq(col("low_date"), col("high_date")))
+          .select("pk", "d", "high_52wk", "low_52wk", "low_date", "high_date")
+      },
+      Some("""WITH dm AS (
+             |  SELECT l_partkey AS pk, cast(l_shipdate AS DATE) AS d,
+             |    max(l_extendedprice) AS hi, min(l_extendedprice) AS lo
+             |  FROM lineitem GROUP BY 1, 2),
+             |w52 AS (
+             |  SELECT pk, d,
+             |    max(hi) OVER (PARTITION BY pk ORDER BY d
+             |      ROWS BETWEEN 364 PRECEDING AND CURRENT ROW) AS high_52wk,
+             |    min(lo) OVER (PARTITION BY pk ORDER BY d
+             |      ROWS BETWEEN 364 PRECEDING AND CURRENT ROW) AS low_52wk
+             |  FROM dm)
+             |SELECT a.pk, a.d, a.high_52wk, a.low_52wk,
+             |       blo.d AS low_date, bhi.d AS high_date
+             |FROM w52 a
+             |JOIN dm blo ON a.pk = blo.pk AND a.low_52wk = blo.lo
+             |  AND blo.d BETWEEN cast(a.d - INTERVAL 12 MONTH AS DATE) AND a.d
+             |JOIN dm bhi ON a.pk = bhi.pk AND a.high_52wk = bhi.hi
+             |  AND bhi.d BETWEEN cast(a.d - INTERVAL 12 MONTH AS DATE) AND a.d
+             |QUALIFY row_number() OVER (PARTITION BY a.pk, a.d
+             |  ORDER BY blo.d, bhi.d) = 1""".stripMargin)),
+
     // A3 port of the reference's only test: surrogate-key uniqueness
     // violations must be empty (tests/fact_trade__unique_trade.sql).
     QueryDef("q23_test_unique_key",
