@@ -66,6 +66,13 @@ object Dialect {
   def toDateSf(c: Column, sfFmt: String): Column =
     to_date(c, snowflakeFormat(sfFmt))
 
+  /** try_cast-to-DATE with an explicit format (Snowflake's try_cast DATE
+    * parses 'yyyymmdd' via its AUTO input format; Spark's cast doesn't, so
+    * route through try_to_timestamp which nulls on mismatch).
+    */
+  def tryToDateSf(c: Column, sfFmt: String): Column =
+    try_to_timestamp(c, lit(snowflakeFormat(sfFmt))).cast("date")
+
   /** Snowflake try_to_number / try_cast (tpcdi.py:299, finwire_financial.sql:5):
     * null on conversion failure instead of ANSI error.
     */

@@ -24,8 +24,9 @@ object Dedup {
   def shingles(text: Column, n: Int): Column = {
     val words = split(TextOps.normalize(text), " ")
     // sliding n-grams via transform over word indices
+    // n-gram start indices 0 .. size-n (inclusive): size-n+1 grams
     val grams = transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0)) - 1),
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
     array_distinct(when(size(words) >= n, grams).otherwise(array(concat_ws(" ", words))))
   }

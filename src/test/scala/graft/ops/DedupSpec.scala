@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different content about spark engines and scale"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    out.count() shouldBe 4L
+    val dup = out.filter($"n_dups" === 2).collect()
+    dup.length shouldBe 1
+    dup(0).getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("shingles produce distinct sliding n-grams; short docs degrade") {
+    val g = docs.select($"doc_id", Dedup.shingles($"text", 3).as("g"))
+      .filter($"doc_id" === 1).select(explode($"g")).as[String].collect()
+    g should contain("the quick brown")
+    g should contain("over the lazy")
+    g.distinct.length shouldBe g.length
+    // 9 words -> 7 trigrams
+    g.length shouldBe 7
+  }
+
+  test("minhash: identical docs agree fully, near-dups score high, distinct low") {
+    val sig = docs.select($"doc_id", Dedup.minhashSignature($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sig(1L) shouldBe sig(2L)
+    val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b } / 64.0
+    val agree14 = sig(1L).zip(sig(4L)).count { case (a, b) => a == b } / 64.0
+    agree13 should be > 0.4   // 6/8 shared trigrams -> J≈0.5±est
+    agree14 should be < 0.2
+  }
+
+  test("minhashLsh surfaces exact+near pairs above threshold") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
+    pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 1.0
+    all(pairs.map(_._3)) should be >= 0.4
+  }
+
+  test("simhash: identical -> distance 0 pair; disjoint docs absent") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue()))
+    pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
+    pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 0
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
+  }
+
+  test("ngramJaccard: exact dups at 1.0; threshold filters the rest") {
+    val out = Dedup.ngramJaccard(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getAs[Double]("jaccard_lb")))
+    // columns come back (doc_b, doc_a, ...) after the join-key reorder; normalize
+    val pairs = out.map(p => (math.min(p._1, p._2), math.max(p._1, p._2), p._3))
+    pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
+    pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 1.0
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    out(0) shouldBe 0.0 +- 1e-9
+    out(1) shouldBe 1.0 +- 1e-9
+    out(2) shouldBe -1.0 +- 1e-9
+  }
+
+  test("bruteForceTopK returns k ranked true neighbors per query") {
+    // 1-d directions on a circle: neighbor order is angular distance
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val vecs = Seq((0L, v(0)), (1L, v(10)), (2L, v(20)), (3L, v(90)), (4L, v(180)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 3)
+      .orderBy("rank").select("n_id").as[Long].collect()
+    out shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("lshTopK finds same-bucket neighbors (subset of brute-force)") {
+    val r = new scala.util.Random(3)
+    val base = Array.fill(64)(r.nextGaussian().toFloat)
+    def jitter(eps: Double) =
+      base.map(x => (x + eps * r.nextGaussian()).toFloat)
+    val vecs = (0L to 20L).map(i =>
+      (i, if (i < 10) jitter(0.05) else Array.fill(64)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs.filter($"vec_id" === 0), vecs, k = 5)
+      .select("n_id").as[Long].collect()
+    // tight cluster members hash to the same bucket; at least some found
+    out.length should be > 0
+    all(out) should be < 10L
+  }
+
+  test("cosineNearDups returns symmetric-free high-sim pairs") {
+    val a = Array.fill(64)(1f)
+    val vecs = Seq((0L, a), (1L, a.map(_ * 2f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDups(vecs, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    out shouldBe Array((0L, 1L)) // scaled copy is cosine-identical; id_a < id_b once
+  }
+}

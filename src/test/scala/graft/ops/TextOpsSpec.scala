@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("occurrences counts non-overlapping literal matches") {
+    val out = Seq("a,b,,c").toDF("t")
+      .select(TextOps.occurrences($"t", ",").as("n")).as[Int].collect()
+    out(0) shouldBe 3
+  }
+
+  test("langId classifies stopword-marked texts") {
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is here"),
+      (2L, "le chat est sur la table et les chiens"),
+      (3L, "der hund und die katze das ist gut"),
+      (4L, "el perro y los gatos es las casas")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.langId($"text").as("l"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    out.map(_._2) shouldBe Array("en", "fr", "de", "es")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val out = Seq("Hello, world!  42 foo-bar", "", "   ").toDF("t")
+      .select(TextOps.tokenCountWs($"t").as("ws"),
+        TextOps.tokenCountBpe($"t").as("bpe")).collect()
+    out(0).getInt(0) shouldBe 4
+    // hello , world ! 42 foo - bar = 8
+    out(0).getInt(1) shouldBe 8
+    out(1).getInt(0) shouldBe 0
+    out(2).getInt(0) shouldBe 0
+  }
+
+  test("quality metrics + keep flag") {
+    val good = "the quick brown fox jumps over the lazy dog again"
+    val short = "hi"
+    val m = Seq(good, short).toDF("text")
+    val withM = TextOps.qualityMetrics(col("text")).foldLeft(m) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }.collect()
+    withM(0).getAs[Boolean]("keep") shouldBe true
+    withM(0).getAs[Int]("n_words") shouldBe 10
+    withM(1).getAs[Boolean]("keep") shouldBe false
+  }
+
+  test("fingerprint is whitespace/case-insensitive and distinct otherwise") {
+    val out = Seq("Hello   World", "hello world", "hello worlds").toDF("t")
+      .select(TextOps.fingerprint($"t").as("fp")).as[String].collect()
+    out(0) shouldBe out(1)
+    out(0) should not be out(2)
+  }
+}
