@@ -129,7 +129,7 @@ object Finwire {
       trim(col("symbol")).as("symbol"),
       trim(col("issue_type")).as("issue_type"),
       trim(col("status")).as("status"),
-      col("name"),
+      rtrim(col("name")).as("name"),
       trim(col("ex_id")).as("ex_id"),
       col("sh_out").cast("long").as("sh_out"),
       Dialect.toDateSf(col("first_trade_date"), "yyyymmdd").as("first_trade_date"),

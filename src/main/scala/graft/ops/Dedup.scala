@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * candidates only — never an all-pairs cross join. Bucket-size caps
   * bound the worst-case pair blowup under skew, the standard guard for
   * web-scale near-dup jobs.
+  *
+  * Signature computation is explode→aggregate, NOT per-row nested array
+  * expressions: one codegen'd projection computes all k hashes per
+  * shingle, and the per-doc minima come from a map-side-combined
+  * groupBy — so the work is k×|shingles| once, not k passes over the
+  * shingle array (which Catalyst would re-expand per hash, a 64×
+  * blowup measured at sf0.1).
   */
 object Dedup {
 
@@ -23,7 +30,6 @@ object Dedup {
   /** Word n-gram shingles (distinct) of the lowercased text. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(TextOps.normalize(text), " ")
-    // sliding n-grams via transform over word indices
     // n-gram start indices 0 .. size-n (inclusive): size-n+1 grams
     val grams = transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
@@ -39,34 +45,40 @@ object Dedup {
     Seq.fill(k)((1L + r.nextInt((P - 1).toInt).toLong, r.nextInt(P.toInt).toLong))
   }
 
-  /** MinHash signature column: array<long> of k minima over the doc's
-    * shingle set. Computed per-row with array expressions (no explode,
-    * no shuffle): sig_i = min over shingles of (a_i * h(s) + b_i) mod P.
+  /** MinHash signatures as a DataFrame (doc_id, sig array<long>):
+    * explode shingles, hash each once, take k affine minima via
+    * map-side-combined aggregation. One shuffle on doc_id.
     */
-  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 3,
-                       seed: Long = 42L): Column = {
-    val hs = transform(shingles(text, shingleN),
-      s => pmod(xxhash64(s), lit(P)))
-    val mins = coeffs(k, seed).map { case (a, b) =>
-      array_min(transform(hs, h => pmod(h * a + b, lit(P))))
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, shingleN: Int = 3,
+                        seed: Long = 42L): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleN)).as("gram"))
+    val hashed = grams.select(col("doc_id"),
+      pmod(xxhash64(col("gram")), lit(P)).as("h"))
+    val mins = coeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"__m$i")
     }
-    array(mins: _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH banding: docs sharing any (band_idx, band_hash)
     * bucket become candidate pairs; pairs are scored by signature
     * agreement (estimated Jaccard) and filtered at `threshold`.
     *
-    * Shuffles: one on the band key (candidate gen), one to dedup pairs.
-    * `maxBucket` caps quadratic blowup from degenerate buckets.
+    * Shuffles: doc_id (signature agg), band key (candidate gen), pair
+    * dedup. `maxBucket` caps quadratic blowup from degenerate buckets.
+    * Signatures are cached: both sides of the bucket self-join need
+    * them, and at scale you'd checkpoint them anyway.
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 64, bands: Int = 16, shingleN: Int = 3,
                  threshold: Double = 0.7, seed: Long = 42L,
                  maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), k, shingleN, seed).as("sig"))
+    val sig = minhashSignatures(docs, textCol, idCol, k, shingleN, seed).cache()
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
@@ -94,27 +106,33 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** SimHash: 64-bit signature where bit j is the sign of the weighted
-    * sum of token-hash bits. Near-dups = pairs within `maxHamming`,
-    * found by the 4x16-bit chunk pigeonhole (any pair at distance <=3
-    * shares at least one exact chunk).
+  /** SimHash signatures as a DataFrame (doc_id, sim long): bit j of the
+    * 64-bit signature is the sign of the sum of ±1 votes from each
+    * token's hash bit j. Explode→aggregate like minhash: the 64 vote
+    * sums are one aggregation pass over the tokens.
     */
-  def simhashSignature(text: Column): Column = {
-    val words = split(TextOps.normalize(text), " ")
-    val hs = transform(words, w => xxhash64(w))
-    val bits = (0 until 64).map { j =>
-      // sum of +1/-1 votes for bit j over all tokens
-      val vote = aggregate(hs, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+  def simhashSignatures(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"__v$j")
     }
-    bits.reduce(_.bitwiseOR(_))
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sim"))
   }
 
+  /** Near-dups = pairs within `maxHamming`, found by the 4x16-bit chunk
+    * pigeonhole (any pair at distance <=3 shares at least one exact
+    * chunk).
+    */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"),
-      simhashSignature(col(textCol)).as("sim"))
+    val sig = simhashSignatures(docs, textCol, idCol).cache()
     val chunked = sig.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -144,7 +162,7 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 50): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("gram"))
+        explode(shingles(col(textCol), n)).as("gram")).cache()
     val docSize = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val rare = grams.withColumn("__df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))

@@ -48,12 +48,19 @@ object Similarity {
     Array.fill(nPlanes, dim)(r.nextGaussian())
   }
 
-  /** Sign-random-projection bucket id (0 .. 2^nPlanes-1). */
+  /** Sign-random-projection bucket id (0 .. 2^nPlanes-1).
+    *
+    * Each projection is a `zip_with`+`aggregate` dot product against a
+    * constant array literal — a flat, linear expression. (A naive
+    * per-dimension `element_at` sum builds an nPlanes×dim-term nested
+    * tree that takes Janino tens of seconds to compile.)
+    */
   def lshBucket(emb: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column = {
     val planes = hyperplanes(nPlanes, dim, seed)
     planes.zipWithIndex.map { case (p, i) =>
-      val proj = (0 until dim).map(j =>
-        element_at(emb, j + 1).cast("double") * lit(p(j))).reduce(_ + _)
+      val proj = aggregate(
+        zip_with(emb, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0), _ + _)
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }

@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash: identical docs agree fully, near-dups score high, distinct low") {
-    val sig = docs.select($"doc_id", Dedup.minhashSignature($"text").as("s"))
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     sig(1L) shouldBe sig(2L)
     val agree13 = sig(1L).zip(sig(3L)).count { case (a, b) => a == b } / 64.0
