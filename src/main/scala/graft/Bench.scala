@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import graft.engine.Tables
+
+/** Per-round benchmark: one JSON line with total + per-query seconds.
+  *
+  * Queries run in sorted-name order (Map iteration order would shift
+  * with every recompile, silently re-assigning the JVM/codegen warmup
+  * cost to a different query). A warmup pass — scan every table + one
+  * small shuffle — absorbs first-query JIT, parquet footer reads, and
+  * codegen compilation so per-query numbers are comparable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +17,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: touch every table and exercise shuffle + window codegen
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).count() catch { case _: Throwable => }
+    }
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate")))
+        .groupBy("rn").count().count()
+    } catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,6 +27,17 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Ensure a CPU-heavy per-row stage runs with full parallelism: small
+    * inputs (one parquet file => one split) would otherwise pin the
+    * whole shingle/hash pipeline to a single task. No-op when the scan
+    * already has enough splits (the 100 TB case), so the extra shuffle
+    * is only paid when it buys parallelism.
+    */
+  private[ops] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Word n-gram shingles (distinct) of the lowercased text. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(TextOps.normalize(text), " ")
@@ -52,7 +63,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, shingleN: Int = 3,
                         seed: Long = 42L): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
+    val grams = widen(docs).select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), shingleN)).as("gram"))
     val hashed = grams.select(col("doc_id"),
       pmod(xxhash64(col("gram")), lit(P)).as("h"))
@@ -113,7 +124,7 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, textCol: String,
                         idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val toks = widen(docs).select(col(idCol).as("doc_id"),
       explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val votes = (0 until 64).map { j =>
@@ -161,7 +172,7 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 50): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
+    val grams = widen(docs).select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("gram")).cache()
     val docSize = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val rare = grams.withColumn("__df",
