@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+
+/** SparkSessionExtensions registering the engine's Snowflake-dialect
+  * helpers as SQL functions, so `spark.sql` users get the same surface
+  * as the DataFrame API (SURVEY §4: QUALIFY/GROUP BY ALL are handled by
+  * Dialect helpers; these cover the expression-level gaps).
+  *
+  * Every function expands to built-in Catalyst expressions at
+  * resolution time — no UDF, no codegen penalty:
+  *
+  *  - `sf_decode(x, k1, v1[, k2, v2 ...][, default])` — Snowflake decode
+  *    (models/silver/accounts.sql:3-7) with null-safe key equality.
+  *    (Named sf_decode so Spark's builtin charset/Oracle `decode` stays
+  *    reachable.)
+  *  - `surrogate_key(c1, c2, ...)` — dbt_utils.generate_surrogate_key
+  *    (models/gold/dim_account.sql:2): md5 of '-'-joined null-sentineled
+  *    strings.
+  *
+  * Usage: `SparkSession.builder.withExtensions(GraftExtensions.inject)`
+  * or `--conf spark.sql.extensions=graft.plans.GraftSessionExtensions`.
+  */
+object GraftExtensions {
+
+  private val nullSentinel = Literal("_dbt_utils_surrogate_key_null_")
+
+  /** decode(expr, search1, result1, ..., [default]) => CaseWhen with
+    * null-safe equality (decode('x', NULL, v) matches NULL like
+    * Snowflake's decode).
+    */
+  private[plans] def decodeExpr(args: Seq[Expression]): Expression = {
+    require(args.length >= 3, "decode requires (expr, search, result, ...)")
+    val x = args.head
+    val rest = args.tail
+    val (pairs, default) =
+      if (rest.length % 2 == 0) (rest.grouped(2).toSeq, None)
+      else (rest.dropRight(1).grouped(2).toSeq, Some(rest.last))
+    CaseWhen(
+      pairs.map { case Seq(k, v) => (EqualNullSafe(x, k), v) },
+      default)
+  }
+
+  /** surrogate_key(c1, ...) => md5(concat_ws('-', coalesce(cast(c as
+    * string), sentinel), ...)).
+    */
+  private[plans] def surrogateKeyExpr(args: Seq[Expression]): Expression = {
+    require(args.nonEmpty, "surrogate_key requires at least one column")
+    val parts = args.map(a =>
+      Coalesce(Seq(Cast(a, org.apache.spark.sql.types.StringType), nullSentinel)))
+    Md5(Cast(ConcatWs(Literal("-") +: parts),
+      org.apache.spark.sql.types.BinaryType))
+  }
+
+  val inject: SparkSessionExtensions => Unit = { ext =>
+    ext.injectFunction((
+      FunctionIdentifier("sf_decode"),
+      new ExpressionInfo("graft.plans.GraftExtensions", "sf_decode"),
+      (args: Seq[Expression]) => decodeExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("surrogate_key"),
+      new ExpressionInfo("graft.plans.GraftExtensions", "surrogate_key"),
+      (args: Seq[Expression]) => surrogateKeyExpr(args)))
+  }
+}
+
+/** Config-friendly wrapper: `--conf spark.sql.extensions=graft.plans.GraftSessionExtensions`. */
+class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.inject(ext)
+}

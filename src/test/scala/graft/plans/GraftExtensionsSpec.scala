@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface parity: the injected functions must match the DataFrame
+  * helpers (Dialect.decode / Keys.surrogateKey) exactly.
+  *
+  * The shared test SparkContext already exists, so builder-time
+  * `withExtensions` would be skipped by getOrCreate; register the same
+  * builders directly on a child session's function registry — identical
+  * resolution path to injectFunction.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val sqlSpark: SparkSession = {
+    val s = spark.newSession()
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sf_decode", GraftExtensions.decodeExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "surrogate_key", GraftExtensions.surrogateKeyExpr, "built-in")
+    s
+  }
+
+  test("sf_decode matches Snowflake semantics incl. null-safe keys") {
+    val out = sqlSpark.sql(
+      """SELECT sf_decode(x, 'NEW', 'Active', 'CLOSEACCT', 'Inactive', 'other') v
+        |FROM VALUES ('NEW'), ('CLOSEACCT'), ('???'), (NULL) AS t(x)""".stripMargin)
+      .collect().map(_.getString(0))
+    out shouldBe Array("Active", "Inactive", "other", "other")
+    val nullKey = sqlSpark.sql(
+      "SELECT sf_decode(x, NULL, 'was-null', 'miss') v FROM VALUES (CAST(NULL AS STRING)) t(x)")
+      .collect()(0).getString(0)
+    nullKey shouldBe "was-null"
+  }
+
+  test("sf_decode without default yields NULL on no match") {
+    val r = sqlSpark.sql("SELECT sf_decode('z', 'a', 1, 'b', 2) v").collect()(0)
+    r.isNullAt(0) shouldBe true
+  }
+
+  test("surrogate_key SQL = Keys.surrogateKey DataFrame result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((42L, Some("x")), (7L, None)).toDF("a", "b")
+    val viaDf = df.select(graft.engine.Keys.surrogateKey(col("a"), col("b")).as("sk"))
+      .as[String].collect()
+    val viaSql = sqlSpark.sql(
+      "SELECT surrogate_key(a, b) sk FROM VALUES (42L,'x'),(7L,CAST(NULL AS STRING)) t(a,b)")
+      .collect().map(_.getString(0))
+    viaSql shouldBe viaDf
+  }
+}
