@@ -15,15 +15,22 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two array<float/double> columns, computed in
-    * double. Pure `functions._` (zip_with/aggregate) — codegen-friendly,
-    * no UDF.
+    * double. Composable `functions._` form (zip_with/aggregate) — kept
+    * as the reference implementation; the hot paths below use the fused
+    * custom expression.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosineComposable(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), _ + _)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** Fused single-loop codegen'd cosine (graft.functions.CosineSimilarity):
+    * no intermediate array, one pass for dot + both norms.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosineSimilarity(a, b)
 
   /** Exact top-k neighbors for each query vector by brute force.
     * The query side should be small (it is broadcast); the corpus side

@@ -63,6 +63,13 @@ object GraftExtensions {
       FunctionIdentifier("surrogate_key"),
       new ExpressionInfo("graft.plans.GraftExtensions", "surrogate_key"),
       (args: Seq[Expression]) => surrogateKeyExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo("graft.functions.CosineSimilarity", "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity requires two array args")
+        graft.functions.CosineSimilarity(args.head, args(1))
+      }))
   }
 }
 

@@ -440,6 +440,41 @@ object RelationalQueries {
              |QUALIFY row_number() OVER (PARTITION BY a.pk, a.d
              |  ORDER BY blo.d, bhi.d) = 1""".stripMargin)),
 
+    // Full medallion composition (the entry flagship, oracle-checked):
+    // purchase log -> SCD2 dim (W1/W2) -> temporal join of clicks (J4) ->
+    // surrogate keys (dbt_utils) -> star aggregate. Exercises the whole
+    // silver->gold chain of the reference in one DuckDB-verifiable query.
+    QueryDef("q25_pipeline_star_attribution",
+      (s, dir) => {
+        val dim = purchaseDim(s, dir).select(
+          col("user_id").as("d_user_id"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"),
+          col("effective_timestamp"), col("end_timestamp"))
+        val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        TemporalJoin.temporalJoin(clicks, dim,
+            clicks("user_id"), dim("d_user_id"), clicks("ts"))
+          .select(col("user_id"),
+            Keys.surrogateKey(col("click_id"), col("purchase_id")).as("sk"),
+            col("purchase_value"))
+          .groupBy("user_id")
+          .agg(count(col("sk")).as("n_attributed_clicks"),
+            countDistinct(col("sk")).as("n_distinct_sk"),
+            sum(round(col("purchase_value") * 100)).cast("long").as("value_cents"))
+      },
+      Some(s"""WITH dim AS ($purchaseDimSql),
+              |clicks AS (
+              |  SELECT event_id AS click_id, user_id, ts
+              |  FROM events WHERE event_type = 'click')
+              |SELECT c.user_id,
+              |  count(*) AS n_attributed_clicks,
+              |  count(DISTINCT md5(concat_ws('-', cast(c.click_id AS VARCHAR),
+              |    cast(d.event_id AS VARCHAR)))) AS n_distinct_sk,
+              |  cast(sum(round(d.value*100)) AS BIGINT) AS value_cents
+              |FROM clicks c JOIN dim d ON c.user_id = d.user_id
+              |  AND c.ts BETWEEN d.effective_timestamp AND d.end_timestamp
+              |GROUP BY 1""".stripMargin)),
+
     // A3 port of the reference's only test: surrogate-key uniqueness
     // violations must be empty (tests/fact_trade__unique_trade.sql).
     QueryDef("q23_test_unique_key",
