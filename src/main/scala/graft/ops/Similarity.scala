@@ -91,6 +91,53 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k: a small deterministic
+    * centroid set partitions the corpus into nlist cells; each query
+    * probes its nprobe nearest cells and ranks only those candidates.
+    *
+    * Scale shape: centroid assignment is a per-row expression against
+    * broadcast centroid literals (no shuffle); the candidate join is
+    * keyed on the cell id, so work is per-cell, not all-pairs — the
+    * IVF analog of the sign-LSH path with a data-adaptive partition.
+    * Centroid selection here is the simplest deterministic scheme (first
+    * nlist corpus vectors); production would k-means a sample — only
+    * this driver-side training step changes.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids: Array[Seq[Double]] = corpus
+      .orderBy("vec_id").limit(nlist).select("embedding").collect()
+      .map { case Row(e: scala.collection.Seq[_]) =>
+        e.map(x => x.asInstanceOf[Float].toDouble).toSeq }
+    def sims(emb: Column): Seq[Column] = centroids.toSeq.map(c =>
+      graft.functions.CosineSimilarity.cosineSimilarity(emb, typedLit(c)))
+    // nearest cell for corpus rows: argmax over centroid similarities
+    def cell(emb: Column): Column = {
+      val s = array(sims(emb): _*)
+      array_position(s, array_max(s)).cast("int")
+    }
+    // nprobe nearest cells for query rows: sort (sim, idx) structs desc
+    def probeCells(emb: Column): Column = {
+      val pairs = array(sims(emb).zipWithIndex.map { case (s, i) =>
+        struct(s.as("sim"), lit(i + 1).as("cell")) }: _*)
+      slice(array_sort(pairs,
+        (a, b) => when(a("sim") > b("sim"), -1).when(a("sim") < b("sim"), 1)
+          .otherwise(0)), 1, nprobe)
+    }
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      cell(col("embedding")).as("cell"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probeCells(col("embedding"))).as("probe"))
+      .select(col("q_id"), col("q_emb"), col("probe.cell").as("cell"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets. */
   def cosineNearDups(vecs: DataFrame, threshold: Double,
                      nPlanes: Int = 8, dim: Int = 64): DataFrame = {

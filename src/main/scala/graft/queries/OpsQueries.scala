@@ -90,6 +90,14 @@ object OpsQueries {
         .select("q_id", "n_id", "rank"),
       None),
 
+    // Approximate ANN: IVF cells with nprobe probing (data-adaptive
+    // partition; recall tunable via nprobe).
+    QueryDef("n03_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(
+          embs(s, dir).filter(col("vec_id") < 20), embs(s, dir), k = 5)
+        .select("q_id", "n_id", "rank"),
+      None),
+
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
       (s, dir) => docs(s, dir).select(col("doc_id"),

@@ -475,6 +475,36 @@ object RelationalQueries {
               |  AND c.ts BETWEEN d.effective_timestamp AND d.end_timestamp
               |GROUP BY 1""".stripMargin)),
 
+    // As-of (nearest-past) join — the union+carry-forward operator
+    // (engine/AsOfJoin): last purchase value at or before each click.
+    // Oracle: DuckDB's native ASOF LEFT JOIN. Purchases deduped to one
+    // per (user, ts) first so tie-breaking is engine-independent.
+    QueryDef("q26_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = Dialect.qualifyRowNumber(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts"), col("value")),
+          Seq(col("user_id"), col("pts")), Seq(col("value").desc))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        AsOfJoin.asOfJoin(clicks, purchases, "user_id", "ts", "pts",
+            payload = Seq("value"))
+          .select(col("click_id"), col("user_id"),
+            col("value").as("last_purchase_value"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT user_id, ts AS pts, value
+             |  FROM events WHERE event_type = 'purchase'
+             |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+             |    ORDER BY value DESC) = 1),
+             |clicks AS (
+             |  SELECT event_id AS click_id, user_id, ts
+             |  FROM events WHERE event_type = 'click')
+             |SELECT c.click_id, c.user_id, p.value AS last_purchase_value
+             |FROM clicks c ASOF LEFT JOIN purchases p
+             |  ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin)),
+
     // A3 port of the reference's only test: surrogate-key uniqueness
     // violations must be empty (tests/fact_trade__unique_trade.sql).
     QueryDef("q23_test_unique_key",

@@ -43,6 +43,24 @@ class SimilaritySpec extends SparkSpec {
     all(out) should be < 10L
   }
 
+  test("ivfTopK: high recall vs brute force with generous nprobe") {
+    val r = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(32)(r.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, vecs, k = 3, nlist = 8, nprobe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // nprobe == nlist probes every cell -> identical to brute force
+    ivf shouldBe exact
+    // fewer probes: approximate — non-empty, at most k per query
+    val partial = Similarity.ivfTopK(q, vecs, k = 3, nlist = 8, nprobe = 2)
+    partial.count() should be > 0L
+    partial.groupBy("q_id").count().collect()
+      .foreach(_.getLong(1) should be <= 3L)
+  }
+
   test("cosineNearDups returns symmetric-free high-sim pairs") {
     val a = Array.fill(64)(1f)
     val vecs = Seq((0L, a), (1L, a.map(_ * 2f)),
