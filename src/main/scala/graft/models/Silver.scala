@@ -275,10 +275,13 @@ object Silver {
       Seq(col("dm_s_symb")), Seq(col("dm_date")), precedingRows = 364,
       "fifty_two_week_low" -> min(col("dm_low")),
       "fifty_two_week_high" -> max(col("dm_high")))
-    val b = s1.select(col("dm_s_symb").as("__b_symb"), col("dm_date").as("__b_date"),
-      col("dm_low").as("__b_low"))
-    val c = s1.select(col("dm_s_symb").as("__c_symb"), col("dm_date").as("__c_date"),
-      col("dm_high").as("__c_high"))
+    // extremum-date branches need only raw columns: derive them from the
+    // pre-window scan so the rolling Window runs once, not three times
+    // (the reference's s1 self-join relies on the same pruning)
+    val b = brokerageDailyMarket.select(col("dm_s_symb").as("__b_symb"),
+      col("dm_date").as("__b_date"), col("dm_low").as("__b_low"))
+    val c = brokerageDailyMarket.select(col("dm_s_symb").as("__c_symb"),
+      col("dm_date").as("__c_date"), col("dm_high").as("__c_high"))
     val s2 = s1
       .join(b, col("dm_s_symb") === col("__b_symb") &&
         col("fifty_two_week_low") === col("__b_low") &&
