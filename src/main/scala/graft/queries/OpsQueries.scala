@@ -154,6 +154,15 @@ object OpsQueries {
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents""".stripMargin)),
 
+    // Winnowing fingerprint sets (rolling k-gram hash + window minima);
+    // engine-specific hash values -> rows-only.
+    QueryDef("t05_winnow_fingerprints",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextOps.winnowFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          element_at(col("fps"), 1).as("min_fp")),
+      None),
+
     // Multimodal: opaque binary payload + typed metadata.
     QueryDef("m01_media_metadata",
       (s, dir) => Multimodal.attachMedia(docs(s, dir))

@@ -13,6 +13,10 @@ trait SparkSpec extends AnyFunSuite with Matchers {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // unique per JVM: a fixed path leaves orphan table dirs behind that a
+    // fresh in-memory catalog then refuses to overwrite (LOCATION_ALREADY_EXISTS)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-test-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

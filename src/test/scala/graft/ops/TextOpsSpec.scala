@@ -46,6 +46,26 @@ class TextOpsSpec extends SparkSpec {
     withM(1).getAs[Boolean]("keep") shouldBe false
   }
 
+  test("winnowing: shared substrings of >= w+k-1 chars share a fingerprint") {
+    val common = "the identical shared middle passage of text"
+    val df = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"totally different opening $common and another ending"),
+      (3L, "nothing in common with the others at all here"))
+      .toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextOps.winnowFingerprints($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (fps(1L) intersect fps(2L)).size should be > 0
+    // identical input -> identical fingerprint set
+    val again = df.filter($"doc_id" === 1)
+      .select(TextOps.winnowFingerprints($"text")).collect()(0).getSeq[Long](0).toSet
+    again shouldBe fps(1L)
+    // fingerprints are sorted distinct
+    val raw = df.filter($"doc_id" === 1)
+      .select(TextOps.winnowFingerprints($"text")).collect()(0).getSeq[Long](0)
+    raw shouldBe raw.distinct.sorted
+  }
+
   test("fingerprint is whitespace/case-insensitive and distinct otherwise") {
     val out = Seq("Hello   World", "hello world", "hello worlds").toDF("t")
       .select(TextOps.fingerprint($"t").as("fp")).as[String].collect()
