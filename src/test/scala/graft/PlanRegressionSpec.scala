@@ -1,0 +1,70 @@
+package graft
+
+import graft.engine._
+import org.apache.spark.sql.functions._
+
+/** Plan-property regression tests: the physical-plan shapes PLANS.md
+  * documents must survive refactors. String-level checks on
+  * explain(formatted) — crude but catches the expensive regressions
+  * (extra shuffles, lost pushdown, lost broadcast).
+  */
+class PlanRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("SCD2 kernel: both window functions share ONE exchange+window") {
+    val log = (1 to 100).map(i => (i % 10L, ts(f"2020-01-${i % 28 + 1}%02d 00:00:00"), i))
+      .toDF("id", "change_ts", "v")
+    val plan = formatted(Scd2.scd2(log, Seq("id"), "change_ts"))
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+    plan.split("\\(\\d+\\) Window").length - 1 shouldBe 1
+  }
+
+  test("temporal join keeps the equi key (no BNLJ) and broadcasts a hinted dim") {
+    val fact = (1 to 100).map(i => (i.toLong, i % 5L, ts("2020-06-01 00:00:00")))
+      .toDF("fid", "k", "fts")
+    val dim = Seq((1L, ts("2020-01-01 00:00:00"), ts("9999-12-31 23:59:59.999")))
+      .toDF("k", "effective_timestamp", "end_timestamp")
+    val plan = formatted(TemporalJoin.temporalJoin(
+      fact, broadcast(dim), fact("k"), dim("k"), fact("fts")))
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("parquet scan gets pushed filters and pruned columns") {
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toString
+    (1 to 100).map(i => (i.toLong, s"s$i", i * 1.5, s"x$i"))
+      .toDF("id", "name", "amount", "unused").write.mode("overwrite").parquet(dir)
+    val plan = formatted(spark.read.parquet(dir)
+      .filter($"amount" > 10.0 && $"name".isNotNull)
+      .select("id", "name", "amount"))
+    plan should include("GreaterThan(amount,10.0)") // reached the scan
+    plan should include("IsNotNull(name)")
+    plan should not include "unused"
+  }
+
+  test("gap-fill over N columns uses one window exchange") {
+    val df = (1 to 50).map(i => (i % 5L, i, s"a$i", s"b$i"))
+      .toDF("id", "seq", "c1", "c2")
+    val plan = formatted(Windows.gapFill(df, Seq($"id"), Seq($"seq"), Seq("c1", "c2")))
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+  }
+
+  test("whole-stage codegen covers the scalar-function pipeline") {
+    // read from parquet: a literal LocalRelation would constant-fold to a
+    // LocalTableScan and show no codegen at all
+    val dir = java.nio.file.Files.createTempDirectory("wscg").toString
+    Seq(("NEW", "2020-01-02")).toDF("a", "dstr")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(Dialect.decode($"a", Seq(lit("NEW") -> lit(1))).as("d"),
+        Dialect.toDateSf($"dstr", "yyyy-mm-dd").as("dt"),
+        Keys.surrogateKey($"a").as("sk"))
+    // formatted mode marks whole-stage-codegen participation per node
+    formatted(df) should include("Project [codegen id :")
+  }
+}
