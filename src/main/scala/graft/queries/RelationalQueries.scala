@@ -475,6 +475,27 @@ object RelationalQueries {
               |  AND c.ts BETWEEN d.effective_timestamp AND d.end_timestamp
               |GROUP BY 1""".stripMargin)),
 
+    // Incremental SCD2 (the Batch2 path the reference leaves
+    // unimplemented): build the dim from an early batch, merge the late
+    // batch with work proportional to affected entities — and prove the
+    // result equals the single-shot SCD2 over the full log (same oracle
+    // as q06).
+    QueryDef("q27_incremental_scd2_merge",
+      (s, dir) => {
+        val log = t(s, dir, "events").filter(col("event_type") === "purchase")
+        val cutoff = "2024-01-16 00:00:00" // ~median of the event range
+        val batch1 = log.filter(col("ts") < lit(cutoff).cast("timestamp"))
+        val batch2 = log.filter(col("ts") >= lit(cutoff).cast("timestamp"))
+        val existing = graft.engine.Scd2
+          .scd2(batch1, Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+          .drop("ts")
+        graft.models.Incremental.mergeScd2Batch(existing, batch2,
+            Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+          .select("user_id", "event_id", "value", "effective_timestamp",
+            "end_timestamp", "is_current")
+      },
+      Some(purchaseDimSql)),
+
     // As-of (nearest-past) join — the union+carry-forward operator
     // (engine/AsOfJoin): last purchase value at or before each click.
     // Oracle: DuckDB's native ASOF LEFT JOIN. Purchases deduped to one
