@@ -102,11 +102,14 @@ class LoaderSpec extends SparkSpec {
     ft.isNullAt(ft.fieldIndex("sk_customer_id")) shouldBe false
   }
 
-  test("Warehouse.build materializes every model as parquet") {
+  test("Warehouse.build materializes every model once, downstream reads parquet") {
     val out = Files.createTempDirectory("whout").toString
-    Warehouse.build(wh, out)
-    val built = new java.io.File(out).list().toSet
-    built.size shouldBe wh.all.size
+    val built = Warehouse.buildFromBatchDir(spark, batchDir.toString, out)
+    new java.io.File(out).list().toSet.size shouldBe built.all.size
     spark.read.parquet(s"$out/fact_trade").count() shouldBe 1
+    // materialized warehouse models are parquet-backed scans
+    built.factTrade.queryExecution.executedPlan.toString should
+      include("Scan parquet")
+    built.uniqueTradeViolations.count() shouldBe 0
   }
 }
