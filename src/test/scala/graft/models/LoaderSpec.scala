@@ -112,4 +112,21 @@ class LoaderSpec extends SparkSpec {
       include("Scan parquet")
     built.uniqueTradeViolations.count() shouldBe 0
   }
+
+  test("parallel DAG runner produces the same models as the sequential build") {
+    val seqOut = Files.createTempDirectory("whseq").toString
+    val parOut = Files.createTempDirectory("whpar").toString
+    val sources = Loader.loadAll(spark, batchDir.toString)
+    Warehouse.build(spark, sources, seqOut)
+    val timings = Dag.runParallel(spark, sources, parOut, parallelism = 4)
+    timings.size shouldBe 44
+    for (m <- Seq("fact_trade", "fact_market_history", "dim_customer",
+        "trades_history", "fact_cash_balances")) {
+      val a = spark.read.parquet(s"$seqOut/$m")
+      val b = spark.read.parquet(s"$parOut/$m")
+      a.count() shouldBe b.count()
+      a.exceptAll(b).count() shouldBe 0L
+      b.exceptAll(a).count() shouldBe 0L
+    }
+  }
 }
