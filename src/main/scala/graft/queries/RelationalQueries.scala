@@ -526,6 +526,25 @@ object RelationalQueries {
              |FROM clicks c ASOF LEFT JOIN purchases p
              |  ON c.user_id = p.user_id AND c.ts >= p.pts""".stripMargin)),
 
+    // Salted skew join (engine/SkewJoin): fact side salted, dim side
+    // replicated x8 — result must equal the plain equi-join, which is
+    // the oracle. Guards the hot-key fan-out technique behind the gate.
+    QueryDef("q28_salted_skew_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        SkewJoin.saltedJoin(li, o, li("l_orderkey"), o("o_orderkey"), salts = 8)
+          .groupBy("o_orderstatus")
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT o_orderstatus, sum(l_quantity) AS sum_qty,
+             |  count(*) AS n_rows
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)),
+
     // A3 port of the reference's only test: surrogate-key uniqueness
     // violations must be empty (tests/fact_trade__unique_trade.sql).
     QueryDef("q23_test_unique_key",
