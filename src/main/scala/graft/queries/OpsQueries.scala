@@ -173,11 +173,43 @@ object OpsQueries {
              |  octet_length(encode(text)) AS n_bytes
              |FROM documents""".stripMargin)),
 
-    // Multimodal: partition-wise stub decode -> feature vectors.
+    // Multimodal: partition-wise stub decode -> feature vectors. The
+    // array<float> column is exploded to (dim, feat) scalars: the
+    // driver's pandas hasher cannot sort array cells, and the scalar
+    // form lets DuckDB replicate stubDecode exactly (per-bucket byte
+    // means; double division then float32 cast = same IEEE ops on both
+    // engines, so values are bit-identical).
     QueryDef("m02_media_features",
       (s, dir) => Multimodal.extractFeatures(s,
-        Multimodal.attachMedia(docs(s, dir))).toDF(),
-      None),
+          Multimodal.attachMedia(docs(s, dir))).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_frames"),
+          posexplode(col("features")))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "feat"),
+      Some("""WITH enc AS (
+             |  SELECT doc_id,
+             |    list_extract(['image','audio','video'], cast(doc_id % 3 AS INT) + 1)
+             |      AS media_type,
+             |    lower(hex(encode(text))) AS h,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents),
+             |dims AS (SELECT cast(unnest(range(8)) AS INT) AS dim),
+             |idx AS (SELECT doc_id, h, unnest(range(n)) AS i FROM enc),
+             |bytes AS (
+             |  SELECT doc_id, cast(i % 8 AS INT) AS dim,
+             |    (strpos('0123456789abcdef', substr(h, cast(2*i+1 AS INT), 1)) - 1) * 16
+             |    + (strpos('0123456789abcdef', substr(h, cast(2*i+2 AS INT), 1)) - 1) AS b
+             |  FROM idx),
+             |agg AS (
+             |  SELECT doc_id, dim, cast(sum(b) AS DOUBLE) / count(*) AS mean_b
+             |  FROM bytes GROUP BY 1, 2)
+             |SELECT e.doc_id, e.media_type,
+             |  cast(greatest(1, e.n // 64) AS INT) AS n_frames,
+             |  d.dim,
+             |  cast(coalesce(a.mean_b, 0) AS REAL) AS feat
+             |FROM enc e
+             |CROSS JOIN dims d
+             |LEFT JOIN agg a ON a.doc_id = e.doc_id AND a.dim = d.dim""".stripMargin)),
 
     // Multimodal: frame sampling (binary slicing), frame sizes only.
     QueryDef("m03_frame_sample",

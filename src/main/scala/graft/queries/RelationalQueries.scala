@@ -99,12 +99,20 @@ object RelationalQueries {
              |QUALIFY row_number() OVER
              |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin)),
 
-    // W1/W2: the SCD2 kernel itself.
+    // W1/W2: the SCD2 kernel itself. `end_timestamp` is hashed as
+    // microseconds-since-epoch (unix_micros / epoch_us): the open-version
+    // sentinel 9999-12-31 overflows pandas' nanosecond timestamps in the
+    // driver's hasher, so both engines project an int64 instead. The
+    // kernel's sentinel itself is unchanged (reference semantics).
     QueryDef("q06_w1_w2_scd2_events",
       (s, dir) => purchaseDim(s, dir)
-        .select("user_id", "event_id", "value", "effective_timestamp",
-          "end_timestamp", "is_current"),
-      Some(purchaseDimSql)),
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("effective_timestamp"),
+          unix_micros(col("end_timestamp")).as("end_ts_us"),
+          col("is_current")),
+      Some(s"""SELECT user_id, event_id, value, effective_timestamp,
+              |  epoch_us(end_timestamp) AS end_ts_us, is_current
+              |FROM ($purchaseDimSql)""".stripMargin)),
 
     // J4: temporal join — click facts against the purchase SCD2 dim.
     QueryDef("q07_j4_temporal_join",
@@ -491,10 +499,16 @@ object RelationalQueries {
           .drop("ts")
         graft.models.Incremental.mergeScd2Batch(existing, batch2,
             Seq("user_id"), "ts", tieBreak = Seq("event_id"))
-          .select("user_id", "event_id", "value", "effective_timestamp",
-            "end_timestamp", "is_current")
+          .select(col("user_id"), col("event_id"), col("value"),
+            col("effective_timestamp"),
+            // Same overflow-safe int64 projection as q06 (pandas can't
+            // represent the year-9999 open-version sentinel).
+            unix_micros(col("end_timestamp")).as("end_ts_us"),
+            col("is_current"))
       },
-      Some(purchaseDimSql)),
+      Some(s"""SELECT user_id, event_id, value, effective_timestamp,
+              |  epoch_us(end_timestamp) AS end_ts_us, is_current
+              |FROM ($purchaseDimSql)""".stripMargin)),
 
     // As-of (nearest-past) join — the union+carry-forward operator
     // (engine/AsOfJoin): last purchase value at or before each click.

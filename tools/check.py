@@ -14,8 +14,9 @@ skip = "--skip-verify" in args
 only = [a for a in args if not a.startswith("--")]
 
 if not skip:
+    names_arg = (" " + " ".join(only)) if only else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}{names_arg}'],
         cwd="/root/repo", capture_output=True, text=True)
     sys.stdout.write(r.stdout[-3000:])
     if r.returncode != 0:
