@@ -35,7 +35,30 @@ object Dedup {
     */
   private[ops] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Scan split count approximated by file count — avoids touching
+    // df.rdd, which forces physical planning outside AQE just to read a
+    // partition count. At scale files >> cores so this is a no-op; the
+    // repartition is only paid on tiny single-file local inputs.
+    val splits = df.inputFiles.length
+    if (splits > 0 && splits < target) df.repartition(target) else df
+  }
+
+  /** Keep only rows whose bucket (the composite `keys`) holds at most
+    * `maxBucket` rows — the skew guard for candidate-generation
+    * self-joins. Implemented as a map-side-combined groupBy count +
+    * join back, NOT a `count(*) over (partition by keys)` window: the
+    * window shuffles AND sorts the raw stream keyed by the bucket
+    * (degenerate buckets are exactly the skewed ones), while the
+    * groupBy collapses each hot bucket to one row per map task before
+    * the shuffle and the join back discards it without a sort.
+    */
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String],
+                              maxBucket: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    df.join(small, keys)
   }
 
   /** Word n-gram shingles (distinct) of the lowercased text. */
@@ -88,6 +111,7 @@ object Dedup {
                  k: Int = 64, bands: Int = 16, shingleN: Int = 3,
                  threshold: Double = 0.7, seed: Long = 42L,
                  maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, k, shingleN, seed).cache()
     val banded = sig.select(col("doc_id"), col("sig"),
@@ -96,11 +120,7 @@ object Dedup {
             (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*), b)))
           .as(Seq("band_idx", "band_hash")))
       .select("doc_id", "sig", "band_idx", "band_hash")
-    // cap degenerate buckets (skew guard)
-    val sized = banded.withColumn("__bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band_idx", "band_hash")))
-      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val sized = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
     val a = sized.select(col("band_idx"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = sized.select(col("band_idx"), col("band_hash"),
@@ -148,10 +168,7 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val sized = chunked.withColumn("__bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("chunk_idx", "chunk")))
-      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val sized = capBuckets(chunked, Seq("chunk_idx", "chunk"), maxBucket)
     val a = sized.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     val b = sized.select(col("chunk_idx"), col("chunk"),
@@ -175,9 +192,16 @@ object Dedup {
     val grams = widen(docs).select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("gram")).cache()
     val docSize = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val rare = grams.withColumn("__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-      .filter(col("__df") <= maxDf).drop("__df")
+    // Rare-gram filter via groupBy count + join back, NOT a window over
+    // the raw (doc, gram) stream: gram frequency is Zipfian, so the
+    // window's shuffle-and-sort puts "the of and" in monster partitions
+    // at scale while the sort buys nothing (only a count is needed).
+    // The groupBy's map-side combine collapses each hot gram to one row
+    // per task, so the count shuffle is tiny; hot grams then simply
+    // fail the join and never reach the pair-generation self-join.
+    val rareGrams = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("gram")
+    val rare = grams.join(rareGrams, Seq("gram"))
     val a = rare.select(col("gram"), col("doc_id").as("doc_a"))
     val b = rare.select(col("gram"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("gram")).filter(col("doc_a") < col("doc_b"))
