@@ -35,9 +35,19 @@ object Bench {
         .groupBy("rn").count().count()
     } catch { case _: Throwable => }
 
+    // Evaluation sink: full-row hash aggregate, NOT count(). Under
+    // count() Catalyst prunes every unused projection, so
+    // projection-only queries would time the scan instead of their
+    // compute. Hashing a struct of all output columns forces every
+    // expression to actually evaluate, at the cost of one cheap
+    // map-side-combined aggregate.
+    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+      } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
