@@ -72,6 +72,22 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** DuckDB SQL expression computing the same sign-LSH bucket as
+    * [[lshBucket]] over a list column, with the hyperplane constants
+    * inlined as double literals (Double.toString round-trips exactly,
+    * so both engines see bit-identical planes). Used to build
+    * cross-engine oracles for the LSH-bucketed operators: the oracle
+    * can then reproduce candidate generation, not just re-count rows.
+    */
+  def lshBucketSql(embCol: String, nPlanes: Int = 8, dim: Int = 64,
+                   seed: Long = 7L): String = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($embCol, $lst) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** Approximate top-k: queries only compare against corpus vectors in
     * the same sign-LSH bucket (IVF-style coarse quantization with
     * hash-derived centroids). Recall < 1; the scale path — the join key

@@ -35,6 +35,40 @@ object OpsQueries {
        |     WHEN ($deS) >= ($esS) THEN 'de'
        |     ELSE 'es' END""".stripMargin
 
+  /** DuckDB replication of `Dedup.shingles(text, 3)` over `documents`:
+    * distinct word 3-grams of the normalized text (trailing CTE
+    * fragment — compose as s"WITH $gramSql, ...").
+    */
+  private val gramSql =
+    """norm AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |         ELSE array_to_string(w, ' ') END AS gram
+      |  FROM (SELECT doc_id, w,
+      |          unnest(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END)) AS i
+      |        FROM norm))""".stripMargin
+
+  /** True (exact set) n-gram Jaccard over all doc pairs, as a trailing
+    * CTE fragment ending in relation `truth(doc_a, doc_b, jac)`.
+    */
+  private val trueJaccardSql =
+    s"""$gramSql,
+       |sizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b,
+       |    cast(ni AS DOUBLE) / (sa.ng + sb.ng - ni) AS jac
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy.
@@ -44,29 +78,90 @@ object OpsQueries {
              |  count(*) AS n_dups
              |FROM documents GROUP BY 1""".stripMargin)),
 
-    // MinHash + LSH banding near-dup candidates (not SQL-expressible ->
-    // rows-only check by design).
+    // MinHash + LSH banding near-dup candidates. Recall oracle: the
+    // emitted pair set must equal the TRUE n-gram-Jaccard >= 0.7 pairs,
+    // which DuckDB computes exactly (all-pairs over the same shingles).
+    // This is a data-dependent property gate: the testdata's planted
+    // near-dups all have true J >= 0.9 (banding miss probability
+    // ~(1-J^4)^16 < 1e-7 there) and nothing else exceeds J 0.5, so
+    // with the fixed seed the LSH candidates coincide exactly with
+    // truth. est_jaccard itself is hash-dependent and stays out of the
+    // compared columns.
     QueryDef("d02_dedup_minhash_lsh",
-      (s, dir) => Dedup.minhashLsh(docs(s, dir), "text", "doc_id"),
-      None),
+      (s, dir) => Dedup.minhashLsh(docs(s, dir), "text", "doc_id")
+        .select("doc_a", "doc_b"),
+      Some(s"""WITH $trueJaccardSql
+              |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
 
-    // SimHash near-dups via chunk pigeonhole.
+    // SimHash chunk-pigeonhole completeness gate: the 4x16-bit chunk
+    // buckets provably recover EVERY pair at hamming <= 3 (3 flipped
+    // bits touch at most 3 of 4 chunks), so the pigeonhole candidates
+    // must equal a brute-force all-pairs hamming scan. The query emits
+    // the disagreements — expected empty; the oracle is the empty
+    // relation. (The signatures are Spark-hash-specific, so DuckDB
+    // cannot recompute them; the cross-engine gate is the invariant,
+    // not the values. Brute force is gate-only: O(n^2) on 500 docs.)
     QueryDef("d03_dedup_simhash",
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), "text", "doc_id"),
-      None),
+      (s, dir) => {
+        val pigeon = Dedup.simhashPairs(docs(s, dir), "text", "doc_id")
+          .select(col("doc_a"), col("doc_b"), lit(true).as("p"))
+        val sig = Dedup.simhashSignatures(docs(s, dir), "text", "doc_id")
+        val a = sig.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+        val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+          .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+          .select(col("doc_a"), col("doc_b"), lit(true).as("bf"))
+        pigeon.join(brute, Seq("doc_a", "doc_b"), "full_outer")
+          .filter(col("p").isNull || col("bf").isNull)
+          .select(col("doc_a"), col("doc_b"),
+            coalesce(col("p"), lit(false)).as("found_by_pigeonhole"),
+            coalesce(col("bf"), lit(false)).as("found_by_bruteforce"))
+      },
+      Some("""SELECT cast(NULL AS BIGINT) AS doc_a, cast(NULL AS BIGINT) AS doc_b,
+             |  false AS found_by_pigeonhole, false AS found_by_bruteforce
+             |WHERE false""".stripMargin)),
 
-    // Exact n-gram Jaccard over a rare-gram inverted index.
+    // Exact n-gram Jaccard over a rare-gram inverted index. Full DuckDB
+    // oracle: shingling, df<=50 rare-gram filter, intersection counts
+    // and the jaccard_lb ratio are all exact set/integer math, so both
+    // engines produce bit-identical rows (the ratio is one double
+    // division of exact ints).
     QueryDef("d04_dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccard(docs(s, dir), "text", "doc_id"),
-      None),
+      Some(s"""WITH $gramSql,
+              |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+              |rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 50),
+              |rg AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare r ON g.gram = r.gram),
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_rare
+              |  FROM rg a JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, n_shared_rare,
+              |  cast(n_shared_rare AS DOUBLE)
+              |    / (sa.n_grams + sb.n_grams - n_shared_rare) AS jaccard_lb
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE cast(n_shared_rare AS DOUBLE)
+              |    / (sa.n_grams + sb.n_grams - n_shared_rare) >= 0.5""".stripMargin)),
 
     // Embedding-cosine near-dups via sign-LSH buckets. Threshold 0.4:
     // the synthetic embeddings are near-orthogonal (max pairwise cosine
     // ~0.51 at sf0.01), so a production 0.95 cut returns zero rows;
-    // 0.4 exercises the operator end-to-end on this data.
+    // 0.4 exercises the operator end-to-end on this data. Full DuckDB
+    // oracle: the hyperplane constants are inlined into the SQL
+    // (lshBucketSql), so the oracle reproduces candidate generation —
+    // same buckets, same cosine cut — not just a row count.
     QueryDef("d05_dedup_embedding_cosine",
-      (s, dir) => Similarity.cosineNearDups(embs(s, dir), threshold = 0.4),
-      None),
+      (s, dir) => Similarity.cosineNearDups(embs(s, dir), threshold = 0.4)
+        .select("id_a", "id_b"),
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, embedding,
+              |    ${Similarity.lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin)),
 
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
@@ -83,20 +178,60 @@ object OpsQueries {
              |WHERE q.vec_id < 20
              |QUALIFY rank <= 5""".stripMargin)),
 
-    // Approximate ANN: sign-LSH bucketed top-k (the scale path).
+    // Approximate ANN: sign-LSH bucketed top-k (the scale path). Full
+    // DuckDB oracle via the same inlined-hyperplane bucket expression as
+    // d05; ranking by cross-engine double cosine is already proven
+    // deterministic by n01's green oracle on the same data.
     QueryDef("n02_ann_lsh",
       (s, dir) => Similarity.lshTopK(
           embs(s, dir).filter(col("vec_id") < 20), embs(s, dir), k = 5)
         .select("q_id", "n_id", "rank"),
-      None),
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, embedding,
+              |    ${Similarity.lshBucketSql("embedding")} AS bucket
+              |  FROM embeddings)
+              |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              |  row_number() OVER (PARTITION BY q.vec_id
+              |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+              |             c.vec_id) AS rank
+              |FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              |WHERE q.vec_id < 20
+              |QUALIFY rank <= 5""".stripMargin)),
 
     // Approximate ANN: IVF cells with nprobe probing (data-adaptive
-    // partition; recall tunable via nprobe).
+    // partition; recall tunable via nprobe). Full DuckDB oracle: the
+    // deterministic centroids are the first nlist=16 corpus vectors, so
+    // the oracle re-derives cell assignment (argmax centroid cosine,
+    // lowest id on ties — matching array_position's first-max) and the
+    // nprobe=4 probe set from the embeddings table itself.
     QueryDef("n03_ann_ivf",
       (s, dir) => Similarity.ivfTopK(
           embs(s, dir).filter(col("vec_id") < 20), embs(s, dir), k = 5)
         .select("q_id", "n_id", "rank"),
-      None),
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding AS cemb
+             |  FROM embeddings WHERE vec_id < 16),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_cosine_similarity(e.embedding, c.cemb) AS s
+             |  FROM embeddings e, cent c),
+             |ranked AS (
+             |  SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             |  FROM sims),
+             |cell AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+             |probe AS (SELECT vec_id, cid FROM ranked WHERE rn <= 4 AND vec_id < 20),
+             |cand AS (
+             |  SELECT p.vec_id AS q_id, ce.vec_id AS n_id
+             |  FROM probe p JOIN cell ce ON ce.cid = p.cid AND ce.vec_id <> p.vec_id)
+             |SELECT q_id, n_id,
+             |  row_number() OVER (PARTITION BY q_id
+             |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+             |             n_id) AS rank
+             |FROM cand
+             |JOIN embeddings qe ON qe.vec_id = q_id
+             |JOIN embeddings ne ON ne.vec_id = n_id
+             |QUALIFY rank <= 5""".stripMargin)),
 
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
@@ -154,14 +289,58 @@ object OpsQueries {
              |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
              |FROM documents""".stripMargin)),
 
-    // Winnowing fingerprint sets (rolling k-gram hash + window minima);
-    // engine-specific hash values -> rows-only.
+    // Winnowing fingerprint sets (rolling k-gram hash + window minima).
+    // Hash values are engine-specific, so the gate checks structure:
+    // n_grams / n_windows are cross-engine (pure length arithmetic on
+    // the normalized text) and the selected-fingerprint count must sit
+    // in the winnowing bounds 1 <= |fps| <= min(n_windows, n_grams)
+    // (one min per window, dedup across windows, at least one window).
     QueryDef("t05_winnow_fingerprints",
-      (s, dir) => docs(s, dir).select(col("doc_id"),
-        TextOps.winnowFingerprints(col("text")).as("fps"))
-        .select(col("doc_id"), size(col("fps")).as("n_fps"),
-          element_at(col("fps"), 1).as("min_fp")),
-      None),
+      (s, dir) => {
+        val norm = TextOps.normalize(col("text"))
+        val nGrams = greatest(length(norm) - 7, lit(1)) // k=8 char grams
+        val nWindows = greatest(nGrams - 4, lit(0)) + 1 // w=4 windows
+        val fps = TextOps.winnowFingerprints(col("text"))
+        docs(s, dir).select(col("doc_id"),
+          nGrams.cast("int").as("n_grams"),
+          nWindows.cast("int").as("n_windows"),
+          (size(fps) >= 1 && size(fps) <= least(nWindows, nGrams))
+            .as("fps_bounds_ok"))
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |    greatest(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) - 7,
+             |             1) AS n_grams
+             |  FROM documents)
+             |SELECT doc_id, cast(n_grams AS INT) AS n_grams,
+             |  cast(greatest(n_grams - 4, 0) + 1 AS INT) AS n_windows,
+             |  true AS fps_bounds_ok
+             |FROM n""".stripMargin)),
+
+    // Winnowing containment guarantee (Schleimer et al. §2: any shared
+    // substring of length >= w + k - 1 = 11 chars shares a fingerprint):
+    // every true near-dup pair (exact n-gram Jaccard >= 0.9, computed
+    // WITHOUT hashing on both engines) must share at least one winnow
+    // fingerprint. The pair set is the cross-engine part; the
+    // shares_fingerprint flag is the Spark-side property (true for all
+    // rows, enforced because a false would hash-mismatch the oracle).
+    QueryDef("t06_winnow_containment",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccard(docs(s, dir), "text", "doc_id",
+            n = 3, threshold = 0.9, maxDf = Int.MaxValue)
+          .select("doc_a", "doc_b")
+        val fp = docs(s, dir).select(col("doc_id"),
+          TextOps.winnowFingerprints(col("text")).as("fps"))
+        pairs
+          .join(fp.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), Seq("doc_a"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("fps").as("fps_b")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("fps_a"), col("fps_b"))) > 0)
+              .as("shares_fingerprint"))
+      },
+      Some(s"""WITH $trueJaccardSql
+              |SELECT doc_a, doc_b, true AS shares_fingerprint
+              |FROM truth WHERE jac >= 0.9""".stripMargin)),
 
     // Multimodal: opaque binary payload + typed metadata.
     QueryDef("m01_media_metadata",
@@ -211,11 +390,24 @@ object OpsQueries {
              |CROSS JOIN dims d
              |LEFT JOIN agg a ON a.doc_id = e.doc_id AND a.dim = d.dim""".stripMargin)),
 
-    // Multimodal: frame sampling (binary slicing), frame sizes only.
+    // Multimodal: frame sampling (binary slicing). Full DuckDB oracle:
+    // frame lengths are pure integer arithmetic on the payload size
+    // (frame_len = max(n/4, 1), last frame truncated, empty frames
+    // dropped), so the oracle recomputes them from octet_length alone.
     QueryDef("m03_frame_sample",
       (s, dir) => Multimodal.frameSample(Multimodal.attachMedia(docs(s, dir)), 4)
         .select(col("doc_id"), col("media_type"), col("frame_idx"),
           octet_length(col("frame")).as("frame_bytes")),
-      None)
+      Some("""WITH enc AS (
+             |  SELECT doc_id,
+             |    list_extract(['image','audio','video'], cast(doc_id % 3 AS INT) + 1)
+             |      AS media_type,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents),
+             |f AS (SELECT doc_id, media_type, n, greatest(n // 4, 1) AS fl FROM enc),
+             |x AS (SELECT doc_id, media_type, n, fl, unnest(range(4)) AS frame_idx FROM f)
+             |SELECT doc_id, media_type, cast(frame_idx AS INT) AS frame_idx,
+             |  cast(least(fl, n - frame_idx * fl) AS INT) AS frame_bytes
+             |FROM x WHERE least(fl, n - frame_idx * fl) > 0""".stripMargin))
   )
 }
