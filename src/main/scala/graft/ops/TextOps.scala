@@ -83,23 +83,19 @@ object TextOps {
 
   /** Winnowing fingerprint set (rolling-hash selection, Schleimer et al.
     * "Winnowing: Local Algorithms for Document Fingerprinting"): hash
-    * every k-char gram of the normalized text, then keep the minimum
-    * hash of each window of w consecutive grams. Any shared substring of
-    * length >= w + k - 1 between two documents is guaranteed to share a
+    * every k-gram of the normalized text, then keep the minimum hash of
+    * each window of w consecutive grams. Any shared substring of length
+    * >= w + k - 1 between two documents is guaranteed to share a
     * fingerprint — the partial-overlap detector that whole-document
     * hashing (md5) can't provide.
     *
-    * Pure column algebra (sequence/transform/slice/array_min): stays in
-    * codegen, no shuffle; cost is O(len * w) per row.
+    * Backed by the custom single-pass expression
+    * [[graft.functions.WinnowFingerprints]]: the earlier
+    * sequence/transform/slice column algebra ran interpreted (HOFs skip
+    * whole-stage codegen) and re-evaluated the normalize under every
+    * gram lambda — O(len²) regex work per row. The expression evaluates
+    * normalize once and rolls the grams in one byte pass.
     */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val norm = normalize(text)
-    val grams = transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => xxhash64(norm.substr(i, lit(k))))
-    val mins = transform(
-      sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      j => array_min(slice(grams, j + 1, lit(w))))
-    array_sort(array_distinct(mins))
-  }
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.WinnowFingerprints.winnowFingerprints(normalize(text), k, w)
 }
