@@ -82,7 +82,7 @@ object WarehouseBench {
       w.write("<TPCDI:Actions xmlns:TPCDI=\"http://tpc.org\">\n")
       (0 until nCust).foreach { c =>
         val broker = c % math.max(nCust / 50, 10) + 1
-        w.write(s""" <TPCDI:Action ActionType="NEW" ActionTS="2019-01-05T09:00:00"><Customer C_ID="$c" C_TAX_ID="T$c" C_GNDR="F" C_TIER="2" C_DOB="1986-04-11"><Name><C_L_NAME>Last$c</C_L_NAME><C_F_NAME>First$c</C_F_NAME></Name><Address><C_ADLINE1>$c Main St</C_ADLINE1><C_ZIPCODE>ZIP$c</C_ZIPCODE><C_CITY>City</C_CITY><C_STATE_PROV>ST</C_STATE_PROV><C_CTRY>USA</C_CTRY></Address><ContactInfo><C_PRIM_EMAIL>u$c@x.com</C_PRIM_EMAIL></ContactInfo><TaxInfo><C_LCL_TX_ID>TX${c % 50}%03d</C_LCL_TX_ID><C_NAT_TX_ID>TX${(c + 1) % 50}%03d</C_NAT_TX_ID></TaxInfo><Account CA_ID="$c" CA_TAX_ST="1"><CA_B_ID>$broker</CA_B_ID><CA_NAME>Acct$c</CA_NAME></Account></Customer></TPCDI:Action>\n""")
+        w.write(s""" <TPCDI:Action ActionType="NEW" ActionTS="2019-01-05T09:00:00"><Customer C_ID="$c" C_TAX_ID="T$c" C_GNDR="F" C_TIER="2" C_DOB="1986-04-11"><Name><C_L_NAME>Last$c</C_L_NAME><C_F_NAME>First$c</C_F_NAME></Name><Address><C_ADLINE1>$c Main St</C_ADLINE1><C_ZIPCODE>ZIP$c</C_ZIPCODE><C_CITY>City</C_CITY><C_STATE_PROV>ST</C_STATE_PROV><C_CTRY>USA</C_CTRY></Address><ContactInfo><C_PRIM_EMAIL>u$c@x.com</C_PRIM_EMAIL></ContactInfo><TaxInfo><C_LCL_TX_ID>TX${"%03d".format(c % 50)}</C_LCL_TX_ID><C_NAT_TX_ID>TX${"%03d".format((c + 1) % 50)}</C_NAT_TX_ID></TaxInfo><Account CA_ID="$c" CA_TAX_ST="1"><CA_B_ID>$broker</CA_B_ID><CA_NAME>Acct$c</CA_NAME></Account></Customer></TPCDI:Action>\n""")
         if (c % 3 == 0)
           w.write(s""" <TPCDI:Action ActionType="UPDCUST" ActionTS="2019-06-01T09:00:00"><Customer C_ID="$c"><Address><C_CITY>NewCity</C_CITY></Address></Customer></TPCDI:Action>\n""")
       }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** @param fact    big, possibly skewed side (gets the random salt)
+  /** @param fact    big, possibly skewed side (gets the random salt).
+    *                 Must be the preserved side: only `inner` and `left`
+    *                 joinTypes are accepted — the dim side is replicated
+    *                 ×salts, so a right/full outer join would emit each
+    *                 unmatched dim row once per salt replica.
     * @param dim     replicated side (exploded ×salts)
     * @param factKey equi key on fact
     * @param dimKey  equi key on dim
@@ -28,6 +32,9 @@ object SkewJoin {
                  joinType: String = "inner",
                  extra: Column = lit(true), seed: Long = 7L): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left only (got $joinType): the dim side " +
+        "is replicated, so outer-preserving it would duplicate unmatched rows")
     val salted = fact.withColumn("__salt", (rand(seed) * salts).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

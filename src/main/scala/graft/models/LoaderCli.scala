@@ -1,0 +1,51 @@
+package graft.models
+
+import org.apache.spark.sql.SparkSession
+
+/** User-facing loader entry point mirroring the reference CLI's
+  * `process_files` command (tpcdi.py:46-77): ingest a DIGen Batch1
+  * directory, then either `--show` a sample of each table (the
+  * reference's development flow) or persist it as parquet.
+  *
+  * Usage:
+  *   runMain graft.models.LoaderCli <batchDir> [--table NAME] [--show] [--out DIR]
+  *
+  *   --table NAME  process one source table (default: all 17)
+  *   --show        print a 20-row sample instead of writing
+  *   --out DIR     write each table to DIR/NAME (parquet; default /tmp/graft_wh)
+  */
+object LoaderCli {
+  def main(args: Array[String]): Unit = {
+    val positional = args.filterNot(_.startsWith("--"))
+    require(positional.nonEmpty,
+      "usage: LoaderCli <batchDir> [--table NAME] [--show] [--out DIR]")
+    val batchDir = positional.head
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val table = opt("--table")
+    val show = args.contains("--show")
+    val out = opt("--out").getOrElse("/tmp/graft_wh")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tables = Loader.loadAll(spark, batchDir)
+    val selected = table.fold(tables)(n =>
+      tables.filter { case (k, _) => k == n }.ensuring(_.nonEmpty, s"unknown table $n; " +
+        s"known: ${tables.keys.toSeq.sorted.mkString(", ")}"))
+    selected.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      if (show) { println(s"== $name"); df.show(20, truncate = false) }
+      else {
+        df.write.mode("overwrite").parquet(s"$out/$name")
+        println(s"wrote $out/$name")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -251,8 +251,20 @@ object Silver {
 
   /** models/silver/cash_transactions.sql — temporal join of the cash
     * ledger to SCD2 accounts (J4, the canonical site).
+    *
+    * @param skewSalts 0 (default) = plain temporal join, AQE handles
+    *                  moderate skew. > 0 = route through
+    *                  [[SkewJoin.saltedJoin]]: the ledger side is salted
+    *                  and the account dim replicated ×salts, for
+    *                  power-law account activity (one robo-trading
+    *                  account carrying a large share of the ledger)
+    *                  where one shuffle partition would otherwise
+    *                  receive the hot account's entire volume.
+    *                  Result-equality with the plain path is oracle-
+    *                  gated (q31).
     */
-  def cashTransactions(cashTransaction: DataFrame, accounts: DataFrame): DataFrame = {
+  def cashTransactions(cashTransaction: DataFrame, accounts: DataFrame,
+                       skewSalts: Int = 0): DataFrame = {
     val t = cashTransaction.select(
       col("ct_ca_id").as("account_id"),
       col("ct_dts").as("transaction_timestamp"),
@@ -260,8 +272,15 @@ object Silver {
       col("ct_name").as("description"))
     val a = accounts.select(col("account_id").as("__a_account_id"),
       col("customer_id"), col("effective_timestamp"), col("end_timestamp"))
-    TemporalJoin.temporalJoin(t, a, t("account_id"), a("__a_account_id"),
+    val joined =
+      if (skewSalts > 0)
+        SkewJoin.saltedJoin(t, a, t("account_id"), a("__a_account_id"),
+          salts = skewSalts,
+          extra = t("transaction_timestamp")
+            .between(a("effective_timestamp"), a("end_timestamp")))
+      else TemporalJoin.temporalJoin(t, a, t("account_id"), a("__a_account_id"),
         t("transaction_timestamp"))
+    joined
       .select("customer_id", "account_id", "transaction_timestamp",
         "amount", "description")
   }
@@ -296,6 +315,34 @@ object Silver {
       Seq(col("dm_s_symb"), col("dm_date")),
       Seq(col("fifty_two_week_low_date"), col("fifty_two_week_high_date")))
   }
+
+  /** Flagged fast path for [[dailyMarket]]: recovers the extremum dates
+    * with min_by/max_by in the SAME single rolling-window pass instead
+    * of the value-equality self-join. The parity path is quadratic per
+    * (symbol, extremum-value) tie group — a flat price series shares
+    * one 52-week low across many days and fans out before the QUALIFY
+    * dedup, the chain's most likely blowup at 100x scale. This path is
+    * one Exchange+Sort+Window total (four aggregates share the frame).
+    *
+    * Semantics vs the reference-parity path (why it is a separate
+    * method, not a replacement — see PLANS.md):
+    *   - extremum dates come from the 364-ROW frame on BOTH value and
+    *     date, while the parity self-join searches the trailing
+    *     CALENDAR year for the date; they coincide on dense daily
+    *     series (the reference's data shape) and on any window where
+    *     the frame spans <= 12 calendar months.
+    *   - on value ties both resolve to the earliest date (min_by keeps
+    *     the first minimum in frame order; QUALIFY sorts dates asc),
+    *     but min_by's choice is evaluation-order-dependent by contract,
+    *     so equality is gated on tie-free data (q30).
+    */
+  def dailyMarketFast(brokerageDailyMarket: DataFrame): DataFrame =
+    Windows.rolling(brokerageDailyMarket,
+      Seq(col("dm_s_symb")), Seq(col("dm_date")), precedingRows = 364,
+      "fifty_two_week_low" -> min(col("dm_low")),
+      "fifty_two_week_high" -> max(col("dm_high")),
+      "fifty_two_week_low_date" -> min_by(col("dm_date"), col("dm_low")),
+      "fifty_two_week_high_date" -> max_by(col("dm_date"), col("dm_high")))
 
   /** models/silver/watches_history.sql — watch action log + securities
     * attributes (join USING symbol, J7).

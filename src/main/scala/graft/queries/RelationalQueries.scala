@@ -559,6 +559,226 @@ object RelationalQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1""".stripMargin)),
 
+    // Warehouse-DAG oracle: the trades->fact_trade chain of the actual
+    // model code (Silver.tradesHistory -> Silver.trades -> Gold.dimTrade
+    // -> Gold.factTrade) run end-to-end over bronze fixtures synthesized
+    // deterministically from the driver tables (orders = brokerage_trade,
+    // lineitem = trade_history, literal status/type lookups, SCD2
+    // account/security dims built by the same Scd2 kernel). The DuckDB
+    // oracle transcribes the reference SQL chain
+    // (models/silver/trades_history.sql:1-60, trades.sql:1-21,
+    // models/gold/dim_trade.sql:1-13, fact_trade.sql:1-36) over the same
+    // fixtures — so the gate checks the model COMPOSITION, not just the
+    // kernels it is built from. th_dts = l_shipdate + l_linenumber
+    // seconds keeps SCD2 ordering tie-free (dates are day-granular).
+    QueryDef("q29_warehouse_trades_chain",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        val bt = o.select(
+          col("o_orderkey").as("t_id"),
+          col("o_orderdate").as("t_dts"),
+          col("o_custkey").as("t_ca_id"),
+          col("o_orderstatus").as("t_st_id"),
+          substring(col("o_orderpriority"), 1, 1).as("t_tt_id"),
+          (col("o_orderkey") % 2 === 0).as("t_is_cash"),
+          concat(lit("SYM"), col("o_custkey") % 50).as("t_s_symb"),
+          concat(lit("EX"), col("o_orderkey") % 97).as("t_exec_name"),
+          (col("o_orderkey") % 100 + 1).as("t_qty"),
+          col("o_totalprice").as("t_bid_price"),
+          col("o_totalprice").as("t_trade_price"),
+          (col("o_orderkey") % 1000).as("t_chrg"),
+          (col("o_orderkey") % 500).as("t_comm"),
+          (col("o_orderkey") % 300).as("t_tax"))
+        val bth = li.select(
+          col("l_orderkey").as("th_t_id"),
+          (col("l_shipdate") +
+            expr("make_interval(0, 0, 0, 0, 0, 0, l_linenumber)")).as("th_dts"),
+          col("l_linestatus").as("th_st_id"))
+        val rtt = s.sql(
+          """SELECT * FROM VALUES ('1','Urgent'),('2','High'),('3','Medium'),
+            |  ('4','Not Specified'),('5','Low') AS t(tt_id, tt_name)""".stripMargin)
+        val rst = s.sql(
+          "SELECT * FROM VALUES ('O','Open'),('F','Filled'),('P','Pending') " +
+            "AS t(st_id, st_name)")
+        val th = graft.models.Silver.tradesHistory(bt, bth, rtt, rst)
+        val tr = graft.models.Silver.trades(th)
+        val dt = graft.models.Gold.dimTrade(th)
+        val accDim = Scd2.scd2(
+            o.select(col("o_custkey").as("account_id"), col("o_orderdate"),
+              col("o_orderkey")),
+            Seq("account_id"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+          .select(col("account_id"),
+            Keys.surrogateKey(col("account_id"), col("o_orderkey")).as("sk_account_id"),
+            Keys.surrogateKey(col("account_id")).as("sk_customer_id"),
+            Keys.surrogateKey(col("account_id") % 10).as("sk_broker_id"),
+            col("effective_timestamp"), col("end_timestamp"))
+        val secDim = Scd2.scd2(
+            o.select(concat(lit("SYM"), col("o_custkey") % 50).as("symbol"),
+              col("o_orderdate"), col("o_orderkey")),
+            Seq("symbol"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+          .select(col("symbol"),
+            Keys.surrogateKey(col("symbol"), col("o_orderkey")).as("sk_security_id"),
+            col("effective_timestamp"), col("end_timestamp"))
+        graft.models.Gold.factTrade(tr, dt, accDim, secDim)
+      },
+      Some(s"""WITH bt AS (
+              |  SELECT o_orderkey AS t_id, o_orderdate AS t_dts,
+              |    o_custkey AS t_ca_id, o_orderstatus AS t_st_id,
+              |    substring(o_orderpriority, 1, 1) AS t_tt_id,
+              |    (o_orderkey % 2 = 0) AS t_is_cash,
+              |    'SYM' || cast(o_custkey % 50 AS VARCHAR) AS t_s_symb,
+              |    'EX' || cast(o_orderkey % 97 AS VARCHAR) AS t_exec_name,
+              |    o_orderkey % 100 + 1 AS t_qty,
+              |    o_totalprice AS t_bid_price, o_totalprice AS t_trade_price,
+              |    o_orderkey % 1000 AS t_chrg, o_orderkey % 500 AS t_comm,
+              |    o_orderkey % 300 AS t_tax
+              |  FROM orders),
+              |bth AS (
+              |  SELECT l_orderkey AS th_t_id,
+              |    l_shipdate + to_seconds(l_linenumber) AS th_dts,
+              |    l_linestatus AS th_st_id
+              |  FROM lineitem),
+              |rtt AS (SELECT * FROM (VALUES ('1','Urgent'),('2','High'),('3','Medium'),
+              |  ('4','Not Specified'),('5','Low')) AS t(tt_id, tt_name)),
+              |rst AS (SELECT * FROM (VALUES ('O','Open'),('F','Filled'),('P','Pending'))
+              |  AS t(st_id, st_name)),
+              |th AS (
+              |  SELECT t_id AS trade_id, t_ca_id AS account_id,
+              |    ts.st_name AS trade_status, tt_name AS trade_type,
+              |    CASE WHEN t_is_cash THEN 'Cash' ELSE 'Margin' END AS transaction_type,
+              |    t_s_symb AS symbol, t_exec_name AS executor_name,
+              |    t_qty AS quantity, t_bid_price AS bid_price,
+              |    t_trade_price AS trade_price, t_chrg AS fee,
+              |    t_comm AS commission, t_tax AS tax,
+              |    th_dts AS effective_timestamp,
+              |    coalesce(lag(th_dts) OVER (PARTITION BY t_id ORDER BY th_dts DESC)
+              |        - INTERVAL 1 MILLISECOND,
+              |      TIMESTAMP '9999-12-31 23:59:59.999') AS end_timestamp
+              |  FROM bt
+              |  JOIN bth ON t_id = th_t_id
+              |  JOIN rtt ON t_tt_id = tt_id
+              |  JOIN rst ts ON t_st_id = ts.st_id
+              |  JOIN rst us ON th_st_id = us.st_id),
+              |tr AS (
+              |  SELECT DISTINCT trade_id, account_id, trade_status, trade_type,
+              |    transaction_type, symbol, executor_name, quantity, bid_price,
+              |    trade_price, fee, commission, tax,
+              |    min(effective_timestamp) OVER (PARTITION BY trade_id) AS create_timestamp,
+              |    max(effective_timestamp) OVER (PARTITION BY trade_id) AS close_timestamp
+              |  FROM th),
+              |dt AS (
+              |  SELECT md5(concat_ws('-', cast(trade_id AS VARCHAR),
+              |      cast(effective_timestamp AS VARCHAR))) AS sk_trade_id,
+              |    trade_id, executor_name AS executed_by,
+              |    effective_timestamp, end_timestamp
+              |  FROM th),
+              |acc AS (
+              |  SELECT o_custkey AS account_id,
+              |    md5(concat_ws('-', cast(o_custkey AS VARCHAR),
+              |      cast(o_orderkey AS VARCHAR))) AS sk_account_id,
+              |    md5(concat_ws('-', cast(o_custkey AS VARCHAR))) AS sk_customer_id,
+              |    md5(concat_ws('-', cast(o_custkey % 10 AS VARCHAR))) AS sk_broker_id,
+              |    o_orderdate AS eff,
+              |    coalesce(lag(o_orderdate) OVER (PARTITION BY o_custkey
+              |        ORDER BY o_orderdate DESC, o_orderkey DESC)
+              |        - INTERVAL 1 MILLISECOND,
+              |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+              |  FROM orders),
+              |sec AS (
+              |  SELECT 'SYM' || cast(o_custkey % 50 AS VARCHAR) AS symbol,
+              |    md5(concat_ws('-', 'SYM' || cast(o_custkey % 50 AS VARCHAR),
+              |      cast(o_orderkey AS VARCHAR))) AS sk_security_id,
+              |    o_orderdate AS eff,
+              |    coalesce(lag(o_orderdate) OVER (PARTITION BY o_custkey % 50
+              |        ORDER BY o_orderdate DESC, o_orderkey DESC)
+              |        - INTERVAL 1 MILLISECOND,
+              |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+              |  FROM orders)
+              |SELECT dt.sk_trade_id, acc.sk_broker_id, acc.sk_customer_id,
+              |  acc.sk_account_id, sec.sk_security_id,
+              |  cast(tr.create_timestamp AS DATE) AS sk_create_date,
+              |  tr.create_timestamp,
+              |  cast(tr.close_timestamp AS DATE) AS sk_close_date,
+              |  tr.close_timestamp,
+              |  dt.executed_by, tr.quantity, tr.bid_price, tr.trade_price,
+              |  tr.fee, tr.commission, tr.tax
+              |FROM tr
+              |JOIN dt ON tr.trade_id = dt.trade_id
+              |  AND tr.create_timestamp BETWEEN dt.effective_timestamp AND dt.end_timestamp
+              |JOIN acc ON tr.account_id = acc.account_id
+              |  AND tr.create_timestamp BETWEEN acc.eff AND acc.endt
+              |JOIN sec ON tr.symbol = sec.symbol
+              |  AND tr.create_timestamp BETWEEN sec.eff AND sec.endt""".stripMargin)),
+
+    // Fast-path equality gate for Silver.dailyMarketFast (min_by/max_by
+    // single-window extremum dates) against the reference-parity
+    // self-join + QUALIFY semantics, which the DuckDB oracle transcribes.
+    // Fixture restricted to one calendar year so the 364-ROW frame and
+    // the parity path's trailing-calendar-year date search provably
+    // coincide (see dailyMarketFast scaladoc / PLANS.md).
+    QueryDef("q30_daily_market_fast",
+      (s, dir) => {
+        val dm = t(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1995-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")))
+          .groupBy(col("l_partkey").as("dm_s_symb"),
+            to_date(col("l_shipdate")).as("dm_date"))
+          .agg(max(col("l_extendedprice")).as("dm_high"),
+            min(col("l_extendedprice")).as("dm_low"))
+        graft.models.Silver.dailyMarketFast(dm)
+      },
+      Some("""WITH dm AS (
+             |  SELECT l_partkey AS dm_s_symb, cast(l_shipdate AS DATE) AS dm_date,
+             |    max(l_extendedprice) AS dm_high, min(l_extendedprice) AS dm_low
+             |  FROM lineitem
+             |  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+             |  GROUP BY 1, 2),
+             |s1 AS (
+             |  SELECT dm_s_symb, dm_date, dm_high, dm_low,
+             |    min(dm_low) OVER w AS fifty_two_week_low,
+             |    max(dm_high) OVER w AS fifty_two_week_high
+             |  FROM dm
+             |  WINDOW w AS (PARTITION BY dm_s_symb ORDER BY dm_date
+             |    ROWS BETWEEN 364 PRECEDING AND CURRENT ROW))
+             |SELECT s1.dm_s_symb, s1.dm_date, s1.dm_high, s1.dm_low,
+             |  s1.fifty_two_week_low, s1.fifty_two_week_high,
+             |  b.dm_date AS fifty_two_week_low_date,
+             |  c.dm_date AS fifty_two_week_high_date
+             |FROM s1
+             |JOIN dm b ON s1.dm_s_symb = b.dm_s_symb
+             |  AND s1.fifty_two_week_low = b.dm_low
+             |  AND b.dm_date BETWEEN cast(s1.dm_date - INTERVAL 12 MONTH AS DATE)
+             |                    AND s1.dm_date
+             |JOIN dm c ON s1.dm_s_symb = c.dm_s_symb
+             |  AND s1.fifty_two_week_high = c.dm_high
+             |  AND c.dm_date BETWEEN cast(s1.dm_date - INTERVAL 12 MONTH AS DATE)
+             |                    AND s1.dm_date
+             |QUALIFY row_number() OVER (PARTITION BY s1.dm_s_symb, s1.dm_date
+             |  ORDER BY b.dm_date, c.dm_date) = 1""".stripMargin)),
+
+    // Salted skew join wired through a REAL model path (not just the
+    // standalone q28 helper): Silver.cashTransactions with skewSalts=8
+    // over an event-log fixture, oracle = the plain temporal-join SQL.
+    // Green means the salt fan-out is invisible to the model's result.
+    QueryDef("q31_cash_transactions_salted",
+      (s, dir) => {
+        val ct = t(s, dir, "events").filter(col("event_type") === "click")
+          .select(col("user_id").as("ct_ca_id"), col("ts").as("ct_dts"),
+            col("value").as("ct_amt"), col("event_type").as("ct_name"))
+        val accounts = purchaseDim(s, dir)
+          .select(col("user_id").as("account_id"), col("user_id").as("customer_id"),
+            col("effective_timestamp"), col("end_timestamp"))
+        graft.models.Silver.cashTransactions(ct, accounts, skewSalts = 8)
+      },
+      Some(s"""WITH dim AS ($purchaseDimSql)
+              |SELECT d.user_id AS customer_id, e.user_id AS account_id,
+              |  e.ts AS transaction_timestamp, e.value AS amount,
+              |  e.event_type AS description
+              |FROM events e JOIN dim d ON e.user_id = d.user_id
+              |  AND e.ts BETWEEN d.effective_timestamp AND d.end_timestamp
+              |WHERE e.event_type = 'click'""".stripMargin)),
+
     // A3 port of the reference's only test: surrogate-key uniqueness
     // violations must be empty (tests/fact_trade__unique_trade.sql).
     QueryDef("q23_test_unique_key",
