@@ -54,6 +54,42 @@ class PlanRegressionSpec extends SparkSpec {
     plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
   }
 
+  test("trades chain (q29 shape): lookups broadcast, no cartesian/BNLJ") {
+    val bt = (1 to 50).map(i => (i.toLong, ts("2020-01-01 00:00:00"), i % 5L,
+        "O", "1", i % 2 == 0, s"S${i % 3}", "ex", 1L, 1.0, 1.0, 1L, 1L, 1L))
+      .toDF("t_id", "t_dts", "t_ca_id", "t_st_id", "t_tt_id", "t_is_cash",
+        "t_s_symb", "t_exec_name", "t_qty", "t_bid_price", "t_trade_price",
+        "t_chrg", "t_comm", "t_tax")
+    val bth = (1 to 100).map(i => ((i % 50 + 1).toLong,
+        ts(f"2020-02-${i % 28 + 1}%02d 00:00:00"), "F"))
+      .toDF("th_t_id", "th_dts", "th_st_id")
+    val rtt = Seq(("1", "Market")).toDF("tt_id", "tt_name")
+    val rst = Seq(("O", "Open"), ("F", "Filled")).toDF("st_id", "st_name")
+    val th = graft.models.Silver.tradesHistory(bt, bth, rtt, rst)
+    val accDim = (1 to 5).map(i => (i.toLong, s"ska$i", s"skc$i", s"skb$i",
+        ts("2019-01-01 00:00:00"), ts("9999-12-31 23:59:59.999")))
+      .toDF("account_id", "sk_account_id", "sk_customer_id", "sk_broker_id",
+        "effective_timestamp", "end_timestamp")
+    val secDim = (0 to 2).map(i => (s"S$i", s"sks$i",
+        ts("2019-01-01 00:00:00"), ts("9999-12-31 23:59:59.999")))
+      .toDF("symbol", "sk_security_id", "effective_timestamp", "end_timestamp")
+    val fact = graft.models.Gold.factTrade(graft.models.Silver.trades(th),
+      graft.models.Gold.dimTrade(th), accDim, secDim)
+    val plan = formatted(fact)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("BroadcastHashJoin") // the type/status lookups
+  }
+
+  test("winnow fingerprints expression participates in codegen") {
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(graft.ops.TextOps.winnowFingerprints($"text").as("fps"))
+    formatted(df) should include("Project [codegen id :")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     // read from parquet: a literal LocalRelation would constant-fold to a
     // LocalTableScan and show no codegen at all
