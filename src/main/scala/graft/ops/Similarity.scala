@@ -92,14 +92,42 @@ object Similarity {
     * the same sign-LSH bucket (IVF-style coarse quantization with
     * hash-derived centroids). Recall < 1; the scale path — the join key
     * is the bucket id, so work is per-bucket, not all-pairs.
+    *
+    * @param tables LSH amplification: number of independent hash tables
+    *               (per-table hyperplanes seeded 7L+t). A pair is a
+    *               candidate if it collides in ANY table — per-pair
+    *               recall 1-(1-p^nPlanes)^tables for bit-agreement
+    *               probability p — at the cost of `tables`× bucket rows
+    *               and a candidate dedup. tables=1 keeps the lean
+    *               single-join plan (and the n02 oracle's semantics).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
-    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+              nPlanes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val (q, c) =
+      if (tables == 1) (
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          lshBucket(col("embedding"), nPlanes, dim).as("bucket")),
+        corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          lshBucket(col("embedding"), nPlanes, dim).as("bucket")))
+      else {
+        def buckets(emb: Column): Column =
+          array((0 until tables).map(t =>
+            lshBucket(emb, nPlanes, dim, seed = 7L + t)): _*)
+        (queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+          .withColumn("bucket", concat_ws(":", col("tbl"), col("bucket")))
+          .drop("tbl"),
+         corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+           posexplode(buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+           .withColumn("bucket", concat_ws(":", col("tbl"), col("bucket")))
+           .drop("tbl"))
+      }
+    val cand = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+    val deduped =
+      if (tables == 1) cand
+      else cand.dropDuplicates("q_id", "n_id")
+    deduped
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))

@@ -61,6 +61,29 @@ class SimilaritySpec extends SparkSpec {
       .foreach(_.getLong(1) should be <= 3L)
   }
 
+  test("lshTopK multi-table amplification raises recall, tables=1 unchanged") {
+    val r = new scala.util.Random(23)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(64)(r.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopK(q, vecs, k = 5, tables = tables)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    r4 should be >= r1
+    r4 should be > 0.0
+    // explicit tables=1 must be the same plan family as the default
+    Similarity.lshTopK(q, vecs, k = 5, tables = 1)
+      .select("q_id", "n_id", "rank").collect().toSet shouldBe
+      Similarity.lshTopK(q, vecs, k = 5)
+        .select("q_id", "n_id", "rank").collect().toSet
+  }
+
   test("cosineNearDups returns symmetric-free high-sim pairs") {
     val a = Array.fill(64)(1f)
     val vecs = Seq((0L, a), (1L, a.map(_ * 2f)),
