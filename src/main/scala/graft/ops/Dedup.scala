@@ -61,15 +61,15 @@ object Dedup {
     df.join(small, keys)
   }
 
-  /** Word n-gram shingles (distinct) of the lowercased text. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(TextOps.normalize(text), " ")
-    // n-gram start indices 0 .. size-n (inclusive): size-n+1 grams
-    val grams = transform(
-      sequence(lit(0), greatest(size(words) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
-    array_distinct(when(size(words) >= n, grams).otherwise(array(concat_ws(" ", words))))
-  }
+  /** Word n-gram shingles (distinct) of the normalized text. Backed by
+    * the single-pass expression [[graft.functions.WordNGrams]]: the
+    * earlier transform/element_at column algebra ran interpreted (HOFs
+    * skip codegen) and re-ran split(normalize(text)) under every gram
+    * lambda — O(len²) per row, the dominant cost of the MinHash and
+    * Jaccard dedup stages.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordNGrams.wordNGrams(TextOps.normalize(text), n)
 
   private val P = 2147483647L // 2^31 - 1, Mersenne prime for affine minhash
 
