@@ -54,6 +54,21 @@ object GraftExtensions {
       org.apache.spark.sql.types.BinaryType))
   }
 
+  private[plans] def winnowExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 1 || args.length == 3,
+      "winnow_fingerprints(text[, k, w])")
+    def intLit(e: Expression): Int =
+      e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+    if (args.length == 1) graft.functions.WinnowFingerprints(args.head, 8, 4)
+    else graft.functions.WinnowFingerprints(args.head, intLit(args(1)), intLit(args(2)))
+  }
+
+  private[plans] def wordNGramsExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "word_ngrams(text, n)")
+    graft.functions.WordNGrams(args.head,
+      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())
+  }
+
   val inject: SparkSessionExtensions => Unit = { ext =>
     ext.injectFunction((
       FunctionIdentifier("sf_decode"),
@@ -70,6 +85,14 @@ object GraftExtensions {
         require(args.length == 2, "cosine_similarity requires two array args")
         graft.functions.CosineSimilarity(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo("graft.functions.WinnowFingerprints", "winnow_fingerprints"),
+      (args: Seq[Expression]) => winnowExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo("graft.functions.WordNGrams", "word_ngrams"),
+      (args: Seq[Expression]) => wordNGramsExpr(args)))
   }
 }
 

@@ -19,6 +19,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "sf_decode", GraftExtensions.decodeExpr, "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "surrogate_key", GraftExtensions.surrogateKeyExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints", GraftExtensions.winnowExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", GraftExtensions.wordNGramsExpr, "built-in")
     s
   }
 
@@ -37,6 +41,25 @@ class GraftExtensionsSpec extends SparkSpec {
   test("sf_decode without default yields NULL on no match") {
     val r = sqlSpark.sql("SELECT sf_decode('z', 'a', 1, 'b', 2) v").collect()(0)
     r.isNullAt(0) shouldBe true
+  }
+
+  test("winnow_fingerprints and word_ngrams SQL = DataFrame results") {
+    import org.apache.spark.sql.functions.col
+    val viaSql = sqlSpark.sql(
+      """SELECT word_ngrams(lower(t), 3) g, winnow_fingerprints(t) f,
+        |       winnow_fingerprints(t, 4, 2) f2
+        |FROM VALUES ('the quick brown fox jumps') AS v(t)""".stripMargin).collect()(0)
+    viaSql.getSeq[String](0) shouldBe
+      Seq("the quick brown", "quick brown fox", "brown fox jumps")
+    val viaDf = sqlSpark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("the quick brown fox jumps")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.StringType))))
+      .select(graft.ops.TextOps.winnowFingerprints(col("t")).as("f"))
+      .collect()(0).getSeq[Long](0)
+    viaSql.getSeq[Long](1) shouldBe viaDf
+    viaSql.getSeq[Long](2).nonEmpty shouldBe true
   }
 
   test("surrogate_key SQL = Keys.surrogateKey DataFrame result") {
