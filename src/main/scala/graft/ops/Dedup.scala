@@ -71,32 +71,21 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.WordNGrams.wordNGrams(TextOps.normalize(text), n)
 
-  private val P = 2147483647L // 2^31 - 1, Mersenne prime for affine minhash
-
-  /** Deterministic affine hash coefficients (seeded). */
-  private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val r = new scala.util.Random(seed)
-    Seq.fill(k)((1L + r.nextInt((P - 1).toInt).toLong, r.nextInt(P.toInt).toLong))
-  }
-
-  /** MinHash signatures as a DataFrame (doc_id, sig array<long>):
-    * explode shingles, hash each once, take k affine minima via
-    * map-side-combined aggregation. One shuffle on doc_id.
+  /** MinHash signatures as a DataFrame (doc_id, sig array<long>),
+    * computed by the single-loop expression
+    * [[graft.functions.MinHashSignature]] — a pure projection pipelined
+    * with the scan, NO shuffle. (Round 1 used explode→aggregate, the
+    * right fix for the column-algebra trap, but it still materialized
+    * |docs|×|grams| rows and paid a groupBy shuffle to reassemble the
+    * per-doc signature; the expression form removes both. Hash scheme
+    * and values are identical.)
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, shingleN: Int = 3,
-                        seed: Long = 42L): DataFrame = {
-    val grams = widen(docs).select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), shingleN)).as("gram"))
-    val hashed = grams.select(col("doc_id"),
-      pmod(xxhash64(col("gram")), lit(P)).as("h"))
-    val mins = coeffs(k, seed).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(P))).as(s"__m$i")
-    }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-  }
+                        seed: Long = 42L): DataFrame =
+    widen(docs).select(col(idCol).as("doc_id"),
+      graft.functions.MinHashSignature
+        .minhashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"))
 
   /** MinHash + LSH banding: docs sharing any (band_idx, band_hash)
     * bucket become candidate pairs; pairs are scored by signature
@@ -139,23 +128,15 @@ object Dedup {
 
   /** SimHash signatures as a DataFrame (doc_id, sim long): bit j of the
     * 64-bit signature is the sign of the sum of ±1 votes from each
-    * token's hash bit j. Explode→aggregate like minhash: the 64 vote
-    * sums are one aggregation pass over the tokens.
+    * token's hash bit j. Computed by the single-loop expression
+    * [[graft.functions.SimHashSignature]] — pure projection, no
+    * shuffle (values identical to the round-1 explode→aggregate form).
     */
   def simhashSignatures(docs: DataFrame, textCol: String,
-                        idCol: String): DataFrame = {
-    val toks = widen(docs).select(col(idCol).as("doc_id"),
-      explode(split(TextOps.normalize(col(textCol)), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-    val votes = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"__v$j")
-    }
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sim"))
-  }
+                        idCol: String): DataFrame =
+    widen(docs).select(col(idCol).as("doc_id"),
+      graft.functions.SimHashSignature
+        .simhashSignature(split(TextOps.normalize(col(textCol)), " ")).as("sim"))
 
   /** Near-dups = pairs within `maxHamming`, found by the 4x16-bit chunk
     * pigeonhole (any pair at distance <=3 shares at least one exact
