@@ -39,6 +39,167 @@ object RelationalQueries {
       |    AS is_current
       |FROM events WHERE event_type = 'purchase'""".stripMargin
 
+  /** Bronze fixtures for the warehouse trades-chain gates (q29/q32):
+    * deterministic mapping of driver tables onto the TPC-DI bronze
+    * shapes, plus SCD2 account/security dims from the same Scd2 kernel.
+    */
+  private final case class TradesFixture(bt: DataFrame, bth: DataFrame,
+      rtt: DataFrame, rst: DataFrame, accDim: DataFrame, secDim: DataFrame)
+
+  private def tradesFixture(s: SparkSession, dir: String): TradesFixture = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val bt = o.select(
+      col("o_orderkey").as("t_id"),
+      col("o_orderdate").as("t_dts"),
+      col("o_custkey").as("t_ca_id"),
+      col("o_orderstatus").as("t_st_id"),
+      substring(col("o_orderpriority"), 1, 1).as("t_tt_id"),
+      (col("o_orderkey") % 2 === 0).as("t_is_cash"),
+      concat(lit("SYM"), col("o_custkey") % 50).as("t_s_symb"),
+      concat(lit("EX"), col("o_orderkey") % 97).as("t_exec_name"),
+      (col("o_orderkey") % 100 + 1).as("t_qty"),
+      col("o_totalprice").as("t_bid_price"),
+      col("o_totalprice").as("t_trade_price"),
+      (col("o_orderkey") % 1000).as("t_chrg"),
+      (col("o_orderkey") % 500).as("t_comm"),
+      (col("o_orderkey") % 300).as("t_tax"))
+    val bth = li.select(
+      col("l_orderkey").as("th_t_id"),
+      (col("l_shipdate") +
+        expr("make_interval(0, 0, 0, 0, 0, 0, l_linenumber)")).as("th_dts"),
+      col("l_linestatus").as("th_st_id"))
+    val rtt = s.sql(
+      """SELECT * FROM VALUES ('1','Urgent'),('2','High'),('3','Medium'),
+        |  ('4','Not Specified'),('5','Low') AS t(tt_id, tt_name)""".stripMargin)
+    val rst = s.sql(
+      "SELECT * FROM VALUES ('O','Open'),('F','Filled'),('P','Pending') " +
+        "AS t(st_id, st_name)")
+    val accDim = Scd2.scd2(
+        o.select(col("o_custkey").as("account_id"), col("o_orderdate"),
+          col("o_orderkey")),
+        Seq("account_id"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+      .select(col("account_id"),
+        Keys.surrogateKey(col("account_id"), col("o_orderkey")).as("sk_account_id"),
+        Keys.surrogateKey(col("account_id")).as("sk_customer_id"),
+        Keys.surrogateKey(col("account_id") % 10).as("sk_broker_id"),
+        col("effective_timestamp"), col("end_timestamp"))
+    val secDim = Scd2.scd2(
+        o.select(concat(lit("SYM"), col("o_custkey") % 50).as("symbol"),
+          col("o_orderdate"), col("o_orderkey")),
+        Seq("symbol"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+      .select(col("symbol"),
+        Keys.surrogateKey(col("symbol"), col("o_orderkey")).as("sk_security_id"),
+        col("effective_timestamp"), col("end_timestamp"))
+    TradesFixture(bt, bth, rtt, rst, accDim, secDim)
+  }
+
+  /** The full trades chain over a given history batch, annotated with
+    * the grain key (trade_id recovered via dim_trade) so incremental
+    * maintenance can merge by key.
+    */
+  private def tradesChainFactWithId(fx: TradesFixture, bth: DataFrame): DataFrame = {
+    val th = graft.models.Silver.tradesHistory(fx.bt, bth, fx.rtt, fx.rst)
+    val dt = graft.models.Gold.dimTrade(th)
+    graft.models.Gold.factTrade(graft.models.Silver.trades(th), dt,
+        fx.accDim, fx.secDim)
+      .join(dt.select(col("sk_trade_id"), col("trade_id")), Seq("sk_trade_id"))
+  }
+
+  /** Shared DuckDB transcription of the reference trades->fact_trade SQL
+    * chain over the q29 fixtures. `extraCols` prepends columns to the
+    * final projection (e.g. "dt.trade_id, " for the incremental gate).
+    */
+  private def tradesChainOracle(extraCols: String): String =
+    s"""WITH bt AS (
+              |  SELECT o_orderkey AS t_id, o_orderdate AS t_dts,
+              |    o_custkey AS t_ca_id, o_orderstatus AS t_st_id,
+              |    substring(o_orderpriority, 1, 1) AS t_tt_id,
+              |    (o_orderkey % 2 = 0) AS t_is_cash,
+              |    'SYM' || cast(o_custkey % 50 AS VARCHAR) AS t_s_symb,
+              |    'EX' || cast(o_orderkey % 97 AS VARCHAR) AS t_exec_name,
+              |    o_orderkey % 100 + 1 AS t_qty,
+              |    o_totalprice AS t_bid_price, o_totalprice AS t_trade_price,
+              |    o_orderkey % 1000 AS t_chrg, o_orderkey % 500 AS t_comm,
+              |    o_orderkey % 300 AS t_tax
+              |  FROM orders),
+              |bth AS (
+              |  SELECT l_orderkey AS th_t_id,
+              |    l_shipdate + to_seconds(l_linenumber) AS th_dts,
+              |    l_linestatus AS th_st_id
+              |  FROM lineitem),
+              |rtt AS (SELECT * FROM (VALUES ('1','Urgent'),('2','High'),('3','Medium'),
+              |  ('4','Not Specified'),('5','Low')) AS t(tt_id, tt_name)),
+              |rst AS (SELECT * FROM (VALUES ('O','Open'),('F','Filled'),('P','Pending'))
+              |  AS t(st_id, st_name)),
+              |th AS (
+              |  SELECT t_id AS trade_id, t_ca_id AS account_id,
+              |    ts.st_name AS trade_status, tt_name AS trade_type,
+              |    CASE WHEN t_is_cash THEN 'Cash' ELSE 'Margin' END AS transaction_type,
+              |    t_s_symb AS symbol, t_exec_name AS executor_name,
+              |    t_qty AS quantity, t_bid_price AS bid_price,
+              |    t_trade_price AS trade_price, t_chrg AS fee,
+              |    t_comm AS commission, t_tax AS tax,
+              |    th_dts AS effective_timestamp,
+              |    coalesce(lag(th_dts) OVER (PARTITION BY t_id ORDER BY th_dts DESC)
+              |        - INTERVAL 1 MILLISECOND,
+              |      TIMESTAMP '9999-12-31 23:59:59.999') AS end_timestamp
+              |  FROM bt
+              |  JOIN bth ON t_id = th_t_id
+              |  JOIN rtt ON t_tt_id = tt_id
+              |  JOIN rst ts ON t_st_id = ts.st_id
+              |  JOIN rst us ON th_st_id = us.st_id),
+              |tr AS (
+              |  SELECT DISTINCT trade_id, account_id, trade_status, trade_type,
+              |    transaction_type, symbol, executor_name, quantity, bid_price,
+              |    trade_price, fee, commission, tax,
+              |    min(effective_timestamp) OVER (PARTITION BY trade_id) AS create_timestamp,
+              |    max(effective_timestamp) OVER (PARTITION BY trade_id) AS close_timestamp
+              |  FROM th),
+              |dt AS (
+              |  SELECT md5(concat_ws('-', cast(trade_id AS VARCHAR),
+              |      cast(effective_timestamp AS VARCHAR))) AS sk_trade_id,
+              |    trade_id, executor_name AS executed_by,
+              |    effective_timestamp, end_timestamp
+              |  FROM th),
+              |acc AS (
+              |  SELECT o_custkey AS account_id,
+              |    md5(concat_ws('-', cast(o_custkey AS VARCHAR),
+              |      cast(o_orderkey AS VARCHAR))) AS sk_account_id,
+              |    md5(concat_ws('-', cast(o_custkey AS VARCHAR))) AS sk_customer_id,
+              |    md5(concat_ws('-', cast(o_custkey % 10 AS VARCHAR))) AS sk_broker_id,
+              |    o_orderdate AS eff,
+              |    coalesce(lag(o_orderdate) OVER (PARTITION BY o_custkey
+              |        ORDER BY o_orderdate DESC, o_orderkey DESC)
+              |        - INTERVAL 1 MILLISECOND,
+              |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+              |  FROM orders),
+              |sec AS (
+              |  SELECT 'SYM' || cast(o_custkey % 50 AS VARCHAR) AS symbol,
+              |    md5(concat_ws('-', 'SYM' || cast(o_custkey % 50 AS VARCHAR),
+              |      cast(o_orderkey AS VARCHAR))) AS sk_security_id,
+              |    o_orderdate AS eff,
+              |    coalesce(lag(o_orderdate) OVER (PARTITION BY o_custkey % 50
+              |        ORDER BY o_orderdate DESC, o_orderkey DESC)
+              |        - INTERVAL 1 MILLISECOND,
+              |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+              |  FROM orders)
+              |SELECT ${extraCols}dt.sk_trade_id, acc.sk_broker_id, acc.sk_customer_id,
+              |  acc.sk_account_id, sec.sk_security_id,
+              |  cast(tr.create_timestamp AS DATE) AS sk_create_date,
+              |  tr.create_timestamp,
+              |  cast(tr.close_timestamp AS DATE) AS sk_close_date,
+              |  tr.close_timestamp,
+              |  dt.executed_by, tr.quantity, tr.bid_price, tr.trade_price,
+              |  tr.fee, tr.commission, tr.tax
+              |FROM tr
+              |JOIN dt ON tr.trade_id = dt.trade_id
+              |  AND tr.create_timestamp BETWEEN dt.effective_timestamp AND dt.end_timestamp
+              |JOIN acc ON tr.account_id = acc.account_id
+              |  AND tr.create_timestamp BETWEEN acc.eff AND acc.endt
+              |JOIN sec ON tr.symbol = sec.symbol
+              |  AND tr.create_timestamp BETWEEN sec.eff AND sec.endt""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1/P5/A1: scan + filter + group aggregate (pushdown-friendly).
@@ -573,143 +734,35 @@ object RelationalQueries {
     // seconds keeps SCD2 ordering tie-free (dates are day-granular).
     QueryDef("q29_warehouse_trades_chain",
       (s, dir) => {
-        val o = t(s, dir, "orders")
-        val li = t(s, dir, "lineitem")
-        val bt = o.select(
-          col("o_orderkey").as("t_id"),
-          col("o_orderdate").as("t_dts"),
-          col("o_custkey").as("t_ca_id"),
-          col("o_orderstatus").as("t_st_id"),
-          substring(col("o_orderpriority"), 1, 1).as("t_tt_id"),
-          (col("o_orderkey") % 2 === 0).as("t_is_cash"),
-          concat(lit("SYM"), col("o_custkey") % 50).as("t_s_symb"),
-          concat(lit("EX"), col("o_orderkey") % 97).as("t_exec_name"),
-          (col("o_orderkey") % 100 + 1).as("t_qty"),
-          col("o_totalprice").as("t_bid_price"),
-          col("o_totalprice").as("t_trade_price"),
-          (col("o_orderkey") % 1000).as("t_chrg"),
-          (col("o_orderkey") % 500).as("t_comm"),
-          (col("o_orderkey") % 300).as("t_tax"))
-        val bth = li.select(
-          col("l_orderkey").as("th_t_id"),
-          (col("l_shipdate") +
-            expr("make_interval(0, 0, 0, 0, 0, 0, l_linenumber)")).as("th_dts"),
-          col("l_linestatus").as("th_st_id"))
-        val rtt = s.sql(
-          """SELECT * FROM VALUES ('1','Urgent'),('2','High'),('3','Medium'),
-            |  ('4','Not Specified'),('5','Low') AS t(tt_id, tt_name)""".stripMargin)
-        val rst = s.sql(
-          "SELECT * FROM VALUES ('O','Open'),('F','Filled'),('P','Pending') " +
-            "AS t(st_id, st_name)")
-        val th = graft.models.Silver.tradesHistory(bt, bth, rtt, rst)
-        val tr = graft.models.Silver.trades(th)
-        val dt = graft.models.Gold.dimTrade(th)
-        val accDim = Scd2.scd2(
-            o.select(col("o_custkey").as("account_id"), col("o_orderdate"),
-              col("o_orderkey")),
-            Seq("account_id"), "o_orderdate", tieBreak = Seq("o_orderkey"))
-          .select(col("account_id"),
-            Keys.surrogateKey(col("account_id"), col("o_orderkey")).as("sk_account_id"),
-            Keys.surrogateKey(col("account_id")).as("sk_customer_id"),
-            Keys.surrogateKey(col("account_id") % 10).as("sk_broker_id"),
-            col("effective_timestamp"), col("end_timestamp"))
-        val secDim = Scd2.scd2(
-            o.select(concat(lit("SYM"), col("o_custkey") % 50).as("symbol"),
-              col("o_orderdate"), col("o_orderkey")),
-            Seq("symbol"), "o_orderdate", tieBreak = Seq("o_orderkey"))
-          .select(col("symbol"),
-            Keys.surrogateKey(col("symbol"), col("o_orderkey")).as("sk_security_id"),
-            col("effective_timestamp"), col("end_timestamp"))
-        graft.models.Gold.factTrade(tr, dt, accDim, secDim)
+        val fx = tradesFixture(s, dir)
+        val th = graft.models.Silver.tradesHistory(fx.bt, fx.bth, fx.rtt, fx.rst)
+        graft.models.Gold.factTrade(graft.models.Silver.trades(th),
+          graft.models.Gold.dimTrade(th), fx.accDim, fx.secDim)
       },
-      Some(s"""WITH bt AS (
-              |  SELECT o_orderkey AS t_id, o_orderdate AS t_dts,
-              |    o_custkey AS t_ca_id, o_orderstatus AS t_st_id,
-              |    substring(o_orderpriority, 1, 1) AS t_tt_id,
-              |    (o_orderkey % 2 = 0) AS t_is_cash,
-              |    'SYM' || cast(o_custkey % 50 AS VARCHAR) AS t_s_symb,
-              |    'EX' || cast(o_orderkey % 97 AS VARCHAR) AS t_exec_name,
-              |    o_orderkey % 100 + 1 AS t_qty,
-              |    o_totalprice AS t_bid_price, o_totalprice AS t_trade_price,
-              |    o_orderkey % 1000 AS t_chrg, o_orderkey % 500 AS t_comm,
-              |    o_orderkey % 300 AS t_tax
-              |  FROM orders),
-              |bth AS (
-              |  SELECT l_orderkey AS th_t_id,
-              |    l_shipdate + to_seconds(l_linenumber) AS th_dts,
-              |    l_linestatus AS th_st_id
-              |  FROM lineitem),
-              |rtt AS (SELECT * FROM (VALUES ('1','Urgent'),('2','High'),('3','Medium'),
-              |  ('4','Not Specified'),('5','Low')) AS t(tt_id, tt_name)),
-              |rst AS (SELECT * FROM (VALUES ('O','Open'),('F','Filled'),('P','Pending'))
-              |  AS t(st_id, st_name)),
-              |th AS (
-              |  SELECT t_id AS trade_id, t_ca_id AS account_id,
-              |    ts.st_name AS trade_status, tt_name AS trade_type,
-              |    CASE WHEN t_is_cash THEN 'Cash' ELSE 'Margin' END AS transaction_type,
-              |    t_s_symb AS symbol, t_exec_name AS executor_name,
-              |    t_qty AS quantity, t_bid_price AS bid_price,
-              |    t_trade_price AS trade_price, t_chrg AS fee,
-              |    t_comm AS commission, t_tax AS tax,
-              |    th_dts AS effective_timestamp,
-              |    coalesce(lag(th_dts) OVER (PARTITION BY t_id ORDER BY th_dts DESC)
-              |        - INTERVAL 1 MILLISECOND,
-              |      TIMESTAMP '9999-12-31 23:59:59.999') AS end_timestamp
-              |  FROM bt
-              |  JOIN bth ON t_id = th_t_id
-              |  JOIN rtt ON t_tt_id = tt_id
-              |  JOIN rst ts ON t_st_id = ts.st_id
-              |  JOIN rst us ON th_st_id = us.st_id),
-              |tr AS (
-              |  SELECT DISTINCT trade_id, account_id, trade_status, trade_type,
-              |    transaction_type, symbol, executor_name, quantity, bid_price,
-              |    trade_price, fee, commission, tax,
-              |    min(effective_timestamp) OVER (PARTITION BY trade_id) AS create_timestamp,
-              |    max(effective_timestamp) OVER (PARTITION BY trade_id) AS close_timestamp
-              |  FROM th),
-              |dt AS (
-              |  SELECT md5(concat_ws('-', cast(trade_id AS VARCHAR),
-              |      cast(effective_timestamp AS VARCHAR))) AS sk_trade_id,
-              |    trade_id, executor_name AS executed_by,
-              |    effective_timestamp, end_timestamp
-              |  FROM th),
-              |acc AS (
-              |  SELECT o_custkey AS account_id,
-              |    md5(concat_ws('-', cast(o_custkey AS VARCHAR),
-              |      cast(o_orderkey AS VARCHAR))) AS sk_account_id,
-              |    md5(concat_ws('-', cast(o_custkey AS VARCHAR))) AS sk_customer_id,
-              |    md5(concat_ws('-', cast(o_custkey % 10 AS VARCHAR))) AS sk_broker_id,
-              |    o_orderdate AS eff,
-              |    coalesce(lag(o_orderdate) OVER (PARTITION BY o_custkey
-              |        ORDER BY o_orderdate DESC, o_orderkey DESC)
-              |        - INTERVAL 1 MILLISECOND,
-              |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
-              |  FROM orders),
-              |sec AS (
-              |  SELECT 'SYM' || cast(o_custkey % 50 AS VARCHAR) AS symbol,
-              |    md5(concat_ws('-', 'SYM' || cast(o_custkey % 50 AS VARCHAR),
-              |      cast(o_orderkey AS VARCHAR))) AS sk_security_id,
-              |    o_orderdate AS eff,
-              |    coalesce(lag(o_orderdate) OVER (PARTITION BY o_custkey % 50
-              |        ORDER BY o_orderdate DESC, o_orderkey DESC)
-              |        - INTERVAL 1 MILLISECOND,
-              |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
-              |  FROM orders)
-              |SELECT dt.sk_trade_id, acc.sk_broker_id, acc.sk_customer_id,
-              |  acc.sk_account_id, sec.sk_security_id,
-              |  cast(tr.create_timestamp AS DATE) AS sk_create_date,
-              |  tr.create_timestamp,
-              |  cast(tr.close_timestamp AS DATE) AS sk_close_date,
-              |  tr.close_timestamp,
-              |  dt.executed_by, tr.quantity, tr.bid_price, tr.trade_price,
-              |  tr.fee, tr.commission, tr.tax
-              |FROM tr
-              |JOIN dt ON tr.trade_id = dt.trade_id
-              |  AND tr.create_timestamp BETWEEN dt.effective_timestamp AND dt.end_timestamp
-              |JOIN acc ON tr.account_id = acc.account_id
-              |  AND tr.create_timestamp BETWEEN acc.eff AND acc.endt
-              |JOIN sec ON tr.symbol = sec.symbol
-              |  AND tr.create_timestamp BETWEEN sec.eff AND sec.endt""".stripMargin)),
+      Some(tradesChainOracle(""))),
+
+    // Incremental FACT maintenance (Batch2 at the fact level, beyond the
+    // reference): build fact_trade from the pre-cutoff history, then
+    // merge the late batch by recomputing only the touched trade_ids
+    // (their full history) and left-anti-passing everyone else through
+    // (Incremental.mergeFactBatch). Valid because the trades chain is
+    // per-trade local; the oracle is the SAME full-recompute SQL as q29
+    // (with trade_id surfaced), so green = incremental == full rebuild.
+    QueryDef("q32_incremental_fact_trade",
+      (s, dir) => {
+        val fx = tradesFixture(s, dir)
+        val cutoff = lit("1995-06-01").cast("timestamp")
+        val batch1 = fx.bth.filter(col("th_dts") < cutoff)
+        val batch2 = fx.bth.filter(col("th_dts") >= cutoff)
+        val existing = tradesChainFactWithId(fx, batch1)
+        val affected = batch2.select(col("th_t_id").as("trade_id")).distinct()
+        val touchedHist = fx.bth.join(
+          affected.select(col("trade_id").as("th_t_id")), Seq("th_t_id"), "left_semi")
+        val rebuilt = tradesChainFactWithId(fx, touchedHist)
+        graft.models.Incremental.mergeFactBatch(
+          existing, affected, rebuilt, Seq("trade_id"))
+      },
+      Some(tradesChainOracle("dt.trade_id, "))),
 
     // Fast-path equality gate for Silver.dailyMarketFast (min_by/max_by
     // single-window extremum dates) against the reference-parity
