@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: corpus
+  * profiling, reproducible sampling, and token-budget shard packing.
+  *
+  * Everything here is deterministic across engines and cluster layouts —
+  * sampling keys on md5 of a stable id (never `rand()`), shard packing
+  * is a distributed prefix sum (never a global single-partition window) —
+  * so the same inputs give the same sample / shards on local[32] and on
+  * a 1000-executor cluster, and a DuckDB oracle can replay them exactly.
+  */
+object Curation {
+
+  /** Per-column corpus profile: one row per profiled column with row /
+    * null / exact-distinct counts, lexicographic min/max (as string), and
+    * a self-check that `approx_count_distinct` (the 100 TB scale path —
+    * HLL++ partial-aggregates with no Expand) lands within `rsdGate` of
+    * the exact count.
+    *
+    * One aggregation job: Catalyst plans the multi-column
+    * `count_distinct` via Expand (input ×C before partial agg), which is
+    * the exact-answer cost at any scale; pipelines that only need the
+    * approximate profile should flip `exact = false` and skip the Expand
+    * entirely.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     exact: Boolean = true,
+                     rsdGate: Double = 0.10): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c)).as(s"__ad_$c"),
+        min(col(c).cast("string")).as(s"__mn_$c"),
+        max(col(c).cast("string")).as(s"__mx_$c"))
+      if (exact) base :+ count_distinct(col(c)).as(s"__nd_$c") else base
+    }
+    val totals = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stacked = cols.map { c =>
+      val nd = if (exact) col(s"__nd_$c") else col(s"__ad_$c")
+      struct(lit(c).as("column"), col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
+        nd.as("n_distinct"),
+        (abs(col(s"__ad_$c") - nd).cast("double") <=
+          nd.cast("double") * rsdGate).as("approx_distinct_ok"),
+        col(s"__mn_$c").as("min_value"), col(s"__mx_$c").as("max_value"))
+    }
+    totals.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** Reproducible pct-sample keyed on md5 of `key`: a row is kept iff the
+    * first 4 hex digits of `md5(cast(key as string))`, read as an
+    * integer in [0, 65536), fall below `pct * 65536`.
+    *
+    * Pure filter — no shuffle, pushes through scans, independent of
+    * partitioning and row order (unlike `df.sample`, whose output
+    * depends on split layout), and replayable in any engine with md5.
+    */
+  def sampleByHash(df: DataFrame, key: Column, pct: Double): DataFrame = {
+    require(pct > 0 && pct <= 1, s"pct must be in (0,1], got $pct")
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    df.filter(bucket < lit((pct * 65536).toInt))
+  }
+
+  /** Exact-k per-stratum sample: within each stratum take the k rows
+    * with the smallest md5(key) — deterministic, engine-replayable, and
+    * one shuffle (the window partition). At scale the stratum count is
+    * the parallelism; a skewed mega-stratum still only sorts its own
+    * partition, and AQE skew-split covers the rest.
+    */
+  def sampleStratified(df: DataFrame, strata: Seq[String], key: Column,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Token-budget shard assignment: documents ordered by `orderCol`
+    * within each `group` are packed greedily into shards of at most
+    * `budget` tokens (a document that crosses the boundary opens the
+    * next shard: shard = floor(exclusive-prefix-sum / budget)).
+    *
+    * Implemented as a DISTRIBUTED prefix sum, not a global window (a
+    * window over a whole-group partition funnels the group's share of
+    * 100 TB through one task):
+    *   1. range-partition by (group, orderCol) so physical partitions
+    *      are order-contiguous;
+    *   2. per-(group, partition) token subtotals — one tiny row per
+    *      physical partition — and an exclusive prefix sum over THAT
+    *      relation (a window whose partitions hold at most
+    *      #spark-partitions rows, never data rows);
+    *   3. broadcast the starting offsets back and finish with a window
+    *      PER SPARK PARTITION, whose state never exceeds one physical
+    *      partition's rows.
+    *
+    * The result is bit-identical to the global-window definition (the
+    * DuckDB oracle computes exactly that), while every stage stays
+    * bounded by a single partition's data. `orderCol` must be unique
+    * within a group: the range partitioner may split ties across
+    * partitions, which would make the tie-break order (and so the
+    * prefix sum) layout-dependent.
+    */
+  def assignShards(df: DataFrame, group: Column, orderCol: Column,
+                   tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val staged = df
+      .withColumn("__grp", group).withColumn("__ord", orderCol)
+      .withColumn("__tok", tokens.cast("long"))
+      .repartitionByRange(col("__grp"), col("__ord"))
+      .withColumn("__pid", spark_partition_id())
+      .cache() // pin partition ids: both prefix-sum branches must see one layout
+    val subtotals = staged.groupBy("__grp", "__pid")
+      .agg(sum("__tok").as("__ptok"))
+    val wOff = Window.partitionBy("__grp").orderBy("__pid")
+    val offsets = subtotals
+      .withColumn("__before", sum("__ptok").over(wOff) - col("__ptok"))
+      .drop("__ptok")
+    val w = Window.partitionBy("__grp", "__pid").orderBy("__ord")
+    staged.join(broadcast(offsets), Seq("__grp", "__pid"))
+      .withColumn("__cum",
+        col("__before") + sum("__tok").over(w) - col("__tok"))
+      .withColumn("shard", expr(s"__cum div ${budget}L")) // exact int division, no double rounding
+      .drop("__grp", "__ord", "__tok", "__pid", "__before", "__cum")
+  }
+
+  /** Write packed training shards: co-locate each shard in one file
+    * chain (`repartition(shard)`), keep document order inside the file
+    * (`sortWithinPartitions`), and bound file size with
+    * `maxRecordsPerFile` — the standard layout for sequential training
+    * readers.
+    */
+  def writeShards(df: DataFrame, path: String, orderCols: Seq[String],
+                  maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartition(col("shard"))
+      .sortWithinPartitions(col("shard") +: orderCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+}

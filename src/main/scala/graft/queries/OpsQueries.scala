@@ -408,6 +408,64 @@ object OpsQueries {
              |x AS (SELECT doc_id, media_type, n, fl, unnest(range(4)) AS frame_idx FROM f)
              |SELECT doc_id, media_type, cast(frame_idx AS INT) AS frame_idx,
              |  cast(least(fl, n - frame_idx * fl) AS INT) AS frame_bytes
-             |FROM x WHERE least(fl, n - frame_idx * fl) > 0""".stripMargin))
+             |FROM x WHERE least(fl, n - frame_idx * fl) > 0""".stripMargin)),
+
+    // Corpus profiling: per-column row/null/exact-distinct counts,
+    // lexicographic min/max, plus a Spark-side self-check that the HLL++
+    // approx_count_distinct (the 100 TB path) lands within 10% of exact
+    // — the oracle expects that check to hold (TRUE).
+    QueryDef("p01_profile_columns",
+      (s, dir) => Curation.profileColumns(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  TRUE AS approx_distinct_ok,
+           |  min(cast($c AS VARCHAR)) AS min_value,
+           |  max(cast($c AS VARCHAR)) AS max_value
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
+    // Reproducible hash sampling: keep iff the first 16 bits of
+    // md5(doc_id) fall under pct * 2^16. Same md5 → same sample in any
+    // engine; a pure pushed-down filter in Spark (no shuffle, no rand()).
+    QueryDef("p02_sample_hash",
+      (s, dir) => Curation.sampleByHash(docs(s, dir), col("doc_id"), 0.1)
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::INT
+             |      < 6553""".stripMargin)),
+
+    // Stratified exact-k sampling: per (lang, source) stratum the 5 rows
+    // with smallest md5(doc_id) — deterministic and engine-replayable.
+    QueryDef("p03_sample_stratified",
+      (s, dir) => Curation.sampleStratified(docs(s, dir),
+        Seq("lang", "source"), col("doc_id"), 5)
+        .select("doc_id", "lang", "source"),
+      Some("""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source,
+             |    row_number() OVER (PARTITION BY lang, source
+             |      ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 5""".stripMargin)),
+
+    // Token-budget shard packing: greedy 500-token shards per language,
+    // docs in doc_id order. Spark runs the distributed prefix sum
+    // (range partition -> per-partition offsets -> bounded windows); the
+    // oracle runs the textbook global window — results must be
+    // bit-identical.
+    QueryDef("p04_shard_pack",
+      (s, dir) => Curation.assignShards(docs(s, dir), col("lang"),
+        col("doc_id"), TextOps.tokenCountWs(col("text")), 500L)
+        .select("doc_id", "lang", "shard"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  cast((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok)
+             |       // 500 AS BIGINT) AS shard
+             |FROM toks""".stripMargin))
   )
 }
