@@ -197,4 +197,65 @@ object Dedup {
       .filter(col("jaccard_lb") >= threshold)
       .select("doc_a", "doc_b", "n_shared_rare", "jaccard_lb")
   }
+
+  /** Connected components over near-dup candidate pairs → dedup
+    * clusters: every doc in a transitively-connected group gets the
+    * group's minimum doc id as its `component`.
+    *
+    * Iterative min-label propagation with POINTER JUMPING: each round
+    * first takes the min label over direct neighbors, then replaces each
+    * label by its label's label (path doubling), so chain-shaped
+    * components converge in O(log n) rounds, not O(diameter). Each
+    * round is two shuffles on uniformly-hashed node ids; labels are
+    * localCheckpoint'ed per round to truncate the iterative lineage
+    * (join-on-join plans grow exponentially otherwise). The driver loop
+    * runs ACTIONS (a changed-row count per round) — inherent to
+    * fixpoint graph algorithms and bounded by the O(log n) round count,
+    * not by data size.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b",
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u").as("node")).agg(min("vcomp").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val jumped = stepped.alias("x")
+        .join(stepped.select(col("node").as("jn"), col("comp").as("jc")),
+          col("x.comp") === col("jn"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("jc"), col("x.comp")).as("comp"))
+        .localCheckpoint()
+      converged = jumped.alias("n")
+        .join(labels.select(col("node"), col("comp").as("oc")), "node")
+        .filter(col("comp") =!= col("oc")).isEmpty
+      labels = jumped
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+  }
+
+  /** Keep one representative per near-dup cluster: drop every doc whose
+    * cluster label isn't its own id (non-clustered docs pass through —
+    * they are absent from `components`). One broadcast-able join when
+    * the candidate set is small relative to the corpus (the common
+    * case), a hash join otherwise.
+    */
+  def dropClusterDuplicates(docs: DataFrame, idCol: String,
+                            components: DataFrame): DataFrame = {
+    val losers = components.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -163,6 +163,26 @@ object OpsQueries {
               |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin)),
 
+    // Dedup clustering: connected components over the LSH candidate
+    // pairs (pointer-jumping min-label propagation in Spark). Oracle:
+    // DuckDB recursive CTE computes the true transitive closure over
+    // the SAME pair set (d02's gate proves LSH pairs == true J>=0.7
+    // pairs on this data) and takes min reachable id per node.
+    QueryDef("d06_dedup_components",
+      (s, dir) => Dedup.connectedComponents(
+        Dedup.minhashLsh(docs(s, dir), "text", "doc_id")
+          .select("doc_a", "doc_b")),
+      Some(s"""WITH RECURSIVE $trueJaccardSql,
+              |cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
+              |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+              |        UNION SELECT doc_b, doc_a FROM cand),
+              |walk(node, comp) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+              |  UNION
+              |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v)
+              |SELECT node AS doc_id, min(comp) AS component
+              |FROM walk GROUP BY 1""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).

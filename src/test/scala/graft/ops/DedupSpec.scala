@@ -66,4 +66,35 @@ class DedupSpec extends SparkSpec {
     pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
     pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 1.0
   }
+
+  test("connectedComponents resolves chains, cliques and isolated pairs") {
+    // chain 1-2-3-4-5 (worst case for plain propagation), clique 10-11-12,
+    // pair 20-21 — three components with min labels 1, 10, 20.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp should have size 10
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(n => comp(n) shouldBe 1L)
+    Seq(10L, 11L, 12L).foreach(n => comp(n) shouldBe 10L)
+    Seq(20L, 21L).foreach(n => comp(n) shouldBe 20L)
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    val n = 200
+    val pairs = (1 until n).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, maxIter = 12).collect()
+    comp.length shouldBe n
+    all(comp.map(_.getLong(1))) shouldBe 1L
+  }
+
+  test("dropClusterDuplicates keeps one representative per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+    val kept = Dedup.dropClusterDuplicates(docs, "doc_id", comp)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 4L, 5L) // 2,3 fold into cluster rep 1
+  }
 }
