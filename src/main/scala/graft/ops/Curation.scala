@@ -51,6 +51,29 @@ object Curation {
     totals.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Grouped quantiles of a numeric column, one output column per
+    * requested quantile (`p25`, `p50`, ... — scalar columns, never an
+    * array, so downstream sorts/hashes stay trivial).
+    *
+    * `exact = true` uses `percentile` (linear interpolation, matches
+    * DuckDB `quantile_cont` bit-for-bit) — it buffers each group's
+    * values, the exact-answer cost. At 100 TB flip to `exact = false`
+    * for t-digest `approx_percentile` with `accuracy`, a constant-memory
+    * sketch that partial-aggregates map-side like any other agg.
+    */
+  def quantiles(df: DataFrame, group: Seq[String], valueCol: String,
+                qs: Seq[Double], exact: Boolean = true,
+                accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must lie in [0,1], got $qs")
+    val aggs = count(lit(1)).as("n") +: qs.map { q =>
+      val name = s"p${(q * 100).round}"
+      if (exact) expr(s"percentile($valueCol, $q)").as(name)
+      else expr(s"approx_percentile($valueCol, $q, $accuracy)").as(name)
+    }
+    df.groupBy(group.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Reproducible pct-sample keyed on md5 of `key`: a row is kept iff the
     * first 4 hex digits of `md5(cast(key as string))`, read as an
     * integer in [0, 65536), fall below `pct * 65536`.

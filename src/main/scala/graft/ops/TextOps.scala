@@ -98,4 +98,27 @@ object TextOps {
     */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.WinnowFingerprints.winnowFingerprints(normalize(text), k, w)
+
+  /** PII patterns kept to the regex subset Java and RE2 agree on
+    * (character classes + bounded quantifiers — no lookaround), so the
+    * same redaction replays in any engine.
+    */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRegex = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+  /** Redact emails then phones (that order: an email's digits must not
+    * be half-matched as a phone after partial replacement; `<EMAIL>` has
+    * no digits so the phone pass can't touch redacted spans). Pure
+    * codegen'd projection — no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRegex, "<EMAIL>"),
+      phoneRegex, "<PHONE>")
+
+  /** Match counts for audit/reporting alongside the redaction. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRegex)),
+    "n_phones" -> regexp_count(regexp_replace(text, emailRegex, "<EMAIL>"),
+      lit(phoneRegex)))
 }

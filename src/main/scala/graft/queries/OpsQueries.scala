@@ -486,6 +486,42 @@ object OpsQueries {
              |SELECT doc_id, lang,
              |  cast((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok)
              |       // 500 AS BIGINT) AS shard
-             |FROM toks""".stripMargin))
+             |FROM toks""".stripMargin)),
+
+    // Grouped exact length quantiles: Spark `percentile` (linear
+    // interpolation) vs DuckDB `quantile_cont` — definitions coincide,
+    // so doubles hash identically.
+    QueryDef("p05_length_quantiles",
+      (s, dir) => Curation.quantiles(docs(s, dir), Seq("lang"), "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.9)),
+      Some("""SELECT lang, count(*) AS n,
+             |  quantile_cont(n_chars, 0.25) AS p25,
+             |  quantile_cont(n_chars, 0.50) AS p50,
+             |  quantile_cont(n_chars, 0.75) AS p75,
+             |  quantile_cont(n_chars, 0.90) AS p90
+             |FROM documents GROUP BY lang""".stripMargin)),
+
+    // PII redaction (emails then phones) + audit counts. The regexes
+    // stay inside the Java/RE2 common subset so both engines transform
+    // identically; the unit spec plants matches, the corpus gate proves
+    // cross-engine equivalence on real text.
+    QueryDef("t07_redact_pii",
+      (s, dir) => {
+        val counts = TextOps.piiCounts(col("text"))
+          .map { case (n, c) => c.as(n) }
+        docs(s, dir).select(
+          col("doc_id") +: TextOps.redactPii(col("text")).as("redacted")
+            +: counts: _*)
+      },
+      Some(s"""SELECT doc_id,
+              |  regexp_replace(
+              |    regexp_replace(text, '${TextOps.emailRegex}', '<EMAIL>', 'g'),
+              |    '${TextOps.phoneRegex}', '<PHONE>', 'g') AS redacted,
+              |  len(regexp_extract_all(text, '${TextOps.emailRegex}'))
+              |    AS n_emails,
+              |  len(regexp_extract_all(
+              |    regexp_replace(text, '${TextOps.emailRegex}', '<EMAIL>', 'g'),
+              |    '${TextOps.phoneRegex}')) AS n_phones
+              |FROM documents""".stripMargin))
   )
 }

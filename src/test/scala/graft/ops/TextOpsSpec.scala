@@ -72,4 +72,22 @@ class TextOpsSpec extends SparkSpec {
     out(0) shouldBe out(1)
     out(0) should not be out(2)
   }
+
+  test("redactPii masks emails and phones, counts them, leaves clean text") {
+    val rows = Seq(
+      "reach me at jane.doe+spam@mail.example.org or +1 (415) 555-0123 now",
+      "two mails a@b.co c.d@e.org and digits 12345 stay",
+      "no pii here at all").toDF("t")
+      .select(TextOps.redactPii($"t").as("r") +:
+        TextOps.piiCounts($"t").map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    rows(0).getString(0) shouldBe "reach me at <EMAIL> or <PHONE> now"
+    rows(0).getInt(1) shouldBe 1 // n_emails
+    rows(0).getInt(2) shouldBe 1 // n_phones
+    rows(1).getString(0) shouldBe "two mails <EMAIL> <EMAIL> and digits 12345 stay"
+    rows(1).getInt(1) shouldBe 2
+    rows(1).getInt(2) shouldBe 0 // bare 5 digits under the 8-char floor
+    rows(2).getString(0) shouldBe "no pii here at all"
+    rows(2).getInt(1) + rows(2).getInt(2) shouldBe 0
+  }
 }
