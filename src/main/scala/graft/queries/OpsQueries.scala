@@ -522,6 +522,48 @@ object OpsQueries {
               |  len(regexp_extract_all(
               |    regexp_replace(text, '${TextOps.emailRegex}', '<EMAIL>', 'g'),
               |    '${TextOps.phoneRegex}')) AS n_phones
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // End-to-end curation pipeline: quality filter -> exact-dedup
+    // winners -> 50% reproducible sample -> token-budget shards. Every
+    // stage is individually gated (t02/d01/p02/p04); this gates their
+    // COMPOSITION — filters feeding dedup feeding sampling feeding the
+    // distributed prefix sum — against one DuckDB transcription.
+    QueryDef("p06_curation_pipeline",
+      (s, dir) => {
+        val keep = TextOps.qualityMetrics(col("text"))
+          .find(_._1 == "keep").get._2
+        val q = docs(s, dir).filter(keep)
+        val winners = q.groupBy(md5(col("text")).as("__h"))
+          .agg(min("doc_id").as("doc_id")).drop("__h")
+        val kq = q.join(winners, Seq("doc_id"), "left_semi")
+        val sampled = Curation.sampleByHash(kq, col("doc_id"), 0.5)
+        Curation.assignShards(sampled, col("lang"), col("doc_id"),
+          TextOps.tokenCountWs(col("text")), 500L)
+          .select("doc_id", "lang", "shard")
+      },
+      Some {
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        s"""WITH q AS (
+           |  SELECT doc_id, lang, text FROM documents
+           |  WHERE length(text) >= 20 AND ($nWords) >= 5
+           |    AND (cast(length(text) - ${occSql("text", " ")} AS DOUBLE)
+           |         / (CASE WHEN ($nWords) = 0 THEN 1 ELSE $nWords END))
+           |        BETWEEN 1.5 AND 12.0),
+           |winners AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |kq AS (SELECT q.* FROM q JOIN winners USING (doc_id)),
+           |s AS (SELECT * FROM kq
+           |      WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::INT
+           |            < 32768),
+           |toks AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok
+           |  FROM s)
+           |SELECT doc_id, lang,
+           |  cast((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok)
+           |       // 500 AS BIGINT) AS shard
+           |FROM toks""".stripMargin
+      })
   )
 }
