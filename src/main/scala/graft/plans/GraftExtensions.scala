@@ -63,6 +63,16 @@ object GraftExtensions {
     else graft.functions.WinnowFingerprints(args.head, intLit(args(1)), intLit(args(2)))
   }
 
+  private[graft] def topKExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "top_k(score, id, k)")
+    val k = args(2).asInstanceOf[Literal].value
+      .asInstanceOf[Number].intValue()
+    graft.functions.TopKAggregate(
+      Cast(args.head, org.apache.spark.sql.types.DoubleType),
+      Cast(args(1), org.apache.spark.sql.types.LongType), k)
+      .toAggregateExpression()
+  }
+
   private[plans] def wordNGramsExpr(args: Seq[Expression]): Expression = {
     require(args.length == 2, "word_ngrams(text, n)")
     graft.functions.WordNGrams(args.head,
@@ -93,6 +103,10 @@ object GraftExtensions {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo("graft.functions.WordNGrams", "word_ngrams"),
       (args: Seq[Expression]) => wordNGramsExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo("graft.functions.TopKAggregate", "top_k"),
+      (args: Seq[Expression]) => topKExpr(args)))
   }
 }
 

@@ -163,6 +163,23 @@ object OpsQueries {
               |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin)),
 
+    // Bounded top-k per group via the custom TypedImperativeAggregate:
+    // k-element heaps partial-aggregate map-side (the shuffle carries
+    // <= k pairs per group per task — no full sort of the input, unlike
+    // the window formulation the oracle uses). Deterministic tie-break
+    // (score desc, id asc) makes the heap == the window bit-for-bit.
+    QueryDef("n04_topk_per_group",
+      (s, dir) => docs(s, dir).groupBy("lang")
+        .agg(graft.functions.TopK.topK(col("n_chars"), col("doc_id"), 5).as("top"))
+        .select(col("lang"), explode(col("top")).as("t"))
+        .select(col("lang"), col("t.id").as("doc_id"),
+          col("t.score").cast("long").as("n_chars")),
+      Some("""SELECT lang, doc_id, n_chars FROM (
+             |  SELECT lang, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) WHERE rn <= 5""".stripMargin)),
+
     // Dedup clustering: connected components over the LSH candidate
     // pairs (pointer-jumping min-label propagation in Spark). Oracle:
     // DuckDB recursive CTE computes the true transitive closure over

@@ -103,4 +103,27 @@ class PlanRegressionSpec extends SparkSpec {
     // formatted mode marks whole-stage-codegen participation per node
     formatted(df) should include("Project [codegen id :")
   }
+
+  test("sampleByHash is a shuffle-free pruned filter over the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("sample").toString
+    (1 to 100).map(i => (i.toLong, s"t$i", s"x$i"))
+      .toDF("doc_id", "text", "extra").write.mode("overwrite").parquet(dir)
+    val plan = formatted(graft.ops.Curation
+      .sampleByHash(spark.read.parquet(dir), $"doc_id", 0.2)
+      .select("doc_id", "text"))
+    plan should not include "Exchange"
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("assignShards: bounded exchanges, broadcast offsets, no BNLJ") {
+    val df = (1 to 300).map(i => (i.toLong, Seq("a", "b")(i % 2), i % 7 + 1))
+      .toDF("doc_id", "grp", "tok")
+    val plan = formatted(graft.ops.Curation.assignShards(
+      df, $"grp", $"doc_id", $"tok", 50L))
+    plan should include("BroadcastHashJoin") // offsets come back broadcast
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // range partition + subtotal agg + final window hash — nothing else
+    (plan.split("\\(\\d+\\) Exchange").length - 1) should be <= 4
+  }
 }
