@@ -844,6 +844,43 @@ object RelationalQueries {
               |    coalesce(cast(o_orderkey AS VARCHAR), '${Keys.NullSentinel}'))) AS sk,
               |    count(*) AS n
               |  FROM orders GROUP BY 1)
-              |WHERE n > 1""".stripMargin))
+              |WHERE n > 1""".stripMargin)),
+
+    // Binned range join: point-in-interval with NO equi key (overlapping
+    // 2-hour windows every hour over the event stream). The naive
+    // non-equi join plans as BNLJ/cartesian; RangeJoin manufactures the
+    // equi key by quantizing time into bins (dim intervals explode onto
+    // overlapped bins, facts map 1:1, hash join + exact residual
+    // filter). Oracle runs the naive BETWEEN join — results must match.
+    QueryDef("q33_binned_range_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val windows = ev
+          .agg(date_trunc("hour", min("ts")).as("lo"), max("ts").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 hour"))).as("w_start"))
+          .withColumn("w_end",
+            col("w_start") + expr("interval 2 hours")
+              - expr("interval 1 microsecond"))
+        graft.engine.RangeJoin
+          .binnedRangeJoin(ev, windows, "ts", "w_start", "w_end", 3600L)
+          .groupBy("w_start")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH b AS (
+             |  SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+             |  FROM events),
+             |w AS (
+             |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+             |    AS w_start FROM b)
+             |SELECT w.w_start,
+             |  count(*) AS n_events,
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM events e
+             |JOIN w ON e.ts >= w.w_start
+             |  AND e.ts < w.w_start + INTERVAL 2 HOUR
+             |GROUP BY 1""".stripMargin))
   )
 }
