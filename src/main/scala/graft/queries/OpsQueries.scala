@@ -163,6 +163,31 @@ object OpsQueries {
               |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin)),
 
+    // Embedding int8 quantization + L2 norm, exploded to scalars (array
+    // columns break the driver's pandas hasher). Every arithmetic step
+    // is double-precision IEEE in a fixed left-to-right order on both
+    // engines, so values hash identically; round() is half-away-from-
+    // zero in both Spark and DuckDB.
+    QueryDef("e01_embedding_quantize",
+      (s, dir) => Embeddings.quantizeInt8(embs(s, dir), "embedding")
+        .withColumn("norm", Embeddings.l2Norm(col("embedding")))
+        .select(col("vec_id"), col("q_scale"), col("norm"),
+          posexplode(col("q_vec")).as(Seq("dim_idx", "q")))
+        .select("vec_id", "dim_idx", "q", "q_scale", "norm"),
+      Some("""WITH v AS (
+             |  SELECT vec_id, embedding,
+             |    127.0 / greatest(
+             |      list_aggregate(list_transform(embedding,
+             |        x -> abs(x::DOUBLE)), 'max'), 1e-30) AS q_scale,
+             |    sqrt(list_aggregate(list_transform(embedding,
+             |      x -> x::DOUBLE * x::DOUBLE), 'sum')) AS norm
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  cast(i - 1 AS INT) AS dim_idx,
+             |  cast(round(embedding[i]::DOUBLE * q_scale) AS INT) AS q,
+             |  q_scale, norm
+             |FROM v, unnest(range(1, len(embedding) + 1)) AS t(i)""".stripMargin)),
+
     // Bounded top-k per group via the custom TypedImperativeAggregate:
     // k-element heaps partial-aggregate map-side (the shuffle carries
     // <= k pairs per group per task — no full sort of the input, unlike
