@@ -152,6 +152,48 @@ object Curation {
       .drop("__grp", "__ord", "__tok", "__pid", "__before", "__cum")
   }
 
+  /** Split documents into token-window chunks of `chunkTokens` words
+    * every `stride` words (overlapping when stride < chunkTokens) — the
+    * standard pre-tokenization chunking for long-document training.
+    *
+    * Pure projection + one explode: the normalized word array is
+    * computed ONCE per row into a column, chunk starts explode from a
+    * `sequence`, and each chunk row slices that array — no per-element
+    * lambda ever re-evaluates the split (the interpreted-HOF trap).
+    * Short documents yield one (possibly short) chunk; the final chunk
+    * keeps the tail even when shorter than `chunkTokens`.
+    */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens ($chunkTokens) and stride ($stride) must be positive")
+    df.withColumn("__words", split(TextOps.normalize(col(textCol)), " "))
+      .withColumn("__nw", size(col("__words")))
+      .withColumn("__nc",
+        when(col("__nw") <= chunkTokens, lit(1)).otherwise(
+          expr(s"(__nw - $chunkTokens + $stride - 1) div $stride") + 1))
+      .select(col(idCol), col("__words"), col("__nw"),
+        explode(sequence(lit(0), col("__nc").cast("int") - 1)).as("chunk_idx"))
+      .withColumn("chunk_text", array_join(
+        slice(col("__words"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " "))
+      .withColumn("n_tokens",
+        least(lit(chunkTokens), col("__nw") - col("chunk_idx") * stride).cast("int"))
+      .drop("__words", "__nw")
+  }
+
+  /** Drop training rows whose normalized-text fingerprint appears in
+    * the evaluation set — benchmark decontamination. One hash join on
+    * uniform md5 keys; the eval side is distinct-reduced first (and is
+    * usually small enough that Catalyst broadcasts it).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    textCol: String): DataFrame = {
+    val evalFps = eval
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    train.join(evalFps,
+      TextOps.fingerprint(train(textCol)) === evalFps("__fp"), "left_anti")
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

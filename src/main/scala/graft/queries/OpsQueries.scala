@@ -566,6 +566,58 @@ object OpsQueries {
               |    '${TextOps.phoneRegex}')) AS n_phones
               |FROM documents""".stripMargin)),
 
+    // Corpus heavy hitters: exact top-20 words by frequency. The
+    // orderBy+limit plans as TakeOrderedAndProject — each partition
+    // keeps its own top-20 and the driver merges 20×partitions rows,
+    // never a global sort. Deterministic tie-break (n desc, word asc).
+    QueryDef("p07_heavy_hitters",
+      (s, dir) => docs(s, dir)
+        .select(explode(split(TextOps.normalize(col("text")), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word")).limit(20),
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(string_split(
+             |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+             |      FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+
+    // Token-window chunking (64-token chunks every 32): the word array
+    // is computed once per row; chunk rows slice it after one explode.
+    QueryDef("t08_chunk_tokens",
+      (s, dir) => Curation.chunkTokens(docs(s, dir), "text", "doc_id",
+        chunkTokens = 64, stride = 32),
+      Some("""WITH norm AS (
+             |  SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id, w, len(w) AS nw FROM norm),
+             |x AS (
+             |  SELECT doc_id, w, nw,
+             |    unnest(range(CASE WHEN nw <= 64 THEN 1
+             |                      ELSE (nw - 64 + 31) // 32 + 1 END)) AS ci
+             |  FROM c)
+             |SELECT doc_id, cast(ci AS INT) AS chunk_idx,
+             |  array_to_string(w[ci*32 + 1 : ci*32 + 64], ' ') AS chunk_text,
+             |  cast(least(64, nw - ci*32) AS INT) AS n_tokens
+             |FROM x""".stripMargin)),
+
+    // Benchmark decontamination: drop training docs whose normalized
+    // fingerprint appears in the eval split (here: the p02 hash
+    // sample). Anti-join on uniform md5 keys.
+    QueryDef("d07_decontaminate",
+      (s, dir) => {
+        val evalSet = Curation.sampleByHash(docs(s, dir), col("doc_id"), 0.1)
+        Curation.decontaminate(docs(s, dir), evalSet, "text")
+          .select("doc_id", "lang")
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents
+             |  WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::INT < 6553)
+             |SELECT doc_id, lang FROM documents
+             |WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             |      NOT IN (SELECT fp FROM ev)""".stripMargin)),
+
     // End-to-end curation pipeline: quality filter -> exact-dedup
     // winners -> 50% reproducible sample -> token-budget shards. Every
     // stage is individually gated (t02/d01/p02/p04); this gates their

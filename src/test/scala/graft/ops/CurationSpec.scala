@@ -82,6 +82,42 @@ class CurationSpec extends SparkSpec {
     p("s").getString(6) shouldBe "b" // max_value
   }
 
+  test("chunkTokens: overlap, tail retention, short-doc single chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "short doc")).toDF("doc_id", "text")
+    val chunks = Curation.chunkTokens(df, "text", "doc_id", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6 — w10 covered by the last
+    d1.map(_._3) shouldBe Array(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10")
+    d1.map(_._4) shouldBe Array(4, 4, 4)
+    val d2 = chunks.filter(_._1 == 2L)
+    d2.length shouldBe 1
+    d2(0)._3 shouldBe "short doc"
+    d2(0)._4 shouldBe 2
+  }
+
+  test("chunkTokens keeps a short tail chunk") {
+    val df = Seq((1L, (1 to 9).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkTokens(df, "text", "doc_id", 4, 4)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3))).sortBy(_._1)
+    chunks shouldBe Array(
+      (0, "w1 w2 w3 w4", 4), (1, "w5 w6 w7 w8", 4), (2, "w9", 1))
+  }
+
+  test("decontaminate drops normalization-equal matches only") {
+    val train = Seq(
+      (1L, "The  Quick Brown Fox"), (2L, "unique content"),
+      (3L, "another one")).toDF("doc_id", "text")
+    val eval = Seq((9L, "the quick brown fox")).toDF("doc_id", "text")
+    val kept = Curation.decontaminate(train, eval, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(2L, 3L)
+  }
+
   test("writeShards lays out one directory per shard with ordered rows") {
     val docs = corpus(200)
     val shards = Curation.assignShards(docs, col("lang"), col("doc_id"),
