@@ -91,7 +91,11 @@ object RelationalQueries {
       .select(col("symbol"),
         Keys.surrogateKey(col("symbol"), col("o_orderkey")).as("sk_security_id"),
         col("effective_timestamp"), col("end_timestamp"))
-    TradesFixture(bt, bth, rtt, rst, accDim, secDim)
+    // q32 walks the chain twice (existing + rebuilt) and bth three
+    // times; caching the fixture frames keeps the SCD2 dims and the
+    // bronze projections computed once per query run.
+    TradesFixture(bt.cache(), bth.cache(), rtt, rst,
+      accDim.cache(), secDim.cache())
   }
 
   /** The full trades chain over a given history batch, annotated with
