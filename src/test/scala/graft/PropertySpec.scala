@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+/** Randomized property tests for the kernels whose correctness
+  * arguments are subtle: the bounded-heap top-k must equal the window
+  * formulation on ANY input (not just the fixtures), and the
+  * distributed shard prefix-sum must equal the global-window definition
+  * under arbitrary token distributions and group counts.
+  *
+  * Spark jobs per case are slow — sized at a handful of generated cases
+  * each, which still explores far beyond the hand-written fixtures.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run a scalacheck prop under ScalaTest (no scalatestplus bridge in
+    * the dependency set): fail the test with the counterexample if any
+    * generated case fails.
+    */
+  private def checkProp(prop: Prop, cases: Int = 5): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(cases).withWorkers(1), prop)
+    withClue(res.status.toString) { res.passed shouldBe true }
+  }
+
+  test("property: topK == window row_number for random data") {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      k <- Gen.choose(1, 12)
+      nGroups <- Gen.choose(1, 6)
+      scoreCard <- Gen.choose(2, 8) // low cardinality -> heavy ties
+      seed <- Gen.choose(0L, 10000L)
+    } yield (n, k, nGroups, scoreCard, seed)
+    checkProp(Prop.forAll(gen) { case (n, k, nGroups, scoreCard, seed) =>
+      val r = new scala.util.Random(seed)
+      val df = (1 to n).map(i => (i.toLong, s"g${r.nextInt(nGroups)}",
+        r.nextInt(scoreCard).toDouble)).toDF("id", "g", "score")
+      val viaHeap = df.groupBy("g")
+        .agg(graft.functions.TopK.topK($"score", $"id", k).as("top"))
+        .select($"g", explode($"top").as("t"))
+        .select($"g", $"t.id".as("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy(desc("score"), asc("id"))))
+        .filter($"rn" <= k).select("g", "id")
+      viaHeap.except(viaWindow).isEmpty && viaWindow.except(viaHeap).isEmpty
+    })
+  }
+
+  test("property: assignShards == global window for random corpora") {
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      budget <- Gen.choose(5L, 200L)
+      nGroups <- Gen.choose(1, 5)
+      parts <- Gen.choose(1, 9)
+      seed <- Gen.choose(0L, 10000L)
+    } yield (n, budget, nGroups, parts, seed)
+    checkProp(Prop.forAll(gen) { case (n, budget, nGroups, parts, seed) =>
+      val r = new scala.util.Random(seed)
+      val df = (1 to n).map(i => (i.toLong, s"g${r.nextInt(nGroups)}",
+        r.nextInt(50).toLong)).toDF("doc_id", "g", "tok").repartition(parts)
+      val got = graft.ops.Curation.assignShards(
+        df, $"g", $"doc_id", $"tok", budget).select("doc_id", "shard")
+      val want = df.withColumn("shard",
+        expr(s"(sum(tok) over (partition by g order by doc_id) - tok) div $budget"))
+        .select("doc_id", "shard")
+      got.except(want).isEmpty && want.except(got).isEmpty
+    })
+  }
+
+  test("property: minhash est_jaccard within 0.25 of true jaccard on near-dups") {
+    // planted near-duplicates: shared base + small random suffix edits
+    val gen = for {
+      words <- Gen.choose(30, 80)
+      edits <- Gen.choose(0, 3)
+      seed <- Gen.choose(0L, 10000L)
+    } yield (words, edits, seed)
+    checkProp(Prop.forAll(gen) { case (words, edits, seed) =>
+      val r = new scala.util.Random(seed)
+      val base = (1 to words).map(i => s"w${r.nextInt(1000)}")
+      val edited = base.dropRight(edits) ++ (1 to edits).map(i => s"e${r.nextInt(1000)}")
+      val docs = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+        .toDF("doc_id", "text")
+      val pairs = graft.ops.Dedup.minhashLsh(docs, "text", "doc_id",
+        threshold = 0.0).collect()
+      // true jaccard of 3-gram shingle sets
+      def grams(ws: Seq[String]) = ws.sliding(3).map(_.mkString(" ")).toSet
+      val (ga, gb) = (grams(base), grams(edited))
+      val trueJ = (ga intersect gb).size.toDouble / (ga union gb).size
+      if (pairs.isEmpty) trueJ < 0.7 // banding may miss only low-sim pairs
+      else math.abs(pairs(0).getAs[Double]("est_jaccard") - trueJ) <= 0.25
+    })
+  }
+}
