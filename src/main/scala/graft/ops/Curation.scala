@@ -89,6 +89,28 @@ object Curation {
     df.filter(bucket < lit((pct * 65536).toInt))
   }
 
+  /** Per-stratum FRACTION sampling (the deterministic `df.stat.sampleBy`
+    * analog): each stratum gets its own md5-bucket threshold, unlisted
+    * strata get `default`. Like [[sampleByHash]] this is a pure filter —
+    * no shuffle, layout-independent, engine-replayable — unlike
+    * `sampleBy`, whose Bernoulli draws change with partitioning.
+    * Typical use: downsample over-represented languages/sources to a
+    * target mix.
+    */
+  def sampleByHashStrata(df: DataFrame, stratum: Column, key: Column,
+                         fractions: Map[String, Double],
+                         default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "fractions must lie in [0,1]")
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    val threshold = fractions.foldLeft(lit((default * 65536).toInt)) {
+      case (acc, (s, f)) => when(stratum === s, lit((f * 65536).toInt))
+        .otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Exact-k per-stratum sample: within each stratum take the k rows
     * with the smallest md5(key) — deterministic, engine-replayable, and
     * one shuffle (the window partition). At scale the stratum count is

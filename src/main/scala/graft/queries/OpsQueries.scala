@@ -530,6 +530,17 @@ object OpsQueries {
              |       // 500 AS BIGINT) AS shard
              |FROM toks""".stripMargin)),
 
+    // Per-stratum fraction sampling (deterministic sampleBy analog):
+    // rebalance the language mix with per-lang hash thresholds.
+    QueryDef("p08_sample_strata_frac",
+      (s, dir) => Curation.sampleByHashStrata(docs(s, dir), col("lang"),
+        col("doc_id"), Map("en" -> 0.2, "fr" -> 0.5, "de" -> 1.0))
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::INT
+             |  < CASE lang WHEN 'en' THEN 13107 WHEN 'fr' THEN 32768
+             |              WHEN 'de' THEN 65536 ELSE 0 END""".stripMargin)),
+
     // Grouped exact length quantiles: Spark `percentile` (linear
     // interpolation) vs DuckDB `quantile_cont` — definitions coincide,
     // so doubles hash identically.

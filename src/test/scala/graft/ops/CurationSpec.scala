@@ -57,6 +57,22 @@ class CurationSpec extends SparkSpec {
     assert(n > 120 && n < 280, s"sample of 1000 at 20% was $n")
   }
 
+  test("sampleByHashStrata: per-stratum thresholds, default drops") {
+    val docs = corpus(300) // langs en/fr/de round-robin
+    val out = Curation.sampleByHashStrata(docs, col("lang"), col("doc_id"),
+      Map("en" -> 1.0, "fr" -> 0.3))
+    out.filter($"lang" === "en").count() shouldBe
+      docs.filter($"lang" === "en").count() // full fraction keeps all
+    out.filter($"lang" === "de").count() shouldBe 0 // default 0 drops
+    // fr subset == the plain hash sample at the same threshold
+    val fr = Curation.sampleByHash(docs.filter($"lang" === "fr"),
+      col("doc_id"), 0.3).select("doc_id")
+    out.filter($"lang" === "fr").select("doc_id")
+      .except(fr).count() shouldBe 0
+    fr.except(out.filter($"lang" === "fr").select("doc_id"))
+      .count() shouldBe 0
+  }
+
   test("sampleStratified returns at most k per stratum, deterministically") {
     val docs = corpus(300)
     val s1 = Curation.sampleStratified(docs, Seq("lang"), col("doc_id"), 7)
