@@ -1,0 +1,52 @@
+package graft.models
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse audit checks — the dbt-test / TPC-DI-audit analog the
+  * reference leaves unimplemented (README.md:325 lists audit queries as
+  * future work; its only shipped test is fact_trade uniqueness,
+  * tests/fact_trade__unique_trade.sql).
+  *
+  * Each check returns the VIOLATING rows (empty = pass), so checks
+  * compose into gates the same way dbt tests do. All are single
+  * aggregates or anti-joins — partial-aggregated, broadcast-friendly,
+  * scale-shaped like the models they audit.
+  */
+object Audit {
+
+  /** Rows where any of `cols` is null. */
+  def notNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.filter(cols.map(c => col(c).isNull).reduce(_ || _))
+
+  /** Key tuples appearing more than once. */
+  def unique(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Child rows whose `childKey` resolves to no parent (`parentKey`) —
+    * dbt's `relationships` test. Null child keys are exempt (dbt
+    * semantics: nullability is `not_null`'s job).
+    */
+  def relationships(child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+
+  /** Values outside [lo, hi] — dbt's accepted-range test. */
+  def acceptedRange(df: DataFrame, c: String, lo: Double,
+                    hi: Double): DataFrame =
+    df.filter(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+
+  /** One row per table: name + row count (the TPC-DI batch-audit row
+    * count report).
+    */
+  def rowCounts(tables: Map[String, DataFrame]): DataFrame = {
+    val dfs = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table"),
+        col("n_rows"))
+    }
+    dfs.reduce(_ unionByName _)
+  }
+}

@@ -850,6 +850,35 @@ object RelationalQueries {
               |  FROM orders GROUP BY 1)
               |WHERE n > 1""".stripMargin)),
 
+    // Warehouse audit suite (the dbt-test / TPC-DI-audit analog the
+    // reference leaves as future work): referential integrity of every
+    // fact FK against its dim, null grain keys, and grain uniqueness
+    // over the q29 fixture chain — one row per check with its violation
+    // count, all required zero.
+    QueryDef("q34_warehouse_audit",
+      (s, dir) => {
+        val fx = tradesFixture(s, dir)
+        val fact = tradesChainFactWithId(fx, fx.bth)
+        def cnt(name: String, d: DataFrame) =
+          d.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"))
+        cnt("fk_account", graft.models.Audit.relationships(
+            fact, "sk_account_id", fx.accDim, "sk_account_id"))
+          .unionByName(cnt("fk_security", graft.models.Audit.relationships(
+            fact, "sk_security_id", fx.secDim, "sk_security_id")))
+          .unionByName(cnt("not_null_grain", graft.models.Audit.notNull(
+            fact, Seq("sk_trade_id", "trade_id"))))
+          .unionByName(cnt("unique_grain", graft.models.Audit.unique(
+            fact, Seq("sk_trade_id"))))
+          .unionByName(cnt("qty_range", graft.models.Audit.acceptedRange(
+            fact, "quantity", 1, 1000000)))
+      },
+      Some("""SELECT 'fk_account' AS "check", 0 AS n_violations UNION ALL
+             |SELECT 'fk_security', 0 UNION ALL
+             |SELECT 'not_null_grain', 0 UNION ALL
+             |SELECT 'unique_grain', 0 UNION ALL
+             |SELECT 'qty_range', 0""".stripMargin)),
+
     // Binned range join: point-in-interval with NO equi key (overlapping
     // 2-hour windows every hour over the event stream). The naive
     // non-equi join plans as BNLJ/cartesian; RangeJoin manufactures the

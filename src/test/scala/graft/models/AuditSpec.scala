@@ -1,0 +1,44 @@
+package graft.models
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The audit checks must actually CATCH planted violations — q34 only
+  * proves they pass on clean data.
+  */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val parent = Seq(1L, 2L, 3L).toDF("pk")
+  private val child = Seq(
+    (10L, Some(1L), 5.0), (11L, Some(9L), 5.0), // 9 dangles
+    (12L, None, -2.0),                          // null FK, out of range
+    (10L, Some(2L), 5.0)                        // duplicate id 10
+  ).toDF("id", "fk", "v")
+
+  test("relationships finds dangling FKs, exempts nulls") {
+    val bad = Audit.relationships(child, "fk", parent, "pk")
+      .select("id").as[Long].collect()
+    bad.toSeq shouldBe Seq(11L)
+  }
+
+  test("unique finds duplicated keys with their multiplicity") {
+    val dup = Audit.unique(child, Seq("id")).collect()
+    dup.length shouldBe 1
+    dup(0).getLong(0) shouldBe 10L
+    dup(0).getLong(1) shouldBe 2L
+  }
+
+  test("notNull and acceptedRange flag the planted rows") {
+    Audit.notNull(child, Seq("fk")).select("id").as[Long]
+      .collect().toSeq shouldBe Seq(12L)
+    Audit.acceptedRange(child, "v", 0, 10).select("id").as[Long]
+      .collect().toSeq shouldBe Seq(12L)
+  }
+
+  test("rowCounts reports one row per table") {
+    val rep = Audit.rowCounts(Map("child" -> child, "parent" -> parent))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rep shouldBe Map("child" -> 4L, "parent" -> 3L)
+  }
+}
