@@ -858,7 +858,8 @@ object RelationalQueries {
     QueryDef("q34_warehouse_audit",
       (s, dir) => {
         val fx = tradesFixture(s, dir)
-        val fact = tradesChainFactWithId(fx, fx.bth)
+        // five independent check aggregates scan the fact — build once
+        val fact = tradesChainFactWithId(fx, fx.bth).cache()
         def cnt(name: String, d: DataFrame) =
           d.agg(count(lit(1)).as("n_violations"))
             .select(lit(name).as("check"), col("n_violations"))
