@@ -239,6 +239,7 @@ object Dedup {
       converged = jumped.alias("n")
         .join(labels.select(col("node"), col("comp").as("oc")), "node")
         .filter(col("comp") =!= col("oc")).isEmpty
+      labels.unpersist() // jumped is checkpointed; last round's blocks can go
       labels = jumped
       i += 1
     }
