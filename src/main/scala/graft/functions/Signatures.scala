@@ -85,6 +85,27 @@ object Signatures {
     while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
+
+  /** One pass over the signature: `bands` chained xxhash64 band keys
+    * (band b covers elements [b·rows, (b+1)·rows), seed = b).
+    */
+  def bandHash(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var r = 0
+      while (r < rows) {
+        h = XxHash64Function.hash(sig.getLong(b * rows + r), LongType, h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** array<string> grams -> array<long> MinHash signature (k minima). */
@@ -153,4 +174,43 @@ case class SimHashSignature(child: Expression) extends UnaryExpression {
 object SimHashSignature {
   def simhashSignature(tokens: Column): Column =
     Bridge.column(SimHashSignature(Bridge.expression(tokens)))
+}
+
+/** array<long> signature -> array<long> of `bands` LSH band keys: band
+  * b chain-hashes its row slice (seed = band index). Two signatures get
+  * the same band key iff their slices are identical (modulo a 2^-64
+  * xxhash collision), which is exactly the banding bucket condition —
+  * replaces the interpreted `transform(sequence)(concat_ws(element_at
+  * ...))` column algebra (per-band per-element virtual calls + string
+  * building) with one codegen'd loop and no string materialization.
+  */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"band_hashes expects array<long>, got ${other.sql}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Signatures.bandHash(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Signatures.bandHash($c, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandHashes {
+  def bandHashes(sig: Column, bands: Int): Column =
+    Bridge.column(BandHashes(Bridge.expression(sig), bands))
 }

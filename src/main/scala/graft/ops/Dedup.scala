@@ -103,10 +103,12 @@ object Dedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, k, shingleN, seed).cache()
+    // Band keys via the single-pass BandHashes expression: bucket
+    // condition (slice equality) is identical to the previous
+    // concat_ws/element_at formulation, minus its interpreted per-band
+    // per-element virtual calls and string materialization.
     val banded = sig.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*), b)))
+        posexplode(graft.functions.BandHashes.bandHashes(col("sig"), bands))
           .as(Seq("band_idx", "band_hash")))
       .select("doc_id", "sig", "band_idx", "band_hash")
     val sized = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
