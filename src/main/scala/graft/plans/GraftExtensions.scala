@@ -63,6 +63,27 @@ object GraftExtensions {
     else graft.functions.WinnowFingerprints(args.head, intLit(args(1)), intLit(args(2)))
   }
 
+  private def intLit(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  private[graft] def minhashSignatureExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 1 || args.length == 3,
+      "minhash_signature(grams[, k, seed])")
+    if (args.length == 1) graft.functions.MinHashSignature(args.head, 64, 42L)
+    else graft.functions.MinHashSignature(args.head, intLit(args(1)),
+      args(2).asInstanceOf[Literal].value.asInstanceOf[Number].longValue())
+  }
+
+  private[graft] def simhashSignatureExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "simhash_signature(tokens)")
+    graft.functions.SimHashSignature(args.head)
+  }
+
+  private[graft] def bandHashesExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "band_hashes(sig, bands)")
+    graft.functions.BandHashes(args.head, intLit(args(1)))
+  }
+
   private[graft] def topKExpr(args: Seq[Expression]): Expression = {
     require(args.length == 3, "top_k(score, id, k)")
     val k = args(2).asInstanceOf[Literal].value
@@ -107,6 +128,18 @@ object GraftExtensions {
       FunctionIdentifier("top_k"),
       new ExpressionInfo("graft.functions.TopKAggregate", "top_k"),
       (args: Seq[Expression]) => topKExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo("graft.functions.MinHashSignature", "minhash_signature"),
+      (args: Seq[Expression]) => minhashSignatureExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_signature"),
+      new ExpressionInfo("graft.functions.SimHashSignature", "simhash_signature"),
+      (args: Seq[Expression]) => simhashSignatureExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("band_hashes"),
+      new ExpressionInfo("graft.functions.BandHashes", "band_hashes"),
+      (args: Seq[Expression]) => bandHashesExpr(args)))
   }
 }
 

@@ -23,6 +23,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "winnow_fingerprints", GraftExtensions.winnowExpr, "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", GraftExtensions.wordNGramsExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", GraftExtensions.minhashSignatureExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_signature", GraftExtensions.simhashSignatureExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "band_hashes", GraftExtensions.bandHashesExpr, "built-in")
     s
   }
 
@@ -60,6 +66,31 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0).getSeq[Long](0)
     viaSql.getSeq[Long](1) shouldBe viaDf
     viaSql.getSeq[Long](2).nonEmpty shouldBe true
+  }
+
+  test("signature SQL functions = DataFrame expression results") {
+    import org.apache.spark.sql.functions.{col, split}
+    val viaSql = sqlSpark.sql(
+      """SELECT minhash_signature(word_ngrams(t, 3)) mh,
+        |       simhash_signature(split(t, ' ')) sh,
+        |       band_hashes(minhash_signature(word_ngrams(t, 3)), 16) bh
+        |FROM VALUES ('the quick brown fox jumps over the dog') v(t)""".stripMargin)
+      .collect()(0)
+    val df = sqlSpark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("the quick brown fox jumps over the dog")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType))))
+    val grams = graft.functions.WordNGrams.wordNGrams(col("t"), 3)
+    val viaDf = df.select(
+      graft.functions.MinHashSignature.minhashSignature(grams, 64, 42L).as("mh"),
+      graft.functions.SimHashSignature.simhashSignature(split(col("t"), " ")).as("sh"),
+      graft.functions.BandHashes.bandHashes(
+        graft.functions.MinHashSignature.minhashSignature(grams, 64, 42L), 16).as("bh"))
+      .collect()(0)
+    viaSql.getSeq[Long](0) shouldBe viaDf.getSeq[Long](0)
+    viaSql.getLong(1) shouldBe viaDf.getLong(1)
+    viaSql.getSeq[Long](2) shouldBe viaDf.getSeq[Long](2)
   }
 
   test("surrogate_key SQL = Keys.surrogateKey DataFrame result") {
