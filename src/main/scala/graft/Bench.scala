@@ -40,13 +40,20 @@ object Bench {
     // projection-only queries would time the scan instead of their
     // compute. Hashing a struct of all output columns forces every
     // expression to actually evaluate, at the cost of one cheap
-    // map-side-combined aggregate.
-    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // map-side-combined aggregate. bit_xor, not sum: summing hashes
+    // overflows int64 and under ANSI mode (Spark 4 default) the job
+    // ABORTS mid-query — the timing would measure a partial run.
+    import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+    // Optional name args restrict the run (solo profiling on a noisy
+    // host); no args = full suite, which is what the driver runs.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
       } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
