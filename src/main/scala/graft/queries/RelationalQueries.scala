@@ -915,6 +915,143 @@ object RelationalQueries {
              |FROM events e
              |JOIN w ON e.ts >= w.w_start
              |  AND e.ts < w.w_start + INTERVAL 2 HOUR
-             |GROUP BY 1""".stripMargin))
+             |GROUP BY 1""".stripMargin)),
+
+    // A5: multi-dimensional aggregates — ROLLUP and CUBE over the same
+    // grouping columns, tagged and unioned, with GROUPING flags proving
+    // the subtotal-row semantics match (not just coincidental nulls).
+    // One shuffle per grouping-set expansion; Spark expands
+    // rollup/cube into a single Expand + hash aggregate, which is the
+    // plan that survives 100× (no per-grouping re-scan).
+    QueryDef("q35_a5_rollup_cube",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        def run(g: org.apache.spark.sql.RelationalGroupedDataset, tag: String) =
+          g.agg(count(lit(1)).as("n_rows"),
+              sum(round(col("l_extendedprice") * 100)).cast("long").as("price_cents"),
+              grouping(col("l_returnflag")).cast("int").as("g_flag"),
+              grouping(col("l_linestatus")).cast("int").as("g_status"))
+            .select(lit(tag).as("src"),
+              coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("g_flag"), col("g_status"), col("n_rows"), col("price_cents"))
+        run(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+          .unionByName(run(li.cube("l_returnflag", "l_linestatus"), "cube"))
+      },
+      Some("""SELECT 'rollup' AS src, coalesce(l_returnflag,'ALL') AS flag,
+             |  coalesce(l_linestatus,'ALL') AS status,
+             |  cast(grouping(l_returnflag) AS INT) AS g_flag,
+             |  cast(grouping(l_linestatus) AS INT) AS g_status,
+             |  count(*) AS n_rows,
+             |  cast(sum(round(l_extendedprice*100)) AS BIGINT) AS price_cents
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |UNION ALL
+             |SELECT 'cube', coalesce(l_returnflag,'ALL'),
+             |  coalesce(l_linestatus,'ALL'),
+             |  cast(grouping(l_returnflag) AS INT),
+             |  cast(grouping(l_linestatus) AS INT),
+             |  count(*), cast(sum(round(l_extendedprice*100)) AS BIGINT)
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // A6: explicit GROUPING SETS (disjoint dimension subtotals in one
+    // pass — the SQL surface Spark only exposes through SQL text, so the
+    // query goes through spark.sql over a temp view; same single
+    // Expand+aggregate plan as q35).
+    QueryDef("q36_a6_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_q36")
+        s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                |  coalesce(o_orderpriority, 'ALL') AS priority,
+                |  count(*) AS n_orders,
+                |  cast(sum(round(o_totalprice*100)) AS BIGINT) AS total_cents
+                |FROM orders_q36
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n_orders,
+             |  cast(sum(round(o_totalprice*100)) AS BIGINT) AS total_cents
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // P10: pivot (long→wide conditional aggregation). Values are given
+    // explicitly — at scale an implicit pivot runs a distinct-scan job
+    // just to discover the columns; the explicit list keeps it one pass.
+    QueryDef("q37_p10_pivot",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(round(col("o_totalprice") * 100)).cast("long")),
+      Some("""SELECT o_orderpriority,
+             |  cast(sum(round(o_totalprice*100)) FILTER (WHERE o_orderstatus='F') AS BIGINT) AS "F",
+             |  cast(sum(round(o_totalprice*100)) FILTER (WHERE o_orderstatus='O') AS BIGINT) AS "O",
+             |  cast(sum(round(o_totalprice*100)) FILTER (WHERE o_orderstatus='P') AS BIGINT) AS "P"
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // O4: set operations with SQL DISTINCT semantics (INTERSECT /
+    // EXCEPT / UNION). Spark plans these as aggregates over a single
+    // shuffle of each side — no pairwise comparison.
+    QueryDef("q38_o4_set_ops",
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        val f = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val o = orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        f.intersect(o).select(lit("both").as("tag"), col("o_custkey"))
+          .unionByName(f.except(o).select(lit("f_only").as("tag"), col("o_custkey")))
+          .unionByName(f.union(o).distinct()
+            .select(lit("any").as("tag"), col("o_custkey")))
+      },
+      Some("""WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus='F'),
+             |     o AS (SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+             |SELECT 'both' AS tag, o_custkey FROM (FROM f INTERSECT FROM o)
+             |UNION ALL
+             |SELECT 'f_only', o_custkey FROM (FROM f EXCEPT FROM o)
+             |UNION ALL
+             |SELECT 'any', o_custkey FROM (FROM f UNION FROM o)""".stripMargin)),
+
+    // J12: semi and anti joins — existence tests that never replicate
+    // the probe side (the build side ships only its join key; Spark
+    // plans left_semi/left_anti hash joins, broadcast when small).
+    QueryDef("q39_j12_semi_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(lit("has_orders").as("tag"), col("c_custkey"), col("c_name"))
+          .unionByName(
+            c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+              .select(lit("no_orders").as("tag"), col("c_custkey"), col("c_name")))
+      },
+      Some("""SELECT 'has_orders' AS tag, c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |UNION ALL
+             |SELECT 'no_orders', c_custkey, c_name FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)),
+
+    // W8: gap-based sessionization (engine/Sessionize) — lag + running
+    // conditional sum sharing ONE window sort, then the per-session
+    // rollup. 30-minute gap over the full event stream.
+    QueryDef("q40_w8_sessionize",
+      (s, dir) => graft.engine.Sessionize.sessionStats(
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+        "user_id", "ts", gapSeconds = 1800L, valueCol = "value",
+        tieBreak = Seq("event_id")),
+      Some("""WITH x AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             |         > 1800000000
+             |      THEN 1 ELSE 0 END AS ns
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM x)
+             |SELECT user_id, session_id, min(ts) AS session_start,
+             |  max(ts) AS session_end, count(*) AS n_events,
+             |  cast(sum(round(value*100)) AS BIGINT) AS value_cents
+             |FROM s GROUP BY 1, 2""".stripMargin))
   )
 }
