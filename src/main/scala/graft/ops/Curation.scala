@@ -216,6 +216,37 @@ object Curation {
       TextOps.fingerprint(train(textCol)) === evalFps("__fp"), "left_anti")
   }
 
+  /** Bloom-prefiltered decontamination — same result as
+    * [[decontaminate]], different scale shape. The eval fingerprints
+    * aggregate into ONE binary Bloom sketch (functions/Bloom: fixed-size
+    * word-array partials, bitwise-OR merge, never collected to the
+    * driver) that broadcasts to the train side; only the tiny
+    * bloom-positive candidate slice pays the exact confirm join. At
+    * 100 TB train × small eval this replaces a full shuffle of train
+    * fingerprints with a map-side scalar probe: the definitely-clean
+    * 99.9% short-circuits in WholeStageCodegen, and the no-false-
+    * negatives guarantee means the union below is exactly
+    * `decontaminate`'s output (the gate proves it).
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, textCol: String,
+                         expectedEvalItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    import graft.functions.Bloom
+    val sketch = eval
+      .select(xxhash64(TextOps.fingerprint(col(textCol))).as("__h"))
+      .agg(Bloom.bloomBuild(col("__h"), expectedEvalItems, fpp).as("__sketch"))
+    val probed = train.crossJoin(broadcast(sketch))
+    val hit = Bloom.bloomMightContain(col("__sketch"),
+      xxhash64(TextOps.fingerprint(col(textCol))))
+    val clean = probed.filter(!hit).drop("__sketch")
+    val evalFps = eval
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    val candidates = probed.filter(hit).drop("__sketch")
+    val fpCleared = candidates.join(evalFps,
+      TextOps.fingerprint(candidates(textCol)) === evalFps("__fp"), "left_anti")
+    clean.unionByName(fpCleared)
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

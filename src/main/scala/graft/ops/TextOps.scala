@@ -121,4 +121,48 @@ object TextOps {
     "n_emails" -> regexp_count(text, lit(emailRegex)),
     "n_phones" -> regexp_count(regexp_replace(text, emailRegex, "<EMAIL>"),
       lit(phoneRegex)))
+
+  /** Gopher-style repetition signals per document — the quality filters
+    * that catch boilerplate/spam which length ratios miss:
+    *
+    *  - `n_words`, `n_distinct_words` — the duplicate-word fraction is
+    *    `1 - distinct/words` downstream;
+    *  - `top_word_chars` — max over words of count·len(word): the
+    *    characters attributable to the single most-repeated word
+    *    (tie-free by construction — it maximizes the product, not "the"
+    *    top word);
+    *  - `top_bigram_count` — occurrences of the most frequent word
+    *    bigram.
+    *
+    * Scale shape: per-word/bigram counts go through explode → groupBy
+    * (map-side combined, shuffles only (doc_id, token) pairs keyed by
+    * doc — NOT a Zipfian global token key, so no hot-partition risk);
+    * the whole-array stats are single collection functions, not HOF
+    * lambdas re-evaluating children per element. Integral outputs keep
+    * the gate's hash compare engine-exact.
+    */
+  def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val words = df.select(id,
+      filter(split(trim(col(textCol)), "\\s+"), w => w =!= "").as("__w"))
+    val base = words.select(id, size(col("__w")).as("n_words"),
+      size(array_distinct(col("__w"))).as("n_distinct_words"))
+    val perWord = words.select(id, explode(col("__w")).as("__word"))
+      .groupBy(id, col("__word")).agg(count(lit(1)).as("__c"))
+    val topWord = perWord.groupBy(id)
+      .agg(max(col("__c") * length(col("__word"))).cast("long").as("top_word_chars"))
+    val bigrams = words.select(id,
+      explode(when(size(col("__w")) >= 2,
+          zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
+            slice(col("__w"), lit(2), size(col("__w")) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))).as("__bigram"))
+    val topBigram = bigrams.groupBy(id, col("__bigram"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(id).agg(max(col("__c")).as("top_bigram_count"))
+    base.join(topWord, Seq(idCol), "left")
+      .join(topBigram, Seq(idCol), "left")
+      .na.fill(0L, Seq("top_word_chars", "top_bigram_count"))
+  }
 }

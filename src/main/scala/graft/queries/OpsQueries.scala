@@ -693,6 +693,89 @@ object OpsQueries {
            |  cast((sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok)
            |       // 500 AS BIGINT) AS shard
            |FROM toks""".stripMargin
-      })
+      }),
+
+    // Bloom-prefiltered decontamination (functions/Bloom distributed
+    // sketch + codegen probe + exact confirm of the candidate slice).
+    // Same eval split and SAME ORACLE as d07: green proves the Bloom
+    // path loses nothing (no false negatives) and the confirm join
+    // clears every false positive — i.e. the scale-shape rewrite is
+    // result-invisible. FP-rate bound is unit-gated in BloomSpec.
+    QueryDef("d08_bloom_decontaminate",
+      (s, dir) => {
+        val evalSet = Curation.sampleByHash(docs(s, dir), col("doc_id"), 0.1)
+        Curation.decontaminateBloom(docs(s, dir), evalSet, "text",
+            expectedEvalItems = 10000L, fpp = 0.01)
+          .select("doc_id", "lang")
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             |  FROM documents
+             |  WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::INT < 6553)
+             |SELECT doc_id, lang FROM documents
+             |WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             |      NOT IN (SELECT fp FROM ev)""".stripMargin)),
+
+    // Gopher-style repetition quality signals (TextOps.repetition):
+    // duplicate-word fraction inputs, top-word character mass, top
+    // word-bigram count — all integral, replicated exactly in DuckDB
+    // via string_split_regex + lateral index pairing.
+    QueryDef("t09_repetition_metrics",
+      (s, dir) => TextOps.repetition(docs(s, dir), "doc_id", "text"),
+      Some("""WITH lw AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+             |  FROM documents),
+             |wf AS (
+             |  SELECT doc_id, unnest(ws) AS word FROM lw),
+             |wff AS (SELECT doc_id, word FROM wf WHERE word <> ''),
+             |base AS (
+             |  SELECT l.doc_id,
+             |    count(w.word) AS n_words,
+             |    count(DISTINCT w.word) AS n_distinct_words
+             |  FROM lw l LEFT JOIN wff w USING (doc_id) GROUP BY 1),
+             |pw AS (SELECT doc_id, word, count(*) AS c FROM wff GROUP BY 1, 2),
+             |tw AS (SELECT doc_id, cast(max(c * len(word)) AS BIGINT)
+             |         AS top_word_chars FROM pw GROUP BY 1),
+             |idx AS (SELECT unnest(generate_series(1,
+             |          (SELECT max(len(ws)) FROM lw))) AS i),
+             |bg AS (
+             |  SELECT l.doc_id, l.ws[i.i] || ' ' || l.ws[i.i + 1] AS bigram
+             |  FROM lw l JOIN idx i ON i.i <= len(l.ws) - 1
+             |  WHERE l.ws[i.i] <> '' AND l.ws[i.i + 1] <> ''),
+             |tb AS (
+             |  SELECT doc_id, cast(max(c) AS BIGINT) AS top_bigram_count FROM
+             |    (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT b.doc_id, cast(b.n_words AS INT) AS n_words,
+             |  cast(b.n_distinct_words AS INT) AS n_distinct_words,
+             |  coalesce(tw.top_word_chars, 0) AS top_word_chars,
+             |  coalesce(tb.top_bigram_count, 0) AS top_bigram_count
+             |FROM base b LEFT JOIN tw USING (doc_id)
+             |LEFT JOIN tb USING (doc_id)""".stripMargin)),
+
+    // Approximate sketches under a tolerance gate: HyperLogLog++
+    // (approx_count_distinct, rsd 1%) and quantile sketch
+    // (approx_percentile) against their exact counterparts computed in
+    // the SAME query. The oracle pins the exact anchors and asserts the
+    // ok-flags — a sketch drifting out of tolerance flips a boolean and
+    // reds the gate. At 100 TB these sketches replace exact
+    // countDistinct/percentile shuffles with fixed-size mergeable state.
+    QueryDef("p09_approx_sketches",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_distinct_exact"),
+            approx_count_distinct(col("l_orderkey"), 0.01).as("__hll"),
+            expr("percentile(l_quantity, 0.5d)").as("__p50_exact"),
+            expr("approx_percentile(l_quantity, 0.5d, 10000)").as("__p50_approx"))
+          .select(col("l_returnflag"), col("n_distinct_exact"),
+            (abs(col("__hll") - col("n_distinct_exact"))
+              .cast("double") / col("n_distinct_exact") <= 0.05).as("hll_ok"),
+            (abs(col("__p50_approx") - col("__p50_exact")) <= 0.5).as("p50_ok"))
+      },
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_orderkey) AS n_distinct_exact,
+             |  true AS hll_ok, true AS p50_ok
+             |FROM lineitem GROUP BY 1""".stripMargin))
   )
 }
