@@ -776,6 +776,26 @@ object OpsQueries {
       Some("""SELECT l_returnflag,
              |  count(DISTINCT l_orderkey) AS n_distinct_exact,
              |  true AS hll_ok, true AS p50_ok
-             |FROM lineitem GROUP BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // Z-order clustering (ops/Layout + functions/ZValue codegen Morton
+    // interleave): the multi-dimensional layout primitive behind
+    // min/max file pruning. The gate checks the curve VALUES bit-exactly
+    // against a DuckDB bit-algebra transcription; the layout property
+    // (per-partition x/y spans shrink vs a random layout) is unit-gated
+    // in LayoutSpec.
+    QueryDef("p10_zorder_values",
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.ZValue.zValue(
+            col("l_partkey") % 256, col("l_suppkey") % 256, bits = 8).as("z")),
+      Some {
+        val terms = (0 until 8).flatMap(b => Seq(
+          s"((((l_partkey % 256) >> $b) & 1) << ${2 * b + 1})",
+          s"((((l_suppkey % 256) >> $b) & 1) << ${2 * b})"))
+        s"""SELECT l_orderkey, l_linenumber,
+           |  cast(${terms.mkString(" | ")} AS BIGINT) AS z
+           |FROM lineitem""".stripMargin
+      })
   )
 }

@@ -1052,6 +1052,23 @@ object RelationalQueries {
              |SELECT user_id, session_id, min(ts) AS session_start,
              |  max(ts) AS session_end, count(*) AS n_events,
              |  cast(sum(round(value*100)) AS BIGINT) AS value_cents
-             |FROM s GROUP BY 1, 2""".stripMargin))
+             |FROM s GROUP BY 1, 2""".stripMargin)),
+
+    // f: JSON schema-on-read — both the path extractor
+    // (get_json_object) and the typed parser (from_json with an
+    // explicit DDL schema; at scale the explicit schema matters — no
+    // sampling pass, and the parse is a single codegen'd projection).
+    QueryDef("q41_f_json",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k_typed"))
+        .filter(col("k_typed").isNotNull),
+      Some("""SELECT event_id,
+             |  cast(json_extract_string(props, '$.k') AS INT) AS k_path,
+             |  cast(json_extract(props, '$.k') AS INT) AS k_typed
+             |FROM events
+             |WHERE json_extract(props, '$.k') IS NOT NULL""".stripMargin))
   )
 }
