@@ -100,6 +100,30 @@ object GraftExtensions {
       args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())
   }
 
+  private[graft] def bloomBuildExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "bloom_build(hash, expectedItems, fpp)")
+    val n = args(1).asInstanceOf[Literal].value.asInstanceOf[Number].longValue()
+    val fpp = args(2).asInstanceOf[Literal].value.asInstanceOf[Number].doubleValue()
+    val bits = graft.functions.Bloom.optimalNumBits(n, fpp)
+    graft.functions.BloomBuildAggregate(
+      Cast(args.head, org.apache.spark.sql.types.LongType), bits,
+      graft.functions.Bloom.optimalNumHashes(n, bits)).toAggregateExpression()
+  }
+
+  private[graft] def bloomMightContainExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "bloom_might_contain(sketch, hash)")
+    graft.functions.BloomMightContain(args.head,
+      Cast(args(1), org.apache.spark.sql.types.LongType))
+  }
+
+  private[graft] def zValueExpr(args: Seq[Expression]): Expression = {
+    require(args.length == 2 || args.length == 3, "z_value(x, y[, bits])")
+    val bits = if (args.length == 3) intLit(args(2)) else 16
+    graft.functions.ZValue(
+      Cast(args.head, org.apache.spark.sql.types.LongType),
+      Cast(args(1), org.apache.spark.sql.types.LongType), bits)
+  }
+
   val inject: SparkSessionExtensions => Unit = { ext =>
     ext.injectFunction((
       FunctionIdentifier("sf_decode"),
@@ -140,6 +164,18 @@ object GraftExtensions {
       FunctionIdentifier("band_hashes"),
       new ExpressionInfo("graft.functions.BandHashes", "band_hashes"),
       (args: Seq[Expression]) => bandHashesExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo("graft.functions.BloomBuildAggregate", "bloom_build"),
+      (args: Seq[Expression]) => bloomBuildExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo("graft.functions.BloomMightContain", "bloom_might_contain"),
+      (args: Seq[Expression]) => bloomMightContainExpr(args)))
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      new ExpressionInfo("graft.functions.ZValue", "z_value"),
+      (args: Seq[Expression]) => zValueExpr(args)))
   }
 }
 

@@ -29,6 +29,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "simhash_signature", GraftExtensions.simhashSignatureExpr, "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "band_hashes", GraftExtensions.bandHashesExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_build", GraftExtensions.bloomBuildExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", GraftExtensions.bloomMightContainExpr, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_value", GraftExtensions.zValueExpr, "built-in")
     s
   }
 
@@ -103,5 +109,22 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT surrogate_key(a, b) sk FROM VALUES (42L,'x'),(7L,CAST(NULL AS STRING)) t(a,b)")
       .collect().map(_.getString(0))
     viaSql shouldBe viaDf
+  }
+
+  test("bloom_build / bloom_might_contain / z_value SQL = expression results") {
+    // end-to-end in SQL: build a sketch over 1..100, probe members + one miss
+    val hits = sqlSpark.sql(
+      """WITH sk AS (
+        |  SELECT bloom_build(xxhash64(id), 100L, 0.01d) AS s
+        |  FROM range(1, 101)),
+        |p AS (SELECT id FROM range(1, 201))
+        |SELECT count(*) FROM p, sk
+        |WHERE bloom_might_contain(sk.s, xxhash64(p.id))""".stripMargin)
+      .collect()(0).getLong(0)
+    hits should be >= 100L   // every member found: no false negatives
+    hits should be <= 110L   // and at most a handful of false positives
+    val z = sqlSpark.sql("SELECT z_value(3L, 0L, 8), z_value(0L, 3L, 8), z_value(255L, 255L, 8)")
+      .collect()(0)
+    (z.getLong(0), z.getLong(1), z.getLong(2)) shouldBe ((10L, 5L, 65535L))
   }
 }
