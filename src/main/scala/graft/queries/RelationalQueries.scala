@@ -1069,6 +1069,80 @@ object RelationalQueries {
              |  cast(json_extract_string(props, '$.k') AS INT) AS k_path,
              |  cast(json_extract(props, '$.k') AS INT) AS k_typed
              |FROM events
-             |WHERE json_extract(props, '$.k') IS NOT NULL""".stripMargin))
+             |WHERE json_extract(props, '$.k') IS NOT NULL""".stripMargin)),
+
+    // W9: the full ranking-function suite over one shared window spec —
+    // rank, dense_rank, ntile, percent_rank, cume_dist, lead,
+    // first_value. One Exchange+Sort serves all seven (same
+    // partitioning and ordering); percent_rank/cume_dist are exact
+    // rationals of (rank, n) so the cross-engine double compare is
+    // bit-stable after a fixed rounding.
+    QueryDef("q42_w9_rank_suite",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(7).over(w).as("nt"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first(col("o_orderkey")).over(w).as("top_key"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  cast(rank() OVER w AS INT) AS rnk,
+             |  cast(dense_rank() OVER w AS INT) AS drnk,
+             |  cast(ntile(7) OVER w AS INT) AS nt,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  lead(o_orderkey, 1) OVER w AS next_key,
+             |  first_value(o_orderkey) OVER w AS top_key
+             |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)),
+
+    // f: collection aggregates — collect_list/collect_set are
+    // order-nondeterministic in a distributed engine, so the canonical
+    // scalable form is sort_array + a scalar projection (here a joined
+    // string, which also keeps the gate's hasher off raw array
+    // columns). Map-side partial collect, one shuffle.
+    QueryDef("q43_f_collections",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .groupBy("l_orderkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("l_quantity").cast("long"))))
+            .as("quantities"),
+          concat_ws(",", sort_array(collect_set(col("l_returnflag"))))
+            .as("flags"),
+          size(collect_set(col("l_suppkey"))).as("n_suppliers")),
+      Some("""SELECT l_orderkey,
+             |  array_to_string(list_sort(list(cast(l_quantity AS BIGINT))), ',')
+             |    AS quantities,
+             |  array_to_string(list_sort(list(DISTINCT l_returnflag)), ',')
+             |    AS flags,
+             |  cast(count(DISTINCT l_suppkey) AS INT) AS n_suppliers
+             |FROM lineitem WHERE l_orderkey < 1000
+             |GROUP BY 1""".stripMargin)),
+
+    // f: correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + left outer join (no per-row re-execution; the naive
+    // reading is O(n·m), the planned job is one shuffle each side).
+    QueryDef("q44_f_correlated_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_q44")
+        t(s, dir, "customer").createOrReplaceTempView("customer_q44")
+        s.sql("""SELECT c_custkey, c_name,
+                |  (SELECT cast(max(round(o_totalprice*100)) AS BIGINT)
+                |   FROM orders_q44 o WHERE o.o_custkey = c.c_custkey)
+                |    AS max_order_cents
+                |FROM customer_q44 c""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT cast(max(round(o_totalprice*100)) AS BIGINT)
+             |   FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |    AS max_order_cents
+             |FROM customer c""".stripMargin))
   )
 }
