@@ -247,6 +247,28 @@ object Curation {
     clean.unionByName(fpCleared)
   }
 
+  /** Per-group row cap — the per-domain document cap in web-corpus
+    * curation: bound each group's (domain's, source's) contribution so
+    * megasites can't dominate the training mix. Keeps the first `n`
+    * rows per group under `order`; callers must make the ordering total
+    * (end with a unique key) or the survivors are layout-dependent.
+    *
+    * One Exchange+Sort keyed by the group columns; group cardinality is
+    * typically millions of domains, so the window parallelizes evenly.
+    * For a tiny cap over huge groups, the bounded-heap `top_k`
+    * aggregate ([[graft.functions.TopK]], n04) computes the same cut
+    * without sorting whole groups; this form keeps the full row without
+    * a re-join, which is the right trade until a single group's rows
+    * overflow one executor's sort spill budget.
+    */
+  def capPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column],
+                  n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

@@ -141,6 +141,41 @@ object TextOps {
     * lambdas re-evaluating children per element. Integral outputs keep
     * the gate's hash compare engine-exact.
     */
+  /** TF-IDF top terms per document — corpus-relative keyword salience,
+    * the classic relevance signal (and the quality-classifier feature
+    * that absolute counts can't provide).
+    *
+    * Scale shape: term frequencies via explode → groupBy(doc, term)
+    * (map-side combined, keyed by doc — never a Zipfian global token
+    * key); document frequencies via groupBy(term) over the already
+    * collapsed one-row-per-(doc, term) relation, not the raw token
+    * stream (same rewrite as d04's rare-gram index); the corpus size
+    * joins in as a broadcast one-row aggregate, never a driver-side
+    * action. The score is a single double expression over exact integer
+    * counts, emitted rounded; ranking uses the raw score with a term
+    * tie-break so the cut is total.
+    */
+  def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
+            idCol: String, topN: Int = 5): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val terms = df.select(id,
+      explode(filter(split(normalize(col(textCol)), " "), w => w =!= ""))
+        .as("term"))
+    val tf = terms.groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count_distinct(id).as("__n_docs"))
+    val scored = tf.join(dfq, "term")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nDocs))
+      .withColumn("__score",
+        col("tf") * log(col("__n_docs").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("__score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(id, col("term"), col("tf"), col("df"),
+        round(col("__score"), 4).as("score"), col("rank"))
+  }
+
   def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

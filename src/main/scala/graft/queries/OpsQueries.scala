@@ -249,6 +249,37 @@ object OpsQueries {
               |SELECT node AS doc_id, min(comp) AS component
               |FROM walk GROUP BY 1""".stripMargin)),
 
+    // The production fuzzy-dedup PIPELINE (the SlimPajama/RefinedWeb
+    // shape, end to end): MinHash signatures → LSH banding candidates →
+    // transitive closure → drop everything but each cluster's min-id
+    // representative. d02/d06 gate the stages; this gates the
+    // composition — the corpus a user actually trains on. Oracle:
+    // DuckDB recomputes the exact truth pairs (== the LSH candidates on
+    // this data, proven by d02), closes them with a recursive CTE, and
+    // applies the same keep rule over the full documents relation.
+    QueryDef("d09_fuzzy_dedup_pipeline",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.minhashLsh(d, "text", "doc_id")
+          .select("doc_a", "doc_b")
+        val comps = Dedup.connectedComponents(pairs)
+        Dedup.dropClusterDuplicates(d, "doc_id", comps)
+          .select("doc_id", "source", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE $trueJaccardSql,
+              |cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
+              |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+              |        UNION SELECT doc_b, doc_a FROM cand),
+              |walk(node, comp) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+              |  UNION
+              |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v),
+              |comps AS (SELECT node AS doc_id, min(comp) AS component
+              |          FROM walk GROUP BY 1)
+              |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+              |LEFT JOIN comps c ON c.doc_id = d.doc_id
+              |WHERE c.doc_id IS NULL OR c.component = d.doc_id""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).
@@ -796,6 +827,43 @@ object OpsQueries {
         s"""SELECT l_orderkey, l_linenumber,
            |  cast(${terms.mkString(" | ")} AS BIGINT) AS z
            |FROM lineitem""".stripMargin
-      })
+      }),
+
+    // TF-IDF top-5 terms per document. The score is one double
+    // expression over exact integer counts (tf, df, N) — emitted
+    // rounded, ranked on the raw value with a term tie-break. df comes
+    // from the collapsed (doc, term) relation, never the raw Zipfian
+    // token stream (the d04 rewrite).
+    QueryDef("t10_tfidf",
+      (s, dir) => TextOps.tfidf(docs(s, dir), "text", "doc_id", topN = 5),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |       FROM words WHERE term <> '' GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, tf.term AS term, tf.tf AS tf, dfq.df AS df,
+             |    tf.tf * ln(cast(n_docs AS DOUBLE) / cast(dfq.df AS DOUBLE)) AS s,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf.tf * ln(cast(n_docs AS DOUBLE) / cast(dfq.df AS DOUBLE))
+             |        DESC, tf.term) AS rank
+             |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, round(s, 4) AS score,
+             |  cast(rank AS INT) AS rank
+             |FROM scored WHERE rank <= 5""".stripMargin)),
+
+    // Per-source document cap — the per-domain cap in web-corpus
+    // curation (bound each domain's contribution to the training mix).
+    // Deterministic: ordered by (n_chars DESC, doc_id), a total order.
+    QueryDef("p11_cap_per_source",
+      (s, dir) => Curation.capPerGroup(docs(s, dir),
+          Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")), n = 10)
+        .select("doc_id", "source", "n_chars"),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |QUALIFY row_number() OVER (PARTITION BY source
+             |  ORDER BY n_chars DESC, doc_id) <= 10""".stripMargin))
   )
 }

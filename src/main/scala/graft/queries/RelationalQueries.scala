@@ -1143,6 +1143,91 @@ object RelationalQueries {
              |  (SELECT cast(max(round(o_totalprice*100)) AS BIGINT)
              |   FROM orders o WHERE o.o_custkey = c.c_custkey)
              |    AS max_order_cents
-             |FROM customer c""".stripMargin))
+             |FROM customer c""".stripMargin)),
+
+    // W10: RANGE-interval window frame — "trailing 7 calendar days",
+    // distinct from the ROWS frames (W3/W5): the frame is value-based,
+    // so it spans irregular gaps and peer rows (all shipments on one
+    // day share a frame). One Exchange+Sort on (l_partkey, day). Sums
+    // run on exact decimals emitted as cents — a double window sum
+    // would make the result depend on the engine's frame-accumulation
+    // order.
+    QueryDef("q45_w10_range_frame",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_partkey").orderBy(col("day")).rangeBetween(-6, 0)
+        t(s, dir, "lineitem").select(
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            datediff(to_date(col("l_shipdate")),
+              lit("1992-01-01").cast("date")).as("day"),
+            col("l_quantity").cast("decimal(12,2)").as("__qty"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("day"),
+            (sum(col("__qty")).over(w) * 100).cast("long").as("qty_7d_cents"),
+            count(lit(1)).over(w).as("n_7d"))
+      },
+      Some("""WITH x AS (
+             |  SELECT l_orderkey, l_linenumber, l_partkey,
+             |    cast(datediff('day', DATE '1992-01-01',
+             |      cast(l_shipdate AS DATE)) AS INT) AS day,
+             |    cast(l_quantity AS DECIMAL(12,2)) AS qty
+             |  FROM lineitem)
+             |SELECT l_orderkey, l_linenumber, l_partkey, day,
+             |  cast(sum(qty) OVER w * 100 AS BIGINT) AS qty_7d_cents,
+             |  count(*) OVER w AS n_7d
+             |FROM x WINDOW w AS (PARTITION BY l_partkey ORDER BY day
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // A7: second-moment statistics (variance, stddev, covariance,
+    // correlation) computed DETERMINISTICALLY at any parallelism. The
+    // built-in float aggregates accumulate in partition order, so their
+    // low bits shift with layout on a cluster; here the moments (n, Σx,
+    // Σx², Σxy, …) are exact DECIMAL sums — order-independent — and
+    // each statistic is one fixed double expression over those exact
+    // moments, bit-identical across engines and re-partitionings.
+    QueryDef("q46_a7_stats_moments",
+      (s, dir) => {
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        val g = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        val n = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        val varQ = (n * d("sxx") - d("sx") * d("sx")) / (n * (n - lit(1.0d)))
+        val covQP = (n * d("sxy") - d("sx") * d("sy")) / (n * (n - lit(1.0d)))
+        val corrQP = (n * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(n * d("sxx") - d("sx") * d("sx")) *
+            sqrt(n * d("syy") - d("sy") * d("sy")))
+        g.select(col("l_returnflag"), col("n"), varQ.as("var_qty"),
+          sqrt(varQ).as("stddev_qty"), covQP.as("covar_qty_price"),
+          corrQP.as("corr_qty_price"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    sum(cast(l_quantity AS DECIMAL(18,2))) AS sx,
+             |    sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             |    sum(cast(l_quantity AS DECIMAL(18,2))
+             |        * cast(l_quantity AS DECIMAL(18,2))) AS sxx,
+             |    sum(cast(l_extendedprice AS DECIMAL(18,2))
+             |        * cast(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             |    sum(cast(l_quantity AS DECIMAL(18,2))
+             |        * cast(l_extendedprice AS DECIMAL(18,2))) AS sxy
+             |  FROM lineitem GROUP BY 1),
+             |d AS (
+             |  SELECT l_returnflag, n, cast(n AS DOUBLE) AS nd,
+             |    cast(sx AS DOUBLE) AS sx, cast(sy AS DOUBLE) AS sy,
+             |    cast(sxx AS DOUBLE) AS sxx, cast(syy AS DOUBLE) AS syy,
+             |    cast(sxy AS DOUBLE) AS sxy
+             |  FROM m)
+             |SELECT l_returnflag, n,
+             |  (nd*sxx - sx*sx) / (nd*(nd - 1.0)) AS var_qty,
+             |  sqrt((nd*sxx - sx*sx) / (nd*(nd - 1.0))) AS stddev_qty,
+             |  (nd*sxy - sx*sy) / (nd*(nd - 1.0)) AS covar_qty_price,
+             |  (nd*sxy - sx*sy)
+             |    / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy))
+             |    AS corr_qty_price
+             |FROM d""".stripMargin))
   )
 }

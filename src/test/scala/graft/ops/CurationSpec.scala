@@ -134,6 +134,26 @@ class CurationSpec extends SparkSpec {
     kept shouldBe Array(2L, 3L)
   }
 
+  test("capPerGroup keeps exactly n best rows per group, deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 50L), ("a", 2L, 50L), ("a", 3L, 10L), ("a", 4L, 90L),
+      ("b", 5L, 5L), ("b", 6L, 7L),
+      ("c", 7L, 1L)).toDF("src", "id", "len")
+    val out = Curation.capPerGroup(df, Seq(col("src")),
+      Seq(col("len").desc, col("id")), n = 2)
+    out.count() shouldBe 5 // 2 + 2 + 1
+    // group a: 90 wins, then the len-50 tie breaks by id (2? no — id 1)
+    out.filter($"src" === "a").select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 4L)
+    // cap larger than the group passes the whole group through
+    out.filter($"src" === "c").count() shouldBe 1
+    // helper column must not leak
+    out.columns should not contain "__rn"
+    an[IllegalArgumentException] should be thrownBy
+      Curation.capPerGroup(df, Seq(col("src")), Seq(col("id")), n = 0)
+  }
+
   test("writeShards lays out one directory per shard with ordered rows") {
     val docs = corpus(200)
     val shards = Curation.assignShards(docs, col("lang"), col("doc_id"),

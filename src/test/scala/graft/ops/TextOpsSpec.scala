@@ -34,6 +34,32 @@ class TextOpsSpec extends SparkSpec {
     out(2).getInt(0) shouldBe 0
   }
 
+  test("tfidf ranks corpus-distinctive terms above common ones") {
+    val df = Seq(
+      (1L, "zebra zebra zebra common common"),
+      (2L, "common filler words here zebra"),
+      (3L, "common filler words here again"),
+      (4L, "common filler words here again")).toDF("doc_id", "text")
+    val out = TextOps.tfidf(df, "text", "doc_id", topN = 2)
+    // doc 1's top term must be zebra: tf=3 and df=2 beats common (df=4,
+    // idf=ln(1)=0).
+    val top1 = out.filter($"doc_id" === 1L && $"rank" === 1)
+      .select("term", "tf", "df").as[(String, Long, Long)].collect()
+    top1 shouldBe Array(("zebra", 3L, 2L))
+    // every doc emits at most topN rows, ranks are 1..k contiguous
+    val byDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max($"rank").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    byDoc.foreach { case (_, n, mx) => mx.toLong shouldBe n }
+    byDoc.map(_._2).max should be <= 2L
+    // df=N terms score exactly 0 (ln 1), still rankable but never
+    // above a positive-idf term with any tf
+    val commonScore = TextOps.tfidf(df, "text", "doc_id", topN = 5)
+      .filter($"term" === "common" && $"doc_id" === 2L)
+      .select("score").as[Double].collect()
+    commonScore(0) shouldBe 0.0
+  }
+
   test("quality metrics + keep flag") {
     val good = "the quick brown fox jumps over the lazy dog again"
     val short = "hi"
