@@ -249,6 +249,28 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
   }
 
+  /** Two-phase fuzzy dedup with EXACT edit-distance verification:
+    * candidate pairs come from LSH banding (cheap, high recall), then
+    * each candidate is verified with true Levenshtein distance on the
+    * normalized text, relative to the longer doc. The O(len²)-per-pair
+    * metric only ever touches the bounded candidate set — never all
+    * pairs — which is what makes exact edit distance affordable at
+    * corpus scale. `levenshtein` is a codegen'd built-in; the two text
+    * lookups are plain equi-joins keyed by doc id.
+    */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+                        maxRel: Double = 0.3): DataFrame = {
+    val cand = minhashLsh(docs, textCol, idCol).select("doc_a", "doc_b")
+    val txt = docs.select(col(idCol), TextOps.normalize(col(textCol)).as("__t"))
+    cand
+      .join(txt.select(col(idCol).as("doc_a"), col("__t").as("__ta")), "doc_a")
+      .join(txt.select(col(idCol).as("doc_b"), col("__t").as("__tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).as("max_len"))
+      .filter(col("edit_dist") <= lit(maxRel) * col("max_len"))
+  }
+
   /** Keep one representative per near-dup cluster: drop every doc whose
     * cluster label isn't its own id (non-clustered docs pass through —
     * they are absent from `components`). One broadcast-able join when

@@ -280,6 +280,27 @@ object OpsQueries {
               |LEFT JOIN comps c ON c.doc_id = d.doc_id
               |WHERE c.doc_id IS NULL OR c.component = d.doc_id""".stripMargin)),
 
+    // Two-phase fuzzy dedup, exact-verify stage: LSH candidates
+    // confirmed by true Levenshtein distance relative to the longer
+    // doc. Full oracle: DuckDB recomputes the candidate set exactly
+    // (== truth pairs, per d02) and its levenshtein agrees unit-for-
+    // unit; the relative-threshold compare is one double multiply of
+    // exact ints on both sides.
+    QueryDef("d10_edit_distance_dedup",
+      (s, dir) => Dedup.editDistancePairs(docs(s, dir), "text", "doc_id"),
+      Some(s"""WITH $trueJaccardSql,
+              |cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
+              |nt AS (SELECT doc_id,
+              |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              |       FROM documents)
+              |SELECT doc_a, doc_b,
+              |  cast(levenshtein(a.t, b.t) AS INT) AS edit_dist,
+              |  cast(greatest(length(a.t), length(b.t)) AS INT) AS max_len
+              |FROM cand JOIN nt a ON a.doc_id = doc_a
+              |          JOIN nt b ON b.doc_id = doc_b
+              |WHERE levenshtein(a.t, b.t)
+              |  <= 0.3 * greatest(length(a.t), length(b.t))""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).
@@ -793,12 +814,21 @@ object OpsQueries {
     // countDistinct/percentile shuffles with fixed-size mergeable state.
     QueryDef("p09_approx_sketches",
       (s, dir) => {
+        // The exact distinct count runs as its OWN aggregate, joined
+        // back on the tiny group key: mixing a distinct aggregate
+        // (planned via Expand) with object-buffer sketches
+        // (percentile / HLL / approx_percentile) in one aggregation
+        // forces a sort-based object aggregate that measured 33x
+        // slower at sf0.1 (59 s -> 1.8 s split). Two clean aggregates
+        // + a 3-row join is the scale shape.
         val li = Tables.load(s, dir, "lineitem")
-        li.groupBy("l_returnflag")
-          .agg(countDistinct(col("l_orderkey")).as("n_distinct_exact"),
-            approx_count_distinct(col("l_orderkey"), 0.01).as("__hll"),
+        val sketches = li.groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("__hll"),
             expr("percentile(l_quantity, 0.5d)").as("__p50_exact"),
             expr("approx_percentile(l_quantity, 0.5d, 10000)").as("__p50_approx"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_distinct_exact"))
+        sketches.join(exact, "l_returnflag")
           .select(col("l_returnflag"), col("n_distinct_exact"),
             (abs(col("__hll") - col("n_distinct_exact"))
               .cast("double") / col("n_distinct_exact") <= 0.05).as("hll_ok"),
