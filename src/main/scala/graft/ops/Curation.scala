@@ -111,6 +111,46 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Mixture sampling toward target domain weights under a global token
+    * budget (the DoReMi / Pile-style "data mixture" step): each source
+    * `s` should contribute ~`weights(s) * tokenBudget` tokens, so its
+    * sampling rate is `min(1, weight*budget / available_tokens(s))` —
+    * sources with fewer tokens than their target keep everything
+    * (rate 1), over-represented sources are downsampled by the same
+    * deterministic md5-bucket rule as [[sampleByHash]].
+    *
+    * Scale shape: the per-source token totals are a map-side-combined
+    * groupBy producing one row per source (tiny), the computed rates
+    * join back broadcast, and the filter itself is a pure per-row
+    * predicate — no data-sized shuffle anywhere. Deterministic and
+    * layout-independent, so the realized mixture is reproducible and
+    * auditable in any engine with md5.
+    *
+    * Sources absent from `weights` get weight 0 (dropped). Rates are
+    * quantized to 1/65536 buckets exactly as [[sampleByHash]], so the
+    * realized token share tracks the target within bucket granularity
+    * plus document-size variance.
+    */
+  def sampleMixture(df: DataFrame, source: Column, key: Column,
+                    tokens: Column, weights: Map[String, Double],
+                    tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val avail = df.groupBy(source.as("__src"))
+      .agg(sum(tokens).as("__avail"))
+    val target = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("__src") === s, lit(w * tokenBudget)).otherwise(acc)
+    }
+    val rates = avail.select(col("__src"),
+      floor(least(lit(1.0), target / col("__avail")) * 65536)
+        .cast("int").as("__thr"))
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    df.join(broadcast(rates), source === col("__src"), "inner")
+      .filter(bucket < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Exact-k per-stratum sample: within each stratum take the k rows
     * with the smallest md5(key) — deterministic, engine-replayable, and
     * one shuffle (the window partition). At scale the stratum count is

@@ -226,6 +226,53 @@ object Similarity {
       .select("q_id", "n_id", "rank", "adc")
   }
 
+  /** SemDeDup-style semantic deduplication: cluster embeddings into
+    * `nlist` cells (nearest-centroid assignment), then drop every vector
+    * that has a SMALLER-id neighbor in the same cell with cosine
+    * similarity at or above `threshold`. Returns the kept rows as
+    * `(vec_id, cell)`.
+    *
+    * This is the two-level shape of Abbas et al.'s SemDeDup (k-means
+    * then within-cluster pairwise cosine): the pairwise comparison is
+    * confined to a cell, so work is sum of per-cell squares, never the
+    * corpus-wide all-pairs join. Cell assignment is a per-row expression
+    * against broadcast centroid literals (no shuffle); the within-cell
+    * self-join shuffles once on the cell id. Centroids use the same
+    * deterministic scheme as [[ivfTopK]] (first `nlist` corpus vectors,
+    * argmax cosine with first-max tie-break) so an external engine can
+    * replay the assignment; production would k-means a sample — only
+    * that bounded driver-side step changes.
+    *
+    * The keep rule (survives unless a smaller-id in-cell near-duplicate
+    * exists) is deliberately non-transitive — it keeps the earliest
+    * member of every near-dup chain and drops direct neighbors only,
+    * matching the "keep one exemplar per ~duplicate group" intent while
+    * staying order- and layout-independent.
+    */
+  def semDedup(vecs: DataFrame, threshold: Double, nlist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids: Array[Seq[Double]] = vecs
+      .orderBy("vec_id").limit(nlist).select("embedding").collect()
+      .map { case Row(e: scala.collection.Seq[_]) =>
+        e.map(x => x.asInstanceOf[Float].toDouble).toSeq }
+    def cell(emb: Column): Column = {
+      val s = array(centroids.toSeq.map(c =>
+        graft.functions.CosineSimilarity.cosineSimilarity(emb, typedLit(c))): _*)
+      array_position(s, array_max(s)).cast("int")
+    }
+    val v = vecs.select(col("vec_id"), col("embedding"),
+      cell(col("embedding")).as("cell"))
+    val a = v.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val dropped = a.join(
+        v.select(col("cell"), col("vec_id").as("id_b"),
+          col("embedding").as("emb_b")), Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    v.join(dropped, Seq("vec_id"), "left_anti").select("vec_id", "cell")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets. */
   def cosineNearDups(vecs: DataFrame, threshold: Double,
                      nPlanes: Int = 8, dim: Int = 64): DataFrame = {

@@ -72,6 +72,28 @@ object TextOps {
       "keep" -> keep)
   }
 
+  /** Fixed-weight logistic quality classifier: the deterministic stand-in
+    * for the fastText/linear "quality model" step of production curation
+    * pipelines (CCNet, LLaMA's Wikipedia-reference classifier). Features
+    * are the [[qualityMetrics]] heuristics; weights are fixed constants
+    * (a real pipeline would train them offline — only the coefficient
+    * literals change, never the plan shape).
+    *
+    * Pure per-row column algebra over codegen'd primitives — no shuffle,
+    * no UDF; at 100 TB this is a free rider on whatever scan produces
+    * the text. Emits the raw logistic score in [0,1] and the
+    * `score >= 0.5` keep flag.
+    */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val z = lit(-1.0) +
+      lit(0.35) * log(lit(1.0) + m("n_chars").cast("double")) +
+      lit(5.0) * m("stopword_ratio") -
+      lit(0.3) * abs(m("avg_word_len") - lit(5.0)) -
+      lit(0.01) * m("n_punct").cast("double")
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase,
     * collapse whitespace, trim.
     */

@@ -894,6 +894,85 @@ object OpsQueries {
         .select("doc_id", "source", "n_chars"),
       Some("""SELECT doc_id, source, n_chars FROM documents
              |QUALIFY row_number() OVER (PARTITION BY source
-             |  ORDER BY n_chars DESC, doc_id) <= 10""".stripMargin))
+             |  ORDER BY n_chars DESC, doc_id) <= 10""".stripMargin)),
+
+    // SemDeDup (Abbas et al.): nearest-centroid clustering, then drop
+    // vectors with a smaller-id in-cell neighbor at cosine >= 0.35.
+    // Full oracle: centroids are deterministic (first nlist vectors), so
+    // DuckDB replays cell assignment (argmax cosine, first-max tie-break
+    // = lowest cid; Spark's cell id is the 1-based centroid position,
+    // hence cid + 1) and the drop rule verbatim.
+    QueryDef("d11_semdedup",
+      (s, dir) => Similarity.semDedup(embs(s, dir), threshold = 0.35, nlist = 16),
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding AS cemb
+             |  FROM embeddings WHERE vec_id < 16),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_cosine_similarity(e.embedding, c.cemb) AS s
+             |  FROM embeddings e, cent c),
+             |cell AS (
+             |  SELECT vec_id, cid FROM sims
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY s DESC, cid) = 1),
+             |v AS (
+             |  SELECT e.vec_id, e.embedding, c.cid
+             |  FROM embeddings e JOIN cell c USING (vec_id)),
+             |dropped AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35)
+             |SELECT v.vec_id, cast(v.cid + 1 AS INT) AS cell
+             |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+             |WHERE d.vec_id IS NULL""".stripMargin)),
+
+    // Mixture sampling toward target domain weights under a global token
+    // budget (n_chars as the token proxy): over-budget sources are
+    // hash-downsampled to rate weight*budget/available, under-budget
+    // sources keep everything, unlisted sources drop. Oracle replays the
+    // rate computation and the md5-bucket filter exactly.
+    QueryDef("p12_mixture_sample",
+      (s, dir) => Curation.sampleMixture(docs(s, dir), col("source"),
+          col("doc_id"), col("n_chars"),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          tokenBudget = 10000L)
+        .select("doc_id", "source", "n_chars"),
+      Some("""WITH avail AS (
+             |  SELECT source AS src, sum(n_chars) AS av
+             |  FROM documents GROUP BY 1),
+             |rates AS (
+             |  SELECT src, cast(floor(least(1.0,
+             |    (CASE src WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+             |              WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+             |              ELSE 0.0 END::DOUBLE * 10000) / av) * 65536) AS INT) AS thr
+             |  FROM avail)
+             |SELECT d.doc_id, d.source, d.n_chars
+             |FROM documents d JOIN rates r ON d.source = r.src
+             |WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 4))::INT
+             |      < r.thr""".stripMargin)),
+
+    // Fixed-weight logistic quality classifier over the t02 heuristics
+    // (the deterministic fastText-stand-in of production curation).
+    // Score emitted rounded; the keep flag gates on the raw value.
+    QueryDef("t11_quality_classifier",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 4).as("score"),
+        (TextOps.qualityScore(col("text")) >= 0.5).as("keep")),
+      Some {
+        val pad = "(' ' || lower(text) || ' ')"
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        val guard = s"(CASE WHEN ($nWords) = 0 THEN 1 ELSE $nWords END)"
+        val nStop = Seq("the", "a", "and", "of", "is", "to", "in")
+          .map(m => occSql(pad, s" $m ")).mkString(" + ")
+        val nPunct = Seq(".", ",", "!", "?").map(occSql("text", _)).mkString(" + ")
+        val z = s"""-1.0 + 0.35 * ln(1.0 + length(text))
+                   | + 5.0 * (cast($nStop AS DOUBLE) / $guard)
+                   | - 0.3 * abs((cast(length(text) - ${occSql("text", " ")} AS DOUBLE) / $guard) - 5.0)
+                   | - 0.01 * cast($nPunct AS DOUBLE)""".stripMargin.replace("\n", "")
+        s"""SELECT doc_id,
+           |  round(1.0 / (1.0 + exp(-($z))), 4) AS score,
+           |  (1.0 / (1.0 + exp(-($z)))) >= 0.5 AS keep
+           |FROM documents""".stripMargin
+      })
   )
 }

@@ -154,6 +154,31 @@ class CurationSpec extends SparkSpec {
       Curation.capPerGroup(df, Seq(col("src")), Seq(col("id")), n = 0)
   }
 
+  test("sampleMixture: under-budget sources keep all, over-budget downsample, unlisted drop") {
+    val df = ((1 to 200).map(i => (i.toLong, "big", 100L)) ++
+      (201 to 205).map(i => (i.toLong, "small", 10L)) ++
+      (206 to 210).map(i => (i.toLong, "unlisted", 10L)))
+      .toDF("doc_id", "src", "tok")
+    val out = Curation.sampleMixture(df, col("src"), col("doc_id"), col("tok"),
+      Map("big" -> 0.5, "small" -> 0.5), tokenBudget = 1000L)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // small: target 500 tokens > 50 available -> rate 1, all 5 kept
+    bySrc("small") shouldBe 5L
+    // big: target 500 of 20000 tokens -> rate 0.025; ~5 of 200 kept
+    bySrc("big") should be < 30L
+    bySrc("big") should be > 0L
+    // unlisted source dropped entirely
+    bySrc.get("unlisted") shouldBe None
+    // deterministic: same call returns the identical sample
+    val again = Curation.sampleMixture(df, col("src"), col("doc_id"), col("tok"),
+      Map("big" -> 0.5, "small" -> 0.5), tokenBudget = 1000L)
+    again.select("doc_id").as[Long].collect().sorted shouldBe
+      out.select("doc_id").as[Long].collect().sorted
+    an[IllegalArgumentException] should be thrownBy
+      Curation.sampleMixture(df, col("src"), col("doc_id"), col("tok"),
+        Map("big" -> 0.5), tokenBudget = 0L)
+  }
+
   test("writeShards lays out one directory per shard with ordered rows") {
     val docs = corpus(200)
     val shards = Curation.assignShards(docs, col("lang"), col("doc_id"),

@@ -93,4 +93,31 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     out shouldBe Array((0L, 1L)) // scaled copy is cosine-identical; id_a < id_b once
   }
+
+  test("semDedup keeps the smallest-id exemplar of each in-cell near-dup group") {
+    val r = new scala.util.Random(5)
+    def noisy(base: Array[Float], eps: Float) =
+      base.map(x => x + eps * r.nextGaussian().toFloat)
+    val b1 = Array.fill(32)(r.nextGaussian().toFloat)
+    val b2 = Array.fill(32)(r.nextGaussian().toFloat)
+    // ids 0-13 random (ids < nlist seed the centroids, so near-dup
+    // groups must sit ABOVE nlist or each member becomes its own cell),
+    // ids 14-17 ~ b1 (near-dups), ids 18-19 ~ b2 (near-dups)
+    val vecs = ((0L until 14L).map(i =>
+      (i, Array.fill(32)(r.nextGaussian().toFloat))) ++
+      Seq((14L, b1), (15L, noisy(b1, 0.01f)), (16L, noisy(b1, 0.01f)),
+        (17L, noisy(b1, 0.01f)), (18L, b2), (19L, noisy(b2, 0.01f))))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, threshold = 0.95, nlist = 8)
+      .select("vec_id").as[Long].collect().toSet
+    // exemplars survive, their near-copies do not
+    kept should contain(14L)
+    kept should contain(18L)
+    Set(15L, 16L, 17L, 19L).intersect(kept) shouldBe empty
+    // unrelated vectors all survive
+    (0L until 14L).toSet.subsetOf(kept) shouldBe true
+    // output carries the cell id for every kept row
+    Similarity.semDedup(vecs, threshold = 0.95, nlist = 8).columns shouldBe
+      Array("vec_id", "cell")
+  }
 }

@@ -116,4 +116,17 @@ class TextOpsSpec extends SparkSpec {
     rows(2).getString(0) shouldBe "no pii here at all"
     rows(2).getInt(1) + rows(2).getInt(2) shouldBe 0
   }
+
+  test("qualityScore: bounded in (0,1), prose beats junk") {
+    val rows = Seq(
+      "The cat is on the mat and the dog is in the house of the king.",
+      "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx",
+      "").toDF("t")
+      .select(TextOps.qualityScore($"t").as("s")).as[Double].collect()
+    all(rows) should be > 0.0
+    all(rows) should be < 1.0
+    rows(0) should be > rows(1) // stopword-rich prose scores higher than a letter run
+    rows(0) should be > 0.5
+    rows(1) should be < 0.5 // 40-char letter run: word-length deviation sinks it
+  }
 }
