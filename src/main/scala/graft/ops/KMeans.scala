@@ -1,0 +1,274 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Sampled k-means training for the centroid-based operators
+  * (SemDeDup cells, IVF lists, PQ sub-codebooks).
+  *
+  * Scale shape: only TRAINING runs on a bounded sample — assignment of
+  * the full corpus stays a distributed codegen expression
+  * ([[graft.functions.CentroidAssign]]). The sample is drawn with
+  * `orderBy(md5(id)).limit(cap)`, which plans as TakeOrderedAndProject
+  * (each task keeps its own top-`cap`, the driver merges `cap` rows per
+  * partition-batch) — deterministic, layout-independent, and never a
+  * full collect. This is the FAISS recipe: k-means on ≤ ~256·k sampled
+  * vectors, then one pass of distributed assignment.
+  *
+  * Driver memory = sample (cap·dim·8 B) + codebook (k·dim·8 B):
+  * cap=65536 at dim=64 is 34 MB; nlist=10⁵ centroids at dim=64 is
+  * 51 MB. Both bounded and independent of corpus size.
+  *
+  * Deterministic: seeded k-means++ init, Lloyd sweeps with
+  * first-min/first-max tie-breaks, empty clusters reseeded to the
+  * worst-assigned sample point — same inputs give the same codebook on
+  * any cluster layout.
+  */
+object KMeans {
+
+  /** Deterministic bounded sample of an embedding column, as driver-side
+    * double vectors (md5-ranked so the sample is layout-independent).
+    */
+  def sampleVectors(vecs: DataFrame, idCol: String, embCol: String,
+                    cap: Int): Array[Array[Double]] = {
+    require(cap > 0, s"sample cap must be positive, got $cap")
+    vecs.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(cap)
+      .select(col(embCol)).collect()
+      .map { case Row(e: scala.collection.Seq[_]) =>
+        e.map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case other => other.asInstanceOf[Number].doubleValue()
+        }.toArray
+      }
+  }
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v.clone() else v.map(_ / n)
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spherical k-means (cosine metric) on pre-collected sample vectors:
+    * k-means++ init seeded by `seed`, `iters` Lloyd sweeps where the
+    * centroid update is mean-then-renormalize. Cosine ties go to the
+    * lower centroid id (matching [[graft.functions.CentroidAssign]]);
+    * empty clusters reseed to the sample point with the worst best-sim.
+    */
+  def fitSpherical(sample: Array[Array[Double]], k: Int, iters: Int = 10,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    require(sample.nonEmpty, "k-means needs a non-empty sample")
+    require(k > 0, s"k must be positive, got $k")
+    val pts = sample.map(l2normalize) // unit vectors: cosine == dot
+    val n = pts.length
+    val kk = math.min(k, n)
+    val dim = pts(0).length
+    val rng = new scala.util.Random(seed)
+
+    // k-means++ init on d = 1 - cos (all points unit, so d ∈ [0, 2])
+    val centroids = Array.ofDim[Array[Double]](kk)
+    centroids(0) = pts(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < n) {
+        val d = 1.0 - dot(pts(i), centroids(c - 1))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      val total = minD.sum
+      val next =
+        if (total <= 0) rng.nextInt(n)
+        else {
+          val target = rng.nextDouble() * total
+          var acc = 0.0; var idx = 0
+          while (idx < n - 1 && acc + minD(idx) < target) { acc += minD(idx); idx += 1 }
+          idx
+        }
+      centroids(c) = pts(next).clone()
+      c += 1
+    }
+
+    val assignment = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      // assign: argmax dot, first max wins
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var j = 0
+        while (j < kk) {
+          val s = dot(pts(i), centroids(j))
+          if (s > bestS) { bestS = s; best = j }
+          j += 1
+        }
+        assignment(i) = best
+        i += 1
+      }
+      // update: mean then renormalize
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assignment(i)
+        val s = sums(a); val p = pts(i)
+        var t = 0
+        while (t < dim) { s(t) += p(t); t += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) centroids(j) = l2normalize(sums(j))
+        else {
+          // reseed an empty cluster to the point farthest from its own
+          // centroid (lowest best-sim, first on ties) — deterministic
+          var worst = 0; var worstS = Double.MaxValue
+          i = 0
+          while (i < n) {
+            val s = dot(pts(i), centroids(assignment(i)))
+            if (s < worstS) { worstS = s; worst = i }
+            i += 1
+          }
+          centroids(j) = pts(worst).clone()
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train `nlist` spherical centroids from a deterministic sample of an
+    * embedding DataFrame — the production path for
+    * [[Similarity.ivfTopK]] / [[Similarity.semDedup]] at real nlist.
+    */
+  def trainCentroids(vecs: DataFrame, idCol: String, embCol: String,
+                     nlist: Int, sampleCap: Int = 65536, iters: Int = 10,
+                     seed: Long = 42L): Array[Array[Double]] =
+    fitSpherical(sampleVectors(vecs, idCol, embCol, sampleCap), nlist,
+      iters, seed)
+
+  /** Plain (euclidean) k-means for PQ sub-codebooks: argmin squared L2,
+    * mean update, same deterministic tie/empty-cluster rules.
+    */
+  def fitEuclidean(sample: Array[Array[Double]], k: Int, iters: Int = 10,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    require(sample.nonEmpty, "k-means needs a non-empty sample")
+    require(k > 0, s"k must be positive, got $k")
+    val n = sample.length
+    val kk = math.min(k, n)
+    val dim = sample(0).length
+    val rng = new scala.util.Random(seed)
+
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    val centroids = Array.ofDim[Array[Double]](kk)
+    centroids(0) = sample(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < n) {
+        val d = sqDist(sample(i), centroids(c - 1))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      val total = minD.sum
+      val next =
+        if (total <= 0) rng.nextInt(n)
+        else {
+          val target = rng.nextDouble() * total
+          var acc = 0.0; var idx = 0
+          while (idx < n - 1 && acc + minD(idx) < target) { acc += minD(idx); idx += 1 }
+          idx
+        }
+      centroids(c) = sample(next).clone()
+      c += 1
+    }
+
+    val assignment = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val d = sqDist(sample(i), centroids(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assignment(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assignment(i)
+        val s = sums(a); val p = sample(i)
+        var t = 0
+        while (t < dim) { s(t) += p(t); t += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) {
+          var t = 0
+          val m = sums(j)
+          while (t < dim) { m(t) /= counts(j); t += 1 }
+          centroids(j) = m
+        } else {
+          var worst = 0; var worstD = -1.0
+          i = 0
+          while (i < n) {
+            val d = sqDist(sample(i), centroids(assignment(i)))
+            if (d > worstD) { worstD = d; worst = i }
+            i += 1
+          }
+          centroids(j) = sample(worst).clone()
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Train a PQ codebook (m sub-codebooks × ks centroids over dim/m-dim
+    * subvectors, flattened to the [[graft.functions.Pq]] layout) by
+    * per-subspace euclidean k-means over the sampled vectors.
+    */
+  def trainPqCodebook(vecs: DataFrame, idCol: String, embCol: String,
+                      m: Int, ks: Int, dim: Int, sampleCap: Int = 65536,
+                      iters: Int = 10, seed: Long = 42L): Array[Array[Double]] = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val sample = sampleVectors(vecs, idCol, embCol, sampleCap)
+    Array.tabulate(m) { j =>
+      val subSample = sample.map(_.slice(j * sub, (j + 1) * sub))
+      // pad short centroid sets by repeating (codebook layout expects ks)
+      val cents = fitEuclidean(subSample, ks, iters, seed + j)
+      val full =
+        if (cents.length >= ks) cents
+        else Array.tabulate(ks)(i => cents(i % cents.length))
+      full.flatten
+    }
+  }
+}

@@ -135,45 +135,44 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
-  /** IVF (inverted-file) approximate top-k: a small deterministic
-    * centroid set partitions the corpus into nlist cells; each query
-    * probes its nprobe nearest cells and ranks only those candidates.
+  /** First `nlist` corpus vectors as a driver-side codebook — the
+    * deterministic "training" scheme the cross-engine oracles replay
+    * (an external engine can re-derive it from the table itself).
+    * Bounded: nlist rows through a TakeOrderedAndProject.
+    */
+  private def firstVectors(corpus: DataFrame, nlist: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.Row
+    corpus.orderBy("vec_id").limit(nlist).select("embedding").collect()
+      .map { case Row(e: scala.collection.Seq[_]) =>
+        e.map(x => x.asInstanceOf[Float].toDouble).toArray }
+  }
+
+  /** IVF (inverted-file) approximate top-k: a centroid set partitions
+    * the corpus into nlist cells; each query probes its nprobe nearest
+    * cells and ranks only those candidates.
     *
-    * Scale shape: centroid assignment is a per-row expression against
-    * broadcast centroid literals (no shuffle); the candidate join is
-    * keyed on the cell id, so work is per-cell, not all-pairs — the
-    * IVF analog of the sign-LSH path with a data-adaptive partition.
-    * Centroid selection here is the simplest deterministic scheme (first
-    * nlist corpus vectors); production would k-means a sample — only
-    * this driver-side training step changes.
+    * Scale shape: centroid assignment is ONE codegen expression per row
+    * against a broadcast codebook reference ([[graft.functions
+    * .CentroidAssign]] — no shuffle, no nlist-wide expression tree, so
+    * real list counts (256…10⁴) plan and compile like nlist=16); the
+    * candidate join is keyed on the cell id, so work is per-cell, not
+    * all-pairs — the IVF analog of the sign-LSH path with a
+    * data-adaptive partition.
+    *
+    * @param centroids trained codebook ([[KMeans.trainCentroids]] — the
+    *                  production path). None = deterministic
+    *                  first-nlist-vectors scheme, which the n03 DuckDB
+    *                  oracle replays.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    val centroids: Array[Seq[Double]] = corpus
-      .orderBy("vec_id").limit(nlist).select("embedding").collect()
-      .map { case Row(e: scala.collection.Seq[_]) =>
-        e.map(x => x.asInstanceOf[Float].toDouble).toSeq }
-    def sims(emb: Column): Seq[Column] = centroids.toSeq.map(c =>
-      graft.functions.CosineSimilarity.cosineSimilarity(emb, typedLit(c)))
-    // nearest cell for corpus rows: argmax over centroid similarities
-    def cell(emb: Column): Column = {
-      val s = array(sims(emb): _*)
-      array_position(s, array_max(s)).cast("int")
-    }
-    // nprobe nearest cells for query rows: sort (sim, idx) structs desc
-    def probeCells(emb: Column): Column = {
-      val pairs = array(sims(emb).zipWithIndex.map { case (s, i) =>
-        struct(s.as("sim"), lit(i + 1).as("cell")) }: _*)
-      slice(array_sort(pairs,
-        (a, b) => when(a("sim") > b("sim"), -1).when(a("sim") < b("sim"), 1)
-          .otherwise(0)), 1, nprobe)
-    }
+              nlist: Int = 16, nprobe: Int = 4,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cb = centroids.getOrElse(firstVectors(corpus, nlist))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      cell(col("embedding")).as("cell"))
+      graft.functions.Centroids.centroidAssign(col("embedding"), cb).as("cell"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(probeCells(col("embedding"))).as("probe"))
-      .select(col("q_id"), col("q_emb"), col("probe.cell").as("cell"))
+        explode(graft.functions.Centroids
+          .centroidProbes(col("embedding"), cb, nprobe)).as("cell"))
     q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(
@@ -194,32 +193,31 @@ object Similarity {
     * compressed scan (FAISS IndexPQ shape): every query still visits
     * every CODE, but codes are 16× smaller than the floats, and at
     * scale you compose it with [[ivfTopK]]'s cells so only probed
-    * cells' codes are scanned. Codebook "training" here is the same
-    * deterministic scheme as [[ivfTopK]] (subvectors of the first ks
-    * corpus vectors); production would k-means a sample — only the
-    * bounded driver-side training step changes.
+    * cells' codes are scanned.
+    *
+    * @param codebook trained sub-codebooks ([[KMeans.trainPqCodebook]] —
+    *                 the production path). None = the deterministic
+    *                 scheme the n05 recall gate uses (subvectors of the
+    *                 first ks corpus vectors).
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, ks: Int = 16, dim: Int = 64): DataFrame = {
+             m: Int = 8, ks: Int = 16, dim: Int = 64,
+             codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
-    import org.apache.spark.sql.Row
-    val seeds: Array[Array[Double]] = corpus
-      .orderBy("vec_id").limit(ks).select("embedding").collect()
-      .map { case Row(e: scala.collection.Seq[_]) =>
-        e.map(x => x.asInstanceOf[Float].toDouble).toArray }
-    // codebook[j] = flattened ks centroids for subspace j
-    val codebook: Array[Array[Double]] = Array.tabulate(m) { j =>
-      seeds.flatMap(v => v.slice(j * sub, (j + 1) * sub))
+    val cb: Array[Array[Double]] = codebook.getOrElse {
+      val seeds = firstVectors(corpus, ks)
+      // codebook[j] = flattened ks centroids for subspace j
+      Array.tabulate(m)(j => seeds.flatMap(v => v.slice(j * sub, (j + 1) * sub)))
     }
     val c = corpus.select(col("vec_id").as("n_id"),
-      graft.functions.PqColumns.pqEncode(col("embedding"), codebook, sub)
+      graft.functions.PqColumns.pqEncode(col("embedding"), cb, sub)
         .as("codes"))
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", graft.functions.PqColumns.pqAdc(
-        col("q_emb"), col("codes"), codebook, sub))
+        col("q_emb"), col("codes"), cb, sub))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
       .filter(col("rank") <= k)
@@ -235,33 +233,30 @@ object Similarity {
     * This is the two-level shape of Abbas et al.'s SemDeDup (k-means
     * then within-cluster pairwise cosine): the pairwise comparison is
     * confined to a cell, so work is sum of per-cell squares, never the
-    * corpus-wide all-pairs join. Cell assignment is a per-row expression
-    * against broadcast centroid literals (no shuffle); the within-cell
-    * self-join shuffles once on the cell id. Centroids use the same
-    * deterministic scheme as [[ivfTopK]] (first `nlist` corpus vectors,
-    * argmax cosine with first-max tie-break) so an external engine can
-    * replay the assignment; production would k-means a sample — only
-    * that bounded driver-side step changes.
+    * corpus-wide all-pairs join. Cell assignment is ONE codegen
+    * expression per row against a broadcast codebook reference
+    * ([[graft.functions.CentroidAssign]] — no shuffle, no nlist-wide
+    * expression tree); the within-cell self-join shuffles once on the
+    * cell id.
     *
     * The keep rule (survives unless a smaller-id in-cell near-duplicate
     * exists) is deliberately non-transitive — it keeps the earliest
     * member of every near-dup chain and drops direct neighbors only,
     * matching the "keep one exemplar per ~duplicate group" intent while
     * staying order- and layout-independent.
+    *
+    * @param centroids trained codebook ([[KMeans.trainCentroids]] — the
+    *                  production path; real SemDeDup wants nlist in the
+    *                  10⁴-10⁵ range). None = deterministic
+    *                  first-nlist-vectors scheme, which the d11 DuckDB
+    *                  oracle replays (argmax cosine, first-max
+    *                  tie-break).
     */
-  def semDedup(vecs: DataFrame, threshold: Double, nlist: Int = 16): DataFrame = {
-    import org.apache.spark.sql.Row
-    val centroids: Array[Seq[Double]] = vecs
-      .orderBy("vec_id").limit(nlist).select("embedding").collect()
-      .map { case Row(e: scala.collection.Seq[_]) =>
-        e.map(x => x.asInstanceOf[Float].toDouble).toSeq }
-    def cell(emb: Column): Column = {
-      val s = array(centroids.toSeq.map(c =>
-        graft.functions.CosineSimilarity.cosineSimilarity(emb, typedLit(c))): _*)
-      array_position(s, array_max(s)).cast("int")
-    }
+  def semDedup(vecs: DataFrame, threshold: Double, nlist: Int = 16,
+               centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cb = centroids.getOrElse(firstVectors(vecs, nlist))
     val v = vecs.select(col("vec_id"), col("embedding"),
-      cell(col("embedding")).as("cell"))
+      graft.functions.Centroids.centroidAssign(col("embedding"), cb).as("cell"))
     val a = v.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val dropped = a.join(

@@ -371,6 +371,33 @@ object OpsQueries {
              |JOIN embeddings ne ON ne.vec_id = n_id
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // IVF at REAL list count: nlist=256 k-means-trained centroids
+    // (KMeans.trainCentroids — sampled spherical k-means||-style
+    // driver fit, distributed CentroidAssign codegen assignment).
+    // Gate: probing ALL cells must reproduce the exact brute-force
+    // top-k bit-for-bit — a vector lost or duplicated by the
+    // assignment (the failure mode of the machinery, independent of
+    // centroid quality) breaks the equality. The round-3 formulation
+    // (one inlined cosine subtree per centroid) could not even PLAN at
+    // this nlist; this gate exists to keep the single-expression
+    // assignment path honest at scale-realistic list counts.
+    QueryDef("n06_ann_ivf_kmeans",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cb = KMeans.trainCentroids(e, "vec_id", "embedding",
+          nlist = 256, iters = 5)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5,
+            nlist = 256, nprobe = 256, centroids = Some(cb))
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |             c.vec_id) AS rank
+             |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin)),
+
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
       (s, dir) => docs(s, dir).select(col("doc_id"),

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.Centroids
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Int) = {
+    val r = new scala.util.Random(seed)
+    (0L until n.toLong).map(i => (i, Array.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("CentroidAssign agrees with the array-of-cosines formulation") {
+    val vecs = randVecs(200, 16, 5)
+    val cb = KMeans.sampleVectors(vecs, "vec_id", "embedding", 32)
+    // the round-3 formulation, kept here as the independent reference
+    val sims = array(cb.toSeq.map(c => graft.functions.CosineSimilarity
+      .cosineSimilarity($"embedding", typedLit(c.toSeq))): _*)
+    val legacy = array_position(sims, array_max(sims)).cast("int")
+    val out = vecs.select(
+      Centroids.centroidAssign($"embedding", cb).as("expr"),
+      legacy.as("legacy"))
+    out.filter($"expr" =!= $"legacy").count() shouldBe 0L
+  }
+
+  test("CentroidProbes agrees with the struct-sort formulation") {
+    val vecs = randVecs(100, 8, 7)
+    val cb = KMeans.sampleVectors(vecs, "vec_id", "embedding", 16)
+    val simCols = cb.toSeq.map(c => graft.functions.CosineSimilarity
+      .cosineSimilarity($"embedding", typedLit(c.toSeq)))
+    val pairs = array(simCols.zipWithIndex.map { case (s, i) =>
+      struct(s.as("sim"), lit(i + 1).as("cell")) }: _*)
+    val legacy = slice(array_sort(pairs,
+      (a, b) => when(a("sim") > b("sim"), -1).when(a("sim") < b("sim"), 1)
+        .otherwise(0)), 1, 4)
+    val out = vecs.select(
+      Centroids.centroidProbes($"embedding", cb, 4).as("expr"),
+      transform(legacy, p => p("cell")).as("legacy"))
+    out.filter(to_json($"expr") =!= to_json($"legacy")).count() shouldBe 0L
+  }
+
+  test("fitSpherical: deterministic, unit-norm, separates planted clusters") {
+    val r = new scala.util.Random(42)
+    val anchors = Array.fill(4)(Array.fill(16)(r.nextGaussian()))
+    val sample = Array.tabulate(200) { i =>
+      val a = anchors(i % 4)
+      a.map(x => x + 0.05 * r.nextGaussian())
+    }
+    val cb1 = KMeans.fitSpherical(sample, 4, iters = 10, seed = 1L)
+    val cb2 = KMeans.fitSpherical(sample, 4, iters = 10, seed = 1L)
+    cb1.map(_.toSeq) shouldBe cb2.map(_.toSeq)
+    all(cb1.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
+    // every planted anchor direction is captured by some centroid
+    anchors.foreach { a =>
+      val an = math.sqrt(a.map(x => x * x).sum)
+      val best = cb1.map(c => c.zip(a).map { case (x, y) => x * y }.sum / an).max
+      best should be > 0.95
+    }
+  }
+
+  test("fitSpherical handles k > n and empty clusters without crashing") {
+    val sample = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val cb = KMeans.fitSpherical(sample, 8, iters = 3, seed = 2L)
+    cb.length shouldBe 3 // capped at sample size
+  }
+
+  test("ivfTopK with a k-means codebook at nlist=256: probe-all == brute force") {
+    val vecs = randVecs(300, 32, 13)
+    val cb = KMeans.trainCentroids(vecs, "vec_id", "embedding",
+      nlist = 256, iters = 3)
+    val q = vecs.filter($"vec_id" < 5)
+    val ivf = Similarity.ivfTopK(q, vecs, k = 3, nlist = 256, nprobe = 256,
+        centroids = Some(cb))
+      .select("q_id", "n_id", "rank")
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .select("q_id", "n_id", "rank")
+    ivf.exceptAll(exact).count() shouldBe 0L
+    exact.exceptAll(ivf).count() shouldBe 0L
+  }
+
+  test("nlist=256 assignment plans as ONE expression (no per-centroid tree)") {
+    // parquet-backed: a local Seq would fold the projection into a
+    // LocalRelation and evaluate the expression at plan time
+    val dir = java.nio.file.Files.createTempDirectory("centroids").toString
+    randVecs(50, 16, 3).write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val cb = KMeans.trainCentroids(vecs, "vec_id", "embedding",
+      nlist = 256, iters = 1)
+    val df = Similarity.ivfTopK(vecs.filter($"vec_id" < 2), vecs, k = 2,
+      nlist = 256, nprobe = 8, centroids = Some(cb))
+    val plan = df.queryExecution.optimizedPlan.toString
+    // one assignment node per plan leg (a pushed-down copy may double
+    // it) — NOT one subtree per centroid, the round-3 failure mode
+    (plan.split("centroid_assign").length - 1) should (be >= 1 and be <= 3)
+    (plan.split("centroid_probes").length - 1) should (be >= 1 and be <= 3)
+    (plan.split("cosine_similarity").length - 1) should be <= 1
+  }
+
+  test("semDedup with trained centroids keeps a valid exemplar set") {
+    val r = new scala.util.Random(31)
+    val base = Array.fill(16)(r.nextGaussian().toFloat)
+    val vecs = (0L until 60L).map { i =>
+      val v = if (i % 3 == 0) base.map(x => (x + 0.001f * r.nextGaussian().toFloat))
+              else Array.fill(16)(r.nextGaussian().toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cb = KMeans.trainCentroids(vecs, "vec_id", "embedding",
+      nlist = 8, iters = 5)
+    val kept = Similarity.semDedup(vecs, threshold = 0.95, nlist = 8,
+      centroids = Some(cb))
+    // the smallest id always survives, and near-clones in its cell drop
+    kept.filter($"vec_id" === 0).count() shouldBe 1L
+    kept.count() should be < 60L
+    // kept rows form an antichain within each cell at the threshold
+    val v = vecs.select($"vec_id", $"embedding",
+      Centroids.centroidAssign($"embedding", cb).as("cell"))
+    val k = kept.join(v.select("vec_id", "embedding"), "vec_id")
+    val pairs = k.as("a").join(k.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .filter(Similarity.cosine($"a.embedding", $"b.embedding") >= 0.95)
+    pairs.count() shouldBe 0L
+  }
+
+  test("trainPqCodebook: layout + trained codes beat-or-match seeds on recall") {
+    val r = new scala.util.Random(17)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(64)(r.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cb = KMeans.trainPqCodebook(vecs, "vec_id", "embedding",
+      m = 8, ks = 16, dim = 64, iters = 5)
+    cb.length shouldBe 8
+    all(cb.map(_.length)) shouldBe 16 * 8
+    val q = vecs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, vecs, 5).select("q_id", "n_id")
+    def hits(pq: org.apache.spark.sql.DataFrame): Long =
+      exact.join(pq.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val trained = hits(Similarity.pqTopK(q, vecs, 5, codebook = Some(cb)))
+    trained should be > 0L
+  }
+}
