@@ -7,15 +7,24 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus partition-wise decode /
   * feature-extract / frame-sample operators.
   *
-  * The Spark side — schema, partitioning, batch iteration — is real and
-  * tested. The decode step itself is a clearly-marked deterministic
-  * STUB: the real codecs (libjpeg/ffmpeg) are not in this container, so
-  * `stubDecode` stands in with a fixed bytes->features function. At
-  * production scale the stub body is the only thing that changes; the
-  * mapPartitions shape (decoder state reused across a partition's rows,
-  * no per-row init) is the pattern the real codecs need.
+  * The decode tier:
+  *  - IMAGES decode for real: `javax.imageio` reads BMP/PNG pure-JVM
+  *    (no native libs), so [[decodeImageFeatures]] is a production
+  *    decoder for those formats and [[extractFeatures]] uses it for
+  *    `image`-typed rows, falling back to the stub when the payload
+  *    isn't a decodable image.
+  *  - AUDIO/VIDEO codecs (ffmpeg/soundfile) are not in this container,
+  *    so [[stubDecode]] stands in with a fixed bytes->features
+  *    function — clearly marked, and the only thing that changes when
+  *    a real codec is linked. The mapPartitions shape (decoder state
+  *    reused across a partition's rows, no per-row init) is the
+  *    pattern all codecs need.
   */
 object Multimodal {
+
+  // one-time global: ImageIO's default decode path writes a temp CACHE
+  // FILE per read — per-row disk IO an executor must never pay
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRow(doc_id: Long, media: Array[Byte],
                             media_type: String, n_bytes: Int)
@@ -54,6 +63,76 @@ object Multimodal {
       if (counts(d) == 0) 0f else (sums(d).toDouble / counts(d)).toFloat)
   }
 
+  /** REAL image decode (BMP/PNG via `javax.imageio`, pure JVM) into the
+    * fixed 8-dim feature layout:
+    * `[width, height, channels, mean_r, mean_g, mean_b, mean_gray,
+    * n_pixels]`. Returns None when the payload is not a decodable
+    * image (no reader claims the magic bytes), so callers can fall
+    * back to the stub tier.
+    */
+  def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val ch = img.getColorModel.getNumComponents
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some(Array(w.toFloat, h.toFloat, ch.toFloat,
+        (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+        (sb.toDouble / n).toFloat,
+        ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat))
+    }
+  }
+
+  /** Encode a solid-color BMP (the fixture generator for the real-decode
+    * gate: constant pixels make every decoded statistic a closed-form
+    * function of (w, h, r, g, b), so an external engine can oracle the
+    * decode without a decoder of its own).
+    */
+  def encodeBmp(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad image dims ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (r & 0xff) << 16 | (g & 0xff) << 8 | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic REAL-image corpus: one solid-color BMP per document with
+    * dimensions/color derived from doc_id — actual encoded bytes the
+    * decoder must parse, with closed-form decoded stats.
+    */
+  def attachSyntheticImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = encodeBmp((id % 13 + 1).toInt, (id % 7 + 1).toInt,
+          (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+        MediaRow(id, bytes, "image", bytes.length)
+      }
+    }.toDF()
+  }
+
   /** Frame sampling: cut the payload into `nFrames` equal byte slices
     * (stand-in for video frame extraction); returns one row per sampled
     * frame with its slice as a new binary column. Pure column algebra —
@@ -75,6 +154,10 @@ object Multimodal {
     * iterate a whole partition through one decoder instance. Encoder-
     * typed Dataset in, typed Dataset out; Spark keeps the operation
     * pipelined with the scan (no shuffle).
+    *
+    * `image`-typed payloads go through the REAL ImageIO decoder first
+    * ([[decodeImageFeatures]]); undecodable payloads and the
+    * audio/video types fall back to the documented stub tier.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -82,7 +165,10 @@ object Multimodal {
       .mapPartitions { rows =>
         // one decoder "session" per partition (real codecs are stateful)
         rows.map { r =>
-          val feats = stubDecode(r.media)
+          val feats =
+            if (r.media_type == "image")
+              decodeImageFeatures(r.media).getOrElse(stubDecode(r.media))
+            else stubDecode(r.media)
           MediaFeatures(r.doc_id, r.media_type,
             n_frames = math.max(1, r.n_bytes / 64), features = feats)
         }

@@ -555,6 +555,38 @@ object OpsQueries {
              |CROSS JOIN dims d
              |LEFT JOIN agg a ON a.doc_id = e.doc_id AND a.dim = d.dim""".stripMargin)),
 
+    // Multimodal: REAL image decode. The fixture synthesizes an actual
+    // BMP per document (solid color, dims/color closed-form in doc_id),
+    // extractFeatures decodes it with javax.imageio — a production
+    // decoder for BMP/PNG, not the stub — and the oracle recomputes the
+    // decoded stats from the closed forms. A decoder that misreads the
+    // header, padding, or channel order breaks the equality. mean_gray
+    // is one correctly-rounded double division on both engines
+    // ((r+g+b)·n / 3n vs (r+g+b)/3: same real quotient), then a float
+    // cast — bit-identical.
+    QueryDef("m04_image_decode",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticImages(s, docs(s, dir))
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(col("doc_id"),
+            col("features")(0).as("width"), col("features")(1).as("height"),
+            col("features")(2).as("channels"),
+            col("features")(3).as("mean_r"), col("features")(4).as("mean_g"),
+            col("features")(5).as("mean_b"), col("features")(6).as("mean_gray"),
+            col("features")(7).as("n_pixels"))
+      },
+      Some("""SELECT doc_id,
+             |  cast(doc_id % 13 + 1 AS REAL) AS width,
+             |  cast(doc_id % 7 + 1 AS REAL) AS height,
+             |  cast(3 AS REAL) AS channels,
+             |  cast(doc_id % 256 AS REAL) AS mean_r,
+             |  cast((doc_id * 7) % 256 AS REAL) AS mean_g,
+             |  cast((doc_id * 13) % 256 AS REAL) AS mean_b,
+             |  cast(((doc_id % 256) + ((doc_id * 7) % 256)
+             |        + ((doc_id * 13) % 256)) / 3.0 AS REAL) AS mean_gray,
+             |  cast((doc_id % 13 + 1) * (doc_id % 7 + 1) AS REAL) AS n_pixels
+             |FROM documents""".stripMargin)),
+
     // Multimodal: frame sampling (binary slicing). Full DuckDB oracle:
     // frame lengths are pure integer arithmetic on the payload size
     // (frame_len = max(n/4, 1), last frame truncated, empty frames

@@ -30,6 +30,35 @@ class MultimodalSpec extends SparkSpec {
     feats(0).n_frames shouldBe 1
   }
 
+  test("encodeBmp -> decodeImageFeatures roundtrips exact stats") {
+    val bytes = Multimodal.encodeBmp(5, 3, 200, 100, 50)
+    bytes.take(2).map(_.toChar).mkString shouldBe "BM" // real BMP header
+    val f = Multimodal.decodeImageFeatures(bytes).get
+    f(0) shouldBe 5f; f(1) shouldBe 3f; f(2) shouldBe 3f
+    f(3) shouldBe 200f; f(4) shouldBe 100f; f(5) shouldBe 50f
+    f(6) shouldBe ((200 + 100 + 50) / 3.0).toFloat
+    f(7) shouldBe 15f
+  }
+
+  test("decodeImageFeatures rejects non-image payloads (stub fallback)") {
+    Multimodal.decodeImageFeatures("just some text".getBytes("UTF-8")) shouldBe None
+    // extractFeatures on text payloads typed "image" must equal the stub
+    val feats = Multimodal.extractFeatures(spark, Multimodal.attachMedia(docs))
+      .filter(_.media_type == "image").collect()
+    val expected = Multimodal.stubDecode(("abcdefgh" * 8).getBytes("UTF-8"))
+    feats.head.features.toSeq shouldBe expected.toSeq
+  }
+
+  test("extractFeatures really decodes synthetic BMP images") {
+    val media = Multimodal.attachSyntheticImages(spark, docs)
+    val f = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    // doc 2: w = 2%13+1 = 3, h = 2%7+1 = 3, color (2, 14, 26)
+    val d2 = f(2).features
+    d2(0) shouldBe 3f; d2(1) shouldBe 3f; d2(2) shouldBe 3f
+    d2(3) shouldBe 2f; d2(4) shouldBe 14f; d2(5) shouldBe 26f
+  }
+
   test("frameSample slices payload into n frames covering all bytes") {
     val frames = Multimodal.frameSample(Multimodal.attachMedia(docs), 4)
       .filter($"doc_id" === 0)
