@@ -95,11 +95,23 @@ object Dedup {
     * dedup. `maxBucket` caps quadratic blowup from degenerate buckets.
     * Signatures are cached: both sides of the bucket self-join need
     * them, and at scale you'd checkpoint them anyway.
+    *
+    * @param carrySignatures payload trade of the band shuffle. `true`
+    *   carries the k-long signature array through banding (~8·k B per
+    *   banded row) and scores pairs in place — fewest joins, right when
+    *   candidate pairs are a sizable fraction of banded rows. `false`
+    *   bands ids only (~24 B/row) and re-joins signatures by doc_id for
+    *   scoring — two extra equi-joins against the cached signatures,
+    *   right at scale where banded rows ≫ candidate pairs so the band
+    *   shuffle's payload dominates (PLANS.md records the measured
+    *   crossover). Results are identical — both variants pass d02's
+    *   exact-pair-set oracle.
     */
   def minhashLsh(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 64, bands: Int = 16, shingleN: Int = 3,
                  threshold: Double = 0.7, seed: Long = 42L,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000,
+                 carrySignatures: Boolean = true): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sig = minhashSignatures(docs, textCol, idCol, k, shingleN, seed).cache()
@@ -107,19 +119,36 @@ object Dedup {
     // condition (slice equality) is identical to the previous
     // concat_ws/element_at formulation, minus its interpreted per-band
     // per-element virtual calls and string materialization.
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val sigCols = if (carrySignatures) Seq(col("sig")) else Seq.empty[Column]
+    val banded = sig.select(col("doc_id") +: sigCols :+
         posexplode(graft.functions.BandHashes.bandHashes(col("sig"), bands))
-          .as(Seq("band_idx", "band_hash")))
-      .select("doc_id", "sig", "band_idx", "band_hash")
+          .as(Seq("band_idx", "band_hash")): _*)
     val sized = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
-    val a = sized.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val pairs =
+      if (carrySignatures) {
+        val a = sized.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+        val b = sized.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        a.join(b, Seq("band_idx", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sig_a", "sig_b")
+          .dropDuplicates("doc_a", "doc_b")
+      } else {
+        val a = sized.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_a"))
+        val b = sized.select(col("band_idx"), col("band_hash"),
+          col("doc_id").as("doc_b"))
+        val ids = a.join(b, Seq("band_idx", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+          .dropDuplicates("doc_a", "doc_b")
+        ids
+          .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+            Seq("doc_a"))
+          .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+            Seq("doc_b"))
+      }
     pairs.withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)

@@ -93,6 +93,18 @@ object OpsQueries {
       Some(s"""WITH $trueJaccardSql
               |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
 
+    // The ids-only banding variant (carrySignatures=false): the band
+    // shuffle moves 24 B/row instead of the 64-long signature array,
+    // and signatures re-join by doc_id for scoring — the winning shape
+    // at scale where banded rows >> candidate pairs. SAME oracle as
+    // d02: both variants must emit the identical exact pair set.
+    QueryDef("d12_minhash_lsh_idsonly",
+      (s, dir) => Dedup.minhashLsh(docs(s, dir), "text", "doc_id",
+          carrySignatures = false)
+        .select("doc_a", "doc_b"),
+      Some(s"""WITH $trueJaccardSql
+              |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
+
     // SimHash chunk-pigeonhole completeness gate: the 4x16-bit chunk
     // buckets provably recover EVERY pair at hamming <= 3 (3 flipped
     // bits touch at most 3 of 4 chunks), so the pigeonhole candidates

@@ -50,6 +50,16 @@ class DedupSpec extends SparkSpec {
     all(pairs.map(_._3)) should be >= 0.4
   }
 
+  test("minhashLsh ids-only banding variant is result-identical") {
+    val carry = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4)
+      .select("doc_a", "doc_b", "est_jaccard")
+    val idsOnly = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4,
+        carrySignatures = false)
+      .select("doc_a", "doc_b", "est_jaccard")
+    carry.exceptAll(idsOnly).count() shouldBe 0L
+    idsOnly.exceptAll(carry).count() shouldBe 0L
+  }
+
   test("simhash: identical -> distance 0 pair; disjoint docs absent") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue()))
