@@ -49,18 +49,31 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // Each query runs `iters` times and reports min + mean. One sample
+    // per query makes the artifact hostage to VM throttle windows (a
+    // 1.3 s query recorded as 27.7 s in round 3); the min of repeated
+    // runs is the throttle-robust headline, the mean keeps the noise
+    // visible. Iterations run back-to-back per query so a throttle
+    // window has to span every repeat to poison a number.
+    val iters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
-      } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, times.min, times.sum / times.length)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(f: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jsonMap(_._2)
+    val qsMean = jsonMap(_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

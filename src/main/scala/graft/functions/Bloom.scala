@@ -95,9 +95,14 @@ object Bloom {
     bb.array()
   }
 
-  /** numHashes recorded in the sketch header (self-describing probe). */
+  /** numHashes recorded in the sketch header (self-describing probe).
+    * Direct byte arithmetic, not a ByteBuffer wrap: this runs once per
+    * PROBED ROW inside WholeStageCodegen, and a per-row wrapper
+    * allocation is garbage the hot loop doesn't need.
+    */
   def numHashesOf(sketch: Array[Byte]): Int =
-    ByteBuffer.wrap(sketch).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    (sketch(0) & 0xFF) | ((sketch(1) & 0xFF) << 8) |
+      ((sketch(2) & 0xFF) << 16) | ((sketch(3) & 0xFF) << 24)
 
   // -- Column API --------------------------------------------------------
 

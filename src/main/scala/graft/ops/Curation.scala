@@ -265,8 +265,8 @@ object Curation {
     * 100 TB train × small eval this replaces a full shuffle of train
     * fingerprints with a map-side scalar probe: the definitely-clean
     * 99.9% short-circuits in WholeStageCodegen, and the no-false-
-    * negatives guarantee means the union below is exactly
-    * `decontaminate`'s output (the gate proves it).
+    * negatives guarantee means the result is exactly `decontaminate`'s
+    * output (the gate proves it).
     */
   def decontaminateBloom(train: DataFrame, eval: DataFrame, textCol: String,
                          expectedEvalItems: Long = 1000000L,
@@ -275,16 +275,26 @@ object Curation {
     val sketch = eval
       .select(xxhash64(TextOps.fingerprint(col(textCol))).as("__h"))
       .agg(Bloom.bloomBuild(col("__h"), expectedEvalItems, fpp).as("__sketch"))
+    val evalFps = eval
+      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
+    // ONE scan of train: a single anti-join whose condition is
+    // (bloom-hit AND exact fingerprint match). A row with no bloom hit
+    // can't match any eval row (no false negatives), so it survives the
+    // anti-join without the union-of-two-filters shape that scanned the
+    // full train relation twice and evaluated the fingerprint per row in
+    // each branch. Both the sketch (fixed-size) and the exact fp set are
+    // broadcast — eval benchmarks are tiny next to a training corpus —
+    // so no train row ever shuffles. If eval ever outgrew broadcast, the
+    // right shape flips to bloom-filterING first over a cached train so
+    // only the candidate slice pays a shuffle join; at that point revisit
+    // this one-pass form.
     val probed = train.crossJoin(broadcast(sketch))
     val hit = Bloom.bloomMightContain(col("__sketch"),
       xxhash64(TextOps.fingerprint(col(textCol))))
-    val clean = probed.filter(!hit).drop("__sketch")
-    val evalFps = eval
-      .select(TextOps.fingerprint(col(textCol)).as("__fp")).distinct()
-    val candidates = probed.filter(hit).drop("__sketch")
-    val fpCleared = candidates.join(evalFps,
-      TextOps.fingerprint(candidates(textCol)) === evalFps("__fp"), "left_anti")
-    clean.unionByName(fpCleared)
+    probed.join(broadcast(evalFps),
+      hit && TextOps.fingerprint(probed(textCol)) === evalFps("__fp"),
+      "left_anti")
+      .drop("__sketch")
   }
 
   /** Per-group row cap — the per-domain document cap in web-corpus

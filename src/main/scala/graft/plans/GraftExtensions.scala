@@ -54,24 +54,51 @@ object GraftExtensions {
       org.apache.spark.sql.types.BinaryType))
   }
 
+  /** Evaluate a constant (foldable) argument, or fail with a message
+    * naming the function and parameter. A column reference passed where
+    * a constant is required (e.g. `bloom_build(h, cnt_col, 0.01)`) must
+    * surface as a diagnosable error at resolution time, not an opaque
+    * ClassCastException from a blind Literal cast.
+    */
+  private def constValue(e: Expression, fn: String, param: String): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: parameter '$param' must be a constant, got ${e.sql}")
+    e.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must not be NULL")
+      case v => v
+    }
+  }
+
+  private def constNum(e: Expression, fn: String, param: String): Double =
+    constValue(e, fn, param) match {
+      case n: Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter '$param' must be numeric, got '$other'")
+    }
+
+  private def constInt(e: Expression, fn: String, param: String): Int =
+    constNum(e, fn, param).toInt
+  private def constLong(e: Expression, fn: String, param: String): Long =
+    constNum(e, fn, param).toLong
+
   private[plans] def winnowExpr(args: Seq[Expression]): Expression = {
     require(args.length == 1 || args.length == 3,
       "winnow_fingerprints(text[, k, w])")
-    def intLit(e: Expression): Int =
-      e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
     if (args.length == 1) graft.functions.WinnowFingerprints(args.head, 8, 4)
-    else graft.functions.WinnowFingerprints(args.head, intLit(args(1)), intLit(args(2)))
+    else graft.functions.WinnowFingerprints(args.head,
+      constInt(args(1), "winnow_fingerprints", "k"),
+      constInt(args(2), "winnow_fingerprints", "w"))
   }
-
-  private def intLit(e: Expression): Int =
-    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
 
   private[graft] def minhashSignatureExpr(args: Seq[Expression]): Expression = {
     require(args.length == 1 || args.length == 3,
       "minhash_signature(grams[, k, seed])")
     if (args.length == 1) graft.functions.MinHashSignature(args.head, 64, 42L)
-    else graft.functions.MinHashSignature(args.head, intLit(args(1)),
-      args(2).asInstanceOf[Literal].value.asInstanceOf[Number].longValue())
+    else graft.functions.MinHashSignature(args.head,
+      constInt(args(1), "minhash_signature", "k"),
+      constLong(args(2), "minhash_signature", "seed"))
   }
 
   private[graft] def simhashSignatureExpr(args: Seq[Expression]): Expression = {
@@ -81,13 +108,12 @@ object GraftExtensions {
 
   private[graft] def bandHashesExpr(args: Seq[Expression]): Expression = {
     require(args.length == 2, "band_hashes(sig, bands)")
-    graft.functions.BandHashes(args.head, intLit(args(1)))
+    graft.functions.BandHashes(args.head, constInt(args(1), "band_hashes", "bands"))
   }
 
   private[graft] def topKExpr(args: Seq[Expression]): Expression = {
     require(args.length == 3, "top_k(score, id, k)")
-    val k = args(2).asInstanceOf[Literal].value
-      .asInstanceOf[Number].intValue()
+    val k = constInt(args(2), "top_k", "k")
     graft.functions.TopKAggregate(
       Cast(args.head, org.apache.spark.sql.types.DoubleType),
       Cast(args(1), org.apache.spark.sql.types.LongType), k)
@@ -96,14 +122,13 @@ object GraftExtensions {
 
   private[plans] def wordNGramsExpr(args: Seq[Expression]): Expression = {
     require(args.length == 2, "word_ngrams(text, n)")
-    graft.functions.WordNGrams(args.head,
-      args(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())
+    graft.functions.WordNGrams(args.head, constInt(args(1), "word_ngrams", "n"))
   }
 
   private[graft] def bloomBuildExpr(args: Seq[Expression]): Expression = {
     require(args.length == 3, "bloom_build(hash, expectedItems, fpp)")
-    val n = args(1).asInstanceOf[Literal].value.asInstanceOf[Number].longValue()
-    val fpp = args(2).asInstanceOf[Literal].value.asInstanceOf[Number].doubleValue()
+    val n = constLong(args(1), "bloom_build", "expectedItems")
+    val fpp = constNum(args(2), "bloom_build", "fpp")
     val bits = graft.functions.Bloom.optimalNumBits(n, fpp)
     graft.functions.BloomBuildAggregate(
       Cast(args.head, org.apache.spark.sql.types.LongType), bits,
@@ -118,7 +143,7 @@ object GraftExtensions {
 
   private[graft] def zValueExpr(args: Seq[Expression]): Expression = {
     require(args.length == 2 || args.length == 3, "z_value(x, y[, bits])")
-    val bits = if (args.length == 3) intLit(args(2)) else 16
+    val bits = if (args.length == 3) constInt(args(2), "z_value", "bits") else 16
     graft.functions.ZValue(
       Cast(args.head, org.apache.spark.sql.types.LongType),
       Cast(args(1), org.apache.spark.sql.types.LongType), bits)

@@ -46,7 +46,19 @@ object RelationalQueries {
   private final case class TradesFixture(bt: DataFrame, bth: DataFrame,
       rtt: DataFrame, rst: DataFrame, accDim: DataFrame, secDim: DataFrame)
 
-  private def tradesFixture(s: SparkSession, dir: String): TradesFixture = {
+  // q29/q32/q34 (and repeated bench iterations of each) share ONE cached
+  // fixture per (session, dir): re-caching an identical plan per query
+  // invocation triggered CacheManager "already cached" warnings and left
+  // orphaned cache entries behind.
+  private val fixtureMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TradesFixture]
+  private val auditFactMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def tradesFixture(s: SparkSession, dir: String): TradesFixture =
+    fixtureMemo.getOrElseUpdate((s, dir), buildTradesFixture(s, dir))
+
+  private def buildTradesFixture(s: SparkSession, dir: String): TradesFixture = {
     val o = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
     val bt = o.select(
@@ -859,7 +871,8 @@ object RelationalQueries {
       (s, dir) => {
         val fx = tradesFixture(s, dir)
         // five independent check aggregates scan the fact — build once
-        val fact = tradesChainFactWithId(fx, fx.bth).cache()
+        val fact = auditFactMemo.getOrElseUpdate((s, dir),
+          tradesChainFactWithId(fx, fx.bth).cache())
         def cnt(name: String, d: DataFrame) =
           d.agg(count(lit(1)).as("n_violations"))
             .select(lit(name).as("check"), col("n_violations"))

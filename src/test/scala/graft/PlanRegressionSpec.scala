@@ -126,4 +126,35 @@ class PlanRegressionSpec extends SparkSpec {
     // range partition + subtotal agg + final window hash — nothing else
     (plan.split("\\(\\d+\\) Exchange").length - 1) should be <= 4
   }
+
+  private def windowCount(plan: String): Int =
+    plan.split("\\(\\d+\\) Window").length - 1
+
+  test("dedup candidate generation never regresses to a Window operator") {
+    // The round-1 scale-killer: a Window over the raw gram/bucket/band
+    // stream serializes the hottest Zipf key through one task. Every
+    // bucket cap and df count in these ops is groupBy+join; pin it.
+    val docs = (1 to 40).map(i =>
+        (i.toLong, s"the quick brown fox ${i % 7} jumps over the lazy dog $i"))
+      .toDF("doc_id", "text")
+    val plans = Seq(
+      formatted(graft.ops.Dedup.minhashLsh(docs, "text", "doc_id",
+        k = 16, bands = 4)),
+      formatted(graft.ops.Dedup.minhashLsh(docs, "text", "doc_id",
+        k = 16, bands = 4, carrySignatures = false)),
+      formatted(graft.ops.Dedup.ngramJaccard(docs, "text", "doc_id")),
+      formatted(graft.ops.Dedup.simhashPairs(docs, "text", "doc_id")))
+    plans.foreach { p => windowCount(p) shouldBe 0 }
+  }
+
+  test("sampleMixture: rate join broadcasts, probe side never shuffles") {
+    val df = (1 to 100).map(i =>
+        (if (i % 2 == 0) "a" else "b", i.toLong, i % 50L + 10L))
+      .toDF("src", "id", "toks")
+    val plan = formatted(graft.ops.Curation.sampleMixture(
+      df, $"src", $"id", $"toks", Map("a" -> 0.5, "b" -> 0.5), 1000L))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    windowCount(plan) shouldBe 0
+  }
 }

@@ -134,6 +134,22 @@ class CurationSpec extends SparkSpec {
     kept shouldBe Array(2L, 3L)
   }
 
+  test("decontaminateBloom equals exact decontaminate, in ONE train scan") {
+    val train = (1L to 200L).map(i => (i, s"document body number ${i % 60}"))
+      .toDF("doc_id", "text")
+    val eval = (0L until 15L).map(i => (900L + i, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, eval, "text")
+      .select("doc_id").as[Long].collect().sorted
+    val bloomQ = Curation.decontaminateBloom(train, eval, "text",
+      expectedEvalItems = 100L, fpp = 0.01)
+    bloomQ.select("doc_id").as[Long].collect().sorted shouldBe exact
+    // the one-pass rewrite: a single anti-join, no union of two filtered
+    // branches re-scanning train
+    val plan = bloomQ.queryExecution.executedPlan.toString
+    plan should not include "Union"
+  }
+
   test("capPerGroup keeps exactly n best rows per group, deterministically") {
     import spark.implicits._
     val df = Seq(
