@@ -9,10 +9,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   runMain graft.models.LoaderCli <batchDir> [--table NAME] [--show] [--out DIR]
+  *                                  [--batch2 DIR]
   *
   *   --table NAME  process one source table (default: all 17)
   *   --show        print a 20-row sample instead of writing
   *   --out DIR     write each table to DIR/NAME (parquet; default /tmp/graft_wh)
+  *   --batch2 DIR  incremental refresh: apply the delta batch in DIR to
+  *                 the Batch1 warehouse via Warehouse.applyBatch2 and
+  *                 show/write the refreshed MODELS instead of the raw
+  *                 source tables (the reference's named future work,
+  *                 README.md:325)
   */
 object LoaderCli {
   def main(args: Array[String]): Unit = {
@@ -35,7 +41,10 @@ object LoaderCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tables = Loader.loadAll(spark, batchDir)
+    val tables = opt("--batch2") match {
+      case Some(deltaDir) => Warehouse.applyBatch2Dir(spark, batchDir, deltaDir)
+      case None => Loader.loadAll(spark, batchDir)
+    }
     val selected = table.fold(tables)(n =>
       tables.filter { case (k, _) => k == n }.ensuring(_.nonEmpty, s"unknown table $n; " +
         s"known: ${tables.keys.toSeq.sorted.mkString(", ")}"))

@@ -55,8 +55,19 @@ object Silver {
   /** models/silver/accounts.sql — SCD2 account versions from the CRM
     * action log, partitioned by ca_id.
     */
-  def accounts(customerMgmt: DataFrame, taxRate: DataFrame): DataFrame = {
-    val base = crmJoined(customerMgmt, taxRate)
+  def accounts(customerMgmt: DataFrame, taxRate: DataFrame): DataFrame =
+    Scd2.scd2(accountsBase(customerMgmt, taxRate), Seq("account_id"),
+      "action_ts").drop("action_ts")
+
+  /** The account change rows BEFORE versioning (the `base` CTE of
+    * accounts.sql): payload columns + `action_ts`. Exposed so
+    * incremental Batch2 maintenance ([[Incremental.mergeScd2Batch]],
+    * [[Warehouse.applyBatch2]]) can route a CRM delta through the exact
+    * same projection the full model uses.
+    */
+  private[models] def accountsBase(customerMgmt: DataFrame,
+                                   taxRate: DataFrame): DataFrame = {
+    crmJoined(customerMgmt, taxRate)
       .filter(col("ca_id").isNotNull)
       .select(
         col("action_type"),
@@ -83,14 +94,19 @@ object Silver {
         col("ca_tax_st").as("tax_status"),
         col("ca_b_id").as("broker_id"),
         col("action_ts"))
-    Scd2.scd2(base, Seq("account_id"), "action_ts").drop("action_ts")
   }
 
   /** models/silver/customers.sql — SCD2 customer versions, partitioned by
     * c_id, NEW/INACT/UPDCUST actions only.
     */
-  def customers(customerMgmt: DataFrame, taxRate: DataFrame): DataFrame = {
-    val base = crmJoined(customerMgmt, taxRate)
+  def customers(customerMgmt: DataFrame, taxRate: DataFrame): DataFrame =
+    Scd2.scd2(customersBase(customerMgmt, taxRate), Seq("customer_id"),
+      "action_ts").drop("action_ts")
+
+  /** Customer change rows before versioning — see [[accountsBase]]. */
+  private[models] def customersBase(customerMgmt: DataFrame,
+                                    taxRate: DataFrame): DataFrame = {
+    crmJoined(customerMgmt, taxRate)
       .filter(col("action_type").isin("NEW", "INACT", "UPDCUST"))
       .select(
         col("action_type"),
@@ -116,7 +132,6 @@ object Silver {
         col("ca_tax_st").as("account_tax_status"),
         col("ca_b_id").as("broker_id"),
         col("action_ts"))
-    Scd2.scd2(base, Seq("customer_id"), "action_ts").drop("action_ts")
   }
 
   /** models/silver/companies.sql — SCD2 company master from FINWIRE CMP +
@@ -197,6 +212,15 @@ object Silver {
   /** models/silver/trades_history.sql — 5-way join (trade ⋈ trade_history
     * ⋈ trade_type ⋈ status_type ×2 role-playing) then SCD2 by trade_id
     * over the history timestamps.
+    *
+    * `update_status` breaks th_dts ties (SURVEY §7.4.3): the reference
+    * SQL orders only by the timestamp, so two status rows sharing a
+    * th_dts slot into versions nondeterministically — harmless to the
+    * downstream fact (tie-insensitive aggregates) but it makes the
+    * model's own output layout-dependent, which broke the q47
+    * incremental-vs-full comparison on real tied data. Tied rows with
+    * EQUAL status are identical payloads, so the output multiset is
+    * fully deterministic with this one extra sort column.
     */
   def tradesHistory(trade: DataFrame, tradeHistory: DataFrame,
                     tradeType: DataFrame, statusType: DataFrame): DataFrame = {
@@ -228,7 +252,8 @@ object Silver {
         col("t_tax").as("tax"),
         col("update_status"),
         col("th_dts"))
-    Scd2.scd2(base, Seq("trade_id"), "th_dts").drop("th_dts")
+    Scd2.scd2(base, Seq("trade_id"), "th_dts",
+      tieBreak = Seq("update_status")).drop("th_dts")
   }
 
   /** models/silver/trades.sql — distinct trade-grain rows with

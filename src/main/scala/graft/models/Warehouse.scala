@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * @param mat     materialization hook (name, plan) => DataFrame seen
   *                by downstream models
   */
-final class Warehouse(sources: Map[String, DataFrame],
+final class Warehouse(val sources: Map[String, DataFrame],
                       mat: (String, DataFrame) => DataFrame = (_, df) => df) {
 
   private def m(name: String)(df: => DataFrame): DataFrame = mat(name, df)
@@ -169,4 +169,117 @@ object Warehouse {
   def buildFromBatchDir(spark: SparkSession, batchDir: String,
                         outDir: String): Warehouse =
     build(spark, Loader.loadAll(spark, batchDir), outDir)
+
+  /** Warehouse-level Batch2/3 refresh — the incremental path the
+    * reference names as future work (README.md:325, SURVEY §7.6).
+    *
+    * `batch2` holds per-source DELTA frames in the same shapes the
+    * Batch1 loader produces (only sources with new data need appear).
+    * Returns every model of the refreshed warehouse, maintained
+    * incrementally where the model's structure allows it:
+    *
+    *  - `accounts` / `customers` (silver SCD2 from the CRM action log):
+    *    [[Incremental.mergeScd2Batch]] over the delta actions routed
+    *    through the SAME bronze→silver projection as the full model
+    *    (`Silver.accountsBase`/`customersBase`) — shuffle volume scales
+    *    with touched entities, not dimension size.
+    *  - `dim_customer` / `dim_account` (gold projections + dim-sized
+    *    temporal joins OVER the merged silver dims): recomputed from the
+    *    merged inputs — dim-sized work, and a new dim version must be
+    *    able to re-close its neighbors' end timestamps.
+    *  - `trades_history` / `trades` / `dim_trade` / `fact_trade`: the
+    *    per-trade-local chain is rebuilt ONLY for trades touched by the
+    *    batch (their full history, reference semantics) and merged by
+    *    grain key via [[Incremental.mergeFactBatch]] — at 100 TB this is
+    *    the difference between recomputing a few million late trades and
+    *    re-reading every fact input.
+    *  - every other model: recomputed from the unioned sources
+    *    (reference-style full refresh; those inputs are reference/lookup
+    *    tables or streams the driver data cannot split meaningfully).
+    *
+    * Assumes standard warehouse batch semantics: delta timestamps are
+    * not earlier than the batch1 watermark (TPC-DI batches are strictly
+    * ordered), so closing a previously-current SCD2 version cannot
+    * re-route the temporal lookup of an untouched batch1 fact row.
+    * Result is model-for-model equal to a full rebuild over
+    * batch1 ∪ batch2 (oracle gate q47; kernel gates q27/q32).
+    */
+  def applyBatch2(existing: Warehouse, batch2: Map[String, DataFrame],
+                  mat: (String, DataFrame) => DataFrame = (_, df) => df)
+      : Map[String, DataFrame] = {
+    val batch1 = existing.sources
+    val unioned = batch1.map { case (k, v) =>
+      k -> batch2.get(k).map(v.unionByName(_)).getOrElse(v)
+    }
+    val whFull = new Warehouse(unioned, mat)
+
+    // silver SCD2 dims: merge the CRM delta actions
+    val (accounts2, customers2) = batch2.get("customer_mgmt") match {
+      case Some(crmDelta) =>
+        (mat("accounts", Incremental.mergeScd2Batch(existing.accounts,
+          Silver.accountsBase(crmDelta, unioned("tax_rate")),
+          Seq("account_id"), "action_ts")),
+         mat("customers", Incremental.mergeScd2Batch(existing.customers,
+          Silver.customersBase(crmDelta, unioned("tax_rate")),
+          Seq("customer_id"), "action_ts")))
+      case None => (existing.accounts, existing.customers)
+    }
+    val dimCustomer2 = mat("dim_customer",
+      Gold.dimCustomer(customers2, unioned("prospect")))
+    val dimAccount2 = mat("dim_account",
+      Gold.dimAccount(accounts2, dimCustomer2, whFull.dimBroker))
+
+    // trades chain: rebuild the touched trades' full history, merge by key
+    val tradeDelta = batch2.get("trade")
+    val thDelta = batch2.get("trade_history")
+    val tradeModels: Map[String, DataFrame] =
+      if (tradeDelta.isEmpty && thDelta.isEmpty)
+        Map("trades_history" -> existing.tradesHistory,
+          "trades" -> existing.trades, "dim_trade" -> existing.dimTrade,
+          "fact_trade" -> existing.factTrade)
+      else {
+        val affected = (tradeDelta.map(_.select(col("t_id").as("trade_id"))).toSeq ++
+            thDelta.map(_.select(col("th_t_id").as("trade_id"))).toSeq)
+          .reduce(_.unionByName(_)).distinct()
+        val touchedBt = unioned("trade").join(
+          affected.select(col("trade_id").as("t_id")), Seq("t_id"), "left_semi")
+        val touchedBth = unioned("trade_history").join(
+          affected.select(col("trade_id").as("th_t_id")), Seq("th_t_id"), "left_semi")
+        val thTouched = mat("trades_history_touched",
+          Silver.tradesHistory(touchedBt, touchedBth,
+            unioned("trade_type"), unioned("status_type")))
+        val dimTradeTouched = mat("dim_trade_touched", Gold.dimTrade(thTouched))
+        val factTouched = Gold.factTrade(Silver.trades(thTouched),
+            dimTradeTouched, dimAccount2, whFull.dimSecurity)
+          .join(dimTradeTouched.select(col("sk_trade_id"), col("trade_id")),
+            Seq("sk_trade_id"))
+        // existing fact lacks the grain key — recover it through
+        // dim_trade exactly as the rebuilt side does
+        val existingFactWithId = existing.factTrade.join(
+          existing.dimTrade.select(col("sk_trade_id"), col("trade_id")),
+          Seq("sk_trade_id"))
+        Map(
+          "trades_history" -> Incremental.mergeFactBatch(
+            existing.tradesHistory, affected, thTouched, Seq("trade_id")),
+          "trades" -> Incremental.mergeFactBatch(
+            existing.trades, affected, Silver.trades(thTouched), Seq("trade_id")),
+          "dim_trade" -> Incremental.mergeFactBatch(
+            existing.dimTrade, affected, dimTradeTouched, Seq("trade_id")),
+          "fact_trade" -> Incremental.mergeFactBatch(
+            existingFactWithId, affected, factTouched, Seq("trade_id"))
+            .drop("trade_id"))
+      }
+
+    whFull.all.toMap ++ tradeModels ++ Map(
+      "accounts" -> accounts2, "customers" -> customers2,
+      "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2)
+  }
+
+  /** [[applyBatch2]] straight from batch directories (DIGen-style file
+    * layouts; the delta directory holds the same file shapes as Batch1).
+    */
+  def applyBatch2Dir(spark: SparkSession, batch1Dir: String,
+                     batch2Dir: String): Map[String, DataFrame] =
+    applyBatch2(fromBatchDir(spark, batch1Dir),
+      Loader.loadAll(spark, batch2Dir))
 }

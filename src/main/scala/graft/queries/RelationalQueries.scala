@@ -54,6 +54,8 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TradesFixture]
   private val auditFactMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val q47Memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def tradesFixture(s: SparkSession, dir: String): TradesFixture =
     fixtureMemo.getOrElseUpdate((s, dir), buildTradesFixture(s, dir))
@@ -108,6 +110,119 @@ object RelationalQueries {
     // bronze projections computed once per query run.
     TradesFixture(bt.cache(), bth.cache(), rtt, rst,
       accDim.cache(), secDim.cache())
+  }
+
+  /** A full 17-source Warehouse fixture derived from the driver tables,
+    * for the warehouse-LEVEL gates (q47): orders become both the CRM
+    * action log (one account/customer action per order) and the trade
+    * stream, lineitem becomes trade history, FINWIRE cmp/sec records are
+    * synthesized through the real fixed-width parser so dim_security
+    * resolves the SYM0..49 symbols, and sources outside the trades/CRM
+    * closure are empty but schema-true. Action/trade timestamps are made
+    * injective per entity (orderdate + orderkey-derived second+ms
+    * offset) so SCD2 ordering is tie-free — identical nondeterminism on
+    * both comparison paths would otherwise mask or fake mismatches.
+    */
+  private def warehouseSources(s: SparkSession,
+                               dir: String): Map[String, DataFrame] = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    val actTs = col("o_orderdate") + expr(
+      "make_interval(0,0,0,0,0,0, o_orderkey % 86400 + (o_orderkey div 86400) * 0.001)")
+    val crm = o.select(
+      actTs.as("action_ts"),
+      element_at(array(lit("NEW"), lit("UPDCUST"), lit("UPDACCT")),
+        (col("o_orderkey") % 3).cast("int") + 1).as("action_type"),
+      col("o_custkey").as("c_id"),
+      concat(lit("TX"), col("o_custkey")).as("c_tax_id"),
+      when(col("o_custkey") % 2 === 0, "F").otherwise("M").as("c_gndr"),
+      (col("o_custkey") % 3).as("c_tier"),
+      lit(null).cast("date").as("c_dob"),
+      concat(lit("L"), col("o_custkey")).as("c_l_name"),
+      concat(lit("F"), col("o_custkey")).as("c_f_name"),
+      lit(null).cast("string").as("c_m_name"),
+      concat(lit("Addr "), col("o_custkey")).as("c_adline1"),
+      lit(null).cast("string").as("c_adline2"),
+      lpad((col("o_custkey") % 100000).cast("string"), 5, "0").as("c_zipcode"),
+      lit("Springfield").as("c_city"), lit("CA").as("c_state_prov"),
+      lit("USA").as("c_ctry"),
+      concat(col("o_custkey"), lit("@example.com")).as("c_prim_email"),
+      lit(null).cast("string").as("c_alt_email"),
+      lit("555-0100").as("c_phone_1"),
+      lit(null).cast("string").as("c_phone_2"),
+      lit(null).cast("string").as("c_phone_3"),
+      lit("CA1").as("c_lcl_tx_id"), lit("US1").as("c_nat_tx_id"),
+      col("o_custkey").as("ca_id"),
+      (col("o_custkey") % 3).as("ca_tax_st"),
+      (col("o_custkey") % 10).as("ca_b_id"),
+      concat(lit("Account "), col("o_custkey")).as("ca_name"))
+    val bt = o.select(
+      col("o_orderkey").as("t_id"),
+      actTs.as("t_dts"),
+      col("o_orderstatus").as("t_st_id"),
+      substring(col("o_orderpriority"), 1, 1).as("t_tt_id"),
+      (col("o_orderkey") % 2 === 0).as("t_is_cash"),
+      concat(lit("SYM"), col("o_custkey") % 50).as("t_s_symb"),
+      (col("o_orderkey") % 100 + 1).cast("double").as("t_qty"),
+      col("o_totalprice").cast("double").as("t_bid_price"),
+      col("o_custkey").as("t_ca_id"),
+      concat(lit("EX"), col("o_orderkey") % 97).as("t_exec_name"),
+      col("o_totalprice").cast("double").as("t_trade_price"),
+      (col("o_orderkey") % 1000).cast("double").as("t_chrg"),
+      (col("o_orderkey") % 500).cast("double").as("t_comm"),
+      (col("o_orderkey") % 300).cast("double").as("t_tax"))
+    val bth = li.select(
+      col("l_orderkey").as("th_t_id"),
+      (col("l_shipdate") +
+        expr("make_interval(0, 0, 0, 0, 0, 0, l_linenumber)")).as("th_dts"),
+      col("l_linestatus").as("th_st_id"))
+    // FINWIRE records through the real fixed-width parser; pts 1990 so
+    // the securities' SCD2 ranges cover the 1992-1998 order dates
+    val pad = (str: String, n: Int) => str.padTo(n, ' ')
+    val cmpLine = pad("19900101-080000", 15) + "CMP" +
+      pad("Fixture Corp", 60) + pad("0000012345", 10) + pad("ACTV", 4) +
+      "AB" + pad("AAA", 4) + pad("19870105", 8) + pad("1 Main St", 80) +
+      pad("", 80) + pad("94105", 12) + pad("SF", 25) + pad("CA", 20) +
+      pad("USA", 24) + pad("Jane Doe", 46) + pad("Stuff", 150)
+    def secLine(sym: String) = pad("19900101-090000", 15) + "SEC" +
+      pad(sym, 15) + pad("COMMON", 6) + pad("ACTV", 4) +
+      pad(s"$sym Common", 70) + pad("NYSE", 6) + pad("1000000", 13) +
+      pad("19900106", 8) + pad("19900107", 8) + pad("0.42", 12) +
+      pad("0000012345", 60)
+    val finwire = graft.models.Finwire.parsePrefix(
+      (cmpLine +: (0 until 50).map(i => secLine(s"SYM$i"))).toDF("value"))
+    def empty(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+    Map(
+      "customer_mgmt" -> crm,
+      "trade" -> bt,
+      "trade_history" -> bth,
+      "cmp" -> graft.models.Finwire.cmp(finwire),
+      "sec" -> graft.models.Finwire.sec(finwire),
+      "fin" -> graft.models.Finwire.fin(finwire),
+      "tax_rate" -> s.sql("SELECT * FROM VALUES " +
+        "('CA1','California',0.10),('US1','US Federal',0.30) AS t(tx_id, tx_name, tx_rate)"),
+      "status_type" -> s.sql("SELECT * FROM VALUES ('O','Open'),('F','Filled')," +
+        "('P','Pending'),('ACTV','Active'),('INAC','Inactive') AS t(st_id, st_name)"),
+      "trade_type" -> s.sql("SELECT * FROM VALUES " +
+        "('1','Urgent',false,true),('2','High',true,true),('3','Medium',false,false)," +
+        "('4','Not Specified',true,false),('5','Low',false,true) " +
+        "AS t(tt_id, tt_name, tt_is_sell, tt_is_market)"),
+      "hr" -> s.sql("SELECT id AS employee_id, 0 AS manager_id, " +
+        "concat('EF', id) AS employee_first_name, concat('EL', id) AS employee_last_name, " +
+        "'X' AS employee_mi, 314 AS employee_job_code, 'HQ' AS employee_branch, " +
+        "'1F' AS employee_office, '555' AS employee_phone " +
+        "FROM (SELECT explode(sequence(0, 9)) AS id)"),
+      "industry" -> s.sql(
+        "SELECT * FROM VALUES ('AB','Airlines','SC1') AS t(in_id, in_name, in_sc_id)"),
+      "date" -> empty(graft.models.Loader.dateSchema),
+      "daily_market" -> empty(graft.models.Loader.dailyMarketSchema),
+      "prospect" -> empty(graft.models.Loader.prospectSchema),
+      "watch_history" -> empty(graft.models.Loader.watchHistorySchema),
+      "holding_history" -> empty(graft.models.Loader.holdingHistorySchema),
+      "cash_transaction" -> empty(graft.models.Loader.cashTransactionSchema))
   }
 
   /** The full trades chain over a given history batch, annotated with
@@ -1241,6 +1356,61 @@ object RelationalQueries {
              |  (nd*sxy - sx*sy)
              |    / (sqrt(nd*sxx - sx*sx) * sqrt(nd*syy - sy*sy))
              |    AS corr_qty_price
-             |FROM d""".stripMargin))
+             |FROM d""".stripMargin)),
+
+    // Warehouse-LEVEL Batch2 (the reference's named future work,
+    // README.md:325): Warehouse.applyBatch2 merges a late batch into the
+    // SCD2 dims (mergeScd2Batch over the CRM delta) and the trades chain
+    // (mergeFactBatch over the touched trades), with the gold dims
+    // recomputed from the MERGED silver — so the fact rebuild reads
+    // incrementally-maintained dimensions, exercising the full
+    // composition. The gate compares every refreshed model against a
+    // clean full rebuild over batch1 ∪ batch2 (independent computation
+    // paths: merge kernels vs whole-log recompute) and emits mismatch
+    // counts, all required zero — the q34 literal-oracle pattern. The
+    // kernels themselves are DuckDB-gated in q27/q32.
+    QueryDef("q47_warehouse_batch2",
+      (s, dir) => q47Memo.getOrElseUpdate((s, dir), {
+        val src = warehouseSources(s, dir)
+        val cut = lit("1996-01-01").cast("timestamp")
+        val b1 = src ++ Map(
+          "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") < cut),
+          "trade" -> src("trade").filter(col("t_dts") < cut),
+          "trade_history" -> src("trade_history").filter(col("th_dts") < cut))
+        val b2 = Map(
+          "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") >= cut),
+          "trade" -> src("trade").filter(col("t_dts") >= cut),
+          "trade_history" -> src("trade_history").filter(col("th_dts") >= cut))
+        // caching materializer: the 8 compared models share their
+        // upstream silver/gold chains — without it each comparison
+        // re-derives accounts/customers/dim_* from the raw log
+        val cacheMat = (_: String, df: DataFrame) => df.cache()
+        val refreshed = graft.models.Warehouse.applyBatch2(
+          new graft.models.Warehouse(b1, cacheMat), b2, cacheMat)
+        val full = new graft.models.Warehouse(src, cacheMat).all.toMap
+        Seq("accounts", "customers", "dim_customer", "dim_account",
+            "trades_history", "trades", "dim_trade", "fact_trade").map { m =>
+          // one-pass signed multiset diff (±1 per side, net 0 per row
+          // when equal): each chain evaluates ONCE per model, where
+          // exceptAll-both-ways would re-derive the full+incremental
+          // warehouse four times per model
+          val f = full(m)
+          val inc = refreshed(m).select(f.columns.map(col): _*)
+          f.withColumn("__side", lit(1L))
+            .unionByName(inc.withColumn("__side", lit(-1L)))
+            .groupBy(f.columns.map(col): _*).agg(sum("__side").as("__d"))
+            .filter(col("__d") =!= 0)
+            .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("n_mismatch"))
+            .select(lit(m).as("model"), col("n_mismatch"))
+        }.reduce(_.unionByName(_))
+      }),
+      Some("""SELECT 'accounts' AS model, 0 AS n_mismatch UNION ALL
+             |SELECT 'customers', 0 UNION ALL
+             |SELECT 'dim_customer', 0 UNION ALL
+             |SELECT 'dim_account', 0 UNION ALL
+             |SELECT 'trades_history', 0 UNION ALL
+             |SELECT 'trades', 0 UNION ALL
+             |SELECT 'dim_trade', 0 UNION ALL
+             |SELECT 'fact_trade', 0""".stripMargin))
   )
 }

@@ -283,4 +283,33 @@ class WarehouseSpec extends SparkSpec {
     wf(0).getAs[Double]("sum_basic_eps") shouldBe 0.0  // first quarter: no priors
     wf(1).getAs[Double]("sum_basic_eps") shouldBe 1.25
   }
+
+  test("applyBatch2: warehouse-level incremental refresh == full rebuild") {
+    // Split the CRM action log and the trade stream at a cutoff that
+    // leaves real work on both sides: batch2 carries the ADDACCT action
+    // (a new account entity) and trade 101 with its full history, while
+    // batch1 keeps customer NEW/UPDCUST versions and trade 100.
+    val cutoff = ts("2020-03-11 00:00:00")
+    val src = wh.sources
+    val b1 = src ++ Map(
+      "customer_mgmt" -> src("customer_mgmt").filter($"action_ts" < cutoff),
+      "trade" -> src("trade").filter($"t_dts" < cutoff),
+      "trade_history" -> src("trade_history").filter($"th_dts" < cutoff))
+    val b2 = Map(
+      "customer_mgmt" -> src("customer_mgmt").filter($"action_ts" >= cutoff),
+      "trade" -> src("trade").filter($"t_dts" >= cutoff),
+      "trade_history" -> src("trade_history").filter($"th_dts" >= cutoff))
+    val refreshed = Warehouse.applyBatch2(new Warehouse(b1), b2)
+    val full = wh.all.toMap
+    for (m <- Seq("accounts", "customers", "dim_customer", "dim_account",
+        "trades_history", "trades", "dim_trade", "fact_trade")) {
+      withClue(s"model $m: ") {
+        val f = full(m)
+        val inc = refreshed(m).select(f.columns.map(col): _*)
+        inc.exceptAll(f).count() shouldBe 0L
+        f.exceptAll(inc).count() shouldBe 0L
+        inc.count() shouldBe f.count()
+      }
+    }
+  }
 }

@@ -59,6 +59,21 @@ class MultimodalSpec extends SparkSpec {
     d2(3) shouldBe 2f; d2(4) shouldBe 14f; d2(5) shouldBe 26f
   }
 
+  test("decodeImageFeatures handles PNG payloads too (second ImageIO codec)") {
+    // encode a 4x2 solid color as PNG through the same ImageIO stack the
+    // decoder uses — proves the decode path is format-agnostic, not
+    // BMP-fixture-shaped
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => (0 until 2).foreach(y =>
+      img.setRGB(x, y, new java.awt.Color(10, 20, 30).getRGB)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val f = Multimodal.decodeImageFeatures(baos.toByteArray).get
+    f(0) shouldBe 4f; f(1) shouldBe 2f
+    f(3) shouldBe 10f; f(4) shouldBe 20f; f(5) shouldBe 30f
+  }
+
   test("frameSample slices payload into n frames covering all bytes") {
     val frames = Multimodal.frameSample(Multimodal.attachMedia(docs), 4)
       .filter($"doc_id" === 0)
