@@ -91,6 +91,121 @@ object Centroids {
     new GenericArrayData(out)
   }
 
+  /** Two-level nearest-centroid assignment (IVF coarse/fine): nearest
+    * coarse cell first, then nearest fine centroid WITHIN it. Global
+    * 1-based cell id = offsets(coarseIdx) + fineIdx + 1, where offsets
+    * is the running sum of fine-codebook sizes. Per-row cost is
+    * O((|coarse| + |fine cell|)·dim) — at 256×256 = 65536 virtual cells
+    * that is 512 cosines instead of 65536, which is what makes real
+    * IVF list counts affordable (static: called from codegen).
+    */
+  def hierAssign(emb: ArrayData, isFloat: Boolean,
+                 coarse: Array[Array[Double]],
+                 fine: Array[Array[Array[Double]]],
+                 offsets: Array[Int]): Int = {
+    var bestC = 0
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < coarse.length) {
+      val s = cosine(emb, isFloat, coarse(i))
+      if (s > bestS) { bestS = s; bestC = i }
+      i += 1
+    }
+    val fc = fine(bestC)
+    var bestF = 0
+    bestS = Double.NegativeInfinity
+    i = 0
+    while (i < fc.length) {
+      val s = cosine(emb, isFloat, fc(i))
+      if (s > bestS) { bestS = s; bestF = i }
+      i += 1
+    }
+    offsets(bestC) + bestF + 1
+  }
+
+  /** Probe set for two-level IVF: the `nprobe` best global (fine) cells
+    * drawn from the `pCoarse` nearest coarse cells — cosine desc, ties
+    * to the lower id at both levels (static: called from codegen).
+    */
+  def hierProbes(emb: ArrayData, isFloat: Boolean,
+                 coarse: Array[Array[Double]],
+                 fine: Array[Array[Array[Double]]],
+                 offsets: Array[Int], pCoarse: Int, nprobe: Int): ArrayData = {
+    val nc = coarse.length
+    val cSims = new Array[Double](nc)
+    var i = 0
+    while (i < nc) { cSims(i) = cosine(emb, isFloat, coarse(i)); i += 1 }
+    val pc = math.min(pCoarse, nc)
+    val takenC = new Array[Boolean](nc)
+    val probedC = new Array[Int](pc)
+    var j = 0
+    while (j < pc) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      i = 0
+      while (i < nc) {
+        if (!takenC(i) && cSims(i) > bestS) { bestS = cSims(i); best = i }
+        i += 1
+      }
+      takenC(best) = true
+      probedC(j) = best
+      j += 1
+    }
+    // score every fine centroid of the probed coarse cells
+    var total = 0
+    j = 0
+    while (j < pc) { total += fine(probedC(j)).length; j += 1 }
+    val gSims = new Array[Double](total)
+    val gIds = new Array[Int](total)
+    var t = 0
+    j = 0
+    while (j < pc) {
+      val c = probedC(j)
+      val fc = fine(c)
+      var f = 0
+      while (f < fc.length) {
+        gSims(t) = cosine(emb, isFloat, fc(f))
+        gIds(t) = offsets(c) + f + 1
+        t += 1
+        f += 1
+      }
+      j += 1
+    }
+    // top-nprobe by sim desc, ties to the lower GLOBAL id
+    val k = math.min(nprobe, total)
+    val taken = new Array[Boolean](total)
+    val out = new Array[Int](k)
+    j = 0
+    while (j < k) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var bestId = Int.MaxValue
+      i = 0
+      while (i < total) {
+        if (!taken(i) &&
+            (gSims(i) > bestS || (gSims(i) == bestS && gIds(i) < bestId))) {
+          bestS = gSims(i); bestId = gIds(i); best = i
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(j) = gIds(best)
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  private[functions] def fineOffsets(fine: Array[Array[Array[Double]]]): Array[Int] = {
+    val offsets = new Array[Int](fine.length)
+    var i = 1
+    while (i < fine.length) {
+      offsets(i) = offsets(i - 1) + fine(i - 1).length
+      i += 1
+    }
+    offsets
+  }
+
   // -- Column API --------------------------------------------------------
 
   def centroidAssign(emb: Column, codebook: Array[Array[Double]]): Column =
@@ -99,6 +214,16 @@ object Centroids {
   def centroidProbes(emb: Column, codebook: Array[Array[Double]],
                      nprobe: Int): Column =
     Bridge.column(CentroidProbes(Bridge.expression(emb), codebook, nprobe))
+
+  def hierarchicalAssign(emb: Column, coarse: Array[Array[Double]],
+                         fine: Array[Array[Array[Double]]]): Column =
+    Bridge.column(HierarchicalAssign(Bridge.expression(emb), coarse, fine))
+
+  def hierarchicalProbes(emb: Column, coarse: Array[Array[Double]],
+                         fine: Array[Array[Array[Double]]],
+                         pCoarse: Int, nprobe: Int): Column =
+    Bridge.column(HierarchicalProbes(Bridge.expression(emb), coarse, fine,
+      pCoarse, nprobe))
 }
 
 private[functions] trait CentroidExpression extends UnaryExpression {
@@ -160,4 +285,75 @@ case class CentroidProbes(child: Expression, codebook: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "centroid_probes"
+}
+
+/** Two-level IVF assignment: embedding -> 1-based GLOBAL fine-cell id
+  * (nearest coarse cell, then nearest fine centroid within it). One
+  * codegen node; coarse + fine codebooks ride as reference objects.
+  */
+case class HierarchicalAssign(child: Expression,
+                              coarse: Array[Array[Double]],
+                              fine: Array[Array[Array[Double]]])
+    extends CentroidExpression {
+
+  require(coarse.length == fine.length,
+    s"need one fine codebook per coarse cell (${coarse.length} vs ${fine.length})")
+  override def codebook: Array[Array[Double]] = coarse
+  private lazy val offsets = Centroids.fineOffsets(fine)
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Centroids.hierAssign(input.asInstanceOf[ArrayData], isFloat, coarse,
+      fine, offsets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val fineRef = ctx.addReferenceObj("fine", fine, "double[][][]")
+    val offRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.Centroids.hierAssign(
+         |  $c, $isFloat, $coarseRef, $fineRef, $offRef);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "centroid_hier_assign"
+}
+
+/** Two-level IVF probe set: embedding -> sorted array<int> of the
+  * nprobe best global fine-cell ids among the pCoarse nearest coarse
+  * cells.
+  */
+case class HierarchicalProbes(child: Expression,
+                              coarse: Array[Array[Double]],
+                              fine: Array[Array[Array[Double]]],
+                              pCoarse: Int, nprobe: Int)
+    extends CentroidExpression {
+
+  require(coarse.length == fine.length,
+    s"need one fine codebook per coarse cell (${coarse.length} vs ${fine.length})")
+  require(pCoarse > 0 && nprobe > 0,
+    s"pCoarse/nprobe must be positive, got $pCoarse/$nprobe")
+  override def codebook: Array[Array[Double]] = coarse
+  private lazy val offsets = Centroids.fineOffsets(fine)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Centroids.hierProbes(input.asInstanceOf[ArrayData], isFloat, coarse,
+      fine, offsets, pCoarse, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coarseRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val fineRef = ctx.addReferenceObj("fine", fine, "double[][][]")
+    val offRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.Centroids.hierProbes(
+         |  $c, $isFloat, $coarseRef, $fineRef, $offRef, $pCoarse, $nprobe);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "centroid_hier_probes"
 }

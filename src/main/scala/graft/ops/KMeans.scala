@@ -159,6 +159,47 @@ object KMeans {
     fitSpherical(sampleVectors(vecs, idCol, embCol, sampleCap), nlist,
       iters, seed)
 
+  /** Train a two-level (coarse/fine) spherical codebook for
+    * hierarchical IVF ([[Similarity.ivfTopKHier]]): `nCoarse` coarse
+    * cells over the sample, then an independent `nFine`-cell spherical
+    * fit over each coarse cell's members. This is the composition
+    * PLANS.md names for real list counts — per-row assignment cost
+    * drops from O(nCoarse·nFine·dim) to O((nCoarse + nFine)·dim), so
+    * 256×256 = 65536 virtual cells price like 512.
+    *
+    * A coarse cell with no sample members keeps its coarse centroid as
+    * its single fine centroid (assignment stays total); a cell with
+    * fewer members than nFine gets that many fine cells — global cell
+    * ids are offset-compacted, never sparse.
+    */
+  def trainHierarchical(vecs: DataFrame, idCol: String, embCol: String,
+                        nCoarse: Int, nFine: Int, sampleCap: Int = 65536,
+                        iters: Int = 10, seed: Long = 42L)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(nFine > 0, s"nFine must be positive, got $nFine")
+    val sample = sampleVectors(vecs, idCol, embCol, sampleCap)
+    val coarse = fitSpherical(sample, nCoarse, iters, seed)
+    val unit = sample.map(l2normalize)
+    val members = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    unit.indices.foreach { i =>
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var j = 0
+      while (j < coarse.length) {
+        val s = dot(unit(i), coarse(j))
+        if (s > bestS) { bestS = s; best = j }
+        j += 1
+      }
+      members(best) += sample(i)
+    }
+    val fine = Array.tabulate(coarse.length) { c =>
+      if (members(c).isEmpty) Array(coarse(c).clone())
+      else fitSpherical(members(c).toArray, nFine, iters, seed + 1 + c)
+    }
+    (coarse, fine)
+  }
+
   /** Plain (euclidean) k-means for PQ sub-codebooks: argmin squared L2,
     * mean update, same deterministic tie/empty-cluster rules.
     */

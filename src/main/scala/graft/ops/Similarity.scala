@@ -181,6 +181,38 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Hierarchical (two-level) IVF top-k — the composition that carries
+    * IVF past the single-codebook ceiling: a coarse codebook routes each
+    * vector to one of nCoarse cells, an independent fine codebook per
+    * coarse cell splits it further, and the GLOBAL fine cell is the join
+    * key. Per-row assignment is ONE codegen expression costing
+    * O((nCoarse + nFine)·dim) — 256×256 = 65536 virtual lists price like
+    * 512 cosines, and the codebook reference objects stay
+    * per-coarse-cell sized. Probing mirrors FAISS IVF: the query visits
+    * `nprobe` fine cells drawn from its `nprobeCoarse` nearest coarse
+    * cells.
+    *
+    * @param codebook trained two-level codebook
+    *                 ([[KMeans.trainHierarchical]])
+    */
+  def ivfTopKHier(queries: DataFrame, corpus: DataFrame, k: Int,
+                  codebook: (Array[Array[Double]], Array[Array[Array[Double]]]),
+                  nprobeCoarse: Int = 4, nprobe: Int = 16): DataFrame = {
+    val (coarse, fine) = codebook
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      graft.functions.Centroids.hierarchicalAssign(col("embedding"), coarse, fine)
+        .as("cell"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      explode(graft.functions.Centroids.hierarchicalProbes(col("embedding"),
+        coarse, fine, nprobeCoarse, nprobe)).as("cell"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** Product-quantization ADC top-k: corpus vectors compress to m
     * byte-codes (16× smaller than float32 at the defaults); queries
     * rank candidates by asymmetric distance (query subvector vs the
@@ -255,8 +287,25 @@ object Similarity {
   def semDedup(vecs: DataFrame, threshold: Double, nlist: Int = 16,
                centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cb = centroids.getOrElse(firstVectors(vecs, nlist))
-    val v = vecs.select(col("vec_id"), col("embedding"),
-      graft.functions.Centroids.centroidAssign(col("embedding"), cb).as("cell"))
+    semDedupByCell(vecs, threshold,
+      graft.functions.Centroids.centroidAssign(col("embedding"), cb))
+  }
+
+  /** SemDeDup at REAL cluster counts: same cell-confined pairwise drop,
+    * cells assigned by the two-level codebook ([[KMeans
+    * .trainHierarchical]]) — 256×256 = 65536 cells at 512-cosine
+    * per-row assignment cost, which is the nlist range the SemDeDup
+    * paper actually uses on web corpora.
+    */
+  def semDedupHier(vecs: DataFrame, threshold: Double,
+                   codebook: (Array[Array[Double]], Array[Array[Array[Double]]]))
+      : DataFrame =
+    semDedupByCell(vecs, threshold, graft.functions.Centroids
+      .hierarchicalAssign(col("embedding"), codebook._1, codebook._2))
+
+  private def semDedupByCell(vecs: DataFrame, threshold: Double,
+                             cell: org.apache.spark.sql.Column): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"), cell.as("cell"))
     val a = v.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val dropped = a.join(

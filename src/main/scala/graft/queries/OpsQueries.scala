@@ -410,6 +410,32 @@ object OpsQueries {
              |WHERE q.vec_id < 20
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // Hierarchical (two-level coarse/fine) IVF — the composition that
+    // carries IVF past one codebook's O(nlist·dim) per-row price:
+    // nearest coarse cell, then nearest fine centroid within it, global
+    // fine cell as the join key (16×16 here = up to 256 cells at
+    // 32-cosine cost; 256×256 = 65536 cells would price like 512).
+    // Same machinery gate as n06: probing EVERY cell (nprobeCoarse=16,
+    // nprobe=256) must reproduce exact brute-force top-k — a vector
+    // lost, duplicated, or mis-offset by the two-level assign/probe
+    // id pairing breaks the equality.
+    QueryDef("n07_ann_ivf_hier",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cb = KMeans.trainHierarchical(e, "vec_id", "embedding",
+          nCoarse = 16, nFine = 16, iters = 5)
+        Similarity.ivfTopKHier(e.filter(col("vec_id") < 20), e, k = 5,
+            codebook = cb, nprobeCoarse = 16, nprobe = 256)
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |             c.vec_id) AS rank
+             |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin)),
+
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
       (s, dir) => docs(s, dir).select(col("doc_id"),

@@ -99,6 +99,47 @@ class KMeansSpec extends SparkSpec {
     (plan.split("cosine_similarity").length - 1) should be <= 1
   }
 
+  test("hierarchical IVF: probe-all == brute force; cells partition") {
+    val vecs = randVecs(300, 32, 17)
+    val cb = KMeans.trainHierarchical(vecs, "vec_id", "embedding",
+      nCoarse = 8, nFine = 8, iters = 3)
+    val (coarse, fine) = cb
+    coarse.length shouldBe 8
+    fine.length shouldBe 8
+    // assignment is total and in-range: ids in [1, totalFine], all rows
+    val totalFine = fine.map(_.length).sum
+    val cells = vecs.select(Centroids
+      .hierarchicalAssign($"embedding", coarse, fine).as("cell"))
+    cells.filter($"cell" < 1 || $"cell" > totalFine).count() shouldBe 0L
+    cells.count() shouldBe 300L
+    // probe-all equality with exact brute force (the machinery gate:
+    // a lost/duplicated/mis-offset vector breaks it)
+    val q = vecs.filter($"vec_id" < 5)
+    val hier = Similarity.ivfTopKHier(q, vecs, k = 3, codebook = cb,
+        nprobeCoarse = 8, nprobe = totalFine)
+      .select("q_id", "n_id", "rank")
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .select("q_id", "n_id", "rank")
+    hier.exceptAll(exact).count() shouldBe 0L
+    exact.exceptAll(hier).count() shouldBe 0L
+  }
+
+  test("hierarchical assignment at 64x64 virtual cells plans as ONE node") {
+    val dir = java.nio.file.Files.createTempDirectory("hiercells").toString
+    randVecs(80, 16, 23).write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    // 64×64 = 4096 virtual cells — far past the round-3 Janino ceiling
+    // for the flat array-of-cosines formulation
+    val cb = KMeans.trainHierarchical(vecs, "vec_id", "embedding",
+      nCoarse = 64, nFine = 64, iters = 1)
+    val df = Similarity.ivfTopKHier(vecs.filter($"vec_id" < 2), vecs,
+      k = 2, codebook = cb, nprobeCoarse = 4, nprobe = 16)
+    val plan = df.queryExecution.optimizedPlan.toString
+    (plan.split("centroid_hier_assign").length - 1) should (be >= 1 and be <= 3)
+    (plan.split("centroid_hier_probes").length - 1) should (be >= 1 and be <= 3)
+    df.count() should be >= 0L // and it executes (codegen compiles)
+  }
+
   test("semDedup with trained centroids keeps a valid exemplar set") {
     val r = new scala.util.Random(31)
     val base = Array.fill(16)(r.nextGaussian().toFloat)
@@ -117,6 +158,29 @@ class KMeansSpec extends SparkSpec {
     // kept rows form an antichain within each cell at the threshold
     val v = vecs.select($"vec_id", $"embedding",
       Centroids.centroidAssign($"embedding", cb).as("cell"))
+    val k = kept.join(v.select("vec_id", "embedding"), "vec_id")
+    val pairs = k.as("a").join(k.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .filter(Similarity.cosine($"a.embedding", $"b.embedding") >= 0.95)
+    pairs.count() shouldBe 0L
+  }
+
+  test("semDedupHier: same drop semantics through two-level cells") {
+    val r = new scala.util.Random(37)
+    val base = Array.fill(16)(r.nextGaussian().toFloat)
+    val vecs = (0L until 60L).map { i =>
+      val v = if (i % 3 == 0) base.map(x => x + 0.001f * r.nextGaussian().toFloat)
+              else Array.fill(16)(r.nextGaussian().toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cb = KMeans.trainHierarchical(vecs, "vec_id", "embedding",
+      nCoarse = 4, nFine = 4, iters = 5)
+    val kept = Similarity.semDedupHier(vecs, threshold = 0.95, codebook = cb)
+    kept.filter($"vec_id" === 0).count() shouldBe 1L
+    kept.count() should be < 60L
+    // survivors form an antichain within each global cell
+    val v = vecs.select($"vec_id", $"embedding",
+      Centroids.hierarchicalAssign($"embedding", cb._1, cb._2).as("cell"))
     val k = kept.join(v.select("vec_id", "embedding"), "vec_id")
     val pairs = k.as("a").join(k.as("b"),
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
