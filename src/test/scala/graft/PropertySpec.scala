@@ -94,4 +94,38 @@ class PropertySpec extends SparkSpec {
       else math.abs(pairs(0).getAs[Double]("est_jaccard") - trueJ) <= 0.25
     })
   }
+
+  test("property: hierarchical centroid invariants on random codebooks") {
+    // (1) degenerate two-level == flat: with ONE coarse cell, hierAssign
+    //     must equal CentroidAssign over that cell's fine codebook;
+    // (2) the assigned cell is always among the probes when every
+    //     coarse cell and fine centroid is probed (no id mis-pairing).
+    import graft.functions.Centroids
+    val gen = for {
+      dim <- Gen.choose(4, 12)
+      nFine <- Gen.choose(2, 6)
+      nCoarse <- Gen.choose(2, 5)
+      seed <- Gen.choose(0L, 10000L)
+    } yield (dim, nFine, nCoarse, seed)
+    checkProp(Prop.forAll(gen) { case (dim, nFine, nCoarse, seed) =>
+      val r = new scala.util.Random(seed)
+      def vec() = Array.fill(dim)(r.nextGaussian())
+      val vecs = (0L until 40L).map(i => (i, vec().map(_.toFloat)))
+        .toDF("vec_id", "embedding")
+      val flatCb = Array.fill(nFine)(vec())
+      val degenerate = vecs.select(
+        Centroids.hierarchicalAssign($"embedding", Array(vec()),
+          Array(flatCb)).as("hier"),
+        Centroids.centroidAssign($"embedding", flatCb).as("flat"))
+      val coarse = Array.fill(nCoarse)(vec())
+      val fine = Array.fill(nCoarse)(Array.fill(nFine)(vec()))
+      val total = nCoarse * nFine
+      val membership = vecs.select(
+        Centroids.hierarchicalAssign($"embedding", coarse, fine).as("cell"),
+        Centroids.hierarchicalProbes($"embedding", coarse, fine,
+          nCoarse, total).as("probes"))
+      degenerate.filter($"hier" =!= $"flat").count() == 0L &&
+        membership.filter(!array_contains($"probes", $"cell")).count() == 0L
+    })
+  }
 }
