@@ -49,4 +49,42 @@ object Audit {
     }
     dfs.reduce(_ unionByName _)
   }
+
+  /** Batch-continuity audit for an SCD2 dimension after an incremental
+    * batch apply (the TPC-DI audit-phase invariants, applied to
+    * [[Warehouse.applyBatch2]]'s output): one row per check with its
+    * violation count —
+    *
+    *  - `one_current_per_entity`: exactly one `is_current` version per
+    *    entity (counts entities violating it);
+    *  - `no_version_overlap`: within an entity ordered by
+    *    effective_timestamp, each version ends before the next begins;
+    *  - `current_is_open`: every current version carries the sentinel
+    *    end timestamp.
+    *
+    * One window pass keyed by the entity — the dimension's own
+    * partitioning, no extra shuffle shape.
+    */
+  def scd2Continuity(dim: DataFrame, idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(col("effective_timestamp"), col("end_timestamp"))
+    val v = dim.withColumn("__next_eff",
+      lead(col("effective_timestamp"), 1).over(w))
+    def cnt(name: String, violations: org.apache.spark.sql.Column) =
+      v.agg(sum(when(violations, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+    val oneCurrent = dim.groupBy(idCols.map(col): _*)
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("__n_cur"))
+      .agg(sum(when(col("__n_cur") =!= 1L, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("one_current_per_entity").as("check"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+    oneCurrent
+      .unionByName(cnt("no_version_overlap",
+        col("__next_eff").isNotNull && col("end_timestamp") >= col("__next_eff")))
+      .unionByName(cnt("current_is_open",
+        col("is_current") &&
+          col("end_timestamp") =!= lit(graft.engine.Scd2.SentinelEnd).cast("timestamp")))
+  }
 }

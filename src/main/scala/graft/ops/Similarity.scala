@@ -237,17 +237,60 @@ object Similarity {
              codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
-    val cb: Array[Array[Double]] = codebook.getOrElse {
-      val seeds = firstVectors(corpus, ks)
-      // codebook[j] = flattened ks centroids for subspace j
-      Array.tabulate(m)(j => seeds.flatMap(v => v.slice(j * sub, (j + 1) * sub)))
-    }
+    val cb = codebook.getOrElse(defaultPqCodebook(corpus, m, ks, sub))
     val c = corpus.select(col("vec_id").as("n_id"),
       graft.functions.PqColumns.pqEncode(col("embedding"), cb, sub)
         .as("codes"))
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", graft.functions.PqColumns.pqAdc(
+        col("q_emb"), col("codes"), cb, sub))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "adc")
+  }
+
+  /** Deterministic seed PQ codebook (subvectors of the first ks corpus
+    * vectors) — the scheme the n05 recall gate replays.
+    */
+  private def defaultPqCodebook(corpus: DataFrame, m: Int, ks: Int,
+                                sub: Int): Array[Array[Double]] = {
+    val seeds = firstVectors(corpus, ks)
+    // codebook[j] = flattened ks centroids for subspace j
+    Array.tabulate(m)(j => seeds.flatMap(v => v.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** IVF+PQ (the FAISS IVFPQ shape): corpus vectors carry a cell id
+    * (CentroidAssign) AND a compressed PQ code; a query probes its
+    * nprobe nearest cells and ADC-ranks only those cells' CODES. The
+    * two compressions compound: candidate count drops by
+    * ~nprobe/nlist and each candidate is 16× smaller than its floats —
+    * at 100 TB this is the difference between scanning the corpus and
+    * scanning a few-GB slice of byte codes. Probing every cell makes
+    * it exactly [[pqTopK]] (gate n08); partial probes trade recall for
+    * the cell cut, exactly as [[ivfTopK]] does over raw vectors.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ks: Int = 16, dim: Int = 64,
+                centroids: Option[Array[Array[Double]]] = None,
+                codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cellCb = centroids.getOrElse(firstVectors(corpus, nlist))
+    val cb = codebook.getOrElse(defaultPqCodebook(corpus, m, ks, sub))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      graft.functions.Centroids.centroidAssign(col("embedding"), cellCb)
+        .as("cell"),
+      graft.functions.PqColumns.pqEncode(col("embedding"), cb, sub)
+        .as("codes"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      explode(graft.functions.Centroids.centroidProbes(col("embedding"),
+        cellCb, nprobe)).as("cell"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", graft.functions.PqColumns.pqAdc(
         col("q_emb"), col("codes"), cb, sub))
       .withColumn("rank", row_number().over(

@@ -199,6 +199,31 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // IVF+PQ composition (FAISS IVFPQ): probed cells cut the candidate
+    // set, PQ codes cut the bytes per candidate. Gate: probing EVERY
+    // cell must reproduce the exhaustive pqTopK scan EXACTLY (same
+    // deterministic codebooks, same ADC, same tie-break) — per-query
+    // boolean, d03/n05 literal-oracle precedent. A cell that loses or
+    // duplicates a code breaks it.
+    QueryDef("n08_ann_ivfpq",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val pq = Similarity.pqTopK(q, e, 5, m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val ivfpq = Similarity.ivfPqTopK(q, e, 5, nlist = 32, nprobe = 32,
+            m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val joint = pq.withColumnRenamed("rank", "rank_pq")
+          .join(ivfpq.withColumnRenamed("rank", "rank_ivfpq"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_pq") === col("rank_ivfpq"), 1)
+            .otherwise(0))).as("probe_all_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Embedding int8 quantization + L2 norm, exploded to scalars (array
     // columns break the driver's pandas hasher). Every arithmetic step
     // is double-precision IEEE in a fixed left-to-right order on both

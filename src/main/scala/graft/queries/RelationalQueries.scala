@@ -54,8 +54,34 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TradesFixture]
   private val auditFactMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private val q47Memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // (refreshed-by-applyBatch2 models, full-rebuild models) per
+  // (session, dir) — shared by q47 (equality diff) and q48 (continuity
+  // audit) so the warehouse chains build and cache once
+  private val batch2Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Map[String, DataFrame], Map[String, DataFrame])]
+
+  private def batch2Fixture(s: SparkSession, dir: String)
+      : (Map[String, DataFrame], Map[String, DataFrame]) =
+    batch2Memo.getOrElseUpdate((s, dir), {
+      val src = warehouseSources(s, dir)
+      val cut = lit("1996-01-01").cast("timestamp")
+      val b1 = src ++ Map(
+        "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") < cut),
+        "trade" -> src("trade").filter(col("t_dts") < cut),
+        "trade_history" -> src("trade_history").filter(col("th_dts") < cut))
+      val b2 = Map(
+        "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") >= cut),
+        "trade" -> src("trade").filter(col("t_dts") >= cut),
+        "trade_history" -> src("trade_history").filter(col("th_dts") >= cut))
+      // caching materializer: the compared models share their upstream
+      // silver/gold chains — without it each comparison re-derives
+      // accounts/customers/dim_* from the raw log
+      val cacheMat = (_: String, df: DataFrame) => df.cache()
+      val refreshed = graft.models.Warehouse.applyBatch2(
+        new graft.models.Warehouse(b1, cacheMat), b2, cacheMat)
+      val full = new graft.models.Warehouse(src, cacheMat).all.toMap
+      (refreshed, full)
+    })
 
   private def tradesFixture(s: SparkSession, dir: String): TradesFixture =
     fixtureMemo.getOrElseUpdate((s, dir), buildTradesFixture(s, dir))
@@ -1370,24 +1396,8 @@ object RelationalQueries {
     // counts, all required zero — the q34 literal-oracle pattern. The
     // kernels themselves are DuckDB-gated in q27/q32.
     QueryDef("q47_warehouse_batch2",
-      (s, dir) => q47Memo.getOrElseUpdate((s, dir), {
-        val src = warehouseSources(s, dir)
-        val cut = lit("1996-01-01").cast("timestamp")
-        val b1 = src ++ Map(
-          "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") < cut),
-          "trade" -> src("trade").filter(col("t_dts") < cut),
-          "trade_history" -> src("trade_history").filter(col("th_dts") < cut))
-        val b2 = Map(
-          "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") >= cut),
-          "trade" -> src("trade").filter(col("t_dts") >= cut),
-          "trade_history" -> src("trade_history").filter(col("th_dts") >= cut))
-        // caching materializer: the 8 compared models share their
-        // upstream silver/gold chains — without it each comparison
-        // re-derives accounts/customers/dim_* from the raw log
-        val cacheMat = (_: String, df: DataFrame) => df.cache()
-        val refreshed = graft.models.Warehouse.applyBatch2(
-          new graft.models.Warehouse(b1, cacheMat), b2, cacheMat)
-        val full = new graft.models.Warehouse(src, cacheMat).all.toMap
+      (s, dir) => {
+        val (refreshed, full) = batch2Fixture(s, dir)
         Seq("accounts", "customers", "dim_customer", "dim_account",
             "trades_history", "trades", "dim_trade", "fact_trade").map { m =>
           // one-pass signed multiset diff (±1 per side, net 0 per row
@@ -1403,7 +1413,7 @@ object RelationalQueries {
             .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("n_mismatch"))
             .select(lit(m).as("model"), col("n_mismatch"))
         }.reduce(_.unionByName(_))
-      }),
+      },
       Some("""SELECT 'accounts' AS model, 0 AS n_mismatch UNION ALL
              |SELECT 'customers', 0 UNION ALL
              |SELECT 'dim_customer', 0 UNION ALL
@@ -1411,6 +1421,36 @@ object RelationalQueries {
              |SELECT 'trades_history', 0 UNION ALL
              |SELECT 'trades', 0 UNION ALL
              |SELECT 'dim_trade', 0 UNION ALL
-             |SELECT 'fact_trade', 0""".stripMargin))
+             |SELECT 'fact_trade', 0""".stripMargin)),
+
+    // Batch-continuity audit over the SAME applyBatch2 output q47
+    // gates for equality (shared fixture): the TPC-DI audit-phase SCD2
+    // invariants — exactly one current version per entity, no version
+    // overlap within an entity, every current version open-ended — on
+    // the incrementally-merged accounts and customers dims, plus the
+    // fact grain staying unique through the merge. All violation
+    // counts required zero (q34 literal-oracle pattern).
+    QueryDef("q48_batch2_audit",
+      (s, dir) => {
+        val (refreshed, _) = batch2Fixture(s, dir)
+        def tagged(dim: String, ids: Seq[String]) =
+          graft.models.Audit.scd2Continuity(refreshed(dim), ids)
+            .select(concat(lit(dim + ":"), col("check")).as("check"),
+              col("n_violations"))
+        tagged("accounts", Seq("account_id"))
+          .unionByName(tagged("customers", Seq("customer_id")))
+          .unionByName(
+            graft.models.Audit.unique(refreshed("fact_trade"), Seq("sk_trade_id"))
+              .agg(count(lit(1)).as("n_violations"))
+              .select(lit("fact_trade:unique_grain").as("check"),
+                col("n_violations")))
+      },
+      Some("""SELECT 'accounts:one_current_per_entity' AS "check", 0 AS n_violations UNION ALL
+             |SELECT 'accounts:no_version_overlap', 0 UNION ALL
+             |SELECT 'accounts:current_is_open', 0 UNION ALL
+             |SELECT 'customers:one_current_per_entity', 0 UNION ALL
+             |SELECT 'customers:no_version_overlap', 0 UNION ALL
+             |SELECT 'customers:current_is_open', 0 UNION ALL
+             |SELECT 'fact_trade:unique_grain', 0""".stripMargin))
   )
 }

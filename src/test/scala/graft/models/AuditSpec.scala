@@ -41,4 +41,33 @@ class AuditSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rep shouldBe Map("child" -> 4L, "parent" -> 3L)
   }
+
+  test("scd2Continuity: clean dim passes, each planted defect is counted") {
+    val sentinel = ts(graft.engine.Scd2.SentinelEnd)
+    def dim(rows: (Long, String, String, Boolean)*) =
+      rows.toSeq.map { case (id, eff, end, cur) =>
+        (id, ts(eff), if (end == "max") sentinel else ts(end), cur)
+      }.toDF("id", "effective_timestamp", "end_timestamp", "is_current")
+
+    val clean = dim(
+      (1L, "2020-01-01 00:00:00", "2020-05-31 23:59:59.999", false),
+      (1L, "2020-06-01 00:00:00", "max", true),
+      (2L, "2020-02-01 00:00:00", "max", true))
+    Audit.scd2Continuity(clean, Seq("id"))
+      .collect().foreach(_.getAs[Long]("n_violations") shouldBe 0L)
+
+    val dirty = dim(
+      // entity 1: two current versions AND overlapping ranges
+      (1L, "2020-01-01 00:00:00", "2020-07-31 23:59:59.999", true),
+      (1L, "2020-06-01 00:00:00", "max", true),
+      // entity 2: current version not open-ended (also counts as its
+      // entity's only current, so one_current stays clean for it)
+      (2L, "2020-02-01 00:00:00", "2020-03-01 00:00:00", true))
+    val got = Audit.scd2Continuity(dirty, Seq("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got("one_current_per_entity") shouldBe 1L
+    got("no_version_overlap") shouldBe 1L
+    // entity 1's first version (current, closed end) + entity 2's row
+    got("current_is_open") shouldBe 2L
+  }
 }

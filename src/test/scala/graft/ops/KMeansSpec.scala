@@ -188,6 +188,25 @@ class KMeansSpec extends SparkSpec {
     pairs.count() shouldBe 0L
   }
 
+  test("ivfPqTopK: probe-all == exhaustive pqTopK; trained codebooks work") {
+    val vecs = randVecs(200, 32, 41)
+    val q = vecs.filter($"vec_id" < 4)
+    val pq = Similarity.pqTopK(q, vecs, k = 3, m = 8, ks = 16, dim = 32)
+      .select("q_id", "n_id", "rank")
+    val ivfpq = Similarity.ivfPqTopK(q, vecs, k = 3, nlist = 16, nprobe = 16,
+        m = 8, ks = 16, dim = 32)
+      .select("q_id", "n_id", "rank")
+    ivfpq.exceptAll(pq).count() shouldBe 0L
+    pq.exceptAll(ivfpq).count() shouldBe 0L
+    // trained cells + trained codes execute and keep the row contract
+    val cells = KMeans.trainCentroids(vecs, "vec_id", "embedding", 16, iters = 2)
+    val codes = KMeans.trainPqCodebook(vecs, "vec_id", "embedding",
+      m = 8, ks = 16, dim = 32, iters = 2)
+    val partial = Similarity.ivfPqTopK(q, vecs, k = 3, nlist = 16, nprobe = 4,
+      m = 8, ks = 16, dim = 32, centroids = Some(cells), codebook = Some(codes))
+    partial.groupBy("q_id").count().collect().foreach(_.getLong(1) should be <= 3L)
+  }
+
   test("trainPqCodebook: layout + trained codes beat-or-match seeds on recall") {
     val r = new scala.util.Random(17)
     val vecs = (0L until 200L).map(i =>
