@@ -177,6 +177,43 @@ object TextOps {
     * counts, emitted rounded; ranking uses the raw score with a term
     * tie-break so the cut is total.
     */
+  /** CCNet-style unigram language-model scoring — the
+    * perplexity-filtering signal of web-corpus curation: each document
+    * gets its mean log-probability under a unigram LM whose vocabulary
+    * is the corpus' own top `vocabSize` words, plus the exact integer
+    * skeleton (token count, OOV count) that drives coverage filters.
+    *
+    * Scale shape: the vocabulary is a bounded TakeOrderedAndProject
+    * (count desc, word tie-break — deterministic) broadcast to the
+    * scoring join, so the per-token lookup never shuffles the Zipfian
+    * token stream; corpus total joins in as a broadcast one-row
+    * aggregate. The float score is a per-doc aggregate of logs —
+    * order-dependent in the last ULPs like any float sum, so the
+    * cross-engine gate (t12) carries the exact integer columns and the
+    * score's semantics are spec-pinned (`TextOpsSpec`).
+    */
+  def unigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, vocabSize: Int = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val id = col(idCol)
+    val words = df.select(id, explode(filter(
+        split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")).as("__word"))
+    val counts = words.groupBy("__word").agg(count(lit(1)).as("__c"))
+    val vocab = org.apache.spark.sql.functions.broadcast(
+      counts.orderBy(col("__c").desc, col("__word")).limit(vocabSize))
+    val total = counts.agg(sum("__c").as("__total"))
+    words.join(vocab, Seq("__word"), "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("n_oov"),
+        // add-half smoothing for OOV; mean log P(w) = mean log c_w - log N
+        (sum(log(coalesce(col("__c").cast("double"), lit(0.5)))) /
+          count(lit(1)) - log(max(col("__total")).cast("double")))
+          .as("avg_logprob"))
+  }
+
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
             idCol: String, topN: Int = 5): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

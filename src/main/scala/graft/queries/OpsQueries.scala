@@ -461,6 +461,29 @@ object OpsQueries {
              |WHERE q.vec_id < 20
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // CCNet-style unigram LM scoring (perplexity filtering): vocabulary
+    // = corpus' own top-V words (bounded ordered take, word tie-break),
+    // broadcast to the per-token lookup. The gate carries the exact
+    // integer skeleton (n_tokens, n_oov) — the float mean-log-prob is a
+    // multi-row float sum, order-dependent in final ULPs across
+    // engines, so its semantics are pinned in TextOpsSpec instead.
+    QueryDef("t12_unigram_lm",
+      (s, dir) => TextOps.unigramScore(docs(s, dir), "doc_id", "text",
+          vocabSize = 64)
+        .select("doc_id", "n_tokens", "n_oov"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+             |  FROM documents),
+             |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+             |c AS (SELECT word, count(*) AS c FROM w2 GROUP BY 1),
+             |v AS (SELECT word FROM c ORDER BY c DESC, word LIMIT 64)
+             |SELECT w2.doc_id, count(*) AS n_tokens,
+             |  cast(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov
+             |FROM w2 LEFT JOIN v ON w2.word = v.word
+             |GROUP BY 1""".stripMargin)),
+
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
       (s, dir) => docs(s, dir).select(col("doc_id"),

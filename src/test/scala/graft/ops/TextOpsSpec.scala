@@ -34,6 +34,28 @@ class TextOpsSpec extends SparkSpec {
     out(2).getInt(0) shouldBe 0
   }
 
+  test("unigramScore: exact counts, closed-form scores, quality ordering") {
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "zyx qwv unusual rarity"),
+      (3L, "the cat")).toDF("doc_id", "text")
+    // counts: the=4 cat=2 zyx/qwv/unusual/rarity=1; total=10; vocab(2)={the,cat}
+    val got = TextOps.unigramScore(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    got.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq(4L, 4L, 2L)
+    got.map(_.getAs[Long]("n_oov")).toSeq shouldBe Seq(0L, 4L, 0L)
+    val s = got.map(_.getAs[Double]("avg_logprob"))
+    s(0) shouldBe ((3 * math.log(4) + math.log(2)) / 4 - math.log(10)) +- 1e-12
+    s(1) shouldBe (math.log(0.5) - math.log(10)) +- 1e-12
+    s(2) shouldBe ((math.log(4) + math.log(2)) / 2 - math.log(10)) +- 1e-12
+    // the filtering signal: common-vocab docs outrank rare-word docs —
+    // and repeating the top word RAISES the unigram score (doc1 > doc3),
+    // which is exactly why perplexity filters pair with repetition
+    // filters (t09) in real curation stacks
+    s(0) should be > s(2)
+    s(2) should be > s(1)
+  }
+
   test("tfidf ranks corpus-distinctive terms above common ones") {
     val df = Seq(
       (1L, "zebra zebra zebra common common"),
