@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
   *                by downstream models
   */
 final class Warehouse(val sources: Map[String, DataFrame],
-                      mat: (String, DataFrame) => DataFrame = (_, df) => df) {
+                      mat: (String, DataFrame) => DataFrame = (_, df) => df,
+                      overrides: Map[String, DataFrame] = Map.empty) {
 
-  private def m(name: String)(df: => DataFrame): DataFrame = mat(name, df)
+  /** `overrides` replaces a model wholesale (its upstream plan is never
+    * built) — how [[Warehouse.applyBatch2]] makes DOWNSTREAM models read
+    * the incrementally-merged dims instead of re-deriving full rebuilds.
+    */
+  private def m(name: String)(df: => DataFrame): DataFrame =
+    overrides.getOrElse(name, mat(name, df))
 
   // ---- bronze (models/bronze/, pass-throughs + typing) -----------------
   lazy val brokerageCashTransaction: DataFrame = m("brokerage_cash_transaction")(sources("cash_transaction"))
@@ -193,9 +199,19 @@ object Warehouse {
     *    grain key via [[Incremental.mergeFactBatch]] — at 100 TB this is
     *    the difference between recomputing a few million late trades and
     *    re-reading every fact input.
-    *  - every other model: recomputed from the unioned sources
-    *    (reference-style full refresh; those inputs are reference/lookup
-    *    tables or streams the driver data cannot split meaningfully).
+    *  - every other model: recomputed from the unioned sources, READING
+    *    the merged dims above (they are injected as model `overrides`
+    *    into the recompute DAG — downstream facts like
+    *    fact_cash_transactions join the incrementally-merged
+    *    dim_account, and nothing re-derives a merged model's upstream
+    *    from the raw log a second time).
+    *
+    * A delta touching any OTHER source (a lookup table like tax_rate or
+    * trade_type, a non-incremental stream) degrades the whole apply to
+    * a plain full refresh over the unioned sources: a new lookup row
+    * changes the joined values of UNTOUCHED entities, which no
+    * entity-scoped merge can see — correctness first, incrementality
+    * only where the dependency structure proves it.
     *
     * Assumes standard warehouse batch semantics: delta timestamps are
     * not earlier than the batch1 watermark (TPC-DI batches are strictly
@@ -211,6 +227,12 @@ object Warehouse {
     val unioned = batch1.map { case (k, v) =>
       k -> batch2.get(k).map(v.unionByName(_)).getOrElse(v)
     }
+    val incrementalSources = Set("customer_mgmt", "trade", "trade_history")
+    if (!batch2.keySet.subsetOf(incrementalSources))
+      return new Warehouse(unioned, mat).all.toMap
+
+    // aux DAG over the unioned sources for the dims the merge paths
+    // read but don't maintain incrementally (HR/FINWIRE-derived)
     val whFull = new Warehouse(unioned, mat)
 
     // silver SCD2 dims: merge the CRM delta actions
@@ -270,9 +292,15 @@ object Warehouse {
             .drop("trade_id"))
       }
 
-    whFull.all.toMap ++ tradeModels ++ Map(
+    // final DAG: the merged models are injected as overrides, so every
+    // remaining model's recompute reads THEM (fact_cash_transactions →
+    // merged dim_account, fact_holdings → merged trades/dim_trade, …)
+    // instead of re-deriving full rebuilds of their upstreams
+    val merged = tradeModels ++ Map(
       "accounts" -> accounts2, "customers" -> customers2,
-      "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2)
+      "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2,
+      "dim_broker" -> whFull.dimBroker, "dim_security" -> whFull.dimSecurity)
+    new Warehouse(unioned, mat, overrides = merged).all.toMap
   }
 
   /** [[applyBatch2]] straight from batch directories (DIGen-style file

@@ -132,7 +132,11 @@ object KMeans {
         if (counts(j) > 0) centroids(j) = l2normalize(sums(j))
         else {
           // reseed an empty cluster to the point farthest from its own
-          // centroid (lowest best-sim, first on ties) — deterministic
+          // centroid (lowest best-sim, first on ties) — deterministic.
+          // Claim the point (assignment(worst) = j) so a SECOND empty
+          // cluster in the same sweep sees it at sim 1.0 and reseeds to
+          // a different point — otherwise every empty cluster this
+          // sweep duplicates the same centroid.
           var worst = 0; var worstS = Double.MaxValue
           i = 0
           while (i < n) {
@@ -141,6 +145,7 @@ object KMeans {
             i += 1
           }
           centroids(j) = pts(worst).clone()
+          assignment(worst) = j
         }
         j += 1
       }
@@ -276,6 +281,8 @@ object KMeans {
           while (t < dim) { m(t) /= counts(j); t += 1 }
           centroids(j) = m
         } else {
+          // see fitSpherical: claim the reseed point so multiple empty
+          // clusters in one sweep get distinct seeds
           var worst = 0; var worstD = -1.0
           i = 0
           while (i < n) {
@@ -284,6 +291,7 @@ object KMeans {
             i += 1
           }
           centroids(j) = sample(worst).clone()
+          assignment(worst) = j
         }
         j += 1
       }

@@ -63,38 +63,56 @@ object Multimodal {
       if (counts(d) == 0) 0f else (sums(d).toDouble / counts(d)).toFloat)
   }
 
+  /** Pixel-count ceiling for the decoder (256 megapixels ≈ 1 GiB of
+    * ARGB ints): a header claiming absurd-but-parseable dimensions must
+    * fall back to the stub tier, not drive an unbounded allocation on
+    * an executor.
+    */
+  val MaxDecodePixels: Long = 256L * 1024 * 1024
+
   /** REAL image decode (BMP/PNG via `javax.imageio`, pure JVM) into the
     * fixed 8-dim feature layout:
     * `[width, height, channels, mean_r, mean_g, mean_b, mean_gray,
     * n_pixels]`. Returns None when the payload is not a decodable
-    * image (no reader claims the magic bytes), so callers can fall
-    * back to the stub tier.
+    * image, so callers fall back to the stub tier. Catches NonFatal,
+    * not just IOException: on web-scale data malformed headers make
+    * ImageIO throw IllegalArgument/NegativeArraySize/IndexOutOfBounds
+    * too, and ONE bad row must not fail the task (and with it, after
+    * retries, a 100 TB job). Pixels are read a ROW at a time via the
+    * bulk getRGB overload — the per-pixel getRGB path pays virtual
+    * dispatch + color conversion per pixel, 10-100× slower on real
+    * photos for identical statistics.
     */
   def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
-    if (img == null) None
-    else {
-      val w = img.getWidth; val h = img.getHeight
-      val ch = img.getColorModel.getNumComponents
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-          x += 1
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+        else {
+          val ch = img.getColorModel.getNumComponents
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Some(Array(w.toFloat, h.toFloat, ch.toFloat,
+            (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+            (sb.toDouble / n).toFloat,
+            ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat))
         }
-        y += 1
       }
-      val n = w.toLong * h
-      Some(Array(w.toFloat, h.toFloat, ch.toFloat,
-        (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
-        (sb.toDouble / n).toFloat,
-        ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat))
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Encode a solid-color BMP (the fixture generator for the real-decode

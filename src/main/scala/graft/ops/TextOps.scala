@@ -199,11 +199,17 @@ object TextOps {
     val id = col(idCol)
     val words = df.select(id, explode(filter(
         split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")).as("__word"))
+    // ONE tokenization pass builds the LM: `counts` is materialized
+    // (localCheckpoint — small: one row per distinct word) so the vocab
+    // take and the corpus total both read it instead of re-tokenizing
+    // the corpus; the scoring join below is then the only other scan of
+    // the text column.
     val counts = words.groupBy("__word").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val vocab = org.apache.spark.sql.functions.broadcast(
       counts.orderBy(col("__c").desc, col("__word")).limit(vocabSize))
     val total = counts.agg(sum("__c").as("__total"))
-    words.join(vocab, Seq("__word"), "left")
+    val scored = words.join(vocab, Seq("__word"), "left")
       .crossJoin(org.apache.spark.sql.functions.broadcast(total))
       .groupBy(id)
       .agg(count(lit(1)).as("n_tokens"),
@@ -212,6 +218,12 @@ object TextOps {
         (sum(log(coalesce(col("__c").cast("double"), lit(0.5)))) /
           count(lit(1)) - log(max(col("__total")).cast("double")))
           .as("avg_logprob"))
+    // zero-token docs (empty/whitespace text) never reach the explode;
+    // pin them with explicit zero counts (null score) instead of
+    // silently dropping them from the output
+    df.select(id).distinct().join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("avg_logprob"))
   }
 
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,

@@ -477,12 +477,17 @@ object OpsQueries {
              |  FROM documents),
              |w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
              |c AS (SELECT word, count(*) AS c FROM w2 GROUP BY 1),
-             |v AS (SELECT word FROM c ORDER BY c DESC, word LIMIT 64)
-             |SELECT w2.doc_id, count(*) AS n_tokens,
-             |  cast(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_oov
-             |FROM w2 LEFT JOIN v ON w2.word = v.word
-             |GROUP BY 1""".stripMargin)),
+             |v AS (SELECT word FROM c ORDER BY c DESC, word LIMIT 64),
+             |s AS (
+             |  SELECT w2.doc_id, count(*) AS n_tokens,
+             |    sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+             |  FROM w2 LEFT JOIN v ON w2.word = v.word
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  cast(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             |  cast(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
 
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",

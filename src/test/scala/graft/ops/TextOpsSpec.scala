@@ -38,12 +38,15 @@ class TextOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "the the the cat"),
       (2L, "zyx qwv unusual rarity"),
-      (3L, "the cat")).toDF("doc_id", "text")
+      (3L, "the cat"),
+      (4L, "   ")).toDF("doc_id", "text")
     // counts: the=4 cat=2 zyx/qwv/unusual/rarity=1; total=10; vocab(2)={the,cat}
     val got = TextOps.unigramScore(docs, "doc_id", "text", vocabSize = 2)
       .orderBy("doc_id").collect()
-    got.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq(4L, 4L, 2L)
-    got.map(_.getAs[Long]("n_oov")).toSeq shouldBe Seq(0L, 4L, 0L)
+    // whitespace-only doc 4 is pinned with zeros, not dropped
+    got.map(_.getAs[Long]("n_tokens")).toSeq shouldBe Seq(4L, 4L, 2L, 0L)
+    got.map(_.getAs[Long]("n_oov")).toSeq shouldBe Seq(0L, 4L, 0L, 0L)
+    got(3).isNullAt(got(3).fieldIndex("avg_logprob")) shouldBe true
     val s = got.map(_.getAs[Double]("avg_logprob"))
     s(0) shouldBe ((3 * math.log(4) + math.log(2)) / 4 - math.log(10)) +- 1e-12
     s(1) shouldBe (math.log(0.5) - math.log(10)) +- 1e-12
