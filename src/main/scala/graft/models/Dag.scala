@@ -103,6 +103,48 @@ object Dag {
           Gold.wrkCompanyFinancials(d("financials"), d("dim_company")))))
   }
 
+  /** Source table key → the bronze model that scans it (the roots a
+    * source delta dirties in the DAG).
+    */
+  val sourceModel: Map[String, String] = Map(
+    "cash_transaction" -> "brokerage_cash_transaction",
+    "daily_market" -> "brokerage_daily_market",
+    "holding_history" -> "brokerage_holding_history",
+    "trade" -> "brokerage_trade",
+    "trade_history" -> "brokerage_trade_history",
+    "watch_history" -> "brokerage_watch_history",
+    "customer_mgmt" -> "crm_customer_mgmt",
+    "cmp" -> "finwire_company",
+    "fin" -> "finwire_financial",
+    "sec" -> "finwire_security",
+    "hr" -> "hr_employee",
+    "date" -> "reference_date",
+    "industry" -> "reference_industry",
+    "status_type" -> "reference_status_type",
+    "tax_rate" -> "reference_tax_rate",
+    "trade_type" -> "reference_trade_type",
+    "prospect" -> "syndicated_prospect")
+
+  /** Models transitively downstream of `roots` (inclusive) — structural
+    * only, no DataFrames touched. This is what lets an incremental
+    * batch apply skip every model whose upstream closure the delta
+    * can't reach ([[Warehouse.applyBatch2]]).
+    */
+  def downstream(roots: Set[String]): Set[String] = {
+    val ns = nodes(Map.empty)
+    var affected = roots
+    var changed = true
+    while (changed) {
+      changed = false
+      ns.foreach { n =>
+        if (!affected(n.name) && n.deps.exists(affected)) {
+          affected += n.name; changed = true
+        }
+      }
+    }
+    affected
+  }
+
   /** Materialize the whole DAG with `parallelism` concurrent model
     * builds. Returns per-model wall seconds (overlapping).
     */

@@ -199,9 +199,13 @@ object Warehouse {
     *    grain key via [[Incremental.mergeFactBatch]] — at 100 TB this is
     *    the difference between recomputing a few million late trades and
     *    re-reading every fact input.
-    *  - every other model: recomputed from the unioned sources, READING
-    *    the merged dims above (they are injected as model `overrides`
-    *    into the recompute DAG — downstream facts like
+    *  - models the delta cannot reach (upstream closure excludes every
+    *    delta source, per [[Dag.downstream]]): passed through from
+    *    `existing` VERBATIM — the FINWIRE/market/watch spines skip
+    *    entirely for a CRM+trades batch.
+    *  - every remaining affected model: recomputed from the unioned
+    *    sources, READING the merged dims above (injected as model
+    *    `overrides` into the recompute DAG — downstream facts like
     *    fact_cash_transactions join the incrementally-merged
     *    dim_account, and nothing re-derives a merged model's upstream
     *    from the raw log a second time).
@@ -231,9 +235,12 @@ object Warehouse {
     if (!batch2.keySet.subsetOf(incrementalSources))
       return new Warehouse(unioned, mat).all.toMap
 
-    // aux DAG over the unioned sources for the dims the merge paths
-    // read but don't maintain incrementally (HR/FINWIRE-derived)
-    val whFull = new Warehouse(unioned, mat)
+    // models the delta cannot reach (their upstream closure excludes
+    // every delta source) pass through from the existing warehouse
+    // untouched — at 100 TB the FINWIRE/market/watch spines skip
+    // entirely when only CRM + trades arrive in the batch
+    val existingByName = existing.all.toMap
+    val affected = Dag.downstream(batch2.keySet.map(Dag.sourceModel))
 
     // silver SCD2 dims: merge the CRM delta actions
     val (accounts2, customers2) = batch2.get("customer_mgmt") match {
@@ -248,8 +255,10 @@ object Warehouse {
     }
     val dimCustomer2 = mat("dim_customer",
       Gold.dimCustomer(customers2, unioned("prospect")))
+    // dim_broker/dim_security sit outside the delta's reach (guard
+    // above): the merge paths read them from the existing warehouse
     val dimAccount2 = mat("dim_account",
-      Gold.dimAccount(accounts2, dimCustomer2, whFull.dimBroker))
+      Gold.dimAccount(accounts2, dimCustomer2, existingByName("dim_broker")))
 
     // trades chain: rebuild the touched trades' full history, merge by key
     val tradeDelta = batch2.get("trade")
@@ -272,7 +281,7 @@ object Warehouse {
             unioned("trade_type"), unioned("status_type")))
         val dimTradeTouched = mat("dim_trade_touched", Gold.dimTrade(thTouched))
         val factTouched = Gold.factTrade(Silver.trades(thTouched),
-            dimTradeTouched, dimAccount2, whFull.dimSecurity)
+            dimTradeTouched, dimAccount2, existingByName("dim_security"))
           .join(dimTradeTouched.select(col("sk_trade_id"), col("trade_id")),
             Seq("sk_trade_id"))
         // existing fact lacks the grain key — recover it through
@@ -292,15 +301,19 @@ object Warehouse {
             .drop("trade_id"))
       }
 
-    // final DAG: the merged models are injected as overrides, so every
-    // remaining model's recompute reads THEM (fact_cash_transactions →
-    // merged dim_account, fact_holdings → merged trades/dim_trade, …)
-    // instead of re-deriving full rebuilds of their upstreams
+    // final DAG: merged models and untouched pass-throughs are injected
+    // as overrides, so (a) every affected model's recompute reads the
+    // MERGED dims (fact_cash_transactions → merged dim_account,
+    // fact_holdings → merged trades/dim_trade, …), and (b) models the
+    // delta can't reach are the existing frames verbatim — nothing
+    // re-derives a full rebuild of anything
     val merged = tradeModels ++ Map(
       "accounts" -> accounts2, "customers" -> customers2,
-      "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2,
-      "dim_broker" -> whFull.dimBroker, "dim_security" -> whFull.dimSecurity)
-    new Warehouse(unioned, mat, overrides = merged).all.toMap
+      "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2)
+    val passThrough = existingByName.filter { case (n, _) =>
+      !affected(n) && !merged.contains(n)
+    }
+    new Warehouse(unioned, mat, overrides = passThrough ++ merged).all.toMap
   }
 
   /** [[applyBatch2]] straight from batch directories (DIGen-style file

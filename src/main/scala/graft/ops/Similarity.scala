@@ -299,6 +299,36 @@ object Similarity {
       .select("q_id", "n_id", "rank", "adc")
   }
 
+  /** Two-stage retrieval — the standard production ANN shape: a cheap
+    * compressed first stage ([[ivfPqTopK]]) over-fetches
+    * `candidateK` ≫ k candidates per query, then ONLY those candidates'
+    * raw vectors are fetched (one hash join on n_id) and re-ranked by
+    * exact cosine. At 100 TB the full-precision corpus is touched for
+    * ~candidateK rows per query instead of scanned; recall is governed
+    * by candidateK/nprobe, exactness of the final order by the re-rank.
+    * With the first stage probing everything and candidateK ≥ corpus,
+    * this IS brute force (gate n09).
+    */
+  def twoStageTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   candidateK: Int = 100,
+                   nlist: Int = 16, nprobe: Int = 4,
+                   m: Int = 8, ks: Int = 16, dim: Int = 64,
+                   centroids: Option[Array[Array[Double]]] = None,
+                   codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    val cands = ivfPqTopK(queries, corpus, candidateK, nlist, nprobe,
+        m, ks, dim, centroids, codebook)
+      .select(col("q_id"), col("n_id"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    cands.join(q, Seq("q_id")).join(c, Seq("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   /** SemDeDup-style semantic deduplication: cluster embeddings into
     * `nlist` cells (nearest-centroid assignment), then drop every vector
     * that has a SMALLER-id neighbor in the same cell with cosine

@@ -224,6 +224,26 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Two-stage retrieval (compressed candidate generation + exact
+    // re-rank): with the first stage probing every cell and candidateK
+    // covering the corpus, the result must equal exact brute force —
+    // the machinery gate for the candidate fetch-join + re-rank wiring.
+    // Partial-candidate recall behavior is spec-tested.
+    QueryDef("n09_two_stage_topk",
+      (s, dir) => {
+        val e = embs(s, dir)
+        Similarity.twoStageTopK(e.filter(col("vec_id") < 20), e, k = 5,
+            candidateK = 100000, nlist = 32, nprobe = 32, m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |             c.vec_id) AS rank
+             |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin)),
+
     // Embedding int8 quantization + L2 norm, exploded to scalars (array
     // columns break the driver's pandas hasher). Every arithmetic step
     // is double-precision IEEE in a fixed left-to-right order on both

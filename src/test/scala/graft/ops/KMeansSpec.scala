@@ -207,6 +207,24 @@ class KMeansSpec extends SparkSpec {
     partial.groupBy("q_id").count().collect().foreach(_.getLong(1) should be <= 3L)
   }
 
+  test("twoStageTopK: exhaustive candidates == brute force; narrow stays bounded") {
+    val vecs = randVecs(200, 32, 53)
+    val q = vecs.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .select("q_id", "n_id", "rank")
+    val wide = Similarity.twoStageTopK(q, vecs, k = 3, candidateK = 500,
+        nlist = 16, nprobe = 16, m = 8, ks = 16, dim = 32)
+      .select("q_id", "n_id", "rank")
+    wide.exceptAll(exact).count() shouldBe 0L
+    exact.exceptAll(wide).count() shouldBe 0L
+    // narrow candidate budget: contract holds (<= k rows, ranks 1..k,
+    // sims are TRUE cosines because the re-rank is exact)
+    val narrow = Similarity.twoStageTopK(q, vecs, k = 3, candidateK = 10,
+      nlist = 16, nprobe = 2, m = 8, ks = 16, dim = 32)
+    narrow.groupBy("q_id").count().collect().foreach(_.getLong(1) should be <= 3L)
+    narrow.select("rank").as[Int].collect().foreach(_ should be <= 3)
+  }
+
   test("trainPqCodebook: layout + trained codes beat-or-match seeds on recall") {
     val r = new scala.util.Random(17)
     val vecs = (0L until 200L).map(i =>
