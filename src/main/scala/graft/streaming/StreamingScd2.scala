@@ -107,4 +107,41 @@ object StreamingScd2 {
       .start()
       .awaitTermination()
   }
+
+  /** Streaming Batch2/3 for an SCD2 dimension: each arriving
+    * micro-batch of change rows MERGES into the materialized dimension
+    * via [[graft.models.Incremental.mergeScd2Batch]] — work per batch
+    * scales with the touched entities, where [[refreshOnArrival]]
+    * recomputes the whole model. This is the streaming form of the
+    * warehouse-level batch apply (`Warehouse.applyBatch2`), one
+    * dimension at a time.
+    *
+    * The merged frame is localCheckpoint-ed before the overwrite: the
+    * plan reads `dimDir` and writes `dimDir`, and Spark (correctly)
+    * refuses lazy self-overwrites — the checkpoint materializes the
+    * merge result first, making the overwrite safe and atomic at the
+    * job level.
+    */
+  def mergeScd2OnArrival(spark: SparkSession, changeDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         dimDir: String, idCols: Seq[String], tsCol: String,
+                         checkpointDir: String,
+                         tieBreak: Seq[String] = Nil): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(changeDir)
+    stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val existing = s.read.parquet(dimDir)
+        val merged = graft.models.Incremental
+          .mergeScd2Batch(existing, batch, idCols, tsCol, tieBreak)
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(dimDir)
+        ()
+      }
+      .start()
+      .awaitTermination()
+  }
 }

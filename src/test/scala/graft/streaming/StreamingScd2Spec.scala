@@ -51,6 +51,45 @@ class StreamingScd2Spec extends SparkSpec {
     e2.head.is_current shouldBe true
   }
 
+  test("mergeScd2OnArrival: arriving batches merge to == full-log scd2") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.engine.Scd2
+    val dir = java.nio.file.Files.createTempDirectory("scd2arrival")
+    val changes = dir.resolve("changes").toString
+    val dim = dir.resolve("dim").toString
+    val chk = dir.resolve("chk").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("change_ts", TimestampType), StructField("payload", StringType)))
+    val b1 = Seq(
+      (1L, ts("2020-01-01 00:00:00"), "v1"),
+      (2L, ts("2020-02-01 00:00:00"), "w1")).toDF("id", "change_ts", "payload")
+    // seed: materialized SCD2 dim from batch1
+    Scd2.scd2(b1, Seq("id"), "change_ts").drop("change_ts")
+      .write.parquet(dim)
+    // two delta arrivals: an update to entity 1, then a brand-new entity
+    val b2 = Seq((1L, ts("2020-06-01 00:00:00"), "v2"))
+      .toDF("id", "change_ts", "payload")
+    val b3 = Seq((3L, ts("2020-07-01 00:00:00"), "x1"))
+      .toDF("id", "change_ts", "payload")
+    b2.write.mode("append").parquet(changes)
+    StreamingScd2.mergeScd2OnArrival(spark, changes, schema, dim,
+      Seq("id"), "change_ts", chk)
+    b3.write.mode("append").parquet(changes)
+    StreamingScd2.mergeScd2OnArrival(spark, changes, schema, dim,
+      Seq("id"), "change_ts", chk)
+
+    val got = spark.read.parquet(dim)
+    val full = Scd2.scd2(b1.unionByName(b2).unionByName(b3),
+        Seq("id"), "change_ts").drop("change_ts")
+      .select(got.columns.map(col): _*)
+    got.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(got).count() shouldBe 0L
+    got.filter($"id" === 1 && $"is_current").select("payload")
+      .as[String].collect() shouldBe Array("v2")
+  }
+
   test("refreshOnArrival recomputes the model when files land") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
