@@ -51,10 +51,8 @@ object Batch2Bench {
     // setup: materialized Batch1 warehouse (what a real deployment has
     // on disk when the late batch arrives)
     val b1Sources = Loader.loadAll(spark, s"$work/batch1")
-    new Warehouse(b1Sources, writeMat(s"$work/wh1")).all.foreach(_ => ())
-    val wh1Tables = new Warehouse(b1Sources).all.map { case (n, _) =>
-      n -> spark.read.parquet(s"$work/wh1/$n")
-    }.toMap
+    val wh1 = Warehouse.build(spark, b1Sources, s"$work/wh1")
+    val wh1Tables = wh1.all.toMap
 
     // batch2: new late trades (+ their 2-row histories), ids disjoint
     // from batch1, timestamps past the batch1 watermark (2020-01-28)
@@ -86,7 +84,7 @@ object Batch2Bench {
       k -> batch2.get(k).map(v.unionByName(_)).getOrElse(v)
     }
     val tFull0 = System.nanoTime()
-    new Warehouse(unioned, writeMat(s"$work/wh_full")).all.foreach(_ => ())
+    Warehouse.build(spark, unioned, s"$work/wh_full")
     val fullSec = (System.nanoTime() - tFull0) / 1e9
 
     // INCREMENTAL: merge against the parquet-backed warehouse, write

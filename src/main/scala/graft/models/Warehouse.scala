@@ -242,23 +242,31 @@ object Warehouse {
     val existingByName = existing.all.toMap
     val affected = Dag.downstream(batch2.keySet.map(Dag.sourceModel))
 
-    // silver SCD2 dims: merge the CRM delta actions
-    val (accounts2, customers2) = batch2.get("customer_mgmt") match {
-      case Some(crmDelta) =>
-        (mat("accounts", Incremental.mergeScd2Batch(existing.accounts,
-          Silver.accountsBase(crmDelta, unioned("tax_rate")),
-          Seq("account_id"), "action_ts")),
-         mat("customers", Incremental.mergeScd2Batch(existing.customers,
-          Silver.customersBase(crmDelta, unioned("tax_rate")),
-          Seq("customer_id"), "action_ts")))
-      case None => (existing.accounts, existing.customers)
-    }
-    val dimCustomer2 = mat("dim_customer",
-      Gold.dimCustomer(customers2, unioned("prospect")))
-    // dim_broker/dim_security sit outside the delta's reach (guard
-    // above): the merge paths read them from the existing warehouse
-    val dimAccount2 = mat("dim_account",
-      Gold.dimAccount(accounts2, dimCustomer2, existingByName("dim_broker")))
+    // silver SCD2 dims: merge the CRM delta actions; with no CRM delta
+    // the whole CRM spine passes through untouched (recomputing the
+    // gold dims from unchanged silver would be a full dim-sized
+    // recompute — and a full rewrite under a write-materializer — for
+    // frames equal to the existing ones)
+    val (accounts2, customers2, dimCustomer2, dimAccount2) =
+      batch2.get("customer_mgmt") match {
+        case Some(crmDelta) =>
+          val acc = mat("accounts", Incremental.mergeScd2Batch(
+            existing.accounts,
+            Silver.accountsBase(crmDelta, unioned("tax_rate")),
+            Seq("account_id"), "action_ts"))
+          val cust = mat("customers", Incremental.mergeScd2Batch(
+            existing.customers,
+            Silver.customersBase(crmDelta, unioned("tax_rate")),
+            Seq("customer_id"), "action_ts"))
+          val dc = mat("dim_customer",
+            Gold.dimCustomer(cust, unioned("prospect")))
+          // dim_broker sits outside the delta's reach (guard above)
+          val da = mat("dim_account",
+            Gold.dimAccount(acc, dc, existingByName("dim_broker")))
+          (acc, cust, dc, da)
+        case None => (existing.accounts, existing.customers,
+          existingByName("dim_customer"), existingByName("dim_account"))
+      }
 
     // trades chain: rebuild the touched trades' full history, merge by key
     val tradeDelta = batch2.get("trade")

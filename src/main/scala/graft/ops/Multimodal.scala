@@ -85,12 +85,23 @@ object Multimodal {
     */
   def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
+      // dimensions come from the HEADER (ImageReader.getWidth/getHeight
+      // parse metadata only) BEFORE read() allocates the raster — a
+      // malformed header claiming 40000x40000 must be rejected without
+      // first paying its multi-GB allocation (OutOfMemoryError is
+      // fatal; it would escape the NonFatal catch and kill the task)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
       else {
-        val w = img.getWidth; val h = img.getHeight
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
-        else {
+        val reader = readers.next()
+        reader.setInput(iis)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) {
+          reader.dispose(); iis.close(); None
+        } else {
+          val img = try reader.read(0) finally { reader.dispose(); iis.close() }
           val ch = img.getColorModel.getNumComponents
           var sr = 0L; var sg = 0L; var sb = 0L
           val row = new Array[Int](w)

@@ -116,11 +116,19 @@ object StreamingScd2 {
     * warehouse-level batch apply (`Warehouse.applyBatch2`), one
     * dimension at a time.
     *
-    * The merged frame is localCheckpoint-ed before the overwrite: the
-    * plan reads `dimDir` and writes `dimDir`, and Spark (correctly)
-    * refuses lazy self-overwrites — the checkpoint materializes the
-    * merge result first, making the overwrite safe and atomic at the
-    * job level.
+    * Failure semantics — foreachBatch is at-least-once, and the dim is
+    * the only copy, so both replay and crash-mid-write are handled:
+    *  - IDEMPOTENT: change rows whose (entity, timestamp) already exist
+    *    as a version's effective_timestamp are dropped before the merge
+    *    — a replayed batch (crash between the write and the epoch
+    *    commit) merges to a no-op instead of minting duplicate
+    *    versions.
+    *  - STAGED SWAP, not in-place overwrite: the merge writes a
+    *    complete staging copy first, then the old dir is swapped out
+    *    via filesystem rename — at every instant a complete dim copy
+    *    exists on disk (an in-place overwrite is delete-then-write: a
+    *    mid-job crash would destroy the only copy). Writing to staging
+    *    also removes the read-then-overwrite-same-path hazard.
     */
   def mergeScd2OnArrival(spark: SparkSession, changeDir: String,
                          schema: org.apache.spark.sql.types.StructType,
@@ -133,12 +141,24 @@ object StreamingScd2 {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
         val s = batch.sparkSession
         val existing = s.read.parquet(dimDir)
+        // replay guard: drop changes already folded into the dim
+        val seen = existing.select(
+          (idCols.map(col) :+ col("effective_timestamp").as(tsCol)): _*)
+        val fresh = batch.join(seen, idCols :+ tsCol, "left_anti")
         val merged = graft.models.Incremental
-          .mergeScd2Batch(existing, batch, idCols, tsCol, tieBreak)
-          .localCheckpoint()
-        merged.write.mode("overwrite").parquet(dimDir)
+          .mergeScd2Batch(existing, fresh, idCols, tsCol, tieBreak)
+        val staging = s"$dimDir.staging-$batchId"
+        val old = s"$dimDir.old-$batchId"
+        merged.write.mode("overwrite").parquet(staging)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val dimPath = new org.apache.hadoop.fs.Path(dimDir)
+        fs.rename(dimPath, new org.apache.hadoop.fs.Path(old))
+        fs.rename(new org.apache.hadoop.fs.Path(staging), dimPath)
+        fs.delete(new org.apache.hadoop.fs.Path(old), true)
         ()
       }
       .start()

@@ -88,6 +88,15 @@ class StreamingScd2Spec extends SparkSpec {
     full.exceptAll(got).count() shouldBe 0L
     got.filter($"id" === 1 && $"is_current").select("payload")
       .as[String].collect() shouldBe Array("v2")
+
+    // at-least-once replay: a fresh checkpoint redelivers EVERY change
+    // file; the (entity, ts)-already-folded guard must make it a no-op
+    StreamingScd2.mergeScd2OnArrival(spark, changes, schema, dim,
+      Seq("id"), "change_ts", dir.resolve("chk2").toString)
+    val replayed = spark.read.parquet(dim)
+      .select(full.columns.map(col): _*)
+    replayed.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(replayed).count() shouldBe 0L
   }
 
   test("refreshOnArrival recomputes the model when files land") {
