@@ -157,6 +157,56 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Incremental MinHash/LSH — dedup a NEW batch of documents against
+    * an already-signed corpus plus itself, without touching the corpus
+    * TEXT: only the new docs are shingled and signed; the corpus
+    * participates through its materialized signature table
+    * ([[minhashSignatures]] output, the small checkpointed artifact a
+    * batch pipeline maintains — append the new signatures after each
+    * batch). Candidate pairs are restricted to those touching a new
+    * doc: existing×existing pairs were emitted when THOSE batches
+    * arrived, re-finding them is wasted quadratic work.
+    *
+    * At 100 TB this is the dedup shape that matches how corpora grow:
+    * per-batch cost ∝ |new| shingling + (|new| + |corpus|)·bands banding
+    * of 8·k-byte signatures — never a re-scan of corpus text.
+    *
+    * Result == `minhashLsh(corpus ∪ new)` restricted to pairs with a
+    * new side (gate d13 replays the truth in DuckDB).
+    */
+  def minhashLshIncremental(newDocs: DataFrame, textCol: String,
+                            idCol: String, existingSigs: DataFrame,
+                            k: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.7, shingleN: Int = 3,
+                            seed: Long = 42L,
+                            maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val newSig = minhashSignatures(newDocs, textCol, idCol, k, shingleN, seed)
+      .withColumn("__new", lit(true))
+    val allSig = existingSigs.select(col("doc_id"), col("sig"))
+      .withColumn("__new", lit(false))
+      .unionByName(newSig).cache()
+    val banded = allSig.select(col("doc_id"), col("sig"), col("__new"),
+      posexplode(graft.functions.BandHashes.bandHashes(col("sig"), bands))
+        .as(Seq("band_idx", "band_hash")))
+    val sized = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
+    val a = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("__new").as("__na"))
+    val b = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("__new").as("__nb"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("__na") || col("__nb"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
   /** SimHash signatures as a DataFrame (doc_id, sim long): bit j of the
     * 64-bit signature is the sign of the sum of ±1 votes from each
     * token's hash bit j. Computed by the single-loop expression

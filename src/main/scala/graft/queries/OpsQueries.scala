@@ -105,6 +105,25 @@ object OpsQueries {
       Some(s"""WITH $trueJaccardSql
               |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
 
+    // Incremental LSH: docs with doc_id % 5 == 0 arrive as the NEW
+    // batch; the rest are the already-signed corpus (signature table
+    // only — the corpus text is never re-shingled). Result must equal
+    // the full run's pair set restricted to pairs touching a new doc;
+    // the oracle replays the same truth (true 3-gram Jaccard >= 0.7)
+    // with the same restriction.
+    QueryDef("d13_minhash_lsh_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val newDocs = d.filter(col("doc_id") % 5 === 0)
+        val corpusSigs = Dedup.minhashSignatures(
+          d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+        Dedup.minhashLshIncremental(newDocs, "text", "doc_id", corpusSigs)
+          .select("doc_a", "doc_b")
+      },
+      Some(s"""WITH $trueJaccardSql
+              |SELECT doc_a, doc_b FROM truth
+              |WHERE jac >= 0.7 AND (doc_a % 5 = 0 OR doc_b % 5 = 0)""".stripMargin)),
+
     // SimHash chunk-pigeonhole completeness gate: the 4x16-bit chunk
     // buckets provably recover EVERY pair at hamming <= 3 (3 flipped
     // bits touch at most 3 of 4 chunks), so the pigeonhole candidates

@@ -60,6 +60,21 @@ class DedupSpec extends SparkSpec {
     idsOnly.exceptAll(carry).count() shouldBe 0L
   }
 
+  test("minhashLshIncremental == full run restricted to new-doc pairs") {
+    import org.apache.spark.sql.functions.col
+    val full = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4)
+      .filter(col("doc_a") % 2 === 0 || col("doc_b") % 2 === 0)
+      .select("doc_a", "doc_b", "est_jaccard")
+    val corpusSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 2 =!= 0), "text", "doc_id")
+    val incr = Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+        corpusSigs, threshold = 0.4)
+      .select("doc_a", "doc_b", "est_jaccard")
+    incr.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(incr).count() shouldBe 0L
+  }
+
   test("simhash: identical -> distance 0 pair; disjoint docs absent") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue()))
