@@ -328,6 +328,38 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
   }
 
+  /** Merge NEW near-dup pairs into an existing component assignment
+    * without re-running [[connectedComponents]] over the whole graph —
+    * the cluster-maintenance step of incremental dedup
+    * ([[minhashLshIncremental]] finds the pairs, this folds them in).
+    *
+    * Only components touched by a new pair recompute: an existing
+    * assignment is equivalent to its STAR edges (member — component
+    * representative), which preserve both connectivity and the min-id
+    * labeling, so pointer-jumping over (touched components' star edges
+    * ∪ new pairs) reproduces exactly what a full recompute would label
+    * the touched region; every other assignment passes through an
+    * anti-join untouched. Work per batch ∝ touched components + new
+    * pairs — never the corpus-wide graph.
+    */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
+                      aCol: String = "doc_a", bCol: String = "doc_b",
+                      maxIter: Int = 25): DataFrame = {
+    val touchedNodes = newPairs.select(col(aCol).as("doc_id"))
+      .unionByName(newPairs.select(col(bCol).as("doc_id"))).distinct()
+    val touchedComps = existing.join(touchedNodes, Seq("doc_id"), "left_semi")
+      .select("component").distinct()
+    val touchedAssign = existing
+      .join(touchedComps, Seq("component"), "left_semi")
+    val starEdges = touchedAssign.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(aCol), col("component").as(bCol))
+    val merged = connectedComponents(
+      starEdges.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+    existing.join(merged.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(merged.select("doc_id", "component"))
+  }
+
   /** Two-phase fuzzy dedup with EXACT edit-distance verification:
     * candidate pairs come from LSH banding (cheap, high recall), then
     * each candidate is verified with true Levenshtein distance on the

@@ -325,6 +325,37 @@ object OpsQueries {
               |SELECT node AS doc_id, min(comp) AS component
               |FROM walk GROUP BY 1""".stripMargin)),
 
+    // Incremental cluster maintenance: the corpus' components were
+    // computed when its batches arrived (CC over corpus-only pairs);
+    // the new batch's pairs (d13 path) fold in via mergeComponents —
+    // only touched components recompute. Must equal the full CC over
+    // ALL pairs, which the d06 recursive-CTE oracle replays. (The
+    // corpus-only pair set equals the full run's corpus×corpus pairs
+    // because banding is per-doc deterministic; the bucket caps never
+    // trigger on this data — d02 proves the pair sets.)
+    QueryDef("d14_components_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val newDocs = d.filter(col("doc_id") % 5 === 0)
+        val corpus = d.filter(col("doc_id") % 5 =!= 0)
+        val existing = Dedup.connectedComponents(
+          Dedup.minhashLsh(corpus, "text", "doc_id").select("doc_a", "doc_b"))
+        val newPairs = Dedup.minhashLshIncremental(newDocs, "text", "doc_id",
+            Dedup.minhashSignatures(corpus, "text", "doc_id"))
+          .select("doc_a", "doc_b")
+        Dedup.mergeComponents(existing, newPairs)
+      },
+      Some(s"""WITH RECURSIVE $trueJaccardSql,
+              |cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
+              |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+              |        UNION SELECT doc_b, doc_a FROM cand),
+              |walk(node, comp) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+              |  UNION
+              |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v)
+              |SELECT node AS doc_id, min(comp) AS component
+              |FROM walk GROUP BY 1""".stripMargin)),
+
     // The production fuzzy-dedup PIPELINE (the SlimPajama/RefinedWeb
     // shape, end to end): MinHash signatures → LSH banding candidates →
     // transitive closure → drop everything but each cluster's min-id

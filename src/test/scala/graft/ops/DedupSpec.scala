@@ -115,6 +115,27 @@ class DedupSpec extends SparkSpec {
     all(comp.map(_.getLong(1))) shouldBe 1L
   }
 
+  test("mergeComponents: new pairs fold in; untouched components pass through") {
+    import org.apache.spark.sql.functions.col
+    // existing: {1,2} (rep 1), {5,6,7} (rep 5), {10,11} (rep 10)
+    val existing = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (7L, 5L),
+      (10L, 10L), (11L, 10L)).toDF("doc_id", "component")
+    // new pairs: bridge {1,2}–{5,..} via (2,6); brand-new pair (20,21);
+    // component {10,11} untouched
+    val newPairs = Seq((2L, 6L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val merged = Dedup.mergeComponents(existing, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    merged shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // equals the full recompute over star edges of existing + new pairs
+    val allEdges = existing.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
+      .unionByName(newPairs)
+    val full = Dedup.connectedComponents(allEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    merged shouldBe full
+  }
+
   test("dropClusterDuplicates keeps one representative per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val comp = Dedup.connectedComponents(pairs)
