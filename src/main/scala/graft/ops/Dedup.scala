@@ -149,12 +149,7 @@ object Dedup {
           .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
             Seq("doc_b"))
       }
-    pairs.withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-          .cast("double") / k)
-      .filter(col("est_jaccard") >= threshold)
-      .select("doc_a", "doc_b", "est_jaccard")
+    scorePairs(pairs, k, threshold)
   }
 
   /** Incremental MinHash/LSH — dedup a NEW batch of documents against
@@ -190,22 +185,39 @@ object Dedup {
       posexplode(graft.functions.BandHashes.bandHashes(col("sig"), bands))
         .as(Seq("band_idx", "band_hash")))
     val sized = capBuckets(banded, Seq("band_idx", "band_hash"), maxBucket)
-    val a = sized.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("__new").as("__na"))
+    // ASYMMETRIC join: the build side holds ONLY new rows, so a bucket
+    // with m corpus rows and n new rows produces n·(m+n) tuples — never
+    // the m² corpus-corpus tuples a symmetric join would enumerate just
+    // to discard (with corpus ≫ batch, that residual-filtered m² term
+    // would dominate every batch). New-new pairs surface twice (once
+    // per orientation); least/greatest + dropDuplicates collapses them.
+    val a = sized.filter(col("__new")).select(col("band_idx"),
+      col("band_hash"), col("doc_id").as("da"), col("sig").as("siga"))
     val b = sized.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("__new").as("__nb"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(col("__na") || col("__nb"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      col("doc_id").as("db"), col("sig").as("sigb"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        // est_jaccard is symmetric, so the sig orientation of the
+        // surviving duplicate is irrelevant
+        col("siga").as("sig_a"), col("sigb").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
-      .withColumn("est_jaccard",
+    scorePairs(pairs, k, threshold)
+  }
+
+  /** Shared signature-agreement scoring: estimated Jaccard from two
+    * k-long MinHash signatures, thresholded — the one implementation
+    * both the full and incremental LSH paths use.
+    */
+  private def scorePairs(pairs: DataFrame, k: Int,
+                         threshold: Double): DataFrame =
+    pairs.withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
-  }
 
   /** SimHash signatures as a DataFrame (doc_id, sim long): bit j of the
     * 64-bit signature is the sign of the sum of ±1 votes from each
@@ -345,17 +357,25 @@ object Dedup {
   def mergeComponents(existing: DataFrame, newPairs: DataFrame,
                       aCol: String = "doc_a", bCol: String = "doc_b",
                       maxIter: Int = 25): DataFrame = {
-    val touchedNodes = newPairs.select(col(aCol).as("doc_id"))
-      .unionByName(newPairs.select(col(bCol).as("doc_id"))).distinct()
+    // pin the pair plan: it feeds the touched-node scan (×2) and the CC
+    // edge symmetrization (×2) — when newPairs is the lazy incremental-
+    // LSH output (the documented composition), an uncached plan would
+    // re-run the whole banding/scoring pipeline per consumer
+    val np = newPairs.select(col(aCol), col(bCol)).cache()
+    val touchedNodes = np.select(col(aCol).as("doc_id"))
+      .unionByName(np.select(col(bCol).as("doc_id"))).distinct()
     val touchedComps = existing.join(touchedNodes, Seq("doc_id"), "left_semi")
       .select("component").distinct()
     val touchedAssign = existing
       .join(touchedComps, Seq("component"), "left_semi")
     val starEdges = touchedAssign.filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as(aCol), col("component").as(bCol))
-    val merged = connectedComponents(
-      starEdges.unionByName(newPairs.select(col(aCol), col(bCol))),
+    // connectedComponents runs its fixpoint EAGERLY (convergence checks
+    // are actions) and returns checkpointed labels, so np is fully
+    // consumed by the time it returns
+    val merged = connectedComponents(starEdges.unionByName(np),
       aCol, bCol, maxIter)
+    np.unpersist()
     existing.join(merged.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(merged.select("doc_id", "component"))
   }

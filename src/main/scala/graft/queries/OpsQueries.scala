@@ -69,6 +69,21 @@ object OpsQueries {
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b)""".stripMargin
 
+  /** Recursive transitive closure over the truth pairs — `comps` =
+    * (doc_id, component=min id). Shared by d06/d09/d14 so the one CC
+    * oracle construction cannot drift between gates.
+    */
+  private val ccFromTruthSql =
+    """cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
+      |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+      |        UNION SELECT doc_b, doc_a FROM cand),
+      |walk(node, comp) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      |  UNION
+      |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v),
+      |comps AS (SELECT node AS doc_id, min(comp) AS component
+      |          FROM walk GROUP BY 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy.
@@ -315,15 +330,8 @@ object OpsQueries {
         Dedup.minhashLsh(docs(s, dir), "text", "doc_id")
           .select("doc_a", "doc_b")),
       Some(s"""WITH RECURSIVE $trueJaccardSql,
-              |cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
-              |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
-              |        UNION SELECT doc_b, doc_a FROM cand),
-              |walk(node, comp) AS (
-              |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
-              |  UNION
-              |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v)
-              |SELECT node AS doc_id, min(comp) AS component
-              |FROM walk GROUP BY 1""".stripMargin)),
+              |$ccFromTruthSql
+              |SELECT doc_id, component FROM comps""".stripMargin)),
 
     // Incremental cluster maintenance: the corpus' components were
     // computed when its batches arrived (CC over corpus-only pairs);
@@ -346,15 +354,8 @@ object OpsQueries {
         Dedup.mergeComponents(existing, newPairs)
       },
       Some(s"""WITH RECURSIVE $trueJaccardSql,
-              |cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
-              |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
-              |        UNION SELECT doc_b, doc_a FROM cand),
-              |walk(node, comp) AS (
-              |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
-              |  UNION
-              |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v)
-              |SELECT node AS doc_id, min(comp) AS component
-              |FROM walk GROUP BY 1""".stripMargin)),
+              |$ccFromTruthSql
+              |SELECT doc_id, component FROM comps""".stripMargin)),
 
     // The production fuzzy-dedup PIPELINE (the SlimPajama/RefinedWeb
     // shape, end to end): MinHash signatures → LSH banding candidates →
@@ -374,15 +375,7 @@ object OpsQueries {
           .select("doc_id", "source", "n_chars")
       },
       Some(s"""WITH RECURSIVE $trueJaccardSql,
-              |cand AS (SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7),
-              |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
-              |        UNION SELECT doc_b, doc_a FROM cand),
-              |walk(node, comp) AS (
-              |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
-              |  UNION
-              |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v),
-              |comps AS (SELECT node AS doc_id, min(comp) AS component
-              |          FROM walk GROUP BY 1)
+              |$ccFromTruthSql
               |SELECT d.doc_id, d.source, d.n_chars FROM documents d
               |LEFT JOIN comps c ON c.doc_id = d.doc_id
               |WHERE c.doc_id IS NULL OR c.component = d.doc_id""".stripMargin)),
