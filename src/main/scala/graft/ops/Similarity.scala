@@ -329,6 +329,31 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** k-NN label propagation (weak labeling): each query takes the
+    * majority label of its k nearest labeled neighbors — the standard
+    * way a small labeled seed set annotates an unlabeled corpus in a
+    * training-data pipeline. Vote ties break to the smaller label
+    * (deterministic, engine-replayable).
+    *
+    * `neighbors` plugs in ANY candidate generator producing
+    * (q_id, n_id) — [[ivfTopK]], [[twoStageTopK]], … — which is how
+    * this scales: exact k-NN for gate-sized sets, ANN neighbors at
+    * 100 TB. Default = exact [[bruteForceTopK]].
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+                  labelCol: String = "label",
+                  neighbors: Option[DataFrame] = None): DataFrame = {
+    val nn = neighbors.getOrElse(bruteForceTopK(queries, corpus, k))
+      .select("q_id", "n_id")
+    nn.join(corpus.select(col("vec_id").as("n_id"),
+        col(labelCol).as("__lbl")), Seq("n_id"))
+      .groupBy("q_id", "__lbl").agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("votes").desc, col("__lbl"))))
+      .filter(col("__rn") === 1)
+      .select(col("q_id"), col("__lbl").as("predicted_label"), col("votes"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster embeddings into
     * `nlist` cells (nearest-centroid assignment), then drop every vector
     * that has a SMALLER-id neighbor in the same cell with cosine

@@ -258,6 +258,28 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // k-NN label propagation (weak labeling): majority label of the 5
+    // exact nearest neighbors, vote ties to the smaller label. Full
+    // oracle: DuckDB replays the brute-force top-k and the vote.
+    QueryDef("n10_knn_classify",
+      (s, dir) => {
+        val e = embs(s, dir)
+        Similarity.knnClassify(e.filter(col("vec_id") < 20), e, k = 5)
+      },
+      Some("""WITH nn AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |               c.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20
+             |  QUALIFY rank <= 5),
+             |votes AS (
+             |  SELECT q_id, label, count(*) AS votes FROM nn GROUP BY 1, 2)
+             |SELECT q_id, label AS predicted_label, votes FROM votes
+             |QUALIFY row_number() OVER (PARTITION BY q_id
+             |  ORDER BY votes DESC, label) = 1""".stripMargin)),
+
     // Two-stage retrieval (compressed candidate generation + exact
     // re-rank): with the first stage probing every cell and candidateK
     // covering the corpus, the result must equal exact brute force —

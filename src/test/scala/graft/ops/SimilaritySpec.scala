@@ -4,6 +4,31 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
+
+  test("knnClassify: planted clusters recover their label; ANN neighbors plug in") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = new scala.util.Random(61)
+    val anchors = Array.fill(3)(Array.fill(16)(r.nextGaussian().toFloat))
+    // 30 labeled corpus vectors tightly around 3 anchors + 3 queries
+    val corpus = (0L until 30L).map { i =>
+      val a = anchors((i % 3).toInt)
+      (i, a.map(x => x + 0.01f * r.nextGaussian().toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = (100L until 103L).map { i =>
+      val a = anchors((i % 3).toInt)
+      (i, a.map(x => x + 0.01f * r.nextGaussian().toFloat), -1)
+    }.toDF("vec_id", "embedding", "label")
+    val pred = Similarity.knnClassify(queries, corpus, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pred shouldBe Map(100L -> 1, 101L -> 2, 102L -> 0)
+    // pluggable neighbors: exact brute-force candidates give the same
+    val nn = Similarity.bruteForceTopK(queries, corpus, 5)
+    val pred2 = Similarity.knnClassify(queries, corpus, k = 5,
+        neighbors = Some(nn))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pred2 shouldBe pred
+  }
   import spark.implicits._
 
   test("cosine: orthogonal=0, identical=1, opposite=-1") {
