@@ -140,7 +140,7 @@ object Similarity {
     * (an external engine can re-derive it from the table itself).
     * Bounded: nlist rows through a TakeOrderedAndProject.
     */
-  private def firstVectors(corpus: DataFrame, nlist: Int): Array[Array[Double]] = {
+  def firstVectors(corpus: DataFrame, nlist: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.Row
     corpus.orderBy("vec_id").limit(nlist).select("embedding").collect()
       .map { case Row(e: scala.collection.Seq[_]) =>
@@ -327,6 +327,48 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Cluster purity — the label-aware quality check for the centroid
+    * machinery (k-means cells, IVF lists, SemDeDup clusters): per cell,
+    * the fraction of members carrying the cell's majority label
+    * (majority ties to the smaller label). Low purity = cells that cut
+    * across semantic labels — the signal to retrain or raise nlist.
+    * One assignment projection + one groupBy; exact integer counts so
+    * the fraction is a single replayable division.
+    */
+  def clusterPurity(vecs: DataFrame, centroids: Array[Array[Double]],
+                    labelCol: String = "label"): DataFrame = {
+    val cells = vecs.select(col(labelCol).as("__lbl"),
+      graft.functions.Centroids.centroidAssign(col("embedding"), centroids)
+        .as("cell"))
+    val counts = cells.groupBy("cell", "__lbl").agg(count(lit(1)).as("n"))
+    val top = counts.withColumn("__rn", row_number().over(
+        Window.partitionBy("cell").orderBy(col("n").desc, col("__lbl"))))
+      .filter(col("__rn") === 1)
+      .select(col("cell"), col("__lbl").as("majority_label"),
+        col("n").as("majority_n"))
+    val sizes = counts.groupBy("cell").agg(sum("n").as("n_members"))
+    top.join(sizes, Seq("cell"))
+      .select(col("cell"), col("n_members"), col("majority_label"),
+        (col("majority_n").cast("double") / col("n_members")).as("purity"))
+  }
+
+  /** Recall@k of an approximate neighbor result against the exact one:
+    * per query, |approx ∩ exact| / |exact| over the (q_id, n_id) pairs —
+    * the standard ANN evaluation loop ([[ivfTopK]]/[[pqTopK]]/
+    * [[twoStageTopK]] output vs [[bruteForceTopK]]).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select("q_id", "n_id")
+      .join(approx.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
   }
 
   /** k-NN label propagation (weak labeling): each query takes the

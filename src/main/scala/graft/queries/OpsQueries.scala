@@ -258,6 +258,42 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Cluster purity over the deterministic first-16 centroid scheme
+    // (the same assignment the n03 oracle replays): per-cell majority
+    // label fraction from exact integer counts. The embedding-quality
+    // evaluation loop for the k-means/IVF/SemDeDup machinery.
+    QueryDef("n11_cluster_purity",
+      (s, dir) => Similarity.clusterPurity(embs(s, dir),
+        Similarity.firstVectors(embs(s, dir), 16)),
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding AS cemb
+             |  FROM embeddings WHERE vec_id < 16),
+             |sims AS (
+             |  SELECT e.vec_id, e.label, c.cid,
+             |    list_cosine_similarity(e.embedding, c.cemb) AS s
+             |  FROM embeddings e, cent c),
+             |cell AS (
+             |  -- CentroidAssign emits 1-based codebook positions; the
+             |  -- first-16 scheme makes position = vec_id + 1
+             |  SELECT vec_id, label, cid + 1 AS cell FROM (
+             |    SELECT vec_id, label, cid,
+             |      row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY s DESC, cid) AS rn
+             |    FROM sims) WHERE rn = 1),
+             |counts AS (
+             |  SELECT cell, label, count(*) AS n FROM cell GROUP BY 1, 2),
+             |top AS (
+             |  SELECT cell, label AS majority_label, n AS majority_n FROM (
+             |    SELECT cell, label, n,
+             |      row_number() OVER (PARTITION BY cell
+             |        ORDER BY n DESC, label) AS rn
+             |    FROM counts) WHERE rn = 1),
+             |sizes AS (SELECT cell, sum(n) AS n_members FROM counts GROUP BY 1)
+             |SELECT t.cell, cast(s.n_members AS BIGINT) AS n_members,
+             |  t.majority_label,
+             |  cast(t.majority_n AS DOUBLE) / s.n_members AS purity
+             |FROM top t JOIN sizes s ON t.cell = s.cell""".stripMargin)),
+
     // k-NN label propagation (weak labeling): majority label of the 5
     // exact nearest neighbors, vote ties to the smaller label. Full
     // oracle: DuckDB replays the brute-force top-k and the vote.

@@ -5,6 +5,31 @@ import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
+  test("clusterPurity and recallAtK evaluation utilities") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = new scala.util.Random(67)
+    val anchors = Array.fill(2)(Array.fill(8)(r.nextGaussian()))
+    // 20 vectors around 2 anchors; labels mostly match the anchor with
+    // one planted impurity in cluster 0
+    val vecs = (0L until 20L).map { i =>
+      val c = (i % 2).toInt
+      val lbl = if (i == 6L) 1 else c // i=6 is anchor-0 but label 1
+      (i, anchors(c).map(x => (x + 0.01 * r.nextGaussian()).toFloat), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val purity = Similarity.clusterPurity(vecs, anchors)
+      .collect().map(p => p.getInt(0) ->
+        (p.getLong(1), p.getInt(2), p.getDouble(3))).toMap
+    purity(1) shouldBe ((10L, 0, 0.9)) // anchor-0 cell: 9/10 label 0
+    purity(2) shouldBe ((10L, 1, 1.0)) // anchor-1 cell: pure
+    // recall@k: approximation missing one neighbor for q 1
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (2L, 12L), (2L, 99L)).toDF("q_id", "n_id")
+    val rec = Similarity.recallAtK(approx, exact)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    rec shouldBe Map(1L -> 0.5, 2L -> 1.0)
+  }
+
   test("knnClassify: planted clusters recover their label; ANN neighbors plug in") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
