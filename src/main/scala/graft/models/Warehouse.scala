@@ -199,6 +199,10 @@ object Warehouse {
     *    grain key via [[Incremental.mergeFactBatch]] — at 100 TB this is
     *    the difference between recomputing a few million late trades and
     *    re-reading every fact input.
+    *  - `cash_transactions` / `fact_cash_transactions` /
+    *    `fact_cash_balances`: the ledger chain is append-local given
+    *    the dims, so the delta's chain output APPENDS; the balances
+    *    aggregate rebuilds only the groups the new rows touch.
     *  - models the delta cannot reach (upstream closure excludes every
     *    delta source, per [[Dag.downstream]]): passed through from
     *    `existing` VERBATIM — the FINWIRE/market/watch spines skip
@@ -231,7 +235,8 @@ object Warehouse {
     val unioned = batch1.map { case (k, v) =>
       k -> batch2.get(k).map(v.unionByName(_)).getOrElse(v)
     }
-    val incrementalSources = Set("customer_mgmt", "trade", "trade_history")
+    val incrementalSources =
+      Set("customer_mgmt", "trade", "trade_history", "cash_transaction")
     if (!batch2.keySet.subsetOf(incrementalSources))
       return new Warehouse(unioned, mat).all.toMap
 
@@ -309,13 +314,39 @@ object Warehouse {
             .drop("trade_id"))
       }
 
+    // cash stream: the ledger chain is APPEND-local given the dims (a
+    // new transaction's temporal lookup can't re-route an old row's,
+    // batch watermark assumption), so the silver ledger and the fact
+    // just append the delta's chain output; the balances aggregate
+    // rebuilds ONLY the (customer, account, date, description) groups
+    // the new rows touch and merges by group key
+    val cashModels: Map[String, DataFrame] = batch2.get("cash_transaction")
+      .map { ctDelta =>
+        val ctNew = mat("cash_transactions_new",
+          Silver.cashTransactions(ctDelta, accounts2))
+        val cash2 = existing.cashTransactions.unionByName(ctNew)
+        val factNew = mat("fact_cash_transactions_new",
+          Gold.factCashTransactions(ctNew, dimAccount2))
+        val factCash2 = existing.factCashTransactions.unionByName(factNew)
+        val balKeys = Seq("sk_customer_id", "sk_account_id",
+          "sk_transaction_date", "description")
+        val affectedBal = factNew.select(balKeys.map(col): _*).distinct()
+        val rebuiltBal = Gold.factCashBalances(
+          factCash2.join(affectedBal, balKeys, "left_semi"))
+        Map(
+          "cash_transactions" -> cash2,
+          "fact_cash_transactions" -> factCash2,
+          "fact_cash_balances" -> Incremental.mergeFactBatch(
+            existing.factCashBalances, affectedBal, rebuiltBal, balKeys))
+      }.getOrElse(Map.empty)
+
     // final DAG: merged models and untouched pass-throughs are injected
     // as overrides, so (a) every affected model's recompute reads the
     // MERGED dims (fact_cash_transactions → merged dim_account,
     // fact_holdings → merged trades/dim_trade, …), and (b) models the
     // delta can't reach are the existing frames verbatim — nothing
     // re-derives a full rebuild of anything
-    val merged = tradeModels ++ Map(
+    val merged = tradeModels ++ cashModels ++ Map(
       "accounts" -> accounts2, "customers" -> customers2,
       "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2)
     val passThrough = existingByName.filter { case (n, _) =>

@@ -68,11 +68,13 @@ object RelationalQueries {
       val b1 = src ++ Map(
         "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") < cut),
         "trade" -> src("trade").filter(col("t_dts") < cut),
-        "trade_history" -> src("trade_history").filter(col("th_dts") < cut))
+        "trade_history" -> src("trade_history").filter(col("th_dts") < cut),
+        "cash_transaction" -> src("cash_transaction").filter(col("ct_dts") < cut))
       val b2 = Map(
         "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") >= cut),
         "trade" -> src("trade").filter(col("t_dts") >= cut),
-        "trade_history" -> src("trade_history").filter(col("th_dts") >= cut))
+        "trade_history" -> src("trade_history").filter(col("th_dts") >= cut),
+        "cash_transaction" -> src("cash_transaction").filter(col("ct_dts") >= cut))
       // caching materializer, bounded to the models the comparisons and
       // merge paths genuinely share — caching every model of three
       // warehouse DAGs would pin ~100 plans in storage memory for the
@@ -80,7 +82,9 @@ object RelationalQueries {
       val shared = Set("crm_customer_mgmt", "accounts", "customers",
         "dim_customer", "dim_account", "dim_broker", "dim_company",
         "dim_security", "trades_history", "trades", "dim_trade",
-        "fact_trade", "trades_history_touched", "dim_trade_touched")
+        "fact_trade", "trades_history_touched", "dim_trade_touched",
+        "cash_transactions", "fact_cash_transactions",
+        "cash_transactions_new", "fact_cash_transactions_new")
       val cacheMat = (n: String, df: DataFrame) =>
         if (shared(n)) df.cache() else df
       val refreshed = graft.models.Warehouse.applyBatch2(
@@ -254,7 +258,11 @@ object RelationalQueries {
       "prospect" -> empty(graft.models.Loader.prospectSchema),
       "watch_history" -> empty(graft.models.Loader.watchHistorySchema),
       "holding_history" -> empty(graft.models.Loader.holdingHistorySchema),
-      "cash_transaction" -> empty(graft.models.Loader.cashTransactionSchema))
+      "cash_transaction" -> o.select(
+        col("o_custkey").as("ct_ca_id"),
+        (actTs + expr("interval 1 hour")).as("ct_dts"),
+        col("o_totalprice").cast("double").as("ct_amt"),
+        concat(lit("txn "), col("o_orderkey") % 4).as("ct_name")))
   }
 
   /** The full trades chain over a given history batch, annotated with
@@ -1405,7 +1413,9 @@ object RelationalQueries {
       (s, dir) => {
         val (refreshed, full) = batch2Fixture(s, dir)
         Seq("accounts", "customers", "dim_customer", "dim_account",
-            "trades_history", "trades", "dim_trade", "fact_trade").map { m =>
+            "trades_history", "trades", "dim_trade", "fact_trade",
+            "cash_transactions", "fact_cash_transactions",
+            "fact_cash_balances").map { m =>
           // one-pass signed multiset diff (±1 per side, net 0 per row
           // when equal): each chain evaluates ONCE per model, where
           // exceptAll-both-ways would re-derive the full+incremental
@@ -1427,7 +1437,10 @@ object RelationalQueries {
              |SELECT 'trades_history', 0 UNION ALL
              |SELECT 'trades', 0 UNION ALL
              |SELECT 'dim_trade', 0 UNION ALL
-             |SELECT 'fact_trade', 0""".stripMargin)),
+             |SELECT 'fact_trade', 0 UNION ALL
+             |SELECT 'cash_transactions', 0 UNION ALL
+             |SELECT 'fact_cash_transactions', 0 UNION ALL
+             |SELECT 'fact_cash_balances', 0""".stripMargin)),
 
     // Batch-continuity audit over the SAME applyBatch2 output q47
     // gates for equality (shared fixture): the TPC-DI audit-phase SCD2

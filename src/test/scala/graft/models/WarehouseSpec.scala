@@ -294,15 +294,19 @@ class WarehouseSpec extends SparkSpec {
     val b1 = src ++ Map(
       "customer_mgmt" -> src("customer_mgmt").filter($"action_ts" < cutoff),
       "trade" -> src("trade").filter($"t_dts" < cutoff),
-      "trade_history" -> src("trade_history").filter($"th_dts" < cutoff))
+      "trade_history" -> src("trade_history").filter($"th_dts" < cutoff),
+      "cash_transaction" -> src("cash_transaction").filter($"ct_dts" < cutoff))
     val b2 = Map(
       "customer_mgmt" -> src("customer_mgmt").filter($"action_ts" >= cutoff),
       "trade" -> src("trade").filter($"t_dts" >= cutoff),
-      "trade_history" -> src("trade_history").filter($"th_dts" >= cutoff))
+      "trade_history" -> src("trade_history").filter($"th_dts" >= cutoff),
+      "cash_transaction" -> src("cash_transaction").filter($"ct_dts" >= cutoff))
     val refreshed = Warehouse.applyBatch2(new Warehouse(b1), b2)
     val full = wh.all.toMap
     for (m <- Seq("accounts", "customers", "dim_customer", "dim_account",
-        "trades_history", "trades", "dim_trade", "fact_trade")) {
+        "trades_history", "trades", "dim_trade", "fact_trade",
+        "cash_transactions", "fact_cash_transactions",
+        "fact_cash_balances")) {
       withClue(s"model $m: ") {
         val f = full(m)
         val inc = refreshed(m).select(f.columns.map(col): _*)
