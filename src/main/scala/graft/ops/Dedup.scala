@@ -178,9 +178,14 @@ object Dedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val newSig = minhashSignatures(newDocs, textCol, idCol, k, shingleN, seed)
       .withColumn("__new", lit(true))
+    // NOT cached: the result is lazy, so a cache here could never be
+    // unpersisted by this function — one leaked storage block per batch
+    // in a long-running incremental loop. The price is the new-batch
+    // signing subtree evaluating once per side of the asymmetric join
+    // below (2× a per-batch-sized cost), vs an unbounded leak.
     val allSig = existingSigs.select(col("doc_id"), col("sig"))
       .withColumn("__new", lit(false))
-      .unionByName(newSig).cache()
+      .unionByName(newSig)
     val banded = allSig.select(col("doc_id"), col("sig"), col("__new"),
       posexplode(graft.functions.BandHashes.bandHashes(col("sig"), bands))
         .as(Seq("band_idx", "band_hash")))

@@ -90,39 +90,45 @@ object Multimodal {
       // malformed header claiming 40000x40000 must be rejected without
       // first paying its multi-GB allocation (OutOfMemoryError is
       // fatal; it would escape the NonFatal catch and kill the task)
+      // resources close in finally on EVERY path — a malformed header
+      // that makes getWidth/read throw must not leak the input stream
+      // (with ImageIO's file cache it would be a temp file + fd per row)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); None }
-      else {
-        val reader = readers.next()
-        reader.setInput(iis)
-        val w = reader.getWidth(0); val h = reader.getHeight(0)
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) {
-          reader.dispose(); iis.close(); None
-        } else {
-          val img = try reader.read(0) finally { reader.dispose(); iis.close() }
-          val ch = img.getColorModel.getNumComponents
-          var sr = 0L; var sg = 0L; var sb = 0L
-          val row = new Array[Int](w)
-          var y = 0
-          while (y < h) {
-            img.getRGB(0, y, w, 1, row, 0, w)
-            var x = 0
-            while (x < w) {
-              val rgb = row(x)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0); val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+            else {
+              val img = reader.read(0)
+              val ch = img.getColorModel.getNumComponents
+              var sr = 0L; var sg = 0L; var sb = 0L
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val rgb = row(x)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              Some(Array(w.toFloat, h.toFloat, ch.toFloat,
+                (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+                (sb.toDouble / n).toFloat,
+                ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat))
             }
-            y += 1
-          }
-          val n = w.toLong * h
-          Some(Array(w.toFloat, h.toFloat, ch.toFloat,
-            (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
-            (sb.toDouble / n).toFloat,
-            ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat))
+          } finally reader.dispose()
         }
-      }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

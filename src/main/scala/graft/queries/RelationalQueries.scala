@@ -60,9 +60,46 @@ object RelationalQueries {
   private val batch2Memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Map[String, DataFrame], Map[String, DataFrame])]
 
+  /** Memo lookup with a session-liveness sweep: entries are keyed by
+    * session INSTANCE, so a stopped-and-replaced session can never be
+    * served another session's frames — but entries bound to a dead
+    * SparkContext would otherwise retain their plans (and point at
+    * cache blocks that died with the context) for the JVM lifetime.
+    * Sweeping stopped sessions on every lookup bounds the memos to live
+    * sessions.
+    */
+  private def memoGet[V](memo: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+                         s: SparkSession, dir: String)(build: => V): V = {
+    memo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(memo.remove)
+    memo.getOrElseUpdate((s, dir), build)
+  }
+
+  // Semantic-dedup cache: the Batch1 warehouse and the full-rebuild
+  // warehouse share identical plans for every model outside the delta's
+  // reach (b1 differs from src only in the 4 delta sources), so a naive
+  // per-warehouse .cache() caches the same plan twice — CacheManager
+  // "already cached" warnings and orphaned duplicate entries. cacheOnce
+  // returns the previously-cached frame when a semantically-equal plan
+  // was already cached in this session.
+  private val cacheRegistry =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), List[DataFrame]]
+
+  private def cacheOnce(df: DataFrame): DataFrame = {
+    cacheRegistry.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(cacheRegistry.remove)
+    val key = (df.sparkSession, df.semanticHash())
+    val prior = cacheRegistry.getOrElse(key, Nil)
+    prior.find(_.sameSemantics(df)).getOrElse {
+      val c = df.cache()
+      cacheRegistry.update(key, c :: prior)
+      c
+    }
+  }
+
   private def batch2Fixture(s: SparkSession, dir: String)
       : (Map[String, DataFrame], Map[String, DataFrame]) =
-    batch2Memo.getOrElseUpdate((s, dir), {
+    memoGet(batch2Memo, s, dir) {
       val src = warehouseSources(s, dir)
       val cut = lit("1996-01-01").cast("timestamp")
       val b1 = src ++ Map(
@@ -86,15 +123,15 @@ object RelationalQueries {
         "cash_transactions", "fact_cash_transactions",
         "cash_transactions_new", "fact_cash_transactions_new")
       val cacheMat = (n: String, df: DataFrame) =>
-        if (shared(n)) df.cache() else df
+        if (shared(n)) cacheOnce(df) else df
       val refreshed = graft.models.Warehouse.applyBatch2(
         new graft.models.Warehouse(b1, cacheMat), b2, cacheMat)
       val full = new graft.models.Warehouse(src, cacheMat).all.toMap
       (refreshed, full)
-    })
+    }
 
   private def tradesFixture(s: SparkSession, dir: String): TradesFixture =
-    fixtureMemo.getOrElseUpdate((s, dir), buildTradesFixture(s, dir))
+    memoGet(fixtureMemo, s, dir)(buildTradesFixture(s, dir))
 
   private def buildTradesFixture(s: SparkSession, dir: String): TradesFixture = {
     val o = t(s, dir, "orders")
@@ -144,8 +181,8 @@ object RelationalQueries {
     // q32 walks the chain twice (existing + rebuilt) and bth three
     // times; caching the fixture frames keeps the SCD2 dims and the
     // bronze projections computed once per query run.
-    TradesFixture(bt.cache(), bth.cache(), rtt, rst,
-      accDim.cache(), secDim.cache())
+    TradesFixture(cacheOnce(bt), cacheOnce(bth), rtt, rst,
+      cacheOnce(accDim), cacheOnce(secDim))
   }
 
   /** A full 17-source Warehouse fixture derived from the driver tables,
@@ -1026,8 +1063,8 @@ object RelationalQueries {
       (s, dir) => {
         val fx = tradesFixture(s, dir)
         // five independent check aggregates scan the fact — build once
-        val fact = auditFactMemo.getOrElseUpdate((s, dir),
-          tradesChainFactWithId(fx, fx.bth).cache())
+        val fact = memoGet(auditFactMemo, s, dir)(
+          cacheOnce(tradesChainFactWithId(fx, fx.bth)))
         def cnt(name: String, d: DataFrame) =
           d.agg(count(lit(1)).as("n_violations"))
             .select(lit(name).as("check"), col("n_violations"))

@@ -143,6 +143,23 @@ object StreamingScd2 {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.col
         val s = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val dimPath = new org.apache.hadoop.fs.Path(dimDir)
+        val stagingPath = new org.apache.hadoop.fs.Path(s"$dimDir.staging-$batchId")
+        val oldPath = new org.apache.hadoop.fs.Path(s"$dimDir.old-$batchId")
+        // Crash recovery BEFORE touching the dim: a prior attempt of this
+        // batch (foreachBatch is at-least-once, so a replay reuses the
+        // batchId) may have died between the two renames — dim absent,
+        // old-<id> holding the only good copy. Restore it, then clear any
+        // stale staging/old dirs so the renames below cannot silently
+        // no-op (or nest dirs on HDFS) against leftover targets.
+        if (!fs.exists(dimPath) && fs.exists(oldPath)) {
+          require(fs.rename(oldPath, dimPath),
+            s"SCD2 swap recovery failed: cannot restore $oldPath -> $dimPath")
+        }
+        if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+        if (fs.exists(oldPath)) fs.delete(oldPath, true)
         val existing = s.read.parquet(dimDir)
         // replay guard: drop changes already folded into the dim
         val seen = existing.select(
@@ -150,15 +167,14 @@ object StreamingScd2 {
         val fresh = batch.join(seen, idCols :+ tsCol, "left_anti")
         val merged = graft.models.Incremental
           .mergeScd2Batch(existing, fresh, idCols, tsCol, tieBreak)
-        val staging = s"$dimDir.staging-$batchId"
-        val old = s"$dimDir.old-$batchId"
-        merged.write.mode("overwrite").parquet(staging)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
-        val dimPath = new org.apache.hadoop.fs.Path(dimDir)
-        fs.rename(dimPath, new org.apache.hadoop.fs.Path(old))
-        fs.rename(new org.apache.hadoop.fs.Path(staging), dimPath)
-        fs.delete(new org.apache.hadoop.fs.Path(old), true)
+        merged.write.mode("overwrite").parquet(stagingPath.toString)
+        def renameOrFail(src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(src, dst),
+            s"SCD2 swap rename failed: $src -> $dst (batch $batchId)")
+        renameOrFail(dimPath, oldPath)
+        renameOrFail(stagingPath, dimPath)
+        fs.delete(oldPath, true)
         ()
       }
       .start()
