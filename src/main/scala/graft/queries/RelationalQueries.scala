@@ -97,38 +97,97 @@ object RelationalQueries {
     }
   }
 
+  // caching materializer, bounded to the models the comparisons and
+  // merge paths genuinely share — caching every model of three
+  // warehouse DAGs would pin ~100 plans in storage memory for the
+  // session (the bench runs in the same one)
+  private val sharedCacheModels = Set("crm_customer_mgmt", "accounts",
+    "customers", "dim_customer", "dim_account", "dim_broker", "dim_company",
+    "dim_security", "trades_history", "trades", "dim_trade",
+    "fact_trade", "trades_history_touched", "dim_trade_touched",
+    "cash_transactions", "fact_cash_transactions",
+    "cash_transactions_new", "fact_cash_transactions_new")
+
+  private val sharedCacheMat: (String, DataFrame) => DataFrame =
+    (n, df) => if (sharedCacheModels(n)) cacheOnce(df) else df
+
+  /** Time-sliced delta of the 4 incremental sources over [lo, hi). */
+  private def deltaSlice(src: Map[String, DataFrame], lo: Option[Column],
+                         hi: Option[Column]): Map[String, DataFrame] = {
+    val tsCols = Map("customer_mgmt" -> "action_ts", "trade" -> "t_dts",
+      "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts")
+    tsCols.map { case (k, ts) =>
+      val base = src(k)
+      val bounded = lo.map(c => base.filter(col(ts) >= c)).getOrElse(base)
+      k -> hi.map(c => bounded.filter(col(ts) < c)).getOrElse(bounded)
+    }
+  }
+
   private def batch2Fixture(s: SparkSession, dir: String)
       : (Map[String, DataFrame], Map[String, DataFrame]) =
     memoGet(batch2Memo, s, dir) {
       val src = warehouseSources(s, dir)
       val cut = lit("1996-01-01").cast("timestamp")
-      val b1 = src ++ Map(
-        "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") < cut),
-        "trade" -> src("trade").filter(col("t_dts") < cut),
-        "trade_history" -> src("trade_history").filter(col("th_dts") < cut),
-        "cash_transaction" -> src("cash_transaction").filter(col("ct_dts") < cut))
-      val b2 = Map(
-        "customer_mgmt" -> src("customer_mgmt").filter(col("action_ts") >= cut),
-        "trade" -> src("trade").filter(col("t_dts") >= cut),
-        "trade_history" -> src("trade_history").filter(col("th_dts") >= cut),
-        "cash_transaction" -> src("cash_transaction").filter(col("ct_dts") >= cut))
-      // caching materializer, bounded to the models the comparisons and
-      // merge paths genuinely share — caching every model of three
-      // warehouse DAGs would pin ~100 plans in storage memory for the
-      // session (the bench runs in the same one)
-      val shared = Set("crm_customer_mgmt", "accounts", "customers",
-        "dim_customer", "dim_account", "dim_broker", "dim_company",
-        "dim_security", "trades_history", "trades", "dim_trade",
-        "fact_trade", "trades_history_touched", "dim_trade_touched",
-        "cash_transactions", "fact_cash_transactions",
-        "cash_transactions_new", "fact_cash_transactions_new")
-      val cacheMat = (n: String, df: DataFrame) =>
-        if (shared(n)) cacheOnce(df) else df
+      val b1 = src ++ deltaSlice(src, None, Some(cut))
+      val b2 = deltaSlice(src, Some(cut), None)
       val refreshed = graft.models.Warehouse.applyBatch2(
-        new graft.models.Warehouse(b1, cacheMat), b2, cacheMat)
-      val full = new graft.models.Warehouse(src, cacheMat).all.toMap
+        new graft.models.Warehouse(b1, sharedCacheMat), b2, sharedCacheMat)
+      val full = new graft.models.Warehouse(src, sharedCacheMat).all.toMap
       (refreshed, full)
     }
+
+  private val batch3Memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Map[String, DataFrame], Map[String, DataFrame])]
+
+  /** Three-way batch split for the CHAINING gates (q49/q50): the full
+    * TPC-DI batch sequence — applyBatch(applyBatch(wh(b1), b2), b3) —
+    * against a clean full rebuild over b1∪b2∪b3. The chained side
+    * exercises merge-on-merged composition: batch3's SCD2 merge reads
+    * versions batch2's merge minted, and the trades/fact merges rebuild
+    * keys that may already have been rebuilt once — exactly where
+    * re-close/idempotency bugs live. The full-rebuild side shares plans
+    * (and cacheOnce cache entries) with batch2Fixture's.
+    */
+  private def batch3Fixture(s: SparkSession, dir: String)
+      : (Map[String, DataFrame], Map[String, DataFrame]) =
+    memoGet(batch3Memo, s, dir) {
+      val src = warehouseSources(s, dir)
+      val cut1 = lit("1995-01-01").cast("timestamp")
+      val cut2 = lit("1997-01-01").cast("timestamp")
+      val b1 = src ++ deltaSlice(src, None, Some(cut1))
+      val b2 = deltaSlice(src, Some(cut1), Some(cut2))
+      val b3 = deltaSlice(src, Some(cut2), None)
+      val chained = graft.models.Warehouse.applyBatch(
+        graft.models.Warehouse.applyBatch(
+          new graft.models.Warehouse(b1, sharedCacheMat), b2, sharedCacheMat),
+        b3, sharedCacheMat).all.toMap
+      val full = new graft.models.Warehouse(src, sharedCacheMat).all.toMap
+      (chained, full)
+    }
+
+  /** One-pass signed multiset diff per model (±1 per side, net 0 per
+    * row when equal): each warehouse chain evaluates ONCE per model,
+    * where exceptAll-both-ways would re-derive both warehouses four
+    * times per model. Shared by q47 (single batch) and q49 (chained).
+    */
+  private def warehouseDiff(full: Map[String, DataFrame],
+                            inc: Map[String, DataFrame],
+                            models: Seq[String]): DataFrame =
+    models.map { m =>
+      val f = full(m)
+      val i = inc(m).select(f.columns.map(col): _*)
+      f.withColumn("__side", lit(1L))
+        .unionByName(i.withColumn("__side", lit(-1L)))
+        .groupBy(f.columns.map(col): _*).agg(sum("__side").as("__d"))
+        .filter(col("__d") =!= 0)
+        .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("n_mismatch"))
+        .select(lit(m).as("model"), col("n_mismatch"))
+    }.reduce(_.unionByName(_))
+
+  private val batchComparedModels = Seq("accounts", "customers",
+    "dim_customer", "dim_account", "trades_history", "trades", "dim_trade",
+    "fact_trade", "cash_transactions", "fact_cash_transactions",
+    "fact_cash_balances")
 
   private def tradesFixture(s: SparkSession, dir: String): TradesFixture =
     memoGet(fixtureMemo, s, dir)(buildTradesFixture(s, dir))
@@ -1449,23 +1508,7 @@ object RelationalQueries {
     QueryDef("q47_warehouse_batch2",
       (s, dir) => {
         val (refreshed, full) = batch2Fixture(s, dir)
-        Seq("accounts", "customers", "dim_customer", "dim_account",
-            "trades_history", "trades", "dim_trade", "fact_trade",
-            "cash_transactions", "fact_cash_transactions",
-            "fact_cash_balances").map { m =>
-          // one-pass signed multiset diff (±1 per side, net 0 per row
-          // when equal): each chain evaluates ONCE per model, where
-          // exceptAll-both-ways would re-derive the full+incremental
-          // warehouse four times per model
-          val f = full(m)
-          val inc = refreshed(m).select(f.columns.map(col): _*)
-          f.withColumn("__side", lit(1L))
-            .unionByName(inc.withColumn("__side", lit(-1L)))
-            .groupBy(f.columns.map(col): _*).agg(sum("__side").as("__d"))
-            .filter(col("__d") =!= 0)
-            .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("n_mismatch"))
-            .select(lit(m).as("model"), col("n_mismatch"))
-        }.reduce(_.unionByName(_))
+        warehouseDiff(full, refreshed, batchComparedModels)
       },
       Some("""SELECT 'accounts' AS model, 0 AS n_mismatch UNION ALL
              |SELECT 'customers', 0 UNION ALL
@@ -1497,6 +1540,60 @@ object RelationalQueries {
           .unionByName(tagged("customers", Seq("customer_id")))
           .unionByName(
             graft.models.Audit.unique(refreshed("fact_trade"), Seq("sk_trade_id"))
+              .agg(count(lit(1)).as("n_violations"))
+              .select(lit("fact_trade:unique_grain").as("check"),
+                col("n_violations")))
+      },
+      Some("""SELECT 'accounts:one_current_per_entity' AS "check", 0 AS n_violations UNION ALL
+             |SELECT 'accounts:no_version_overlap', 0 UNION ALL
+             |SELECT 'accounts:current_is_open', 0 UNION ALL
+             |SELECT 'customers:one_current_per_entity', 0 UNION ALL
+             |SELECT 'customers:no_version_overlap', 0 UNION ALL
+             |SELECT 'customers:current_is_open', 0 UNION ALL
+             |SELECT 'fact_trade:unique_grain', 0""".stripMargin)),
+
+    // MULTI-BATCH chaining (the full TPC-DI batch sequence — the
+    // reference's named future work carried one step further than q47):
+    // applyBatch(applyBatch(wh(b1), b2), b3) must be model-for-model
+    // equal to a full rebuild over b1∪b2∪b3. The chained side is where
+    // merge idempotency/composition bugs live: batch3's SCD2 merge
+    // re-opens versions batch2's merge closed, and the trades/fact
+    // merges rebuild keys already rebuilt once. Signed multiset diff
+    // per model, all required zero (q34/q47 literal-oracle pattern; the
+    // kernels are DuckDB-gated in q27/q32).
+    QueryDef("q49_warehouse_batch3_chain",
+      (s, dir) => {
+        val (chained, full) = batch3Fixture(s, dir)
+        warehouseDiff(full, chained, batchComparedModels)
+      },
+      Some("""SELECT 'accounts' AS model, 0 AS n_mismatch UNION ALL
+             |SELECT 'customers', 0 UNION ALL
+             |SELECT 'dim_customer', 0 UNION ALL
+             |SELECT 'dim_account', 0 UNION ALL
+             |SELECT 'trades_history', 0 UNION ALL
+             |SELECT 'trades', 0 UNION ALL
+             |SELECT 'dim_trade', 0 UNION ALL
+             |SELECT 'fact_trade', 0 UNION ALL
+             |SELECT 'cash_transactions', 0 UNION ALL
+             |SELECT 'fact_cash_transactions', 0 UNION ALL
+             |SELECT 'fact_cash_balances', 0""".stripMargin)),
+
+    // Continuity audit on the TWICE-merged dims (q48's checks over the
+    // q49 fixture): SCD2 invariants must survive two successive
+    // incremental merges, not just one — exactly one current version
+    // per entity, no version overlap, every current version open-ended,
+    // fact grain unique through both merges.
+    QueryDef("q50_batch3_audit",
+      (s, dir) => {
+        val (chained, _) = batch3Fixture(s, dir)
+        def tagged(dim: String, ids: Seq[String]) =
+          graft.models.Audit.scd2Continuity(chained(dim), ids)
+            .select(concat(lit(dim + ":"), col("check")).as("check"),
+              col("n_violations"))
+        tagged("accounts", Seq("account_id"))
+          .unionByName(tagged("customers", Seq("customer_id")))
+          .unionByName(
+            graft.models.Audit.unique(chained("fact_trade"), Seq("sk_trade_id"))
               .agg(count(lit(1)).as("n_violations"))
               .select(lit("fact_trade:unique_grain").as("check"),
                 col("n_violations")))

@@ -316,4 +316,96 @@ class WarehouseSpec extends SparkSpec {
       }
     }
   }
+
+  private def slice3(cut1: java.sql.Timestamp, cut2: java.sql.Timestamp) = {
+    val src = wh.sources
+    def in(tsc: String, t: DataFrame, lo: Option[java.sql.Timestamp],
+           hi: Option[java.sql.Timestamp]) = {
+      val loF = lo.map(c => t.filter(col(tsc) >= c)).getOrElse(t)
+      hi.map(c => loF.filter(col(tsc) < c)).getOrElse(loF)
+    }
+    val tsCols = Map("customer_mgmt" -> "action_ts", "trade" -> "t_dts",
+      "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts")
+    val b1 = src ++ tsCols.map { case (k, c) => k -> in(c, src(k), None, Some(cut1)) }
+    val b2 = tsCols.map { case (k, c) => k -> in(c, src(k), Some(cut1), Some(cut2)) }
+    val b3 = tsCols.map { case (k, c) => k -> in(c, src(k), Some(cut2), None) }
+    (b1, b2, b3)
+  }
+
+  test("applyBatch chaining: b2 then b3 == full rebuild over b1∪b2∪b3") {
+    // Three-way split with real work in every step: b2 carries the
+    // UPDCUST action (a new customer version closing v1) and both
+    // trades with their histories; b3 carries the ADDACCT action (a new
+    // account entity minted on an already-merged dim) and the cash
+    // transactions. Batch3's SCD2 merge must read versions batch2's
+    // merge minted, and its cash chain must join the twice-merged
+    // account dim.
+    val (b1, b2, b3) = slice3(ts("2020-03-01 00:00:00"), ts("2020-03-15 00:00:00"))
+    // sanity: each batch is non-empty for the spine it claims to touch
+    b2("customer_mgmt").count() shouldBe 1  // UPDCUST
+    b2("trade").count() shouldBe 2
+    b3("customer_mgmt").count() shouldBe 1  // ADDACCT
+    b3("cash_transaction").count() shouldBe 2
+    val chained = Warehouse.applyBatch(
+      Warehouse.applyBatch(new Warehouse(b1), b2), b3).all.toMap
+    val full = wh.all.toMap
+    for (m <- Seq("accounts", "customers", "dim_customer", "dim_account",
+        "trades_history", "trades", "dim_trade", "fact_trade",
+        "cash_transactions", "fact_cash_transactions",
+        "fact_cash_balances")) {
+      withClue(s"model $m: ") {
+        val f = full(m)
+        val inc = chained(m).select(f.columns.map(col): _*)
+        inc.exceptAll(f).count() shouldBe 0L
+        f.exceptAll(inc).count() shouldBe 0L
+        inc.count() shouldBe f.count()
+      }
+    }
+  }
+
+  test("applyBatch factPart: partition-scoped fact merge == whole-table merge") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-factpart").toString
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val cutoff = ts("2020-03-11 00:00:00")
+      val src = wh.sources
+      val b1 = src ++ Map(
+        "customer_mgmt" -> src("customer_mgmt").filter($"action_ts" < cutoff),
+        "trade" -> src("trade").filter($"t_dts" < cutoff),
+        "trade_history" -> src("trade_history").filter($"th_dts" < cutoff),
+        "cash_transaction" -> src("cash_transaction").filter($"ct_dts" < cutoff))
+      val b2 = Map(
+        "trade" -> src("trade").filter($"t_dts" >= cutoff),
+        "trade_history" -> src("trade_history").filter($"th_dts" >= cutoff))
+      val pExpr = date_format(col("create_timestamp"), "yyyy-MM")
+      // partitioned storage layout: the stored fact carries its grain
+      // key and the (immutable) event-month partition column
+      val wh1 = new Warehouse(b1)
+      val factDir = s"$tmp/fact_trade"
+      wh1.factTrade
+        .join(wh1.dimTrade.select($"sk_trade_id", $"trade_id"), Seq("sk_trade_id"))
+        .withColumn("p_month", pExpr)
+        .write.mode("overwrite").partitionBy("p_month").parquet(factDir)
+      val existing = new Warehouse(b1,
+        overrides = Map("fact_trade" -> spark.read.parquet(factDir)))
+      var factWrites = 0
+      val mat: (String, DataFrame) => DataFrame = (name, df) =>
+        if (name == "fact_trade") {
+          factWrites += 1
+          df.write.mode("overwrite").partitionBy("p_month").parquet(factDir)
+          spark.read.parquet(factDir)
+        } else df
+      val refreshed = Warehouse.applyBatch(existing, b2, mat,
+        factPart = Some(Warehouse.FactPartition("p_month", pExpr)))
+      factWrites shouldBe 1
+      val f = wh.factTrade
+      val got = refreshed.factTrade.drop("trade_id", "p_month")
+        .select(f.columns.map(col): _*)
+      got.exceptAll(f).count() shouldBe 0L
+      f.exceptAll(got).count() shouldBe 0L
+      got.count() shouldBe f.count()
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
 }
