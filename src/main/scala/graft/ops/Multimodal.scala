@@ -13,12 +13,17 @@ import org.apache.spark.sql.functions._
   *    decoder for those formats and [[extractFeatures]] uses it for
   *    `image`-typed rows, falling back to the stub when the payload
   *    isn't a decodable image.
-  *  - AUDIO/VIDEO codecs (ffmpeg/soundfile) are not in this container,
-  *    so [[stubDecode]] stands in with a fixed bytes->features
-  *    function — clearly marked, and the only thing that changes when
-  *    a real codec is linked. The mapPartitions shape (decoder state
-  *    reused across a partition's rows, no per-row init) is the
-  *    pattern all codecs need.
+  *  - AUDIO decodes for real too: `javax.sound.sampled` reads WAV/PCM
+  *    pure-JVM, so [[decodeAudioFeatures]] is a production decoder for
+  *    RIFF/WAVE payloads and [[extractFeatures]] uses it for
+  *    `audio`-typed rows, falling back to the stub when the payload
+  *    isn't decodable audio.
+  *  - VIDEO codecs (ffmpeg) are not in this container, so
+  *    [[stubDecode]] stands in with a fixed bytes->features function —
+  *    clearly marked, and the only thing that changes when a real
+  *    codec is linked. The mapPartitions shape (decoder state reused
+  *    across a partition's rows, no per-row init) is the pattern all
+  *    codecs need.
   */
 object Multimodal {
 
@@ -168,6 +173,104 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Frame-count ceiling for the audio decoder (64M frames of 16-bit
+    * stereo ≈ 256 MB): a header claiming absurd-but-parseable length
+    * must fall back to the stub tier, same contract as
+    * [[MaxDecodePixels]]. The decode itself STREAMS through a bounded
+    * buffer, so the cap bounds work, not allocation.
+    */
+  val MaxDecodeFrames: Long = 64L * 1024 * 1024
+
+  /** REAL audio decode (RIFF/WAVE 16-bit PCM via `javax.sound.sampled`,
+    * pure JVM) into the fixed 8-dim feature layout:
+    * `[sample_rate, channels, bits, n_frames, max_amp, min_amp,
+    * sum_amp, frame_bytes]`. Returns None when the payload is not
+    * decodable 16-bit PCM audio, so callers fall back to the stub tier.
+    * Samples stream through an 8 KiB frame-aligned buffer — the decoder
+    * never materializes the raster equivalent (a whole clip) in memory,
+    * which is what lets one executor thread chew through hour-long
+    * recordings. NonFatal-safe per row, like the image tier: one
+    * malformed header must not fail a 100 TB task.
+    */
+  def decodeAudioFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            || fmt.getSampleSizeInBits != 16
+            || nFrames <= 0 || nFrames > MaxDecodeFrames) None
+        else {
+          val frameBytes = fmt.getFrameSize
+          val bigEndian = fmt.isBigEndian
+          val buf = new Array[Byte](8192 - 8192 % math.max(frameBytes, 2))
+          var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
+          var read = ais.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + 1 < read) {
+              val v = if (bigEndian) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                      else (buf(off + 1) << 8) | (buf(off) & 0xff)
+              sum += v; if (v > mx) mx = v; if (v < mn) mn = v
+              off += 2
+            }
+            read = ais.read(buf)
+          }
+          if (mx < mn) None // no samples despite positive frame length
+          else Some(Array(fmt.getSampleRate, fmt.getChannels.toFloat, 16f,
+            nFrames.toFloat, mx.toFloat, mn.toFloat, sum.toFloat,
+            frameBytes.toFloat))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a Nyquist square wave (+amp, -amp, +amp, …) as a 16-bit PCM
+    * mono RIFF/WAVE clip — the fixture generator for the real-decode
+    * gate: every decoded statistic is a closed-form function of
+    * (nSamples, sampleRate, amp), so an external engine can oracle the
+    * decode without a decoder of its own (max = amp, min = -amp,
+    * sum = amp when nSamples is odd else 0).
+    */
+  def encodeWav(nSamples: Int, sampleRate: Int, amp: Int): Array[Byte] = {
+    require(nSamples > 1 && amp > 0 && amp <= Short.MaxValue,
+      s"bad wav fixture params n=$nSamples amp=$amp")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed PCM, little-endian
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = if (i % 2 == 0) amp else -amp
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    finally ais.close()
+    baos.toByteArray
+  }
+
+  /** Synthetic REAL-audio corpus: one square-wave WAV per document with
+    * length/rate/amplitude derived from doc_id — actual RIFF bytes the
+    * decoder must parse, with closed-form decoded stats.
+    */
+  def attachSyntheticAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = encodeWav((id % 50 + 10).toInt,
+          (8000 * (id % 4 + 1)).toInt, ((id % 1000 + 1) * 30).toInt)
+        MediaRow(id, bytes, "audio", bytes.length)
+      }
+    }.toDF()
+  }
+
   /** Frame sampling: cut the payload into `nFrames` equal byte slices
     * (stand-in for video frame extraction); returns one row per sampled
     * frame with its slice as a new binary column. Pure column algebra —
@@ -190,9 +293,10 @@ object Multimodal {
     * typed Dataset in, typed Dataset out; Spark keeps the operation
     * pipelined with the scan (no shuffle).
     *
-    * `image`-typed payloads go through the REAL ImageIO decoder first
-    * ([[decodeImageFeatures]]); undecodable payloads and the
-    * audio/video types fall back to the documented stub tier.
+    * `image`-typed payloads go through the REAL ImageIO decoder
+    * ([[decodeImageFeatures]]) and `audio`-typed payloads through the
+    * REAL WAV/PCM decoder ([[decodeAudioFeatures]]); undecodable
+    * payloads and the video type fall back to the documented stub tier.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -200,10 +304,13 @@ object Multimodal {
       .mapPartitions { rows =>
         // one decoder "session" per partition (real codecs are stateful)
         rows.map { r =>
-          val feats =
-            if (r.media_type == "image")
+          val feats = r.media_type match {
+            case "image" =>
               decodeImageFeatures(r.media).getOrElse(stubDecode(r.media))
-            else stubDecode(r.media)
+            case "audio" =>
+              decodeAudioFeatures(r.media).getOrElse(stubDecode(r.media))
+            case _ => stubDecode(r.media)
+          }
           MediaFeatures(r.doc_id, r.media_type,
             n_frames = math.max(1, r.n_bytes / 64), features = feats)
         }

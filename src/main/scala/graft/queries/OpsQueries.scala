@@ -799,6 +799,37 @@ object OpsQueries {
              |  cast((doc_id % 13 + 1) * (doc_id % 7 + 1) AS REAL) AS n_pixels
              |FROM documents""".stripMargin)),
 
+    // Multimodal: REAL audio decode. The fixture synthesizes an actual
+    // RIFF/WAVE clip per document (16-bit PCM mono Nyquist square wave,
+    // length/rate/amplitude closed-form in doc_id), extractFeatures
+    // decodes it with javax.sound.sampled — a production decoder for
+    // WAV, not the stub — and the oracle recomputes the decoded stats
+    // from the closed forms: max = amp, min = -amp, sum = amp iff the
+    // sample count is odd. A decoder that misreads the header, frame
+    // size, or sample endianness breaks the equality. All eight stats
+    // are integers cast to float — exact on both engines.
+    QueryDef("m05_audio_decode",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticAudio(s, docs(s, dir))
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(col("doc_id"),
+            col("features")(0).as("sample_rate"), col("features")(1).as("channels"),
+            col("features")(2).as("bits"), col("features")(3).as("n_frames"),
+            col("features")(4).as("max_amp"), col("features")(5).as("min_amp"),
+            col("features")(6).as("sum_amp"), col("features")(7).as("frame_bytes"))
+      },
+      Some("""SELECT doc_id,
+             |  cast(8000 * (doc_id % 4 + 1) AS REAL) AS sample_rate,
+             |  cast(1 AS REAL) AS channels,
+             |  cast(16 AS REAL) AS bits,
+             |  cast(doc_id % 50 + 10 AS REAL) AS n_frames,
+             |  cast((doc_id % 1000 + 1) * 30 AS REAL) AS max_amp,
+             |  cast(-((doc_id % 1000 + 1) * 30) AS REAL) AS min_amp,
+             |  cast(CASE WHEN (doc_id % 50 + 10) % 2 = 1
+             |       THEN (doc_id % 1000 + 1) * 30 ELSE 0 END AS REAL) AS sum_amp,
+             |  cast(2 AS REAL) AS frame_bytes
+             |FROM documents""".stripMargin)),
+
     // Multimodal: frame sampling (binary slicing). Full DuckDB oracle:
     // frame lengths are pure integer arithmetic on the payload size
     // (frame_len = max(n/4, 1), last frame truncated, empty frames

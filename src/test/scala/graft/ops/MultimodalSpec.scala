@@ -74,6 +74,38 @@ class MultimodalSpec extends SparkSpec {
     f(3) shouldBe 10f; f(4) shouldBe 20f; f(5) shouldBe 30f
   }
 
+  test("encodeWav -> decodeAudioFeatures roundtrips exact stats") {
+    val bytes = Multimodal.encodeWav(11, 16000, 3000) // odd count: sum = +amp
+    bytes.take(4).map(_.toChar).mkString shouldBe "RIFF" // real WAV header
+    val f = Multimodal.decodeAudioFeatures(bytes).get
+    f(0) shouldBe 16000f; f(1) shouldBe 1f; f(2) shouldBe 16f
+    f(3) shouldBe 11f // frames
+    f(4) shouldBe 3000f; f(5) shouldBe -3000f
+    f(6) shouldBe 3000f // square wave, odd sample count
+    f(7) shouldBe 2f // 16-bit mono frame
+    val even = Multimodal.decodeAudioFeatures(Multimodal.encodeWav(10, 8000, 500)).get
+    even(6) shouldBe 0f // even sample count cancels
+  }
+
+  test("decodeAudioFeatures rejects non-audio payloads (stub fallback)") {
+    Multimodal.decodeAudioFeatures("just some text".getBytes("UTF-8")) shouldBe None
+    // extractFeatures on text payloads typed "audio" must equal the stub
+    val feats = Multimodal.extractFeatures(spark, Multimodal.attachMedia(docs))
+      .filter(_.media_type == "audio").collect()
+    val expected = Multimodal.stubDecode("xy".getBytes("UTF-8"))
+    feats.head.features.toSeq shouldBe expected.toSeq
+  }
+
+  test("extractFeatures really decodes synthetic WAV audio") {
+    val media = Multimodal.attachSyntheticAudio(spark, docs)
+    val f = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    // doc 2: n = 2%50+10 = 12, rate = 8000*(2%4+1) = 24000, amp = 3*30 = 90
+    val d2 = f(2).features
+    d2(0) shouldBe 24000f; d2(1) shouldBe 1f; d2(3) shouldBe 12f
+    d2(4) shouldBe 90f; d2(5) shouldBe -90f; d2(6) shouldBe 0f
+  }
+
   test("frameSample slices payload into n frames covering all bytes") {
     val frames = Multimodal.frameSample(Multimodal.attachMedia(docs), 4)
       .filter($"doc_id" === 0)
