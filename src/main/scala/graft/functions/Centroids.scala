@@ -62,6 +62,22 @@ object Centroids {
     best + 1
   }
 
+  /** Max cosine over the codebook — the assigned cell's similarity
+    * (static: called from codegen). Pairs with [[assign]] in the
+    * distributed k-means reseed: the worst-assigned point is the
+    * argmin of this value.
+    */
+  def bestSim(emb: ArrayData, isFloat: Boolean, cb: Array[Array[Double]]): Double = {
+    var bestS = Double.NegativeInfinity
+    var i = 0
+    while (i < cb.length) {
+      val s = cosine(emb, isFloat, cb(i))
+      if (s > bestS) bestS = s
+      i += 1
+    }
+    bestS
+  }
+
   /** Top-`nprobe` 1-based cells by cosine desc, ties to the lower cell
     * id (static: called from codegen). Selection over the sims array —
     * O(nlist·nprobe), fine for the nprobe ≪ nlist probe counts IVF uses.
@@ -215,6 +231,9 @@ object Centroids {
                      nprobe: Int): Column =
     Bridge.column(CentroidProbes(Bridge.expression(emb), codebook, nprobe))
 
+  def centroidBestSim(emb: Column, codebook: Array[Array[Double]]): Column =
+    Bridge.column(CentroidBestSim(Bridge.expression(emb), codebook))
+
   def hierarchicalAssign(emb: Column, coarse: Array[Array[Double]],
                          fine: Array[Array[Array[Double]]]): Column =
     Bridge.column(HierarchicalAssign(Bridge.expression(emb), coarse, fine))
@@ -261,6 +280,28 @@ case class CentroidAssign(child: Expression, codebook: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "centroid_assign"
+}
+
+/** array<float|double> embedding -> max cosine over the codebook (the
+  * assigned cell's similarity).
+  */
+case class CentroidBestSim(child: Expression, codebook: Array[Array[Double]])
+    extends CentroidExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    Centroids.bestSim(input.asInstanceOf[ArrayData], isFloat, codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("centroids", codebook, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Centroids.bestSim($c, $isFloat, $cbRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "centroid_best_sim"
 }
 
 /** array<float|double> embedding -> array<int> of the nprobe nearest

@@ -58,23 +58,13 @@ object KMeans {
     s
   }
 
-  /** Spherical k-means (cosine metric) on pre-collected sample vectors:
-    * k-means++ init seeded by `seed`, `iters` Lloyd sweeps where the
-    * centroid update is mean-then-renormalize. Cosine ties go to the
-    * lower centroid id (matching [[graft.functions.CentroidAssign]]);
-    * empty clusters reseed to the sample point with the worst best-sim.
+  /** k-means++ seeding on unit vectors with d = 1 - cos (shared by the
+    * driver-side and distributed spherical trainers — identical seeds
+    * given identical points and rng state).
     */
-  def fitSpherical(sample: Array[Array[Double]], k: Int, iters: Int = 10,
-                   seed: Long = 42L): Array[Array[Double]] = {
-    require(sample.nonEmpty, "k-means needs a non-empty sample")
-    require(k > 0, s"k must be positive, got $k")
-    val pts = sample.map(l2normalize) // unit vectors: cosine == dot
+  private def ppInitSpherical(pts: Array[Array[Double]], kk: Int,
+                              rng: scala.util.Random): Array[Array[Double]] = {
     val n = pts.length
-    val kk = math.min(k, n)
-    val dim = pts(0).length
-    val rng = new scala.util.Random(seed)
-
-    // k-means++ init on d = 1 - cos (all points unit, so d ∈ [0, 2])
     val centroids = Array.ofDim[Array[Double]](kk)
     centroids(0) = pts(rng.nextInt(n)).clone()
     val minD = Array.fill(n)(Double.MaxValue)
@@ -98,6 +88,25 @@ object KMeans {
       centroids(c) = pts(next).clone()
       c += 1
     }
+    centroids
+  }
+
+  /** Spherical k-means (cosine metric) on pre-collected sample vectors:
+    * k-means++ init seeded by `seed`, `iters` Lloyd sweeps where the
+    * centroid update is mean-then-renormalize. Cosine ties go to the
+    * lower centroid id (matching [[graft.functions.CentroidAssign]]);
+    * empty clusters reseed to the sample point with the worst best-sim.
+    */
+  def fitSpherical(sample: Array[Array[Double]], k: Int, iters: Int = 10,
+                   seed: Long = 42L): Array[Array[Double]] = {
+    require(sample.nonEmpty, "k-means needs a non-empty sample")
+    require(k > 0, s"k must be positive, got $k")
+    val pts = sample.map(l2normalize) // unit vectors: cosine == dot
+    val n = pts.length
+    val kk = math.min(k, n)
+    val dim = pts(0).length
+    val rng = new scala.util.Random(seed)
+    val centroids = ppInitSpherical(pts, kk, rng)
 
     val assignment = new Array[Int](n)
     var it = 0
@@ -163,6 +172,121 @@ object KMeans {
                      seed: Long = 42L): Array[Array[Double]] =
     fitSpherical(sampleVectors(vecs, idCol, embCol, sampleCap), nlist,
       iters, seed)
+
+  /** DISTRIBUTED-assignment spherical k-means: same Lloyd semantics as
+    * [[fitSpherical]], but the O(n·k·dim) assignment step of every
+    * sweep runs on the cluster as one [[graft.functions.CentroidAssign]]
+    * codegen projection + one (cell, dim)-keyed partial-sum aggregate —
+    * the driver sees only the k×dim sums and counts, never the points.
+    * This lifts flat training to nlist 10⁴-10⁵, where the driver-side
+    * trainer's per-sweep cost (65536·nlist·dim flops on one thread) is
+    * minutes.
+    *
+    * k-means++ seeding stays sequential by construction (each seed
+    * conditions on the last), so it runs driver-side over the first
+    * `initCap` sample vectors (md5 order — a prefix of the training
+    * sample). With `initCap >= sampleCap` the seeds are IDENTICAL to
+    * [[fitSpherical]]'s, and the whole trainer is equivalent up to
+    * floating-point summation order in the mean update (pinned by
+    * KMeansSpec at small k).
+    *
+    * Empty clusters reseed to the globally worst-assigned points
+    * (lowest best-sim, sample-order tie-break, ascending) — the
+    * distributed form of fitSpherical's sequential claim rule, computed
+    * with [[graft.functions.CentroidBestSim]] only on sweeps that have
+    * empty cells.
+    */
+  def fitSphericalDistributed(vecs: DataFrame, idCol: String, embCol: String,
+                              k: Int, sampleCap: Int = 65536,
+                              iters: Int = 10, seed: Long = 42L,
+                              initCap: Int = 16384): Array[Array[Double]] = {
+    require(k > 0, s"k must be positive, got $k")
+    import graft.functions.Centroids
+    // the same deterministic md5-ranked sample as sampleVectors, kept
+    // DISTRIBUTED as unit-normalized doubles; __ord preserves sample
+    // order for deterministic reseed tie-breaks. The limit plans as
+    // TakeOrderedAndProject into one partition — repartition spreads
+    // the sweeps back over the cluster.
+    val unitExpr = {
+      val d = transform(col(embCol), x => x.cast("double"))
+      val nrm = sqrt(aggregate(d, lit(0.0d), (acc, x) => acc + x * x))
+      when(nrm === 0.0d, d).otherwise(transform(d, x => x / nrm))
+    }
+    val shufflePartitions = vecs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val sampleDf = vecs
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(sampleCap)
+      .select(col(idCol).as("__sid"), unitExpr.as("__unit"))
+      .withColumn("__ord", monotonically_increasing_id())
+      .repartition(shufflePartitions)
+      .persist()
+    try {
+      val n = sampleDf.count().toInt
+      require(n > 0, "k-means needs a non-empty sample")
+      val kk = math.min(k, n)
+      val initPts = sampleVectors(vecs, idCol, embCol,
+        math.min(math.max(initCap, kk), sampleCap)).map(l2normalize)
+      val rng = new scala.util.Random(seed)
+      var codebook = ppInitSpherical(initPts, math.min(kk, initPts.length), rng)
+      val dim = codebook(0).length
+      var it = 0
+      while (it < iters) {
+        val assigned = sampleDf.select(col("__ord"), col("__unit"),
+          Centroids.centroidAssign(col("__unit"), codebook).as("__cell"))
+        val sums = assigned
+          .select(col("__cell"), posexplode(col("__unit")).as(Seq("__pos", "__v")))
+          .groupBy("__cell", "__pos")
+          .agg(sum("__v").as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val sumArr = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Long](kk)
+        sums.foreach { r =>
+          val cell = r.getInt(0) - 1 // CentroidAssign ids are 1-based
+          val pos = r.getInt(1)
+          sumArr(cell)(pos) = r.getDouble(2)
+          if (pos == 0) counts(cell) = r.getLong(3)
+        }
+        val next: Array[Array[Double]] = Array.tabulate(kk)(j =>
+          if (counts(j) > 0) l2normalize(sumArr(j)) else null)
+        val nEmpty = next.count(_ == null)
+        if (nEmpty > 0) {
+          val worst = assigned
+            .select(col("__ord"), col("__unit"),
+              Centroids.centroidBestSim(col("__unit"), codebook).as("__sim"))
+            .orderBy(col("__sim"), col("__ord")).limit(nEmpty)
+            .select(col("__unit")).collect()
+            .map { case Row(e: scala.collection.Seq[_]) =>
+              e.map(_.asInstanceOf[Number].doubleValue()).toArray
+            }
+          var w = 0
+          var j = 0
+          while (j < kk) {
+            if (next(j) == null) {
+              // fewer distinct sample points than empty cells: reuse the
+              // worst list cyclically (mirrors the driver trainer's
+              // behavior when reseeds exhaust the sample)
+              next(j) = l2normalize(worst(w % worst.length))
+              w += 1
+            }
+            j += 1
+          }
+        }
+        codebook = next
+        it += 1
+      }
+      codebook
+    } finally { sampleDf.unpersist(); () }
+  }
+
+  /** [[trainCentroids]] with the distributed Lloyd assignment — the
+    * production trainer for nlist ≥ ~10³.
+    */
+  def trainCentroidsDistributed(vecs: DataFrame, idCol: String, embCol: String,
+                                nlist: Int, sampleCap: Int = 65536,
+                                iters: Int = 10, seed: Long = 42L,
+                                initCap: Int = 16384): Array[Array[Double]] =
+    fitSphericalDistributed(vecs, idCol, embCol, nlist, sampleCap, iters,
+      seed, initCap)
 
   /** Train a two-level (coarse/fine) spherical codebook for
     * hierarchical IVF ([[Similarity.ivfTopKHier]]): `nCoarse` coarse

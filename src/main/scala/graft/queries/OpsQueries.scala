@@ -542,7 +542,10 @@ object OpsQueries {
     QueryDef("n06_ann_ivf_kmeans",
       (s, dir) => {
         val e = embs(s, dir)
-        val cb = KMeans.trainCentroids(e, "vec_id", "embedding",
+        // the DISTRIBUTED trainer (Lloyd assignment as a CentroidAssign
+        // projection per sweep; driver does only the k×dim mean update)
+        // — the production path for nlist ≥ ~10³, gated here at 256
+        val cb = KMeans.trainCentroidsDistributed(e, "vec_id", "embedding",
           nlist = 256, iters = 5)
         Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5,
             nlist = 256, nprobe = 256, centroids = Some(cb))

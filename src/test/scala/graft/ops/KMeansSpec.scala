@@ -67,6 +67,36 @@ class KMeansSpec extends SparkSpec {
     cb.length shouldBe 3 // capped at sample size
   }
 
+  test("fitSphericalDistributed == fitSpherical at small k (same seeds)") {
+    // initCap >= sample size makes the k-means++ seeds identical, so the
+    // two trainers may differ only in floating-point summation order of
+    // the mean update — pinned here to 1e-9 per element
+    val vecs = randVecs(300, 16, 61)
+    val sample = KMeans.sampleVectors(vecs, "vec_id", "embedding", 300)
+    val driver = KMeans.fitSpherical(sample, 8, iters = 5, seed = 9L)
+    val dist = KMeans.fitSphericalDistributed(vecs, "vec_id", "embedding",
+      k = 8, sampleCap = 300, iters = 5, seed = 9L, initCap = 300)
+    dist.length shouldBe driver.length
+    driver.zip(dist).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => y shouldBe x +- 1e-9 }
+    }
+  }
+
+  test("fitSphericalDistributed: empty-cluster reseed is deterministic") {
+    // 5 distinct directions duplicated 4x with k=8 guarantees empty
+    // cells every sweep (at most 5 can be non-empty)
+    val pts = (0L until 20L).map { i =>
+      val d = (i % 5).toInt
+      val v = Array.tabulate(8)(j => if (j == d) 1.0f else 0.01f * d)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    def run() = KMeans.fitSphericalDistributed(pts, "vec_id", "embedding",
+      k = 8, sampleCap = 20, iters = 3, seed = 3L, initCap = 20)
+    val a = run(); val b = run()
+    a.map(_.toSeq) shouldBe b.map(_.toSeq)
+    all(a.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
+  }
+
   test("ivfTopK with a k-means codebook at nlist=256: probe-all == brute force") {
     val vecs = randVecs(300, 32, 13)
     val cb = KMeans.trainCentroids(vecs, "vec_id", "embedding",
