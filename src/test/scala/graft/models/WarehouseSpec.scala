@@ -363,6 +363,56 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("streaming merge-on-arrival == batch applyBatch2 == full rebuild") {
+    // The composition gate: replaying batch2's CRM actions as TWO
+    // micro-batch arrivals through StreamingScd2.mergeScd2OnArrival
+    // must leave the accounts and customers dims equal to (a) the batch
+    // applyBatch2 merge and (b) a clean full rebuild — the streaming
+    // path and the batch path are the same merge kernel fed at
+    // different granularity, and this pins it three ways.
+    val cutoff = ts("2020-02-01 00:00:00")
+    val src = wh.sources
+    val crmB2 = src("customer_mgmt").filter($"action_ts" >= cutoff)
+    val wh1 = new Warehouse(
+      src + ("customer_mgmt" -> src("customer_mgmt").filter($"action_ts" < cutoff)))
+    val refreshed = Warehouse.applyBatch2(wh1, Map("customer_mgmt" -> crmB2))
+    val full = wh.all.toMap
+    // arrival waves: UPDCUST (2020-03-01) then ADDACCT (2020-04-01)
+    val wave1 = crmB2.filter($"action_ts" < ts("2020-03-15 00:00:00"))
+    val wave2 = crmB2.filter($"action_ts" >= ts("2020-03-15 00:00:00"))
+    wave1.count() shouldBe 1
+    wave2.count() shouldBe 1
+    val root = java.nio.file.Files.createTempDirectory("streamwh")
+    val cases = Seq(
+      ("accounts", Seq("account_id"), wh1.accounts,
+        (crm: DataFrame) => Silver.accountsBase(crm, src("tax_rate"))),
+      ("customers", Seq("customer_id"), wh1.customers,
+        (crm: DataFrame) => Silver.customersBase(crm, src("tax_rate"))))
+    for ((name, idCols, seed, baseOf) <- cases) {
+      val dimDir = root.resolve(s"${name}_dim").toString
+      val chDir = root.resolve(s"${name}_changes").toString
+      val chk = root.resolve(s"${name}_chk").toString
+      seed.write.parquet(dimDir)
+      val base1 = baseOf(wave1)
+      base1.write.mode("append").parquet(chDir)
+      graft.streaming.StreamingScd2.mergeScd2OnArrival(spark, chDir,
+        base1.schema, dimDir, idCols, "action_ts", chk)
+      baseOf(wave2).write.mode("append").parquet(chDir)
+      graft.streaming.StreamingScd2.mergeScd2OnArrival(spark, chDir,
+        base1.schema, dimDir, idCols, "action_ts", chk)
+      val got = spark.read.parquet(dimDir)
+      for ((label, target) <- Seq("full rebuild" -> full(name),
+          "applyBatch2" -> refreshed(name))) {
+        withClue(s"$name vs $label: ") {
+          val t = target.select(got.columns.map(col): _*)
+          got.exceptAll(t).count() shouldBe 0L
+          t.exceptAll(got).count() shouldBe 0L
+          got.count() shouldBe t.count()
+        }
+      }
+    }
+  }
+
   test("applyBatch factPart: partition-scoped fact merge == whole-table merge") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-factpart").toString
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")

@@ -143,4 +143,42 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     kept shouldBe Array(1L, 4L, 5L) // 2,3 fold into cluster rep 1
   }
+
+  test("capBuckets bounds hot-bucket pair explosion (Zipf-hostile fixture)") {
+    // Zipf head: 200 byte-identical docs whose identical signatures land
+    // in the SAME (band_idx, band_hash) bucket in EVERY band — the
+    // worst-case skew shape, where an uncapped self-join enumerates
+    // bands·n² tuples for one key. A boundary group of EXACTLY
+    // maxBucket identical docs must survive (the cap is inclusive).
+    val hotText = "the quick brown fox jumps over the lazy dog repeatedly today"
+    val midText = "an entirely different sentence that forms its own hot bucket"
+    val zipf = ((0L until 200L).map(i => (i, hotText)) ++
+      (500L until 550L).map(i => (i, midText)) ++
+      (1000L until 1010L).map(i => (i, s"unique document number $i with words ${i * 7}")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(zipf, "text", "doc_id", 64, 3, 42L)
+    val banded = sig.select(col("doc_id"),
+      posexplode(graft.functions.BandHashes.bandHashes(col("sig"), 16))
+        .as(Seq("band_idx", "band_hash")))
+    val sized = Dedup.capBuckets(banded, Seq("band_idx", "band_hash"), 50)
+    // the asserted ceiling: no surviving bucket exceeds maxBucket, so
+    // candidate tuples per bucket are <= maxBucket² by construction
+    sized.groupBy("band_idx", "band_hash").count()
+      .agg(max("count")).first().getLong(0) should be <= 50L
+    // the hot head is dropped in every band; the boundary group survives
+    sized.filter($"doc_id" < 200).count() shouldBe 0L
+    sized.filter($"doc_id" >= 500 && $"doc_id" < 550).count() shouldBe 50L * 16
+    // recall loss is real and measured: the capped run finds NO pairs
+    // inside the dropped head (documented cost of the bound) but ALL
+    // C(50,2) pairs of the at-boundary group
+    val capped = Dedup.minhashLsh(zipf, "text", "doc_id", maxBucket = 50)
+    capped.filter($"doc_a" < 200 && $"doc_b" < 200).count() shouldBe 0L
+    capped.filter($"doc_a" >= 500 && $"doc_a" < 550 &&
+      $"doc_b" >= 500 && $"doc_b" < 550).count() shouldBe 50L * 49 / 2
+    // lifting the cap recovers the head's full C(200,2) pair set — the
+    // cap, not the pipeline, is what bounded it
+    val uncapped = Dedup.minhashLsh(zipf, "text", "doc_id", maxBucket = 1000)
+    uncapped.filter($"doc_a" < 200 && $"doc_b" < 200)
+      .count() shouldBe 200L * 199 / 2
+  }
 }
