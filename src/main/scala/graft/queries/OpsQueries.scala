@@ -833,6 +833,40 @@ object OpsQueries {
              |  cast(2 AS REAL) AS frame_bytes
              |FROM documents""".stripMargin)),
 
+    // Multimodal: REAL video-container metadata decode. The fixture
+    // synthesizes an actual AVI (RIFF → LIST hdrl → avih + movi frame
+    // chunks, header fields closed-form in doc_id), extractFeatures
+    // walks the chunk tree pure-JVM — container metadata is the video
+    // operation a 100 TB pipeline runs codec-free (resolution filters,
+    // fps histograms, duration sums); only frame-content decode stays
+    // with the stub codec tier. A walker that misreads chunk sizes,
+    // padding, or the avih field offsets breaks the equality. All
+    // eight fields are integers cast to float — exact on both engines.
+    QueryDef("m06_video_metadata",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticVideos(s, docs(s, dir))
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(col("doc_id"),
+            col("features")(0).as("width"), col("features")(1).as("height"),
+            col("features")(2).as("total_frames"),
+            col("features")(3).as("usec_per_frame"),
+            col("features")(4).as("streams"),
+            col("features")(5).as("max_bytes_per_sec"),
+            col("features")(6).as("suggested_buffer"),
+            col("features")(7).as("flags"))
+      },
+      Some("""SELECT doc_id,
+             |  cast(doc_id % 64 + 16 AS REAL) AS width,
+             |  cast(doc_id % 48 + 12 AS REAL) AS height,
+             |  cast(doc_id % 8 + 2 AS REAL) AS total_frames,
+             |  cast(33000 + (doc_id % 5) * 1000 AS REAL) AS usec_per_frame,
+             |  cast(1 AS REAL) AS streams,
+             |  cast((doc_id % 64 + 16) * (doc_id % 48 + 12) AS REAL)
+             |    AS max_bytes_per_sec,
+             |  cast(doc_id % 32 + 4 AS REAL) AS suggested_buffer,
+             |  cast(0 AS REAL) AS flags
+             |FROM documents""".stripMargin)),
+
     // Multimodal: frame sampling (binary slicing). Full DuckDB oracle:
     // frame lengths are pure integer arithmetic on the payload size
     // (frame_len = max(n/4, 1), last frame truncated, empty frames

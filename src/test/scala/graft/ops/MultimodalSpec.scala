@@ -106,6 +106,47 @@ class MultimodalSpec extends SparkSpec {
     d2(4) shouldBe 90f; d2(5) shouldBe -90f; d2(6) shouldBe 0f
   }
 
+  test("encodeAvi -> decodeVideoMetadata roundtrips exact header fields") {
+    val bytes = Multimodal.encodeAvi(320, 240, 7, 33333, 100)
+    bytes.take(4).map(_.toChar).mkString shouldBe "RIFF"
+    new String(bytes, 8, 4) shouldBe "AVI "
+    val f = Multimodal.decodeVideoMetadata(bytes).get
+    f(0) shouldBe 320f; f(1) shouldBe 240f // width, height
+    f(2) shouldBe 7f // total frames
+    f(3) shouldBe 33333f // usec per frame
+    f(4) shouldBe 1f // streams
+    f(5) shouldBe (320 * 240).toFloat // max bytes/sec fixture value
+    f(6) shouldBe 100f // suggested buffer = frame bytes
+    f(7) shouldBe 0f // flags
+    // odd frame size exercises RIFF word padding in the chunk walk
+    Multimodal.decodeVideoMetadata(Multimodal.encodeAvi(16, 12, 3, 40000, 5))
+      .get.apply(2) shouldBe 3f
+  }
+
+  test("decodeVideoMetadata rejects non-AVI payloads (stub fallback)") {
+    Multimodal.decodeVideoMetadata("just some text".getBytes("UTF-8")) shouldBe None
+    // a WAV is RIFF but not AVI — the form type check must reject it
+    Multimodal.decodeVideoMetadata(Multimodal.encodeWav(11, 8000, 100)) shouldBe None
+    // truncated header: RIFF/AVI magic but no parsable hdrl
+    Multimodal.decodeVideoMetadata(
+      Multimodal.encodeAvi(16, 12, 2, 40000, 4).take(16)) shouldBe None
+    // extractFeatures on text payloads typed "video" must equal the stub
+    val feats = Multimodal.extractFeatures(spark, Multimodal.attachMedia(docs))
+      .filter(_.media_type == "video").collect()
+    val expected = Multimodal.stubDecode("0123456789abcdef".getBytes("UTF-8"))
+    feats.head.features.toSeq shouldBe expected.toSeq
+  }
+
+  test("extractFeatures really parses synthetic AVI containers") {
+    val media = Multimodal.attachSyntheticVideos(spark, docs)
+    val f = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    // doc 1: w = 1%64+16 = 17, h = 1%48+12 = 13, frames = 1%8+2 = 3
+    val d1 = f(1).features
+    d1(0) shouldBe 17f; d1(1) shouldBe 13f; d1(2) shouldBe 3f
+    d1(3) shouldBe 34000f // 33000 + (1%5)*1000
+  }
+
   test("frameSample slices payload into n frames covering all bytes") {
     val frames = Multimodal.frameSample(Multimodal.attachMedia(docs), 4)
       .filter($"doc_id" === 0)
