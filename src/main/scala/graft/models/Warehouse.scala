@@ -277,7 +277,8 @@ object Warehouse {
       k -> batch2.get(k).map(v.unionByName(_)).getOrElse(v)
     }
     val incrementalSources =
-      Set("customer_mgmt", "trade", "trade_history", "cash_transaction")
+      Set("customer_mgmt", "trade", "trade_history", "cash_transaction",
+        "watch_history", "daily_market", "holding_history")
     if (!batch2.keySet.subsetOf(incrementalSources))
       return new Warehouse(unioned, mat)
 
@@ -402,13 +403,134 @@ object Warehouse {
             existing.factCashBalances, affectedBal, rebuiltBal, balKeys))
       }.getOrElse(Map.empty)
 
+    // watches stream: per-(customer, symbol) local — rebuild touched
+    // keys' FULL action log through the same silver chain, merge by
+    // key. The fact lost its natural keys to SKs; recover them through
+    // the dims (sk → natural key is functional: SKs are unique and
+    // stable under the merge), exactly the fact_trade grain-recovery
+    // trick. The securities side sits outside this delta's reach
+    // (FINWIRE spine — guarded above), so the existing frame joins.
+    val watchModels: Map[String, DataFrame] = batch2.get("watch_history")
+      .map { whDelta =>
+        val keys = whDelta.select(col("w_c_id").as("customer_id"),
+          col("w_s_symb").as("symbol")).distinct()
+        val touched = unioned("watch_history").join(
+          keys.select(col("customer_id").as("w_c_id"),
+            col("symbol").as("w_s_symb")),
+          Seq("w_c_id", "w_s_symb"), "left_semi")
+        val whTouched = mat("watches_history_touched",
+          Silver.watchesHistory(touched, existingByName("securities")))
+        val wTouched = Silver.watches(whTouched)
+        // sk → natural key is FUNCTIONAL but not necessarily row-unique
+        // (duplicate source rows can mint two dim rows with one sk —
+        // the trades_history tie shape), so the recovery maps dedup or
+        // the join would multiply fact rows
+        val custMap = dimCustomer2.select(col("sk_customer_id"), col("customer_id"))
+          .distinct()
+        val secMap = existingByName("dim_security")
+          .select(col("sk_security_id"), col("symbol")).distinct()
+        val factWTouched = Gold.factWatches(wTouched, dimCustomer2,
+            existingByName("dim_security"))
+          .join(custMap, Seq("sk_customer_id")).join(secMap, Seq("sk_security_id"))
+        val existingFw = existing.factWatches
+          .join(custMap, Seq("sk_customer_id")).join(secMap, Seq("sk_security_id"))
+        Map(
+          "watches_history" -> Incremental.mergeFactBatch(
+            existing.watchesHistory, keys, whTouched, Seq("customer_id", "symbol")),
+          "watches" -> Incremental.mergeFactBatch(
+            existing.watches, keys, wTouched, Seq("customer_id", "symbol")),
+          "fact_watches" -> Incremental.mergeFactBatch(
+            existingFw, keys, factWTouched, Seq("customer_id", "symbol"))
+            .drop("customer_id", "symbol"))
+      }.getOrElse(Map.empty)
+
+    // daily-market stream: the 52-week windows are per-symbol local, so
+    // touched symbols' FULL price history rebuilds through the same
+    // silver window and merges by symbol (append-only batches mean
+    // existing rows never see future data, but the full-key rebuild
+    // makes the merge correct without leaning on that). fact rows
+    // recover their symbol through dim_security.
+    val dmModels: Map[String, DataFrame] = batch2.get("daily_market")
+      .map { dmDelta =>
+        val syms = dmDelta.select(col("dm_s_symb")).distinct()
+        val touched = unioned("daily_market").join(syms, Seq("dm_s_symb"), "left_semi")
+        val dmTouched = mat("daily_market_touched", Silver.dailyMarket(touched))
+        val wrk = Gold.wrkCompanyFinancials(existingByName("financials"),
+          existingByName("dim_company"))
+        val secMap = existingByName("dim_security")
+          .select(col("sk_security_id"), col("symbol").as("dm_s_symb")).distinct()
+        val fmhTouched = Gold.factMarketHistory(dmTouched,
+            existingByName("dim_security"), wrk)
+          .join(secMap, Seq("sk_security_id"))
+        val existingFmh = existing.factMarketHistory
+          .join(secMap, Seq("sk_security_id"))
+        Map(
+          "daily_market" -> Incremental.mergeFactBatch(
+            existing.dailyMarket, syms, dmTouched, Seq("dm_s_symb")),
+          "fact_market_history" -> Incremental.mergeFactBatch(
+            existingFmh, syms, fmhTouched, Seq("dm_s_symb"))
+            .drop("dm_s_symb"))
+      }.getOrElse(Map.empty)
+
+    // holdings stream: holding rows are dirty when their event batch
+    // arrives OR when either of the trades they reference (current or
+    // PREVIOUS — fact_holdings joins dim_trade twice) is touched by the
+    // trade delta, since a touched trade's rebuilt trades/dim_trade row
+    // changes the joined attributes. Dirty keys' rows rebuild against
+    // the MERGED trades/dim_trade and merge by trade_id.
+    val hhDelta = batch2.get("holding_history")
+    val holdingModels: Map[String, DataFrame] =
+      if (hhDelta.isEmpty && tradeDelta.isEmpty && thDelta.isEmpty) Map.empty
+      else {
+        val touchedTradeIds =
+          (hhDelta.map(_.select(col("hh_t_id").as("trade_id"))).toSeq ++
+            hhDelta.map(_.select(col("hh_h_t_id").as("trade_id"))).toSeq ++
+            tradeDelta.map(_.select(col("t_id").as("trade_id"))).toSeq ++
+            thDelta.map(_.select(col("th_t_id").as("trade_id"))).toSeq)
+            .reduce(_.unionByName(_)).distinct()
+        val hh = unioned("holding_history")
+        val dirtyKeys = hh
+          .join(touchedTradeIds.select(col("trade_id").as("hh_t_id")),
+            Seq("hh_t_id"), "left_semi")
+          .select(col("hh_t_id"))
+          .unionByName(hh
+            .join(touchedTradeIds.select(col("trade_id").as("hh_h_t_id")),
+              Seq("hh_h_t_id"), "left_semi")
+            .select(col("hh_t_id")))
+          .distinct().select(col("hh_t_id").as("trade_id"))
+        val touchedHh = hh.join(dirtyKeys.select(col("trade_id").as("hh_t_id")),
+          Seq("hh_t_id"), "left_semi")
+        val trades2 = tradeModels.getOrElse("trades", existing.trades)
+        val dimTrade2 = tradeModels.getOrElse("dim_trade", existing.dimTrade)
+        val hhTouched = mat("holdings_history_touched",
+          Silver.holdingsHistory(touchedHh, trades2))
+        // dedup: duplicate (trade_id, ts) source rows mint two dim_trade
+        // rows sharing one sk (the trades_history tie shape) — without
+        // distinct() this recovery join would multiply fact rows
+        val tradeMap = dimTrade2.select(
+          col("sk_trade_id").as("sk_current_trade_id"), col("trade_id"))
+          .distinct()
+        val factHTouched = Gold.factHoldings(hhTouched, dimTrade2,
+            dimAccount2, existingByName("dim_security"))
+          .join(tradeMap, Seq("sk_current_trade_id"))
+        val existingFh = existing.factHoldings
+          .join(tradeMap, Seq("sk_current_trade_id"))
+        Map(
+          "holdings_history" -> Incremental.mergeFactBatch(
+            existing.holdingsHistory, dirtyKeys, hhTouched, Seq("trade_id")),
+          "fact_holdings" -> Incremental.mergeFactBatch(
+            existingFh, dirtyKeys, factHTouched, Seq("trade_id"))
+            .drop("trade_id"))
+      }
+
     // final DAG: merged models and untouched pass-throughs are injected
     // as overrides, so (a) every affected model's recompute reads the
     // MERGED dims (fact_cash_transactions → merged dim_account,
     // fact_holdings → merged trades/dim_trade, …), and (b) models the
     // delta can't reach are the existing frames verbatim — nothing
     // re-derives a full rebuild of anything
-    val merged = tradeModels ++ cashModels ++ Map(
+    val merged = tradeModels ++ cashModels ++ watchModels ++ dmModels ++
+      holdingModels ++ Map(
       "accounts" -> accounts2, "customers" -> customers2,
       "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2)
     val passThrough = existingByName.filter { case (n, _) =>

@@ -106,24 +106,35 @@ object RelationalQueries {
     "dim_security", "trades_history", "trades", "dim_trade",
     "fact_trade", "trades_history_touched", "dim_trade_touched",
     "cash_transactions", "fact_cash_transactions",
-    "cash_transactions_new", "fact_cash_transactions_new")
+    "cash_transactions_new", "fact_cash_transactions_new",
+    "securities", "financials", "daily_market", "fact_market_history",
+    "watches_history", "watches", "fact_watches", "holdings_history",
+    "fact_holdings", "watches_history_touched", "daily_market_touched",
+    "holdings_history_touched")
 
   private val sharedCacheMat: (String, DataFrame) => DataFrame =
     (n, df) => if (sharedCacheModels(n)) cacheOnce(df) else df
 
-  /** Time-sliced delta of the 4 incremental sources over [lo, hi). */
+  /** Time-sliced delta of the 7 incremental sources over [lo, hi).
+    * Holding events carry no timestamp of their own — they ride their
+    * trade's batch (semi-join on the sliced trade keys).
+    */
   private def deltaSlice(src: Map[String, DataFrame], lo: Option[Column],
                          hi: Option[Column]): Map[String, DataFrame] = {
     val tsCols = Map("customer_mgmt" -> "action_ts", "trade" -> "t_dts",
-      "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts")
-    tsCols.map { case (k, ts) =>
+      "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts",
+      "watch_history" -> "w_dts", "daily_market" -> "dm_date")
+    val sliced = tsCols.map { case (k, ts) =>
       val base = src(k)
       val bounded = lo.map(c => base.filter(col(ts) >= c)).getOrElse(base)
       k -> hi.map(c => bounded.filter(col(ts) < c)).getOrElse(bounded)
     }
+    sliced + ("holding_history" -> src("holding_history").join(
+      sliced("trade").select(col("t_id").as("hh_t_id")),
+      Seq("hh_t_id"), "left_semi"))
   }
 
-  private def batch2Fixture(s: SparkSession, dir: String)
+  private[queries] def batch2Fixture(s: SparkSession, dir: String)
       : (Map[String, DataFrame], Map[String, DataFrame]) =
     memoGet(batch2Memo, s, dir) {
       val src = warehouseSources(s, dir)
@@ -148,7 +159,7 @@ object RelationalQueries {
     * re-close/idempotency bugs live. The full-rebuild side shares plans
     * (and cacheOnce cache entries) with batch2Fixture's.
     */
-  private def batch3Fixture(s: SparkSession, dir: String)
+  private[queries] def batch3Fixture(s: SparkSession, dir: String)
       : (Map[String, DataFrame], Map[String, DataFrame]) =
     memoGet(batch3Memo, s, dir) {
       val src = warehouseSources(s, dir)
@@ -187,7 +198,9 @@ object RelationalQueries {
   private val batchComparedModels = Seq("accounts", "customers",
     "dim_customer", "dim_account", "trades_history", "trades", "dim_trade",
     "fact_trade", "cash_transactions", "fact_cash_transactions",
-    "fact_cash_balances")
+    "fact_cash_balances", "watches_history", "watches", "fact_watches",
+    "daily_market", "fact_market_history", "holdings_history",
+    "fact_holdings")
 
   private def tradesFixture(s: SparkSession, dir: String): TradesFixture =
     memoGet(fixtureMemo, s, dir)(buildTradesFixture(s, dir))
@@ -350,10 +363,32 @@ object RelationalQueries {
       "industry" -> s.sql(
         "SELECT * FROM VALUES ('AB','Airlines','SC1') AS t(in_id, in_name, in_sc_id)"),
       "date" -> empty(graft.models.Loader.dateSchema),
-      "daily_market" -> empty(graft.models.Loader.dailyMarketSchema),
+      // market stream: one row per (symbol, day) — aggregated to the
+      // grain so the 52wk window and its extremum-date QUALIFY are
+      // deterministic (max/min/count are order-free exact values)
+      "daily_market" -> o.groupBy(
+          concat(lit("SYM"), col("o_custkey") % 50).as("dm_s_symb"),
+          col("o_orderdate").cast("date").as("dm_date"))
+        .agg((max(col("o_totalprice")).cast("double") + 1.0d).as("dm_high"),
+          min(col("o_totalprice")).cast("double").as("dm_low"),
+          max(col("o_totalprice")).cast("double").as("dm_close"),
+          (count(lit(1)) * 100).cast("double").as("dm_vol"))
+        .select("dm_date", "dm_s_symb", "dm_close", "dm_high", "dm_low", "dm_vol"),
       "prospect" -> empty(graft.models.Loader.prospectSchema),
-      "watch_history" -> empty(graft.models.Loader.watchHistorySchema),
-      "holding_history" -> empty(graft.models.Loader.holdingHistorySchema),
+      // watch stream: ACTV/CNCL actions per (customer, symbol)
+      "watch_history" -> o.select(
+        col("o_custkey").as("w_c_id"),
+        concat(lit("SYM"), col("o_orderkey") % 50).as("w_s_symb"),
+        actTs.as("w_dts"),
+        when(col("o_orderkey") % 3 === 0, "CNCL").otherwise("ACTV").as("w_action")),
+      // holding stream: events ride their trade (hh_t_id = the trade
+      // key; self-referencing previous keeps the dual dim_trade join
+      // satisfiable on any key subset)
+      "holding_history" -> li.select(
+        col("l_orderkey").as("hh_h_t_id"),
+        col("l_orderkey").as("hh_t_id"),
+        col("l_quantity").cast("double").as("hh_before_qty"),
+        (col("l_quantity") * 2).cast("double").as("hh_after_qty")),
       "cash_transaction" -> o.select(
         col("o_custkey").as("ct_ca_id"),
         (actTs + expr("interval 1 hour")).as("ct_dts"),
@@ -1520,7 +1555,14 @@ object RelationalQueries {
              |SELECT 'fact_trade', 0 UNION ALL
              |SELECT 'cash_transactions', 0 UNION ALL
              |SELECT 'fact_cash_transactions', 0 UNION ALL
-             |SELECT 'fact_cash_balances', 0""".stripMargin)),
+             |SELECT 'fact_cash_balances', 0 UNION ALL
+             |SELECT 'watches_history', 0 UNION ALL
+             |SELECT 'watches', 0 UNION ALL
+             |SELECT 'fact_watches', 0 UNION ALL
+             |SELECT 'daily_market', 0 UNION ALL
+             |SELECT 'fact_market_history', 0 UNION ALL
+             |SELECT 'holdings_history', 0 UNION ALL
+             |SELECT 'fact_holdings', 0""".stripMargin)),
 
     // Batch-continuity audit over the SAME applyBatch2 output q47
     // gates for equality (shared fixture): the TPC-DI audit-phase SCD2
@@ -1576,7 +1618,14 @@ object RelationalQueries {
              |SELECT 'fact_trade', 0 UNION ALL
              |SELECT 'cash_transactions', 0 UNION ALL
              |SELECT 'fact_cash_transactions', 0 UNION ALL
-             |SELECT 'fact_cash_balances', 0""".stripMargin)),
+             |SELECT 'fact_cash_balances', 0 UNION ALL
+             |SELECT 'watches_history', 0 UNION ALL
+             |SELECT 'watches', 0 UNION ALL
+             |SELECT 'fact_watches', 0 UNION ALL
+             |SELECT 'daily_market', 0 UNION ALL
+             |SELECT 'fact_market_history', 0 UNION ALL
+             |SELECT 'holdings_history', 0 UNION ALL
+             |SELECT 'fact_holdings', 0""".stripMargin)),
 
     // Continuity audit on the TWICE-merged dims (q48's checks over the
     // q49 fixture): SCD2 invariants must survive two successive

@@ -303,10 +303,7 @@ class WarehouseSpec extends SparkSpec {
       "cash_transaction" -> src("cash_transaction").filter($"ct_dts" >= cutoff))
     val refreshed = Warehouse.applyBatch2(new Warehouse(b1), b2)
     val full = wh.all.toMap
-    for (m <- Seq("accounts", "customers", "dim_customer", "dim_account",
-        "trades_history", "trades", "dim_trade", "fact_trade",
-        "cash_transactions", "fact_cash_transactions",
-        "fact_cash_balances")) {
+    for (m <- allStreamModels) {
       withClue(s"model $m: ") {
         val f = full(m)
         val inc = refreshed(m).select(f.columns.map(col): _*)
@@ -325,12 +322,25 @@ class WarehouseSpec extends SparkSpec {
       hi.map(c => loF.filter(col(tsc) < c)).getOrElse(loF)
     }
     val tsCols = Map("customer_mgmt" -> "action_ts", "trade" -> "t_dts",
-      "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts")
-    val b1 = src ++ tsCols.map { case (k, c) => k -> in(c, src(k), None, Some(cut1)) }
-    val b2 = tsCols.map { case (k, c) => k -> in(c, src(k), Some(cut1), Some(cut2)) }
-    val b3 = tsCols.map { case (k, c) => k -> in(c, src(k), Some(cut2), None) }
+      "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts",
+      "watch_history" -> "w_dts", "daily_market" -> "dm_date")
+    def slice(lo: Option[java.sql.Timestamp], hi: Option[java.sql.Timestamp]) = {
+      val m = tsCols.map { case (k, c) => k -> in(c, src(k), lo, hi) }
+      // holding events ride their trade's batch (no timestamp of their own)
+      m + ("holding_history" -> src("holding_history").join(
+        m("trade").select(col("t_id").as("hh_t_id")), Seq("hh_t_id"), "left_semi"))
+    }
+    val b1 = src ++ slice(None, Some(cut1))
+    val b2 = slice(Some(cut1), Some(cut2))
+    val b3 = slice(Some(cut2), None)
     (b1, b2, b3)
   }
+
+  private val allStreamModels = Seq("accounts", "customers", "dim_customer",
+    "dim_account", "trades_history", "trades", "dim_trade", "fact_trade",
+    "cash_transactions", "fact_cash_transactions", "fact_cash_balances",
+    "watches_history", "watches", "fact_watches", "daily_market",
+    "fact_market_history", "holdings_history", "fact_holdings")
 
   test("applyBatch chaining: b2 then b3 == full rebuild over b1∪b2∪b3") {
     // Three-way split with real work in every step: b2 carries the
@@ -344,15 +354,15 @@ class WarehouseSpec extends SparkSpec {
     // sanity: each batch is non-empty for the spine it claims to touch
     b2("customer_mgmt").count() shouldBe 1  // UPDCUST
     b2("trade").count() shouldBe 2
+    b2("daily_market").count() shouldBe 5   // all market days
+    b2("holding_history").count() shouldBe 2 // ride trades 100/101
     b3("customer_mgmt").count() shouldBe 1  // ADDACCT
     b3("cash_transaction").count() shouldBe 2
+    b3("watch_history").count() shouldBe 1  // the CNCL action
     val chained = Warehouse.applyBatch(
       Warehouse.applyBatch(new Warehouse(b1), b2), b3).all.toMap
     val full = wh.all.toMap
-    for (m <- Seq("accounts", "customers", "dim_customer", "dim_account",
-        "trades_history", "trades", "dim_trade", "fact_trade",
-        "cash_transactions", "fact_cash_transactions",
-        "fact_cash_balances")) {
+    for (m <- allStreamModels) {
       withClue(s"model $m: ") {
         val f = full(m)
         val inc = chained(m).select(f.columns.map(col): _*)
