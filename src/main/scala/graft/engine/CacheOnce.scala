@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Semantic-dedup caching: `CacheOnce(df)` returns a previously-cached
+  * DataFrame whose plan is semantically equal to `df`'s, caching `df`
+  * only when no live equal entry exists.
+  *
+  * Why: operators that cache an internal frame (MinHash signatures,
+  * pinned-layout ids) and gate fixtures that materialize shared models
+  * re-derive the SAME plan across invocations — every repeat `.cache()`
+  * triggers a CacheManager "already cached" warning and strands a
+  * duplicate entry, and repeated operator calls stack one leaked cache
+  * per call. Deduping by plan turns that into one shared entry per
+  * distinct plan (strictly less storage than the repeat-cache it
+  * replaces), and the reuse is free compute.
+  *
+  * Entries bound to a stopped SparkContext are swept on every call;
+  * entries a caller has since `unpersist()`ed are detected via
+  * `storageLevel` and re-cached rather than returned dead.
+  */
+object CacheOnce {
+
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), List[DataFrame]]
+
+  def apply(df: DataFrame): DataFrame = {
+    registry.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(registry.remove)
+    val key = (df.sparkSession, df.semanticHash())
+    val prior = registry.getOrElse(key, Nil)
+    prior.find(p => p.storageLevel != StorageLevel.NONE && p.sameSemantics(df))
+      .getOrElse {
+        val c = df.cache()
+        registry.update(key,
+          c :: prior.filter(_.storageLevel != StorageLevel.NONE))
+        c
+      }
+  }
+}

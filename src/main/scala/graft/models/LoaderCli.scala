@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSession
   *                 show/write the refreshed MODELS instead of the raw
   *                 source tables (the reference's named future work,
   *                 README.md:325)
+  *   --batch3 DIR  with --batch2: chain a second delta batch on top of
+  *                 the refreshed warehouse (Warehouse.applyBatchDirs —
+  *                 the full TPC-DI batch sequence, gate q49)
   */
 object LoaderCli {
   def main(args: Array[String]): Unit = {
@@ -41,9 +44,13 @@ object LoaderCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tables = opt("--batch2") match {
-      case Some(deltaDir) => Warehouse.applyBatch2Dir(spark, batchDir, deltaDir)
-      case None => Loader.loadAll(spark, batchDir)
+    val tables = (opt("--batch2"), opt("--batch3")) match {
+      case (Some(d2), Some(d3)) =>
+        Warehouse.applyBatchDirs(spark, batchDir, Seq(d2, d3))
+      case (Some(d2), None) => Warehouse.applyBatch2Dir(spark, batchDir, d2)
+      case (None, Some(_)) =>
+        sys.error("--batch3 requires --batch2 (batches apply in order)")
+      case (None, None) => Loader.loadAll(spark, batchDir)
     }
     val selected = table.fold(tables)(n =>
       tables.filter { case (k, _) => k == n }.ensuring(_.nonEmpty, s"unknown table $n; " +

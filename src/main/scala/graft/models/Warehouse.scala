@@ -546,4 +546,15 @@ object Warehouse {
                      batch2Dir: String): Map[String, DataFrame] =
     applyBatch2(fromBatchDir(spark, batch1Dir),
       Loader.loadAll(spark, batch2Dir))
+
+  /** Chained [[applyBatch]] straight from batch directories — the full
+    * TPC-DI batch sequence (Batch2, Batch3, …) applied in order, each
+    * step merging only its delta's reach (gate q49 pins the chained
+    * equality).
+    */
+  def applyBatchDirs(spark: SparkSession, batch1Dir: String,
+                     deltaDirs: Seq[String]): Map[String, DataFrame] =
+    deltaDirs.foldLeft(fromBatchDir(spark, batch1Dir)) { (wh, d) =>
+      applyBatch(wh, Loader.loadAll(spark, d))
+    }.all.toMap
 }

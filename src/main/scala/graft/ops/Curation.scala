@@ -194,12 +194,14 @@ object Curation {
   def assignShards(df: DataFrame, group: Column, orderCol: Column,
                    tokens: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val staged = df
+    // pin partition ids: both prefix-sum branches must see one layout.
+    // CacheOnce so repeated invocations share one pinned entry instead
+    // of warning + stacking a duplicate cache per call.
+    val staged = graft.engine.CacheOnce(df
       .withColumn("__grp", group).withColumn("__ord", orderCol)
       .withColumn("__tok", tokens.cast("long"))
       .repartitionByRange(col("__grp"), col("__ord"))
-      .withColumn("__pid", spark_partition_id())
-      .cache() // pin partition ids: both prefix-sum branches must see one layout
+      .withColumn("__pid", spark_partition_id()))
     val subtotals = staged.groupBy("__grp", "__pid")
       .agg(sum("__tok").as("__ptok"))
     val wOff = Window.partitionBy("__grp").orderBy("__pid")

@@ -114,7 +114,12 @@ object Dedup {
                  carrySignatures: Boolean = true): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
-    val sig = minhashSignatures(docs, textCol, idCol, k, shingleN, seed).cache()
+    // CacheOnce, not .cache(): repeated invocations (bench iterations,
+    // the d02/d12 banding variants) re-derive the identical signature
+    // plan — dedup to ONE shared entry instead of stacking a leaked
+    // cache + CacheManager warning per call
+    val sig = graft.engine.CacheOnce(
+      minhashSignatures(docs, textCol, idCol, k, shingleN, seed))
     // Band keys via the single-pass BandHashes expression: bucket
     // condition (slice equality) is identical to the previous
     // concat_ws/element_at formulation, minus its interpreted per-band
@@ -242,7 +247,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sig = simhashSignatures(docs, textCol, idCol).cache()
+    val sig = graft.engine.CacheOnce(simhashSignatures(docs, textCol, idCol))
     val chunked = sig.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -268,8 +273,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Int = 50): DataFrame = {
-    val grams = widen(docs).select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("gram")).cache()
+    val grams = graft.engine.CacheOnce(widen(docs).select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("gram")))
     val docSize = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     // Rare-gram filter via groupBy count + join back, NOT a window over
     // the raw (doc, gram) stream: gram frequency is Zipfian, so the
