@@ -144,6 +144,31 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 4L, 5L) // 2,3 fold into cluster rep 1
   }
 
+  test("incremental LSH loop leaks no cached plans across batches") {
+    // a long-running corpus-growth loop must not accumulate one cached
+    // plan per batch (the round-4 allSig leak shape): run three
+    // incremental batches to completion and assert the persisted-RDD
+    // census is unchanged
+    val corpus = (0L until 40L).map(i => (i, s"corpus document $i with words ${i * 3}"))
+      .toDF("doc_id", "text")
+    var sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 64, 3, 42L)
+      .localCheckpoint() // the materialized signature table a pipeline keeps
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (b <- 1 to 3) {
+      val batch = (100L * b until 100L * b + 10L)
+        .map(i => (i, s"batch $b document $i")).toDF("doc_id", "text")
+      Dedup.minhashLshIncremental(batch, "text", "doc_id", sigs).count()
+      sigs = sigs.unionByName(
+        Dedup.minhashSignatures(batch, "text", "doc_id", 64, 3, 42L))
+        .localCheckpoint()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // localCheckpoint RDDs release with GC; the assertion targets CACHED
+    // plans, which are pinned until unpersist — allow the checkpoint
+    // RDDs themselves, forbid growth beyond them
+    (after - before) should be <= 3 // the three checkpointed signature tables
+  }
+
   test("capBuckets bounds hot-bucket pair explosion (Zipf-hostile fixture)") {
     // Zipf head: 200 byte-identical docs whose identical signatures land
     // in the SAME (band_idx, band_hash) bucket in EVERY band — the

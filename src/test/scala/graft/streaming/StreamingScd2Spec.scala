@@ -99,6 +99,43 @@ class StreamingScd2Spec extends SparkSpec {
     full.exceptAll(replayed).count() shouldBe 0L
   }
 
+  test("mergeScd2OnArrival recovers from a crash between the swap renames") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.engine.Scd2
+    val dir = java.nio.file.Files.createTempDirectory("scd2crash")
+    val changes = dir.resolve("changes").toString
+    val dim = dir.resolve("dim").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("change_ts", TimestampType), StructField("payload", StringType)))
+    val b1 = Seq((1L, ts("2020-01-01 00:00:00"), "v1"))
+      .toDF("id", "change_ts", "payload")
+    Scd2.scd2(b1, Seq("id"), "change_ts").drop("change_ts").write.parquet(dim)
+    val b2 = Seq((1L, ts("2020-06-01 00:00:00"), "v2"))
+      .toDF("id", "change_ts", "payload")
+    b2.write.mode("append").parquet(changes)
+    // simulate the worst crash window of a PRIOR attempt of batch 0:
+    // dim renamed away (old-0 holds the only good copy), a stale
+    // staging-0 left behind — the swap must restore the dim, clear the
+    // leftovers, and complete the merge
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dimPath = new org.apache.hadoop.fs.Path(dim)
+    require(fs.rename(dimPath, new org.apache.hadoop.fs.Path(s"$dim.old-0")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dim.staging-0"))
+    StreamingScd2.mergeScd2OnArrival(spark, changes, schema, dim,
+      Seq("id"), "change_ts", dir.resolve("chk").toString)
+    val got = spark.read.parquet(dim)
+    val full = Scd2.scd2(b1.unionByName(b2), Seq("id"), "change_ts")
+      .drop("change_ts").select(got.columns.map(col): _*)
+    got.exceptAll(full).count() shouldBe 0L
+    full.exceptAll(got).count() shouldBe 0L
+    // leftovers cleaned up: only the dim remains
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dim.old-0")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dim.staging-0")) shouldBe false
+  }
+
   test("refreshOnArrival recomputes the model when files land") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
