@@ -203,10 +203,22 @@ object Warehouse {
     *    `fact_cash_balances`: the ledger chain is append-local given
     *    the dims, so the delta's chain output APPENDS; the balances
     *    aggregate rebuilds only the groups the new rows touch.
+    *  - `watches_history` / `watches` / `fact_watches`: per-(customer,
+    *    symbol) local — touched keys' full action log rebuilds through
+    *    the same silver chain and merges by key.
+    *  - `daily_market` / `fact_market_history`: per-symbol local —
+    *    touched symbols' full price history rebuilds through the same
+    *    52-week window and merges by symbol (full-key rebuild, so
+    *    correctness does not lean on the append-only watermark).
+    *  - `holdings_history` / `fact_holdings`: holding rows are dirty
+    *    when their event batch arrives OR when either referenced trade
+    *    (current or PREVIOUS — the fact joins dim_trade twice) is
+    *    touched by the trade delta; dirty keys rebuild against the
+    *    MERGED trades/dim_trade and merge by trade_id.
     *  - models the delta cannot reach (upstream closure excludes every
     *    delta source, per [[Dag.downstream]]): passed through from
-    *    `existing` VERBATIM — the FINWIRE/market/watch spines skip
-    *    entirely for a CRM+trades batch.
+    *    `existing` VERBATIM — the FINWIRE spine skips entirely for
+    *    any combination of the seven delta streams.
     *  - every remaining affected model: recomputed from the unioned
     *    sources, READING the merged dims above (injected as model
     *    `overrides` into the recompute DAG — downstream facts like
@@ -214,12 +226,18 @@ object Warehouse {
     *    dim_account, and nothing re-derives a merged model's upstream
     *    from the raw log a second time).
     *
+    * Facts that replaced their natural keys with surrogate keys recover
+    * the merge grain through the dims; the sk→key maps are DEDUPLICATED
+    * (duplicate source rows can mint two dim rows sharing one sk — the
+    * trades_history tie shape — and an undeduped recovery join would
+    * silently multiply fact rows; caught by gate q47's 18-model diff).
+    *
     * A delta touching any OTHER source (a lookup table like tax_rate or
-    * trade_type, a non-incremental stream) degrades the whole apply to
-    * a plain full refresh over the unioned sources: a new lookup row
-    * changes the joined values of UNTOUCHED entities, which no
-    * entity-scoped merge can see — correctness first, incrementality
-    * only where the dependency structure proves it.
+    * trade_type, a FINWIRE stream) degrades the whole apply to a plain
+    * full refresh over the unioned sources: a new lookup row changes
+    * the joined values of UNTOUCHED entities, which no entity-scoped
+    * merge can see — correctness first, incrementality only where the
+    * dependency structure proves it.
     *
     * Assumes standard warehouse batch semantics: delta timestamps are
     * not earlier than the batch1 watermark (TPC-DI batches are strictly

@@ -381,6 +381,76 @@ object Multimodal {
     bb.toByteArray
   }
 
+  final case class ContainerFrame(doc_id: Long, frame_idx: Int,
+                                  frame_bytes: Int, byte_sum: Long)
+
+  /** REAL container frame extraction (AVI): walk the `movi` LIST and
+    * return the frame chunk payloads in stream order ('??dc'/'??db'
+    * compressed/uncompressed video, '??wb' audio) — the codec-free half
+    * of video frame sampling: the container, not the codec, defines
+    * frame boundaries, so a 100 TB pipeline can shard, sample, and
+    * route frames without decoding one pixel. Returns None for non-AVI
+    * payloads (callers fall back to [[frameSample]] byte slicing).
+    */
+  def aviFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") None
+      else {
+        val out = Vector.newBuilder[Array[Byte]]
+        var sawMovi = false
+        var pos = 12
+        while (pos + 8 <= bytes.length) {
+          val id = fourcc(bytes, pos)
+          val size = u32le(bytes, pos + 4)
+          if (size < 0 || pos + 8 + size > bytes.length) return None
+          if (id == "LIST" && size >= 4 && fourcc(bytes, pos + 8) == "movi") {
+            sawMovi = true
+            var inner = pos + 12
+            val end = pos + 8 + size.toInt
+            while (inner + 8 <= end) {
+              val cid = fourcc(bytes, inner)
+              val csize = u32le(bytes, inner + 4)
+              if (csize < 0 || inner + 8 + csize > bytes.length) return None
+              if (cid.endsWith("dc") || cid.endsWith("db") || cid.endsWith("wb"))
+                out += java.util.Arrays.copyOfRange(bytes, inner + 8,
+                  inner + 8 + csize.toInt)
+              inner += 8 + csize.toInt + (csize.toInt & 1)
+            }
+          }
+          pos += 8 + size.toInt + (size.toInt & 1)
+        }
+        if (sawMovi) Some(out.result()) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise REAL frame extraction: one row per container frame
+    * chunk with its byte count and unsigned byte sum (the stats tier a
+    * frame router needs; the payload itself stays available through
+    * [[aviFrames]]). Non-AVI payloads yield no rows — at scale they
+    * route to the [[frameSample]] byte-slicing tier instead.
+    */
+  def extractContainerFrames(spark: SparkSession,
+                             media: DataFrame): Dataset[ContainerFrame] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          aviFrames(r.media) match {
+            case Some(frames) => frames.iterator.zipWithIndex.map {
+              case (f, i) =>
+                var s = 0L
+                var j = 0
+                while (j < f.length) { s += f(j) & 0xff; j += 1 }
+                ContainerFrame(r.doc_id, i, f.length, s)
+            }
+            case None => Iterator.empty
+          }
+        }
+      }
+  }
+
   /** Synthetic REAL-video corpus: one minimal AVI per document with
     * header fields derived from doc_id — actual RIFF container bytes
     * the chunk walker must parse, with closed-form decoded metadata.

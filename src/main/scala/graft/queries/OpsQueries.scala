@@ -867,6 +867,28 @@ object OpsQueries {
              |  cast(0 AS REAL) AS flags
              |FROM documents""".stripMargin)),
 
+    // Multimodal: REAL container frame extraction — the movi-list walk
+    // emits one row per actual AVI frame chunk (index, byte count,
+    // unsigned byte sum). The fixture's frame payloads are closed-form
+    // ((frame*31 + j) mod 256 at byte j), so the oracle recomputes
+    // every frame's stats without a container library. This is the
+    // codec-free half of video sampling: the container defines frame
+    // boundaries, so sharding/sampling/routing frames needs no decode.
+    QueryDef("m07_container_frames",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticVideos(s, docs(s, dir))
+        Multimodal.extractContainerFrames(s, media).toDF()
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    cast(doc_id % 8 + 2 AS INT) AS nf,
+             |    cast(doc_id % 32 + 4 AS INT) AS fb FROM documents),
+             |f AS (SELECT doc_id, fb, unnest(range(nf)) AS fi FROM p),
+             |b AS (SELECT doc_id, fb, fi, unnest(range(fb)) AS j FROM f)
+             |SELECT doc_id, cast(fi AS INT) AS frame_idx,
+             |  fb AS frame_bytes,
+             |  cast(sum((fi * 31 + j) % 256) AS BIGINT) AS byte_sum
+             |FROM b GROUP BY doc_id, fi, fb""".stripMargin)),
+
     // Multimodal: frame sampling (binary slicing). Full DuckDB oracle:
     // frame lengths are pure integer arithmetic on the payload size
     // (frame_len = max(n/4, 1), last frame truncated, empty frames

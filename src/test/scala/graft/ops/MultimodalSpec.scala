@@ -147,6 +147,26 @@ class MultimodalSpec extends SparkSpec {
     d1(3) shouldBe 34000f // 33000 + (1%5)*1000
   }
 
+  test("aviFrames extracts real movi chunk payloads in order") {
+    val bytes = Multimodal.encodeAvi(16, 12, 3, 40000, 5) // odd size: padding
+    val frames = Multimodal.aviFrames(bytes).get
+    frames.length shouldBe 3
+    all(frames.map(_.length)) shouldBe 5
+    // payload content is the deterministic fixture pattern
+    frames(2).map(_ & 0xff).toSeq shouldBe (0 until 5).map(j => (2 * 31 + j) % 256)
+    // non-AVI payloads: no frames (fallback tier decides)
+    Multimodal.aviFrames("plain text".getBytes("UTF-8")) shouldBe None
+    Multimodal.aviFrames(Multimodal.encodeWav(11, 8000, 100)) shouldBe None
+    // extractContainerFrames: rows only for decodable containers
+    val media = Multimodal.attachSyntheticVideos(spark,
+      Seq((9L, "x")).toDF("doc_id", "text"))
+    val rows = Multimodal.extractContainerFrames(spark, media)
+      .collect().sortBy(_.frame_idx)
+    rows.length shouldBe (9 % 8 + 2).toInt
+    all(rows.map(_.frame_bytes)) shouldBe (9 % 32 + 4).toInt
+    rows(0).byte_sum shouldBe (0 until 13).map(j => j % 256).sum.toLong
+  }
+
   test("frameSample slices payload into n frames covering all bytes") {
     val frames = Multimodal.frameSample(Multimodal.attachMedia(docs), 4)
       .filter($"doc_id" === 0)
