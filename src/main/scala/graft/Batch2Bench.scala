@@ -91,8 +91,15 @@ object Batch2Bench {
     // only the models the delta reaches
     val affected = Dag.downstream(batch2.keySet.map(Dag.sourceModel))
     val existing = new Warehouse(b1Sources, overrides = wh1Tables)
+    // every model applyBatch2 may return as a merge OVERRIDE (overrides
+    // bypass the mat hook, so the loops below must write them) — keep in
+    // sync with Warehouse.applyBatch's merged map; affected() filters
+    // the ones this delta doesn't reach
     val mergedNames = Set("accounts", "customers", "dim_customer",
-      "dim_account", "trades_history", "trades", "dim_trade", "fact_trade")
+      "dim_account", "trades_history", "trades", "dim_trade", "fact_trade",
+      "cash_transactions", "fact_cash_transactions", "fact_cash_balances",
+      "watches_history", "watches", "fact_watches", "daily_market",
+      "fact_market_history", "holdings_history", "fact_holdings")
     val tIncr0 = System.nanoTime()
     // the write-mat materializes every recomputed affected model (and
     // the internal touched-chain frames) exactly once; the loop below

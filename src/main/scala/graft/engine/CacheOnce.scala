@@ -25,7 +25,13 @@ object CacheOnce {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), List[DataFrame]]
 
-  def apply(df: DataFrame): DataFrame = {
+  // synchronized: the lookup-then-cache pair must be atomic, or two
+  // concurrent callers with the same plan both miss, both cache, and
+  // the last registry write strands the other's entry — exactly the
+  // duplicate CacheManager entry this class exists to prevent. The
+  // lock only covers registry bookkeeping + the (lazy) .cache() call,
+  // never an evaluation, so contention is negligible.
+  def apply(df: DataFrame): DataFrame = synchronized {
     registry.keysIterator.filter(_._1.sparkContext.isStopped)
       .foreach(registry.remove)
     val key = (df.sparkSession, df.semanticHash())

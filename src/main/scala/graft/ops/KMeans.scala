@@ -185,16 +185,22 @@ object KMeans {
     * k-means++ seeding stays sequential by construction (each seed
     * conditions on the last), so it runs driver-side over the first
     * `initCap` sample vectors (md5 order — a prefix of the training
-    * sample). With `initCap >= sampleCap` the seeds are IDENTICAL to
-    * [[fitSpherical]]'s, and the whole trainer is equivalent up to
-    * floating-point summation order in the mean update (pinned by
-    * KMeansSpec at small k).
+    * sample, read from the SAME persisted frame the sweeps use). With
+    * `initCap >= sampleCap` the seeds are IDENTICAL to
+    * [[fitSpherical]]'s, and on sweeps with no empty cluster the two
+    * trainers are equivalent up to floating-point summation order in
+    * the mean update (pinned by KMeansSpec at small k).
     *
     * Empty clusters reseed to the globally worst-assigned points
-    * (lowest best-sim, sample-order tie-break, ascending) — the
-    * distributed form of fitSpherical's sequential claim rule, computed
-    * with [[graft.functions.CentroidBestSim]] only on sweeps that have
-    * empty cells.
+    * (lowest best-sim against the PRE-SWEEP codebook, sample-order
+    * tie-break, ascending), computed with
+    * [[graft.functions.CentroidBestSim]] only on sweeps that have empty
+    * cells. This is deterministic (pinned by KMeansSpec) but NOT
+    * point-for-point identical to [[fitSpherical]]'s sequential claim
+    * rule, which scores against partially-updated centroids — on
+    * degenerate data (more cells than distinct directions) the two
+    * trainers may reseed different points and converge to different,
+    * equally valid codebooks.
     */
   def fitSphericalDistributed(vecs: DataFrame, idCol: String, embCol: String,
                               k: Int, sampleCap: Int = 65536,
@@ -224,8 +230,16 @@ object KMeans {
       val n = sampleDf.count().toInt
       require(n > 0, "k-means needs a non-empty sample")
       val kk = math.min(k, n)
-      val initPts = sampleVectors(vecs, idCol, embCol,
-        math.min(math.max(initCap, kk), sampleCap)).map(l2normalize)
+      // init prefix comes from the PERSISTED sample (__ord preserves the
+      // md5 order; __unit is normalized with the same arithmetic as
+      // l2normalize) — a second orderBy(md5).limit scan of the full
+      // input would double the most expensive step of training
+      val initPts = sampleDf
+        .orderBy(col("__ord")).limit(math.min(math.max(initCap, kk), n))
+        .select(col("__unit")).collect()
+        .map { case Row(e: scala.collection.Seq[_]) =>
+          e.map(_.asInstanceOf[Number].doubleValue()).toArray
+        }
       val rng = new scala.util.Random(seed)
       var codebook = ppInitSpherical(initPts, math.min(kk, initPts.length), rng)
       val dim = codebook(0).length

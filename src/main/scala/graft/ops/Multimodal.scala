@@ -313,8 +313,12 @@ object Multimodal {
             while (out.isEmpty && inner + 8 <= end) {
               val cid = fourcc(bytes, inner)
               val csize = u32le(bytes, inner + 4)
-              if (cid == "avih" && csize >= 40 &&
-                  inner + 8 + csize <= bytes.length) {
+              // bound EVERY chunk size before advancing — a crafted
+              // csize whose Int truncation is negative would otherwise
+              // advance the cursor by zero and hang the task forever
+              // (no exception for the NonFatal catch to see)
+              if (csize < 0 || inner + 8 + csize > bytes.length) return None
+              if (cid == "avih" && csize >= 40) {
                 val o = inner + 8
                 out = Some(Array(
                   u32le(bytes, o + 32).toFloat, // dwWidth
@@ -490,9 +494,12 @@ object Multimodal {
     * pipelined with the scan (no shuffle).
     *
     * `image`-typed payloads go through the REAL ImageIO decoder
-    * ([[decodeImageFeatures]]) and `audio`-typed payloads through the
-    * REAL WAV/PCM decoder ([[decodeAudioFeatures]]); undecodable
-    * payloads and the video type fall back to the documented stub tier.
+    * ([[decodeImageFeatures]]), `audio`-typed through the REAL WAV/PCM
+    * decoder ([[decodeAudioFeatures]]), and `video`-typed through the
+    * REAL AVI container-metadata walk ([[decodeVideoMetadata]]);
+    * undecodable payloads fall back to the documented stub tier (for
+    * video that also means frame-CONTENT features stay stubbed until a
+    * codec is linked).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

@@ -147,6 +147,19 @@ class MultimodalSpec extends SparkSpec {
     d1(3) shouldBe 34000f // 33000 + (1%5)*1000
   }
 
+  test("decodeVideoMetadata bounds crafted chunk sizes (no infinite walk)") {
+    // hdrl containing a junk chunk whose u32 size truncates to -8 as an
+    // Int: an unbounded walk would advance the cursor by ZERO bytes and
+    // hang the task forever (no exception for the NonFatal catch)
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = (0 until 4).foreach(i => bb.write(((v >> (8 * i)) & 0xff).toInt))
+    def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    cc("RIFF"); u32(24); cc("AVI ")
+    cc("LIST"); u32(12); cc("hdrl")
+    cc("JUNK"); u32(0xFFFFFFF8L)
+    Multimodal.decodeVideoMetadata(bb.toByteArray) shouldBe None
+  }
+
   test("aviFrames extracts real movi chunk payloads in order") {
     val bytes = Multimodal.encodeAvi(16, 12, 3, 40000, 5) // odd size: padding
     val frames = Multimodal.aviFrames(bytes).get
