@@ -157,4 +157,38 @@ class PlanRegressionSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
     windowCount(plan) shouldBe 0
   }
+
+  test("media decode tiers stay pipelined with the scan (no shuffle)") {
+    // the decode operators are mapPartitions over the scan: any
+    // Exchange in these plans means per-row media work started paying
+    // a shuffle it never needs
+    val dir = java.nio.file.Files.createTempDirectory("mediaplan").toString
+    (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val feats = graft.ops.Multimodal.extractFeatures(spark,
+      graft.ops.Multimodal.attachSyntheticVideos(spark, docs)).toDF()
+    formatted(feats) should not include "Exchange"
+    val frames = graft.ops.Multimodal.extractContainerFrames(spark,
+      graft.ops.Multimodal.attachSyntheticVideos(spark, docs)).toDF()
+    formatted(frames) should not include "Exchange"
+  }
+
+  test("warehouse equality diff never regresses to cartesian/BNLJ") {
+    // the q47/q49 signed multiset diff is unions + one aggregate per
+    // model; a cartesian or nested-loop join appearing here means a
+    // recovery join lost its equi key
+    val a = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val b = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val diff = a.withColumn("__side", lit(1L))
+      .unionByName(b.withColumn("__side", lit(-1L)))
+      .groupBy("k", "v").agg(sum("__side").as("__d"))
+      .filter($"__d" =!= 0)
+      .agg(coalesce(sum(abs($"__d")), lit(0L)).as("n_mismatch"))
+    val plan = formatted(diff)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // one aggregate pass per side of the union feeding one final agg
+    plan.split("\\(\\d+\\) HashAggregate").length - 1 should be <= 4
+  }
 }
