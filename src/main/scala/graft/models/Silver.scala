@@ -137,11 +137,16 @@ object Silver {
   /** models/silver/companies.sql — SCD2 company master from FINWIRE CMP +
     * status/industry lookups (broadcast: 6 and ~100 rows).
     */
-  def companies(cmpRaw: DataFrame, statusType: DataFrame,
-                industry: DataFrame): DataFrame = {
+  /** The pre-SCD2 company change rows (CMP record → typed payload +
+    * pts) — factored out so [[graft.models.Warehouse.applyBatch]] can
+    * route a CMP delta through the SAME projection into the SCD2 merge
+    * (the accountsBase pattern).
+    */
+  def companiesBase(cmpRaw: DataFrame, statusType: DataFrame,
+                    industry: DataFrame): DataFrame = {
     val st = broadcast(statusType.select(col("st_id"), col("st_name")))
     val ind = broadcast(industry.select(col("in_id"), col("in_name")))
-    val base = cmpRaw
+    cmpRaw
       .join(st, col("status") === col("st_id"))
       .join(ind, col("industry_id") === col("in_id"))
       .select(
@@ -160,8 +165,12 @@ object Silver {
         col("founding_date"),
         rtrim(col("sp_rating")).as("sp_rating"),
         col("pts"))
-    Scd2.scd2(base, Seq("company_id"), "pts").drop("pts")
   }
+
+  def companies(cmpRaw: DataFrame, statusType: DataFrame,
+                industry: DataFrame): DataFrame =
+    Scd2.scd2(companiesBase(cmpRaw, statusType, industry),
+      Seq("company_id"), "pts").drop("pts")
 
   /** models/silver/financials.sql — FINWIRE FIN + dual-key (cik-or-name)
     * temporal join to companies, then SCD2 by company_id.

@@ -296,7 +296,8 @@ object Warehouse {
     }
     val incrementalSources =
       Set("customer_mgmt", "trade", "trade_history", "cash_transaction",
-        "watch_history", "daily_market", "holding_history")
+        "watch_history", "daily_market", "holding_history",
+        "cmp", "sec", "fin")
     if (!batch2.keySet.subsetOf(incrementalSources))
       return new Warehouse(unioned, mat)
 
@@ -333,6 +334,76 @@ object Warehouse {
           existingByName("dim_customer"), existingByName("dim_account"))
       }
 
+    // FINWIRE spine: companies SCD2-merge the CMP delta through the
+    // same projection as the full model; securities rebuild touched
+    // SYMBOLS' full record history (SEC delta only — a new company
+    // VERSION cannot re-route an old security row's temporal lookup
+    // under the batch watermark); financials rebuild touched COMPANIES'
+    // full quarter history (FIN delta). Gold dims recompute dim-sized
+    // over the merged silver, exactly the dim_customer/dim_account
+    // pattern. Everything downstream of dim_security reads the MERGED
+    // dim (trade/holdings/watch/market blocks below).
+    val cmpDelta = batch2.get("cmp")
+    val secDelta = batch2.get("sec")
+    val finDelta = batch2.get("fin")
+    val anyFinwire = cmpDelta.nonEmpty || secDelta.nonEmpty || finDelta.nonEmpty
+    val (companies2, dimCompany2) = cmpDelta match {
+      case Some(d) =>
+        val c2 = mat("companies", Incremental.mergeScd2Batch(
+          existing.companies,
+          Silver.companiesBase(d, unioned("status_type"), unioned("industry")),
+          Seq("company_id"), "pts"))
+        (c2, mat("dim_company", Gold.dimCompany(c2)))
+      case None => (existing.companies, existingByName("dim_company"))
+    }
+    val secTouchedSyms: Option[DataFrame] = secDelta.map(d =>
+      Finwire.secTyped(d).select(col("symbol")).distinct())
+    val (securities2, dimSecurity2) = secDelta match {
+      case Some(_) =>
+        val syms = secTouchedSyms.get
+        val touched = Finwire.secTyped(unioned("sec"))
+          .join(syms, Seq("symbol"), "left_semi")
+        val s2 = mat("securities", Incremental.mergeFactBatch(
+          existing.securities, syms,
+          Silver.securities(touched, companies2), Seq("symbol")))
+        (s2, mat("dim_security", Gold.dimSecurity(s2, dimCompany2)))
+      case None if cmpDelta.nonEmpty =>
+        // old security versions still match their (possibly re-closed)
+        // company versions under the watermark; the dim-sized recompute
+        // over the merged dim_company avoids carrying that proof
+        (existing.securities,
+          mat("dim_security", Gold.dimSecurity(existing.securities, dimCompany2)))
+      case None => (existing.securities, existingByName("dim_security"))
+    }
+    // financials: resolve the delta's company keys through the same
+    // dual-key (cik-or-name) join, then rebuild those companies' full
+    // quarter history. The key-attribute frame is dim-sized, so the
+    // OR-keyed history restriction broadcasts.
+    val finTouchedCompanies: Option[DataFrame] = finDelta.map { d =>
+      Silver.financials(Finwire.finTyped(d), companies2)
+        .select(col("company_id")).distinct()
+    }
+    val financials2 = finDelta match {
+      case Some(_) =>
+        val keys = finTouchedCompanies.get
+        val keyAttrs = companies2
+          .join(keys, Seq("company_id"), "left_semi")
+          .select(col("company_id").as("__fk_id"), col("name").as("__fk_name"))
+          .distinct()
+        val finAll = Finwire.finTyped(unioned("fin"))
+        val touched = finAll.join(broadcast(keyAttrs),
+          finAll("cik") === col("__fk_id") ||
+            finAll("company_name") === col("__fk_name"), "left_semi")
+        mat("financials", Incremental.mergeFactBatch(existing.financials,
+          keys, Silver.financials(touched, companies2), Seq("company_id")))
+      case None => existingByName("financials")
+    }
+    val finwireModels: Map[String, DataFrame] =
+      if (!anyFinwire) Map.empty
+      else Map("companies" -> companies2, "dim_company" -> dimCompany2,
+        "securities" -> securities2, "dim_security" -> dimSecurity2,
+        "financials" -> financials2)
+
     // trades chain: rebuild the touched trades' full history, merge by key
     val tradeDelta = batch2.get("trade")
     val thDelta = batch2.get("trade_history")
@@ -354,7 +425,7 @@ object Warehouse {
             unioned("trade_type"), unioned("status_type")))
         val dimTradeTouched = mat("dim_trade_touched", Gold.dimTrade(thTouched))
         val factTouched = Gold.factTrade(Silver.trades(thTouched),
-            dimTradeTouched, dimAccount2, existingByName("dim_security"))
+            dimTradeTouched, dimAccount2, dimSecurity2)
           .join(dimTradeTouched.select(col("sk_trade_id"), col("trade_id")),
             Seq("sk_trade_id"))
         val factMerged = factPart match {
@@ -426,18 +497,28 @@ object Warehouse {
     // key. The fact lost its natural keys to SKs; recover them through
     // the dims (sk → natural key is functional: SKs are unique and
     // stable under the merge), exactly the fact_trade grain-recovery
-    // trick. The securities side sits outside this delta's reach
-    // (FINWIRE spine — guarded above), so the existing frame joins.
-    val watchModels: Map[String, DataFrame] = batch2.get("watch_history")
-      .map { whDelta =>
-        val keys = whDelta.select(col("w_c_id").as("customer_id"),
-          col("w_s_symb").as("symbol")).distinct()
+    // trick. Dirty keys come from the watch DELTA and from SEC-touched
+    // symbols: watches_history joins securities NON-temporally (all
+    // versions), so a new security version changes every watch row of
+    // its symbol.
+    val watchDelta = batch2.get("watch_history")
+    val watchModels: Map[String, DataFrame] =
+      if (watchDelta.isEmpty && secTouchedSyms.isEmpty) Map.empty
+      else {
+        val keys = (watchDelta.map(_.select(col("w_c_id").as("customer_id"),
+            col("w_s_symb").as("symbol"))).toSeq ++
+          secTouchedSyms.map(syms => unioned("watch_history")
+            .join(syms.select(col("symbol").as("w_s_symb")),
+              Seq("w_s_symb"), "left_semi")
+            .select(col("w_c_id").as("customer_id"),
+              col("w_s_symb").as("symbol"))).toSeq)
+          .reduce(_.unionByName(_)).distinct()
         val touched = unioned("watch_history").join(
           keys.select(col("customer_id").as("w_c_id"),
             col("symbol").as("w_s_symb")),
           Seq("w_c_id", "w_s_symb"), "left_semi")
         val whTouched = mat("watches_history_touched",
-          Silver.watchesHistory(touched, existingByName("securities")))
+          Silver.watchesHistory(touched, securities2))
         val wTouched = Silver.watches(whTouched)
         // sk → natural key is FUNCTIONAL but not necessarily row-unique
         // (duplicate source rows can mint two dim rows with one sk —
@@ -445,10 +526,9 @@ object Warehouse {
         // the join would multiply fact rows
         val custMap = dimCustomer2.select(col("sk_customer_id"), col("customer_id"))
           .distinct()
-        val secMap = existingByName("dim_security")
+        val secMap = dimSecurity2
           .select(col("sk_security_id"), col("symbol")).distinct()
-        val factWTouched = Gold.factWatches(wTouched, dimCustomer2,
-            existingByName("dim_security"))
+        val factWTouched = Gold.factWatches(wTouched, dimCustomer2, dimSecurity2)
           .join(custMap, Seq("sk_customer_id")).join(secMap, Seq("sk_security_id"))
         val existingFw = existing.factWatches
           .join(custMap, Seq("sk_customer_id")).join(secMap, Seq("sk_security_id"))
@@ -460,51 +540,77 @@ object Warehouse {
           "fact_watches" -> Incremental.mergeFactBatch(
             existingFw, keys, factWTouched, Seq("customer_id", "symbol"))
             .drop("customer_id", "symbol"))
-      }.getOrElse(Map.empty)
+      }
 
     // daily-market stream: the 52-week windows are per-symbol local, so
     // touched symbols' FULL price history rebuilds through the same
     // silver window and merges by symbol (append-only batches mean
     // existing rows never see future data, but the full-key rebuild
-    // makes the merge correct without leaning on that). fact rows
-    // recover their symbol through dim_security.
-    val dmModels: Map[String, DataFrame] = batch2.get("daily_market")
-      .map { dmDelta =>
-        val syms = dmDelta.select(col("dm_s_symb")).distinct()
+    // makes the merge correct without leaning on that). The market FACT
+    // is also dirtied by the FINWIRE spine: SEC-touched symbols (their
+    // dim_security versions changed) and FIN-touched companies' symbols
+    // (new wrk quarters join old market rows BY sk_company_id,
+    // non-temporally) — those symbols' fact rows rebuild against the
+    // merged dims even when no market delta arrived.
+    val dmDelta = batch2.get("daily_market")
+    val dmSilverSyms = dmDelta.map(_.select(col("dm_s_symb")).distinct())
+    val dailyMarket2 = dmDelta match {
+      case Some(_) =>
+        val syms = dmSilverSyms.get
         val touched = unioned("daily_market").join(syms, Seq("dm_s_symb"), "left_semi")
-        val dmTouched = mat("daily_market_touched", Silver.dailyMarket(touched))
-        val wrk = Gold.wrkCompanyFinancials(existingByName("financials"),
-          existingByName("dim_company"))
-        val secMap = existingByName("dim_security")
-          .select(col("sk_security_id"), col("symbol").as("dm_s_symb")).distinct()
-        val fmhTouched = Gold.factMarketHistory(dmTouched,
-            existingByName("dim_security"), wrk)
-          .join(secMap, Seq("sk_security_id"))
-        val existingFmh = existing.factMarketHistory
-          .join(secMap, Seq("sk_security_id"))
-        Map(
-          "daily_market" -> Incremental.mergeFactBatch(
-            existing.dailyMarket, syms, dmTouched, Seq("dm_s_symb")),
-          "fact_market_history" -> Incremental.mergeFactBatch(
-            existingFmh, syms, fmhTouched, Seq("dm_s_symb"))
-            .drop("dm_s_symb"))
-      }.getOrElse(Map.empty)
+        Incremental.mergeFactBatch(existing.dailyMarket, syms,
+          mat("daily_market_touched", Silver.dailyMarket(touched)),
+          Seq("dm_s_symb"))
+      case None => existing.dailyMarket
+    }
+    val fmhSymFrames = dmSilverSyms.toSeq ++
+      secTouchedSyms.map(_.select(col("symbol").as("dm_s_symb"))).toSeq ++
+      finTouchedCompanies.map(keys => securities2
+        .join(keys, Seq("company_id"), "left_semi")
+        .select(col("symbol").as("dm_s_symb")).distinct()).toSeq
+    val dmModels: Map[String, DataFrame] =
+      fmhSymFrames.reduceOption(_.unionByName(_)).map(_.distinct()) match {
+        case Some(syms) =>
+          val wrk = Gold.wrkCompanyFinancials(financials2, dimCompany2)
+          val secMap = dimSecurity2
+            .select(col("sk_security_id"), col("symbol").as("dm_s_symb")).distinct()
+          val dmRows = dailyMarket2.join(syms, Seq("dm_s_symb"), "left_semi")
+          val fmhTouched = Gold.factMarketHistory(dmRows, dimSecurity2, wrk)
+            .join(secMap, Seq("sk_security_id"))
+          val existingFmh = existing.factMarketHistory
+            .join(secMap, Seq("sk_security_id"))
+          dmDelta.map(_ => Map("daily_market" -> dailyMarket2))
+            .getOrElse(Map.empty[String, DataFrame]) +
+            ("fact_market_history" -> Incremental.mergeFactBatch(
+              existingFmh, syms, fmhTouched, Seq("dm_s_symb"))
+              .drop("dm_s_symb"))
+        case None => Map.empty
+      }
 
     // holdings stream: holding rows are dirty when their event batch
-    // arrives OR when either of the trades they reference (current or
+    // arrives, when either of the trades they reference (current or
     // PREVIOUS — fact_holdings joins dim_trade twice) is touched by the
-    // trade delta, since a touched trade's rebuilt trades/dim_trade row
-    // changes the joined attributes. Dirty keys' rows rebuild against
-    // the MERGED trades/dim_trade and merge by trade_id.
+    // trade delta (a touched trade's rebuilt trades/dim_trade row
+    // changes the joined attributes), OR when their trade's SYMBOL got
+    // a new security version — fact_holdings joins dim_security
+    // NON-temporally (all versions), so a SEC delta adds a fact row per
+    // new version to every holding row of that symbol. Dirty keys'
+    // rows rebuild against the MERGED trades/dim_trade/dim_security and
+    // merge by trade_id.
     val hhDelta = batch2.get("holding_history")
     val holdingModels: Map[String, DataFrame] =
-      if (hhDelta.isEmpty && tradeDelta.isEmpty && thDelta.isEmpty) Map.empty
+      if (hhDelta.isEmpty && tradeDelta.isEmpty && thDelta.isEmpty &&
+          secTouchedSyms.isEmpty) Map.empty
       else {
         val touchedTradeIds =
           (hhDelta.map(_.select(col("hh_t_id").as("trade_id"))).toSeq ++
             hhDelta.map(_.select(col("hh_h_t_id").as("trade_id"))).toSeq ++
             tradeDelta.map(_.select(col("t_id").as("trade_id"))).toSeq ++
-            thDelta.map(_.select(col("th_t_id").as("trade_id"))).toSeq)
+            thDelta.map(_.select(col("th_t_id").as("trade_id"))).toSeq ++
+            secTouchedSyms.map(syms => unioned("trade")
+              .join(syms.select(col("symbol").as("t_s_symb")),
+                Seq("t_s_symb"), "left_semi")
+              .select(col("t_id").as("trade_id"))).toSeq)
             .reduce(_.unionByName(_)).distinct()
         val hh = unioned("holding_history")
         val dirtyKeys = hh
@@ -529,7 +635,7 @@ object Warehouse {
           col("sk_trade_id").as("sk_current_trade_id"), col("trade_id"))
           .distinct()
         val factHTouched = Gold.factHoldings(hhTouched, dimTrade2,
-            dimAccount2, existingByName("dim_security"))
+            dimAccount2, dimSecurity2)
           .join(tradeMap, Seq("sk_current_trade_id"))
         val existingFh = existing.factHoldings
           .join(tradeMap, Seq("sk_current_trade_id"))
@@ -548,7 +654,7 @@ object Warehouse {
     // delta can't reach are the existing frames verbatim — nothing
     // re-derives a full rebuild of anything
     val merged = tradeModels ++ cashModels ++ watchModels ++ dmModels ++
-      holdingModels ++ Map(
+      holdingModels ++ finwireModels ++ Map(
       "accounts" -> accounts2, "customers" -> customers2,
       "dim_customer" -> dimCustomer2, "dim_account" -> dimAccount2)
     val passThrough = existingByName.filter { case (n, _) =>

@@ -100,7 +100,8 @@ object RelationalQueries {
     "fact_trade", "trades_history_touched", "dim_trade_touched",
     "cash_transactions", "fact_cash_transactions",
     "cash_transactions_new", "fact_cash_transactions_new",
-    "securities", "financials", "daily_market", "fact_market_history",
+    "companies", "securities", "financials", "daily_market",
+    "fact_market_history",
     "watches_history", "watches", "fact_watches", "holdings_history",
     "fact_holdings", "watches_history_touched", "daily_market_touched",
     "holdings_history_touched")
@@ -112,11 +113,14 @@ object RelationalQueries {
     * Holding events carry no timestamp of their own — they ride their
     * trade's batch (semi-join on the sliced trade keys).
     */
+  private[queries] def deltaSliceDebug(src: Map[String, DataFrame], lo: Option[Column], hi: Option[Column]): Map[String, DataFrame] = deltaSlice(src, lo, hi)
+
   private def deltaSlice(src: Map[String, DataFrame], lo: Option[Column],
                          hi: Option[Column]): Map[String, DataFrame] = {
     val tsCols = Map("customer_mgmt" -> "action_ts", "trade" -> "t_dts",
       "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts",
-      "watch_history" -> "w_dts", "daily_market" -> "dm_date")
+      "watch_history" -> "w_dts", "daily_market" -> "dm_date",
+      "cmp" -> "pts", "sec" -> "pts", "fin" -> "pts")
     val sliced = tsCols.map { case (k, ts) =>
       val base = src(k)
       val bounded = lo.map(c => base.filter(col(ts) >= c)).getOrElse(base)
@@ -193,7 +197,8 @@ object RelationalQueries {
     "fact_trade", "cash_transactions", "fact_cash_transactions",
     "fact_cash_balances", "watches_history", "watches", "fact_watches",
     "daily_market", "fact_market_history", "holdings_history",
-    "fact_holdings")
+    "fact_holdings", "companies", "dim_company", "securities",
+    "dim_security", "financials")
 
   private def tradesFixture(s: SparkSession, dir: String): TradesFixture =
     memoGet(fixtureMemo, s, dir)(buildTradesFixture(s, dir))
@@ -261,7 +266,7 @@ object RelationalQueries {
     * offset) so SCD2 ordering is tie-free — identical nondeterminism on
     * both comparison paths would otherwise mask or fake mismatches.
     */
-  private def warehouseSources(s: SparkSession,
+  private[queries] def warehouseSources(s: SparkSession,
                                dir: String): Map[String, DataFrame] = {
     import s.implicits._
     val o = t(s, dir, "orders")
@@ -315,21 +320,37 @@ object RelationalQueries {
       (col("l_shipdate") +
         expr("make_interval(0, 0, 0, 0, 0, 0, l_linenumber)")).as("th_dts"),
       col("l_linestatus").as("th_st_id"))
-    // FINWIRE records through the real fixed-width parser; pts 1990 so
-    // the securities' SCD2 ranges cover the 1992-1998 order dates
+    // FINWIRE records through the real fixed-width parser; base pts 1990
+    // so the securities' SCD2 ranges cover the 1992-1998 order dates,
+    // plus LATER record versions (1996/1997 company updates, security
+    // re-issues, quarterly financials) so the batch fixtures carry real
+    // FINWIRE deltas on both sides of every cut
     val pad = (str: String, n: Int) => str.padTo(n, ' ')
-    val cmpLine = pad("19900101-080000", 15) + "CMP" +
+    def cmpLine(ptsS: String, rating: String) = pad(ptsS, 15) + "CMP" +
       pad("Fixture Corp", 60) + pad("0000012345", 10) + pad("ACTV", 4) +
-      "AB" + pad("AAA", 4) + pad("19870105", 8) + pad("1 Main St", 80) +
+      "AB" + pad(rating, 4) + pad("19870105", 8) + pad("1 Main St", 80) +
       pad("", 80) + pad("94105", 12) + pad("SF", 25) + pad("CA", 20) +
       pad("USA", 24) + pad("Jane Doe", 46) + pad("Stuff", 150)
-    def secLine(sym: String) = pad("19900101-090000", 15) + "SEC" +
-      pad(sym, 15) + pad("COMMON", 6) + pad("ACTV", 4) +
-      pad(s"$sym Common", 70) + pad("NYSE", 6) + pad("1000000", 13) +
+    def secLine(ptsS: String, sym: String, shOut: String) = pad(ptsS, 15) +
+      "SEC" + pad(sym, 15) + pad("COMMON", 6) + pad("ACTV", 4) +
+      pad(s"$sym Common", 70) + pad("NYSE", 6) + pad(shOut, 13) +
       pad("19900106", 8) + pad("19900107", 8) + pad("0.42", 12) +
       pad("0000012345", 60)
-    val finwire = graft.models.Finwire.parsePrefix(
-      (cmpLine +: (0 until 50).map(i => secLine(s"SYM$i"))).toDF("value"))
+    def finLine(ptsS: String, yr: Int, q: Int, eps: String) = pad(ptsS, 15) +
+      "FIN" + yr.toString + q.toString + pad(f"$yr${q * 3 - 2}%02d01", 8) +
+      pad(ptsS.take(8), 8) + pad("1000000.5", 17) + pad("250000.25", 17) +
+      pad(eps, 12) + pad("1.20", 12) + pad("0.25", 12) + pad("50000", 17) +
+      pad("2000000", 17) + pad("750000", 17) + pad("1000000", 13) +
+      pad("1050000", 13) + pad("0000012345", 60)
+    val finwireLines =
+      Seq(cmpLine("19900101-080000", "AAA"), cmpLine("19960601-120000", "BBB"),
+        cmpLine("19970601-120000", "CCC")) ++
+      (0 until 50).map(i => secLine("19900101-090000", s"SYM$i", "1000000")) ++
+      (0 until 5).map(i => secLine("19960815-090000", s"SYM$i", "2000000")) ++
+      (5 until 10).map(i => secLine("19970815-090000", s"SYM$i", "3000000")) ++
+      (for (yr <- 1994 to 1997; q <- 1 to 4)
+        yield finLine(f"$yr${q * 3}%02d15-170000", yr, q, s"1.$q$q"))
+    val finwire = graft.models.Finwire.parsePrefix(finwireLines.toDF("value"))
     def empty(schema: org.apache.spark.sql.types.StructType): DataFrame =
       s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         schema)
@@ -1558,7 +1579,12 @@ object RelationalQueries {
              |SELECT 'daily_market', 0 UNION ALL
              |SELECT 'fact_market_history', 0 UNION ALL
              |SELECT 'holdings_history', 0 UNION ALL
-             |SELECT 'fact_holdings', 0""".stripMargin)),
+             |SELECT 'fact_holdings', 0 UNION ALL
+             |SELECT 'companies', 0 UNION ALL
+             |SELECT 'dim_company', 0 UNION ALL
+             |SELECT 'securities', 0 UNION ALL
+             |SELECT 'dim_security', 0 UNION ALL
+             |SELECT 'financials', 0""".stripMargin)),
 
     // Batch-continuity audit over the SAME applyBatch2 output q47
     // gates for equality (shared fixture): the TPC-DI audit-phase SCD2
@@ -1621,7 +1647,12 @@ object RelationalQueries {
              |SELECT 'daily_market', 0 UNION ALL
              |SELECT 'fact_market_history', 0 UNION ALL
              |SELECT 'holdings_history', 0 UNION ALL
-             |SELECT 'fact_holdings', 0""".stripMargin)),
+             |SELECT 'fact_holdings', 0 UNION ALL
+             |SELECT 'companies', 0 UNION ALL
+             |SELECT 'dim_company', 0 UNION ALL
+             |SELECT 'securities', 0 UNION ALL
+             |SELECT 'dim_security', 0 UNION ALL
+             |SELECT 'financials', 0""".stripMargin)),
 
     // Continuity audit on the TWICE-merged dims (q48's checks over the
     // q49 fixture): SCD2 invariants must survive two successive

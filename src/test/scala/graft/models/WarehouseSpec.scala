@@ -323,7 +323,8 @@ class WarehouseSpec extends SparkSpec {
     }
     val tsCols = Map("customer_mgmt" -> "action_ts", "trade" -> "t_dts",
       "trade_history" -> "th_dts", "cash_transaction" -> "ct_dts",
-      "watch_history" -> "w_dts", "daily_market" -> "dm_date")
+      "watch_history" -> "w_dts", "daily_market" -> "dm_date",
+      "cmp" -> "pts", "sec" -> "pts", "fin" -> "pts")
     def slice(lo: Option[java.sql.Timestamp], hi: Option[java.sql.Timestamp]) = {
       val m = tsCols.map { case (k, c) => k -> in(c, src(k), lo, hi) }
       // holding events ride their trade's batch (no timestamp of their own)
@@ -340,7 +341,8 @@ class WarehouseSpec extends SparkSpec {
     "dim_account", "trades_history", "trades", "dim_trade", "fact_trade",
     "cash_transactions", "fact_cash_transactions", "fact_cash_balances",
     "watches_history", "watches", "fact_watches", "daily_market",
-    "fact_market_history", "holdings_history", "fact_holdings")
+    "fact_market_history", "holdings_history", "fact_holdings",
+    "companies", "dim_company", "securities", "dim_security", "financials")
 
   test("applyBatch chaining: b2 then b3 == full rebuild over b1∪b2∪b3") {
     // Three-way split with real work in every step: b2 carries the
@@ -359,6 +361,8 @@ class WarehouseSpec extends SparkSpec {
     b3("customer_mgmt").count() shouldBe 1  // ADDACCT
     b3("cash_transaction").count() shouldBe 2
     b3("watch_history").count() shouldBe 1  // the CNCL action
+    b3("cmp").count() shouldBe 1            // the June company version
+    b3("fin").count() shouldBe 2            // both quarterly records
     val chained = Warehouse.applyBatch(
       Warehouse.applyBatch(new Warehouse(b1), b2), b3).all.toMap
     val full = wh.all.toMap
