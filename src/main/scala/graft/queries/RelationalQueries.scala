@@ -325,31 +325,39 @@ object RelationalQueries {
     // plus LATER record versions (1996/1997 company updates, security
     // re-issues, quarterly financials) so the batch fixtures carry real
     // FINWIRE deltas on both sides of every cut
+    // FIVE companies × 10 symbols each: FINWIRE deltas must confine
+    // their rebuilds to the touched company's symbols — a one-company
+    // fixture would make every FIN delta dirty the WHOLE market fact
+    // and hide a missed confinement (measured: it also made the gate
+    // 2× slower for no added strength)
     val pad = (str: String, n: Int) => str.padTo(n, ' ')
-    def cmpLine(ptsS: String, rating: String) = pad(ptsS, 15) + "CMP" +
-      pad("Fixture Corp", 60) + pad("0000012345", 10) + pad("ACTV", 4) +
+    def cik(c: Int) = s"000001234$c"
+    def cmpLine(ptsS: String, c: Int, rating: String) = pad(ptsS, 15) + "CMP" +
+      pad(s"Fixture Corp $c", 60) + pad(cik(c), 10) + pad("ACTV", 4) +
       "AB" + pad(rating, 4) + pad("19870105", 8) + pad("1 Main St", 80) +
       pad("", 80) + pad("94105", 12) + pad("SF", 25) + pad("CA", 20) +
       pad("USA", 24) + pad("Jane Doe", 46) + pad("Stuff", 150)
-    def secLine(ptsS: String, sym: String, shOut: String) = pad(ptsS, 15) +
-      "SEC" + pad(sym, 15) + pad("COMMON", 6) + pad("ACTV", 4) +
-      pad(s"$sym Common", 70) + pad("NYSE", 6) + pad(shOut, 13) +
+    def secLine(ptsS: String, sym: Int, shOut: String) = pad(ptsS, 15) +
+      "SEC" + pad(s"SYM$sym", 15) + pad("COMMON", 6) + pad("ACTV", 4) +
+      pad(s"SYM$sym Common", 70) + pad("NYSE", 6) + pad(shOut, 13) +
       pad("19900106", 8) + pad("19900107", 8) + pad("0.42", 12) +
-      pad("0000012345", 60)
-    def finLine(ptsS: String, yr: Int, q: Int, eps: String) = pad(ptsS, 15) +
+      pad(cik(sym % 5), 60)
+    def finLine(ptsS: String, c: Int, yr: Int, q: Int, eps: String) =
+      pad(ptsS, 15) +
       "FIN" + yr.toString + q.toString + pad(f"$yr${q * 3 - 2}%02d01", 8) +
       pad(ptsS.take(8), 8) + pad("1000000.5", 17) + pad("250000.25", 17) +
       pad(eps, 12) + pad("1.20", 12) + pad("0.25", 12) + pad("50000", 17) +
       pad("2000000", 17) + pad("750000", 17) + pad("1000000", 13) +
-      pad("1050000", 13) + pad("0000012345", 60)
+      pad("1050000", 13) + pad(cik(c), 60)
     val finwireLines =
-      Seq(cmpLine("19900101-080000", "AAA"), cmpLine("19960601-120000", "BBB"),
-        cmpLine("19970601-120000", "CCC")) ++
-      (0 until 50).map(i => secLine("19900101-090000", s"SYM$i", "1000000")) ++
-      (0 until 5).map(i => secLine("19960815-090000", s"SYM$i", "2000000")) ++
-      (5 until 10).map(i => secLine("19970815-090000", s"SYM$i", "3000000")) ++
+      (0 until 5).map(c => cmpLine("19900101-080000", c, "AAA")) ++
+      Seq(cmpLine("19960601-120000", 0, "BBB"),
+        cmpLine("19970601-120000", 0, "CCC")) ++
+      (0 until 50).map(i => secLine("19900101-090000", i, "1000000")) ++
+      (0 until 5).map(i => secLine("19960815-090000", i, "2000000")) ++
+      (5 until 10).map(i => secLine("19970815-090000", i, "3000000")) ++
       (for (yr <- 1994 to 1997; q <- 1 to 4)
-        yield finLine(f"$yr${q * 3}%02d15-170000", yr, q, s"1.$q$q"))
+        yield finLine(f"$yr${q * 3}%02d15-170000", 0, yr, q, s"1.$q$q"))
     val finwire = graft.models.Finwire.parsePrefix(finwireLines.toDF("value"))
     def empty(schema: org.apache.spark.sql.types.StructType): DataFrame =
       s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
