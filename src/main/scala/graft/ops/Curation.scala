@@ -166,6 +166,53 @@ object Curation {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Leakage-safe train/eval split: assign every document to a split so
+    * that NO near-duplicate group spans two splits. Random row-level
+    * splits leak training data into eval whenever a document's near-dup
+    * survives in the other split — the classic contaminated-benchmark
+    * failure; splitting by GROUP (the connected component of the
+    * near-dup graph, singletons being their own group) removes the
+    * leak by construction.
+    *
+    * `pairs` is any near-dup pair relation (MinHash/LSH, SimHash,
+    * embedding-cosine, …); its connected components become the split
+    * unit via [[Dedup.connectedComponents]] (pointer jumping, O(log n)
+    * rounds). The split draw is the [[sampleByHash]] rule on the GROUP
+    * id — first 4 hex digits of md5 against cumulative 16-bit
+    * thresholds — so the assignment is deterministic, layout-
+    * independent, engine-replayable, and every member of a group lands
+    * in the same split without any per-group shuffle beyond the
+    * component join itself. `splits` maps split name → weight
+    * (normalized internally; names keep their given order for the
+    * threshold ladder).
+    *
+    * Scale shape: components are confined to documents that HAVE a
+    * near-dup pair (at web scale a few percent); everything else
+    * flows through the left join untouched with group = own doc id.
+    */
+  def groupAwareSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    // cumulative upper thresholds over the 16-bit md5 bucket space;
+    // force the last to 65536 so rounding never drops the top bucket
+    val cum = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val uppers = cum.init.map(c => math.round(c * 65536).toInt) :+ 65536
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "__cid")
+    val grouped = docs.join(comp, docs(idCol) === comp("__cid"), "left")
+      .withColumn("split_group", coalesce(col("component"), docs(idCol)))
+      .drop("__cid", "component")
+    val bucket = conv(substring(md5(col("split_group").cast("string")), 1, 4),
+      16, 10).cast("int")
+    val assign = splits.map(_._1).zip(uppers).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, upper)) =>
+        when(bucket < upper, lit(name)).otherwise(acc)
+      }
+    grouped.withColumn("split", assign)
+  }
+
   /** Token-budget shard assignment: documents ordered by `orderCol`
     * within each `group` are packed greedily into shards of at most
     * `budget` tokens (a document that crosses the boundary opens the

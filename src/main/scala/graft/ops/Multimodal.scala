@@ -20,14 +20,15 @@ import org.apache.spark.sql.functions._
   *    isn't decodable audio.
   *  - VIDEO: container METADATA decodes for real — AVI is a RIFF
   *    container whose header (dimensions, frame count, frame rate,
-  *    stream count) parses pure-JVM ([[decodeVideoMetadata]]), so
-  *    `video`-typed rows get real header metadata. Only frame-CONTENT
-  *    decode (the codec: ffmpeg/libx264) is absent from this
-  *    container, so undecodable payloads fall back to [[stubDecode]] —
-  *    clearly marked, and the only thing that changes when a real
-  *    codec is linked. The mapPartitions shape (decoder state reused
-  *    across a partition's rows, no per-row init) is the pattern all
-  *    codecs need.
+  *    stream count) parses pure-JVM ([[decodeVideoMetadata]]) — and so
+  *    does frame CONTENT for the two codecs a JVM decodes natively:
+  *    uncompressed BI_RGB DIB rasters and MJPEG (each frame a JPEG,
+  *    routed through the same ImageIO tier as still images), via
+  *    [[decodeVideoFrameFeatures]]. Only natively-coded formats
+  *    (H.264 etc.) fall back to [[stubDecode]] — clearly marked, and
+  *    the only thing that changes when such a codec is linked. The
+  *    mapPartitions shape (decoder state reused across a partition's
+  *    rows, no per-row init) is the pattern all codecs need.
   */
 object Multimodal {
 
@@ -396,7 +397,18 @@ object Multimodal {
     * route frames without decoding one pixel. Returns None for non-AVI
     * payloads (callers fall back to [[frameSample]] byte slicing).
     */
-  def aviFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+  def aviFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] =
+    aviChunks(bytes, video = true, audio = true)
+
+  /** [[aviFrames]] restricted to VIDEO chunks ('??dc'/'??db') — the
+    * frame-content decoder must not feed interleaved audio ('??wb')
+    * payloads to a pixel codec.
+    */
+  def aviVideoFrames(bytes: Array[Byte]): Option[Vector[Array[Byte]]] =
+    aviChunks(bytes, video = true, audio = false)
+
+  private def aviChunks(bytes: Array[Byte], video: Boolean,
+                        audio: Boolean): Option[Vector[Array[Byte]]] = {
     try {
       if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
           fourcc(bytes, 8) != "AVI ") None
@@ -416,7 +428,8 @@ object Multimodal {
               val cid = fourcc(bytes, inner)
               val csize = u32le(bytes, inner + 4)
               if (csize < 0 || inner + 8 + csize > bytes.length) return None
-              if (cid.endsWith("dc") || cid.endsWith("db") || cid.endsWith("wb"))
+              if ((video && (cid.endsWith("dc") || cid.endsWith("db"))) ||
+                  (audio && cid.endsWith("wb")))
                 out += java.util.Arrays.copyOfRange(bytes, inner + 8,
                   inner + 8 + csize.toInt)
               inner += 8 + csize.toInt + (csize.toInt & 1)
@@ -469,6 +482,212 @@ object Multimodal {
         MediaRow(id, bytes, "video", bytes.length)
       }
     }.toDF()
+  }
+
+  /** Encode a valid AVI with UNCOMPRESSED video frames (BI_RGB 24-bit
+    * DIB rasters in '00db' chunks, full `strl` stream header) — the
+    * fixture generator for the frame-CONTENT decode gate. Frame `f` is
+    * a solid color closed-form in (`colorSeed`, f):
+    * r=(seed+11f)%256, g=(7·seed+17f)%256, b=(13·seed+23f)%256, so an
+    * external engine can oracle every decoded pixel statistic without a
+    * video library. Rasters are bottom-up BGR with 4-byte-aligned row
+    * stride — the actual on-disk layout of uncompressed AVI.
+    */
+  def encodeAviDib(width: Int, height: Int, frames: Int,
+                   colorSeed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0,
+      s"bad avi-dib fixture params ${width}x$height f=$frames")
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+      bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+    }
+    def cc(s: String): Unit =
+      bb.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val stride = (width * 3 + 3) & ~3 // rows pad to 4 bytes (also even)
+    val frameBytes = stride * height
+    val strlSize = 4 + (8 + 56) + (8 + 40) // 'strl' + strh + strf(BMIH)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + frames * (8 + frameBytes)
+    cc("RIFF"); u32(4 + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+    cc("LIST"); u32(hdrlSize); cc("hdrl")
+    cc("avih"); u32(56)
+    u32(33367); u32(frameBytes.toLong * 30); u32(0); u32(0)
+    u32(frames); u32(0); u32(1); u32(frameBytes)
+    u32(width); u32(height); u32(0); u32(0); u32(0); u32(0)
+    cc("LIST"); u32(strlSize); cc("strl")
+    cc("strh"); u32(56)
+    cc("vids"); cc("DIB ") // fccType / fccHandler: uncompressed DIB
+    u32(0); u32(0) // dwFlags, wPriority+wLanguage
+    u32(0); u32(1); u32(30) // dwInitialFrames, dwScale, dwRate
+    u32(0); u32(frames); u32(frameBytes) // dwStart, dwLength, dwSuggestedBuf
+    u32(0xffffffffL); u32(0) // dwQuality, dwSampleSize
+    u32(0); u32(0) // rcFrame (4×u16)
+    cc("strf"); u32(40) // BITMAPINFOHEADER
+    u32(40); u32(width); u32(height) // biSize, biWidth, biHeight (bottom-up)
+    u32(1 | (24 << 16)) // biPlanes=1 | biBitCount=24
+    u32(0) // biCompression = BI_RGB
+    u32(frameBytes); u32(0); u32(0); u32(0); u32(0)
+    cc("LIST"); u32(moviSize); cc("movi")
+    var f = 0
+    while (f < frames) {
+      cc("00db"); u32(frameBytes)
+      val r = ((colorSeed + 11L * f) % 256).toInt
+      val g = ((7L * colorSeed + 17L * f) % 256).toInt
+      val b = ((13L * colorSeed + 23L * f) % 256).toInt
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { bb.write(b); bb.write(g); bb.write(r); x += 1 }
+        var p = width * 3
+        while (p < stride) { bb.write(0); p += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    bb.toByteArray
+  }
+
+  /** Synthetic REAL-video corpus with decodable frame CONTENT: one
+    * uncompressed-DIB AVI per document, dimensions/frame count/colors
+    * derived from doc_id with closed-form decoded pixel statistics.
+    */
+  def attachSyntheticDibVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = encodeAviDib((id % 16 + 4).toInt, (id % 12 + 3).toInt,
+          (id % 5 + 1).toInt, id)
+        MediaRow(id, bytes, "video", bytes.length)
+      }
+    }.toDF()
+  }
+
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Float,
+                              height: Float, mean_r: Float, mean_g: Float,
+                              mean_b: Float, mean_gray: Float,
+                              n_pixels: Float)
+
+  /** REAL video frame-CONTENT decode (pure JVM) for the two codecs a
+    * JVM decodes without native libraries:
+    *  - uncompressed BI_RGB DIB ('00db' raster frames, the layout
+    *    `encodeAviDib` writes and real uncompressed AVIs use): decoded
+    *    directly from the raster — bottom-up row order, BGR byte order,
+    *    4-byte row stride. Statistics are row-order invariant, so
+    *    top-down (negative biHeight) rasters decode identically.
+    *  - MJPEG ('00dc' frames whose payload is a complete JPEG, the
+    *    most common legacy-capture codec): each frame routes through
+    *    the SAME ImageIO tier as still images ([[decodeImageFeatures]])
+    *    — one decode path for both modalities.
+    * Returns one 8-dim stats vector per decodable frame
+    * `[width, height, mean_r, mean_g, mean_b, mean_gray, n_pixels,
+    * codec]` (codec 0=DIB, 1=JPEG); None when the payload is not an
+    * AVI or no frame decodes, so callers fall back to the stub tier —
+    * after this tier that stub covers only codecs that genuinely need
+    * native decoders (H.264 etc.).
+    */
+  def decodeVideoFrameFeatures(bytes: Array[Byte]): Option[Vector[Array[Float]]] = {
+    try {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return None
+      // pass 1: stream format (biWidth/biHeight/biBitCount/biCompression)
+      // from LIST hdrl → LIST strl('vids') → strf
+      var vw = 0; var vh = 0; var vbits = 0; var vcomp = -1L
+      var pos = 12
+      while (pos + 8 <= bytes.length) {
+        val id = fourcc(bytes, pos)
+        val size = u32le(bytes, pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) return None
+        if (id == "LIST" && size >= 4 && fourcc(bytes, pos + 8) == "hdrl") {
+          var inner = pos + 12
+          val end = pos + 8 + size.toInt
+          while (inner + 8 <= end) {
+            val cid = fourcc(bytes, inner)
+            val csize = u32le(bytes, inner + 4)
+            if (csize < 0 || inner + 8 + csize > bytes.length) return None
+            if (cid == "LIST" && csize >= 4 &&
+                fourcc(bytes, inner + 8) == "strl") {
+              var g = inner + 12
+              val gend = inner + 8 + csize.toInt
+              var isVids = false
+              while (g + 8 <= gend) {
+                val gid = fourcc(bytes, g)
+                val gsize = u32le(bytes, g + 4)
+                if (gsize < 0 || g + 8 + gsize > bytes.length) return None
+                if (gid == "strh" && gsize >= 8)
+                  isVids = fourcc(bytes, g + 8) == "vids"
+                else if (gid == "strf" && gsize >= 40 && isVids) {
+                  vw = u32le(bytes, g + 12).toInt // biWidth
+                  vh = u32le(bytes, g + 16).toInt // biHeight (may be <0)
+                  vbits = ((u32le(bytes, g + 20) >> 16) & 0xffff).toInt
+                  vcomp = u32le(bytes, g + 24) // biCompression
+                }
+                g += 8 + gsize.toInt + (gsize.toInt & 1)
+              }
+            }
+            inner += 8 + csize.toInt + (csize.toInt & 1)
+          }
+        }
+        pos += 8 + size.toInt + (size.toInt & 1)
+      }
+      val habs = math.abs(vh)
+      val stride = (vw * 3 + 3) & ~3
+      val dibOk = vcomp == 0L && vbits == 24 && vw > 0 && habs > 0 &&
+        vw.toLong * habs <= MaxDecodePixels
+      // pass 2: decode each movi VIDEO frame through the matching tier
+      aviVideoFrames(bytes).flatMap { frames =>
+        val out = frames.flatMap { payload =>
+          if (dibOk && payload.length >= stride.toLong * habs) {
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < habs) {
+              val ro = y * stride
+              var x = 0
+              while (x < vw) {
+                val o = ro + x * 3
+                sb += payload(o) & 0xff; sg += payload(o + 1) & 0xff
+                sr += payload(o + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = vw.toLong * habs
+            Some(Array(vw.toFloat, habs.toFloat,
+              (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+              (sb.toDouble / n).toFloat,
+              ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat, 0f))
+          } else if (payload.length > 3 && (payload(0) & 0xff) == 0xff &&
+                     (payload(1) & 0xff) == 0xd8) {
+            decodeImageFeatures(payload).map(f =>
+              Array(f(0), f(1), f(3), f(4), f(5), f(6), f(7), 1f))
+          } else None
+        }
+        if (out.isEmpty) None else Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise REAL frame-content decode: one row of pixel
+    * statistics per decodable container frame (DIB and MJPEG tiers).
+    * Same mapPartitions decoder-per-partition shape as the other
+    * codecs; frames of payloads no JVM codec decodes yield no rows and
+    * route to the stub tier at the call site.
+    */
+  def decodeVideoFrames(spark: SparkSession,
+                        media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeVideoFrameFeatures(r.media) match {
+            case Some(frames) => frames.iterator.zipWithIndex.map {
+              case (f, i) => VideoFrame(r.doc_id, i, f(0), f(1), f(2),
+                f(3), f(4), f(5), f(6))
+            }
+            case None => Iterator.empty
+          }
+        }
+      }
   }
 
   /** Frame sampling: cut the payload into `nFrames` equal byte slices

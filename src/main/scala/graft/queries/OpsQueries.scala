@@ -568,6 +568,31 @@ object OpsQueries {
     // nprobe=256) must reproduce exact brute-force top-k — a vector
     // lost, duplicated, or mis-offset by the two-level assign/probe
     // id pairing breaks the equality.
+    // ANN IVF with the FULLY scalable trainer: k-means|| init (Bahmani
+    // et al., VLDB 2012 — the distributed replacement for sequential
+    // k-means++ D²-sampling) + distributed Lloyd sweeps. probe-all
+    // makes the gate init-agnostic: whatever codebook the trainer
+    // produces, probing every cell must equal brute force — while the
+    // init's determinism and cluster quality are spec-pinned
+    // (KMeansSpec). This closes the last driver-side k-means ceiling:
+    // neither init nor sweeps scan the sample sequentially.
+    QueryDef("n12_ann_ivf_kmeans_par",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cb = KMeans.trainCentroidsScalable(e, "vec_id", "embedding",
+          nlist = 64, iters = 3)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5,
+            nlist = 64, nprobe = 64, centroids = Some(cb))
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |             c.vec_id) AS rank
+             |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin)),
+
     QueryDef("n07_ann_ivf_hier",
       (s, dir) => {
         val e = embs(s, dir)
@@ -889,6 +914,38 @@ object OpsQueries {
              |  cast(sum((fi * 31 + j) % 256) AS BIGINT) AS byte_sum
              |FROM b GROUP BY doc_id, fi, fb""".stripMargin)),
 
+    // Multimodal: REAL video frame-CONTENT decode. The fixture
+    // synthesizes an actual uncompressed AVI per document (BI_RGB
+    // 24-bit DIB rasters in '00db' chunks with a full strl stream
+    // header; frame colors closed-form in doc_id), and
+    // decodeVideoFrames parses the BITMAPINFOHEADER and decodes every
+    // raster pure-JVM — bottom-up row order, BGR byte order, 4-byte
+    // row stride (doc_id%16+4 widths exercise nonzero stride padding).
+    // The oracle recomputes all pixel statistics from the closed
+    // forms: a decoder that misreads the stride, channel order, or
+    // frame boundaries breaks the equality. Solid-color frames make
+    // every mean an exact integer (gray: the m04-proven /3.0 form).
+    QueryDef("m08_video_frame_decode",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticDibVideos(s, docs(s, dir))
+        Multimodal.decodeVideoFrames(s, media).toDF()
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    cast(doc_id % 16 + 4 AS INT) AS w,
+             |    cast(doc_id % 12 + 3 AS INT) AS h,
+             |    cast(doc_id % 5 + 1 AS INT) AS nf FROM documents),
+             |f AS (SELECT doc_id, w, h, unnest(range(nf)) AS fi FROM p)
+             |SELECT doc_id, cast(fi AS INT) AS frame_idx,
+             |  cast(w AS REAL) AS width, cast(h AS REAL) AS height,
+             |  cast((doc_id + 11 * fi) % 256 AS REAL) AS mean_r,
+             |  cast((7 * doc_id + 17 * fi) % 256 AS REAL) AS mean_g,
+             |  cast((13 * doc_id + 23 * fi) % 256 AS REAL) AS mean_b,
+             |  cast(((doc_id + 11 * fi) % 256 + (7 * doc_id + 17 * fi) % 256
+             |        + (13 * doc_id + 23 * fi) % 256) / 3.0 AS REAL)
+             |    AS mean_gray,
+             |  cast(w * h AS REAL) AS n_pixels
+             |FROM f""".stripMargin)),
+
     // Multimodal: frame sampling (binary slicing). Full DuckDB oracle:
     // frame lengths are pure integer arithmetic on the payload size
     // (frame_len = max(n/4, 1), last frame truncated, empty frames
@@ -969,6 +1026,32 @@ object OpsQueries {
 
     // Per-stratum fraction sampling (deterministic sampleBy analog):
     // rebalance the language mix with per-lang hash thresholds.
+    // Leakage-safe train/eval split: split by near-dup COMPONENT, not
+    // by row, so no near-duplicate pair ever spans train and eval (the
+    // contamination a row-level split bakes in). The oracle recomputes
+    // the full chain independently: true-Jaccard pairs >= 0.7 (the
+    // d02-gated LSH equivalence), recursive-CTE components, group =
+    // component-or-self, then the same md5-threshold draw on the GROUP
+    // id (train 90% / eval 10% => 16-bit threshold 58982). Every doc
+    // appears exactly once with its group and split — the oracle, not
+    // the implementation, proves no group spans splits.
+    QueryDef("p13_group_split",
+      (s, dir) => Curation.groupAwareSplit(docs(s, dir),
+          Dedup.minhashLsh(docs(s, dir), "text", "doc_id")
+            .select("doc_a", "doc_b"),
+          "doc_id", Seq("train" -> 0.9, "eval" -> 0.1))
+        .select("doc_id", "split_group", "split"),
+      Some(s"""WITH RECURSIVE $trueJaccardSql,
+              |$ccFromTruthSql,
+              |g AS (SELECT d.doc_id,
+              |        coalesce(c.component, d.doc_id) AS split_group
+              |      FROM documents d LEFT JOIN comps c ON c.doc_id = d.doc_id)
+              |SELECT doc_id, split_group,
+              |  CASE WHEN ('0x' || substr(md5(cast(split_group AS VARCHAR)),
+              |                            1, 4))::INT < 58982
+              |       THEN 'train' ELSE 'eval' END AS split
+              |FROM g""".stripMargin)),
+
     QueryDef("p08_sample_strata_frac",
       (s, dir) => Curation.sampleByHashStrata(docs(s, dir), col("lang"),
         col("doc_id"), Map("en" -> 0.2, "fr" -> 0.5, "de" -> 1.0))

@@ -82,6 +82,40 @@ class CurationSpec extends SparkSpec {
     s1.select("doc_id").except(s2.select("doc_id")).count() shouldBe 0
   }
 
+  test("groupAwareSplit: no near-dup group spans splits; exact md5 draw") {
+    val docs = corpus(400)
+    // planted near-dup graph: a 3-chain, a pair, and 395 singletons
+    val pairs = Seq((1L, 4L), (4L, 7L), (10L, 13L)).toDF("doc_a", "doc_b")
+    val out = Curation.groupAwareSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.8, "eval" -> 0.2))
+      .select("doc_id", "split_group", "split")
+    out.count() shouldBe 400L // every doc exactly once
+    // the leak-freedom invariant: a group never spans splits
+    out.groupBy("split_group").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count() shouldBe 0L
+    // linked docs share group AND split
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    byId(1L) shouldBe byId(4L)
+    byId(4L) shouldBe byId(7L)
+    byId(10L) shouldBe byId(13L)
+    byId(1L)._1 shouldBe 1L // component id = min member
+    // singleton: group = own id, split = the sampleByHash md5 rule
+    byId(20L)._1 shouldBe 20L
+    val b = java.lang.Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5").digest(
+        "20".getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    byId(20L)._2 shouldBe (if (b < math.round(0.8 * 65536)) "train" else "eval")
+    // deterministic across runs and close to the asked ratio
+    val again = Curation.groupAwareSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.8, "eval" -> 0.2)).select("doc_id", "split")
+    out.select("doc_id", "split").except(again).count() shouldBe 0L
+    val trainFrac = out.filter(col("split") === "train").count() / 400.0
+    trainFrac should (be >= 0.7 and be <= 0.9)
+    // top bucket never drops: every row has a split
+    out.filter(col("split").isNull).count() shouldBe 0L
+  }
+
   test("profileColumns counts exactly and approves the approx check") {
     val df = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))

@@ -97,6 +97,48 @@ class KMeansSpec extends SparkSpec {
     all(a.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
   }
 
+  test("k-means|| init: deterministic, recovers planted clusters, quality parity") {
+    val r = new scala.util.Random(17)
+    val anchors = Array.fill(6)(Array.fill(16)(r.nextGaussian()))
+    val vecs = (0L until 360L).map { i =>
+      val a = anchors((i % 6).toInt)
+      (i, a.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run() = KMeans.trainCentroidsScalable(vecs, "vec_id", "embedding",
+      nlist = 6, sampleCap = 360, iters = 5, seed = 4L)
+    val cb1 = run(); val cb2 = run()
+    // deterministic across runs (hash-based Bernoulli draws, not RNG state)
+    cb1.map(_.toSeq) shouldBe cb2.map(_.toSeq)
+    all(cb1.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
+    // every planted anchor direction is captured by some centroid
+    anchors.foreach { a =>
+      val an = math.sqrt(a.map(x => x * x).sum)
+      val best = cb1.map(c => c.zip(a).map { case (x, y) => x * y }.sum / an).max
+      best should be > 0.95
+    }
+    // objective parity with the prefix-init distributed trainer
+    val sample = KMeans.sampleVectors(vecs, "vec_id", "embedding", 360)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }
+    def objective(cb: Array[Array[Double]]): Double = sample.map { p =>
+      cb.map(c => c.zip(p).map { case (x, y) => x * y }.sum).max
+    }.sum / sample.length
+    val prefix = KMeans.trainCentroidsDistributed(vecs, "vec_id", "embedding",
+      nlist = 6, sampleCap = 360, iters = 5, seed = 4L)
+    objective(cb1) should be >= objective(prefix) * 0.98
+  }
+
+  test("k-means|| init handles k > candidates and tiny samples") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val cb = KMeans.trainCentroidsScalable(pts, "vec_id", "embedding",
+      nlist = 8, sampleCap = 3, iters = 2, seed = 5L)
+    cb.length shouldBe 3 // capped at sample size
+    all(cb.map(c => math.sqrt(c.map(x => x * x).sum))) shouldBe 1.0 +- 1e-9
+  }
+
   test("ivfTopK with a k-means codebook at nlist=256: probe-all == brute force") {
     val vecs = randVecs(300, 32, 13)
     val cb = KMeans.trainCentroids(vecs, "vec_id", "embedding",

@@ -180,6 +180,130 @@ class MultimodalSpec extends SparkSpec {
     rows(0).byte_sum shouldBe (0 until 13).map(j => j % 256).sum.toLong
   }
 
+  test("encodeAviDib -> decodeVideoFrameFeatures roundtrips exact pixel stats") {
+    // width 5: stride 16 vs 15 raw bytes — exercises the 4-byte row pad
+    val bytes = Multimodal.encodeAviDib(5, 3, 2, colorSeed = 7L)
+    val frames = Multimodal.decodeVideoFrameFeatures(bytes).get
+    frames.length shouldBe 2
+    val f0 = frames(0)
+    f0(0) shouldBe 5f; f0(1) shouldBe 3f
+    f0(2) shouldBe ((7L + 0) % 256).toFloat          // mean_r
+    f0(3) shouldBe ((7L * 7) % 256).toFloat          // mean_g
+    f0(4) shouldBe ((13L * 7) % 256).toFloat         // mean_b
+    f0(6) shouldBe 15f                               // n_pixels
+    f0(7) shouldBe 0f                                // codec tag: DIB
+    val f1 = frames(1)
+    f1(2) shouldBe ((7L + 11) % 256).toFloat
+    // the container also parses through the metadata walk
+    Multimodal.decodeVideoMetadata(bytes).get(0) shouldBe 5f
+  }
+
+  test("DIB decode is row-order invariant (top-down biHeight accepted)") {
+    val bytes = Multimodal.encodeAviDib(4, 2, 1, colorSeed = 3L)
+    // flip biHeight to negative (top-down): locate strf body and patch.
+    // strf body starts right after the 'strf'+size header inside strl.
+    val idx = {
+      var i = 0; var at = -1
+      while (at < 0 && i < bytes.length - 4) {
+        if (bytes(i) == 's' && bytes(i + 1) == 't' && bytes(i + 2) == 'r' &&
+            bytes(i + 3) == 'f') at = i
+        i += 1
+      }
+      at + 8
+    }
+    val h = 2
+    val neg = -h
+    bytes(idx + 8) = (neg & 0xff).toByte
+    bytes(idx + 9) = ((neg >> 8) & 0xff).toByte
+    bytes(idx + 10) = ((neg >> 16) & 0xff).toByte
+    bytes(idx + 11) = ((neg >> 24) & 0xff).toByte
+    val frames = Multimodal.decodeVideoFrameFeatures(bytes).get
+    frames(0)(1) shouldBe 2f // |biHeight|
+    frames(0)(2) shouldBe 3f // solid color: stats unchanged by row order
+  }
+
+  test("MJPEG frames route through the ImageIO tier") {
+    // build an AVI whose '00dc' frames are complete JPEGs (solid gray)
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(128, 128, 128))
+    g2.fillRect(0, 0, 8, 6); g2.dispose()
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    jpeg.take(2).map(_ & 0xff).toSeq shouldBe Seq(0xff, 0xd8)
+    val bb = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => bb.write(((v >> (8 * i)) & 0xff).toInt))
+    def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    val jpad = jpeg.length + (jpeg.length & 1)
+    val hdrlSize = 4 + 8 + 56
+    val moviSize = 4 + 2 * (8 + jpad)
+    cc("RIFF"); u32(4 + (8 + hdrlSize) + (8 + moviSize)); cc("AVI ")
+    cc("LIST"); u32(hdrlSize); cc("hdrl")
+    cc("avih"); u32(56)
+    u32(33367); u32(0); u32(0); u32(0); u32(2); u32(0); u32(1); u32(0)
+    u32(8); u32(6); u32(0); u32(0); u32(0); u32(0)
+    cc("LIST"); u32(moviSize); cc("movi")
+    (0 until 2).foreach { _ =>
+      cc("00dc"); u32(jpeg.length); bb.write(jpeg)
+      if ((jpeg.length & 1) == 1) bb.write(0)
+    }
+    val frames = Multimodal.decodeVideoFrameFeatures(bb.toByteArray).get
+    frames.length shouldBe 2
+    frames(0)(0) shouldBe 8f; frames(0)(1) shouldBe 6f
+    frames(0)(7) shouldBe 1f // codec tag: JPEG
+    // JPEG is lossy but a solid mid-gray block decodes within 2 levels
+    frames(0)(2) shouldBe 128f +- 2f
+    frames(0)(6) shouldBe 48f
+  }
+
+  test("frame-content decoder skips audio chunks and undecodable codecs") {
+    // interleave a '01wb' audio chunk among DIB frames: the video walk
+    // must not feed it to the pixel decoder (aviFrames still sees it)
+    val base = Multimodal.encodeAviDib(4, 2, 1, colorSeed = 5L)
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write(base)
+    // append a second movi LIST holding one audio chunk sized exactly
+    // like a DIB raster (stride 12 x h 2) — size alone must not route it
+    def u32(v: Long): Unit =
+      (0 until 4).foreach(i => bb.write(((v >> (8 * i)) & 0xff).toInt))
+    def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    val audio = Array.fill(24)(0xee.toByte)
+    cc("LIST"); u32(4 + 8 + audio.length); cc("movi")
+    cc("01wb"); u32(audio.length); bb.write(audio)
+    val out = bb.toByteArray
+    Multimodal.aviVideoFrames(out).get.length shouldBe 1
+    Multimodal.aviFrames(out).get.length shouldBe 2
+    // frame stats come from the DIB frame only
+    val feats = Multimodal.decodeVideoFrameFeatures(out).get
+    feats.length shouldBe 1
+    feats(0)(2) shouldBe 5f
+    // non-AVI and truncated payloads: None, never a throw
+    Multimodal.decodeVideoFrameFeatures("junk".getBytes("UTF-8")) shouldBe None
+    Multimodal.decodeVideoFrameFeatures(out.take(30)) shouldBe None
+    // a '00dc' payload that is neither DIB-sized nor JPEG yields no rows
+    val stub = Multimodal.encodeAvi(16, 12, 2, 40000, 5)
+    Multimodal.decodeVideoFrameFeatures(stub) shouldBe None
+  }
+
+  test("decodeVideoFrames: one stats row per frame, gate fixture shape") {
+    val media = Multimodal.attachSyntheticDibVideos(spark,
+      Seq((9L, "x"), (10L, "y")).toDF("doc_id", "text"))
+    val rows = Multimodal.decodeVideoFrames(spark, media).collect()
+      .groupBy(_.doc_id)
+    rows(9L).length shouldBe (9 % 5 + 1)
+    rows(10L).length shouldBe (10 % 5 + 1)
+    val r0 = rows(9L).minBy(_.frame_idx)
+    r0.width shouldBe (9 % 16 + 4).toFloat
+    r0.height shouldBe (9 % 12 + 3).toFloat
+    r0.mean_r shouldBe (9 % 256).toFloat
+    r0.mean_g shouldBe ((7 * 9) % 256).toFloat
+    r0.mean_b shouldBe ((13 * 9) % 256).toFloat
+    r0.n_pixels shouldBe ((9 % 16 + 4) * (9 % 12 + 3)).toFloat
+  }
+
   test("frameSample slices payload into n frames covering all bytes") {
     val frames = Multimodal.frameSample(Multimodal.attachMedia(docs), 4)
       .filter($"doc_id" === 0)
