@@ -213,6 +213,51 @@ object Curation {
     grouped.withColumn("split", assign)
   }
 
+  /** Deterministic EPOCH shuffle + microbatch packing: the training-
+    * order assignment step of a data pipeline. For every epoch
+    * `0..epochs-1`, each row draws a fresh position from
+    * md5(key # epoch); the global rank over (draw, key) — fully
+    * reshuffled every epoch, reproducible from (key, epoch) alone —
+    * packs into consecutive microbatches: `step = rank div batchSize`,
+    * `pos_in_batch = rank mod batchSize`. A resumed or re-run job
+    * reproduces the exact batch sequence with no stored permutation
+    * and no RNG state.
+    *
+    * Scale notes: the global rank is the [[assignShards]] DISTRIBUTED
+    * prefix sum (range-partition on the uniform md5 draw → per-
+    * partition counts → broadcast offsets → per-partition row_number),
+    * never a single-partition window; the md5 draw makes the range
+    * partitioning skew-free by construction. Epochs explode ×`epochs`,
+    * the intended semantics (each epoch is an independent pass over
+    * the data).
+    */
+  def epochShuffle(df: DataFrame, key: Column, epochs: Int,
+                   batchSize: Long): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val staged = graft.engine.CacheOnce(df
+      .withColumn("__epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__key", key.cast("string"))
+      .withColumn("__u", md5(concat(col("__key"), lit("#"),
+        col("__epoch").cast("string"))))
+      .repartitionByRange(col("__epoch"), col("__u"), col("__key"))
+      .withColumn("__pid", spark_partition_id()))
+    val offsets = staged.groupBy("__epoch", "__pid")
+      .agg(count(lit(1)).as("__pcnt"))
+      .withColumn("__before",
+        sum("__pcnt").over(Window.partitionBy("__epoch").orderBy("__pid"))
+          - col("__pcnt"))
+      .drop("__pcnt")
+    val wIn = Window.partitionBy("__epoch", "__pid")
+      .orderBy("__u", "__key")
+    staged.join(broadcast(offsets), Seq("__epoch", "__pid"))
+      .withColumn("__r", col("__before") + row_number().over(wIn) - 1)
+      .withColumn("step", expr(s"__r div ${batchSize}L"))
+      .withColumn("pos_in_batch", col("__r") % batchSize)
+      .withColumnRenamed("__epoch", "epoch")
+      .drop("__key", "__u", "__pid", "__before", "__r")
+  }
+
   /** Token-budget shard assignment: documents ordered by `orderCol`
     * within each `group` are packed greedily into shards of at most
     * `budget` tokens (a document that crosses the boundary opens the

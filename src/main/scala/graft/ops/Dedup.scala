@@ -424,4 +424,86 @@ object Dedup {
       .select(col("doc_id").as("__loser"))
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
+
+  /** EXACT duplicated-SPAN removal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): instead of dropping
+    * whole near-dup documents, cut from every document each maximal
+    * token span covered by `l`-token grams that occur at least
+    * `minOccurrences` times across the corpus — boilerplate, license
+    * headers, and quoted passages vanish while the unique remainder of
+    * each document survives. Operates on [[TextOps.normalize]]d
+    * whitespace tokens.
+    *
+    * Shape per doc: one gram per token position (explode over a
+    * `sequence` of starts; each gram is a `slice`+`array_join` over the
+    * precomputed token array — the array splits ONCE per row), a
+    * map-side-combined count over md5(gram) finds repeated grams, one
+    * hash join marks covered positions, and a per-doc gap-and-island
+    * window merges overlapping/adjacent gram intervals into maximal
+    * spans. The rebuild is a projection: `zip_with` token/positions,
+    * drop positions inside any span (`exists` over the doc's small span
+    * array), re-join. Returns `(idCol, n_tokens, n_spans,
+    * tokens_removed, clean_text)`.
+    *
+    * Scale notes: the only shuffles are the gram count (combiner-
+    * friendly, keys are fixed 32-char md5s — never the gram text) and
+    * the gram↔repeated-gram hash join; the island window partitions by
+    * DOCUMENT over marked grams only (≤ tokens-per-doc rows, never the
+    * corpus-wide gram stream). A 50-token span threshold at 100 TB is
+    * the published configuration; `l` is the gram width here, and
+    * raising it only shrinks the marked set.
+    */
+  def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
+                 l: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    require(l > 0, s"gram width must be positive, got $l")
+    require(minOccurrences >= 2,
+      s"minOccurrences below 2 would mark every gram, got $minOccurrences")
+    import org.apache.spark.sql.expressions.Window
+    // token arrays are scanned twice (gram pass + rebuild pass): share
+    // one cached parse via the semantic-dedup registry
+    val staged = graft.engine.CacheOnce(docs.select(col(idCol).as("__id"),
+        split(TextOps.normalize(col(textCol)), " ").as("__toks"))
+      .withColumn("__n", size(col("__toks"))))
+    val grams = staged.filter(col("__n") >= l)
+      .select(col("__id"), col("__toks"),
+        explode(sequence(lit(1), col("__n") - (l - 1))).as("__s"))
+      .select(col("__id"), col("__s"),
+        md5(array_join(slice(col("__toks"), col("__s"), lit(l)), " "))
+          .as("__g"))
+    val repeated = grams.groupBy("__g").count()
+      .filter(col("count") >= minOccurrences).select("__g")
+    val marked = grams.join(repeated, "__g")
+      .select(col("__id"), col("__s"), (col("__s") + (l - 1)).as("__e"))
+    // gap-and-island merge of covered intervals: a new span starts when
+    // this gram's first position clears the running max end by > 1
+    // (adjacent coverage fuses — spans are maximal runs of covered
+    // positions, so n_spans is layout-independent)
+    val wPrev = Window.partitionBy("__id").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("__id").orderBy("__s")
+    val spans = marked
+      .withColumn("__pme", max(col("__e")).over(wPrev))
+      .withColumn("__brk",
+        when(col("__pme").isNull || col("__s") > col("__pme") + 1, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(wRun))
+      .groupBy("__id", "__isl")
+      .agg(min("__s").as("s"), max("__e").as("e"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__spans"))
+    staged.join(spans, Seq("__id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        expr("array()").cast("array<struct<s:int,e:int>>")))
+      .withColumn("__kept", filter(
+        zip_with(col("__toks"), sequence(lit(1), col("__n")),
+          (t, i) => struct(t.as("t"), i.as("i"))),
+        p => !exists(col("__spans"), sp =>
+          p.getField("i").between(sp.getField("s"), sp.getField("e")))))
+      .select(col("__id").as(idCol), col("__n").as("n_tokens"),
+        size(col("__spans")).as("n_spans"),
+        (col("__n") - size(col("__kept"))).as("tokens_removed"),
+        array_join(transform(col("__kept"), _.getField("t")), " ")
+          .as("clean_text"))
+  }
 }

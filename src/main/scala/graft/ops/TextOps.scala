@@ -271,4 +271,55 @@ object TextOps {
       .join(topBigram, Seq(idCol), "left")
       .na.fill(0L, Seq("top_word_chars", "top_bigram_count"))
   }
+
+  /** C4-style LINE-level cleaning (Raffel et al., "Exploring the Limits
+    * of Transfer Learning…", JMLR 2020, §2.2): filter each document's
+    * lines by within-document rules and re-join the survivors —
+    * boilerplate menus, cookie banners, and repeated headers die at the
+    * line level while the document survives. Rules (conjunctive):
+    *  - at least `minTokens` whitespace tokens on the line;
+    *  - no banned substring (case-insensitive; C4 uses a bad-words
+    *    list, "lorem ipsum", "javascript", braces);
+    *  - if `dedupLines`, only the FIRST occurrence of a repeated line
+    *    within the document survives (C4 dedups repeated spans
+    *    corpus-wide; the corpus-wide variant here is [[Dedup.dedupSpans]]
+    *    — this rule is the document-local complement).
+    *
+    * Returns `(idCol, n_lines, n_kept, clean_text)` with survivors
+    * joined by newline.
+    *
+    * Scale notes: a PURE projection — the line array, per-line token
+    * counts, banned-substring tests, and first-occurrence check
+    * (`array_position(lines, line) == own index` — first index wins by
+    * definition) all evaluate per row with zero shuffles and zero
+    * explodes; at 100 TB this is the map stage of whatever consumes the
+    * cleaned text. The first-occurrence check is O(lines²) per doc in
+    * the worst case, bounded by per-document line counts (thousands),
+    * never corpus size.
+    */
+  def cleanLines(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String, minTokens: Int = 3,
+                 banned: Seq[String] = Seq("lorem ipsum", "javascript",
+                   "cookie", "{"),
+                 dedupLines: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(minTokens >= 0, s"minTokens must be >= 0, got $minTokens")
+    val lc = (c: Column) => lower(c)
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", filter(
+        zip_with(col("__lines"), sequence(lit(1), size(col("__lines"))),
+          (l, i) => struct(l.as("l"), i.as("i"))),
+        p => {
+          val line = p.getField("l")
+          val base = (size(split(line, " ")) >= minTokens) &&
+            banned.map(b => !lc(line).contains(b.toLowerCase))
+              .reduceOption(_ && _).getOrElse(lit(true))
+          if (dedupLines)
+            base && (array_position(col("__lines"), line) === p.getField("i"))
+          else base
+        }))
+      .select(col(idCol), size(col("__lines")).as("n_lines"),
+        size(col("__kept")).as("n_kept"),
+        array_join(transform(col("__kept"), _.getField("l")), "\n")
+          .as("clean_text"))
+  }
 }

@@ -459,6 +459,57 @@ object OpsQueries {
               |WHERE levenshtein(a.t, b.t)
               |  <= 0.3 * greatest(length(a.t), length(b.t))""".stripMargin)),
 
+    // EXACT duplicated-SPAN removal (Lee et al. 2022): cut every
+    // maximal token span covered by 8-grams repeated anywhere in the
+    // corpus. FULL oracle: DuckDB independently regenerates every
+    // 8-gram, counts repeats, merges covered intervals with its own
+    // gap-and-island windows, and rebuilds each document's surviving
+    // text token-for-token — a mistake in gram bounds, interval
+    // merging, or the rebuild breaks clean_text equality character-
+    // for-character.
+    QueryDef("d15_span_dedup",
+      (s, dir) => Dedup.dedupSpans(docs(s, dir), "text", "doc_id", l = 8)
+        .select("doc_id", "n_tokens", "n_spans", "tokens_removed",
+          "clean_text"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+             |                                     'g')), ' ') AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS s,
+             |    cast(u.i + 7 AS INT) AS e,
+             |    array_to_string(toks[u.i:u.i+7], ' ') AS gram
+             |  FROM n, unnest(range(1, n - 6)) AS u(i) WHERE n >= 8),
+             |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.s, g.e FROM g JOIN d USING (gram)),
+             |i1 AS (SELECT doc_id, s, e,
+             |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+             |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND 1 PRECEDING), -1) + 1
+             |      THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, s, e,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+             |  FROM i1),
+             |sp AS (SELECT doc_id, isl, min(s) AS ss, max(e) AS se
+             |  FROM i2 GROUP BY doc_id, isl),
+             |spc AS (SELECT doc_id, count(*) AS n_spans FROM sp
+             |  GROUP BY doc_id),
+             |pos AS (SELECT doc_id, cast(u.i AS INT) AS p, toks[u.i] AS tok
+             |  FROM n, unnest(range(1, n + 1)) AS u(i)),
+             |keep AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+             |  WHERE NOT EXISTS (SELECT 1 FROM sp
+             |    WHERE sp.doc_id = pos.doc_id
+             |      AND pos.p BETWEEN sp.ss AND sp.se)),
+             |k AS (SELECT doc_id, count(*) AS kept,
+             |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+             |  FROM keep GROUP BY doc_id)
+             |SELECT n.doc_id, cast(n.n AS INT) AS n_tokens,
+             |  cast(coalesce(spc.n_spans, 0) AS INT) AS n_spans,
+             |  cast(n.n - coalesce(k.kept, 0) AS INT) AS tokens_removed,
+             |  coalesce(k.clean_text, '') AS clean_text
+             |FROM n LEFT JOIN spc USING (doc_id)
+             |LEFT JOIN k USING (doc_id)""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).
@@ -637,6 +688,57 @@ object OpsQueries {
              |  cast(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
+
+    // C4-style LINE-level cleaning over a line-structured corpus: the
+    // flat word-soup corpus is restructured deterministically into
+    // lines of doc_id%5+3 tokens (the m08 fixture recipe: construction
+    // closed-form in doc_id so the oracle rebuilds it independently),
+    // then cleanLines applies the within-document rules — min 3
+    // tokens, no banned substring, first occurrence of a repeated
+    // line. The oracle recomputes line boundaries, every rule, and the
+    // newline re-join; a misplaced boundary or wrong first-occurrence
+    // index breaks clean_text equality.
+    QueryDef("t13_line_clean",
+      (s, dir) => {
+        val structured = docs(s, dir)
+          .withColumn("__toks", split(TextOps.normalize(col("text")), " "))
+          .withColumn("__n", size(col("__toks")))
+          .withColumn("__k", (col("doc_id") % 5 + 3).cast("int"))
+          .withColumn("__nl", expr("(__n + __k - 1) div __k"))
+          .withColumn("text2", array_join(
+            transform(sequence(lit(0), col("__nl").cast("int") - 1),
+              j => array_join(
+                slice(col("__toks"), j * col("__k") + 1, col("__k")), " ")),
+            "\n"))
+        TextOps.cleanLines(structured, "text2", "doc_id", minTokens = 3,
+            banned = Seq("spark", "spill"), dedupLines = true)
+          .select("doc_id", "n_lines", "n_kept", "clean_text")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+             |                                     'g')), ' ') AS toks,
+             |    cast(doc_id % 5 + 3 AS INT) AS k FROM documents),
+             |n AS (SELECT doc_id, toks, k, len(toks) AS n FROM t),
+             |ln AS (SELECT doc_id, cast(u.j AS INT) AS j,
+             |    array_to_string(toks[u.j*k+1 : u.j*k+k], ' ') AS line
+             |  FROM n, unnest(range(0, (n + k - 1) // k)) AS u(j)),
+             |f AS (SELECT doc_id, j, line,
+             |    min(j) OVER (PARTITION BY doc_id, line) AS fj FROM ln),
+             |kept AS (SELECT * FROM f
+             |  WHERE len(string_split(line, ' ')) >= 3
+             |    AND NOT contains(lower(line), 'spark')
+             |    AND NOT contains(lower(line), 'spill')
+             |    AND j = fj),
+             |agg AS (SELECT doc_id, count(*) AS n_kept,
+             |    string_agg(line, chr(10) ORDER BY j) AS clean_text
+             |  FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_lines FROM ln
+             |  GROUP BY doc_id)
+             |SELECT t.doc_id, cast(tot.n_lines AS INT) AS n_lines,
+             |  cast(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+             |  coalesce(agg.clean_text, '') AS clean_text
+             |FROM t JOIN tot USING (doc_id)
+             |LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
@@ -1051,6 +1153,28 @@ object OpsQueries {
               |                            1, 4))::INT < 58982
               |       THEN 'train' ELSE 'eval' END AS split
               |FROM g""".stripMargin)),
+
+    // Deterministic epoch shuffle + microbatch packing: every epoch
+    // reshuffles the corpus by md5(key # epoch) and packs the global
+    // order into batches of 64. The oracle computes the same global
+    // rank with a plain window row_number — proving the distributed
+    // prefix-sum rank (range partition → partition counts → offsets)
+    // is bit-identical to the single-window definition while never
+    // funneling the corpus through one task.
+    QueryDef("p14_epoch_shuffle",
+      (s, dir) => Curation.epochShuffle(docs(s, dir), col("doc_id"),
+          epochs = 2, batchSize = 64)
+        .select("doc_id", "epoch", "step", "pos_in_batch"),
+      Some("""WITH e AS (SELECT doc_id, cast(u.e AS INT) AS epoch
+             |  FROM documents, unnest(range(0, 2)) AS u(e)),
+             |r AS (SELECT doc_id, epoch,
+             |    row_number() OVER (PARTITION BY epoch
+             |      ORDER BY md5(cast(doc_id AS VARCHAR) || '#' ||
+             |                   cast(epoch AS VARCHAR)),
+             |               cast(doc_id AS VARCHAR)) - 1 AS r
+             |  FROM e)
+             |SELECT doc_id, epoch, r // 64 AS step,
+             |  r % 64 AS pos_in_batch FROM r""".stripMargin)),
 
     QueryDef("p08_sample_strata_frac",
       (s, dir) => Curation.sampleByHashStrata(docs(s, dir), col("lang"),

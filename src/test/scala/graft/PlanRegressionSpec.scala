@@ -174,6 +174,39 @@ class PlanRegressionSpec extends SparkSpec {
     formatted(frames) should not include "Exchange"
   }
 
+  test("cleanLines is a pure projection over the scan (no exchange)") {
+    val dir = java.nio.file.Files.createTempDirectory("cleanlines").toString
+    (1 to 30).map(i => (i.toLong, s"line one here\nshort\nline $i three words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val plan = formatted(graft.ops.TextOps.cleanLines(
+      spark.read.parquet(dir), "text", "doc_id"))
+    plan should not include "Exchange"
+    windowCount(plan) shouldBe 0
+  }
+
+  test("dedupSpans: windows confine to marked grams, no cartesian/BNLJ") {
+    val docs = (1 to 30).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta tail$i"))
+      .toDF("doc_id", "text")
+    val plan = formatted(graft.ops.Dedup.dedupSpans(docs, "text", "doc_id"))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // exactly the two island windows (running max-end, running island
+    // sum), both AFTER the repeated-gram join — never over the raw
+    // gram stream
+    windowCount(plan) should be <= 2
+  }
+
+  test("epochShuffle: broadcast offsets, bounded exchanges, no BNLJ") {
+    val df = (1 to 200).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val plan = formatted(graft.ops.Curation.epochShuffle(
+      df, $"doc_id", epochs = 2, batchSize = 32))
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    (plan.split("\\(\\d+\\) Exchange").length - 1) should be <= 4
+  }
+
   test("warehouse equality diff never regresses to cartesian/BNLJ") {
     // the q47/q49 signed multiset diff is unions + one aggregate per
     // model; a cartesian or nested-loop join appearing here means a

@@ -242,4 +242,37 @@ class CurationSpec extends SparkSpec {
     back.count() shouldBe 200
     back.select("doc_id").except(docs.select("doc_id")).count() shouldBe 0
   }
+
+  test("epochShuffle: exact md5 permutation per epoch, layout-independent") {
+    val docs = corpus(300)
+    val out = Curation.epochShuffle(docs, col("doc_id"), epochs = 2,
+      batchSize = 32).select("doc_id", "epoch", "step", "pos_in_batch")
+    out.count() shouldBe 600L
+    // each epoch is a complete permutation: 300 distinct global ranks
+    out.select(col("epoch"), col("step") * 32 + col("pos_in_batch"))
+      .distinct().count() shouldBe 600L
+    out.agg(max("pos_in_batch")).first().getLong(0) should be < 32L
+    out.agg(max("step")).first().getLong(0) shouldBe (299L / 32L)
+    // the rank IS the md5 order: recompute epoch 0 locally
+    def hash(id: Long, e: Int): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s"$id#$e".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (1L to 300L).sortBy(id => (hash(id, 0), id.toString))
+      .zipWithIndex.map { case (id, r) => id -> (r / 32L, r % 32L) }.toMap
+    out.filter(col("epoch") === 0).collect().foreach { r =>
+      (r.getAs[Long]("step"), r.getAs[Long]("pos_in_batch")) shouldBe
+        expected(r.getAs[Long]("doc_id"))
+    }
+    // epochs really reshuffle: epoch 1 order differs from epoch 0
+    val byEpoch = out.collect().groupBy(_.getAs[Int]("epoch")).map {
+      case (e, rows) => e -> rows.sortBy(r => (r.getAs[Long]("step"),
+        r.getAs[Long]("pos_in_batch"))).map(_.getAs[Long]("doc_id")).toSeq
+    }
+    byEpoch(0) should not be byEpoch(1)
+    // layout independence: a hostile repartition yields the same ranks
+    val re = Curation.epochShuffle(docs.repartition(7), col("doc_id"),
+      epochs = 2, batchSize = 32)
+      .select("doc_id", "epoch", "step", "pos_in_batch")
+    out.except(re).count() shouldBe 0L
+  }
 }

@@ -206,4 +206,58 @@ class DedupSpec extends SparkSpec {
     uncapped.filter($"doc_a" < 200 && $"doc_b" < 200)
       .count() shouldBe 200L * 199 / 2
   }
+
+  test("dedupSpans cuts repeated spans, merges intervals, keeps unique text") {
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ") // 10 tokens
+    val spanDocs = Seq(
+      (1L, s"alpha one two $boiler tail1 a b c d e f"),
+      (2L, s"beta uno dos $boiler tail2 g h i j k l"),
+      (3L, "nothing shared here at all just unique words only right"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(spanDocs, "text", "doc_id", l = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the 10-token boilerplate is covered by three overlapping repeated
+    // 8-grams -> ONE merged span of exactly the 10 boilerplate tokens
+    for (id <- Seq(1L, 2L)) {
+      out(id).getAs[Int]("n_spans") shouldBe 1
+      out(id).getAs[Int]("tokens_removed") shouldBe 10
+      out(id).getAs[String]("clean_text") should not include "boiler"
+    }
+    out(1L).getAs[String]("clean_text") shouldBe
+      "alpha one two tail1 a b c d e f"
+    out(2L).getAs[String]("clean_text") shouldBe
+      "beta uno dos tail2 g h i j k l"
+    // untouched docs pass through verbatim (including the short one)
+    out(3L).getAs[Int]("tokens_removed") shouldBe 0
+    out(3L).getAs[String]("clean_text") shouldBe
+      "nothing shared here at all just unique words only right"
+    out(4L).getAs[Int]("n_spans") shouldBe 0
+    out(4L).getAs[String]("clean_text") shouldBe "tiny doc"
+  }
+
+  test("dedupSpans merges adjacent coverage and counts disjoint spans") {
+    // two repeated 8-gram regions separated by ONE unique token in doc
+    // 1 -> two spans (gap 1 > adjacency), removed 16 of 17
+    val b1 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val b2 = (1 to 8).map(i => s"y$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$b1 gap $b2"),
+      (2L, s"$b1 other filler words here padding more stuff"),
+      (3L, s"$b2 extra filler words there padding more stuff"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(d, "text", "doc_id", l = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Int]("n_spans") shouldBe 2
+    out(1L).getAs[Int]("tokens_removed") shouldBe 16
+    out(1L).getAs[String]("clean_text") shouldBe "gap"
+    // a WITHIN-document repeat also counts toward minOccurrences
+    val selfRep = Seq(
+      (10L, s"$b1 middle words $b1"),
+      (11L, "unrelated content entirely different tokens all unique here"))
+      .toDF("doc_id", "text")
+    val o2 = Dedup.dedupSpans(selfRep, "text", "doc_id", l = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    o2(10L).getAs[String]("clean_text") shouldBe "middle words"
+    o2(10L).getAs[Int]("n_spans") shouldBe 2
+  }
 }

@@ -154,4 +154,31 @@ class TextOpsSpec extends SparkSpec {
     rows(0) should be > 0.5
     rows(1) should be < 0.5 // 40-char letter run: word-length deviation sinks it
   }
+
+  test("cleanLines applies every C4 rule and keeps first dup occurrence") {
+    val text = Seq(
+      "the good first line here",   // kept
+      "too short",                  // < 3 tokens dropped
+      "enable javascript to view",  // banned substring dropped
+      "a repeated line body",       // kept (first occurrence)
+      "another fine line survives", // kept
+      "a repeated line body",       // duplicate dropped
+      "JavaScript ALSO BANNED uppercase").mkString("\n") // case-insensitive
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val out = TextOps.cleanLines(df, "text", "doc_id").collect()(0)
+    out.getAs[Int]("n_lines") shouldBe 7
+    out.getAs[Int]("n_kept") shouldBe 3
+    out.getAs[String]("clean_text") shouldBe Seq(
+      "the good first line here", "a repeated line body",
+      "another fine line survives").mkString("\n")
+    // dedupLines=false keeps both copies of the repeated line
+    val keepDups = TextOps.cleanLines(df, "text", "doc_id",
+      dedupLines = false).collect()(0)
+    keepDups.getAs[Int]("n_kept") shouldBe 4
+    // all lines dropped -> empty doc survives as a row with empty text
+    val gone = Seq((8L, "ha\nho")).toDF("doc_id", "text")
+    val g = TextOps.cleanLines(gone, "text", "doc_id").collect()(0)
+    g.getAs[Int]("n_kept") shouldBe 0
+    g.getAs[String]("clean_text") shouldBe ""
+  }
 }
