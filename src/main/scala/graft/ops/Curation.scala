@@ -261,7 +261,13 @@ object Curation {
   /** Token-budget shard assignment: documents ordered by `orderCol`
     * within each `group` are packed greedily into shards of at most
     * `budget` tokens (a document that crosses the boundary opens the
-    * next shard: shard = floor(exclusive-prefix-sum / budget)).
+    * next shard: shard = floor(exclusive-prefix-sum / budget)). Also
+    * emits `offset` = the document's first-token position WITHIN its
+    * shard (exclusive-prefix-sum mod budget) — with `budget` = the
+    * model context length this is sequence PACKING: each (shard,
+    * offset) is a training sequence id and the position where the
+    * document's tokens begin, computed without materializing a single
+    * packed sequence.
     *
     * Implemented as a DISTRIBUTED prefix sum, not a global window (a
     * window over a whole-group partition funnels the group's share of
@@ -305,6 +311,7 @@ object Curation {
       .withColumn("__cum",
         col("__before") + sum("__tok").over(w) - col("__tok"))
       .withColumn("shard", expr(s"__cum div ${budget}L")) // exact int division, no double rounding
+      .withColumn("offset", col("__cum") % budget)
       .drop("__grp", "__ord", "__tok", "__pid", "__before", "__cum")
   }
 

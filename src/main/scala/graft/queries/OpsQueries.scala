@@ -1126,6 +1126,27 @@ object OpsQueries {
              |       // 500 AS BIGINT) AS shard
              |FROM toks""".stripMargin)),
 
+    // Sequence PACKING positions: shard = training-sequence id under a
+    // 512-token context budget, offset = where the document's tokens
+    // begin inside that sequence — assignment without materializing
+    // packed sequences. Oracle: the same global-window prefix sum,
+    // mod/div the budget.
+    QueryDef("p15_pack_sequences",
+      (s, dir) => Curation.assignShards(docs(s, dir), col("lang"),
+        col("doc_id"), TextOps.tokenCountWs(col("text")), 512L)
+        .select("doc_id", "lang", "shard", "offset"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang,
+             |    sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) - tok AS cum
+             |  FROM toks)
+             |SELECT doc_id, lang, cast(cum // 512 AS BIGINT) AS shard,
+             |  cast(cum % 512 AS BIGINT) AS offset
+             |FROM c""".stripMargin)),
+
     // Per-stratum fraction sampling (deterministic sampleBy analog):
     // rebalance the language mix with per-lang hash thresholds.
     // Leakage-safe train/eval split: split by near-dup COMPONENT, not

@@ -20,14 +20,16 @@ class CurationSpec extends SparkSpec {
 
   test("assignShards equals the global-window definition across layouts") {
     val docs = corpus(500)
-    val reference = docs.withColumn("shard",
-      expr("(sum(tok) over (partition by lang order by doc_id) - tok) div 100"))
-      .select("doc_id", "shard")
+    val reference = docs
+      .withColumn("__cum",
+        expr("sum(tok) over (partition by lang order by doc_id) - tok"))
+      .select(col("doc_id"), expr("__cum div 100").as("shard"),
+        (col("__cum") % 100).as("offset"))
     // 4 shuffle partitions for 3 groups x 500 rows: groups both share
     // partitions and span several — the layouts the offsets must survive.
     for (layout <- Seq(docs, docs.repartition(7), docs.coalesce(1))) {
       val got = Curation.assignShards(layout, col("lang"), col("doc_id"),
-        col("tok"), 100L).select("doc_id", "shard")
+        col("tok"), 100L).select("doc_id", "shard", "offset")
       got.except(reference).count() shouldBe 0
       reference.except(got).count() shouldBe 0
     }
