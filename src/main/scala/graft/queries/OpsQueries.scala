@@ -1147,6 +1147,60 @@ object OpsQueries {
              |  cast(cum % 512 AS BIGINT) AS offset
              |FROM c""".stripMargin)),
 
+    // COMPOSITION gate for the addendum ops: span-dedup statistics
+    // drive corpus filtering (drop docs that are >= half repeated
+    // boilerplate) and the survivors get a deterministic training
+    // order. Chains d15's full gram→island→span oracle into p14's
+    // global-rank oracle — a bug in either op, or in how the filter
+    // consumes the span stats, breaks the rank of every downstream
+    // row.
+    QueryDef("p16_clean_shuffle",
+      (s, dir) => {
+        val sd = Dedup.dedupSpans(docs(s, dir), "text", "doc_id", l = 8)
+        val survivors = sd.filter(col("tokens_removed") * 2 <
+          col("n_tokens"))
+        Curation.epochShuffle(survivors, col("doc_id"), epochs = 1,
+            batchSize = 64)
+          .select("doc_id", "n_spans", "tokens_removed", "epoch", "step",
+            "pos_in_batch")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+             |                                     'g')), ' ') AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS s,
+             |    cast(u.i + 7 AS INT) AS e,
+             |    array_to_string(toks[u.i:u.i+7], ' ') AS gram
+             |  FROM n, unnest(range(1, n - 6)) AS u(i) WHERE n >= 8),
+             |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.s, g.e FROM g JOIN d USING (gram)),
+             |i1 AS (SELECT doc_id, s, e,
+             |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+             |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND 1 PRECEDING), -1) + 1
+             |      THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, s, e,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+             |  FROM i1),
+             |sp AS (SELECT doc_id, isl, min(s) AS ss, max(e) AS se
+             |  FROM i2 GROUP BY doc_id, isl),
+             |agg AS (SELECT doc_id, count(*) AS n_spans,
+             |    sum(se - ss + 1) AS removed FROM sp GROUP BY doc_id),
+             |surv AS (SELECT n.doc_id,
+             |    cast(coalesce(agg.n_spans, 0) AS INT) AS n_spans,
+             |    cast(coalesce(agg.removed, 0) AS INT) AS tokens_removed
+             |  FROM n LEFT JOIN agg USING (doc_id)
+             |  WHERE coalesce(agg.removed, 0) * 2 < n.n),
+             |r AS (SELECT doc_id, n_spans, tokens_removed,
+             |    row_number() OVER (
+             |      ORDER BY md5(cast(doc_id AS VARCHAR) || '#0'),
+             |               cast(doc_id AS VARCHAR)) - 1 AS r
+             |  FROM surv)
+             |SELECT doc_id, n_spans, tokens_removed,
+             |  cast(0 AS INT) AS epoch, r // 64 AS step,
+             |  r % 64 AS pos_in_batch FROM r""".stripMargin)),
+
     // Per-stratum fraction sampling (deterministic sampleBy analog):
     // rebalance the language mix with per-lang hash thresholds.
     // Leakage-safe train/eval split: split by near-dup COMPONENT, not
