@@ -449,15 +449,19 @@ object Dedup {
     * friendly, keys are fixed 32-char md5s — never the gram text) and
     * the gram↔repeated-gram hash join; the island window partitions by
     * DOCUMENT over marked grams only (≤ tokens-per-doc rows, never the
-    * corpus-wide gram stream). A 50-token span threshold at 100 TB is
-    * the published configuration; `l` is the gram width here, and
-    * raising it only shrinks the marked set.
+    * corpus-wide gram stream). `minSpanTokens` (Lee et al. publish 50)
+    * keeps short repeated phrases and removes only merged spans at
+    * least that long; `l` is the gram width, and raising it only
+    * shrinks the marked set.
     */
   def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
-                 l: Int = 8, minOccurrences: Int = 2): DataFrame = {
+                 l: Int = 8, minOccurrences: Int = 2,
+                 minSpanTokens: Int = 0): DataFrame = {
     require(l > 0, s"gram width must be positive, got $l")
     require(minOccurrences >= 2,
       s"minOccurrences below 2 would mark every gram, got $minOccurrences")
+    require(minSpanTokens <= 0 || minSpanTokens >= l,
+      s"minSpanTokens below the gram width $l cannot bind, got $minSpanTokens")
     import org.apache.spark.sql.expressions.Window
     // token arrays are scanned twice (gram pass + rebuild pass): share
     // one cached parse via the semantic-dedup registry
@@ -489,6 +493,10 @@ object Dedup {
       .withColumn("__isl", sum(col("__brk")).over(wRun))
       .groupBy("__id", "__isl")
       .agg(min("__s").as("s"), max("__e").as("e"))
+      // the published configuration (Lee et al. use 50 tokens) removes
+      // only spans long enough to be real boilerplate; short repeated
+      // phrases survive
+      .filter(col("e") - col("s") + 1 >= math.max(minSpanTokens, 0))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("s"), col("e"))))
         .as("__spans"))

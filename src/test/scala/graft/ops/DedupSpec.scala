@@ -259,5 +259,15 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     o2(10L).getAs[String]("clean_text") shouldBe "middle words"
     o2(10L).getAs[Int]("n_spans") shouldBe 2
+    // the published span threshold: an 8-token repeated span is below
+    // a 12-token minimum and SURVIVES; only >= 12-token boilerplate
+    // would be cut
+    val thr = Dedup.dedupSpans(selfRep, "text", "doc_id", l = 8,
+        minSpanTokens = 12)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    thr(10L).getAs[Int]("n_spans") shouldBe 0
+    thr(10L).getAs[Int]("tokens_removed") shouldBe 0
+    thr(10L).getAs[String]("clean_text") shouldBe
+      selfRep.filter(col("doc_id") === 10L).collect()(0).getString(1)
   }
 }
