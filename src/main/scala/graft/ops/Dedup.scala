@@ -462,20 +462,40 @@ object Dedup {
       s"minOccurrences below 2 would mark every gram, got $minOccurrences")
     require(minSpanTokens <= 0 || minSpanTokens >= l,
       s"minSpanTokens below the gram width $l cannot bind, got $minSpanTokens")
-    import org.apache.spark.sql.expressions.Window
-    // token arrays are scanned twice (gram pass + rebuild pass): share
-    // one cached parse via the semantic-dedup registry
-    val staged = graft.engine.CacheOnce(docs.select(col(idCol).as("__id"),
+    val staged = stageTokens(docs, textCol, idCol)
+    val grams = gramRows(staged, l)
+    val repeated = grams.groupBy("__g").count()
+      .filter(col("count") >= minOccurrences).select("__g")
+    cutSpans(staged, grams, repeated, idCol, l, minSpanTokens)
+  }
+
+  /** Shared tokenization stage of the span-dedup family: the token
+    * arrays are scanned twice (gram pass + rebuild pass), so the parse
+    * shares one cached entry via the semantic-dedup registry.
+    */
+  private def stageTokens(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    graft.engine.CacheOnce(docs.select(col(idCol).as("__id"),
         split(TextOps.normalize(col(textCol)), " ").as("__toks"))
       .withColumn("__n", size(col("__toks"))))
-    val grams = staged.filter(col("__n") >= l)
+
+  /** One `l`-gram per token position: (doc, start, md5(gram)). */
+  private def gramRows(staged: DataFrame, l: Int): DataFrame =
+    staged.filter(col("__n") >= l)
       .select(col("__id"), col("__toks"),
         explode(sequence(lit(1), col("__n") - (l - 1))).as("__s"))
       .select(col("__id"), col("__s"),
         md5(array_join(slice(col("__toks"), col("__s"), lit(l)), " "))
           .as("__g"))
-    val repeated = grams.groupBy("__g").count()
-      .filter(col("count") >= minOccurrences).select("__g")
+
+  /** Span marking + island merge + rebuild, given the repeated-gram
+    * set — the stage both the full and incremental span-dedup paths
+    * share.
+    */
+  private def cutSpans(staged: DataFrame, grams: DataFrame,
+                       repeated: DataFrame, idCol: String, l: Int,
+                       minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val marked = grams.join(repeated, "__g")
       .select(col("__id"), col("__s"), (col("__s") + (l - 1)).as("__e"))
     // gap-and-island merge of covered intervals: a new span starts when
@@ -514,4 +534,107 @@ object Dedup {
         array_join(transform(col("__kept"), _.getField("t")), " ")
           .as("clean_text"))
   }
+
+  /** The materialized STATE artifact of incremental span dedup: one
+    * row per distinct `l`-gram with its corpus occurrence count and,
+    * when that count is exactly 1, the single document owning it
+    * (`solo_doc`) — the doc whose spans change if a later batch makes
+    * the gram repeated. This is the span-dedup analog of the
+    * signature table [[minhashLshIncremental]] maintains: batch
+    * pipelines persist it (bucketed by `gram` at 100 TB so the
+    * per-batch merge is shuffle-free on the state side) and roll it
+    * forward with [[mergeSpanGramStats]].
+    */
+  def spanGramStats(docs: DataFrame, textCol: String, idCol: String,
+                    l: Int = 8): DataFrame =
+    gramRows(stageTokens(docs, textCol, idCol), l)
+      .groupBy("__g").agg(count(lit(1)).as("cnt"), min("__id").as("__min"))
+      .select(col("__g").as("gram"), col("cnt"),
+        when(col("cnt") === 1, col("__min")).otherwise(lit(null))
+          .as("solo_doc"))
+
+  /** Roll the gram-stats state forward over a new batch: counts add,
+    * and `solo_doc` survives only while the merged count stays 1.
+    * The full-outer merge is the ONLY corpus-sized shuffle in the
+    * incremental loop — and disappears into a merge join when the
+    * state table is bucketed by `gram`.
+    */
+  def mergeSpanGramStats(stats: DataFrame, newDocs: DataFrame,
+                         textCol: String, idCol: String,
+                         l: Int = 8): DataFrame = {
+    val nw = spanGramStats(newDocs, textCol, idCol, l)
+    stats.select(col("gram"), col("cnt").as("__oc"),
+        col("solo_doc").as("__os"))
+      .join(nw.select(col("gram"), col("cnt").as("__nc"),
+        col("solo_doc").as("__ns")), Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("__oc"), lit(0L)) + coalesce(col("__nc"), lit(0L)))
+          .as("cnt"),
+        col("__os"), col("__ns"))
+      .withColumn("solo_doc", when(col("cnt") === 1,
+        coalesce(col("__os"), col("__ns"))).otherwise(lit(null)))
+      .drop("__os", "__ns")
+  }
+
+  /** Incremental [[dedupSpans]] (minOccurrences pinned at 2, the
+    * standard configuration — the `solo_doc` state is exactly the
+    * posting list that threshold needs): clean a NEW batch against a
+    * grown corpus WITHOUT re-scanning corpus text. The subtlety a
+    * naive incremental run gets wrong: a new batch can make an old
+    * gram repeated, changing the span set of the OLD document owning
+    * it — those dirty docs are exactly the `solo_doc`s of state grams
+    * the new batch touches (counts can only cross the threshold
+    * upward; already-repeated grams stay repeated). Per batch:
+    *  1. gram the new docs; find dirty old docs with ONE batch-
+    *     confined join against the state (state rows with `cnt` = 1
+    *     matching a new gram);
+    *  2. re-pull only dirty docs' text (semi join), recompute spans
+    *     for dirty ∪ new against the post-batch repeated set (state
+    *     count + batch count >= 2, looked up for just those docs'
+    *     grams);
+    *  3. everything else anti-joins through from `prevResult`
+    *     untouched.
+    * Per-batch cost ∝ |new| + |dirty| document text plus state
+    * probes on batch gram keys — never a corpus re-gram. Result ==
+    * `dedupSpans(corpus ∪ new)` (gate d16 replays the full truth in
+    * DuckDB).
+    */
+  def dedupSpansIncremental(corpusDocs: DataFrame, stats: DataFrame,
+                            prevResult: DataFrame, newDocs: DataFrame,
+                            textCol: String, idCol: String, l: Int = 8,
+                            minSpanTokens: Int = 0): DataFrame = {
+    val newStaged = stageTokens(newDocs, textCol, idCol)
+    val newGrams = gramRows(newStaged, l)
+    val newPerGram = newGrams.groupBy("__g").agg(count(lit(1)).as("__nc"))
+    val statsG = stats.select(col("gram").as("__g"), col("cnt").as("__oc"),
+      col("solo_doc"))
+    val dirty = dirtySpanDocs(statsG, newPerGram)
+    val dirtyDocs = corpusDocs.join(dirty,
+      corpusDocs(idCol) === dirty("__did"), "left_semi")
+    val compStaged = stageTokens(dirtyDocs, textCol, idCol)
+      .unionByName(newStaged)
+    val compGrams = gramRows(compStaged, l)
+    // post-batch repeated status for exactly the computed docs' grams
+    val repeatedNow = compGrams.select("__g").distinct()
+      .join(statsG.select("__g", "__oc"), Seq("__g"), "left")
+      .join(newPerGram, Seq("__g"), "left")
+      .filter(coalesce(col("__oc"), lit(0L)) +
+        coalesce(col("__nc"), lit(0L)) >= 2)
+      .select("__g")
+    val recomputed = cutSpans(compStaged, compGrams, repeatedNow, idCol,
+      l, minSpanTokens)
+    prevResult.join(dirty, prevResult(idCol) === dirty("__did"),
+        "left_anti")
+      .unionByName(recomputed)
+  }
+
+  /** Old documents whose span set a new batch invalidates: owners of
+    * singleton state grams the batch re-mentions. Exposed for the
+    * confinement spec.
+    */
+  private[ops] def dirtySpanDocs(statsG: DataFrame,
+                                 newPerGram: DataFrame): DataFrame =
+    statsG.filter(col("__oc") === 1)
+      .join(newPerGram, Seq("__g"))
+      .select(col("solo_doc").as("__did")).distinct()
 }

@@ -510,6 +510,64 @@ object OpsQueries {
              |FROM n LEFT JOIN spc USING (doc_id)
              |LEFT JOIN k USING (doc_id)""".stripMargin)),
 
+    // INCREMENTAL span dedup: batch 2 (doc_id%3==0) cleaned against
+    // the batch-1 corpus through the gram-stats state — including the
+    // dirty-doc rework (old docs whose singleton grams the new batch
+    // makes repeated). The oracle is the FULL from-scratch truth over
+    // the whole corpus: the incremental path must converge to it
+    // exactly, including every reworked old document — a missed dirty
+    // doc or a stale repeated-set lookup surfaces as a text mismatch.
+    QueryDef("d16_span_dedup_incremental",
+      (s, dir) => {
+        val all = docs(s, dir)
+        val b1 = all.filter(col("doc_id") % 3 =!= 0)
+        val b2 = all.filter(col("doc_id") % 3 === 0)
+        val stats = Dedup.spanGramStats(b1, "text", "doc_id", l = 8)
+        val prev = Dedup.dedupSpans(b1, "text", "doc_id", l = 8)
+        Dedup.dedupSpansIncremental(b1, stats, prev, b2, "text",
+            "doc_id", l = 8)
+          .select("doc_id", "n_tokens", "n_spans", "tokens_removed",
+            "clean_text")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+             |                                     'g')), ' ') AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS s,
+             |    cast(u.i + 7 AS INT) AS e,
+             |    array_to_string(toks[u.i:u.i+7], ' ') AS gram
+             |  FROM n, unnest(range(1, n - 6)) AS u(i) WHERE n >= 8),
+             |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.s, g.e FROM g JOIN d USING (gram)),
+             |i1 AS (SELECT doc_id, s, e,
+             |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+             |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND 1 PRECEDING), -1) + 1
+             |      THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, s, e,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+             |  FROM i1),
+             |sp AS (SELECT doc_id, isl, min(s) AS ss, max(e) AS se
+             |  FROM i2 GROUP BY doc_id, isl),
+             |spc AS (SELECT doc_id, count(*) AS n_spans FROM sp
+             |  GROUP BY doc_id),
+             |pos AS (SELECT doc_id, cast(u.i AS INT) AS p, toks[u.i] AS tok
+             |  FROM n, unnest(range(1, n + 1)) AS u(i)),
+             |keep AS (SELECT pos.doc_id, pos.p, pos.tok FROM pos
+             |  WHERE NOT EXISTS (SELECT 1 FROM sp
+             |    WHERE sp.doc_id = pos.doc_id
+             |      AND pos.p BETWEEN sp.ss AND sp.se)),
+             |k AS (SELECT doc_id, count(*) AS kept,
+             |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+             |  FROM keep GROUP BY doc_id)
+             |SELECT n.doc_id, cast(n.n AS INT) AS n_tokens,
+             |  cast(coalesce(spc.n_spans, 0) AS INT) AS n_spans,
+             |  cast(n.n - coalesce(k.kept, 0) AS INT) AS tokens_removed,
+             |  coalesce(k.clean_text, '') AS clean_text
+             |FROM n LEFT JOIN spc USING (doc_id)
+             |LEFT JOIN k USING (doc_id)""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).

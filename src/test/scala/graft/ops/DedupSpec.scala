@@ -270,4 +270,65 @@ class DedupSpec extends SparkSpec {
     thr(10L).getAs[String]("clean_text") shouldBe
       selfRep.filter(col("doc_id") === 10L).collect()(0).getString(1)
   }
+
+  private val spanG = (1 to 8).map(i => s"g$i").mkString(" ")
+
+  test("dedupSpansIncremental reworks dirty old docs, equals full recompute") {
+    val b1 = Seq(
+      (1L, s"$spanG alpha beta gamma one"),
+      (2L, "all unique tokens nothing shared here ok fine")).toDF("doc_id", "text")
+    val b2 = Seq((3L, s"$spanG delta epsilon zeta two")).toDF("doc_id", "text")
+    val stats = Dedup.spanGramStats(b1, "text", "doc_id", l = 8)
+    val prev = Dedup.dedupSpans(b1, "text", "doc_id", l = 8)
+    // within batch 1 nothing repeats
+    prev.filter(col("tokens_removed") > 0).count() shouldBe 0L
+    // the dirty set is EXACTLY the owner of the now-repeated gram
+    val statsG = stats.select(col("gram").as("__g"), col("cnt").as("__oc"),
+      col("solo_doc"))
+    val npg = Dedup.spanGramStats(b2, "text", "doc_id", l = 8)
+      .select(col("gram").as("__g"), col("cnt").as("__nc"))
+    Dedup.dirtySpanDocs(statsG, npg).collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // incremental result == full recompute over the union
+    val inc = Dedup.dedupSpansIncremental(b1, stats, prev, b2, "text",
+      "doc_id", l = 8)
+    val full = Dedup.dedupSpans(b1.unionByName(b2), "text", "doc_id", l = 8)
+    inc.except(full).count() shouldBe 0L
+    full.except(inc).count() shouldBe 0L
+    val m = inc.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    m(1L).getAs[Int]("tokens_removed") shouldBe 8 // old doc reworked
+    m(3L).getAs[Int]("tokens_removed") shouldBe 8
+    m(2L).getAs[Int]("tokens_removed") shouldBe 0 // passed through
+  }
+
+  test("span-dedup state merges and chains across batches") {
+    val h = (1 to 8).map(i => s"h$i").mkString(" ")
+    val b1 = Seq((1L, s"$spanG alpha beta gamma one"),
+      (2L, "all unique tokens nothing shared here ok fine")).toDF("doc_id", "text")
+    val b2 = Seq((3L, s"$h mid tokens other pad")).toDF("doc_id", "text")
+    val b3 = Seq((4L, s"$spanG $h tail pad two")).toDF("doc_id", "text")
+    val s1 = Dedup.spanGramStats(b1, "text", "doc_id", l = 8)
+    val r1 = Dedup.dedupSpans(b1, "text", "doc_id", l = 8)
+    val r2 = Dedup.dedupSpansIncremental(b1, s1, r1, b2, "text", "doc_id",
+      l = 8)
+    val s2 = Dedup.mergeSpanGramStats(s1, b2, "text", "doc_id", l = 8)
+    // merged state == from-scratch state over the union
+    val s2Direct = Dedup.spanGramStats(b1.unionByName(b2), "text",
+      "doc_id", l = 8)
+    s2.except(s2Direct).count() shouldBe 0L
+    s2Direct.except(s2).count() shouldBe 0L
+    // batch 3 dirties docs from BOTH earlier batches (shares spanG with
+    // b1's doc 1 and h with b2's doc 3)
+    val r3 = Dedup.dedupSpansIncremental(b1.unionByName(b2), s2, r2, b3,
+      "text", "doc_id", l = 8)
+    val full = Dedup.dedupSpans(b1.unionByName(b2).unionByName(b3),
+      "text", "doc_id", l = 8)
+    r3.except(full).count() shouldBe 0L
+    full.except(r3).count() shouldBe 0L
+    val m = r3.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    m(1L).getAs[Int]("tokens_removed") shouldBe 8
+    m(3L).getAs[Int]("tokens_removed") shouldBe 8
+    m(4L).getAs[Int]("tokens_removed") shouldBe 16 // both spans cut
+    m(2L).getAs[Int]("tokens_removed") shouldBe 0
+  }
 }
