@@ -349,6 +349,102 @@ object Curation {
     * uniform md5 keys; the eval side is distinct-reduced first (and is
     * usually small enough that Catalyst broadcasts it).
     */
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every
+    * document by the log likelihood ratio of a TARGET-domain hashed
+    * n-gram model against the RAW-pool model. Selecting the top-w
+    * documents (or Gumbel-top-k over these weights) reshapes a web
+    * crawl toward the target domain — the standard
+    * domain-upsampling op between quality filtering and dedup.
+    *
+    * Features are word unigram+bigram OCCURRENCES (not distinct)
+    * hashed into `buckets` via the engine-portable md5 idiom
+    * ([[sampleByHash]]'s): bucket = first 4 md5 hex chars mod
+    * `buckets`. Both bag-of-buckets models get Laplace +1 smoothing;
+    * per doc, `log_weight` = Σ_occurrences [ln p̂_target(b) −
+    * ln q̂_raw(b)] (rounded to 4 dp in the gate, the t10 float
+    * pattern).
+    *
+    * Scale shape: ONE pass over the gram stream fits both models (a
+    * single bucket-keyed aggregate with conditional sums — map-side
+    * combined, ≤ `buckets` rows out), the weight table is `buckets`
+    * rows and BROADCASTS to the scoring join, and the score is one
+    * doc-keyed aggregate. Two shuffles of the gram stream total, no
+    * driver-side state; zero-gram docs pin with explicit zeros and a
+    * null weight.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  targetFilter: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val id = col(idCol)
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
+    val staged = df.select(id, col(textCol), targetFilter.as("__t"))
+      .withColumn("__w", toks(col(textCol)))
+    val grams = staged.select(id, col("__t"), explode(concat(col("__w"),
+        when(size(col("__w")) >= 2,
+            zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
+              slice(col("__w"), lit(2), size(col("__w")) - 1),
+              (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array().cast("array<string>")))).as("__g"))
+      .withColumn("__b",
+        conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("int")
+          % buckets)
+    val fit = grams.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
+    val totals = fit.agg(sum("__ct").as("__tt"), sum("__cr").as("__tr"))
+    val weightTable = broadcast(fit.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log((col("__ct") + 1).cast("double") /
+            (col("__tt") + buckets).cast("double")) -
+          log((col("__cr") + 1).cast("double") /
+            (col("__tr") + buckets).cast("double"))).as("__lw")))
+    val scored = grams.join(weightTable, Seq("__b"))
+      .groupBy(id).agg(count(lit(1)).as("n_grams"),
+        sum(col("__lw")).as("log_weight"))
+    df.select(id).distinct().join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("log_weight"))
+  }
+
+  /** Corpus-overlap diagnostics: for each shingle size n, how many
+    * DISTINCT word n-grams each corpus side holds and how many they
+    * share (Jaccard over the distinct-gram sets). This is the
+    * measurement companion to [[decontaminate]] — before cutting, a
+    * curation pipeline quantifies train/eval (or old-crawl/new-crawl)
+    * contamination per gram size, the standard contamination report
+    * (e.g. GPT-3 appendix C's n-gram overlap tables).
+    *
+    * `sideA` labels each row's corpus; n-grams come from the codegen'd
+    * [[graft.functions.WordNGrams]] (distinct per doc, one pass, with
+    * its short-text whole-string fallback). The plan is one explode +
+    * one gram-keyed aggregate per n: `bool_or` on each side flag per
+    * distinct gram, then a single-row count — the gram table is
+    * Zipf-bounded (distinct grams, not tokens) and never hits the
+    * driver. Jaccard is a single division of exact longs, so the gate
+    * compares bit-for-bit.
+    */
+  def corpusOverlap(df: DataFrame, textCol: String, sideA: Column,
+                    ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    import graft.functions.WordNGrams.wordNGrams
+    val frames = ns.map { n =>
+      val grams = df.select(sideA.as("__a"),
+        explode(wordNGrams(TextOps.normalize(col(textCol)), n)).as("__gram"))
+      val perGram = grams.groupBy("__gram")
+        .agg(max(when(col("__a"), 1).otherwise(0)).as("__in_a"),
+          max(when(!col("__a"), 1).otherwise(0)).as("__in_b"))
+      perGram.agg(
+        lit(n).as("n"),
+        sum(col("__in_a")).cast("long").as("grams_a"),
+        sum(col("__in_b")).cast("long").as("grams_b"),
+        sum(col("__in_a") * col("__in_b")).cast("long").as("grams_both"))
+    }
+    frames.reduce(_.union(_))
+      .withColumn("jaccard", col("grams_both").cast("double") /
+        (col("grams_a") + col("grams_b") - col("grams_both")).cast("double"))
+  }
+
   def decontaminate(train: DataFrame, eval: DataFrame,
                     textCol: String): DataFrame = {
     val evalFps = eval

@@ -94,6 +94,58 @@ object TextOps {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** The full Gopher document-quality rule set (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", 2021, §A.1.1) — the standard rule filter applied before
+    * model-based scoring in web-corpus curation. [[qualityMetrics]] is
+    * the generic heuristic tier; this is the named, threshold-pinned
+    * rule set, emitted signal-by-signal so downstream ablation can
+    * re-cut on any rule:
+    *
+    *  - `n_words`, `mean_word_len` — in-bounds checks;
+    *  - `symbol_ratio` — (# + "...") occurrences per word;
+    *  - `bullet_frac` / `ellipsis_frac` — fraction of lines starting
+    *    with a bullet / ending in an ellipsis;
+    *  - `alpha_frac` — fraction of words containing a letter;
+    *  - `stop_hits` — how many of Gopher's 8 required stopwords appear;
+    *  - `keep` — the conjunction at Gopher's published thresholds.
+    *
+    * Every ratio is a SINGLE division of exact integers (IEEE-portable
+    * bit-for-bit — no float sums), so the whole row hashes
+    * engine-exact. Pure codegen'd projection: zero shuffles, a free
+    * rider on the scan at 100 TB.
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val nWords = tokenCountWs(text)
+    val wordsDen = when(nWords === 0, lit(1)).otherwise(nWords).cast("double")
+    val meanWordLen = (length(text) - occurrences(text, " ")).cast("double") /
+      wordsDen
+    val symbolRatio = (occurrences(text, "#") + occurrences(text, "..."))
+      .cast("double") / wordsDen
+    val lines = split(text, "\n")
+    val linesDen = when(size(lines) === 0, lit(1)).otherwise(size(lines))
+      .cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* "))).cast("double") / linesDen
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / linesDen
+    val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    val alphaFrac = size(filter(words, w => w.rlike("[a-z]")))
+      .cast("double") / wordsDen
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(m => when(occurrences(padded, s" $m ") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    val keep = nWords.between(50, 100000) &&
+      meanWordLen.between(3.0, 10.0) && symbolRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3 && alphaFrac >= 0.8 &&
+      stopHits >= 2
+    Seq("n_words" -> nWords, "mean_word_len" -> meanWordLen,
+      "symbol_ratio" -> symbolRatio, "bullet_frac" -> bulletFrac,
+      "ellipsis_frac" -> ellipsisFrac, "alpha_frac" -> alphaFrac,
+      "stop_hits" -> stopHits, "keep" -> keep)
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase,
     * collapse whitespace, trim.
     */
@@ -224,6 +276,79 @@ object TextOps {
     df.select(id).distinct().join(scored, Seq(idCol), "left")
       .select(id, coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("avg_logprob"))
+  }
+
+  /** Bigram LM scoring with stupid backoff (Brants et al., "Large
+    * Language Models in Machine Translation", 2007) — the next tier
+    * above [[unigramScore]] in a perplexity-filter stack. The LM is
+    * trained on the `trainFilter` rows only and scores EVERY row, the
+    * real held-out shape (CCNet-style: train on the reference corpus,
+    * score the candidate corpus), which is also what makes backoff
+    * non-degenerate: bigrams absent from the training half genuinely
+    * fall back to the unigram tier.
+    *
+    * Per input row: `n_bigrams`, `n_hit` (bigram seen in training),
+    * `n_backoff` (unseen bigram, known continuation word), `n_oov`
+    * (unknown continuation word) — exact integers — plus
+    * `avg_logscore` = mean log S where S(w2|w1) is c(w1 w2)/c(w1) on a
+    * hit, 0.4·c(w2)/N on backoff, 0.4·0.5/N for OOV.
+    *
+    * Scale shape: the gram tables are Zipf-bounded (one row per
+    * DISTINCT training gram, not per token) and localCheckpoint'd so
+    * the training text is tokenized exactly once; the scoring side
+    * shuffles the document bigram stream twice (once keyed on the
+    * bigram, once on the continuation word) — the irreducible LM
+    * lookup cost, with no window function and no driver-side state.
+    * Zero-bigram docs (< 2 tokens) are pinned with explicit zero
+    * counts and a null score rather than dropped.
+    */
+  def bigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, trainFilter: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
+    val withToks = df.select(id, toks(col(textCol)).as("__w"))
+    val bigrams = withToks.select(id,
+      explode(when(size(col("__w")) >= 2,
+          zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
+            slice(col("__w"), lit(2), size(col("__w")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__b"))
+      .select(id, col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val train = df.filter(trainFilter)
+    val uni = train.select(explode(toks(col(textCol))).as("__word"))
+      .groupBy("__word").agg(count(lit(1)).as("__cu"))
+      .localCheckpoint()
+    val bi = bigrams.join(train.select(id), Seq(idCol), "left_semi")
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint()
+    val total = uni.agg(sum("__cu").as("__total"))
+    val u1 = uni.select(col("__word").as("__w1"), col("__cu").as("__cu1"))
+    val u2 = uni.select(col("__word").as("__w2"), col("__cu").as("__cu2"))
+    val score = when(col("__cb").isNotNull,
+        col("__cb").cast("double") / col("__cu1").cast("double"))
+      .when(col("__cu2").isNotNull,
+        lit(0.4) * col("__cu2").cast("double") / col("__total").cast("double"))
+      .otherwise(lit(0.2) / col("__total").cast("double"))
+    val scored = bigrams
+      .join(bi, Seq("__w1", "__w2"), "left")
+      .join(u1, Seq("__w1"), "left")
+      .join(u2, Seq("__w2"), "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__cb").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("__cb").isNull && col("__cu2").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("__cu2").isNull, 1L).otherwise(0L)).as("n_oov"),
+        (sum(log(score)) / count(lit(1))).as("avg_logscore"))
+    df.select(id).distinct().join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("avg_logscore"))
   }
 
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,

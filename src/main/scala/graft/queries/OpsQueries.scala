@@ -798,6 +798,221 @@ object OpsQueries {
              |FROM t JOIN tot USING (doc_id)
              |LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
+    // The full Gopher rule set over a line-structured corpus. Reuses
+    // the t13 closed-form line restructure (doc_id%5+3 tokens/line) and
+    // additionally injects bullets/ellipses deterministically — line j
+    // of doc d gets a "- " prefix when (d+j)%4==0 and a " ..." suffix
+    // when (d+j)%4==1 — so every rule (bullet_frac, ellipsis_frac,
+    // symbol_ratio, alpha_frac) genuinely fires. The oracle rebuilds
+    // the same corpus and recomputes each signal from scratch; every
+    // ratio is a single division of exact integers so the doubles
+    // compare bit-for-bit.
+    QueryDef("t14_gopher_rules",
+      (s, dir) => {
+        val structured = docs(s, dir)
+          .withColumn("__toks", split(TextOps.normalize(col("text")), " "))
+          .withColumn("__n", size(col("__toks")))
+          .withColumn("__k", (col("doc_id") % 5 + 3).cast("int"))
+          .withColumn("__nl", expr("(__n + __k - 1) div __k"))
+          .withColumn("text2", array_join(
+            transform(sequence(lit(0), col("__nl").cast("int") - 1),
+              j => {
+                val base = array_join(
+                  slice(col("__toks"), j * col("__k") + 1, col("__k")), " ")
+                val m = (col("doc_id") + j) % 4
+                when(m === 0, concat(lit("- "), base))
+                  .when(m === 1, concat(base, lit(" ...")))
+                  .otherwise(base)
+              }), "\n"))
+        structured.select(col("doc_id") +:
+          TextOps.gopherRules(col("text2")).map { case (n, c) => c.as(n) }: _*)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+             |                                     'g')), ' ') AS toks,
+             |    cast(doc_id % 5 + 3 AS INT) AS k FROM documents),
+             |n AS (SELECT doc_id, toks, k, len(toks) AS n FROM t),
+             |ln AS (SELECT doc_id, cast(u.j AS INT) AS j,
+             |    CASE WHEN (doc_id + u.j) % 4 = 0
+             |      THEN '- ' || array_to_string(toks[u.j*k+1 : u.j*k+k], ' ')
+             |    WHEN (doc_id + u.j) % 4 = 1
+             |      THEN array_to_string(toks[u.j*k+1 : u.j*k+k], ' ') || ' ...'
+             |    ELSE array_to_string(toks[u.j*k+1 : u.j*k+k], ' ') END AS line
+             |  FROM n, unnest(range(0, (n + k - 1) // k)) AS u(j)),
+             |d AS (SELECT doc_id,
+             |    string_agg(line, chr(10) ORDER BY j) AS t2,
+             |    count(*) AS n_lines,
+             |    sum(CASE WHEN starts_with(line, '- ')
+             |          OR starts_with(line, '* ') THEN 1 ELSE 0 END) AS n_bul,
+             |    sum(CASE WHEN ends_with(line, '...') THEN 1 ELSE 0 END)
+             |      AS n_ell
+             |  FROM ln GROUP BY doc_id),
+             |w AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(t2), '\s+')) AS word FROM d),
+             |wa AS (SELECT doc_id, count(*) AS nw,
+             |    sum(CASE WHEN regexp_matches(word, '[a-z]') THEN 1 ELSE 0
+             |        END) AS n_alpha
+             |  FROM w WHERE word <> '' GROUP BY doc_id),
+             |sig AS (SELECT d.doc_id, d.t2, d.n_lines, d.n_bul, d.n_ell,
+             |    coalesce(wa.nw, 0) AS nw, coalesce(wa.n_alpha, 0) AS n_alpha,
+             |    CASE WHEN coalesce(wa.nw, 0) = 0 THEN 1
+             |         ELSE wa.nw END AS wden,
+             |    (length(t2) - length(replace(t2, ' ', ''))) AS n_sp,
+             |    cast((length(t2) - length(replace(t2, '#', ''))) / 1 AS INT)
+             |      + cast((length(t2) - length(replace(t2, '...', ''))) / 3
+             |             AS INT) AS n_sym,
+             |    (CASE WHEN contains(' '||lower(t2)||' ', ' the ')
+             |          THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(t2)||' ', ' be ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(t2)||' ', ' to ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(t2)||' ', ' of ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(t2)||' ', ' and ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(t2)||' ', ' that ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(t2)||' ', ' have ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(t2)||' ', ' with ')
+             |            THEN 1 ELSE 0 END) AS n_stop
+             |  FROM d LEFT JOIN wa ON d.doc_id = wa.doc_id),
+             |o AS (SELECT doc_id,
+             |    cast(nw AS INT) AS n_words,
+             |    cast(length(t2) - n_sp AS DOUBLE) / wden AS mean_word_len,
+             |    cast(n_sym AS DOUBLE) / wden AS symbol_ratio,
+             |    cast(n_bul AS DOUBLE) / n_lines AS bullet_frac,
+             |    cast(n_ell AS DOUBLE) / n_lines AS ellipsis_frac,
+             |    cast(n_alpha AS DOUBLE) / wden AS alpha_frac,
+             |    cast(n_stop AS INT) AS stop_hits
+             |  FROM sig)
+             |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+             |  bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+             |  (n_words BETWEEN 50 AND 100000
+             |   AND mean_word_len BETWEEN 3.0 AND 10.0
+             |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+             |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+             |   AND stop_hits >= 2) AS keep
+             |FROM o""".stripMargin)),
+
+    // Bigram LM with stupid backoff, trained on the even-doc_id half
+    // and scoring everything — the held-out split keeps the backoff
+    // tiers non-degenerate (odd docs hold bigrams and words the LM
+    // never saw). The gate pins the exact integer skeleton (bigram /
+    // hit / backoff / OOV counts per doc, full LEFT JOIN recompute in
+    // DuckDB); the float avg_logscore is pinned closed-form in
+    // TextOpsSpec, the t12 recipe.
+    QueryDef("t15_bigram_lm",
+      (s, dir) => TextOps.bigramScore(docs(s, dir), "doc_id", "text",
+          col("doc_id") % 2 === 0)
+        .select("doc_id", "n_bigrams", "n_hit", "n_backoff", "n_oov"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks FROM documents),
+             |b AS (SELECT doc_id, toks[u.j] AS w1, toks[u.j + 1] AS w2
+             |  FROM t, unnest(range(1, len(toks))) AS u(j)),
+             |uni AS (SELECT u.w AS word, count(*) AS cu
+             |  FROM t, unnest(toks) AS u(w) WHERE doc_id % 2 = 0
+             |  GROUP BY 1),
+             |bi AS (SELECT w1, w2, count(*) AS cb FROM b
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |s AS (SELECT b.doc_id, count(*) AS nb,
+             |    sum(CASE WHEN bi.cb IS NOT NULL THEN 1 ELSE 0 END) AS nh,
+             |    sum(CASE WHEN bi.cb IS NULL AND u2.cu IS NOT NULL
+             |        THEN 1 ELSE 0 END) AS nbk,
+             |    sum(CASE WHEN u2.cu IS NULL THEN 1 ELSE 0 END) AS nov
+             |  FROM b LEFT JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+             |  LEFT JOIN uni u2 ON b.w2 = u2.word
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  cast(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+             |  cast(coalesce(s.nh, 0) AS BIGINT) AS n_hit,
+             |  cast(coalesce(s.nbk, 0) AS BIGINT) AS n_backoff,
+             |  cast(coalesce(s.nov, 0) AS BIGINT) AS n_oov
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
+
+    // Corpus-overlap diagnostics: distinct word n-gram sets (n=1,2,3)
+    // of the even-doc half vs the odd-doc half, with shared counts and
+    // Jaccard — the contamination report that precedes a decontaminate
+    // cut. Oracle rebuilds every gram set from scratch per n (including
+    // WordNGrams' short-text whole-string fallback).
+    QueryDef("d17_corpus_overlap",
+      (s, dir) => Curation.corpusOverlap(docs(s, dir), "text",
+        col("doc_id") % 2 === 0),
+      Some {
+        def gramN(n: Int): String = {
+          val terms = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+          s"""g$n AS (
+             |  SELECT DISTINCT (doc_id % 2 = 0) AS a,
+             |    CASE WHEN len(w) >= $n THEN $terms
+             |         ELSE array_to_string(w, ' ') END AS gram
+             |  FROM (SELECT doc_id, w,
+             |      unnest(range(CASE WHEN len(w) >= $n THEN len(w) - $n + 1
+             |                   ELSE 1 END)) AS i
+             |    FROM norm)),
+             |p$n AS (SELECT gram, max(CASE WHEN a THEN 1 ELSE 0 END) AS ia,
+             |    max(CASE WHEN NOT a THEN 1 ELSE 0 END) AS ib
+             |  FROM g$n GROUP BY 1),
+             |o$n AS (SELECT cast($n AS INT) AS n,
+             |    cast(sum(ia) AS BIGINT) AS grams_a,
+             |    cast(sum(ib) AS BIGINT) AS grams_b,
+             |    cast(sum(ia * ib) AS BIGINT) AS grams_both FROM p$n)"""
+            .stripMargin
+        }
+        s"""WITH norm AS (
+           |  SELECT doc_id,
+           |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+           |                                     'g')), ' ') AS w
+           |  FROM documents),
+           |${gramN(1)},
+           |${gramN(2)},
+           |${gramN(3)}
+           |SELECT n, grams_a, grams_b, grams_both,
+           |  cast(grams_both AS DOUBLE)
+           |    / (grams_a + grams_b - grams_both) AS jaccard
+           |FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2
+           |      UNION ALL SELECT * FROM o3)""".stripMargin
+      }),
+
+    // DSIR importance weights: target = the doc_id%3==0 slice, raw =
+    // the rest. The oracle refits both hashed-ngram models from
+    // scratch (same md5-bucket hash, same Laplace smoothing, natural
+    // log) and re-scores every doc; log_weight rounds to 4 dp (t10
+    // float pattern), the gram-count skeleton is exact.
+    QueryDef("t16_dsir_weights",
+      (s, dir) => Curation.dsirWeights(docs(s, dir), "text", "doc_id",
+          col("doc_id") % 3 === 0, buckets = 1024)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("log_weight"), 4).as("log_weight")),
+      Some("""WITH t AS (SELECT doc_id, (doc_id % 3 = 0) AS tgt,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks FROM documents),
+             |u AS (SELECT doc_id, tgt, uu.w AS g
+             |  FROM t, unnest(toks) AS uu(w)),
+             |b2 AS (SELECT doc_id, tgt, toks[uu.j] || ' ' || toks[uu.j+1] AS g
+             |  FROM t, unnest(range(1, len(toks))) AS uu(j)),
+             |g AS (SELECT doc_id, tgt,
+             |    cast(('0x' || substr(md5(g), 1, 4))::INT % 1024 AS INT) AS b
+             |  FROM (SELECT * FROM u UNION ALL SELECT * FROM b2)),
+             |fit AS (SELECT b,
+             |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             |    sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+             |  FROM g GROUP BY 1),
+             |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM fit),
+             |w AS (SELECT b,
+             |    ln(cast(ct + 1 AS DOUBLE) / cast(tt + 1024 AS DOUBLE))
+             |      - ln(cast(cr + 1 AS DOUBLE) / cast(tr + 1024 AS DOUBLE))
+             |      AS lw
+             |  FROM fit, tot),
+             |s AS (SELECT g.doc_id, count(*) AS ng, round(sum(w.lw), 4) AS lw
+             |  FROM g JOIN w USING (b) GROUP BY 1)
+             |SELECT d.doc_id, cast(coalesce(s.ng, 0) AS BIGINT) AS n_grams,
+             |  s.lw AS log_weight
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
+
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
       (s, dir) => docs(s, dir).select(col("doc_id"),

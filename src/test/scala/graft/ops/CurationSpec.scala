@@ -277,4 +277,69 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "epoch", "step", "pos_in_batch")
     out.except(re).count() shouldBe 0L
   }
+
+  test("dsirWeights: exact hashed-model recompute, target-like docs rank higher") {
+    val docs = Seq((3L, "the cat"), (6L, "the dog"), (1L, "the cat"),
+      (2L, "rare token"), (5L, "   ")).toDF("doc_id", "text")
+    val out = Curation.dsirWeights(docs, "text", "doc_id",
+        col("doc_id") % 3 === 0, buckets = 1024)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // replicate the feature hash + both smoothed models locally
+    def bucket(g: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(md.substring(0, 4), 16) % 1024
+    }
+    def grams(t: String): Seq[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val corpus = Map(3L -> "the cat", 6L -> "the dog", 1L -> "the cat",
+      2L -> "rare token")
+    val tgt = corpus.filter(_._1 % 3 == 0).values.flatMap(grams).toSeq
+    val raw = corpus.filterNot(_._1 % 3 == 0).values.flatMap(grams).toSeq
+    val ct = tgt.groupBy(bucket).view.mapValues(_.size).toMap
+    val cr = raw.groupBy(bucket).view.mapValues(_.size).toMap
+    def lw(b: Int): Double =
+      math.log((ct.getOrElse(b, 0) + 1).toDouble / (tgt.size + 1024)) -
+        math.log((cr.getOrElse(b, 0) + 1).toDouble / (raw.size + 1024))
+    corpus.foreach { case (id, t) =>
+      out(id).getAs[Long]("n_grams") shouldBe grams(t).size.toLong
+      out(id).getAs[Double]("log_weight") shouldBe
+        (grams(t).map(g => lw(bucket(g))).sum +- 1e-9)
+    }
+    // whitespace-only doc pinned with zeros and a null weight
+    out(5L).getAs[Long]("n_grams") shouldBe 0L
+    out(5L).isNullAt(out(5L).fieldIndex("log_weight")) shouldBe true
+    // the raw-only doc scores below the verbatim-target doc
+    out(2L).getAs[Double]("log_weight") should be <
+      out(1L).getAs[Double]("log_weight")
+  }
+
+  test("corpusOverlap: closed-form distinct-gram sets and Jaccard") {
+    // side A (even ids): "a b c", "a b"; side B: "b c d"
+    val docs = Seq((2L, "a b c"), (4L, "a b"), (1L, "b c d"))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusOverlap(docs, "text",
+        col("doc_id") % 2 === 0, ns = Seq(1, 2))
+      .orderBy("n").collect()
+    // 1-grams: A={a,b,c}, B={b,c,d}, both={b,c}
+    out(0).getAs[Long]("grams_a") shouldBe 3L
+    out(0).getAs[Long]("grams_b") shouldBe 3L
+    out(0).getAs[Long]("grams_both") shouldBe 2L
+    out(0).getAs[Double]("jaccard") shouldBe 0.5
+    // 2-grams: A={"a b","b c"}, B={"b c","c d"}, both={"b c"}
+    out(1).getAs[Long]("grams_a") shouldBe 2L
+    out(1).getAs[Long]("grams_b") shouldBe 2L
+    out(1).getAs[Long]("grams_both") shouldBe 1L
+    out(1).getAs[Double]("jaccard") shouldBe 1.0 / 3
+    // WordNGrams short-text fallback: a 1-word doc contributes its
+    // whole string as the (only) 2-gram
+    val short = Seq((2L, "solo"), (1L, "solo"))
+      .toDF("doc_id", "text")
+    val s2 = Curation.corpusOverlap(short, "text",
+        col("doc_id") % 2 === 0, ns = Seq(2)).collect()(0)
+    s2.getAs[Long]("grams_both") shouldBe 1L
+    s2.getAs[Double]("jaccard") shouldBe 1.0
+  }
 }

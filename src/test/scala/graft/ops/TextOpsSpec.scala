@@ -181,4 +181,69 @@ class TextOpsSpec extends SparkSpec {
     g.getAs[Int]("n_kept") shouldBe 0
     g.getAs[String]("clean_text") shouldBe ""
   }
+
+  test("gopherRules: every signal closed-form, keep at the thresholds") {
+    // 3 lines: bullet, ellipsis-terminated, plain. 9 words total, of
+    // which "-" and "..." carry no letter.
+    val text = "- the cat sat\nthe dog ran ...\nboth have fur"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+      TextOps.gopherRules(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    out.getAs[Int]("n_words") shouldBe 11
+    // chars minus spaces (newlines count as chars, not spaces)
+    val nChars = text.length - text.count(_ == ' ')
+    out.getAs[Double]("mean_word_len") shouldBe nChars.toDouble / 11
+    out.getAs[Double]("symbol_ratio") shouldBe 1.0 / 11   // one "..."
+    out.getAs[Double]("bullet_frac") shouldBe 1.0 / 3
+    out.getAs[Double]("ellipsis_frac") shouldBe 1.0 / 3
+    out.getAs[Double]("alpha_frac") shouldBe 9.0 / 11
+    // stopwords present: the, have -> 2 hits
+    out.getAs[Int]("stop_hits") shouldBe 2
+    // fails keep on n_words < 50 and ellipsis_frac 1/3 > 0.3
+    out.getAs[Boolean]("keep") shouldBe false
+    // a 60-word plain prose doc with >= 2 stopwords passes every rule
+    val prose = (1 to 60).map(i => if (i % 7 == 0) "the" else s"word$i")
+      .mkString(" ") + " and done"
+    val ok = Seq((2L, prose)).toDF("doc_id", "text")
+      .select(TextOps.gopherRules(col("text")).toMap.apply("keep").as("k"))
+      .collect()(0).getAs[Boolean]("k")
+    ok shouldBe true
+  }
+
+  test("bigramScore: held-out backoff tiers and closed-form score") {
+    // train = doc 2 only (even ids): tokens [a b a b] -> uni a=2 b=2,
+    // N=4; bigrams (a,b)=2? no: [a b, b a, a b] -> (a,b)=2, (b,a)=1.
+    val df = Seq(
+      (2L, "a b a b"),
+      (1L, "a b c"),   // (a,b) hit; (b,c): c OOV
+      (3L, "x")).toDF("doc_id", "text") // no bigrams -> pinned zeros
+    val got = TextOps.bigramScore(df, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+      .orderBy("doc_id").collect()
+    // doc 1: 2 bigrams, 1 hit, 0 backoff, 1 oov
+    got(0).getAs[Long]("n_bigrams") shouldBe 2L
+    got(0).getAs[Long]("n_hit") shouldBe 1L
+    got(0).getAs[Long]("n_backoff") shouldBe 0L
+    got(0).getAs[Long]("n_oov") shouldBe 1L
+    // S(b|a) = c(a b)/c(a) = 2/2 = 1; S(c|b) = 0.4*0.5/4 = 0.05
+    got(0).getAs[Double]("avg_logscore") shouldBe
+      ((math.log(1.0) + math.log(0.05)) / 2) +- 1e-12
+    // doc 2 (the training doc): 3 bigrams all hits;
+    // S(b|a)=1, S(a|b)=1/2, S(b|a)=1
+    got(1).getAs[Long]("n_hit") shouldBe 3L
+    got(1).getAs[Double]("avg_logscore") shouldBe
+      (math.log(0.5) / 3) +- 1e-12
+    // doc 3: zero bigrams pinned, null score
+    got(2).getAs[Long]("n_bigrams") shouldBe 0L
+    got(2).isNullAt(got(2).fieldIndex("avg_logscore")) shouldBe true
+    // backoff tier: unseen bigram with a known continuation word
+    val df2 = Seq((2L, "a b"), (1L, "b a")).toDF("doc_id", "text")
+    val r = TextOps.bigramScore(df2, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+      .filter(col("doc_id") === 1).collect()(0)
+    r.getAs[Long]("n_backoff") shouldBe 1L
+    // S(a|b) backoff = 0.4 * c(a)/N = 0.4 * 1/2 = 0.2
+    r.getAs[Double]("avg_logscore") shouldBe math.log(0.2) +- 1e-12
+  }
 }

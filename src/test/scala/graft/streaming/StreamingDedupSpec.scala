@@ -53,4 +53,58 @@ class StreamingDedupSpec extends SparkSpec {
     val ids = spark.table("wm_out").select("doc_id").as[Long].collect().sorted
     ids.toSeq shouldBe Seq(1L, 3L)
   }
+
+  test("span dedup composes with streaming arrival: foreachBatch replay == batch") {
+    // the d16 incremental kernel driven by the PRODUCTION arrival path:
+    // docs arrive as micro-batches, foreachBatch rolls the gram-count
+    // state forward and reworks dirty docs; the accumulated output must
+    // equal one-shot dedupSpans over everything that ever arrived
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Dedup
+
+    val spanG = (1 to 8).map(i => s"g$i").mkString(" ")
+    val h = (1 to 8).map(i => s"h$i").mkString(" ")
+
+    // mutable loop state, localCheckpoint'd per batch so lineage stays
+    // bounded across micro-batches (the d13/d16 hygiene pattern)
+    var corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .localCheckpoint()
+    var stats = Dedup.spanGramStats(corpus, "text", "doc_id", l = 8)
+      .localCheckpoint()
+    var result = Dedup.dedupSpans(corpus, "text", "doc_id", l = 8)
+      .localCheckpoint()
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          result = Dedup.dedupSpansIncremental(corpus, stats, result, b,
+            "text", "doc_id", l = 8).localCheckpoint()
+          stats = Dedup.mergeSpanGramStats(stats, b, "text", "doc_id",
+            l = 8).localCheckpoint()
+          corpus = corpus.unionByName(b).localCheckpoint()
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+
+    input.addData((1L, s"$spanG alpha beta gamma one"),
+      (2L, "all unique tokens nothing shared here ok fine"))
+    q.processAllAvailable()
+    input.addData((3L, s"$h mid tokens other pad"))
+    q.processAllAvailable()
+    // batch 3 dirties docs from both earlier micro-batches
+    input.addData((4L, s"$spanG $h tail pad two"))
+    q.processAllAvailable()
+    q.stop()
+
+    val full = Dedup.dedupSpans(corpus, "text", "doc_id", l = 8)
+    result.except(full).count() shouldBe 0L
+    full.except(result).count() shouldBe 0L
+    val m = result.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    m(1L).getAs[Int]("tokens_removed") shouldBe 8 // reworked on arrival of 4
+    m(4L).getAs[Int]("tokens_removed") shouldBe 16
+    m(2L).getAs[Int]("tokens_removed") shouldBe 0
+  }
 }
