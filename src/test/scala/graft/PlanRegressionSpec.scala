@@ -224,4 +224,49 @@ class PlanRegressionSpec extends SparkSpec {
     // one aggregate pass per side of the union feeding one final agg
     plan.split("\\(\\d+\\) HashAggregate").length - 1 should be <= 4
   }
+
+  test("gopherRules is a zero-exchange projection over its input") {
+    val df = (1 to 30).map(i => (i.toLong, s"- the line $i\nbody ..."))
+      .toDF("doc_id", "text")
+    val plan = formatted(df.select($"doc_id" +:
+      graft.ops.TextOps.gopherRules($"text").map { case (n, c) => c.as(n) }: _*))
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    plan should not include "Window"
+  }
+
+  test("bigramScore: LM tables never explode the plan, no cartesian scoring") {
+    val df = (1 to 60).map(i => (i.toLong, s"a b c token$i end"))
+      .toDF("doc_id", "text")
+    val plan = formatted(graft.ops.TextOps.bigramScore(
+      df, "doc_id", "text", $"doc_id" % 2 === 0))
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    // the only nested-loop join is the documented one-row broadcast
+    // total (the unigramScore pattern); the LM lookups stay hash joins
+    (plan.split("BroadcastNestedLoopJoin").length - 1) should be <= 2 // 1 node: tree + detail lines
+  }
+
+  test("dsirWeights: weight table broadcasts, gram stream never windows") {
+    val df = (1 to 60).map(i => (i.toLong, s"a b c token$i end"))
+      .toDF("doc_id", "text")
+    val plan = formatted(graft.ops.Curation.dsirWeights(
+      df, "text", "doc_id", $"doc_id" % 3 === 0))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "Window"
+    // one-row broadcast totals join only; the bucket-weight scoring
+    // join must stay a BroadcastHashJoin
+    (plan.split("BroadcastNestedLoopJoin").length - 1) should be <= 2 // 1 node: tree + detail lines
+  }
+
+  test("corpusOverlap: one gram aggregate + one reduce per n, no joins") {
+    val df = (1 to 30).map(i => (i.toLong, s"a b c token$i"))
+      .toDF("doc_id", "text")
+    val plan = formatted(graft.ops.Curation.corpusOverlap(
+      df, "text", $"doc_id" % 2 === 0, ns = Seq(1, 2)))
+    plan should not include "Join"
+    plan should not include "Window"
+    // per n: gram-keyed exchange + single-row reduce exchange
+    (plan.split("\\(\\d+\\) Exchange").length - 1) should be <= 4
+  }
 }
