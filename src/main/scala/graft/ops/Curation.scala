@@ -408,6 +408,35 @@ object Curation {
         col("log_weight"))
   }
 
+  /** Gumbel-top-k selection — the RESAMPLING half of DSIR (select k
+    * documents ∝ exp(log_weight) without replacement): add an
+    * independent Gumbel draw to each log weight and take the global
+    * top k, the standard trick (Vieira 2014; Kim et al. 2016) that
+    * turns weighted sampling-without-replacement into one
+    * `TakeOrderedAndProject`. The Gumbel is seeded and engine-
+    * replayable — u = (md5-bucket(id#seed)+0.5)/65536, g = −ln(−ln u)
+    * — the same md5 idiom as [[sampleByHash]], so reruns and the
+    * DuckDB oracle draw identical noise. Null weights (zero-gram
+    * docs) are excluded before the draw.
+    *
+    * Scale shape: a pure projection plus one global top-k (Spark
+    * plans `orderBy(...).limit(k)` as TakeOrderedAndProject: per-
+    * partition k-heaps, never a full sort) — safe at any corpus size
+    * for the k a training mixture actually takes.
+    */
+  def gumbelTopK(weights: DataFrame, idCol: String, weightCol: String,
+                 k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit("#"), lit(seed.toString))), 1, 4), 16, 10).cast("double")
+      + 0.5) / 65536.0
+    weights.filter(col(weightCol).isNotNull)
+      .withColumn("__key", col(weightCol) - log(-log(u)))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+  }
+
   /** Corpus-overlap diagnostics: for each shingle size n, how many
     * DISTINCT word n-grams each corpus side holds and how many they
     * share (Jaccard over the distinct-gram sets). This is the

@@ -232,6 +232,85 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** One row of windowed audio analysis: exact integer energy/crossing
+    * skeleton for window `win` of a clip.
+    */
+  final case class AudioWindow(doc_id: Long, win: Int, n_samples: Int,
+                               sum_sq: Long, zero_crossings: Int)
+
+  /** Windowed PCM statistics — the per-window energy (sum of squared
+    * 16-bit amplitudes) and zero-crossing count a VAD / silence-trim /
+    * speech-music split cuts on, over windows of `window` samples
+    * (tail window short). Streams the clip through the same 8 KiB
+    * frame-aligned buffer as [[decodeAudioFeatures]]: per-window state
+    * is three counters, never the clip, so hour-long recordings cost
+    * O(window) memory per executor thread. A zero crossing is an
+    * adjacent same-window pair with strictly negative product.
+    * Integer-exact outputs → a closed-form fixture oracles the whole
+    * analysis. None (→ caller falls back to the stub tier) when the
+    * payload is not decodable 16-bit PCM.
+    */
+  def audioWindowStats(bytes: Array[Byte],
+                       window: Int): Option[Vector[(Int, Int, Long, Int)]] = {
+    require(window > 0, s"window must be positive, got $window")
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            || fmt.getSampleSizeInBits != 16
+            || nFrames <= 0 || nFrames > MaxDecodeFrames) None
+        else {
+          val frameBytes = fmt.getFrameSize
+          val bigEndian = fmt.isBigEndian
+          val buf = new Array[Byte](8192 - 8192 % math.max(frameBytes, 2))
+          val out = Vector.newBuilder[(Int, Int, Long, Int)]
+          var win = 0; var n = 0; var sumSq = 0L; var zc = 0; var prev = 0
+          def flush(): Unit = {
+            out += ((win, n, sumSq, zc)); win += 1; n = 0; sumSq = 0L; zc = 0
+          }
+          var read = ais.read(buf)
+          while (read > 0) {
+            var off = 0
+            while (off + 1 < read) {
+              val v = if (bigEndian) (buf(off) << 8) | (buf(off + 1) & 0xff)
+                      else (buf(off + 1) << 8) | (buf(off) & 0xff)
+              if (n > 0 && prev * v < 0) zc += 1
+              sumSq += v.toLong * v; n += 1; prev = v
+              if (n == window) flush()
+              off += 2
+            }
+            read = ais.read(buf)
+          }
+          if (n > 0) flush()
+          val res = out.result()
+          if (res.isEmpty) None else Some(res)
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Dataset-level windowed audio analysis over `audio`-typed media
+    * rows: one decoder per partition, one output row per (clip,
+    * window). Non-audio / undecodable rows are dropped (the feature
+    * tiers keep them; a window analysis has nothing to say about
+    * them).
+    */
+  def audioWindows(spark: SparkSession, media: DataFrame,
+                   window: Int): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.media_type == "audio").flatMap { r =>
+          audioWindowStats(r.media, window).toSeq.flatten.map {
+            case (w, n, s, z) => AudioWindow(r.doc_id, w, n, s, z)
+          }
+        }
+      }
+  }
+
   /** Encode a Nyquist square wave (+amp, -amp, +amp, …) as a 16-bit PCM
     * mono RIFF/WAVE clip — the fixture generator for the real-decode
     * gate: every decoded statistic is a closed-form function of

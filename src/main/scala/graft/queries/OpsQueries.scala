@@ -1013,6 +1013,46 @@ object OpsQueries {
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
 
+    // DSIR end-to-end: importance weights + seeded Gumbel-top-k
+    // resampling — the pair of ops IS the published DSIR pipeline. The
+    // oracle refits the whole weight model (unrounded), draws the
+    // identical md5-seeded Gumbel noise, and takes the same top-50;
+    // a changed hash, smoothing constant, or tie-break surfaces as a
+    // different selected set.
+    QueryDef("p17_dsir_select",
+      (s, dir) => Curation.gumbelTopK(
+        Curation.dsirWeights(docs(s, dir), "text", "doc_id",
+          col("doc_id") % 3 === 0, buckets = 1024),
+        "doc_id", "log_weight", k = 50, seed = 7L),
+      Some("""WITH t AS (SELECT doc_id, (doc_id % 3 = 0) AS tgt,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks FROM documents),
+             |u AS (SELECT doc_id, tgt, uu.w AS g
+             |  FROM t, unnest(toks) AS uu(w)),
+             |b2 AS (SELECT doc_id, tgt, toks[uu.j] || ' ' || toks[uu.j+1] AS g
+             |  FROM t, unnest(range(1, len(toks))) AS uu(j)),
+             |g AS (SELECT doc_id, tgt,
+             |    cast(('0x' || substr(md5(g), 1, 4))::INT % 1024 AS INT) AS b
+             |  FROM (SELECT * FROM u UNION ALL SELECT * FROM b2)),
+             |fit AS (SELECT b,
+             |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             |    sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+             |  FROM g GROUP BY 1),
+             |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM fit),
+             |w AS (SELECT b,
+             |    ln(cast(ct + 1 AS DOUBLE) / cast(tt + 1024 AS DOUBLE))
+             |      - ln(cast(cr + 1 AS DOUBLE) / cast(tr + 1024 AS DOUBLE))
+             |      AS lw
+             |  FROM fit, tot),
+             |s AS (SELECT g.doc_id, sum(w.lw) AS lwf
+             |  FROM g JOIN w USING (b) GROUP BY 1),
+             |sel AS (SELECT doc_id, lwf - ln(-ln(
+             |    (('0x' || substr(md5(cast(doc_id AS VARCHAR) || '#7'),
+             |               1, 4))::INT + 0.5) / 65536.0)) AS key
+             |  FROM s WHERE lwf IS NOT NULL)
+             |SELECT doc_id FROM sel
+             |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin)),
+
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
       (s, dir) => docs(s, dir).select(col("doc_id"),
@@ -1232,6 +1272,30 @@ object OpsQueries {
              |       THEN (doc_id % 1000 + 1) * 30 ELSE 0 END AS REAL) AS sum_amp,
              |  cast(2 AS REAL) AS frame_bytes
              |FROM documents""".stripMargin)),
+
+    // Windowed audio analysis over the REAL WAV fixture: per 16-sample
+    // window the exact energy (sum of squared amplitudes) and
+    // zero-crossing skeleton. The Nyquist square wave makes every
+    // window closed-form — len·amp² energy, len−1 crossings (the
+    // window-boundary pair is NOT counted; a decoder that leaks `prev`
+    // across windows reports len and breaks the gate), tail windows
+    // short. The oracle rebuilds all of it from doc_id arithmetic.
+    QueryDef("m09_audio_windows",
+      (s, dir) => Multimodal.audioWindows(s,
+          Multimodal.attachSyntheticAudio(s, docs(s, dir)), window = 16)
+        .toDF(),
+      Some("""WITH d AS (SELECT doc_id,
+             |    cast(doc_id % 50 + 10 AS INT) AS n,
+             |    cast((doc_id % 1000 + 1) * 30 AS BIGINT) AS amp
+             |  FROM documents),
+             |w AS (SELECT doc_id, cast(u.i AS INT) AS win,
+             |    cast(CASE WHEN n - u.i * 16 >= 16 THEN 16
+             |         ELSE n - u.i * 16 END AS INT) AS len, amp
+             |  FROM d, unnest(range(0, (n + 15) // 16)) AS u(i))
+             |SELECT doc_id, win, len AS n_samples,
+             |  cast(len * amp * amp AS BIGINT) AS sum_sq,
+             |  cast(len - 1 AS INT) AS zero_crossings
+             |FROM w""".stripMargin)),
 
     // Multimodal: REAL video-container metadata decode. The fixture
     // synthesizes an actual AVI (RIFF → LIST hdrl → avih + movi frame

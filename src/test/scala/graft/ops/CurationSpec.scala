@@ -316,6 +316,37 @@ class CurationSpec extends SparkSpec {
       out(1L).getAs[Double]("log_weight")
   }
 
+  test("gumbelTopK: seeded exact draw, null exclusion, layout-independent") {
+    val base = (1L to 100L).map(i => (i, (i % 10).toDouble))
+      .toDF("doc_id", "w")
+      .withColumn("w",
+        when(col("doc_id") === 100L, lit(null)).otherwise(col("w")))
+    val got = Curation.gumbelTopK(base, "doc_id", "w", k = 10, seed = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    // recompute the seeded Gumbel keys locally
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def key(id: Long): Double = {
+      val u = (Integer.parseInt(md5hex(s"$id#7").substring(0, 4), 16)
+        + 0.5) / 65536.0
+      (id % 10).toDouble - math.log(-math.log(u))
+    }
+    val expected = (1L until 100L)
+      .sortBy(id => (-key(id), id)).take(10).toSeq
+    got shouldBe expected
+    // the excluded null-weight doc can never be drawn
+    got should not contain 100L
+    // layout independence: hostile repartition, same selection
+    val re = Curation.gumbelTopK(base.repartition(7), "doc_id", "w",
+      k = 10, seed = 7L).collect().map(_.getLong(0)).toSeq
+    re shouldBe expected
+    // a different seed draws a different set (whp)
+    val other = Curation.gumbelTopK(base, "doc_id", "w", k = 10,
+      seed = 8L).collect().map(_.getLong(0)).toSeq
+    other should not be expected
+  }
+
   test("corpusOverlap: closed-form distinct-gram sets and Jaccard") {
     // side A (even ids): "a b c", "a b"; side B: "b c d"
     val docs = Seq((2L, "a b c"), (4L, "a b"), (1L, "b c d"))

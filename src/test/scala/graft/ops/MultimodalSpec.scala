@@ -315,4 +315,23 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.frameSample(Multimodal.attachMedia(docs), 4)
       .filter($"doc_id" === 1).count() should be >= 1L
   }
+
+  test("audioWindowStats: exact per-window energy/crossings, tail window short") {
+    val wav = Multimodal.encodeWav(37, 8000, 100)
+    val wins = Multimodal.audioWindowStats(wav, window = 16).get
+    // 37 samples -> windows of 16, 16, 5
+    wins.map(_._2) shouldBe Vector(16, 16, 5)
+    wins.map(_._1) shouldBe Vector(0, 1, 2)
+    // square wave: every sample is ±100 -> energy = len * 100²
+    wins.map(_._3) shouldBe Vector(160000L, 160000L, 50000L)
+    // alternating signs: len-1 crossings per window — the boundary
+    // pair between windows must NOT be counted (prev resets per window)
+    wins.map(_._4) shouldBe Vector(15, 15, 4)
+    // malformed payload -> None (stub fallback tier)
+    Multimodal.audioWindowStats(Array[Byte](1, 2, 3), 16) shouldBe None
+    // whole-clip window degenerates to the decodeAudioFeatures view
+    val one = Multimodal.audioWindowStats(wav, window = 64).get
+    one.length shouldBe 1
+    one(0) shouldBe ((0, 37, 370000L, 36))
+  }
 }
