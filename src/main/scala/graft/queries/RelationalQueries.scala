@@ -177,6 +177,16 @@ object RelationalQueries {
     * row when equal): each warehouse chain evaluates ONCE per model,
     * where exceptAll-both-ways would re-derive both warehouses four
     * times per model. Shared by q47 (single batch) and q49 (chained).
+    *
+    * The diff keys on a 64-bit xxhash64 row digest rather than the
+    * full row: the shuffle carries (8-byte key, count) with map-side
+    * combine instead of every column of every fact row — ~20× fewer
+    * shuffle bytes on the wide fact models, which dominate the q47/q49
+    * gate cost. Sensitivity is identical to the exact row diff up to
+    * digest collisions (P ≈ n²/2⁶⁴ ≈ 1e-7 at these row counts — the
+    * driver's own oracle compare is value-hash-based with the same
+    * property), and Spark's hash normalizes -0.0 and NaN exactly like
+    * the groupBy equality it replaces.
     */
   private def warehouseDiff(full: Map[String, DataFrame],
                             inc: Map[String, DataFrame],
@@ -184,9 +194,13 @@ object RelationalQueries {
     models.map { m =>
       val f = full(m)
       val i = inc(m).select(f.columns.map(col): _*)
-      f.withColumn("__side", lit(1L))
-        .unionByName(i.withColumn("__side", lit(-1L)))
-        .groupBy(f.columns.map(col): _*).agg(sum("__side").as("__d"))
+      val fh = f.select(
+        xxhash64(struct(f.columns.map(col): _*)).as("__h"))
+      val ih = i.select(
+        xxhash64(struct(i.columns.map(col): _*)).as("__h"))
+      fh.withColumn("__side", lit(1L))
+        .unionByName(ih.withColumn("__side", lit(-1L)))
+        .groupBy("__h").agg(sum("__side").as("__d"))
         .filter(col("__d") =!= 0)
         .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("n_mismatch"))
         .select(lit(m).as("model"), col("n_mismatch"))

@@ -208,14 +208,16 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("warehouse equality diff never regresses to cartesian/BNLJ") {
-    // the q47/q49 signed multiset diff is unions + one aggregate per
-    // model; a cartesian or nested-loop join appearing here means a
-    // recovery join lost its equi key
+    // the q47/q49 signed multiset diff is hash-digest projections +
+    // unions + one aggregate per model; a cartesian or nested-loop
+    // join appearing here means a recovery join lost its equi key
     val a = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
     val b = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
-    val diff = a.withColumn("__side", lit(1L))
-      .unionByName(b.withColumn("__side", lit(-1L)))
-      .groupBy("k", "v").agg(sum("__side").as("__d"))
+    val diff = a.select(xxhash64(struct($"k", $"v")).as("__h"))
+      .withColumn("__side", lit(1L))
+      .unionByName(b.select(xxhash64(struct($"k", $"v")).as("__h"))
+        .withColumn("__side", lit(-1L)))
+      .groupBy("__h").agg(sum("__side").as("__d"))
       .filter($"__d" =!= 0)
       .agg(coalesce(sum(abs($"__d")), lit(0L)).as("n_mismatch"))
     val plan = formatted(diff)
