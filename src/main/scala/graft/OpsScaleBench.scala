@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve measurement for the heavy curation operators: the same
+  * op at 1× and 10× corpus size, reported as one JSON line — the ops
+  * analog of the WarehouseBench 10× datapoint. The 10× corpus is the
+  * sf corpus replicated with remapped ids and a per-replica suffix
+  * token: every document becomes a 10-member NEAR-duplicate cluster,
+  * which is the hostile shape for the dedup family (bucket load and
+  * pair counts grow with cluster size), so the curve measured here is
+  * a worst-case, not a best-case.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.OpsScaleBench [mult]
+  */
+object OpsScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").cache()
+    val n1 = base.count()
+
+    def replicated(m: Int): DataFrame =
+      if (m == 1) base
+      else (0 until m).map { k =>
+        base.select((col("doc_id") * m + k).as("doc_id"),
+          concat(col("text"), lit(s" replica$k")).as("text"))
+      }.reduce(_.unionByName(_))
+
+    // Bench's sink: full-row hash aggregate, NOT count() — under
+    // count() Catalyst eliminates the outer joins and prunes whole
+    // pipelines (a span-dedup "measurement" that never grams anything)
+    def sink(df: DataFrame): Long = {
+      val h = df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+        .agg(count(lit(1)).as("n"), bit_xor(col("__h")).as("x")).collect()(0)
+      h.getLong(0)
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "minhash_lsh_ids" -> (df => sink(graft.ops.Dedup.minhashLsh(df,
+        "text", "doc_id", carrySignatures = false))),
+      "span_dedup" -> (df => sink(graft.ops.Dedup.dedupSpans(df, "text",
+        "doc_id", l = 8))),
+      "dsir_weights" -> (df => sink(graft.ops.Curation.dsirWeights(df,
+        "text", "doc_id", col("doc_id") % 3 === 0))),
+      "gopher_rules" -> (df => sink(df.select(col("doc_id") +:
+        graft.ops.TextOps.gopherRules(col("text"))
+          .map { case (n, c) => c.as(n) }: _*))))
+
+    val parts = ops.map { case (name, f) =>
+      val d1 = replicated(1)
+      val dM = replicated(mult).localCheckpoint() // pay replication once
+      f(d1) // untimed warmup: JIT + codegen compile off the measurement
+      val (s1a, r1) = time(f(d1)); val (s1b, _) = time(f(d1))
+      val (sMa, rM) = time(f(dM)); val (sMb, _) = time(f(dM))
+      val s1 = math.min(s1a, s1b); val sM = math.min(sMa, sMb)
+      f"""\"$name\":{\"sec_1x\":$s1%.2f,\"sec_${mult}x\":$sM%.2f,\"ratio\":${sM / s1}%.2f,\"rows_1x\":$r1,\"rows_${mult}x\":$rM}"""
+    }
+    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+}
