@@ -1053,6 +1053,122 @@ object OpsQueries {
              |SELECT doc_id FROM sel
              |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin)),
 
+    // The full selection pipeline, composed end-to-end: a rule cut
+    // built from the gopherRules signals trims the raw corpus, DSIR
+    // fits on the SURVIVORS and weights them, Gumbel-top-k picks the
+    // training subset, epochShuffle assigns the final training order.
+    // Every stage is individually gated (t14, t16, p17, p14); this
+    // gate proves they compose — the oracle re-derives the entire
+    // chain (rule signals → kept set → refit hashed models → identical
+    // Gumbel draw → md5 training rank), so a stage leaking dropped
+    // docs into the LM fit, or selecting before filtering, breaks it.
+    // One threshold is adapted to the corpus: stop_hits >= 1, because
+    // the synthetic word-soup docs never carry TWO distinct Gopher
+    // stopwords (measured 0/500 at the published >= 2, which would
+    // gate an empty pipeline).
+    QueryDef("p18_select_pipeline",
+      (s, dir) => {
+        val sig = TextOps.gopherRules(col("text")).toMap
+        val kept = docs(s, dir)
+          .filter(sig("n_words").between(50, 100000) &&
+            sig("mean_word_len").between(3.0, 10.0) &&
+            sig("symbol_ratio") <= 0.1 && sig("bullet_frac") <= 0.9 &&
+            sig("ellipsis_frac") <= 0.3 && sig("alpha_frac") >= 0.8 &&
+            sig("stop_hits") >= 1)
+          .select("doc_id", "text")
+        val weights = Curation.dsirWeights(kept, "text", "doc_id",
+          col("doc_id") % 3 === 0, buckets = 1024)
+        val sel = Curation.gumbelTopK(weights, "doc_id", "log_weight",
+          k = 100, seed = 11L)
+        Curation.epochShuffle(sel, col("doc_id"), epochs = 1,
+            batchSize = 16)
+          .select("doc_id", "epoch", "step", "pos_in_batch")
+      },
+      Some("""WITH ln AS (SELECT doc_id, u.l AS line
+             |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |        FROM documents), unnest(ls) AS u(l)),
+             |la AS (SELECT doc_id, count(*) AS n_lines,
+             |    sum(CASE WHEN starts_with(line, '- ')
+             |          OR starts_with(line, '* ') THEN 1 ELSE 0 END) AS n_bul,
+             |    sum(CASE WHEN ends_with(line, '...') THEN 1 ELSE 0 END)
+             |      AS n_ell
+             |  FROM ln GROUP BY 1),
+             |wa AS (SELECT doc_id, len(toks) AS nw,
+             |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             |      AS n_alpha
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                  x -> x <> '') AS toks FROM documents)),
+             |sig AS (SELECT d.doc_id, d.text, wa.nw,
+             |    CASE WHEN wa.nw = 0 THEN 1 ELSE wa.nw END AS wden,
+             |    la.n_lines, la.n_bul, la.n_ell, wa.n_alpha,
+             |    (length(d.text) - length(replace(d.text, ' ', ''))) AS n_sp,
+             |    cast((length(d.text) - length(replace(d.text, '#', ''))) / 1
+             |         AS INT)
+             |      + cast((length(d.text) - length(replace(d.text, '...', '')))
+             |             / 3 AS INT) AS n_sym,
+             |    (CASE WHEN contains(' '||lower(d.text)||' ', ' the ')
+             |          THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(d.text)||' ', ' be ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(d.text)||' ', ' to ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(d.text)||' ', ' of ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(d.text)||' ', ' and ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(d.text)||' ', ' that ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(d.text)||' ', ' have ')
+             |            THEN 1 ELSE 0 END
+             |     + CASE WHEN contains(' '||lower(d.text)||' ', ' with ')
+             |            THEN 1 ELSE 0 END) AS n_stop
+             |  FROM documents d JOIN la USING (doc_id) JOIN wa USING (doc_id)),
+             |kept AS (SELECT doc_id, text FROM sig
+             |  WHERE nw BETWEEN 50 AND 100000
+             |    AND cast(length(text) - n_sp AS DOUBLE) / wden
+             |        BETWEEN 3.0 AND 10.0
+             |    AND cast(n_sym AS DOUBLE) / wden <= 0.1
+             |    AND cast(n_bul AS DOUBLE) / n_lines <= 0.9
+             |    AND cast(n_ell AS DOUBLE) / n_lines <= 0.3
+             |    AND cast(n_alpha AS DOUBLE) / wden >= 0.8
+             |    AND n_stop >= 1),
+             |t AS (SELECT doc_id, (doc_id % 3 = 0) AS tgt,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks FROM kept),
+             |u AS (SELECT doc_id, tgt, uu.w AS g
+             |  FROM t, unnest(toks) AS uu(w)),
+             |b2 AS (SELECT doc_id, tgt, toks[uu.j] || ' ' || toks[uu.j+1] AS g
+             |  FROM t, unnest(range(1, len(toks))) AS uu(j)),
+             |g AS (SELECT doc_id, tgt,
+             |    cast(('0x' || substr(md5(g), 1, 4))::INT % 1024 AS INT) AS b
+             |  FROM (SELECT * FROM u UNION ALL SELECT * FROM b2)),
+             |fit AS (SELECT b,
+             |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             |    sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+             |  FROM g GROUP BY 1),
+             |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM fit),
+             |w AS (SELECT b,
+             |    ln(cast(ct + 1 AS DOUBLE) / cast(tt + 1024 AS DOUBLE))
+             |      - ln(cast(cr + 1 AS DOUBLE) / cast(tr + 1024 AS DOUBLE))
+             |      AS lw
+             |  FROM fit, tot),
+             |sc AS (SELECT g.doc_id, sum(w.lw) AS lwf
+             |  FROM g JOIN w USING (b) GROUP BY 1),
+             |sel AS (SELECT doc_id, lwf - ln(-ln(
+             |    (('0x' || substr(md5(cast(doc_id AS VARCHAR) || '#11'),
+             |               1, 4))::INT + 0.5) / 65536.0)) AS key
+             |  FROM sc WHERE lwf IS NOT NULL),
+             |top AS (SELECT doc_id FROM sel
+             |  ORDER BY key DESC, doc_id LIMIT 100),
+             |r AS (SELECT doc_id,
+             |    row_number() OVER (ORDER BY
+             |      md5(cast(doc_id AS VARCHAR) || '#0'),
+             |      cast(doc_id AS VARCHAR)) - 1 AS r
+             |  FROM top)
+             |SELECT doc_id, cast(0 AS INT) AS epoch, r // 16 AS step,
+             |  r % 16 AS pos_in_batch FROM r""".stripMargin)),
+
     // Language ID (n-gram/stopword heuristic).
     QueryDef("t01_lang_id",
       (s, dir) => docs(s, dir).select(col("doc_id"),
