@@ -374,32 +374,85 @@ object Curation {
     * null weight.
     */
   def dsirWeights(df: DataFrame, textCol: String, idCol: String,
-                  targetFilter: Column, buckets: Int = 1024): DataFrame = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
+                  targetFilter: Column, buckets: Int = 1024): DataFrame =
+    dsirScoreWithState(
+      dsirState(df, textCol, idCol, targetFilter, buckets),
+      df, textCol, idCol, buckets)
+
+  /** (id, feature-bucket) occurrence stream: hashed word
+    * unigram+bigram features, the shared front end of the DSIR fit and
+    * score passes.
+    */
+  private def dsirGrams(df: DataFrame, textCol: String, idCol: String,
+                        buckets: Int, carry: Seq[String] = Nil): DataFrame = {
     val id = col(idCol)
+    val carried = carry.map(col)
     def toks(c: Column): Column =
       filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
-    val staged = df.select(id, col(textCol), targetFilter.as("__t"))
-      .withColumn("__w", toks(col(textCol)))
-    val grams = staged.select(id, col("__t"), explode(concat(col("__w"),
-        when(size(col("__w")) >= 2,
-            zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
-              slice(col("__w"), lit(2), size(col("__w")) - 1),
-              (a, b) => concat_ws(" ", a, b)))
-          .otherwise(array().cast("array<string>")))).as("__g"))
+    df.select((id +: carried) :+ toks(col(textCol)).as("__w"): _*)
+      .select((id +: carried) :+ explode(concat(col("__w"),
+          when(size(col("__w")) >= 2,
+              zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
+                slice(col("__w"), lit(2), size(col("__w")) - 1),
+                (a, b) => concat_ws(" ", a, b)))
+            .otherwise(array().cast("array<string>")))).as("__g"): _*)
       .withColumn("__b",
         conv(substring(md5(col("__g")), 1, 4), 16, 10).cast("int")
           % buckets)
-    val fit = grams.groupBy("__b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
-      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
-    val totals = fit.agg(sum("__ct").as("__tt"), sum("__cr").as("__tr"))
-    val weightTable = broadcast(fit.crossJoin(broadcast(totals))
-      .select(col("__b"),
-        (log((col("__ct") + 1).cast("double") /
+      .drop("__g")
+  }
+
+  /** The materialized MODEL STATE of DSIR: one row per hashed feature
+    * bucket with its target and raw occurrence counts — the analog of
+    * the span-dedup gram-stats table ([[graft.ops.Dedup.spanGramStats]])
+    * for the scoring tier. Batch pipelines persist it (≤ `buckets`
+    * rows — trivially storable) and roll it forward with
+    * [[mergeDsirState]]; because counts add exactly, the merged state
+    * IS the from-scratch refit over the union, so incremental scoring
+    * equals full-model scoring with no drift.
+    */
+  def dsirState(df: DataFrame, textCol: String, idCol: String,
+                targetFilter: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    dsirGrams(df.withColumn("__t", targetFilter), textCol, idCol, buckets,
+        carry = Seq("__t"))
+      .groupBy("__b").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+      .select(col("__b").as("bucket"), col("ct"), col("cr"))
+  }
+
+  /** Roll the DSIR model state forward over a new batch's state:
+    * counts add bucket-wise (full-outer + coalesce). Exact — no decay,
+    * no approximation — so chained merges equal one refit.
+    */
+  def mergeDsirState(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("ct").as("__ac"), col("cr").as("__ar"))
+      .join(b.select(col("bucket"), col("ct").as("__bc"),
+        col("cr").as("__br")), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("__ac"), lit(0L)) + coalesce(col("__bc"), lit(0L)))
+          .as("ct"),
+        (coalesce(col("__ar"), lit(0L)) + coalesce(col("__br"), lit(0L)))
+          .as("cr"))
+
+  /** Score documents against an existing DSIR model state WITHOUT
+    * refitting: the incremental path — sign only the new batch, probe
+    * the persisted bucket table. Same output contract as
+    * [[dsirWeights]].
+    */
+  def dsirScoreWithState(state: DataFrame, df: DataFrame, textCol: String,
+                         idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val id = col(idCol)
+    val totals = state.agg(sum("ct").as("__tt"), sum("cr").as("__tr"))
+    val weightTable = broadcast(state.crossJoin(broadcast(totals))
+      .select(col("bucket").as("__b"),
+        (log((col("ct") + 1).cast("double") /
             (col("__tt") + buckets).cast("double")) -
-          log((col("__cr") + 1).cast("double") /
+          log((col("cr") + 1).cast("double") /
             (col("__tr") + buckets).cast("double"))).as("__lw")))
+    val grams = dsirGrams(df, textCol, idCol, buckets)
     val scored = grams.join(weightTable, Seq("__b"))
       .groupBy(id).agg(count(lit(1)).as("n_grams"),
         sum(col("__lw")).as("log_weight"))

@@ -1013,6 +1013,54 @@ object OpsQueries {
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
 
+    // INCREMENTAL DSIR: the corpus-growth shape for the scoring tier
+    // (the d13/d16 pattern) — the model state (bucket count table) is
+    // fit per batch, rolled forward with an exact full-outer merge,
+    // and ONLY the new batch is signed and scored against it. Because
+    // counts add exactly, merged-state scoring must equal scoring
+    // under a from-scratch refit over the union: the oracle refits the
+    // full model over ALL documents and scores the same batch slice.
+    QueryDef("t17_dsir_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val b1 = d.filter(col("doc_id") % 5 =!= 0)
+        val b2 = d.filter(col("doc_id") % 5 === 0)
+        val tgt = col("doc_id") % 3 === 0
+        val state = Curation.mergeDsirState(
+          Curation.dsirState(b1, "text", "doc_id", tgt),
+          Curation.dsirState(b2, "text", "doc_id", tgt))
+        Curation.dsirScoreWithState(state, b2, "text", "doc_id")
+          .select(col("doc_id"), col("n_grams"),
+            round(col("log_weight"), 4).as("log_weight"))
+      },
+      Some("""WITH t AS (SELECT doc_id, (doc_id % 3 = 0) AS tgt,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks FROM documents),
+             |u AS (SELECT doc_id, tgt, uu.w AS g
+             |  FROM t, unnest(toks) AS uu(w)),
+             |b2 AS (SELECT doc_id, tgt, toks[uu.j] || ' ' || toks[uu.j+1] AS g
+             |  FROM t, unnest(range(1, len(toks))) AS uu(j)),
+             |g AS (SELECT doc_id, tgt,
+             |    cast(('0x' || substr(md5(g), 1, 4))::INT % 1024 AS INT) AS b
+             |  FROM (SELECT * FROM u UNION ALL SELECT * FROM b2)),
+             |fit AS (SELECT b,
+             |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             |    sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+             |  FROM g GROUP BY 1),
+             |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM fit),
+             |w AS (SELECT b,
+             |    ln(cast(ct + 1 AS DOUBLE) / cast(tt + 1024 AS DOUBLE))
+             |      - ln(cast(cr + 1 AS DOUBLE) / cast(tr + 1024 AS DOUBLE))
+             |      AS lw
+             |  FROM fit, tot),
+             |s AS (SELECT g.doc_id, count(*) AS ng, round(sum(w.lw), 4) AS lw
+             |  FROM g JOIN w USING (b) GROUP BY 1)
+             |SELECT d.doc_id, cast(coalesce(s.ng, 0) AS BIGINT) AS n_grams,
+             |  s.lw AS log_weight
+             |FROM (SELECT DISTINCT doc_id FROM documents
+             |      WHERE doc_id % 5 = 0) d
+             |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
+
     // DSIR end-to-end: importance weights + seeded Gumbel-top-k
     // resampling — the pair of ops IS the published DSIR pipeline. The
     // oracle refits the whole weight model (unrounded), draws the

@@ -316,6 +316,36 @@ class CurationSpec extends SparkSpec {
       out(1L).getAs[Double]("log_weight")
   }
 
+  test("dsirState merges exactly and incremental scoring equals refit") {
+    val corpus = Seq((3L, "the cat"), (6L, "the dog"), (1L, "the cat"),
+      (2L, "rare token"), (10L, "the cat runs"), (11L, "dog token here"))
+      .toDF("doc_id", "text")
+    val tgt = col("doc_id") % 3 === 0
+    val b1 = corpus.filter(col("doc_id") < 10)
+    val b2 = corpus.filter(col("doc_id") >= 10)
+    // merged state == from-scratch state over the union, exactly
+    val merged = Curation.mergeDsirState(
+      Curation.dsirState(b1, "text", "doc_id", tgt),
+      Curation.dsirState(b2, "text", "doc_id", tgt))
+    val direct = Curation.dsirState(corpus, "text", "doc_id", tgt)
+    merged.except(direct).count() shouldBe 0L
+    direct.except(merged).count() shouldBe 0L
+    // scoring the new batch against merged state == the full-refit
+    // weights restricted to that batch
+    val inc = Curation.dsirScoreWithState(merged, b2, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("log_weight"))).toMap
+    val full = Curation.dsirWeights(corpus, "text", "doc_id", tgt)
+      .filter(col("doc_id") >= 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("log_weight"))).toMap
+    inc.keySet shouldBe full.keySet
+    inc.foreach { case (id, (ng, lw)) =>
+      ng shouldBe full(id)._1
+      lw shouldBe full(id)._2 +- 1e-9
+    }
+  }
+
   test("gumbelTopK: seeded exact draw, null exclusion, layout-independent") {
     val base = (1L to 100L).map(i => (i, (i % 10).toDouble))
       .toDF("doc_id", "w")
