@@ -107,4 +107,51 @@ class StreamingDedupSpec extends SparkSpec {
     m(4L).getAs[Int]("tokens_removed") shouldBe 16
     m(2L).getAs[Int]("tokens_removed") shouldBe 0
   }
+
+  test("DSIR model state composes with streaming arrival") {
+    // the t17 incremental kernel on the production arrival path: each
+    // micro-batch's bucket counts fold into the rolled state; scoring
+    // the final batch against it must equal a from-scratch refit over
+    // everything that ever arrived
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Curation
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+
+    val tgt = col("doc_id") % 3 === 0
+    var corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .localCheckpoint()
+    var state: DataFrame = null
+    var lastBatch: DataFrame = null
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val bs = Curation.dsirState(b, "text", "doc_id", tgt)
+          state = (if (state == null) bs
+                   else Curation.mergeDsirState(state, bs)).localCheckpoint()
+          corpus = corpus.unionByName(b).localCheckpoint()
+          lastBatch = b
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+
+    input.addData((3L, "the cat"), (1L, "the cat"), (2L, "rare token"))
+    q.processAllAvailable()
+    input.addData((6L, "the dog"), (5L, "dog token here"))
+    q.processAllAvailable()
+    q.stop()
+
+    val inc = Curation.dsirScoreWithState(state, lastBatch, "text",
+        "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("log_weight")).toMap
+    val full = Curation.dsirWeights(corpus, "text", "doc_id", tgt)
+      .filter(col("doc_id") === 6L || col("doc_id") === 5L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("log_weight")).toMap
+    inc.keySet shouldBe Set(5L, 6L)
+    inc.foreach { case (id, lw) => lw shouldBe (full(id) +- 1e-9) }
+  }
 }
