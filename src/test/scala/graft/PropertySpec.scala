@@ -128,4 +128,80 @@ class PropertySpec extends SparkSpec {
         membership.filter(!array_contains($"probes", $"cell")).count() == 0L
     })
   }
+
+  test("property: bigram LM tiers partition the bigram stream exactly") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      vocab <- Gen.choose(2, 6)
+      maxLen <- Gen.choose(0, 12)
+      seed <- Gen.choose(0L, 10000L)
+    } yield (n, vocab, maxLen, seed)
+    checkProp(Prop.forAll(gen) { case (n, vocab, maxLen, seed) =>
+      val r = new scala.util.Random(seed)
+      val lens = (1 to n).map(_ => r.nextInt(maxLen + 1))
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        ((i + 1).toLong, Seq.fill(len)(s"w${r.nextInt(vocab)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = graft.ops.TextOps.bigramScore(docs, "doc_id", "text",
+        col("doc_id") % 2 === 0).collect()
+      val expNb = lens.zipWithIndex.map { case (len, i) =>
+        (i + 1).toLong -> math.max(0, len - 1).toLong
+      }.toMap
+      // hit/backoff/OOV partition the bigrams; count matches tokens-1 —
+      // on ANY corpus and ANY train split, including empty training
+      // halves (every bigram then lands in the OOV tier)
+      out.forall { row =>
+        val nb = row.getAs[Long]("n_bigrams")
+        nb == row.getAs[Long]("n_hit") + row.getAs[Long]("n_backoff") +
+          row.getAs[Long]("n_oov") &&
+          nb == expNb(row.getAs[Long]("doc_id"))
+      }
+    })
+  }
+
+  test("property: gumbelTopK is a deterministic k-subset of scorable rows") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      k <- Gen.choose(1, 10)
+      seed <- Gen.choose(0L, 10000L)
+    } yield (n, k, seed)
+    checkProp(Prop.forAll(gen) { case (n, k, seed) =>
+      val r = new scala.util.Random(seed)
+      val rows = (1 to n).map(i => (i.toLong,
+        if (r.nextInt(5) == 0) None else Some(r.nextDouble() * 10 - 5)))
+      val df = rows.toDF("doc_id", "w")
+      val out = graft.ops.Curation.gumbelTopK(df, "doc_id", "w", k, seed)
+        .collect().map(_.getLong(0)).toSeq
+      val scorable = rows.collect { case (id, Some(_)) => id }.toSet
+      out.length == math.min(k, scorable.size) &&
+        out.toSet.subsetOf(scorable) &&
+        out == graft.ops.Curation.gumbelTopK(df.repartition(5), "doc_id",
+          "w", k, seed).collect().map(_.getLong(0)).toSeq
+    })
+  }
+
+  test("property: gopherRules signals are bounded on arbitrary text") {
+    val charGen = Gen.frequency(6 -> Gen.alphaLowerChar,
+      2 -> Gen.const(' '), 1 -> Gen.const('\n'), 1 -> Gen.oneOf("#.-*!"))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    checkProp(Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+        .toDF("doc_id", "text")
+      val out = df.select(graft.ops.TextOps.gopherRules($"text")
+        .map { case (nm, c) => c.as(nm) }: _*).collect()
+      out.forall { row =>
+        val fracs = Seq("symbol_ratio", "bullet_frac", "ellipsis_frac",
+          "alpha_frac").map(row.getAs[Double])
+        // symbol_ratio counts "..." runs per word and can exceed 1 on
+        // pure-punctuation strings; the line/word fractions cannot
+        fracs.forall(f => !f.isNaN && f >= 0.0) &&
+          Seq("bullet_frac", "ellipsis_frac", "alpha_frac")
+            .map(row.getAs[Double]).forall(_ <= 1.0) &&
+          row.getAs[Int]("stop_hits") >= 0 &&
+          row.getAs[Int]("stop_hits") <= 8 &&
+          row.getAs[Double]("mean_word_len") >= 0.0 &&
+          !row.isNullAt(row.fieldIndex("keep"))
+      }
+    }, cases = 4)
+  }
 }
