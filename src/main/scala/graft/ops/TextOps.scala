@@ -49,6 +49,108 @@ object TextOps {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** The weighted word-frequency table BPE training runs on: one row
+    * per DISTINCT word (Zipf-bounded — this is why BPE trainers never
+    * touch the raw token stream) with its corpus frequency and the
+    * word's symbol state, initially one character per symbol, kept as
+    * a `\u0001`-separated string so every merge step is a codegen
+    * string `replace`. Top `maxWords` words by (freq desc, word) —
+    * deterministic, engine-replayable.
+    */
+  def bpeWordTable(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   maxWords: Int = 65536): org.apache.spark.sql.DataFrame = {
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val words = df.select(explode(filter(
+      split(lower(trim(col(textCol))), "\\s+"), w => w =!= "")).as("word"))
+    words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+      .withColumn("syms", array_join(split(col("word"), ""), BpeSep))
+  }
+
+  private[ops] val BpeSep = "\u0001"
+
+  /** Frequency-weighted adjacent-symbol-pair counts over a word table —
+    * the kernel of one BPE training iteration (and of pair-statistics
+    * analyses generally). Pure column algebra: split the symbol state,
+    * zip with its own tail, explode, weighted sum. The pair stream is
+    * bounded by total symbols in the word TABLE (≤ maxWords · longest
+    * word), never by corpus size.
+    */
+  def bpePairCounts(wordTable: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = split(col("syms"), BpeSep)
+    wordTable
+      .select(col("freq"), explode(when(size(s) >= 2,
+          zip_with(slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+            (a, b) => struct(a.as("left"), b.as("right"))))
+        .otherwise(array().cast("array<struct<left:string,right:string>>")))
+        .as("__p"))
+      .groupBy(col("__p.left").as("left"), col("__p.right").as("right"))
+      .agg(sum("freq").as("pair_count"))
+  }
+
+  /** BPE vocabulary training (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016): greedy
+    * pair merges over the weighted word table. Returns the merge table
+    * `(merge_rank, left, right, pair_count)` — the artifact a
+    * tokenizer ships. Ties break (count desc, left, right):
+    * deterministic across engines and layouts.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregate); every training iteration runs on the ≤`maxWords`-row
+    * word table — a weighted pair aggregate (distributed) + a
+    * SINGLE-ROW argmax collect (the k-means-sample precedent: bounded,
+    * documented) + one codegen `replace` projection applying the merge
+    * left-to-right non-overlapping, exactly BPE's convention. Stops
+    * early when no pair repeats.
+    */
+  def trainBpe(df: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, maxWords: Int = 65536)
+      : org.apache.spark.sql.DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    var table = bpeWordTable(df, textCol, maxWords).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var rank = 0
+    while (rank < numMerges) {
+      val top = bpePairCounts(table)
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("pair_count") < 2) {
+        rank = numMerges // no repeated pair left — training is done
+      } else {
+        val l = top(0).getAs[String]("left")
+        val r = top(0).getAs[String]("right")
+        merges += ((merges.size, l, r, top(0).getAs[Long]("pair_count")))
+        // boundary-anchored so a pair can only match FULL adjacent
+        // symbols (never a substring inside a longer symbol), while
+        // the un-consumed lookahead keeps left-to-right non-overlapping
+        // application exactly BPE's convention (aaaa -> [aa, aa])
+        val pat = "(?<=^|" + BpeSep + ")" +
+          java.util.regex.Pattern.quote(l) + BpeSep +
+          java.util.regex.Pattern.quote(r) + "(?=" + BpeSep + "|$)"
+        table = table.withColumn("syms", regexp_replace(col("syms"),
+            lit(pat),
+            lit(java.util.regex.Matcher.quoteReplacement(l + r))))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("merge_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("left",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("right",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pair_count",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(merges.toSeq.map { case (i, l, r, c) =>
+      org.apache.spark.sql.Row(i, l, r, c) }.asJava, schema)
+  }
+
   /** Quality metrics: length, word count, average word length,
     * punctuation count, stopword ratio, and a composite keep/drop flag —
     * the usual pre-training heuristics (length + punct + stopword ratio).

@@ -1013,6 +1013,30 @@ object OpsQueries {
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
 
+    // The BPE training kernel: frequency-weighted adjacent-pair counts
+    // over the word table (initial character symbols), top-20 with the
+    // deterministic (count desc, left, right) tie-break — iteration 1
+    // of trainBpe, exactly. The merge LOOP on top of this kernel is
+    // pinned closed-form in TextOpsSpec (greedy sequence + tie rules +
+    // early stop), the t12 split of oracle-able kernel vs spec-pinned
+    // iteration.
+    QueryDef("t18_bpe_pairs",
+      (s, dir) => TextOps.bpePairCounts(
+          TextOps.bpeWordTable(docs(s, dir), "text", maxWords = 100000))
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(20),
+      Some("""WITH wd AS (SELECT word, count(*) AS freq FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '')) AS word FROM documents) GROUP BY 1),
+             |p AS (SELECT substr(word, cast(u.i AS INT), 1) AS "left",
+             |    substr(word, cast(u.i AS INT) + 1, 1) AS "right", freq
+             |  FROM wd, unnest(range(1, length(word))) AS u(i))
+             |SELECT "left", "right", cast(sum(freq) AS BIGINT) AS pair_count
+             |FROM p GROUP BY 1, 2
+             |ORDER BY pair_count DESC, "left", "right"
+             |LIMIT 20""".stripMargin)),
+
     // INCREMENTAL DSIR: the corpus-growth shape for the scoring tier
     // (the d13/d16 pattern) — the model state (bucket count table) is
     // fit per batch, rolled forward with an exact full-outer merge,

@@ -182,6 +182,31 @@ class TextOpsSpec extends SparkSpec {
     g.getAs[String]("clean_text") shouldBe ""
   }
 
+  test("trainBpe: classic greedy merge sequence, ties and early stop") {
+    // Sennrich-style fixture: low×5 lower×2 newest×6 widest×3.
+    // Hand-derived: (e,s,9) wins the 9-tie vs (s,t) on left order;
+    // after es and est merge, (l,o,7) wins the 7-tie vs (o,w); then
+    // (lo,w,7) — merges must be applied to symbol STATE, not substrings
+    // (a naive replace would corrupt longer symbols).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val m = TextOps.trainBpe(df, "text", numMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    m shouldBe Array((0, "e", "s", 9L), (1, "es", "t", 9L),
+      (2, "l", "o", 7L), (3, "lo", "w", 7L))
+    // no repeated pair anywhere -> training stops with an empty table
+    val uniq = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    TextOps.trainBpe(uniq, "text", numMerges = 5).count() shouldBe 0L
+    // left-to-right non-overlapping: aaaa merges to [aa, aa], so the
+    // second merge is (aa, aa) — not (aa, a)
+    val runs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val rm = TextOps.trainBpe(runs, "text", numMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    rm(0) shouldBe (("a", "a", 6L))  // 3 adjacent pairs per word x freq 2
+    rm(1) shouldBe (("aa", "aa", 2L))
+  }
+
   test("gopherRules: every signal closed-form, keep at the thresholds") {
     // 3 lines: bullet, ellipsis-terminated, plain. 9 words total, of
     // which "-" and "..." carry no letter.
