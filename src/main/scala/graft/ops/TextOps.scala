@@ -151,6 +151,34 @@ object TextOps {
       org.apache.spark.sql.Row(i, l, r, c) }.asJava, schema)
   }
 
+  /** Apply a trained BPE merge sequence to text: per word, start from
+    * character symbols and replay every merge in rank order, returning
+    * the subword token count (`n_tokens`) and fertility driver
+    * (`n_words`) per row. The whole encode is ONE projection — the
+    * merge list folds into nested codegen `regexp_replace` calls
+    * (plan size linear in the number of merges; fine for the
+    * vocabulary sizes a fertility analysis uses), so encoding rides
+    * the scan with zero shuffles, exactly how a tokenizer-fertility
+    * filter runs over 100 TB.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    // words -> per-word char-symbol state joined by DOUBLE separator
+    // (word boundaries must never merge), then replay the merges
+    val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    val sep2 = BpeSep + BpeSep
+    val charState = array_join(transform(words,
+      w => array_join(split(w, ""), BpeSep)), sep2)
+    val encoded = merges.foldLeft(charState) { case (state, (l, r)) =>
+      val pat = "(?<=^|" + BpeSep + ")" + java.util.regex.Pattern.quote(l) +
+        BpeSep + java.util.regex.Pattern.quote(r) +
+        "(?=" + BpeSep + "|$)"
+      regexp_replace(state, lit(pat),
+        lit(java.util.regex.Matcher.quoteReplacement(l + r)))
+    }
+    when(size(words) === 0, lit(0))
+      .otherwise(size(split(encoded, BpeSep + "+")))
+  }
+
   /** Quality metrics: length, word count, average word length,
     * punctuation count, stopword ratio, and a composite keep/drop flag —
     * the usual pre-training heuristics (length + punct + stopword ratio).

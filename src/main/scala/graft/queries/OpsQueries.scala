@@ -18,6 +18,13 @@ object OpsQueries {
     Tables.load(s, dir, "embeddings")
 
   // ---- SQL mirrors of TextOps formulas ---------------------------------
+  /** The fixed merge table for the t19 encode gate — the shape of a
+    * shipped tokenizer artifact (common English pairs).
+    */
+  private val encodeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
   private def occSql(x: String, marker: String): String =
     s"cast((length($x) - length(replace($x, '$marker', ''))) / ${marker.length} AS INT)"
 
@@ -1036,6 +1043,44 @@ object OpsQueries {
              |FROM p GROUP BY 1, 2
              |ORDER BY pair_count DESC, "left", "right"
              |LIMIT 20""".stripMargin)),
+
+    // BPE ENCODING under a fixed shipped merge table: per-doc subword
+    // token counts (the fertility statistic tokenizer selection cuts
+    // on). Spark replays the merges as boundary-anchored regex over
+    // the symbol state; DuckDB has no lookaround (RE2), so the oracle
+    // uses the equivalent wrapped-symbol formulation — every symbol
+    // wrapped in chr(1) markers, each merge one LITERAL replace —
+    // which matches full adjacent symbols left-to-right
+    // non-overlapping exactly like the anchored regex. Two different
+    // mechanizations of the same semantics agreeing on every document
+    // is the strongest equality this gate family gets.
+    QueryDef("t19_bpe_encode",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("n_words"),
+        TextOps.bpeTokenCount(col("text"), encodeMerges).as("n_tokens")),
+      Some {
+        val sep = "chr(1)"
+        val sep2 = "(chr(1) || chr(1))"
+        val base = s"$sep || array_to_string(list_transform(" +
+          s"range(1, length(word) + 1), i -> substr(word, cast(i AS INT)," +
+          s" 1)), $sep2) || $sep"
+        val merged = encodeMerges.foldLeft(base) { case (st, (l, r)) =>
+          s"replace($st, $sep || '$l' || $sep2 || '$r' || $sep, " +
+            s"$sep || '$l$r' || $sep)"
+        }
+        s"""WITH w AS (SELECT doc_id, unnest(list_filter(
+           |    string_split_regex(lower(trim(text)), '\\s+'),
+           |    x -> x <> '')) AS word FROM documents),
+           |enc AS (SELECT doc_id, $merged AS s FROM w),
+           |tk AS (SELECT doc_id, count(*) AS nw,
+           |    sum((length(s) - length(replace(s, chr(1) || chr(1), '')))
+           |        // 2 + 1) AS nt
+           |  FROM enc GROUP BY 1)
+           |SELECT d.doc_id, cast(coalesce(tk.nw, 0) AS INT) AS n_words,
+           |  cast(coalesce(tk.nt, 0) AS INT) AS n_tokens
+           |FROM (SELECT DISTINCT doc_id FROM documents) d
+           |LEFT JOIN tk ON d.doc_id = tk.doc_id""".stripMargin
+      }),
 
     // INCREMENTAL DSIR: the corpus-growth shape for the scoring tier
     // (the d13/d16 pattern) — the model state (bucket count table) is

@@ -207,6 +207,21 @@ class TextOpsSpec extends SparkSpec {
     rm(1) shouldBe (("aa", "aa", 2L))
   }
 
+  test("bpeTokenCount replays trained merges; boundaries never merge") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    // lowest -> [low, est]; newest -> [n, e, w, est]
+    val out = Seq((1L, "lowest newest"), (2L, ""), (3L, "ow wl"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        TextOps.bpeTokenCount($"text", merges).as("n_tokens"))
+      .orderBy("doc_id").as[(Long, Int)].collect()
+    out(0)._2 shouldBe 6
+    out(1)._2 shouldBe 0
+    // "ow wl": the (l,o) and (lo,w) merges must NOT fire across the
+    // word boundary (w|l adjacency) or inside reversed pairs
+    out(2)._2 shouldBe 4
+  }
+
   test("gopherRules: every signal closed-form, keep at the thresholds") {
     // 3 lines: bullet, ellipsis-terminated, plain. 9 words total, of
     // which "-" and "..." carry no letter.
