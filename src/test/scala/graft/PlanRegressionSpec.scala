@@ -261,6 +261,18 @@ class PlanRegressionSpec extends SparkSpec {
     (plan.split("BroadcastNestedLoopJoin").length - 1) should be <= 2 // 1 node: tree + detail lines
   }
 
+  test("bpeTokenCount is a zero-exchange projection; pair counts never window") {
+    val df = (1 to 30).map(i => (i.toLong, s"lowest newest token$i"))
+      .toDF("doc_id", "text")
+    val enc = formatted(df.select($"doc_id", graft.ops.TextOps
+      .bpeTokenCount($"text", Seq("e" -> "s", "es" -> "t")).as("n")))
+    enc.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    val pairs = formatted(graft.ops.TextOps.bpePairCounts(
+      graft.ops.TextOps.bpeWordTable(df, "text")))
+    pairs should not include "Window"
+    pairs should not include "CartesianProduct"
+  }
+
   test("corpusOverlap: one gram aggregate + one reduce per n, no joins") {
     val df = (1 to 30).map(i => (i.toLong, s"a b c token$i"))
       .toDF("doc_id", "text")
