@@ -68,12 +68,40 @@ object Bench {
       }
       (name, times.min, times.sum / times.length)
     }
+    def fmt(v: Double): String = f"$v%.3f"
     def jsonMap(f: ((String, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+      results.map(r => s"\"" + r._1 + "\":" + fmt(f(r))).mkString("{", ",", "}")
     val qs = jsonMap(_._2)
     val qsMean = jsonMap(_._3)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}"""
+    // Full per-query results: one stdout line (for complete logs) plus a
+    // file, because the driver's artifact keeps only the LAST ~2000
+    // chars of sbt output. With 120+ queries the full JSON line is
+    // several KB, so its head falls outside that tail window and the
+    // driver's parser has recorded `parsed: null` every round. The
+    // final printed line below is therefore a COMPACT JSON — total +
+    // the heaviest queries, greedily added while the line stays under
+    // the window budget (sbt appends its own "[success] Total time…"
+    // line after us, so leave headroom for it).
+    println(fullLine)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    val budget = 1500
+    val byCost = results.sortBy(-_._2)
+    val header =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"BENCH_full.json","queries":{"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = header.length + 2 // closing }}
+    for (r <- byCost) {
+      val e = "\"" + r._1 + "\":" + fmt(r._2)
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    println(header + entries.mkString(",") + "}}")
     spark.stop()
   }
 }
