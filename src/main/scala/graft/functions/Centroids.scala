@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -212,6 +212,27 @@ object Centroids {
     new GenericArrayData(out)
   }
 
+  /** Residual of `emb` against the GIVEN 1-based cell's centroid —
+    * emb − codebook[cell−1], elements promoted to double (static:
+    * called from codegen). The residual-PQ primitive: both the corpus
+    * encode side (residual vs the row's assigned cell) and the query
+    * ADC side (residual vs each probed cell) are this one kernel with
+    * a different cell column.
+    */
+  def residual(emb: ArrayData, isFloat: Boolean, cb: Array[Array[Double]],
+               cell: Int): ArrayData = {
+    val c = cb(cell - 1)
+    val n = math.min(emb.numElements(), c.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      out(i) = x - c(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private[functions] def fineOffsets(fine: Array[Array[Array[Double]]]): Array[Int] = {
     val offsets = new Array[Int](fine.length)
     var i = 1
@@ -243,6 +264,11 @@ object Centroids {
                          pCoarse: Int, nprobe: Int): Column =
     Bridge.column(HierarchicalProbes(Bridge.expression(emb), coarse, fine,
       pCoarse, nprobe))
+
+  def centroidResidual(emb: Column, cell: Column,
+                       codebook: Array[Array[Double]]): Column =
+    Bridge.column(CentroidResidual(Bridge.expression(emb),
+      Bridge.expression(cell), codebook))
 }
 
 private[functions] trait CentroidExpression extends UnaryExpression {
@@ -397,4 +423,46 @@ case class HierarchicalProbes(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "centroid_hier_probes"
+}
+
+/** (array<float|double> embedding, 1-based cell id) -> array<double>
+  * residual emb − codebook[cell−1]. The residual-PQ encode/ADC
+  * primitive ([[graft.ops.Similarity.ivfPqResidualTopK]]); one codegen
+  * node, codebook as a reference object.
+  */
+case class CentroidResidual(left: Expression, right: Expression,
+                            codebook: Array[Array[Double]])
+    extends BinaryExpression {
+
+  require(codebook.nonEmpty, "centroid codebook must be non-empty")
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float|double>, int), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(emb: Any, cell: Any): Any =
+    Centroids.residual(emb.asInstanceOf[ArrayData], isFloat, codebook,
+      cell.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("centroids", codebook, "double[][]")
+    nullSafeCodeGen(ctx, ev, (e, c) =>
+      s"${ev.value} = graft.functions.Centroids.residual($e, $isFloat, $cbRef, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "centroid_residual"
 }

@@ -22,7 +22,8 @@ object Pq {
   /** code_j = argmin_i ||x[j·sub .. ) - cb[j][i·sub .. )||², ties to the
     * lowest centroid id.
     */
-  def encode(emb: ArrayData, cb: Array[Array[Double]], sub: Int): ArrayData = {
+  def encode(emb: ArrayData, isFloat: Boolean, cb: Array[Array[Double]],
+             sub: Int): ArrayData = {
     val m = cb.length
     val out = new Array[Int](m)
     var j = 0
@@ -36,7 +37,9 @@ object Pq {
         var d = 0.0
         var t = 0
         while (t < sub) {
-          val diff = emb.getFloat(j * sub + t) - cbj(i * sub + t)
+          val x = if (isFloat) emb.getFloat(j * sub + t).toDouble
+                  else emb.getDouble(j * sub + t)
+          val diff = x - cbj(i * sub + t)
           d += diff * diff
           t += 1
         }
@@ -50,8 +53,8 @@ object Pq {
   }
 
   /** ADC distance: Σ_j ||q[j·sub ..) - cb[j][code_j·sub ..)||². */
-  def adc(q: ArrayData, codes: ArrayData, cb: Array[Array[Double]],
-          sub: Int): Double = {
+  def adc(q: ArrayData, isFloat: Boolean, codes: ArrayData,
+          cb: Array[Array[Double]], sub: Int): Double = {
     val m = cb.length
     var d = 0.0
     var j = 0
@@ -60,7 +63,9 @@ object Pq {
       val c = codes.getInt(j)
       var t = 0
       while (t < sub) {
-        val diff = q.getFloat(j * sub + t) - cbj(c * sub + t)
+        val x = if (isFloat) q.getFloat(j * sub + t).toDouble
+                else q.getDouble(j * sub + t)
+        val diff = x - cbj(c * sub + t)
         d += diff * diff
         t += 1
       }
@@ -70,60 +75,70 @@ object Pq {
   }
 }
 
-/** array<float> embedding -> array<int> PQ codes. */
+/** array<float|double> embedding -> array<int> PQ codes. */
 case class PqEncode(child: Expression, codebook: Array[Array[Double]],
                     sub: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) =>
+      case ArrayType(FloatType | DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"pq_encode expects array<float>, got ${other.sql}")
+          s"pq_encode expects array<float|double>, got ${other.sql}")
     }
 
   override def nullSafeEval(input: Any): Any =
-    Pq.encode(input.asInstanceOf[ArrayData], codebook, sub)
+    Pq.encode(input.asInstanceOf[ArrayData], isFloat, codebook, sub)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCb", codebook, "double[][]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Pq.encode($c, $cbRef, $sub);")
+      s"${ev.value} = graft.functions.Pq.encode($c, $isFloat, $cbRef, $sub);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-/** (array<float> query, array<int> codes) -> ADC squared distance. */
+/** (array<float|double> query, array<int> codes) -> ADC squared distance. */
 case class PqAdcDistance(left: Expression, right: Expression,
                          codebook: Array[Array[Double]], sub: Int)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"pq_adc expects (array<float>, array<int>), got (${l.sql}, ${r.sql})")
+          s"pq_adc expects (array<float|double>, array<int>), got (${l.sql}, ${r.sql})")
     }
 
   override def nullSafeEval(q: Any, codes: Any): Any =
-    Pq.adc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+    Pq.adc(q.asInstanceOf[ArrayData], isFloat, codes.asInstanceOf[ArrayData],
       codebook, sub)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCb", codebook, "double[][]")
     nullSafeCodeGen(ctx, ev, (q, c) =>
-      s"${ev.value} = graft.functions.Pq.adc($q, $c, $cbRef, $sub);")
+      s"${ev.value} = graft.functions.Pq.adc($q, $isFloat, $c, $cbRef, $sub);")
   }
 
   override protected def withNewChildrenInternal(

@@ -603,4 +603,39 @@ object KMeans {
       full.flatten
     }
   }
+
+  /** Train a RESIDUAL PQ codebook (the FAISS IVFPQ production recipe):
+    * each sampled vector is assigned to its nearest cell under
+    * `centroids` and the per-subspace k-means runs over the RESIDUALS
+    * (emb − centroid[cell]). Residuals concentrate around zero within a
+    * cell, so the same ks spans much less space than raw-vector PQ —
+    * the quantization-error win [[graft.ops.Similarity.ivfPqResidualTopK]]
+    * exploits. Training stays sample-bounded; assignment here is
+    * driver-side over the sample only (the data-path assignment is the
+    * distributed CentroidAssign projection).
+    */
+  def trainResidualPqCodebook(vecs: DataFrame, idCol: String, embCol: String,
+                              centroids: Array[Array[Double]],
+                              m: Int, ks: Int, dim: Int,
+                              sampleCap: Int = 65536, iters: Int = 10,
+                              seed: Long = 42L): Array[Array[Double]] = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val sample = sampleVectors(vecs, idCol, embCol, sampleCap)
+    val residuals = sample.map { v =>
+      val cell = graft.functions.Centroids.assign(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        isFloat = false, centroids) - 1
+      val c = centroids(cell)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    Array.tabulate(m) { j =>
+      val subSample = residuals.map(_.slice(j * sub, (j + 1) * sub))
+      val cents = fitEuclidean(subSample, ks, iters, seed + j)
+      val full =
+        if (cents.length >= ks) cents
+        else Array.tabulate(ks)(i => cents(i % cents.length))
+      full.flatten
+    }
+  }
 }

@@ -299,6 +299,99 @@ object Similarity {
       .select("q_id", "n_id", "rank", "adc")
   }
 
+  /** Deterministic seed codebook for RESIDUAL PQ: the residuals of the
+    * first ks corpus vectors against their assigned cells under
+    * `cellCb`, subspace-sliced — the n05 default-codebook scheme
+    * carried to residual space, so the n13 gate replays it exactly.
+    */
+  private def defaultResidualPqCodebook(corpus: DataFrame, m: Int, ks: Int,
+      sub: Int, cellCb: Array[Array[Double]]): Array[Array[Double]] = {
+    val seeds = firstVectors(corpus, ks)
+    val res = seeds.map { v =>
+      val cell = graft.functions.Centroids.assign(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        isFloat = false, cellCb) - 1
+      val c = cellCb(cell)
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    Array.tabulate(m)(j => res.flatMap(v => v.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Exhaustive RESIDUAL-PQ scan — the correctness baseline for
+    * [[ivfPqResidualTopK]] (its probe-all case must reproduce this
+    * row-for-row, gate n13). Every corpus row is coded as the PQ of its
+    * residual against its assigned cell; the ADC compares the QUERY's
+    * residual against the SAME cell, so the shared centroid cancels —
+    * this is FAISS's IVFPQ-with-residual identity. All-pairs by
+    * construction (gate baseline only; production = ivfPqResidualTopK).
+    */
+  def pqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     nlist: Int = 16, m: Int = 8, ks: Int = 16, dim: Int = 64,
+                     centroids: Option[Array[Array[Double]]] = None,
+                     codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cellCb = centroids.getOrElse(firstVectors(corpus, nlist))
+    val cb = codebook.getOrElse(
+      defaultResidualPqCodebook(corpus, m, ks, sub, cellCb))
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding"),
+      C.centroidAssign(col("embedding"), cellCb).as("cell"))
+      .withColumn("codes", P.pqEncode(
+        C.centroidResidual(col("embedding"), col("cell"), cellCb), cb, sub))
+      .drop("embedding")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", P.pqAdc(
+        C.centroidResidual(col("q_emb"), col("cell"), cellCb),
+        col("codes"), cb, sub))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "adc")
+  }
+
+  /** IVF+PQ with RESIDUAL encoding — the production FAISS IVFPQ: codes
+    * quantize (emb − centroid[cell]) instead of the raw vector, so the
+    * ks sub-centroids only need to span the within-cell spread rather
+    * than the whole space (the quantization-error win that makes
+    * byte-sized codes usable at 100 TB). Corpus side: ONE
+    * CentroidAssign + ONE CentroidResidual + ONE PqEncode, all in the
+    * scan's codegen stage. Query side: per probed cell the query's
+    * residual against THAT cell (the candidate's cell is the join key,
+    * so both sides subtract the same centroid and it cancels in the
+    * distance). Probe-all must equal [[pqResidualTopK]] exactly.
+    */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        m: Int = 8, ks: Int = 16, dim: Int = 64,
+                        centroids: Option[Array[Array[Double]]] = None,
+                        codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cellCb = centroids.getOrElse(firstVectors(corpus, nlist))
+    val cb = codebook.getOrElse(
+      defaultResidualPqCodebook(corpus, m, ks, sub, cellCb))
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding"),
+      C.centroidAssign(col("embedding"), cellCb).as("cell"))
+      .withColumn("codes", P.pqEncode(
+        C.centroidResidual(col("embedding"), col("cell"), cellCb), cb, sub))
+      .drop("embedding")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      explode(C.centroidProbes(col("embedding"), cellCb, nprobe)).as("cell"))
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", P.pqAdc(
+        C.centroidResidual(col("q_emb"), col("cell"), cellCb),
+        col("codes"), cb, sub))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "adc")
+  }
+
   /** Two-stage retrieval — the standard production ANN shape: a cheap
     * compressed first stage ([[ivfPqTopK]]) over-fetches
     * `candidateK` ≫ k candidates per query, then ONLY those candidates'

@@ -265,6 +265,34 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // RESIDUAL IVF+PQ (the production FAISS IVFPQ): codes quantize
+    // emb − centroid[cell], the ADC compares the query's residual
+    // against the SAME cell (the shared centroid cancels). Gate:
+    // probing EVERY cell must reproduce the exhaustive residual-PQ
+    // scan EXACTLY — same deterministic cell codebook (first-32) and
+    // residual sub-codebooks (first-64 residuals), same tie-break
+    // (n08 precedent). A residual computed against the wrong cell, a
+    // lost code, or an encode/ADC asymmetry breaks per-row equality.
+    QueryDef("n13_ann_ivfpq_residual",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val base = Similarity.pqResidualTopK(q, e, 5, nlist = 32,
+            m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val ivfpq = Similarity.ivfPqResidualTopK(q, e, 5, nlist = 32,
+            nprobe = 32, m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(ivfpq.withColumnRenamed("rank", "rank_ivfpq"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_base") === col("rank_ivfpq"), 1)
+            .otherwise(0))).as("probe_all_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Cluster purity over the deterministic first-16 centroid scheme
     // (the same assignment the n03 oracle replays): per-cell majority
     // label fraction from exact integer counts. The embedding-quality

@@ -279,6 +279,74 @@ class KMeansSpec extends SparkSpec {
     partial.groupBy("q_id").count().collect().foreach(_.getLong(1) should be <= 3L)
   }
 
+  test("residual IVFPQ: probe-all == exhaustive residual scan; residual quantizes tighter") {
+    val vecs = randVecs(200, 32, 61)
+    val q = vecs.filter($"vec_id" < 4)
+    // probe-all equality under the deterministic default codebooks
+    val base = Similarity.pqResidualTopK(q, vecs, k = 3, nlist = 16,
+        m = 8, ks = 16, dim = 32)
+      .select("q_id", "n_id", "rank")
+    val ivf = Similarity.ivfPqResidualTopK(q, vecs, k = 3, nlist = 16,
+        nprobe = 16, m = 8, ks = 16, dim = 32)
+      .select("q_id", "n_id", "rank")
+    ivf.exceptAll(base).count() shouldBe 0L
+    base.exceptAll(ivf).count() shouldBe 0L
+    // ...and under TRAINED cells + trained residual codebooks
+    val cells = KMeans.trainCentroids(vecs, "vec_id", "embedding", 16, iters = 2)
+    val rcb = KMeans.trainResidualPqCodebook(vecs, "vec_id", "embedding",
+      cells, m = 8, ks = 16, dim = 32, iters = 2)
+    val baseT = Similarity.pqResidualTopK(q, vecs, k = 3, nlist = 16,
+        m = 8, ks = 16, dim = 32,
+        centroids = Some(cells), codebook = Some(rcb))
+      .select("q_id", "n_id", "rank")
+    val ivfT = Similarity.ivfPqResidualTopK(q, vecs, k = 3, nlist = 16,
+        nprobe = 16, m = 8, ks = 16, dim = 32,
+        centroids = Some(cells), codebook = Some(rcb))
+      .select("q_id", "n_id", "rank")
+    ivfT.exceptAll(baseT).count() shouldBe 0L
+    baseT.exceptAll(ivfT).count() shouldBe 0L
+  }
+
+  test("residual PQ halves quantization error on clustered data") {
+    // planted clusters on the unit sphere, MORE clusters than ks: raw
+    // PQ's ks sub-centroids cannot cover every cluster's position per
+    // subspace; residual PQ only has to span the within-cluster noise —
+    // the FAISS IVFPQ motivation, asserted as self-ADC (the exact
+    // squared quantization error of each vector). Unit-norm data is
+    // the cosine-ANN convention this tier assumes: the spherical cell
+    // centroids are unit vectors, so residuals against them are small
+    // exactly when the inputs are normalized too.
+    val r = new scala.util.Random(23)
+    val dim = 32
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(32)(unit(Array.fill(dim)(r.nextGaussian())))
+    val vecs = (0L until 320L).map { i =>
+      val c = centers((i % 32).toInt)
+      val raw = unit(Array.tabulate(dim)(d => c(d) + 0.05 * r.nextGaussian()))
+      (i, raw.map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val cells = KMeans.trainCentroids(vecs, "vec_id", "embedding", 32, iters = 5)
+    val rawCb = KMeans.trainPqCodebook(vecs, "vec_id", "embedding",
+      m = 8, ks = 8, dim = dim, iters = 5)
+    val resCb = KMeans.trainResidualPqCodebook(vecs, "vec_id", "embedding",
+      cells, m = 8, ks = 8, dim = dim, iters = 5)
+    import graft.functions.{Centroids, PqColumns}
+    val sub = dim / 8
+    val rawErr = vecs.select(PqColumns.pqAdc($"embedding",
+        PqColumns.pqEncode($"embedding", rawCb, sub), rawCb, sub).as("e"))
+      .agg(avg($"e")).head.getDouble(0)
+    val resErr = vecs
+      .withColumn("cell", Centroids.centroidAssign($"embedding", cells))
+      .withColumn("res", Centroids.centroidResidual($"embedding", $"cell", cells))
+      .select(PqColumns.pqAdc($"res",
+        PqColumns.pqEncode($"res", resCb, sub), resCb, sub).as("e"))
+      .agg(avg($"e")).head.getDouble(0)
+    resErr should be < rawErr * 0.5
+  }
+
   test("twoStageTopK: exhaustive candidates == brute force; narrow stays bounded") {
     val vecs = randVecs(200, 32, 53)
     val q = vecs.filter($"vec_id" < 4)
