@@ -46,4 +46,158 @@ object Embeddings {
           (acc, x) => greatest(acc, abs(x.cast("double")))), lit(1e-30)))
       .withColumn("q_vec", transform(col(vecCol),
         x => round(x.cast("double") * col("q_scale")).cast("int")))
+
+  /** Fitted PCA transform: `basis` rows are the top-k eigenvectors of
+    * the sample covariance (eigenvalue-descending, sign-normalized),
+    * `eigenvalues` their variances.
+    */
+  final case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
+                            basis: Array[Array[Double]])
+
+  /** Fit a PCA basis on a bounded deterministic sample (the
+    * [[KMeans.sampleVectors]] md5-ranked scheme — the FAISS PCA-matrix
+    * recipe: train the rotation on a sample, apply it distributed).
+    * Driver cost: O(cap·dim²) for the covariance + O(dim³) per Jacobi
+    * sweep — dim is an embedding width (≤ a few thousand), so the
+    * dense eigensolve is driver-trivial; nothing here scales with the
+    * corpus. Deterministic: cyclic Jacobi with fixed sweep order, sign
+    * normalized so each eigenvector's largest-|component| entry is
+    * positive (first index on ties), ties in eigenvalue order broken
+    * by original column index (stable sort).
+    */
+  def pcaFit(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+             sampleCap: Int = 65536): PcaModel = {
+    val sample = KMeans.sampleVectors(vecs, idCol, embCol, sampleCap)
+    require(sample.nonEmpty, "pcaFit needs a non-empty sample")
+    val dim = sample.head.length
+    require(k >= 1 && k <= dim, s"k ($k) must be in [1, $dim]")
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { v =>
+      var i = 0; while (i < dim) { mean(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      var a = 0
+      while (a < dim) {
+        val ca = v(a) - mean(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += ca * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) {
+        cov(a)(b) /= n
+        cov(b)(a) = cov(a)(b)
+        b += 1
+      }
+      a += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    // order components by eigenvalue desc (stable on ties), take k,
+    // normalize signs for replayability
+    val order = evals.indices.sortBy(j => (-evals(j), j))
+    val top = order.take(k).toArray
+    val basis = top.map { j =>
+      val v = Array.tabulate(dim)(r => evecs(r)(j))
+      var best = 0
+      var bestA = -1.0
+      var t = 0
+      while (t < dim) {
+        val av = math.abs(v(t))
+        if (av > bestA) { bestA = av; best = t }
+        t += 1
+      }
+      if (v(best) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, top.map(evals), basis)
+  }
+
+  /** y = B·(x − μ): one codegen node ([[graft.functions.PcaProject]]),
+    * basis as a reference object — a pure projection, free rider on
+    * any scan; plan size independent of k.
+    */
+  def pcaProject(df: DataFrame, embCol: String, model: PcaModel,
+                 outCol: String = "pca_vec"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.Projections.pcaProject(col(embCol), model.mean, model.basis))
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector MATRIX with eigenvectors as columns).
+    * Deterministic fixed sweep order; converges quadratically — 30
+    * sweeps is far past machine precision for embedding-width
+    * matrices.
+    */
+  private[ops] def jacobiEigen(mIn: Array[Array[Double]],
+                               maxSweeps: Int = 30,
+                               tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
+    val dim = mIn.length
+    val m = mIn.map(_.clone())
+    val v = Array.tabulate(dim, dim)((r, c) => if (r == c) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(m)
+    while (sweep < maxSweeps && off > tol) {
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > tol / (dim * dim)) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var r = 0
+            while (r < dim) {
+              val mrp = m(r)(p); val mrq = m(r)(q)
+              m(r)(p) = c * mrp - s * mrq
+              m(r)(q) = s * mrp + c * mrq
+              r += 1
+            }
+            r = 0
+            while (r < dim) {
+              val mpr = m(p)(r); val mqr = m(q)(r)
+              m(p)(r) = c * mpr - s * mqr
+              m(q)(r) = s * mpr + c * mqr
+              r += 1
+            }
+            r = 0
+            while (r < dim) {
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(m)
+      sweep += 1
+    }
+    (Array.tabulate(dim)(j => m(j)(j)), v)
+  }
+
+  private def offDiagNorm(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var a = 0
+    while (a < m.length) {
+      var b = 0
+      while (b < m.length) {
+        if (a != b) s += m(a)(b) * m(a)(b)
+        b += 1
+      }
+      a += 1
+    }
+    math.sqrt(s)
+  }
 }

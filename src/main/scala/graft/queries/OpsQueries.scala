@@ -396,6 +396,42 @@ object OpsQueries {
              |  q_scale, norm
              |FROM v, unnest(range(1, len(embedding) + 1)) AS t(i)""".stripMargin)),
 
+    // PCA dimension reduction (e02): the basis trains on the bounded
+    // md5-ranked sample (driver-side covariance + Jacobi — the FAISS
+    // PCA-matrix recipe), projection is ONE codegen node. Oracle
+    // trick: at FULL rank an orthonormal basis preserves pairwise
+    // euclidean distances (centering cancels in differences), so
+    // DuckDB can check the projection from the ORIGINAL embeddings
+    // without ever seeing the eigenvectors. A basis that is not
+    // orthonormal, not full-rank, or a projection that mangles any
+    // coordinate breaks the equality; the k<dim reduction semantics
+    // (variance ordering, reconstruction) are spec-pinned.
+    QueryDef("e02_pca_distance_preserved",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val model = Embeddings.pcaFit(e, "vec_id", "embedding", k = 64)
+        val proj = Embeddings.pcaProject(e.filter(col("vec_id") < 40),
+          "embedding", model)
+        val a = proj.select(col("vec_id").as("id_a"), col("pca_vec").as("pa"))
+        val b = proj.select(col("vec_id").as("id_b"), col("pca_vec").as("pb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("dist", round(sqrt(aggregate(
+            zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
+            lit(0.0d), _ + _)), 4))
+          .select("id_a", "id_b", "dist")
+      },
+      Some("""WITH p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    a.embedding AS ea, b.embedding AS eb
+             |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |  WHERE a.vec_id < 40 AND b.vec_id < 40),
+             |d AS (
+             |  SELECT id_a, id_b,
+             |    sum((ea[i]::DOUBLE - eb[i]::DOUBLE) ^ 2) AS s
+             |  FROM p, unnest(range(1, len(ea) + 1)) AS t(i)
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(sqrt(s), 4) AS dist FROM d""".stripMargin)),
+
     // Bounded top-k per group via the custom TypedImperativeAggregate:
     // k-element heaps partial-aggregate map-side (the shuffle carries
     // <= k pairs per group per task — no full sort of the input, unlike

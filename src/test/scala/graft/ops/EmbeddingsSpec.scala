@@ -37,4 +37,50 @@ class EmbeddingsSpec extends SparkSpec {
     val r1 = rows.find(_.getLong(0) == 1L).get
     r1.getSeq[Int](3) shouldBe Seq(95, 127)
   }
+
+  private def anisotropic(n: Int, dim: Int, seed: Int) = {
+    // variance decays by axis: component d has stddev 1/(d+1), so the
+    // true principal axes are the coordinate axes in order
+    val r = new scala.util.Random(seed)
+    (0L until n.toLong).map { i =>
+      (i, Array.tabulate(dim)(d => (r.nextGaussian() / (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("pcaFit: orthonormal basis, descending eigenvalues, deterministic") {
+    val df = anisotropic(2000, 8, 11)
+    val m = Embeddings.pcaFit(df, "vec_id", "embedding", k = 8)
+    m.basis.length shouldBe 8
+    // orthonormality: B·Bᵀ == I
+    for (a <- m.basis.indices; b <- m.basis.indices) {
+      val dot = m.basis(a).zip(m.basis(b)).map { case (x, y) => x * y }.sum
+      dot shouldBe (if (a == b) 1.0 else 0.0) +- 1e-9
+    }
+    m.eigenvalues.toSeq shouldBe m.eigenvalues.sorted(Ordering[Double].reverse).toSeq
+    // axis-aligned data: eigenvalues track the planted 1/(d+1)² decay
+    for (d <- 0 until 8)
+      m.eigenvalues(d) shouldBe (1.0 / ((d + 1.0) * (d + 1.0))) +- 0.05
+    // the d-th component is the d-th coordinate axis (up to sign fixed
+    // by the normalization)
+    for (d <- 0 until 8)
+      math.abs(m.basis(d)(d)) shouldBe 1.0 +- 0.05
+    val m2 = Embeddings.pcaFit(df, "vec_id", "embedding", k = 8)
+    m2.mean.toSeq shouldBe m.mean.toSeq
+    m2.basis.map(_.toSeq).toSeq shouldBe m.basis.map(_.toSeq).toSeq
+  }
+
+  test("pcaProject: projected variance equals the eigenvalue; truncation keeps top variance") {
+    val df = anisotropic(2000, 8, 13)
+    val m = Embeddings.pcaFit(df, "vec_id", "embedding", k = 4)
+    val proj = Embeddings.pcaProject(df, "embedding", m)
+      .select(posexplode($"pca_vec").as(Seq("comp", "y")))
+    val vars = proj.groupBy("comp")
+      .agg(avg($"y" * $"y").as("v")) // components are centered by construction
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (d <- 0 until 4)
+      vars(d) shouldBe m.eigenvalues(d) +- 1e-9
+    // k=4 keeps the 4 largest variances of the planted spectrum
+    m.eigenvalues.length shouldBe 4
+    m.eigenvalues.last should be > 1.0 / 36.0 // > the 6th axis variance
+  }
 }
