@@ -425,6 +425,35 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
 
+  /** QUALITY-AWARE cluster dedup: keep, per near-dup component, the
+    * member with the best `qualityCol` (higher wins; ties to the
+    * lowest id) instead of [[dropClusterDuplicates]]' arbitrary min-id
+    * representative — the production "which duplicate survives"
+    * policy (keep-longest, keep-highest-quality-score, …; pass a
+    * negated column for lower-is-better metrics).
+    *
+    * Scale shape: the argmax aggregate runs ONLY over docs that
+    * appear in `components` (nodes of some near-dup pair — a small
+    * fraction of a real corpus); singletons pass through one
+    * left-anti join untouched, the p13 discipline. The aggregate is
+    * `max_by` over (quality, −id) with map-side combine — one shuffle
+    * of (component, quality, id) triples, never the doc payloads.
+    * `idCol` must be numeric (the tie-break negates it).
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String,
+                         components: DataFrame,
+                         qualityCol: String): DataFrame = {
+    val clustered = docs.join(components, docs(idCol) === components("doc_id"))
+    val winners = clustered.groupBy("component")
+      .agg(max_by(docs(idCol),
+        struct(col(qualityCol), -docs(idCol))).as("__keep"))
+      .select(col("__keep").as("__keep_id"))
+    val singletons = docs.join(components,
+      docs(idCol) === components("doc_id"), "left_anti")
+    singletons.unionByName(
+      docs.join(winners, docs(idCol) === col("__keep_id"), "left_semi"))
+  }
+
   /** EXACT duplicated-SPAN removal (Lee et al., "Deduplicating Training
     * Data Makes Language Models Better", ACL 2022): instead of dropping
     * whole near-dup documents, cut from every document each maximal

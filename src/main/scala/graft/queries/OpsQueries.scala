@@ -509,6 +509,30 @@ object OpsQueries {
               |LEFT JOIN comps c ON c.doc_id = d.doc_id
               |WHERE c.doc_id IS NULL OR c.component = d.doc_id""".stripMargin)),
 
+    // Quality-aware cluster dedup: per near-dup component keep the
+    // BEST member (longest text here — the keep-longest policy; ties
+    // to the lowest id) instead of d09's min-id representative.
+    // Oracle: the d06/d09 recursive-CTE truth closure plus a window
+    // replaying the same argmax over the same clusters.
+    QueryDef("d18_keep_best_per_cluster",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val comps = Dedup.connectedComponents(
+          Dedup.minhashLsh(d, "text", "doc_id").select("doc_a", "doc_b"))
+        Dedup.keepBestPerCluster(d, "doc_id", comps, "n_chars")
+          .select("doc_id", "source", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE $trueJaccardSql,
+              |$ccFromTruthSql,
+              |ranked AS (
+              |  SELECT c.doc_id,
+              |    row_number() OVER (PARTITION BY c.component
+              |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+              |  FROM comps c JOIN documents d ON d.doc_id = c.doc_id)
+              |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+              |LEFT JOIN ranked k ON k.doc_id = d.doc_id
+              |WHERE k.doc_id IS NULL OR k.rn = 1""".stripMargin)),
+
     // Two-phase fuzzy dedup, exact-verify stage: LSH candidates
     // confirmed by true Levenshtein distance relative to the longer
     // doc. Full oracle: DuckDB recomputes the candidate set exactly

@@ -144,6 +144,21 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 4L, 5L) // 2,3 fold into cluster rep 1
   }
 
+  test("keepBestPerCluster: quality argmax, low-id ties, singleton pass-through") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster A: 2 and 3 tie on quality
+      (4L, 99L),                       // singleton, worst-case high quality
+      (5L, 5L), (6L, 7L)               // cluster B: 6 wins
+    ).toDF("doc_id", "quality")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "component")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", comps, "quality")
+      .select("doc_id").as[Long].collect().sorted
+    // cluster A: quality tie between 2 and 3 -> lowest id (2); the
+    // min-id representative (1) loses on quality. cluster B: 6 wins.
+    kept shouldBe Array(2L, 4L, 6L)
+  }
+
   test("incremental LSH loop leaks no cached plans across batches") {
     // a long-running corpus-growth loop must not accumulate one cached
     // plan per batch (the round-4 allSig leak shape): run three
