@@ -54,12 +54,6 @@ object RelationalQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TradesFixture]
   private val auditFactMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  // (refreshed-by-applyBatch2 models, full-rebuild models) per
-  // (session, dir) — shared by q47 (equality diff) and q48 (continuity
-  // audit) so the warehouse chains build and cache once
-  private val batch2Memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Map[String, DataFrame], Map[String, DataFrame])]
-
   /** Memo lookup with a session-liveness sweep: entries are keyed by
     * session INSTANCE, so a stopped-and-replaced session can never be
     * served another session's frames — but entries bound to a dead
@@ -131,47 +125,64 @@ object RelationalQueries {
       Seq("hh_t_id"), "left_semi"))
   }
 
-  private[queries] def batch2Fixture(s: SparkSession, dir: String)
-      : (Map[String, DataFrame], Map[String, DataFrame]) =
-    memoGet(batch2Memo, s, dir) {
-      val src = warehouseSources(s, dir)
-      val cut = lit("1996-01-01").cast("timestamp")
-      val b1 = src ++ deltaSlice(src, None, Some(cut))
-      val b2 = deltaSlice(src, Some(cut), None)
-      val refreshed = graft.models.Warehouse.applyBatch2(
-        new graft.models.Warehouse(b1, sharedCacheMat), b2, sharedCacheMat)
-      val full = new graft.models.Warehouse(src, sharedCacheMat).all.toMap
-      (refreshed, full)
-    }
+  // ONE memoized three-way split drives all four warehouse-level gates:
+  // q47/q48 gate the single-batch apply (b2 onto wh(b1)), q49/q50 gate
+  // the chained apply REUSING that same refreshed warehouse (b3 onto
+  // it). The suite then evaluates wh(b1) + merge(b2) [shared by both
+  // pairs] + merge(b3) + full(b1∪b2) + full(src) — where independent
+  // per-gate fixtures (round 5: cuts 1996 for q47, 1995/1997 for q49)
+  // evaluated TWO disjoint b1 warehouses and THREE merges from
+  // different cuts with zero plan sharing; the chained side was the
+  // whole q49 solo cost. Sensitivity is unchanged: q47 still proves a
+  // bounded single batch, q49 still proves merge-on-merged over the
+  // full three-way sequence against an independent full rebuild.
+  private val batchChainMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (Map[String, DataFrame], Map[String, DataFrame],
+       Map[String, DataFrame], Map[String, DataFrame])]
 
-  private val batch3Memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Map[String, DataFrame], Map[String, DataFrame])]
-
-  /** Three-way batch split for the CHAINING gates (q49/q50): the full
-    * TPC-DI batch sequence — applyBatch(applyBatch(wh(b1), b2), b3) —
-    * against a clean full rebuild over b1∪b2∪b3. The chained side
-    * exercises merge-on-merged composition: batch3's SCD2 merge reads
-    * versions batch2's merge minted, and the trades/fact merges rebuild
-    * keys that may already have been rebuilt once — exactly where
-    * re-close/idempotency bugs live. The full-rebuild side shares plans
-    * (and cacheOnce cache entries) with batch2Fixture's.
-    */
-  private[queries] def batch3Fixture(s: SparkSession, dir: String)
-      : (Map[String, DataFrame], Map[String, DataFrame]) =
-    memoGet(batch3Memo, s, dir) {
+  private def batchChainFixture(s: SparkSession, dir: String)
+      : (Map[String, DataFrame], Map[String, DataFrame],
+         Map[String, DataFrame], Map[String, DataFrame]) =
+    memoGet(batchChainMemo, s, dir) {
       val src = warehouseSources(s, dir)
-      val cut1 = lit("1995-01-01").cast("timestamp")
+      val cut1 = lit("1996-01-01").cast("timestamp")
       val cut2 = lit("1997-01-01").cast("timestamp")
       val b1 = src ++ deltaSlice(src, None, Some(cut1))
       val b2 = deltaSlice(src, Some(cut1), Some(cut2))
       val b3 = deltaSlice(src, Some(cut2), None)
-      val chained = graft.models.Warehouse.applyBatch(
-        graft.models.Warehouse.applyBatch(
-          new graft.models.Warehouse(b1, sharedCacheMat), b2, sharedCacheMat),
-        b3, sharedCacheMat).all.toMap
-      val full = new graft.models.Warehouse(src, sharedCacheMat).all.toMap
-      (chained, full)
+      val refreshed2 = graft.models.Warehouse.applyBatch(
+        new graft.models.Warehouse(b1, sharedCacheMat), b2, sharedCacheMat)
+      val chained3 = graft.models.Warehouse.applyBatch(refreshed2, b3,
+        sharedCacheMat)
+      val full2 = new graft.models.Warehouse(
+        src ++ deltaSlice(src, None, Some(cut2)), sharedCacheMat).all.toMap
+      val full3 = new graft.models.Warehouse(src, sharedCacheMat).all.toMap
+      (refreshed2.all.toMap, full2, chained3.all.toMap, full3)
     }
+
+  /** Single-batch fixture view (q47/q48): b2 = [1996, 1997) applied to
+    * wh(<1996), against a full rebuild over everything < 1997.
+    */
+  private[queries] def batch2Fixture(s: SparkSession, dir: String)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
+    val (refreshed2, full2, _, _) = batchChainFixture(s, dir)
+    (refreshed2, full2)
+  }
+
+  /** Chaining fixture view (q49/q50): the full TPC-DI batch sequence —
+    * applyBatch(applyBatch(wh(b1), b2), b3) — against a clean full
+    * rebuild over b1∪b2∪b3. The chained side exercises merge-on-merged
+    * composition: batch3's SCD2 merge reads versions batch2's merge
+    * minted, and the trades/fact merges rebuild keys that may already
+    * have been rebuilt once — exactly where re-close/idempotency bugs
+    * live.
+    */
+  private[queries] def batch3Fixture(s: SparkSession, dir: String)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = {
+    val (_, _, chained3, full3) = batchChainFixture(s, dir)
+    (chained3, full3)
+  }
 
   /** One-pass signed multiset diff per model (±1 per side, net 0 per
     * row when equal): each warehouse chain evaluates ONCE per model,
