@@ -127,6 +127,64 @@ object Embeddings {
     df.withColumn(outCol,
       graft.functions.Projections.pcaProject(col(embCol), model.mean, model.basis))
 
+  /** PCA + EIGENVALUE ALLOCATION (the OPQ non-parametric
+    * initialization, Ge et al. 2013 §4.1 — FAISS's OPQ pre-rotation):
+    * fit the top-k PCA basis, then PERMUTE the components so the
+    * spectrum spreads across the m product-quantizer subspace blocks
+    * with balanced log-determinants. PQ's high-rate distortion is
+    * Σ_j (det Σ_j)^(1/sub) over its blocks; among block-diagonal
+    * arrangements the block products multiply to the fixed det Σ, so
+    * by AM-GM the sum is minimized when the dets are EQUAL — and
+    * PCA's native eigenvalue ordering (whole spectrum into the
+    * leading block) is the worst arrangement. A random rotation does
+    * NOT work here: mixing destroys block-diagonality and Fischer's
+    * inequality only raises Π det_j. The greedy allocation (sort
+    * eigenvalues desc, place each into the non-full block with the
+    * smallest running log-det) is deterministic, orthonormal (a row
+    * permutation of B), and distance-preserving at full rank exactly
+    * like the unpermuted basis. OpqSpec pins the quantization-error
+    * cut on anisotropic data.
+    *
+    * `eigenvalues` is permuted alongside the rows, so
+    * eigenvalues(j) still describes basis row j.
+    */
+  def pcaFitBalanced(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+                     m: Int, sampleCap: Int = 65536): PcaModel = {
+    require(k % m == 0, s"m ($m) must divide k ($k)")
+    val m0 = pcaFit(vecs, idCol, embCol, k, sampleCap)
+    val sub = k / m
+    val logSum = new Array[Double](m)
+    val counts = new Array[Int](m)
+    val blockOf = new Array[Int](k)
+    // Balanced log-dets = LPT scheduling on item costs −log λ: process
+    // components by DESCENDING cost (ascending λ — pcaFit delivers
+    // them descending, so iterate in reverse) and place each into the
+    // non-full block with the LARGEST running log-product (= smallest
+    // accumulated cost). The naive "min product gets the next largest
+    // eigenvalue" reading degenerates for spectra entirely below 1:
+    // every log is negative, the current minimum only ever attracts
+    // more mass, and the allocation collapses back to PCA's native
+    // order (observed, not hypothesized). Ties break to the emptier
+    // block so the first m items seed m distinct blocks.
+    for (j <- (k - 1) to 0 by -1) {
+      var best = -1
+      for (b <- 0 until m) {
+        if (counts(b) < sub && (best < 0 ||
+            logSum(b) > logSum(best) ||
+            (logSum(b) == logSum(best) && counts(b) < counts(best)))) {
+          best = b
+        }
+      }
+      blockOf(j) = best
+      counts(best) += 1
+      logSum(best) += math.log(math.max(m0.eigenvalues(j), 1e-300))
+    }
+    // block-major order: block 0's components (in arrival order), then 1…
+    val order = (0 until m).flatMap(b => (0 until k).filter(blockOf(_) == b))
+    PcaModel(m0.mean, order.map(m0.eigenvalues).toArray,
+      order.map(m0.basis).toArray)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector MATRIX with eigenvectors as columns).
     * Deterministic fixed sweep order; converges quadratically — 30

@@ -93,16 +93,44 @@ object Multimodal {
     * dispatch + color conversion per pixel, 10-100× slower on real
     * photos for identical statistics.
     */
-  def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+  def decodeImageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    readImageGuarded(bytes).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val ch = img.getColorModel.getNumComponents
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(w.toFloat, h.toFloat, ch.toFloat,
+        (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+        (sb.toDouble / n).toFloat,
+        ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat)
+    }
+
+  /** Guarded ImageIO read shared by the image tiers: dimensions come
+    * from the HEADER (ImageReader.getWidth/getHeight parse metadata
+    * only) BEFORE read() allocates the raster — a malformed header
+    * claiming 40000x40000 must be rejected without first paying its
+    * multi-GB allocation (OutOfMemoryError is fatal; it would escape
+    * the NonFatal catch and kill the task). Resources close in finally
+    * on EVERY path — a malformed header that makes getWidth/read throw
+    * must not leak the input stream (with ImageIO's file cache it
+    * would be a temp file + fd per row). Catches NonFatal: one bad row
+    * must not fail a 100 TB task.
+    */
+  private[ops] def readImageGuarded(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
     try {
-      // dimensions come from the HEADER (ImageReader.getWidth/getHeight
-      // parse metadata only) BEFORE read() allocates the raster — a
-      // malformed header claiming 40000x40000 must be rejected without
-      // first paying its multi-GB allocation (OutOfMemoryError is
-      // fatal; it would escape the NonFatal catch and kill the task)
-      // resources close in finally on EVERY path — a malformed header
-      // that makes getWidth/read throw must not leak the input stream
-      // (with ImageIO's file cache it would be a temp file + fd per row)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -114,28 +142,7 @@ object Multimodal {
             reader.setInput(iis)
             val w = reader.getWidth(0); val h = reader.getHeight(0)
             if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
-            else {
-              val img = reader.read(0)
-              val ch = img.getColorModel.getNumComponents
-              var sr = 0L; var sg = 0L; var sb = 0L
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val rgb = row(x)
-                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              val n = w.toLong * h
-              Some(Array(w.toFloat, h.toFloat, ch.toFloat,
-                (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
-                (sb.toDouble / n).toFloat,
-                ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat))
-            }
+            else Some(reader.read(0))
           } finally reader.dispose()
         }
       } finally iis.close()
@@ -173,6 +180,149 @@ object Multimodal {
       ids.map { id =>
         val bytes = encodeBmp((id % 13 + 1).toInt, (id % 7 + 1).toInt,
           (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+        MediaRow(id, bytes, "image", bytes.length)
+      }
+    }.toDF()
+  }
+
+  /** Nearest-neighbor resize stats: decode (same guard as
+    * [[decodeImageFeatures]]), resample to `outW`×`outH` with the
+    * integer mapping srcY = ⌊y·h/outH⌋, srcX = ⌊x·w/outW⌋ (floor
+    * convention — deterministic and replayable by integer arithmetic in
+    * any engine), and return the RESIZED image's stats in the fixed
+    * 8-dim layout `[width, height, channels, mean_r, mean_g, mean_b,
+    * mean_gray, n_pixels]`. Never materializes the resized raster:
+    * source rows are read once per OUTPUT row via the bulk getRGB
+    * overload and sampled in place — the per-row cost is O(w + outW),
+    * and memory is one int row regardless of target size.
+    */
+  def decodeResizeFeatures(bytes: Array[Byte], outW: Int,
+                           outH: Int): Option[Array[Float]] = {
+    require(outW > 0 && outH > 0, s"bad resize dims ${outW}x$outH")
+    try {
+      readImageGuarded(bytes).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val ch = img.getColorModel.getNumComponents
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          img.getRGB(0, sy, w, 1, row, 0, w)
+          var x = 0
+          while (x < outW) {
+            val rgb = row((x.toLong * w / outW).toInt)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = outW.toLong * outH
+        Array(outW.toFloat, outH.toFloat, ch.toFloat,
+          (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+          (sb.toDouble / n).toFloat,
+          ((sr + sg + sb).toDouble / (3.0 * n)).toFloat, n.toFloat)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Nearest-neighbor resize to re-encoded BMP bytes (the pipeline
+    * form — thumbnail/model-input generation feeding further media
+    * stages). Same mapping as [[decodeResizeFeatures]]; spec-pinned to
+    * round-trip through the decoder with the expected dims and stats.
+    */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0, s"bad resize dims ${outW}x$outH")
+    try {
+      readImageGuarded(bytes).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val out = new java.awt.image.BufferedImage(outW, outH,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < outH) {
+          val sy = (y.toLong * h / outH).toInt
+          img.getRGB(0, sy, w, 1, row, 0, w)
+          var x = 0
+          while (x < outW) {
+            out.setRGB(x, y, row((x.toLong * w / outW).toInt))
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "bmp", baos)
+        baos.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Dataset-level resize: the codec-tier shape (mapPartitions, one
+    * decoder session per partition, pipelined with the scan — no
+    * shuffle). Non-image payloads fall back to the stub tier, same
+    * contract as [[extractFeatures]].
+    */
+  def resizeFeatures(spark: SparkSession, media: DataFrame, outW: Int,
+                     outH: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val feats = decodeResizeFeatures(r.media, outW, outH)
+            .getOrElse(stubDecode(r.media))
+          MediaFeatures(r.doc_id, r.media_type,
+            n_frames = 1, features = feats)
+        }
+      }
+  }
+
+  /** Encode a QUADRANT-color BMP: columns [0, leftCols) × rows
+    * [0, topRows) get `tl`, and so on — the resize-gate fixture. Four
+    * constant quadrants make every resized statistic a closed-form
+    * function of how many output rows/columns the nearest-neighbor
+    * mapping lands in each band, which is exactly the property a
+    * resampler can get wrong (off-by-one, swapped axes, wrong
+    * rounding) — a solid color would hide all of it.
+    */
+  def encodeBmpQuad(width: Int, height: Int, leftCols: Int, topRows: Int,
+                    tl: (Int, Int, Int), tr: (Int, Int, Int),
+                    bl: (Int, Int, Int), br: (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad image dims ${width}x$height")
+    def pack(c: (Int, Int, Int)): Int =
+      (c._1 & 0xff) << 16 | (c._2 & 0xff) << 8 | (c._3 & 0xff)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val c = if (y < topRows) { if (x < leftCols) tl else tr }
+                else { if (x < leftCols) bl else br }
+        img.setRGB(x, y, pack(c))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  /** Synthetic quadrant-image corpus for the resize gate: dimensions
+    * id-derived (w = id%13+1, h = id%7+1), quadrant split at w/2, h/2,
+    * four id-derived colors — closed-form resized stats via the two
+    * band-count functions the oracle recomputes.
+    */
+  def attachSyntheticQuadImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 13 + 1).toInt; val h = (id % 7 + 1).toInt
+        val bytes = encodeBmpQuad(w, h, w / 2, h / 2,
+          tl = ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt),
+          tr = ((id * 3 % 256).toInt, (id * 11 % 256).toInt, (id * 17 % 256).toInt),
+          bl = ((id * 5 % 256).toInt, (id * 19 % 256).toInt, (id * 23 % 256).toInt),
+          br = ((id * 29 % 256).toInt, (id * 31 % 256).toInt, (id * 37 % 256).toInt))
         MediaRow(id, bytes, "image", bytes.length)
       }
     }.toDF()

@@ -144,7 +144,11 @@ object Similarity {
     import org.apache.spark.sql.Row
     corpus.orderBy("vec_id").limit(nlist).select("embedding").collect()
       .map { case Row(e: scala.collection.Seq[_]) =>
-        e.map(x => x.asInstanceOf[Float].toDouble).toArray }
+        e.map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case other => other.asInstanceOf[Number].doubleValue()
+        }.toArray }
   }
 
   /** IVF (inverted-file) approximate top-k: a centroid set partitions
@@ -391,6 +395,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "adc")
   }
+
+  /** Rotate an embedding table into a [[graft.ops.Embeddings.PcaModel]]'s
+    * full-rank basis, keeping the column name/contract (`embedding`,
+    * now array<double>) so every PQ/IVF operator composes unchanged.
+    */
+  def rotateToBasis(df: DataFrame, model: Embeddings.PcaModel): DataFrame =
+    Embeddings.pcaProject(df, "embedding", model)
+      .drop("embedding").withColumnRenamed("pca_vec", "embedding")
+
+  /** Rotated PQ (OPQ-lite — the FAISS `PCAR,PQ` preprocessing chain):
+    * both sides project through the model's basis (one codegen node
+    * each; distance-preserving when the basis is full-rank
+    * orthonormal, e02's identity), then PQ trains/encodes in the
+    * rotated space. With [[graft.ops.Embeddings.pcaFitBalanced]] the
+    * basis is PCA composed with a balancing rotation, so each PQ
+    * subspace block receives an equal share of the spectrum — PQ's
+    * distortion is Σ_j (det Σ_j)^(1/sub) over blocks, which plain
+    * anisotropic coordinates allocate maximally badly. Full OPQ
+    * iterates the rotation against the codebooks; the balanced PCA
+    * rotation is its standard initialization. Error cut pinned by
+    * OpqSpec.
+    */
+  def rotatedPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    model: Embeddings.PcaModel,
+                    m: Int = 8, ks: Int = 16, dim: Int = 64,
+                    codebook: Option[Array[Array[Double]]] = None): DataFrame =
+    pqTopK(rotateToBasis(queries, model), rotateToBasis(corpus, model),
+      k, m, ks, dim, codebook)
 
   /** Two-stage retrieval — the standard production ANN shape: a cheap
     * compressed first stage ([[ivfPqTopK]]) over-fetches

@@ -1563,6 +1563,68 @@ object OpsQueries {
              |  cast((doc_id % 13 + 1) * (doc_id % 7 + 1) AS REAL) AS n_pixels
              |FROM documents""".stripMargin)),
 
+    // Multimodal: nearest-neighbor RESIZE over real decoded rasters —
+    // the missing member of the decode/feature/resize/frame-sample
+    // quartet. Fixture: QUADRANT-color BMPs (split at w/2, h/2, four
+    // id-derived colors) so the resized stats are a closed form of how
+    // many output rows/columns the floor mapping srcY=⌊y·h/outH⌋ lands
+    // in each band — off-by-one, swapped axes, or wrong rounding in
+    // the resampler all break the equality (a solid color would hide
+    // them). The oracle recomputes both band counts by the same
+    // integer arithmetic over range() tables; every mean is one
+    // correctly-rounded double division of exact ints on both engines.
+    QueryDef("m10_image_resize",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticQuadImages(s, docs(s, dir))
+        Multimodal.resizeFeatures(s, media, outW = 4, outH = 5).toDF()
+          .select(col("doc_id"),
+            col("features")(0).as("width"), col("features")(1).as("height"),
+            col("features")(2).as("channels"),
+            col("features")(3).as("mean_r"), col("features")(4).as("mean_g"),
+            col("features")(5).as("mean_b"), col("features")(6).as("mean_gray"),
+            col("features")(7).as("n_pixels"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, w, h,
+             |    (SELECT count(*) FROM range(5) t(y)
+             |     WHERE (t.y * g.h) // 5 < g.h // 2) AS top_n,
+             |    (SELECT count(*) FROM range(4) t(x)
+             |     WHERE (t.x * g.w) // 4 < g.w // 2) AS left_n
+             |  FROM g)
+             |SELECT doc_id,
+             |  cast(4 AS REAL) AS width,
+             |  cast(5 AS REAL) AS height,
+             |  cast(3 AS REAL) AS channels,
+             |  cast((top_n * left_n * (doc_id % 256)
+             |      + top_n * (4 - left_n) * ((doc_id * 3) % 256)
+             |      + (5 - top_n) * left_n * ((doc_id * 5) % 256)
+             |      + (5 - top_n) * (4 - left_n) * ((doc_id * 29) % 256))
+             |    / 20.0 AS REAL) AS mean_r,
+             |  cast((top_n * left_n * ((doc_id * 7) % 256)
+             |      + top_n * (4 - left_n) * ((doc_id * 11) % 256)
+             |      + (5 - top_n) * left_n * ((doc_id * 19) % 256)
+             |      + (5 - top_n) * (4 - left_n) * ((doc_id * 31) % 256))
+             |    / 20.0 AS REAL) AS mean_g,
+             |  cast((top_n * left_n * ((doc_id * 13) % 256)
+             |      + top_n * (4 - left_n) * ((doc_id * 17) % 256)
+             |      + (5 - top_n) * left_n * ((doc_id * 23) % 256)
+             |      + (5 - top_n) * (4 - left_n) * ((doc_id * 37) % 256))
+             |    / 20.0 AS REAL) AS mean_b,
+             |  cast((top_n * left_n
+             |        * ((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256))
+             |      + top_n * (4 - left_n)
+             |        * (((doc_id * 3) % 256) + ((doc_id * 11) % 256) + ((doc_id * 17) % 256))
+             |      + (5 - top_n) * left_n
+             |        * (((doc_id * 5) % 256) + ((doc_id * 19) % 256) + ((doc_id * 23) % 256))
+             |      + (5 - top_n) * (4 - left_n)
+             |        * (((doc_id * 29) % 256) + ((doc_id * 31) % 256) + ((doc_id * 37) % 256)))
+             |    / 60.0 AS REAL) AS mean_gray,
+             |  cast(20 AS REAL) AS n_pixels
+             |FROM c""".stripMargin)),
+
     // Multimodal: REAL audio decode. The fixture synthesizes an actual
     // RIFF/WAVE clip per document (16-bit PCM mono Nyquist square wave,
     // length/rate/amplitude closed-form in doc_id), extractFeatures

@@ -59,6 +59,32 @@ class MultimodalSpec extends SparkSpec {
     d2(3) shouldBe 2f; d2(4) shouldBe 14f; d2(5) shouldBe 26f
   }
 
+  test("decodeResizeFeatures: exact nearest-neighbor band counts on a quadrant image") {
+    // 6x4 source, quadrants split at 3/2: resize to 4x5. Floor mapping:
+    // srcX for x'=0..3 over w=6: 0,1,3,4 -> left band (x<3): 2 of 4.
+    // srcY for y'=0..4 over h=4: 0,0,1,2,3 -> top band (y<2): 3 of 5.
+    val bytes = Multimodal.encodeBmpQuad(6, 4, 3, 2,
+      tl = (100, 0, 0), tr = (200, 0, 0), bl = (10, 0, 0), br = (20, 0, 0))
+    val f = Multimodal.decodeResizeFeatures(bytes, 4, 5).get
+    f(0) shouldBe 4f; f(1) shouldBe 5f; f(7) shouldBe 20f
+    // mean_r = (3*2*100 + 3*2*200 + 2*2*10 + 2*2*20) / 20
+    f(3) shouldBe ((3 * 2 * 100 + 3 * 2 * 200 + 2 * 2 * 10 + 2 * 2 * 20) / 20.0).toFloat
+    // upscale of a 1x1 image: every output pixel is the single source
+    val one = Multimodal.encodeBmp(1, 1, 7, 8, 9)
+    val fu = Multimodal.decodeResizeFeatures(one, 4, 5).get
+    fu(3) shouldBe 7f; fu(4) shouldBe 8f; fu(5) shouldBe 9f
+    Multimodal.decodeResizeFeatures("not an image".getBytes("UTF-8"), 4, 5) shouldBe None
+  }
+
+  test("resizeImage round-trips through the decoder with resized dims and stats") {
+    val bytes = Multimodal.encodeBmpQuad(6, 4, 3, 2,
+      tl = (100, 0, 0), tr = (200, 0, 0), bl = (10, 0, 0), br = (20, 0, 0))
+    val resized = Multimodal.resizeImage(bytes, 4, 5).get
+    val f = Multimodal.decodeImageFeatures(resized).get
+    val expect = Multimodal.decodeResizeFeatures(bytes, 4, 5).get
+    f.toSeq shouldBe expect.toSeq
+  }
+
   test("decodeImageFeatures handles PNG payloads too (second ImageIO codec)") {
     // encode a 4x2 solid color as PNG through the same ImageIO stack the
     // decoder uses — proves the decode path is format-agnostic, not
