@@ -98,9 +98,17 @@ object Embeddings {
       }
       a += 1
     }
+    modelFromCov(mean, cov, k)
+  }
+
+  /** Shared eigensolve + normalization tail of [[pcaFit]] /
+    * [[pcaFitFromState]]: Jacobi, order components by eigenvalue desc
+    * (stable on ties), take k, sign-normalize for replayability.
+    */
+  private def modelFromCov(mean: Array[Double], cov: Array[Array[Double]],
+                           k: Int): PcaModel = {
+    val dim = mean.length
     val (evals, evecs) = jacobiEigen(cov)
-    // order components by eigenvalue desc (stable on ties), take k,
-    // normalize signs for replayability
     val order = evals.indices.sortBy(j => (-evals(j), j))
     val top = order.take(k).toArray
     val basis = top.map { j =>
@@ -116,6 +124,53 @@ object Embeddings {
       if (v(best) < 0) v.map(-_) else v
     }
     PcaModel(mean, top.map(evals), basis)
+  }
+
+  /** INCREMENTAL PCA state: one array<double> row of exact sufficient
+    * statistics `[n, Σx, Σxxᵀ (upper triangle)]` over the WHOLE input
+    * (not a sample — states must merge exactly), computed as a true
+    * distributed aggregate ([[graft.functions.Moments]]: fixed-size
+    * partial buffers, elementwise merge, the Bloom-sketch pattern; the
+    * driver never sees a row). At 100 TB this is one scan emitting a
+    * 17 KB row per batch.
+    */
+  def pcaState(df: DataFrame, embCol: String, dim: Int): DataFrame =
+    df.agg(graft.functions.Moments.vectorMoments(col(embCol), dim).as("stats"))
+
+  /** Merge PCA states by adding the sufficient statistics — EXACT for
+    * a pair (double addition is commutative); chain pairwise for a
+    * deterministic multi-batch fold. The corpus-growth shape: keep one
+    * state row per shard/batch, fold new batches in, refit from the
+    * merged state without revisiting old rows (d13/t17 discipline).
+    */
+  def mergePcaState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .select(posexplode(col("stats")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum("v").as("v"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("ps"))
+      .select(transform(col("ps"), p => p("v")).as("stats"))
+
+  /** Fit from a (possibly merged) state row: mean = Σx/n,
+    * cov = Σxxᵀ/n − μμᵀ (the moment form — algebraically identical to
+    * the centered two-pass; adequate for embedding-scale means), then
+    * the same eigensolve/normalization as [[pcaFit]]. The state is one
+    * tiny row — this is a driver-side finish, like every codebook fit.
+    */
+  def pcaFitFromState(state: DataFrame, dim: Int, k: Int): PcaModel = {
+    val stats = state.select("stats").head.getSeq[Double](0).toArray
+    require(stats.length == graft.functions.Moments.statsLength(dim),
+      s"state length ${stats.length} does not match dim $dim")
+    val n = stats(0)
+    require(n > 0, "pcaFitFromState needs a non-empty state")
+    val mean = Array.tabulate(dim)(i => stats(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val m2 = stats(graft.functions.Moments.triIndex(dim, i, j)) / n
+      val c = m2 - mean(i) * mean(j)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    modelFromCov(mean, cov, k)
   }
 
   /** y = B·(x − μ): one codegen node ([[graft.functions.PcaProject]]),

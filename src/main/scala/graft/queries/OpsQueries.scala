@@ -432,6 +432,48 @@ object OpsQueries {
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b, round(sqrt(s), 4) AS dist FROM d""".stripMargin)),
 
+    // Incremental PCA state (e03): the corpus splits into two batches,
+    // each aggregates its exact sufficient statistics [n, Σx, Σxxᵀ]
+    // distributed (fixed-size buffers, Bloom-sketch pattern), and the
+    // states MERGE by addition. Unlike e02 (any orthonormal basis
+    // preserves distances, so it cannot see WHICH data trained the
+    // fit), this oracle checks the merged state itself: the moments
+    // are plain sums DuckDB recomputes over the union — a dropped
+    // batch, double-counted row, or misaligned triangle index shifts
+    // them. Round 4dp absorbs summation-order last-bits (t16 float
+    // rule); the fit-equality contract (merged state == one-shot
+    // state) is EmbeddingsSpec-pinned.
+    QueryDef("e03_pca_state_merge",
+      (s, dir) => {
+        import s.implicits._
+        val e = embs(s, dir)
+        val dim = 64
+        val merged = Embeddings.mergePcaState(
+          Embeddings.pcaState(e.filter(col("vec_id") % 2 === 0), "embedding", dim),
+          Embeddings.pcaState(e.filter(col("vec_id") % 2 =!= 0), "embedding", dim))
+        val picks = (Seq((-1, -1, 0)) ++
+          (0 until 8).map(i => (i, -1, 1 + i)) ++
+          (for (i <- 0 until 8; j <- i until 8)
+            yield (i, j, graft.functions.Moments.triIndex(dim, i, j))))
+          .toDF("i", "j", "idx")
+        merged.crossJoin(picks)
+          .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+            round(element_at(col("stats"), col("idx") + 1), 4).as("moment"))
+      },
+      Some("""WITH idx AS (SELECT cast(i AS BIGINT) AS i FROM range(1, 9) t(i)),
+             |pairs AS (
+             |  SELECT a.i AS ia, b.i AS ib FROM idx a JOIN idx b ON a.i <= b.i)
+             |SELECT cast(-1 AS BIGINT) AS i, cast(-1 AS BIGINT) AS j,
+             |  round(cast(count(*) AS DOUBLE), 4) AS moment
+             |FROM embeddings
+             |UNION ALL
+             |SELECT i.i - 1, -1, round(sum(e.embedding[i.i]::DOUBLE), 4)
+             |FROM embeddings e, idx i GROUP BY i.i
+             |UNION ALL
+             |SELECT p.ia - 1, p.ib - 1,
+             |  round(sum(e.embedding[p.ia]::DOUBLE * e.embedding[p.ib]::DOUBLE), 4)
+             |FROM embeddings e, pairs p GROUP BY p.ia, p.ib""".stripMargin)),
+
     // Bounded top-k per group via the custom TypedImperativeAggregate:
     // k-element heaps partial-aggregate map-side (the shuffle carries
     // <= k pairs per group per task — no full sort of the input, unlike

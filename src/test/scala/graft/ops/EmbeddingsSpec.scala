@@ -69,6 +69,38 @@ class EmbeddingsSpec extends SparkSpec {
     m2.basis.map(_.toSeq).toSeq shouldBe m.basis.map(_.toSeq).toSeq
   }
 
+  test("incremental PCA: merged batch states == one-shot state; fit agrees with pcaFit") {
+    val df = anisotropic(2000, 8, 17)
+    val b1 = df.filter($"vec_id" % 2 === 0)
+    val b2 = df.filter($"vec_id" % 2 =!= 0)
+    val merged = Embeddings.mergePcaState(
+      Embeddings.pcaState(b1, "embedding", 8),
+      Embeddings.pcaState(b2, "embedding", 8))
+    val oneShot = Embeddings.pcaState(df, "embedding", 8)
+    val ms = merged.select("stats").head.getSeq[Double](0)
+    val os = oneShot.select("stats").head.getSeq[Double](0)
+    ms.length shouldBe os.length
+    ms.zip(os).foreach { case (a, b) => a shouldBe b +- 1e-9 }
+    // fit from the merged state matches the direct sample fit (same
+    // data, cap >= n): spectrum and basis agree to numerical precision
+    val fromState = Embeddings.pcaFitFromState(merged, dim = 8, k = 8)
+    val direct = Embeddings.pcaFit(df, "vec_id", "embedding", k = 8)
+    fromState.eigenvalues.zip(direct.eigenvalues).foreach {
+      case (a, b) => a shouldBe b +- 1e-9 }
+    fromState.basis.flatMap(_.toSeq).zip(direct.basis.flatMap(_.toSeq)).foreach {
+      case (a, b) => a shouldBe b +- 1e-6 }
+    // three-way chain (pairwise folds) still equals one shot
+    val b2a = b2.filter($"vec_id" % 4 === 1)
+    val b2b = b2.filter($"vec_id" % 4 === 3)
+    val chained = Embeddings.mergePcaState(
+      Embeddings.mergePcaState(
+        Embeddings.pcaState(b1, "embedding", 8),
+        Embeddings.pcaState(b2a, "embedding", 8)),
+      Embeddings.pcaState(b2b, "embedding", 8))
+    chained.select("stats").head.getSeq[Double](0).zip(os).foreach {
+      case (a, b) => a shouldBe b +- 1e-9 }
+  }
+
   test("pcaProject: projected variance equals the eigenvalue; truncation keeps top variance") {
     val df = anisotropic(2000, 8, 13)
     val m = Embeddings.pcaFit(df, "vec_id", "embedding", k = 4)
