@@ -151,6 +151,51 @@ object Curation {
       .drop("__src", "__thr")
   }
 
+  /** TEMPERATURE-scaled mixture sampling (the multilingual-corpus
+    * rebalancing rule, XLM-R §3.1 / mC4): target share of source s is
+    * q_s ∝ (n_s/N)^α — α=1 keeps the natural distribution, α→0
+    * flattens toward uniform, 0.3-0.7 up-samples rare sources without
+    * letting any single one dominate. Per-source keep rate =
+    * min(1, q_s·targetRows/n_s), drawn with the md5-bucket filter
+    * (layout-independent, replayable — never `df.sample`).
+    *
+    * Scale shape: the count aggregate is map-side combined and
+    * source-cardinality sized; totals and the normalizer are one-row
+    * broadcast crosses (the documented broadcast-scalar idiom); the
+    * corpus itself is touched by ONE pushed-down filter — no shuffle.
+    * The α=0.5 gate is bit-exact cross-engine because pow(x, 0.5) is
+    * specified as sqrt in both JVM fdlibm and libm.
+    */
+  def temperatureSample(df: DataFrame, source: Column, key: Column,
+                        alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    // totals/normalizer over the source-cardinality counts frame via a
+    // whole-frame window (ordered so the tiny double sums fold in a
+    // deterministic order); a crossJoin back onto an aggregate of the
+    // same frame would be a self-join on shared lineage (ambiguous
+    // references)
+    val whole = org.apache.spark.sql.expressions.Window.orderBy("__src")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // NB "__tot" not "__N": Spark resolves column names
+    // case-insensitively by default, so withColumn("__N", ...) would
+    // silently REPLACE "__n" and every downstream ratio becomes 1
+    val rates = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .withColumn("__tot", sum("__n").over(whole))
+      .withColumn("__p", pow(col("__n").cast("double") / col("__tot"), lit(alpha)))
+      .withColumn("__norm", sum("__p").over(whole))
+      .select(col("__src"),
+        floor(least(lit(1.0),
+          col("__p") / col("__norm") * targetRows / col("__n")) * 65536)
+          .cast("int").as("__thr"))
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("int")
+    df.join(broadcast(rates), source === col("__src"), "inner")
+      .filter(bucket < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Exact-k per-stratum sample: within each stratum take the k rows
     * with the smallest md5(key) — deterministic, engine-replayable, and
     * one shuffle (the window partition). At scale the stratum count is

@@ -2356,6 +2356,32 @@ object OpsQueries {
              |WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 4))::INT
              |      < r.thr""".stripMargin)),
 
+    // Temperature-scaled mixture sampling (XLM-R rebalancing): target
+    // share q_s ∝ (n_s/N)^α over the DATA's own source distribution —
+    // α=0.5 up-samples rare sources. Full oracle: DuckDB recomputes
+    // counts, the sqrt-flattened shares, the per-source keep rate, and
+    // the same md5-bucket draw (pow(x,0.5) is sqrt in both engines, so
+    // every rate is bit-identical; the draw is the p02/p12-proven
+    // portable hash).
+    QueryDef("p19_temperature_sample",
+      (s, dir) => Curation.temperatureSample(docs(s, dir), col("source"),
+          col("doc_id"), alpha = 0.5, targetRows = 300L)
+        .select("doc_id", "source", "n_chars"),
+      Some("""WITH c AS (
+             |  SELECT source AS src, cast(count(*) AS DOUBLE) AS n
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n) AS N FROM c),
+             |s AS (SELECT src, n, pow(n / (SELECT N FROM t), 0.5) AS p FROM c),
+             |z AS (SELECT sum(p) AS Z FROM s),
+             |r AS (
+             |  SELECT src, cast(floor(least(1.0,
+             |    p / (SELECT Z FROM z) * 300 / n) * 65536) AS INT) AS thr
+             |  FROM s)
+             |SELECT d.doc_id, d.source, d.n_chars
+             |FROM documents d JOIN r ON d.source = r.src
+             |WHERE ('0x' || substr(md5(cast(d.doc_id AS VARCHAR)), 1, 4))::INT
+             |      < r.thr""".stripMargin)),
+
     // Fixed-weight logistic quality classifier over the t02 heuristics
     // (the deterministic fastText-stand-in of production curation).
     // Score emitted rounded; the keep flag gates on the raw value.

@@ -35,6 +35,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample: alpha flattens toward rare sources, deterministic, layout-free") {
+    // skewed sources: 'big' 900 rows, 'small' 100 rows
+    val docs = (1 to 1000).map { i =>
+      (i.toLong, if (i <= 900) "big" else "small")
+    }.toDF("doc_id", "source")
+    def rateOf(out: org.apache.spark.sql.DataFrame, src: String, n: Double) =
+      out.filter($"source" === src).count() / n
+    // alpha=1: natural distribution — keep rates equal across sources
+    val nat = Curation.temperatureSample(docs, $"source", $"doc_id",
+      alpha = 1.0, targetRows = 500L)
+    math.abs(rateOf(nat, "big", 900.0) - rateOf(nat, "small", 100.0)) should be < 0.1
+    // alpha=0.25: strongly flattened — the rare source keeps a much
+    // larger fraction of itself than the common one
+    val flat = Curation.temperatureSample(docs, $"source", $"doc_id",
+      alpha = 0.25, targetRows = 500L)
+    rateOf(flat, "small", 100.0) should be > rateOf(flat, "big", 900.0) * 2
+    // deterministic + layout-independent: same kept key set
+    val again = Curation.temperatureSample(docs.repartition(7), $"source",
+      $"doc_id", alpha = 0.25, targetRows = 500L)
+    flat.select("doc_id").except(again.select("doc_id")).count() shouldBe 0
+    again.select("doc_id").except(flat.select("doc_id")).count() shouldBe 0
+    // sample is a subset of the input
+    flat.join(docs, Seq("doc_id"), "left_anti").count() shouldBe 0
+  }
+
   test("assignShards: no document exceeds its shard boundary start") {
     val docs = corpus(200)
     val shards = Curation.assignShards(docs, col("lang"), col("doc_id"),
