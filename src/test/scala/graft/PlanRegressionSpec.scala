@@ -283,4 +283,60 @@ class PlanRegressionSpec extends SparkSpec {
     // per n: gram-keyed exchange + single-row reduce exchange
     (plan.split("\\(\\d+\\) Exchange").length - 1) should be <= 4
   }
+
+  test("pcaProject is a zero-exchange single-node projection") {
+    val df = (1 to 30).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = graft.ops.Embeddings.PcaModel(
+      new Array[Double](8), Array.fill(8)(1.0),
+      Array.tabulate(8)(j => Array.tabulate(8)(i => if (i == j) 1.0 else 0.0)))
+    val plan = formatted(graft.ops.Embeddings.pcaProject(df, "embedding", model))
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    // ONE pca_project node regardless of k — never a per-component tree
+    (plan.split("pca_project").length - 1) should be <= 2 // tree + detail line
+  }
+
+  test("temperatureSample: rates broadcast back, corpus never shuffles") {
+    val df = (1 to 100).map(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val plan = formatted(graft.ops.Curation.temperatureSample(
+      df, $"source", $"doc_id", alpha = 0.5, targetRows = 50L))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("keepBestPerCluster: max_by aggregate, no global window over docs") {
+    val docs = (1 to 100).map(i => (i.toLong, i % 7L)).toDF("doc_id", "q")
+    val comps = (1 to 40).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("doc_id", "component")
+    val plan = formatted(graft.ops.Dedup.keepBestPerCluster(
+      docs, "doc_id", comps, "q"))
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  test("residual IVFPQ: same join/rank skeleton as n08, no extra exchange") {
+    val vecs = (1 to 60).map(i => (i.toLong, Array.fill(16)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = formatted(graft.ops.Similarity.ivfPqResidualTopK(
+      vecs.filter($"vec_id" < 4), vecs, k = 3, nlist = 8, nprobe = 2,
+      m = 4, ks = 4, dim = 16))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // assignment/residual/encode all ride the scan projection: one
+    // exchange for the cell join side(s) + one for the rank window
+    (plan.split("\\(\\d+\\) Exchange").length - 1) should be <= 3
+    plan should include("WindowGroupLimit")
+  }
+
+  test("pcaState: one distributed moments aggregate, no collect-shaped plan") {
+    val df = (1 to 50).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = formatted(graft.ops.Embeddings.pcaState(df, "embedding", 8))
+    // partial + final ObjectHashAggregate pair over ONE exchange
+    plan should include("ObjectHashAggregate")
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+    plan should not include "Window"
+  }
 }
