@@ -108,6 +108,54 @@ class StreamingDedupSpec extends SparkSpec {
     m(2L).getAs[Int]("tokens_removed") shouldBe 0
   }
 
+  test("PCA state composes with streaming arrival: rolled state == one-shot fit") {
+    // the e03 mergeable-moments state driven by the production arrival
+    // path: embedding batches arrive as micro-batches, foreachBatch
+    // folds each batch's sufficient statistics into the rolling state;
+    // after any number of batches, a fit from the rolled state must
+    // equal a one-shot fit over everything that ever arrived.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Embeddings
+
+    val dim = 6
+    var corpus = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .localCheckpoint()
+    var state = Embeddings.pcaState(corpus, "embedding", dim)
+      .localCheckpoint()
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          state = Embeddings.mergePcaState(state,
+            Embeddings.pcaState(b, "embedding", dim)).localCheckpoint()
+          corpus = corpus.unionByName(b).localCheckpoint()
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+
+    val r = new scala.util.Random(41)
+    def vec() = Array.tabulate(dim)(d => (r.nextGaussian() / (d + 1)).toFloat)
+    input.addData((1L, vec()), (2L, vec()), (3L, vec()))
+    q.processAllAvailable()
+    input.addData((4L, vec()), (5L, vec()))
+    q.processAllAvailable()
+    input.addData((6L, vec()))
+    q.processAllAvailable()
+    q.stop()
+
+    val rolled = state.select("stats").head.getSeq[Double](0)
+    val oneShot = Embeddings.pcaState(corpus, "embedding", dim)
+      .select("stats").head.getSeq[Double](0)
+    rolled.zip(oneShot).foreach { case (a, b) => a shouldBe b +- 1e-9 }
+    val fromRolled = Embeddings.pcaFitFromState(state, dim, k = dim)
+    val direct = Embeddings.pcaFit(corpus, "vec_id", "embedding", k = dim)
+    fromRolled.eigenvalues.zip(direct.eigenvalues).foreach {
+      case (a, b) => a shouldBe b +- 1e-9 }
+  }
+
   test("DSIR model state composes with streaming arrival") {
     // the t17 incremental kernel on the production arrival path: each
     // micro-batch's bucket counts fold into the rolled state; scoring
