@@ -552,6 +552,173 @@ object RelationalQueries {
               |JOIN sec ON tr.symbol = sec.symbol
               |  AND tr.create_timestamp BETWEEN sec.eff AND sec.endt""".stripMargin
 
+  /** Bronze fixtures for the market-history chain gate (q51): orders
+    * become the company/security change logs (coarse — 1% / 10% of
+    * orders — so dim versions genuinely span many market days and the
+    * financials fan-out is real), the quarterly financials stream, and
+    * the daily market stream at (symbol, day) grain. Change timestamps
+    * are whole-second injective (orderdate + orderkey%86400 s) so SCD2
+    * ordering is tie-free AND surrogate keys stringify identically in
+    * Spark and DuckDB (no fractional seconds — the engines disagree on
+    * trailing-zero trimming only for fractional timestamps).
+    * Dividends vary per security VERSION (not just per symbol), so the
+    * final yield column proves the temporal lookup resolved the right
+    * version. All numeric fixtures are exact in binary64 (multiples of
+    * 0.125, min/max/count pass-throughs), keeping the cross-engine
+    * hash compare deterministic.
+    */
+  private final case class MarketFixture(dm: DataFrame, securities: DataFrame,
+      dimCompany: DataFrame, financials: DataFrame)
+
+  private val marketFixtureMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), MarketFixture]
+
+  private def marketFixture(s: SparkSession, dir: String): MarketFixture =
+    memoGet(marketFixtureMemo, s, dir) {
+      val o = t(s, dir, "orders")
+      val ts = col("o_orderdate") +
+        expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 86400)")
+      val compLog = o.filter(col("o_orderkey") % 100 === 0)
+        .select((col("o_custkey") % 5).as("company_id"), ts.as("cts"),
+          col("o_orderkey"))
+      val dimCompany = Scd2.scd2(compLog, Seq("company_id"), "cts",
+          tieBreak = Seq("o_orderkey"))
+        .select(col("company_id"),
+          Keys.surrogateKey(col("company_id"), col("effective_timestamp"))
+            .as("sk_company_id"),
+          col("effective_timestamp"), col("end_timestamp"))
+      val secLog = o.filter(col("o_orderkey") % 10 === 0)
+        .select(concat(lit("SYM"), col("o_custkey") % 50).as("symbol"),
+          (col("o_custkey") % 5).as("company_id"),
+          (((col("o_custkey") % 50) % 8) * lit(0.25d) +
+            (col("o_orderkey") % 4) * lit(0.125d)).as("dividend"),
+          ts.as("sts"), col("o_orderkey"))
+      val securities = Scd2.scd2(secLog, Seq("symbol"), "sts",
+          tieBreak = Seq("o_orderkey"))
+        .withColumn("issue_type", lit("COMMON"))
+        .withColumn("status", lit("Active"))
+        .withColumn("name", concat(col("symbol"), lit(" Common")))
+        .withColumn("exchange_id", lit("NYSE"))
+        .withColumn("shares_outstanding", lit(1000000L))
+        .withColumn("first_trade_date", lit("1990-01-06").cast("date"))
+        .withColumn("first_exchange_date", lit("1990-01-07").cast("date"))
+      // quarterly financials: one row per (company, calendar quarter)
+      // present in the order stream; eps exact in binary64 (unprojected
+      // by the fact — only the fan-out multiplicity reaches the gate)
+      val financials = o
+        .select((col("o_custkey") % 5).as("company_id"),
+          year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("q"))
+        .distinct()
+        .select(col("company_id"),
+          make_date(col("yr"), col("q") * 3 - 2, lit(1)).as("quarter_start_date"),
+          ((col("yr") % 5 + col("q")) * lit(0.25d)).as("eps"),
+          (make_date(col("yr"), col("q") * 3 - 2, lit(1)).cast("timestamp") +
+            expr("interval 40 days")).as("effective_timestamp"))
+      val dm = o.groupBy(
+          concat(lit("SYM"), col("o_custkey") % 50).as("dm_s_symb"),
+          col("o_orderdate").cast("date").as("dm_date"))
+        .agg((max(col("o_totalprice")) + lit(1.0d)).as("dm_high"),
+          min(col("o_totalprice")).as("dm_low"),
+          max(col("o_totalprice")).as("dm_close"),
+          (count(lit(1)) * 100).cast("double").as("dm_vol"))
+      MarketFixture(cacheOnce(dm), securities, cacheOnce(dimCompany), financials)
+    }
+
+  /** DuckDB transcription of the full market-history chain
+    * (models/gold/fact_market_history.sql:1-25 +
+    * models/work/wrk_company_financials.sql:1-13 +
+    * models/silver/daily_market.sql:1-38 + the dim_security temporal
+    * company lookup of models/gold/dim_security.sql) over the q51
+    * fixtures. The wrk CTE omits the trailing-EPS window: the
+    * reference's fact projects NO financials column (peratio is
+    * commented out, fact_market_history.sql:5), so only the
+    * left-join fan-out multiplicity per sk_company_id reaches the
+    * result — which the transcription reproduces exactly.
+    */
+  private val marketChainOracle: String =
+    """WITH ord AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+      |    o_orderdate + to_seconds(o_orderkey % 86400) AS ts,
+      |    o_custkey % 5 AS company_id,
+      |    'SYM' || CAST(o_custkey % 50 AS VARCHAR) AS symbol
+      |  FROM orders),
+      |comp AS (
+      |  SELECT company_id,
+      |    md5(concat_ws('-', CAST(company_id AS VARCHAR), CAST(ts AS VARCHAR)))
+      |      AS sk_company_id,
+      |    ts AS eff,
+      |    coalesce(lag(ts) OVER (PARTITION BY company_id
+      |        ORDER BY ts DESC, o_orderkey DESC) - INTERVAL 1 MILLISECOND,
+      |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+      |  FROM ord WHERE o_orderkey % 100 = 0),
+      |sec0 AS (
+      |  SELECT symbol, company_id,
+      |    (o_custkey % 50 % 8) * CAST(0.25 AS DOUBLE)
+      |      + (o_orderkey % 4) * CAST(0.125 AS DOUBLE) AS dividend,
+      |    ts AS eff,
+      |    coalesce(lag(ts) OVER (PARTITION BY symbol
+      |        ORDER BY ts DESC, o_orderkey DESC) - INTERVAL 1 MILLISECOND,
+      |      TIMESTAMP '9999-12-31 23:59:59.999') AS endt
+      |  FROM ord WHERE o_orderkey % 10 = 0),
+      |secd AS (
+      |  SELECT md5(concat_ws('-', s.symbol, CAST(s.eff AS VARCHAR)))
+      |      AS sk_security_id,
+      |    s.symbol, c.sk_company_id, s.dividend, s.eff, s.endt
+      |  FROM sec0 s
+      |  JOIN comp c ON s.company_id = c.company_id
+      |    AND s.eff BETWEEN c.eff AND c.endt),
+      |fin AS (
+      |  SELECT company_id,
+      |    CAST(make_date(yr, q * 3 - 2, 1) AS TIMESTAMP) + INTERVAL 40 DAY AS eff
+      |  FROM (SELECT DISTINCT company_id, year(o_orderdate) AS yr,
+      |          quarter(o_orderdate) AS q
+      |        FROM ord)),
+      |wrk AS (
+      |  SELECT c.sk_company_id
+      |  FROM fin f
+      |  JOIN comp c ON f.company_id = c.company_id
+      |    AND f.eff BETWEEN c.eff AND c.endt),
+      |dm AS (
+      |  SELECT symbol AS dm_s_symb, CAST(o_orderdate AS DATE) AS dm_date,
+      |    max(o_totalprice) + CAST(1.0 AS DOUBLE) AS dm_high,
+      |    min(o_totalprice) AS dm_low,
+      |    max(o_totalprice) AS dm_close,
+      |    CAST(count(*) * 100 AS DOUBLE) AS dm_vol
+      |  FROM ord GROUP BY 1, 2),
+      |s1 AS (
+      |  SELECT dm_s_symb, dm_date, dm_high, dm_low, dm_close, dm_vol,
+      |    min(dm_low) OVER w AS fifty_two_week_low,
+      |    max(dm_high) OVER w AS fifty_two_week_high
+      |  FROM dm
+      |  WINDOW w AS (PARTITION BY dm_s_symb ORDER BY dm_date
+      |    ROWS BETWEEN 364 PRECEDING AND CURRENT ROW)),
+      |s2 AS (
+      |  SELECT s1.*, b.dm_date AS fifty_two_week_low_date,
+      |    c.dm_date AS fifty_two_week_high_date
+      |  FROM s1
+      |  JOIN dm b ON s1.dm_s_symb = b.dm_s_symb
+      |    AND s1.fifty_two_week_low = b.dm_low
+      |    AND b.dm_date BETWEEN CAST(s1.dm_date - INTERVAL 12 MONTH AS DATE)
+      |                      AND s1.dm_date
+      |  JOIN dm c ON s1.dm_s_symb = c.dm_s_symb
+      |    AND s1.fifty_two_week_high = c.dm_high
+      |    AND c.dm_date BETWEEN CAST(s1.dm_date - INTERVAL 12 MONTH AS DATE)
+      |                      AND s1.dm_date
+      |  QUALIFY row_number() OVER (PARTITION BY s1.dm_s_symb, s1.dm_date
+      |    ORDER BY b.dm_date, c.dm_date) = 1)
+      |SELECT sd.sk_security_id, sd.sk_company_id, s2.dm_date AS sk_date_id,
+      |  (sd.dividend / s2.dm_close) / 100 AS "yield",
+      |  s2.fifty_two_week_high,
+      |  s2.fifty_two_week_high_date AS sk_fifty_two_week_high_date,
+      |  s2.fifty_two_week_low,
+      |  s2.fifty_two_week_low_date AS sk_fifty_two_week_low_date,
+      |  s2.dm_close AS closeprice, s2.dm_high AS dayhigh,
+      |  s2.dm_low AS daylow, s2.dm_vol AS volume
+      |FROM s2
+      |JOIN secd sd ON s2.dm_s_symb = sd.symbol
+      |  AND CAST(s2.dm_date AS TIMESTAMP) BETWEEN sd.eff AND sd.endt
+      |LEFT JOIN wrk f USING (sk_company_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // S1/P5/A1: scan + filter + group aggregate (pushdown-friendly).
@@ -1713,6 +1880,30 @@ object RelationalQueries {
              |SELECT 'customers:one_current_per_entity', 0 UNION ALL
              |SELECT 'customers:no_version_overlap', 0 UNION ALL
              |SELECT 'customers:current_is_open', 0 UNION ALL
-             |SELECT 'fact_trade:unique_grain', 0""".stripMargin))
+             |SELECT 'fact_trade:unique_grain', 0""".stripMargin)),
+
+    // The fact_market_history chain — the reference's slowest, most
+    // composite model (models/gold/fact_market_history.sql, 53.21 s of
+    // its 70.51 s build, README.md:305) — under a DIRECT DuckDB
+    // transcription (external truth, q29 recipe), closing the last
+    // reference chain gated only by self-consistency (q47/q49). The
+    // REAL model functions run end-to-end over the fixtures:
+    // Silver.dailyMarket (52wk ROWS window + extremum-date self-join +
+    // QUALIFY), Gold.dimSecurity (temporal company lookup),
+    // Gold.wrkCompanyFinancials (trailing-4 EPS + temporal join),
+    // Gold.factMarketHistory (DATE-vs-TIMESTAMP temporal join J10 +
+    // left fan-out USING sk_company_id). Version-varying dividends make
+    // the yield column a proof the temporal lookup picked the right
+    // security version; the quarterly financials fan-out multiplicity
+    // is reproduced exactly by the oracle.
+    QueryDef("q51_market_history_chain",
+      (s, dir) => {
+        val fx = marketFixture(s, dir)
+        val dimSec = graft.models.Gold.dimSecurity(fx.securities, fx.dimCompany)
+        val wrk = graft.models.Gold.wrkCompanyFinancials(fx.financials, fx.dimCompany)
+        graft.models.Gold.factMarketHistory(
+          graft.models.Silver.dailyMarket(fx.dm), dimSec, wrk)
+      },
+      Some(marketChainOracle))
   )
 }
