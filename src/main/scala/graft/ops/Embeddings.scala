@@ -221,6 +221,13 @@ object Embeddings {
     // more mass, and the allocation collapses back to PCA's native
     // order (observed, not hypothesized). Ties break to the emptier
     // block so the first m items seed m distinct blocks.
+    // Costs are normalized by λmax (log λ − log λmax ≤ 0): the
+    // balanced-log-det objective is scale-invariant but this greedy is
+    // not — with any eigenvalue above 1 the first block's positive
+    // logSum would stay maximal and absorb components until full,
+    // the exact contiguous-spectrum arrangement the permutation exists
+    // to avoid.
+    val logMax = math.log(math.max(m0.eigenvalues.max, 1e-300))
     for (j <- (k - 1) to 0 by -1) {
       var best = -1
       for (b <- 0 until m) {
@@ -232,7 +239,7 @@ object Embeddings {
       }
       blockOf(j) = best
       counts(best) += 1
-      logSum(best) += math.log(math.max(m0.eigenvalues(j), 1e-300))
+      logSum(best) += math.log(math.max(m0.eigenvalues(j), 1e-300)) - logMax
     }
     // block-major order: block 0's components (in arrival order), then 1…
     val order = (0 until m).flatMap(b => (0 until k).filter(blockOf(_) == b))

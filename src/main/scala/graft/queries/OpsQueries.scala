@@ -293,6 +293,46 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // OPQ ∘ residual IVF+PQ — the full production FAISS stack
+    // (OPQ{m},IVF{nlist},PQ{m} in index-factory terms): vectors rotate
+    // through the eigenvalue-allocated PCA basis (pcaFitBalanced — the
+    // OPQ non-parametric init, one codegen projection per side), the
+    // coarse cells come from the DISTRIBUTED Lloyd trainer in rotated
+    // space, the sub-codebooks from the residual-PQ trainer, and
+    // retrieval is the residual IVF+PQ join. Gate: probing EVERY cell
+    // must reproduce the exhaustive residual-PQ scan over the SAME
+    // rotated vectors and trained codebooks exactly (n13 precedent) —
+    // the rotation must be applied identically on both the corpus and
+    // query paths or per-row equality breaks. The error CUT of the
+    // rotation is spec-pinned (OpqSpec); this gate pins composition.
+    QueryDef("n14_ann_opq_ivfpq",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val model = Embeddings.pcaFitBalanced(e, "vec_id", "embedding",
+          k = 64, m = 16)
+        val rot = Similarity.rotateToBasis(e, model)
+        val q = rot.filter(col("vec_id") < 20)
+        val cells = KMeans.trainCentroidsDistributed(rot, "vec_id",
+          "embedding", nlist = 32, iters = 5)
+        val cb = KMeans.trainResidualPqCodebook(rot, "vec_id", "embedding",
+          cells, m = 16, ks = 64, dim = 64)
+        val base = Similarity.pqResidualTopK(q, rot, 5, nlist = 32,
+            m = 16, ks = 64, centroids = Some(cells), codebook = Some(cb))
+          .select("q_id", "n_id", "rank")
+        val ivfpq = Similarity.ivfPqResidualTopK(q, rot, 5, nlist = 32,
+            nprobe = 32, m = 16, ks = 64,
+            centroids = Some(cells), codebook = Some(cb))
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(ivfpq.withColumnRenamed("rank", "rank_ivfpq"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_base") === col("rank_ivfpq"), 1)
+            .otherwise(0))).as("probe_all_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Cluster purity over the deterministic first-16 centroid scheme
     // (the same assignment the n03 oracle replays): per-cell majority
     // label fraction from exact integer counts. The embedding-quality

@@ -53,6 +53,59 @@ class OpqSpec extends SparkSpec {
     rotErr should be < rawErr * 0.7
   }
 
+  test("allocation balances block log-dets when eigenvalues exceed 1") {
+    // The balanced-log-det objective is scale-invariant; the greedy is
+    // not. Un-normalized, any spectrum above 1 keeps the first block's
+    // positive logSum maximal so it absorbs the large components until
+    // full — the contiguous arrangement the permutation exists to
+    // avoid. Stddev (d+1) puts the top eigenvalue near (dim)² ≫ 1.
+    val r = new scala.util.Random(7)
+    val vecs = (0L until 1000L).map { i =>
+      (i, Array.tabulate(dim)(d => (r.nextGaussian() * (d + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Embeddings.pcaFitBalanced(vecs, "vec_id", "embedding",
+      k = dim, m = m)
+    val plain = Embeddings.pcaFit(vecs, "vec_id", "embedding", k = dim)
+    plain.eigenvalues.head should be > 1.0
+    // same eigenvalue multiset (pure permutation, deterministic fit)
+    model.eigenvalues.sorted shouldBe plain.eigenvalues.sorted
+    def blockSpread(ev: Array[Double]): Double = {
+      val sums = ev.grouped(sub).map(_.map(math.log).sum).toArray
+      sums.max - sums.min
+    }
+    // native spectral order = contiguous blocks = maximal spread
+    blockSpread(model.eigenvalues) should be <
+      blockSpread(plain.eigenvalues) * 0.2
+  }
+
+  test("OPQ rotation cuts residual-PQ self-ADC error on anisotropic data") {
+    // The production composition (n14): rotation → trained cells →
+    // trained residual codebooks. The rotation must cut the coding
+    // error of the RESIDUAL path too, not just raw PQ — residuals
+    // against cosine-assigned cells inherit the coordinate anisotropy.
+    val vecs = corpus
+    val model = Embeddings.pcaFitBalanced(vecs, "vec_id", "embedding",
+      k = dim, m = m)
+    val rotated = Similarity.rotateToBasis(vecs, model)
+    import graft.functions.{Centroids => C, PqColumns => P}
+    def residualSelfAdc(df: org.apache.spark.sql.DataFrame): Double = {
+      val cells = KMeans.trainCentroidsDistributed(df, "vec_id", "embedding",
+        nlist = 8, iters = 5)
+      val cb = KMeans.trainResidualPqCodebook(df, "vec_id", "embedding",
+        cells, m = m, ks = 16, dim = dim)
+      df.select(col("embedding"),
+          C.centroidAssign(col("embedding"), cells).as("cell"))
+        .select(P.pqAdc(
+          C.centroidResidual(col("embedding"), col("cell"), cells),
+          P.pqEncode(C.centroidResidual(col("embedding"), col("cell"), cells),
+            cb, sub), cb, sub).as("e"))
+        .agg(avg(col("e"))).head.getDouble(0)
+    }
+    val rawErr = residualSelfAdc(vecs)
+    val rotErr = residualSelfAdc(rotated)
+    rotErr should be < rawErr * 0.7
+  }
+
   test("rotatedPqTopK keeps the pqTopK row contract and beats-or-matches raw recall") {
     val vecs = corpus
     val model = Embeddings.pcaFitBalanced(vecs, "vec_id", "embedding",
