@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt runMain` stdout and parses the benchmark's
+// final JSON line. sbt's default logger prefixes every forked-process
+// line with "[info] " and appends its own "[success] Total time…"
+// line, both of which defeat a per-line JSON parse. StdoutOutput makes
+// the forked JVM inherit raw stdout/stderr (no prefix); showSuccess
+// drops the trailing [success] line so the program's last printed line
+// is the last line of output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -68,7 +68,10 @@ object Bench {
       }
       (name, times.min, times.sum / times.length)
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // in comma-decimal locales would emit "361,530" — invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(f: ((String, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + fmt(f(r))).mkString("{", ",", "}")
     val qs = jsonMap(_._2)

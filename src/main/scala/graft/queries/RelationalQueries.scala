@@ -557,10 +557,14 @@ object RelationalQueries {
     * orders — so dim versions genuinely span many market days and the
     * financials fan-out is real), the quarterly financials stream, and
     * the daily market stream at (symbol, day) grain. Change timestamps
-    * are whole-second injective (orderdate + orderkey%86400 s) so SCD2
-    * ordering is tie-free AND surrogate keys stringify identically in
-    * Spark and DuckDB (no fractional seconds — the engines disagree on
-    * trailing-zero trimming only for fractional timestamps).
+    * are whole-second (orderdate + orderkey%86400 s) — NOT injective
+    * (orders sharing a date with orderkeys congruent mod 86400 in one
+    * SCD2 partition collide), but ordering stays deterministic because
+    * both engines break ties identically: Scd2's tieBreak=o_orderkey
+    * is mirrored in the oracle's ORDER BY ts DESC, o_orderkey DESC.
+    * Whole seconds also make surrogate keys stringify identically in
+    * Spark and DuckDB (the engines disagree on trailing-zero trimming
+    * only for fractional timestamps).
     * Dividends vary per security VERSION (not just per symbol), so the
     * final yield column proves the temporal lookup resolved the right
     * version. All numeric fixtures are exact in binary64 (multiples of
