@@ -20,6 +20,9 @@ run / fork := true
 // is the last line of output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — the unused-key
+// lint cannot see that; excluding it keeps run logs warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -206,7 +206,15 @@ object Embeddings {
   def pcaFitBalanced(vecs: DataFrame, idCol: String, embCol: String, k: Int,
                      m: Int, sampleCap: Int = 65536): PcaModel = {
     require(k % m == 0, s"m ($m) must divide k ($k)")
-    val m0 = pcaFit(vecs, idCol, embCol, k, sampleCap)
+    balanceBlocks(pcaFit(vecs, idCol, embCol, k, sampleCap), m)
+  }
+
+  /** The OPQ eigenvalue-allocation greedy, shared by the exact and
+    * truncated balanced fits: permute an eigenvalue-descending model's
+    * components so the spectrum spreads across the m PQ blocks.
+    */
+  private def balanceBlocks(m0: PcaModel, m: Int): PcaModel = {
+    val k = m0.eigenvalues.length
     val sub = k / m
     val logSum = new Array[Double](m)
     val counts = new Array[Int](m)
@@ -245,6 +253,213 @@ object Embeddings {
     val order = (0 until m).flatMap(b => (0 until k).filter(blockOf(_) == b))
     PcaModel(m0.mean, order.map(m0.eigenvalues).toArray,
       order.map(m0.basis).toArray)
+  }
+
+  /** TRUNCATED randomized PCA for k ≪ dim (Halko–Martinsson–Tropp
+    * randomized subspace iteration): the production-embedding-width
+    * path (dim 768–4096) where the exact pipeline is unusable — the
+    * dense covariance is O(dim²) memory and the Jacobi eigensolve
+    * O(dim³) time (≈8.6e9 flops PER SWEEP at dim 2048). This path
+    * never materializes the covariance: it applies it as mat-vec
+    * products against the bounded sample,
+    * A·q = (1/n) Σᵢ (xᵢ−μ)((xᵢ−μ)·q), so the fit is
+    * O(n·dim·l·iters) time and O(dim·l) extra memory for the block of
+    * l = k + oversample probe vectors.
+    *
+    * Fully deterministic (gate-friendly): the Gaussian test block
+    * comes from a splitmix64-hashed Box–Muller stream (no
+    * java.util.Random state), orthonormalization is modified
+    * Gram-Schmidt in fixed column order, the subspace iteration count
+    * is fixed, and the final small l×l Rayleigh–Ritz matrix goes
+    * through the same cyclic [[jacobiEigen]] + sign/tie normalization
+    * as the exact path — so on a spectrum with healthy top-k gaps the
+    * result matches [[pcaFit]] on the same sample to solver precision
+    * (gated: e04 at dim 512 / k 32; TruncatedPcaSpec pins dim 2048).
+    *
+    * Default sampleCap is 16384 (vs pcaFit's 65536): the rotation
+    * trains on a sample either way (FAISS PCA-matrix recipe), and at
+    * dim 2048 a 16k sample already costs 0.27 GB on the driver —
+    * the cap, not the corpus, bounds driver memory exactly like every
+    * codebook fit in this library.
+    */
+  def pcaFitTruncated(vecs: DataFrame, idCol: String, embCol: String, k: Int,
+                      sampleCap: Int = 16384, oversample: Int = 8,
+                      powerIters: Int = 8, seed: Long = 42L): PcaModel = {
+    val sample = KMeans.sampleVectors(vecs, idCol, embCol, sampleCap)
+    require(sample.nonEmpty, "pcaFitTruncated needs a non-empty sample")
+    fitTruncatedFromSample(sample, k, oversample, powerIters, seed)
+  }
+
+  /** [[pcaFitTruncated]] with the OPQ eigenvalue-allocation permutation
+    * of [[pcaFitBalanced]] — the production-width OPQ init
+    * (OPQ{m} on 768–4096-dim embeddings), same greedy, same
+    * block-major output order.
+    */
+  def pcaFitBalancedTruncated(vecs: DataFrame, idCol: String, embCol: String,
+                              k: Int, m: Int, sampleCap: Int = 16384,
+                              oversample: Int = 8, powerIters: Int = 8,
+                              seed: Long = 42L): PcaModel = {
+    require(k % m == 0, s"m ($m) must divide k ($k)")
+    balanceBlocks(
+      pcaFitTruncated(vecs, idCol, embCol, k, sampleCap, oversample,
+        powerIters, seed), m)
+  }
+
+  /** Driver-side core of [[pcaFitTruncated]], exposed to specs so a
+    * planted sample can bypass the Spark sampling.
+    */
+  private[ops] def fitTruncatedFromSample(sample: Array[Array[Double]], k: Int,
+                                          oversample: Int, powerIters: Int,
+                                          seed: Long): PcaModel = {
+    val dim = sample.head.length
+    require(k >= 1 && k <= dim, s"k ($k) must be in [1, $dim]")
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { v =>
+      var i = 0; while (i < dim) { mean(i) += v(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+
+    val l = math.min(dim, k + math.max(0, oversample))
+
+    // One subspace-iteration step: G = A·Q with centering on the fly
+    // (the sample is never copied or centered in place). Row-major
+    // dim×l blocks; w = (x−μ)ᵀQ then G += (x−μ)wᵀ keeps the inner
+    // loops contiguous.
+    def applyCov(q: Array[Array[Double]]): Array[Array[Double]] = {
+      val g = Array.ofDim[Double](dim, l)
+      val w = new Array[Double](l)
+      sample.foreach { x =>
+        java.util.Arrays.fill(w, 0.0)
+        var r = 0
+        while (r < dim) {
+          val c = x(r) - mean(r)
+          if (c != 0.0) {
+            val qr = q(r)
+            var j = 0
+            while (j < l) { w(j) += c * qr(j); j += 1 }
+          }
+          r += 1
+        }
+        r = 0
+        while (r < dim) {
+          val c = x(r) - mean(r)
+          if (c != 0.0) {
+            val gr = g(r)
+            var j = 0
+            while (j < l) { gr(j) += c * w(j); j += 1 }
+          }
+          r += 1
+        }
+      }
+      val inv = 1.0 / n
+      g.foreach { row =>
+        var j = 0; while (j < l) { row(j) *= inv; j += 1 }
+      }
+      g
+    }
+
+    // Modified Gram-Schmidt over columns, fixed order. A column that
+    // collapses (numerically dependent block — e.g. dim barely above
+    // k on near-low-rank data) is refreshed from a shifted hash
+    // stream and re-orthogonalized, keeping the run deterministic.
+    def orthonormalize(mcols: Array[Array[Double]]): Unit = {
+      var j = 0
+      var refresh = 0
+      while (j < l) {
+        var jj = 0
+        while (jj < j) {
+          var dot = 0.0
+          var r = 0
+          while (r < dim) { dot += mcols(r)(jj) * mcols(r)(j); r += 1 }
+          r = 0
+          while (r < dim) { mcols(r)(j) -= dot * mcols(r)(jj); r += 1 }
+          jj += 1
+        }
+        var nrm = 0.0
+        var r = 0
+        while (r < dim) { nrm += mcols(r)(j) * mcols(r)(j); r += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 1e-10) {
+          r = 0
+          while (r < dim) { mcols(r)(j) /= nrm; r += 1 }
+          j += 1
+        } else {
+          refresh += 1
+          require(refresh <= 3 * l, "orthonormalization failed to recover")
+          r = 0
+          while (r < dim) {
+            mcols(r)(j) = hashGauss(seed + 7919L * refresh, r.toLong * l + j)
+            r += 1
+          }
+        }
+      }
+    }
+
+    val q = Array.tabulate(dim, l)((r, j) => hashGauss(seed, r.toLong * l + j))
+    orthonormalize(q)
+    var it = 0
+    var cur = q
+    while (it < powerIters) {
+      cur = applyCov(cur)
+      orthonormalize(cur)
+      it += 1
+    }
+    // Rayleigh–Ritz: B = Qᵀ(AQ) is l×l — the only eigensolve, on a
+    // matrix whose size is set by k, not dim.
+    val z = applyCov(cur)
+    val b = Array.ofDim[Double](l, l)
+    for (a <- 0 until l; c <- a until l) {
+      var s = 0.0
+      var r = 0
+      while (r < dim) { s += cur(r)(a) * z(r)(c); r += 1 }
+      b(a)(c) = s
+      b(c)(a) = s
+    }
+    val (evals, w) = jacobiEigen(b)
+    val order = evals.indices.sortBy(j => (-evals(j), j))
+    val top = order.take(k).toArray
+    val basis = top.map { j =>
+      val v = new Array[Double](dim)
+      var r = 0
+      while (r < dim) {
+        var s = 0.0
+        var a = 0
+        while (a < l) { s += cur(r)(a) * w(a)(j); a += 1 }
+        v(r) = s
+        r += 1
+      }
+      var best = 0
+      var bestA = -1.0
+      var t = 0
+      while (t < dim) {
+        val av = math.abs(v(t))
+        if (av > bestA) { bestA = av; best = t }
+        t += 1
+      }
+      if (v(best) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, top.map(evals), basis)
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic standard Gaussian from (seed, idx): two splitmix64
+    * uniforms through Box–Muller. No shared PRNG state — any (seed,
+    * idx) cell is reproducible in isolation.
+    */
+  private[ops] def hashGauss(seed: Long, idx: Long): Double = {
+    val u1 = (mix64(seed ^ mix64(idx)) >>> 11).toDouble / (1L << 53).toDouble
+    val u2 = (mix64(seed ^ mix64(idx + 0x5851F42D4C957F2DL)) >>> 11).toDouble /
+      (1L << 53).toDouble
+    math.sqrt(-2.0 * math.log(math.max(u1, 1e-300))) *
+      math.cos(2.0 * math.Pi * u2)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns

@@ -514,6 +514,68 @@ object OpsQueries {
              |  round(sum(e.embedding[p.ia]::DOUBLE * e.embedding[p.ib]::DOUBLE), 4)
              |FROM embeddings e, pairs p GROUP BY p.ia, p.ib""".stripMargin)),
 
+    // TRUNCATED randomized PCA (e04): the production-embedding-width
+    // fit (k ≪ dim) — subspace iteration applying the sampled
+    // covariance as mat-vec products, no dim×dim materialization, no
+    // O(dim³) eigensolve. Gate: on a 512-dim fixture with a planted
+    // fast-decaying spectrum (0.85^i scaling over permuted embedding
+    // coordinates + deterministic xxhash noise, so top-32 gaps are
+    // forced regardless of the testdata's own spectrum), the truncated
+    // path must agree with the exact covariance+Jacobi path fitted on
+    // the SAME md5-ranked sample: per-component eigenvalues to 1e-4
+    // relative, and pairwise distances between truncated projections
+    // to 1e-6 — distances, not raw vectors, so the check is robust to
+    // sign/rotation within near-degenerate eigenspaces while still
+    // failing if the two bases span different subspaces. The dim-2048
+    // regime the exact path cannot reach is TruncatedPcaSpec-pinned
+    // (Rayleigh-residual eigenpair certificate).
+    QueryDef("e04_pca_randomized_truncated",
+      (s, dir) => {
+        import s.implicits._
+        val e = embs(s, dir)
+        val hi = e.select(col("vec_id"),
+          transform(sequence(lit(0), lit(511)), i =>
+            pow(lit(0.85), i.cast("double")) *
+              (element_at(col("embedding"),
+                pmod(i * lit(37) + floor(i / lit(64)).cast("int") * lit(11),
+                  lit(64)).cast("int") + lit(1)).cast("double") +
+                (pmod(xxhash64(col("vec_id"), i), lit(1000)).cast("double") /
+                  lit(1000.0) - lit(0.5)))).as("hi"))
+        val k = 32
+        val mT = Embeddings.pcaFitTruncated(hi, "vec_id", "hi", k,
+          sampleCap = 4096)
+        val mJ = Embeddings.pcaFit(hi, "vec_id", "hi", k, sampleCap = 4096)
+        val eigRows = (0 until k).map { j =>
+          val rel = math.abs(mT.eigenvalues(j) - mJ.eigenvalues(j)) /
+            math.max(mJ.eigenvalues(j), 1e-300)
+          ("eig", j.toLong, -1L, rel < 1e-4)
+        }.toDF("chk", "i", "j", "ok")
+        val both = Embeddings.pcaProject(
+          Embeddings.pcaProject(hi.filter(col("vec_id") < 30), "hi", mT, "vt"),
+          "hi", mJ, "vj")
+        val a = both.select(col("vec_id").as("ia"),
+          col("vt").as("ta"), col("vj").as("ja"))
+        val b = both.select(col("vec_id").as("ib"),
+          col("vt").as("tb"), col("vj").as("jb"))
+        def dist(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          sqrt(aggregate(zip_with(x, y, (p, q) => (p - q) * (p - q)),
+            lit(0.0d), _ + _))
+        val distRows = a.join(b, col("ia") < col("ib"))
+          .withColumn("dt", dist(col("ta"), col("tb")))
+          .withColumn("dj", dist(col("ja"), col("jb")))
+          .select(lit("dist").as("chk"), col("ia").as("i"), col("ib").as("j"),
+            (abs(col("dt") - col("dj")) <= lit(1e-6) * (lit(1.0) + col("dj")))
+              .as("ok"))
+        eigRows.unionByName(distRows)
+      },
+      Some("""SELECT 'eig' AS chk, cast(t.i AS BIGINT) AS i,
+             |  cast(-1 AS BIGINT) AS j, TRUE AS ok
+             |FROM range(0, 32) t(i)
+             |UNION ALL
+             |SELECT 'dist', a.vec_id, b.vec_id, TRUE
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 30 AND b.vec_id < 30""".stripMargin)),
+
     // Bounded top-k per group via the custom TypedImperativeAggregate:
     // k-element heaps partial-aggregate map-side (the shuffle carries
     // <= k pairs per group per task — no full sort of the input, unlike
