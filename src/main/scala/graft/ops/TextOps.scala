@@ -224,6 +224,88 @@ object TextOps {
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 
+  /** Trained linear quality model: weights for [bias, ln(1+n_chars),
+    * stopword_ratio, |avg_word_len−5|, n_punct] — the same feature set
+    * as the fixed-weight [[qualityScore]], so a trained model drops in
+    * where the constants were.
+    */
+  final case class LogisticModel(weights: Array[Double])
+
+  /** The [[qualityScore]] feature vector as columns (bias excluded):
+    * [ln(1+n_chars), stopword_ratio, |avg_word_len−5|, n_punct].
+    */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val m = qualityMetrics(text).toMap
+    Seq(log(lit(1.0) + m("n_chars").cast("double")),
+      m("stopword_ratio"),
+      abs(m("avg_word_len") - lit(5.0)),
+      m("n_punct").cast("double"))
+  }
+
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-greatest(least(z, lit(30.0)), lit(-30.0))))
+
+  /** TRAIN the logistic quality classifier with full-batch gradient
+    * descent — the missing half of the fastText-style curation loop
+    * ([[qualityScore]] scores with fixed constants; this learns them
+    * from labels, e.g. a rule filter's keep flag distilled into a
+    * linear model).
+    *
+    * Each iteration is ONE distributed aggregate: the per-row gradient
+    * contribution (σ(w·x) − y)·x partial-sums map-side into d+1
+    * doubles of state (`avg` — a codegen'd HashAggregate, the same
+    * partial/final shape a TypedImperativeAggregate would give, with
+    * no custom code at this dimensionality), and the DRIVER takes the
+    * η-step on the d+1-vector — the k-means/codebook discipline:
+    * driver work is O(d·iters), never O(rows). The feature projection
+    * is persisted once so the `iters` scans read 5 doubles per row,
+    * not the text.
+    *
+    * Deterministic up to float summation order (the t16 rule: gate
+    * outputs round to 4dp); the sigmoid argument is clamped to ±30 in
+    * BOTH engines so saturation never reaches exp overflow, which
+    * DuckDB and the JVM disagree about.
+    */
+  def trainQualityClassifier(df: org.apache.spark.sql.DataFrame,
+                             textCol: String, label: Column,
+                             iters: Int = 10,
+                             lr: Double = 0.5): LogisticModel = {
+    val fcols = qualityFeatures(col(textCol)).zipWithIndex.map {
+      case (c, i) => c.as(s"f${i + 1}")
+    }
+    val feats = df.select(fcols :+ label.cast("double").as("y"): _*).persist()
+    try {
+      val d = 4
+      var w = new Array[Double](d + 1)
+      var it = 0
+      while (it < iters) {
+        val z = w.zipWithIndex.map {
+          case (wj, 0) => lit(wj)
+          case (wj, j) => lit(wj) * col(s"f$j")
+        }.reduce(_ + _)
+        val diff = sigmoid(z) - col("y")
+        val grads = feats.agg(avg(diff).as("g0"),
+          avg(diff * col("f1")).as("g1"), avg(diff * col("f2")).as("g2"),
+          avg(diff * col("f3")).as("g3"), avg(diff * col("f4")).as("g4"))
+          .head()
+        w = Array.tabulate(d + 1)(j => w(j) - lr * grads.getDouble(j))
+        it += 1
+      }
+      LogisticModel(w)
+    } finally { feats.unpersist() }
+  }
+
+  /** Score with a trained model: σ(w·x) over the [[qualityFeatures]] —
+    * weights become plan literals, so this is the same zero-exchange
+    * codegen projection as [[qualityScore]], a free rider on the scan
+    * at 100 TB.
+    */
+  def qualityScoreTrained(text: Column, model: LogisticModel): Column = {
+    val fs = qualityFeatures(text)
+    sigmoid(fs.zip(model.weights.tail).map { case (f, wj) => lit(wj) * f }
+      .foldLeft(lit(model.weights.head): Column)(_ + _))
+  }
+
   /** The full Gopher document-quality rule set (Rae et al., "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", 2021, §A.1.1) — the standard rule filter applied before

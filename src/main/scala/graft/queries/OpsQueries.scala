@@ -2506,6 +2506,71 @@ object OpsQueries {
            |  round(1.0 / (1.0 + exp(-($z))), 4) AS score,
            |  (1.0 / (1.0 + exp(-($z)))) >= 0.5 AS keep
            |FROM documents""".stripMargin
+      }),
+
+    // TRAINED logistic quality classifier (t20): the other half of the
+    // fastText-style curation loop — t11 scores with fixed constants,
+    // this one LEARNS the weights by distilling the t02 rule filter's
+    // keep flag into a linear model over the same features. Training is
+    // full-batch GD: each iteration one distributed avg-aggregate
+    // (gradient partial-sums, d+1 doubles of map-side state), the
+    // driver takes the η-step — O(d·iters) driver work, never O(rows).
+    // Oracle: DuckDB REPLAYS THE ENTIRE TRAINING LOOP — the 10 GD
+    // iterations unrolled as chained CTE stages (recursive CTEs
+    // disallow aggregates in the recursive term) over the identical
+    // feature SQL, then scores with its own trained weights. Two
+    // independent mechanizations of both training and scoring; 4dp
+    // rounding absorbs summation-order last-bits (t16 float rule), and
+    // the sigmoid argument clamps to ±30 in both engines so saturation
+    // never reaches exp-overflow territory where they disagree.
+    QueryDef("t20_trained_quality",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val keepLabel = TextOps.qualityMetrics(col("text")).toMap.apply("keep")
+        val model = TextOps.trainQualityClassifier(d, "text", keepLabel)
+        d.select(col("doc_id"),
+          round(TextOps.qualityScoreTrained(col("text"), model), 4).as("score"),
+          (TextOps.qualityScoreTrained(col("text"), model) >= 0.5).as("keep"))
+      },
+      Some {
+        val pad = "(' ' || lower(text) || ' ')"
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        val guard = s"(CASE WHEN ($nWords) = 0 THEN 1 ELSE $nWords END)"
+        val nStop = Seq("the", "a", "and", "of", "is", "to", "in")
+          .map(m => occSql(pad, s" $m ")).mkString(" + ")
+        val nPunct = Seq(".", ",", "!", "?").map(occSql("text", _)).mkString(" + ")
+        val awl = s"(cast(length(text) - ${occSql("text", " ")} AS DOUBLE) / $guard)"
+        val feats =
+          s"""feats AS (
+             |  SELECT doc_id,
+             |    ln(1.0 + length(text)) AS f1,
+             |    cast($nStop AS DOUBLE) / $guard AS f2,
+             |    abs($awl - 5.0) AS f3,
+             |    cast($nPunct AS DOUBLE) AS f4,
+             |    CASE WHEN length(text) >= 20 AND ($nWords) >= 5
+             |          AND $awl BETWEEN 1.5 AND 12.0
+             |         THEN 1.0 ELSE 0.0 END AS y
+             |  FROM documents)""".stripMargin
+        def stage(k: Int): String =
+          s"""it$k AS (
+             |  SELECT iw0 - 0.5 * avg(d) AS w0, iw1 - 0.5 * avg(d * f1) AS w1,
+             |    iw2 - 0.5 * avg(d * f2) AS w2, iw3 - 0.5 * avg(d * f3) AS w3,
+             |    iw4 - 0.5 * avg(d * f4) AS w4
+             |  FROM (SELECT i.w0 AS iw0, i.w1 AS iw1, i.w2 AS iw2,
+             |          i.w3 AS iw3, i.w4 AS iw4, f.f1, f.f2, f.f3, f.f4,
+             |          1.0 / (1.0 + exp(-greatest(least(
+             |            i.w0 + i.w1*f.f1 + i.w2*f.f2 + i.w3*f.f3 + i.w4*f.f4,
+             |            30.0), -30.0))) - f.y AS d
+             |        FROM it${k - 1} i, feats f)
+             |  GROUP BY iw0, iw1, iw2, iw3, iw4)""".stripMargin
+        val zfin = "w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3 + w.w4*f.f4"
+        val sig = s"1.0 / (1.0 + exp(-greatest(least($zfin, 30.0), -30.0)))"
+        s"""WITH $feats,
+           |it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+           |        0.0 AS w4),
+           |${(1 to 10).map(stage).mkString(",\n")}
+           |SELECT f.doc_id, round($sig, 4) AS score, ($sig) >= 0.5 AS keep
+           |FROM feats f, it10 w""".stripMargin
       })
   )
 }

@@ -286,4 +286,27 @@ class TextOpsSpec extends SparkSpec {
     // S(a|b) backoff = 0.4 * c(a)/N = 0.4 * 1/2 = 0.2
     r.getAs[Double]("avg_logscore") shouldBe math.log(0.2) +- 1e-12
   }
+
+  test("trained quality classifier recovers a separable planted labeling") {
+    // Planted separable fixture: the positive class is long English
+    // with heavy stopword mass (high f1/f2), the negative class short
+    // gibberish — linearly separable in the quality features, so
+    // full-batch GD must drive training accuracy to 100%.
+    val good = (0 until 60).map { i =>
+      (i.toLong,
+        "the cat and a dog of the town is to run in the park and " * 3 +
+          s"tail$i")
+    }
+    val bad = (60 until 120).map(i => (i.toLong, s"zxq$i qq"))
+    val df = (good ++ bad).toDF("doc_id", "text")
+    val label = col("doc_id") < 60
+    val model = TextOps.trainQualityClassifier(df, "text", label,
+      iters = 60, lr = 0.5)
+    model.weights.length shouldBe 5
+    val scored = df.select(col("doc_id"),
+        TextOps.qualityScoreTrained(col("text"), model).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until 60).foreach(i => scored(i.toLong) should be > 0.5)
+    (60 until 120).foreach(i => scored(i.toLong) should be < 0.5)
+  }
 }
