@@ -179,6 +179,111 @@ object TextOps {
       .otherwise(size(split(encoded, BpeSep + "+")))
   }
 
+  /** Unigram (SentencePiece-style) piece model: vocabulary pieces with
+    * raw integer counts and FIXED-POINT integer costs
+    * (−round(1e6·ln(count/total)) — log-probs on a 1e-6 grid), so
+    * Viterbi path comparison is exact integer arithmetic in any
+    * engine: the "integer skeleton" a SQL oracle can replay without
+    * float-tie ambiguity. `maxPieceLen` bounds candidate pieces.
+    */
+  final case class UnigramModel(pieces: Array[String], counts: Array[Long],
+                                costInt: Array[Long], maxPieceLen: Int)
+
+  private def unigramCosts(counts: Array[Long]): Array[Long] = {
+    val total = counts.sum.toDouble
+    counts.map(c => -math.round(1e6 * math.log(c / total)))
+  }
+
+  /** Seed vocabulary for unigram training: every substring of length
+    * 1..maxPieceLen of every word-table word, weighted by word
+    * frequency (all start positions). ALL single-codepoint pieces are
+    * kept (coverage — any word stays segmentable); multi-codepoint
+    * pieces keep the top (vocabSize − #chars) by (count desc, piece).
+    * One distributed substring-explosion aggregate over the
+    * Zipf-bounded word table; the driver only collects the ≤vocabSize
+    * result (codebook discipline).
+    */
+  def unigramSeedModel(wordTable: org.apache.spark.sql.DataFrame,
+                       vocabSize: Int, maxPieceLen: Int): UnigramModel = {
+    require(vocabSize >= 1 && maxPieceLen >= 1, "bad unigram params")
+    val n = length(col("word"))
+    val subs = wordTable.select(col("freq"), explode(flatten(
+      transform(sequence(lit(1), n), i =>
+        transform(sequence(lit(1), least(lit(maxPieceLen), n - i + lit(1))),
+          l => col("word").substr(i, l))))).as("piece"))
+    val counts = subs.groupBy("piece").agg(sum("freq").as("cnt"))
+    val chars = counts.filter(length(col("piece")) === 1)
+    val nChars = chars.count().toInt
+    val multi = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(math.max(0, vocabSize - nChars))
+    val rows = chars.unionByName(multi)
+      .orderBy(col("piece")).collect()
+    val pieces = rows.map(_.getAs[String]("piece"))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    UnigramModel(pieces, cnts, unigramCosts(cnts), maxPieceLen)
+  }
+
+  /** One hard-EM iteration: E-step segments every word-table word by
+    * Viterbi under the current model ([[graft.functions.UnigramSegment]]
+    * — ONE codegen node, vocab as a reference object) and aggregates
+    * frequency-weighted piece counts DISTRIBUTED; the M-step is a
+    * driver-side Laplace re-estimate (count+1 over the fixed
+    * vocabulary, O(|vocab|) — pieces the E-step never used survive
+    * with floor probability instead of ln(0)). Corpus rows are never
+    * touched: EM runs entirely on the Zipf-bounded word table.
+    */
+  def unigramEmStep(wordTable: org.apache.spark.sql.DataFrame,
+                    model: UnigramModel): UnigramModel = {
+    val segged = unigramSegmentWords(wordTable, model)
+    val hard = segged.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .collect().map(r => r.getAs[String]("piece") -> r.getAs[Long]("cnt"))
+      .toMap
+    val cnts = model.pieces.map(p => hard.getOrElse(p, 0L) + 1L)
+    UnigramModel(model.pieces, cnts, unigramCosts(cnts), model.maxPieceLen)
+  }
+
+  /** Word table + `pieces` array column: the Viterbi split of each word
+    * under the model.
+    */
+  def unigramSegmentWords(wordTable: org.apache.spark.sql.DataFrame,
+                          model: UnigramModel): org.apache.spark.sql.DataFrame =
+    wordTable.withColumn("pieces",
+      graft.functions.UnigramSegmenter.unigramSegment(col("word"),
+        model.pieces, model.costInt, model.maxPieceLen))
+
+  /** Train a unigram tokenizer: seed from substring statistics, then
+    * `emIters` hard-EM refinements — the SentencePiece training shape
+    * (seed → EM → prune) with the EM expectation distributed and every
+    * driver step bounded by vocabSize. Pruning falls out of the seed
+    * cap here; a production loop would interleave prune steps the same
+    * way (drop lowest-count pieces, re-run EM).
+    */
+  def unigramTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   vocabSize: Int, maxPieceLen: Int = 4, emIters: Int = 2,
+                   maxWords: Int = 65536): UnigramModel = {
+    val table = bpeWordTable(df, textCol, maxWords).drop("syms")
+      .localCheckpoint()
+    var m = unigramSeedModel(table, vocabSize, maxPieceLen)
+    var i = 0
+    while (i < emIters) { m = unigramEmStep(table, m); i += 1 }
+    m
+  }
+
+  /** Tokenize full text under a trained unigram model: per-word Viterbi
+    * splits flattened to one piece stream — a zero-shuffle projection
+    * (the scan-rider shape, like [[bpeTokenCount]]). Unsegmentable
+    * words (codepoints outside the vocab) contribute no pieces.
+    */
+  def unigramEncode(text: Column, model: UnigramModel): Column = {
+    val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    flatten(filter(transform(words, w =>
+      graft.functions.UnigramSegmenter.unigramSegment(w,
+        model.pieces, model.costInt, model.maxPieceLen)),
+      a => a.isNotNull))
+  }
+
   /** Quality metrics: length, word count, average word length,
     * punctuation count, stopword ratio, and a composite keep/drop flag —
     * the usual pre-training heuristics (length + punct + stopword ratio).

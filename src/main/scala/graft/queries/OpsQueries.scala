@@ -2571,6 +2571,116 @@ object OpsQueries {
            |${(1 to 10).map(stage).mkString(",\n")}
            |SELECT f.doc_id, round($sig, 4) AS score, ($sig) >= 0.5 AS keep
            |FROM feats f, it10 w""".stripMargin
+      }),
+
+    // UNIGRAM (SentencePiece-style) tokenizer trainer (t21): seed vocab
+    // from substring statistics, then hard-EM — E-step a DISTRIBUTED
+    // Viterbi-segmentation + piece-count aggregate over the
+    // Zipf-bounded word table (one codegen UnigramSegment node, vocab
+    // as reference object), M-step a driver-side Laplace re-estimate,
+    // O(|vocab|). The INTEGER SKELETON makes the whole loop
+    // SQL-replayable: piece costs are fixed-point −round(1e6·ln p)
+    // integers, so Viterbi comparisons are exact integer sums in both
+    // engines, and Viterbi's ascending-index strict-update tie-break
+    // equals ORDER BY (cost, reversed boundary list) over ALL
+    // minimum-cost paths — which is how the oracle picks them: DuckDB
+    // re-derives the word table, the seed counts, BOTH EM iterations
+    // (paths via recursive CTE enumeration, bounded by the ≤12-char /
+    // top-200-word gate fixture), and emits the same segmentations and
+    // final integer counts. Floats never leave the 1e-6 log grid.
+    QueryDef("t21_unigram_tokenizer",
+      (s, dir) => {
+        import s.implicits._
+        val table = TextOps.bpeWordTable(docs(s, dir), "text",
+            maxWords = 100000).drop("syms")
+          .filter(length(col("word")) <= 12)
+          .orderBy(col("freq").desc, col("word")).limit(200)
+          .localCheckpoint()
+        val m0 = TextOps.unigramSeedModel(table, vocabSize = 120,
+          maxPieceLen = 3)
+        val m1 = TextOps.unigramEmStep(table, m0)
+        val m2 = TextOps.unigramEmStep(table, m1)
+        val seg = TextOps.unigramSegmentWords(table, m1)
+          .select(lit("seg").as("chk"), col("word").as("k"),
+            array_join(col("pieces"), " ").as("s"),
+            col("freq").cast("long").as("n"))
+        val vocabRows = m2.pieces.zip(m2.counts).toSeq.toDF("k", "n")
+          .select(lit("vocab").as("chk"), col("k"), lit("").as("s"),
+            col("n"))
+        seg.unionByName(vocabRows)
+      },
+      Some {
+        val wordTable =
+          """wd AS (SELECT word, count(*) AS freq FROM (
+            |    SELECT unnest(list_filter(
+            |      string_split_regex(lower(trim(text)), '\s+'),
+            |      x -> x <> '')) AS word FROM documents) GROUP BY 1),
+            |wt AS (SELECT word, freq FROM wd WHERE length(word) <= 12
+            |       ORDER BY freq DESC, word LIMIT 200)""".stripMargin
+        val seed =
+          """subs AS (SELECT substr(w.word, cast(t.i AS INT), cast(u.l AS INT)) AS piece,
+            |    w.freq
+            |  FROM wt w,
+            |    unnest(range(1, length(w.word) + 1)) AS t(i),
+            |    unnest(range(1, least(3, length(w.word) - t.i + 1) + 1)) AS u(l)),
+            |sc AS (SELECT piece, cast(sum(freq) AS BIGINT) AS cnt
+            |  FROM subs GROUP BY 1),
+            |v0sel AS (
+            |  SELECT piece, cnt FROM sc WHERE length(piece) = 1
+            |  UNION ALL
+            |  SELECT piece, cnt FROM (
+            |    SELECT piece, cnt,
+            |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+            |    FROM sc WHERE length(piece) > 1)
+            |  WHERE rn <= 120 - (SELECT count(*) FROM sc
+            |                     WHERE length(piece) = 1)),
+            |v0 AS (SELECT piece, cnt,
+            |    cast(-round(1e6 * ln(cnt::DOUBLE /
+            |      (SELECT sum(cnt)::DOUBLE FROM v0sel))) AS BIGINT) AS cost
+            |  FROM v0sel)""".stripMargin
+        // One Viterbi E-step under vocab ${v}: enumerate every piece
+        // path (recursive CTE), keep the min-cost path per word with
+        // the reversed-bounds tie-break, rebuild pieces from the
+        // boundary list, then hard-count + Laplace into vocab ${k}.
+        def emStage(k: Int, v: String): String =
+          s"""p$k AS (
+             |  SELECT w.word, 0 AS pos, cast(0 AS BIGINT) AS cost,
+             |    [0] AS bounds
+             |  FROM wt w
+             |  UNION ALL
+             |  SELECT p.word, p.pos + length(v.piece), p.cost + v.cost,
+             |    list_append(p.bounds, p.pos + length(v.piece))
+             |  FROM p$k p JOIN $v v
+             |    ON substr(p.word, p.pos + 1, length(v.piece)) = v.piece
+             |  WHERE p.pos < length(p.word)),
+             |b$k AS (SELECT word, bounds FROM p$k WHERE pos = length(word)
+             |  QUALIFY row_number() OVER (PARTITION BY word
+             |    ORDER BY cost, list_reverse(bounds)) = 1),
+             |s$k AS (SELECT word,
+             |    list_transform(range(2, len(bounds) + 1),
+             |      i -> substr(word, bounds[i-1] + 1,
+             |                  bounds[i] - bounds[i-1])) AS pieces
+             |  FROM b$k),
+             |c$k AS (SELECT piece, cast(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT w.freq, unnest(sg.pieces) AS piece
+             |    FROM s$k sg JOIN wt w USING (word)) GROUP BY 1),
+             |v$k AS (SELECT v.piece,
+             |    cast(coalesce(c.cnt, 0) + 1 AS BIGINT) AS cnt,
+             |    cast(-round(1e6 * ln((coalesce(c.cnt, 0) + 1)::DOUBLE /
+             |      (SELECT sum(coalesce(ci.cnt, 0) + 1)::DOUBLE
+             |       FROM $v vv LEFT JOIN c$k ci ON vv.piece = ci.piece)))
+             |      AS BIGINT) AS cost
+             |  FROM $v v LEFT JOIN c$k c ON v.piece = c.piece)""".stripMargin
+        s"""WITH RECURSIVE $wordTable,
+           |$seed,
+           |${emStage(1, "v0")},
+           |${emStage(2, "v1")}
+           |SELECT 'seg' AS chk, sg.word AS k,
+           |  array_to_string(sg.pieces, ' ') AS s,
+           |  cast(w.freq AS BIGINT) AS n
+           |FROM s2 sg JOIN wt w USING (word)
+           |UNION ALL
+           |SELECT 'vocab', piece, '', cnt FROM v2""".stripMargin
       })
   )
 }

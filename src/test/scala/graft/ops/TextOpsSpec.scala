@@ -287,6 +287,52 @@ class TextOpsSpec extends SparkSpec {
     r.getAs[Double]("avg_logscore") shouldBe math.log(0.2) +- 1e-12
   }
 
+  test("unigram Viterbi picks the minimum-cost split with deterministic ties") {
+    import graft.functions.UnigramSegmenter
+    // costs: cheap bigrams make ["ab","ab"] beat ["a","b","a","b"]
+    val df = Seq("abab", "aba", "abq", "aab").toDF("word")
+    val pieces = Array("a", "b", "ab", "aa")
+    val costs = Array(100L, 100L, 50L, 100L)
+    val got = df.select(UnigramSegmenter.unigramSegment(col("word"),
+        pieces, costs, 2).as("p"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    got(0) shouldBe Seq("ab", "ab")
+    // "aba": [ab,a]=150 beats [a,b,a]=300; a|ba is not a valid split
+    got(1) shouldBe Seq("ab", "a")
+    // 'q' is not in the vocab: unsegmentable -> null
+    got(2) shouldBe null
+    // exact integer TIE: [a,ab]=200 == [aa,b]=200 — the smallest
+    // predecessor at the final position wins (longest final piece),
+    // the rule a SQL oracle replays as ORDER BY cost, reversed bounds
+    got(3) shouldBe Seq("a", "ab")
+  }
+
+  test("unigram seed counts, EM reweighting, and encode") {
+    // corpus: "ab ab b" => word table: ab(freq 2), b(freq 1)
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val table = TextOps.bpeWordTable(df, "text").drop("syms")
+    val seed = TextOps.unigramSeedModel(table, vocabSize = 10, maxPieceLen = 2)
+    // substrings weighted by freq: from ab(2): a:2, b:2, ab:2; from b(1): b:1
+    val seedMap = seed.pieces.zip(seed.counts).toMap
+    seedMap shouldBe Map("a" -> 2L, "b" -> 3L, "ab" -> 2L)
+    // total=7; cost check for one piece: -round(1e6*ln(2/7))
+    val ci = seed.pieces.indexOf("ab")
+    seed.costInt(ci) shouldBe -math.round(1e6 * math.log(2.0 / 7.0))
+    // E-step: "ab" segments as [ab] (one piece beats two), "b" as [b]
+    // hard counts: ab->2, b->1; Laplace+1 over vocab: a->1, b->2, ab->3
+    val m1 = TextOps.unigramEmStep(table, seed)
+    m1.pieces.zip(m1.counts).toMap shouldBe
+      Map("a" -> 1L, "b" -> 2L, "ab" -> 3L)
+    // encode rides the same model
+    val enc = df.select(TextOps.unigramEncode(col("text"), m1).as("p"))
+      .collect()(0).getSeq[String](0)
+    enc shouldBe Seq("ab", "ab", "b")
+    // train composes seed + EM deterministically
+    val t = TextOps.unigramTrain(df, "text", vocabSize = 10,
+      maxPieceLen = 2, emIters = 1)
+    t.pieces.zip(t.counts).toMap shouldBe m1.pieces.zip(m1.counts).toMap
+  }
+
   test("trained quality classifier recovers a separable planted labeling") {
     // Planted separable fixture: the positive class is long English
     // with heavy stopword mass (high f1/f2), the negative class short
