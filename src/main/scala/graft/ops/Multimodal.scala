@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *    uncompressed BI_RGB DIB rasters and MJPEG (each frame a JPEG,
   *    routed through the same ImageIO tier as still images), via
   *    [[decodeVideoFrameFeatures]]. Only natively-coded formats
-  *    (H.264 etc.) fall back to [[stubDecode]] — clearly marked, and
-  *    the only thing that changes when such a codec is linked. The
-  *    mapPartitions shape (decoder state reused across a partition's
-  *    rows, no per-row init) is the pattern all codecs need.
+  *    (H.264 etc.) route through the `videoDecoder` plug point of
+  *    [[extractFeatures]] when one is supplied, and fall back to
+  *    [[stubDecode]] otherwise — so linking a real codec changes one
+  *    argument, never the operator. The mapPartitions shape (decoder
+  *    state reused across a partition's rows, no per-row init) is the
+  *    pattern all codecs need.
   */
 object Multimodal {
 
@@ -271,7 +273,7 @@ object Multimodal {
           val feats = decodeResizeFeatures(r.media, outW, outH)
             .getOrElse(stubDecode(r.media))
           MediaFeatures(r.doc_id, r.media_type,
-            n_frames = 1, features = feats)
+            n_frames = math.max(1, r.n_bytes / 64), features = feats)
         }
       }
   }
@@ -948,8 +950,21 @@ object Multimodal {
     * undecodable payloads fall back to the documented stub tier (for
     * video that also means frame-CONTENT features stay stubbed until a
     * codec is linked).
+    *
+    * `videoDecoder` is the EXTERNAL-CODEC PLUG POINT for natively-coded
+    * video (H.264 etc. — formats the JVM cannot decode): a serializable
+    * `bytes => Option[features]` consulted for `video` payloads AFTER
+    * the built-in AVI walk declines and BEFORE the stub — so linking a
+    * real codec (an ffmpeg JNI wrapper, say) changes ONE argument, not
+    * the operator. It is deliberately a per-payload function: decoder
+    * SESSION state (contexts, scratch buffers) belongs in the closure,
+    * which mapPartitions instantiates once per partition — the same
+    * discipline as the built-in tiers. None (default) = current
+    * behavior, stub fallback.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      videoDecoder: Option[Array[Byte] => Option[Array[Float]]] =
+                        None): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("doc_id", "media", "media_type", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
@@ -961,7 +976,9 @@ object Multimodal {
             case "audio" =>
               decodeAudioFeatures(r.media).getOrElse(stubDecode(r.media))
             case "video" =>
-              decodeVideoMetadata(r.media).getOrElse(stubDecode(r.media))
+              decodeVideoMetadata(r.media)
+                .orElse(videoDecoder.flatMap(d => d(r.media)))
+                .getOrElse(stubDecode(r.media))
             case _ => stubDecode(r.media)
           }
           MediaFeatures(r.doc_id, r.media_type,

@@ -163,6 +163,48 @@ class MultimodalSpec extends SparkSpec {
     feats.head.features.toSeq shouldBe expected.toSeq
   }
 
+  test("external videoDecoder hook: consulted after the AVI walk, before the stub") {
+    // fake codec: recognizes a magic prefix, else declines
+    val fake: Array[Byte] => Option[Array[Float]] = bytes =>
+      if (bytes.length >= 4 && bytes(0) == 'F' && bytes(1) == 'A' &&
+          bytes(2) == 'K' && bytes(3) == 'E')
+        Some(Array.fill(8)(42f))
+      else None
+    // doc 2 is video-typed with a text payload (not AVI): the hook
+    // recognizes it -> hook features, not stub
+    val hooked = docs.withColumn("text",
+      when(col("doc_id") === 2, lit("FAKEstream")).otherwise(col("text")))
+    val viaHook = Multimodal.extractFeatures(spark,
+        Multimodal.attachMedia(hooked), videoDecoder = Some(fake))
+      .filter(_.media_type == "video").collect().head
+    viaHook.features.toSeq shouldBe Seq.fill(8)(42f)
+    // hook declines (no magic) -> stub fallback, unchanged behavior
+    val declined = Multimodal.extractFeatures(spark,
+        Multimodal.attachMedia(docs), videoDecoder = Some(fake))
+      .filter(_.media_type == "video").collect().head
+    declined.features.toSeq shouldBe
+      Multimodal.stubDecode("0123456789abcdef".getBytes("UTF-8")).toSeq
+    // decodable AVI: the built-in walk wins — the hook is never reached
+    val avi = Multimodal.attachSyntheticVideos(spark, docs)
+    val poison: Array[Byte] => Option[Array[Float]] =
+      _ => Some(Array.fill(8)(-1f))
+    val real = Multimodal.extractFeatures(spark, avi,
+        videoDecoder = Some(poison))
+      .collect().sortBy(_.doc_id)
+    real(1).features(0) shouldBe 17f // from the container header, not -1
+  }
+
+  test("resizeFeatures honors the n_frames contract (max(1, n_bytes/64))") {
+    val media = Multimodal.attachMedia(docs)
+    val f = Multimodal.resizeFeatures(spark, media, outW = 4, outH = 5)
+      .collect().sortBy(_.doc_id)
+    f.map(_.n_frames).toSeq shouldBe Seq(1, 1, 1) // 64/64, 2/64->1, 16/64->1
+    val big = Seq((9L, "abcdefgh" * 32)).toDF("doc_id", "text") // 256 bytes
+    val fb = Multimodal.resizeFeatures(spark,
+      Multimodal.attachMedia(big), outW = 4, outH = 5).collect().head
+    fb.n_frames shouldBe 4
+  }
+
   test("extractFeatures really parses synthetic AVI containers") {
     val media = Multimodal.attachSyntheticVideos(spark, docs)
     val f = Multimodal.extractFeatures(spark, media)
