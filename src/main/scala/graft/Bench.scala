@@ -57,8 +57,17 @@ object Bench {
     // window has to span every repeat to poison a number.
     val iters = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
+    // Heavy chained gates run ONE sample: their wall is fixed
+    // gate-construction cost (q47/q49 evaluate three full warehouse
+    // DAGs each; e04 fits an exact dim-512 Jacobi baseline to compare
+    // against), which repeated sampling only doubles — at 2 iters they
+    // were 58% of total bench wall, drowning the operator signal. The
+    // correctness gate (Verify) still runs them fully every round.
+    val singleIter = Set("q47_warehouse_batch2", "q49_warehouse_batch3_chain",
+      "e04_pca_randomized_truncated")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      val nIters = if (singleIter(name)) 1 else iters
+      val times = (1 to nIters).map { _ =>
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)

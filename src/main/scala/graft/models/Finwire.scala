@@ -32,9 +32,21 @@ object Finwire {
 
   /** Read the FINWIRE glob and parse the prefix; caller should cache when
     * deriving all three record types (shared-scan pattern, tpcdi.py:446-454).
+    *
+    * The glob expands driver-side before reaching the reader: Spark's
+    * FileStreamSink metadata probe stats the RAW pattern string and
+    * logs a WARN with a full FileNotFoundException stack trace for
+    * glob paths (harmless but alarming in logs); concrete paths skip
+    * it, and an empty match becomes a crisp error instead of a lazy
+    * analysis failure.
     */
-  def read(spark: SparkSession, pathGlob: String): DataFrame =
-    parsePrefix(spark.read.text(pathGlob))
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    require(matches.nonEmpty, s"no FINWIRE files match $pathGlob")
+    parsePrefix(spark.read.text(matches.map(_.getPath.toString): _*))
+  }
 
   private def f(c: DataFrame, start: Int, len: Int): Column =
     substring(col("line"), start, len)
