@@ -339,4 +339,41 @@ class PlanRegressionSpec extends SparkSpec {
     plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
     plan should not include "Window"
   }
+
+  test("trained quality scoring is a zero-exchange projection; one gradient aggregate per GD step") {
+    val df = (1 to 40).map(i => (i.toLong, s"the doc and of is number $i"))
+      .toDF("doc_id", "text")
+    val model = graft.ops.TextOps.LogisticModel(
+      Array(-1.0, 0.3, 5.0, -0.3, -0.01))
+    val plan = formatted(df.select($"doc_id",
+      graft.ops.TextOps.qualityScoreTrained($"text", model).as("s")))
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    plan should not include "Window"
+    // the training iteration's gradient: ONE partial+final aggregate
+    // pair over one exchange (map-side combined partial sums)
+    val feats = df.select(graft.ops.TextOps.qualityFeatures($"text")
+      .zipWithIndex.map { case (c, i) => c.as(s"f${i + 1}") } :+
+      lit(1.0).as("y"): _*)
+    val gplan = formatted(feats.agg(avg($"f1"), avg($"f2"), avg($"f3"),
+      avg($"f4")))
+    gplan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+  }
+
+  test("unigram encode/segment ride the scan: zero exchanges, one codegen node") {
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold
+    // the whole projection into a LocalTableScan at optimization time
+    val df = spark.range(1, 41).select($"id".as("doc_id"),
+      concat(lit("ab ba token"), $"id").as("text"))
+    val model = graft.ops.TextOps.UnigramModel(
+      Array("a", "b", "t", "o", "k", "e", "n", "0", "1", "2", "3", "4"),
+      Array.fill(12)(10L), Array.fill(12)(1000L), 2)
+    val enc = formatted(df.select($"doc_id",
+      graft.ops.TextOps.unigramEncode($"text", model).as("p")))
+    enc.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    enc should not include "Window"
+    val seg = formatted(graft.ops.TextOps.unigramSegmentWords(
+      df.withColumnRenamed("text", "word"), model))
+    seg.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    seg should include("unigram_segment")
+  }
 }
