@@ -621,6 +621,64 @@ object Curation {
       .drop("__sketch")
   }
 
+  /** FUZZY contamination detection — MinHash near-duplicate matches of
+    * training documents against an eval benchmark, the fuzzy sibling of
+    * [[decontaminate]]'s exact-fingerprint cut (the standard
+    * train/test-leak sweep: paraphrased or lightly-edited benchmark
+    * items that survive exact hashing; e.g. the Llama / GPT-4 style
+    * "near-dedup against evals" pass). Emits (train_id, eval_id,
+    * est_jaccard) candidate matches at `threshold`.
+    *
+    * Scale shape — deliberately ASYMMETRIC, unlike the self-join in
+    * [[Dedup.minhashLsh]]: both sides sign with the same shingle/hash
+    * scheme ([[Dedup.minhashSignatures]] — one codegen projection, no
+    * shuffle), but only the EVAL side's banded table (tiny: benchmarks
+    * are thousands of rows against a corpus of billions) crosses the
+    * wire, broadcast to every task. The train side's bands join
+    * map-side, so NO train row ever shuffles and no train×train pair is
+    * ever enumerated — per-batch cost is one scan of train plus
+    * |candidates|. The candidate dedup keys on (train_id, eval_id),
+    * bounded by true matches, not by corpus size.
+    */
+  def fuzzyContamination(train: DataFrame, eval: DataFrame, textCol: String,
+                         idCol: String, k: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7, shingleN: Int = 3,
+                         seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    def banded(df: DataFrame, side: String) =
+      Dedup.minhashSignatures(df, textCol, idCol, k, shingleN, seed)
+        .select(col("doc_id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+          posexplode(graft.functions.BandHashes.bandHashes(col("sig"), bands))
+            .as(Seq("band_idx", "band_hash")))
+    val evalBands = broadcast(banded(eval, "eval"))
+    banded(train, "train")
+      .join(evalBands, Seq("band_idx", "band_hash"))
+      .select(col("train_id"), col("eval_id"),
+        col("train_sig").as("sig_a"), col("eval_sig").as("sig_b"))
+      .dropDuplicates("train_id", "eval_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("train_id", "eval_id", "est_jaccard")
+  }
+
+  /** Drop fuzzy-contaminated training documents: [[fuzzyContamination]]
+    * matches anti-joined out of train. The flagged-id set is bounded by
+    * contamination (tiny), so it broadcasts and the cut costs no train
+    * shuffle either.
+    */
+  def fuzzyDecontaminate(train: DataFrame, eval: DataFrame, textCol: String,
+                         idCol: String, k: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7, shingleN: Int = 3,
+                         seed: Long = 42L): DataFrame = {
+    val flagged = fuzzyContamination(train, eval, textCol, idCol, k, bands,
+      threshold, shingleN, seed).select(col("train_id")).distinct()
+    train.join(broadcast(flagged), train(idCol) === flagged("train_id"),
+      "left_anti")
+  }
+
   /** Per-group row cap — the per-domain document cap in web-corpus
     * curation: bound each group's (domain's, source's) contribution so
     * megasites can't dominate the training mix. Keeps the first `n`

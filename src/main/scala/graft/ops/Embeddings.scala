@@ -47,6 +47,73 @@ object Embeddings {
       .withColumn("q_vec", transform(col(vecCol),
         x => round(x.cast("double") * col("q_scale")).cast("int")))
 
+  /** Per-dimension trained scalar quantizer (the FAISS `SQ8` shape —
+    * 8 bits per dimension against a trained per-dim [min, max] range),
+    * vs [[quantizeInt8]]'s per-ROW symmetric scale. Per-dim training
+    * is what makes the codec usable for asymmetric distance: every
+    * corpus vector decodes against the SAME affine grid, so a query
+    * stays float and compares against dequantized corpus vectors
+    * without any per-row rescaling, and the corpus itself stores 1
+    * byte/dim (4× under float32, 8× under float64).
+    */
+  final case class Sq8Model(mins: Array[Double], maxs: Array[Double]) {
+    require(mins.length == maxs.length, "mins/maxs length mismatch")
+    def dim: Int = mins.length
+    private[ops] def pairs: Seq[(Double, Double)] = mins.zip(maxs).toSeq
+  }
+
+  /** Train the SQ8 grid: exact per-dim extrema over the FULL corpus in
+    * ONE map-side-combined [[graft.functions.VectorMinMax]] aggregate
+    * (fixed O(d) buffer per task, elementwise min/max merge — the
+    * shuffle carries one buffer per task, never (row, dim) pairs).
+    * Exact extrema mean no in-corpus value ever clamps; driver state
+    * is the 2·d-double model — the codebook discipline. (FAISS also
+    * offers quantile-trained ranges for outlier robustness; extrema
+    * are the deterministic, oracle-replayable choice.)
+    */
+  def sq8Fit(df: DataFrame, embCol: String, dim: Int): Sq8Model = {
+    val row = df.agg(graft.functions.VectorMinMax
+        .vectorMinMax(col(embCol), dim).as("mm"))
+      .head().getSeq[Double](0)
+    require(row.head > 0, "sq8Fit needs a non-empty corpus")
+    Sq8Model(row.slice(1, 1 + dim).toArray,
+      row.slice(1 + dim, 1 + 2 * dim).toArray)
+  }
+
+  /** 8-bit codes: q_d = clamp(floor((x_d − min_d) / range_d · 255 +
+    * 0.5), 0, 255) — explicit floor(·+0.5), NOT round(), because the
+    * JVM and other engines disagree on half-even vs half-away rounding
+    * and this formula replays bit-exactly anywhere. Degenerate dims
+    * (range ≤ 0) code to 0.
+    */
+  def sq8Codes(emb: Column, model: Sq8Model): Column =
+    zip_with(emb, typedLit(model.pairs), (x, p) => {
+      val lo = p.getField("_1")
+      val hi = p.getField("_2")
+      val rng = hi - lo
+      when(rng <= 0, lit(0)).otherwise(
+        greatest(lit(0.0), least(lit(255.0),
+          floor((x.cast("double") - lo) / rng * lit(255.0) + lit(0.5))))
+          .cast("int"))
+    })
+
+  /** Decode codes back to the grid point: min_d + q_d · range_d / 255. */
+  def sq8Dequantize(codes: Column, model: Sq8Model): Column =
+    zip_with(codes, typedLit(model.pairs), (q, p) => {
+      val lo = p.getField("_1")
+      val hi = p.getField("_2")
+      val rng = hi - lo
+      when(rng <= 0, lo).otherwise(
+        lo + q.cast("double") * rng / lit(255.0))
+    })
+
+  /** Encode-then-decode in one expression — the corpus side of
+    * asymmetric SQ distance (the codes never materialize when the
+    * pipeline only needs distances).
+    */
+  def sq8Roundtrip(emb: Column, model: Sq8Model): Column =
+    sq8Dequantize(sq8Codes(emb, model), model)
+
   /** Fitted PCA transform: `basis` rows are the top-k eigenvectors of
     * the sample covariance (eigenvalue-descending, sign-normalized),
     * `eigenvalues` their variances.

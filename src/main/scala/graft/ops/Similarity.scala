@@ -49,6 +49,23 @@ object Similarity {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Asymmetric scalar-quantized exhaustive top-k (the FAISS
+    * `SQ8,Flat` shape): the corpus is held as 1-byte-per-dim codes
+    * against the trained per-dim grid ([[Embeddings.sq8Fit]]) and
+    * decodes on the fly inside the distance expression; queries stay
+    * float. Storage is 4× under float32 while the scan stays one
+    * codegen projection — the middle rung between Flat (n01) and PQ
+    * (n08) on the memory/recall ladder. Composes with every retrieval
+    * shape here the same way this function does: substitute
+    * `sq8Roundtrip(embedding)` for the corpus embedding (e.g. pass
+    * that corpus to [[ivfTopK]] for `IVF,SQ8`).
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              model: Embeddings.Sq8Model): DataFrame =
+    bruteForceTopK(queries,
+      corpus.select(col("vec_id"),
+        Embeddings.sq8Roundtrip(col("embedding"), model).as("embedding")), k)
+
   /** Deterministic random hyperplanes for sign-LSH. */
   private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val r = new scala.util.Random(seed)

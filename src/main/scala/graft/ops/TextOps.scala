@@ -689,6 +689,66 @@ object TextOps {
         round(col("__score"), 4).as("score"), col("rank"))
   }
 
+  /** Okapi BM25 retrieval scoring (Robertson–Spärck Jones; the Lucene
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` idf variant, which is
+    * non-negative for every df) — the lexical-retrieval companion to
+    * [[tfidf]]: rank corpus documents against a query-term table, the
+    * workhorse of hard-negative mining and retrieval-based curation.
+    *
+    * score(q, d) = Σ_{t ∈ q, t ∈ d} idf(t) · tf·(k1+1) /
+    *               (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: term frequencies and document lengths come from ONE
+    * explode → groupBy(doc, term) pass keyed by doc (map-side
+    * combined, never a Zipfian global token key); document frequencies
+    * aggregate the already-collapsed (doc, term) relation; N and avgdl
+    * join in as a broadcast one-row aggregate (avgdl counts empty
+    * documents — total tokens / total docs, not an average over docs
+    * that happen to have terms); the query-term table broadcasts, so
+    * the only shuffle of corpus-sized data is the (doc, term) combine.
+    * Per-(query, doc) scores sum a handful of term contributions —
+    * emit rounded (the t16 float rule); ranking composes with the
+    * bounded [[graft.functions.TopK]] aggregate (n04) for top-k.
+    *
+    * @param queryTerms (query_id, term) rows; duplicate terms within a
+    *                   query are collapsed (set semantics, the standard
+    *                   probabilistic-model reading).
+    */
+  def bm25(df: org.apache.spark.sql.DataFrame, textCol: String,
+           idCol: String, queryTerms: org.apache.spark.sql.DataFrame,
+           k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val terms = df.select(id,
+      explode(filter(split(normalize(col(textCol)), " "), w => w =!= ""))
+        .as("term"))
+    // CacheOnce: the (doc, term) combine feeds four consumers (scoring,
+    // dl, df, avgdl) — cache the collapsed relation once instead of
+    // re-tokenizing the corpus per consumer (and instead of leaking one
+    // CacheManager entry per bm25 call on repeated invocation)
+    val tf = graft.engine.CacheOnce(
+      terms.groupBy(id, col("term")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(id).agg(sum(col("tf")).as("dl"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).cast("double").as("__n_docs"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        tf.agg(sum(col("tf")).cast("double").as("__n_tokens"))))
+      .select(col("__n_docs"), (col("__n_tokens") / col("__n_docs")).as("__avgdl"))
+    val q = org.apache.spark.sql.functions.broadcast(
+      queryTerms.select(col("query_id"), col("term")).distinct())
+    tf.join(q, "term")
+      .join(dfq, "term")
+      .join(dl, Seq(idCol))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("query_id"), id)
+      .agg(sum(col("__contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
+  }
+
   def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

@@ -2681,6 +2681,124 @@ object OpsQueries {
            |FROM s2 sg JOIN wt w USING (word)
            |UNION ALL
            |SELECT 'vocab', piece, '', cnt FROM v2""".stripMargin
-      })
+      }),
+
+    // FUZZY decontamination (d19): MinHash matches of the training
+    // corpus (doc_id % 7 != 0) against an eval benchmark (% 7 == 0) —
+    // the asymmetric broadcast shape where NO train row shuffles
+    // (eval's banded table broadcasts; train bands join map-side).
+    // Same data-dependent property gate as d02: the planted near-dups
+    // all have true J >= 0.9 and nothing else exceeds 0.5, so the LSH
+    // candidate set must equal DuckDB's exact all-pairs truth
+    // restricted to cross-corpus pairs. est_jaccard is hash-dependent
+    // and stays out of the compared columns.
+    QueryDef("d19_fuzzy_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Curation.fuzzyContamination(
+            d.filter(col("doc_id") % 7 =!= 0),
+            d.filter(col("doc_id") % 7 === 0), "text", "doc_id")
+          .select("train_id", "eval_id")
+      },
+      Some(s"""WITH $trueJaccardSql
+              |SELECT CASE WHEN doc_a % 7 = 0 THEN doc_b ELSE doc_a END
+              |    AS train_id,
+              |  CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END
+              |    AS eval_id
+              |FROM truth
+              |WHERE jac >= 0.7
+              |  AND (doc_a % 7 = 0) <> (doc_b % 7 = 0)""".stripMargin)),
+
+    // Okapi BM25 retrieval scoring (t22): full (query, doc) score
+    // relation for a fixed query-term table — idf, document-length
+    // normalization, N/avgdl as broadcast one-row aggregates. The
+    // oracle recomputes every statistic from the raw text and writes
+    // the arithmetic with the SAME compound literals ((1.2 + 1.0),
+    // (1.0 - 0.75)) so both engines run identical IEEE operations;
+    // 4dp rounding absorbs per-group summation order (t16 rule).
+    // 'zzz' in q3 proves absent query terms contribute nothing. Top-k
+    // cutting composes with the separately-gated bounded TopK (n04).
+    QueryDef("t22_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val qt = Seq(
+          "q1" -> "hash", "q1" -> "join",
+          "q2" -> "vector", "q2" -> "scan", "q2" -> "filter",
+          "q3" -> "spark", "q3" -> "stream", "q3" -> "window",
+          "q3" -> "zzz").toDF("query_id", "term")
+        TextOps.bm25(docs(s, dir), "text", "doc_id", qt)
+          .select(col("query_id"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("n_terms_hit"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+             |    x -> x <> '')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+             |  (SELECT sum(tf) FROM tf)::DOUBLE /
+             |    (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+             |q(query_id, term) AS (VALUES
+             |  ('q1', 'hash'), ('q1', 'join'),
+             |  ('q2', 'vector'), ('q2', 'scan'), ('q2', 'filter'),
+             |  ('q3', 'spark'), ('q3', 'stream'), ('q3', 'window'),
+             |  ('q3', 'zzz'))
+             |SELECT q.query_id, tf.doc_id,
+             |  round(sum(
+             |    ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             |    (tf.tf * (1.2 + 1.0)) /
+             |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))
+             |  ), 4) AS score,
+             |  count(*) AS n_terms_hit
+             |FROM tf
+             |JOIN q USING (term)
+             |JOIN dfq USING (term)
+             |JOIN dl USING (doc_id), st
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Asymmetric scalar-quantized ANN (n15, the FAISS `SQ8,Flat`
+    // shape): corpus held as 1-byte-per-dim codes on a per-dim grid
+    // trained by ONE fixed-buffer VectorMinMax aggregate over the full
+    // corpus; queries stay float against the on-the-fly-dequantized
+    // corpus. Full DuckDB oracle: the grid (exact per-dim extrema),
+    // the quantize→dequantize affine (floor(·+0.5) — engine-agnostic
+    // rounding, identical expression text), and the top-5 ranking are
+    // ALL recomputed from the embeddings table. Ranking by
+    // cross-engine double cosine is n01-proven on this data; id
+    // tie-break keeps the cut total.
+    QueryDef("n15_ann_sq8",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val model = Embeddings.sq8Fit(e, "embedding", dim = 64)
+        Similarity.sq8TopK(e.filter(col("vec_id") < 20), e, k = 5, model)
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""WITH mm AS (
+             |  SELECT cast(t.i AS INT) AS d,
+             |    min(e.embedding[t.i]::DOUBLE) AS lo,
+             |    max(e.embedding[t.i]::DOUBLE) AS hi
+             |  FROM embeddings e,
+             |    unnest(range(1, len(e.embedding) + 1)) AS t(i)
+             |  GROUP BY 1),
+             |dq AS (
+             |  SELECT e.vec_id,
+             |    list(CASE WHEN m.hi - m.lo <= 0 THEN m.lo
+             |         ELSE m.lo + greatest(0.0, least(255.0,
+             |           floor((e.embedding[m.d]::DOUBLE - m.lo) /
+             |             (m.hi - m.lo) * 255.0 + 0.5))) *
+             |           (m.hi - m.lo) / 255.0 END ORDER BY m.d) AS dqv
+             |  FROM embeddings e JOIN mm m ON true
+             |  GROUP BY e.vec_id)
+             |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(
+             |      list_transform(q.embedding, x -> x::DOUBLE), c.dqv) DESC,
+             |      c.vec_id) AS rank
+             |FROM embeddings q JOIN dq c ON q.vec_id <> c.vec_id
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin))
   )
 }

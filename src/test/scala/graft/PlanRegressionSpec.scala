@@ -359,6 +359,60 @@ class PlanRegressionSpec extends SparkSpec {
     gplan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
   }
 
+  test("fuzzyContamination: eval bands broadcast, train side never shuffles pre-join") {
+    // doc_id is an ARITHMETIC derivation of the range id, not an alias:
+    // an aliased id keeps RangePartitioning alignment through the plan
+    // and Spark (correctly) elides the dedup Exchange entirely — the
+    // parquet-scan shape this pin guards has UnknownPartitioning
+    val train = spark.range(1, 60).select(($"id" * 2 + 1).as("doc_id"),
+      concat(lit("training words one two three four five six seven "), $"id")
+        .as("text"))
+    val eval = spark.range(100, 104).select(($"id" * 2).as("doc_id"),
+      concat(lit("benchmark words eight nine ten eleven twelve "), $"id")
+        .as("text"))
+    val plan = formatted(graft.ops.Curation.fuzzyContamination(
+      train, eval, "text", "doc_id"))
+    // the band join is broadcast (eval side) — the train stream meets
+    // it map-side; no sort-merge join, no cartesian anywhere
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the only exchange is the candidate dedup (candidate-sized), never
+    // a corpus-keyed shuffle
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+  }
+
+  test("bm25: query terms broadcast; corpus shuffles only on doc-keyed combines") {
+    val docs = spark.range(1, 60).select($"id".as("doc_id"),
+      concat(lit("apple banana cherry date egg "), $"id").as("text"))
+    val qt = Seq("q1" -> "apple", "q1" -> "banana").toDF("query_id", "term")
+    val plan = formatted(graft.ops.TextOps.bm25(docs, "text", "doc_id", qt))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+    // one-row N/avgdl statistics ride BroadcastNestedLoopJoin (the
+    // broadcast one-row-aggregate idiom); exactly the two stats joins,
+    // counted as plan NODES (the tree summary repeats the name)
+    (plan.split("\\(\\d+\\) BroadcastNestedLoopJoin").length - 1) should be <= 2
+  }
+
+  test("sq8 retrieval: dequant rides the corpus scan; one rank-window exchange") {
+    val vecs = (1 to 50).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = graft.ops.Embeddings.Sq8Model(
+      Array.fill(8)(0.0), Array.fill(8)(50.0))
+    val plan = formatted(graft.ops.Similarity.sq8TopK(
+      vecs.filter($"vec_id" < 4), vecs, k = 3, model))
+    // codec is a pure projection: the only exchange is the per-query
+    // rank window; the query side broadcasts (n01's gate-shape BNLJ on
+    // the non-equi q_id <> n_id condition)
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+    plan should include("WindowGroupLimit")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
   test("unigram encode/segment ride the scan: zero exchanges, one codegen node") {
     // spark.range, not a local Seq: ConvertToLocalRelation would fold
     // the whole projection into a LocalTableScan at optimization time

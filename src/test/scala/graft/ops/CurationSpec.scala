@@ -428,4 +428,35 @@ class CurationSpec extends SparkSpec {
     s2.getAs[Long]("grams_both") shouldBe 1L
     s2.getAs[Double]("jaccard") shouldBe 1.0
   }
+
+  test("fuzzyContamination/fuzzyDecontaminate: near-dup benchmark leaks flagged, clean rows kept") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the wide river bank " +
+      "while the tall grey heron watches every small silver fish swim slowly " +
+      "past the old wooden bridge under the warm afternoon sun today"
+    val train = Seq(
+      1L -> base, // exact copy of eval doc 100
+      2L -> base.replace("today", "tonight"), // near-dup (1-word edit)
+      3L -> "completely unrelated text about distributed query engines and shuffles",
+      4L -> "another clean training document with its own words entirely")
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      100L -> base,
+      101L -> "benchmark question with no training twin anywhere at all")
+      .toDF("doc_id", "text")
+    val flagged = Curation.fuzzyContamination(train, eval, "text", "doc_id")
+      .select("train_id", "eval_id")
+      .as[(Long, Long)].collect().toSet
+    flagged should contain(1L -> 100L)
+    flagged should contain(2L -> 100L)
+    flagged.map(_._1) should not contain 3L
+    flagged.map(_._1) should not contain 4L
+    flagged.map(_._2) should not contain 101L
+    val kept = Curation.fuzzyDecontaminate(train, eval, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(3L, 4L)
+    // threshold respected: at 1.01 nothing can flag
+    Curation.fuzzyContamination(train, eval, "text", "doc_id",
+      threshold = 1.01).count() shouldBe 0L
+  }
 }

@@ -170,4 +170,57 @@ class SimilaritySpec extends SparkSpec {
     Similarity.semDedup(vecs, threshold = 0.95, nlist = 8).columns shouldBe
       Array("vec_id", "cell")
   }
+
+  test("sq8: codes bounded, grid exact at extrema, top-k matches dequantized brute force") {
+    import spark.implicits._
+    val r = new scala.util.Random(73)
+    val dim = 16
+    val vecs = (0L until 40L).map { i =>
+      // dim 3 planted constant: the degenerate-range path must decode
+      // to the constant, not divide by zero
+      (i, Array.tabulate(dim)(j =>
+        if (j == 3) 2.5f else (r.nextGaussian() * (j + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val model = Embeddings.sq8Fit(vecs, "embedding", dim)
+    model.dim shouldBe dim
+    model.mins(3) shouldBe 2.5.toFloat.toDouble
+    model.maxs(3) shouldBe model.mins(3)
+    val enc = vecs.select(col("vec_id"),
+        Embeddings.sq8Codes(col("embedding"), model).as("codes"),
+        Embeddings.sq8Roundtrip(col("embedding"), model).as("dq"),
+        col("embedding"))
+      .collect()
+    enc.foreach { row =>
+      val codes = row.getSeq[Int](1)
+      val dq = row.getSeq[Double](2)
+      val orig = row.getSeq[Float](3)
+      all(codes) should (be >= 0 and be <= 255)
+      dq(3) shouldBe model.mins(3) // degenerate dim decodes to the constant
+      // max abs error is half a grid cell per dim
+      (0 until dim).foreach { j =>
+        val cell = (model.maxs(j) - model.mins(j)) / 255.0
+        math.abs(dq(j) - orig(j).toDouble) should be <= (cell / 2 + 1e-12)
+      }
+    }
+    // in-corpus extrema land exactly on the grid ends
+    val byId = enc.map(r => r.getLong(0) ->
+      (r.getSeq[Int](1), r.getSeq[Float](3))).toMap
+    val hi = byId.values.find(_._2(0).toDouble == model.maxs(0)).get
+    val lo = byId.values.find(_._2(0).toDouble == model.mins(0)).get
+    hi._1(0) shouldBe 255
+    lo._1(0) shouldBe 0
+    // retrieval == brute force over the explicitly dequantized corpus
+    val queries = vecs.filter(col("vec_id") < 5)
+    val viaSq8 = Similarity.sq8TopK(queries, vecs, k = 3, model)
+      .select("q_id", "n_id", "rank").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaBrute = Similarity.bruteForceTopK(queries,
+        vecs.select(col("vec_id"),
+          Embeddings.sq8Roundtrip(col("embedding"), model).as("embedding")),
+        k = 3)
+      .select("q_id", "n_id", "rank").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    viaSq8 shouldBe viaBrute
+    viaSq8.size shouldBe 15
+  }
 }

@@ -355,4 +355,31 @@ class TextOpsSpec extends SparkSpec {
     (0 until 60).foreach(i => scored(i.toLong) should be > 0.5)
     (60 until 120).foreach(i => scored(i.toLong) should be < 0.5)
   }
+
+  test("bm25: closed-form score on a tiny corpus, set semantics, absent terms inert") {
+    import spark.implicits._
+    // 3 docs, hand-computable: N=3, tokens: d1=4, d2=2, d3=3 -> avgdl=3
+    val docs = Seq(
+      1L -> "apple banana apple cherry",
+      2L -> "banana cherry",
+      3L -> "date egg fig").toDF("doc_id", "text")
+    // duplicate 'apple' in q1 must collapse (set semantics); 'zzz' absent
+    val qt = Seq("q1" -> "apple", "q1" -> "apple", "q1" -> "banana",
+      "q2" -> "zzz").toDF("query_id", "term")
+    val out = TextOps.bm25(docs, "text", "doc_id", qt)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val k1 = 1.2; val b = 0.75
+    def idf(df: Int): Double = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long): Double =
+      tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / 3.0))
+    // d1: apple tf=2 (df=1), banana tf=1 (df=2); d2: banana tf=1
+    val expD1 = idf(1) * w(2, 4) + idf(2) * w(1, 4)
+    val expD2 = idf(2) * w(1, 2)
+    out.keySet shouldBe Set("q1" -> 1L, "q1" -> 2L)
+    out("q1" -> 1L)._1 shouldBe expD1 +- 1e-12
+    out("q1" -> 1L)._2 shouldBe 2L
+    out("q1" -> 2L)._1 shouldBe expD2 +- 1e-12
+    out("q1" -> 2L)._2 shouldBe 1L
+  }
 }
