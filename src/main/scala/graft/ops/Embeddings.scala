@@ -372,6 +372,62 @@ object Embeddings {
         powerIters, seed), m)
   }
 
+  /** INCREMENTAL state for every sample-trained codec at production
+    * widths — the md5-ranked bounded sample ITSELF, as a mergeable
+    * state table. [[pcaState]]'s exact moments are the right
+    * incremental state at d ≤ ~512, but the O(d²) buffer is
+    * unclaimable at d = 2048–4096 (the round-6/7 ceiling); every
+    * trainer in this library (PCA, OPQ, k-means, PQ, SQ quantile
+    * variants) instead fits on the md5-ranked deterministic sample —
+    * so for a GROWING corpus the sufficient state is just that
+    * sample, and top-cap-by-(md5(id), id) is exactly mergeable:
+    * with per-batch caps ≥ the merge cap,
+    * merge(topC(A), topC(B)) == topC(A ∪ B), deterministic,
+    * layout-free, and DuckDB-replayable (the p02 hash-sampling rule).
+    * Per-batch cost: one TakeOrdered of O(cap) rows — old batches are
+    * never rescanned; state size is O(cap·d) rows on disk, never a
+    * d×d buffer.
+    */
+  def sampleState(df: DataFrame, idCol: String, embCol: String,
+                  cap: Int): DataFrame = {
+    require(cap > 0, s"sample cap must be positive, got $cap")
+    df.select(md5(col(idCol).cast("string")).as("__rk"),
+        col(idCol).as("id"), col(embCol).as("emb"))
+      .orderBy(col("__rk"), col("id")).limit(cap)
+  }
+
+  /** Merge two sample states at `cap`. Exact equality with the
+    * one-shot state requires both inputs to have been built (or
+    * previously merged) with caps ≥ `cap`.
+    */
+  def mergeSampleStates(a: DataFrame, b: DataFrame, cap: Int): DataFrame = {
+    require(cap > 0, s"sample cap must be positive, got $cap")
+    a.unionByName(b).orderBy(col("__rk"), col("id")).limit(cap)
+  }
+
+  /** Truncated randomized fit from a sample state — the
+    * production-width incremental composition: maintain the mergeable
+    * sample across batches, refit in O(cap·dim·l·iters) whenever the
+    * model is needed. With equal caps this returns BIT-IDENTICAL
+    * models to [[pcaFitTruncated]] on the full corpus (the state IS
+    * the sample the one-shot fit would draw — spec-pinned).
+    */
+  def pcaFitTruncatedFromState(state: DataFrame, k: Int,
+                               oversample: Int = 8, powerIters: Int = 8,
+                               seed: Long = 42L): PcaModel = {
+    val sample = state.orderBy(col("__rk"), col("id")).select(col("emb"))
+      .collect()
+      .map { case org.apache.spark.sql.Row(e: scala.collection.Seq[_]) =>
+        e.map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case other => other.asInstanceOf[Number].doubleValue()
+        }.toArray
+      }
+    require(sample.nonEmpty, "pcaFitTruncatedFromState needs a non-empty state")
+    fitTruncatedFromSample(sample, k, oversample, powerIters, seed)
+  }
+
   /** Driver-side core of [[pcaFitTruncated]], exposed to specs so a
     * planted sample can bypass the Spark sampling.
     */

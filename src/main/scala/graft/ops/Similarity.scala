@@ -600,6 +600,33 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets. */
+  /** SEMANTIC cross-corpus contamination — embedding near-matches of
+    * training vectors against an eval benchmark's vectors, the
+    * similarity-space sibling of [[Curation.fuzzyContamination]]'s
+    * lexical MinHash pass (paraphrased benchmark items that share no
+    * shingles still land in the same embedding neighborhood; cutting
+    * both is the standard two-channel decontamination sweep).
+    *
+    * Same asymmetric discipline as the lexical pass: both sides bucket
+    * with the shared sign-LSH projection, but only the eval side
+    * (tiny) broadcasts — the train stream joins map-side, so no train
+    * row shuffles and no train×train pair is enumerated; candidates
+    * pay one fused-codegen cosine each.
+    */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+                            threshold: Double, nPlanes: Int = 8,
+                            dim: Int = 64): DataFrame = {
+    def side(df: DataFrame, name: String) =
+      df.select(col("vec_id").as(s"${name}_id"),
+        col("embedding").as(s"__${name}_emb"),
+        lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    side(train, "train")
+      .join(broadcast(side(eval, "eval")), Seq("bucket"))
+      .withColumn("sim", cosine(col("__train_emb"), col("__eval_emb")))
+      .filter(col("sim") >= threshold)
+      .select("train_id", "eval_id", "sim")
+  }
+
   def cosineNearDups(vecs: DataFrame, threshold: Double,
                      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val v = vecs.select(col("vec_id"), col("embedding"),

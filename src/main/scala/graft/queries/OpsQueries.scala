@@ -2799,6 +2799,108 @@ object OpsQueries {
              |      c.vec_id) AS rank
              |FROM embeddings q JOIN dq c ON q.vec_id <> c.vec_id
              |WHERE q.vec_id < 20
-             |QUALIFY rank <= 5""".stripMargin))
+             |QUALIFY rank <= 5""".stripMargin)),
+
+    // Incremental sample state (e05): the production-width incremental
+    // composition — the mergeable md5-ranked bounded sample that every
+    // codec trainer here fits on, maintained per batch instead of
+    // rescanning the corpus (the O(d²) moments buffer of e03 is the
+    // d ≤ 512 state; THIS is the d = 2048–4096 state). Gate: two batch
+    // states (vec_id parity split, cap 128 each) merge at cap 128;
+    // the merged membership and rank order must equal DuckDB's
+    // top-128-by-(md5(id), id) over the UNION — a dropped batch,
+    // double-kept row, or cap applied before ranking breaks it. The
+    // fit-equality contract (fit(merged state) == one-shot
+    // pcaFitTruncated, bit-identical) is EmbeddingsSpec-pinned.
+    QueryDef("e05_pca_sample_state_merge",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val merged = Embeddings.mergeSampleStates(
+          Embeddings.sampleState(
+            e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 128),
+          Embeddings.sampleState(
+            e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", 128),
+          cap = 128)
+        merged.select(col("id").as("vec_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("__rk"), col("id"))).as("rk"))
+      },
+      Some("""SELECT vec_id,
+             |  cast(row_number() OVER (
+             |    ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) AS INT) AS rk
+             |FROM embeddings
+             |QUALIFY rk <= 128""".stripMargin)),
+
+    // IVF,SQ8 composition (n16): the FAISS `IVF{n},SQ8` index — the
+    // SQ8 corpus substituted into the IVF skeleton, exactly the
+    // substitution the n15 scaladoc promises. Machinery gate in the
+    // n06 discipline: probing ALL cells over the dequantized corpus
+    // must reproduce the exhaustive SQ8 scan bit-for-bit (a vector
+    // lost or duplicated by cell assignment breaks it); the oracle is
+    // n15's — IVF probe-all and Flat are the same retrieval.
+    QueryDef("n16_ann_ivf_sq8",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val model = Embeddings.sq8Fit(e, "embedding", dim = 64)
+        val dq = e.select(col("vec_id"),
+          Embeddings.sq8Roundtrip(col("embedding"), model).as("embedding"))
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20), dq, k = 5,
+            nlist = 16, nprobe = 16)
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""WITH mm AS (
+             |  SELECT cast(t.i AS INT) AS d,
+             |    min(e.embedding[t.i]::DOUBLE) AS lo,
+             |    max(e.embedding[t.i]::DOUBLE) AS hi
+             |  FROM embeddings e,
+             |    unnest(range(1, len(e.embedding) + 1)) AS t(i)
+             |  GROUP BY 1),
+             |dq AS (
+             |  SELECT e.vec_id,
+             |    list(CASE WHEN m.hi - m.lo <= 0 THEN m.lo
+             |         ELSE m.lo + greatest(0.0, least(255.0,
+             |           floor((e.embedding[m.d]::DOUBLE - m.lo) /
+             |             (m.hi - m.lo) * 255.0 + 0.5))) *
+             |           (m.hi - m.lo) / 255.0 END ORDER BY m.d) AS dqv
+             |  FROM embeddings e JOIN mm m ON true
+             |  GROUP BY e.vec_id)
+             |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(
+             |      list_transform(q.embedding, x -> x::DOUBLE), c.dqv) DESC,
+             |      c.vec_id) AS rank
+             |FROM embeddings q JOIN dq c ON q.vec_id <> c.vec_id
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin)),
+
+    // SEMANTIC decontamination (d20): embedding near-matches of train
+    // (vec_id % 9 != 0) against the eval benchmark (% 9 == 0) — the
+    // similarity-space channel next to d19's lexical MinHash channel.
+    // Asymmetric broadcast shape (eval buckets broadcast, train joins
+    // map-side). Full DuckDB oracle via the shared inlined-hyperplane
+    // bucket expression (d05 precedent), restricted to cross-corpus
+    // pairs. Threshold 0.3 at nPlanes=4: this testdata's embeddings
+    // top out near cosine 0.45, so the 0.4/8-plane d05 settings leave
+    // the CROSS-corpus gate empty — these keep ~20 genuinely bucketed
+    // cross pairs so the gate exercises join + threshold, not
+    // empty == empty.
+    QueryDef("d20_semantic_decontaminate",
+      (s, dir) => {
+        val e = embs(s, dir)
+        Similarity.semanticContamination(
+            e.filter(col("vec_id") % 9 =!= 0),
+            e.filter(col("vec_id") % 9 === 0), threshold = 0.3,
+            nPlanes = 4)
+          .select("train_id", "eval_id")
+      },
+      Some(s"""WITH v AS (
+              |  SELECT vec_id, embedding,
+              |    ${Similarity.lshBucketSql("embedding", nPlanes = 4)} AS bucket
+              |  FROM embeddings)
+              |SELECT a.vec_id AS train_id, b.vec_id AS eval_id
+              |FROM v a JOIN v b ON a.bucket = b.bucket
+              |  AND a.vec_id % 9 <> 0 AND b.vec_id % 9 = 0
+              |WHERE list_cosine_similarity(a.embedding, b.embedding)
+              |  >= 0.3""".stripMargin))
   )
 }

@@ -413,6 +413,22 @@ class PlanRegressionSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("semanticContamination: eval buckets broadcast, zero shuffles end-to-end") {
+    val train = (1 to 50).map(i => (i.toLong, Array.fill(16)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val eval = (100 to 103).map(i => (i.toLong, Array.fill(16)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = formatted(graft.ops.Similarity.semanticContamination(
+      train, eval, threshold = 0.9, dim = 16))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // pure filter output — unlike the lexical pass there is no pair
+    // dedup, so the train stream never shuffles at all
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+  }
+
   test("unigram encode/segment ride the scan: zero exchanges, one codegen node") {
     // spark.range, not a local Seq: ConvertToLocalRelation would fold
     // the whole projection into a LocalTableScan at optimization time

@@ -115,4 +115,40 @@ class EmbeddingsSpec extends SparkSpec {
     m.eigenvalues.length shouldBe 4
     m.eigenvalues.last should be > 1.0 / 36.0 // > the 6th axis variance
   }
+
+  test("sample state merges exactly and refits bit-identical to the one-shot truncated fit") {
+    import spark.implicits._
+    val r = new scala.util.Random(91)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(24)((r.nextGaussian() * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cap = 64
+    val merged = Embeddings.mergeSampleStates(
+      Embeddings.sampleState(vecs.filter($"vec_id" % 3 === 0),
+        "vec_id", "embedding", cap),
+      Embeddings.sampleState(vecs.filter($"vec_id" % 3 =!= 0),
+        "vec_id", "embedding", cap), cap)
+    val oneShot = Embeddings.sampleState(vecs, "vec_id", "embedding", cap)
+    // membership AND rank order equal the one-shot state over the union
+    merged.select("id").as[Long].collect().toSeq shouldBe
+      oneShot.select("id").as[Long].collect().toSeq
+    merged.count() shouldBe cap
+    // refit from the merged state == one-shot truncated fit, bitwise
+    val mState = Embeddings.pcaFitTruncatedFromState(merged, k = 6)
+    val mDirect = Embeddings.pcaFitTruncated(vecs, "vec_id", "embedding",
+      k = 6, sampleCap = cap)
+    mState.eigenvalues.toSeq shouldBe mDirect.eigenvalues.toSeq
+    mState.mean.toSeq shouldBe mDirect.mean.toSeq
+    mState.basis.map(_.toSeq).toSeq shouldBe mDirect.basis.map(_.toSeq).toSeq
+    // a third batch folds in without touching the first two batches' rows
+    val more = (300L until 400L).map(i =>
+      (i, Array.fill(24)((r.nextGaussian() * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val grown = Embeddings.mergeSampleStates(merged,
+      Embeddings.sampleState(more, "vec_id", "embedding", cap), cap)
+    val all = vecs.unionByName(more)
+    grown.select("id").as[Long].collect().toSeq shouldBe
+      Embeddings.sampleState(all, "vec_id", "embedding", cap)
+        .select("id").as[Long].collect().toSeq
+  }
 }

@@ -223,4 +223,28 @@ class SimilaritySpec extends SparkSpec {
     viaSq8 shouldBe viaBrute
     viaSq8.size shouldBe 15
   }
+
+  test("semanticContamination flags cross-corpus embedding near-dups only") {
+    import spark.implicits._
+    val r = new scala.util.Random(83)
+    val dim = 32
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val evalVec = unit()
+    val nearEval = evalVec.map(x => x + 0.01f * r.nextGaussian().toFloat)
+    // train: one planted near-copy of the eval vector + unrelated noise
+    val train = ((0L until 20L).map(i => (i, unit())) :+ (50L, nearEval))
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, evalVec)).toDF("vec_id", "embedding")
+    val hits = Similarity.semanticContamination(train, eval,
+        threshold = 0.9, dim = dim)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    hits shouldBe Set(50L -> 100L)
+    // high threshold: nothing flags
+    Similarity.semanticContamination(train, eval, threshold = 1.0001,
+      dim = dim).count() shouldBe 0L
+  }
 }
