@@ -57,15 +57,29 @@ object Bench {
     // window has to span every repeat to poison a number.
     val iters = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
-    // Heavy chained gates run ONE sample: their wall is fixed
-    // gate-construction cost (q47/q49 evaluate three full warehouse
-    // DAGs each; e04 fits an exact dim-512 Jacobi baseline to compare
-    // against), which repeated sampling only doubles — at 2 iters they
-    // were 58% of total bench wall, drowning the operator signal. The
-    // correctness gate (Verify) still runs them fully every round.
-    val singleIter = Set("q47_warehouse_batch2", "q49_warehouse_batch3_chain",
-      "e04_pca_randomized_truncated")
+    // Heavy chained gates run ONE timed sample after ONE UNTIMED warmup
+    // evaluation: their first evaluation pays fixed gate-construction
+    // cost (q47/q49 each force the shared three-way batch-split
+    // fixtures and evaluate three full warehouse DAGs), which at 2
+    // timed iters was 58% of total bench wall, drowning the operator
+    // signal — but a single COLD sample over-reports just as badly
+    // (round-8 measured q47 at 154.6 s cold vs 41.8 s warm: the
+    // reported number became the fixture build, not the operator). The
+    // warmup builds the memoized fixtures off the clock; the timed
+    // sample then measures the chain evaluation the way min-of-2 used
+    // to, at the same total wall. The correctness gate (Verify) still
+    // runs them fully every round. e04 is timed cold with no warmup:
+    // nothing in it memoizes (training IS the operator), so a warmup
+    // would only double its wall.
+    val warmFirst = Set("q47_warehouse_batch2", "q49_warehouse_batch3_chain")
+    val singleIter = warmFirst + "e04_pca_randomized_truncated"
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (warmFirst(name)) {
+        try {
+          val df = fn(spark, sfDir)
+          df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
+        } catch { case _: Throwable => }
+      }
       val nIters = if (singleIter(name)) 1 else iters
       val times = (1 to nIters).map { _ =>
         val t0 = System.nanoTime()

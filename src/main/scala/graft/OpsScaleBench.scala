@@ -62,7 +62,22 @@ object OpsScaleBench {
         "text", "doc_id", col("doc_id") % 3 === 0))),
       "gopher_rules" -> (df => sink(df.select(col("doc_id") +:
         graft.ops.TextOps.gopherRules(col("text"))
-          .map { case (n, c) => c.as(n) }: _*))))
+          .map { case (n, c) => c.as(n) }: _*))),
+      // FIXED-size benchmark (first 50 base docs) against the growing
+      // corpus — the real decontamination shape: the broadcast side
+      // must stay constant while the stream side scales
+      "fuzzy_decontaminate" -> (df => sink(graft.ops.Curation
+        .fuzzyContamination(df, base.filter(col("doc_id") < 50),
+          "text", "doc_id"))),
+      "bm25" -> { df =>
+        import spark.implicits._
+        val qt = Seq("q1" -> "hash", "q1" -> "join", "q2" -> "vector",
+          "q2" -> "scan", "q3" -> "stream").toDF("query_id", "term")
+        // cacheTf=false: the timed runs must pay the full pipeline —
+        // a cached (doc, term) combine would flatten the curve
+        sink(graft.ops.TextOps.bm25(df, "text", "doc_id", qt,
+          cacheTf = false))
+      })
 
     val parts = ops.map { case (name, f) =>
       val d1 = replicated(1)

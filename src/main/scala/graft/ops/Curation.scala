@@ -175,7 +175,13 @@ object Curation {
     // deterministic order); a crossJoin back onto an aggregate of the
     // same frame would be a self-join on shared lineage (ambiguous
     // references)
-    val whole = org.apache.spark.sql.expressions.Window.orderBy("__src")
+    // partitionBy(lit(0)): the frame is single-partition EITHER WAY
+    // (that's the point — it's the source-cardinality table, a few
+    // hundred rows), but an empty partitionSpec makes WindowExec log a
+    // performance warning on every execution; the constant key states
+    // the intent and keeps benchmark logs clean
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("__src")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // NB "__tot" not "__N": Spark resolves column names

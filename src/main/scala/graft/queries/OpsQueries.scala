@@ -2821,9 +2821,11 @@ object OpsQueries {
           Embeddings.sampleState(
             e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", 128),
           cap = 128)
+        // partitionBy(lit(0)): single-partition either way (cap rows);
+        // an empty partitionSpec would log the WindowExec warning
         merged.select(col("id").as("vec_id"),
           row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("__rk"), col("id"))).as("rk"))
+            .partitionBy(lit(0)).orderBy(col("__rk"), col("id"))).as("rk"))
       },
       Some("""SELECT vec_id,
              |  cast(row_number() OVER (

@@ -180,6 +180,54 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: VectorMinMax aggregate == per-dim min/max under any layout") {
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      dim <- Gen.choose(1, 12)
+      parts <- Gen.choose(1, 7)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (n, dim, parts, seed)
+    checkProp(Prop.forAll(gen) { case (n, dim, parts, seed) =>
+      val r = new scala.util.Random(seed)
+      val data = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)((r.nextGaussian() * 100).toFloat)))
+      val df = data.toDF("id", "v").repartition(parts)
+      val got = df.agg(graft.functions.VectorMinMax
+          .vectorMinMax(col("v"), dim).as("mm"))
+        .head().getSeq[Double](0)
+      val expMin = (0 until dim).map(j => data.map(_._2(j).toDouble).min)
+      val expMax = (0 until dim).map(j => data.map(_._2(j).toDouble).max)
+      got.head == n.toDouble &&
+        (0 until dim).forall(j => got(1 + j) == expMin(j)) &&
+        (0 until dim).forall(j => got(1 + dim + j) == expMax(j))
+    }, cases = 5)
+  }
+
+  test("property: sample-state merge == one-shot state for any split and cap") {
+    val gen = for {
+      n <- Gen.choose(2, 150)
+      cap <- Gen.choose(1, 60)
+      mod <- Gen.choose(2, 5)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (n, cap, mod, seed)
+    checkProp(Prop.forAll(gen) { case (n, cap, mod, seed) =>
+      val r = new scala.util.Random(seed)
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(4)(r.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val merged = graft.ops.Embeddings.mergeSampleStates(
+        graft.ops.Embeddings.sampleState(
+          vecs.filter(col("vec_id") % mod === 0), "vec_id", "embedding", cap),
+        graft.ops.Embeddings.sampleState(
+          vecs.filter(col("vec_id") % mod =!= 0), "vec_id", "embedding", cap),
+        cap)
+      val oneShot = graft.ops.Embeddings.sampleState(
+        vecs, "vec_id", "embedding", cap)
+      merged.select("id").as[Long].collect().toSeq ==
+        oneShot.select("id").as[Long].collect().toSeq
+    }, cases = 5)
+  }
+
   test("property: gopherRules signals are bounded on arbitrary text") {
     val charGen = Gen.frequency(6 -> Gen.alphaLowerChar,
       2 -> Gen.const(' '), 1 -> Gen.const('\n'), 1 -> Gen.oneOf("#.-*!"))
