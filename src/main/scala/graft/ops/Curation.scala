@@ -434,8 +434,8 @@ object Curation {
     * unigram+bigram features, the shared front end of the DSIR fit and
     * score passes.
     */
-  private def dsirGrams(df: DataFrame, textCol: String, idCol: String,
-                        buckets: Int, carry: Seq[String] = Nil): DataFrame = {
+  private[ops] def dsirGrams(df: DataFrame, textCol: String, idCol: String,
+                             buckets: Int, carry: Seq[String] = Nil): DataFrame = {
     val id = col(idCol)
     val carried = carry.map(col)
     def toks(c: Column): Column =
@@ -705,6 +705,35 @@ object Curation {
     val w = Window.partitionBy(group: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Per-group top-fraction selection — the FineWeb-style adaptive
+    * quality cut: instead of one global score threshold (which lets a
+    * high-scoring domain crowd out everything else), keep the best
+    * `frac` of EACH group (domain / dump / source) by score. Rank-
+    * based rather than value-based: the kept count is ceil(frac·n)
+    * per group, so the cut is exact, deterministic (ties break by id),
+    * and insensitive to score calibration drift across groups.
+    *
+    * Scale shape: one shuffle on the group key serves both the
+    * per-group count and the rank (same window partitioning). The
+    * per-group sort is the cost at 100 TB when one group dominates —
+    * for such corpora compute an approximate per-group score quantile
+    * (sketch aggregate, broadcast thresholds, map-side filter) and
+    * accept a value-based cut instead; this exact form is for the
+    * many-moderate-groups regime (domains, dumps), where each
+    * partition sort is bounded.
+    */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, score: Column,
+                          idCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val w = Window.partitionBy(groupCol)
+    df.withColumn("__score", score)
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("__score").desc, col(idCol))))
+      .withColumn("n_group", count(lit(1)).over(w))
+      .filter(col("rank") <= ceil(lit(frac) * col("n_group")))
+      .drop("__score")
   }
 
   /** Write packed training shards: co-locate each shard in one file

@@ -638,4 +638,100 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of N retrieval channels — the standard hybrid-search combiner
+    * (lexical BM25 + embedding ANN in production RAG stacks). Each
+    * channel contributes 1/(c + rank) per (query, doc); docs surfaced
+    * by several channels accumulate, docs missing from a channel
+    * simply contribute nothing — no score normalization across
+    * channels is needed, which is exactly why RRF won over weighted
+    * score sums for heterogeneous scorers.
+    *
+    * Scale shape: each input channel is already cut to its own top-k,
+    * so the fused relation is ≤ |Q|·k·channels rows — one groupBy
+    * (map-side combined) plus one bounded per-query window, regardless
+    * of corpus size. Determinism: the per-pair sum has one term per
+    * channel and float addition is commutative, so the fused score is
+    * bit-identical under any execution order; ties rank by doc id.
+    *
+    * @param channels (query_id, doc_id, rank) relations, each already
+    *                 top-k per query.
+    */
+  def rrfFuse(channels: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(channels.nonEmpty, "rrfFuse needs at least one channel")
+    val tagged = channels.map(_.select(col("query_id"), col("doc_id"),
+      col("rank")))
+    tagged.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(lit(1.0) / (lit(c.toDouble) + col("rank"))).as("rrf"),
+        count(lit(1)).as("n_channels"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= k)
+  }
+
+  /** Binary sign code of an embedding, packed 32 dims per long word
+    * (bit b of word w set iff embedding[32w+b] > 0) — the FAISS
+    * `BinaryFlat`/binary-prefilter representation: 64 float dims
+    * become 8 bytes, and distance becomes popcount(xor), a handful of
+    * ALU ops. 32-bit words rather than 64 keep every shift ≤ 31, so
+    * the identical expression replays in engines whose BIGINT shift
+    * rejects bit 63 (DuckDB), and the array form scales to any dim.
+    */
+  def signWords(emb: Column, dim: Int = 64): Column = {
+    val nWords = (dim + 31) / 32
+    val words = (0 until nWords).map { wi =>
+      (0 until 32).filter(bi => wi * 32 + bi < dim).map { bi =>
+        when(element_at(emb, wi * 32 + bi + 1) > 0, lit(1L << bi))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    array(words: _*)
+  }
+
+  /** Hamming distance between two packed sign-code arrays
+    * ([[signWords]]): popcount of the per-word XOR, summed — flat
+    * codegen arithmetic, no branching.
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** Two-stage binary ANN — the classic Hamming prefilter: stage 1
+    * ranks the corpus by Hamming distance over [[signWords]] codes
+    * (a popcount scan of 8-byte codes instead of a float scan — the
+    * cheapest compressed first stage on the Flat/SQ8/PQ ladder) and
+    * keeps `rerankK` candidates per query; stage 2 fetches ONLY those
+    * candidates' raw vectors (hash joins on the bounded candidate
+    * relation) and re-ranks by exact cosine, the [[twoStageTopK]]
+    * discipline. At 100 TB the full-precision corpus is touched for
+    * rerankK rows per query; the scan stage moves 16× less data than
+    * float32 and its distance kernel is integer-only. Determinism:
+    * Hamming distances are exact integers and both stages tie-break
+    * by neighbor id, so the result replays engine-for-engine (gate
+    * n18) — no float enters until the exact re-rank.
+    */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                  rerankK: Int = 100, dim: Int = 64): DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      signWords(col("embedding"), dim).as("q_code")))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      signWords(col("embedding"), dim).as("n_code"))
+    val cands = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("dist", hammingDistance(col("q_code"), col("n_code")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))))
+      .filter(col("cr") <= rerankK)
+      .select("q_id", "n_id")
+    val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cv = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    cands.join(qv, Seq("q_id")).join(cv, Seq("n_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
 }

@@ -411,6 +411,120 @@ object TextOps {
       .foldLeft(lit(model.weights.head): Column)(_ + _))
   }
 
+  /** Trained fastText-style HASHED-N-GRAM classifier model:
+    * `weights(0)` is the bias, `weights(b + 1)` the weight of hash
+    * bucket b. The feature space is [[Curation.dsirGrams]]'s hashed
+    * unigram+bigram bag (the DSIR convention — md5-bucketed, so both
+    * feature extraction and hashing replay in any engine), which is
+    * what separates this from [[trainQualityClassifier]]'s 4
+    * hand-picked surface features: the model reads the actual token
+    * content, like fastText (Joulin et al., "Bag of Tricks for
+    * Efficient Text Classification", 2016).
+    */
+  final case class HashedLogisticModel(buckets: Int, weights: Array[Double])
+
+  /** Hashed n-gram feature relation: one row per (doc, bucket) with
+    * x = bucket's gram count / doc's total gram count, PLUS a bias
+    * pseudo-feature row (bucket −1, x = 1) per document. The bias row
+    * makes training uniform: per-doc z is ONE sum(x·w) join (no
+    * special empty-document path — docs with no grams still carry the
+    * bias row), and every gradient, bias included, is the same
+    * sum(δ·x)/N groupBy.
+    */
+  def hashedNgramFeatures(df: org.apache.spark.sql.DataFrame,
+                          textCol: String, idCol: String,
+                          buckets: Int): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val counts = Curation.dsirGrams(df, textCol, idCol, buckets)
+      .groupBy(id, col("__b")).agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(id).agg(sum(col("__c")).as("__t"))
+    val grams = counts.join(totals, Seq(idCol))
+      .select(id, col("__b").as("bucket"),
+        (col("__c").cast("double") / col("__t")).as("x"))
+    val biasRows = df.select(id, lit(-1).as("bucket"), lit(1.0).as("x"))
+    grams.unionByName(biasRows)
+  }
+
+  /** Train the hashed-n-gram logistic classifier with full-batch GD —
+    * the production fastText shape at corpus scale: the feature
+    * relation is bounded by docs × min(grams, buckets) rows and is
+    * computed ONCE (cached); each iteration is one broadcast join of
+    * the (buckets+1)-row weight table for per-doc z, then one
+    * map-side-combined groupBy(bucket) for ALL gradients (bias
+    * included, via the pseudo-feature row); the driver takes an
+    * O(buckets) step. Raw tokens never shuffle — only (doc, bucket)
+    * pairs do. Weights quantize to the 1e-9 grid after every step
+    * (`round(·, 9)`), putting the whole training trajectory on a
+    * decimal lattice ~1e6× coarser than the cross-engine
+    * summation-order noise (~1e-16) — so an independent engine
+    * replaying the same arithmetic lands on bit-identical weights
+    * every iteration instead of accumulating last-bit drift (gate
+    * t23).
+    */
+  def trainHashedClassifier(df: org.apache.spark.sql.DataFrame,
+                            textCol: String, idCol: String, label: Column,
+                            buckets: Int = 16, iters: Int = 10,
+                            lr: Double = 0.5): HashedLogisticModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val id = col(idCol)
+    val labels = df.select(id.as("__id"), label.cast("double").as("y")).persist()
+    val feats = hashedNgramFeatures(df, textCol, idCol, buckets)
+      .select(id.as("__id"), col("bucket"), col("x")).persist()
+    try {
+      val n = labels.count().toDouble
+      def rnd9(v: Double): Double =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // weights(0) = bias (bucket -1), weights(b+1) = bucket b
+      var w = new Array[Double](buckets + 1)
+      var it = 0
+      while (it < iters) {
+        val wDf = broadcast(
+          w.zipWithIndex.map { case (v, j) => (j - 1, v) }.toSeq
+            .toDF("bucket", "w"))
+        val delta = feats.join(wDf, "bucket")
+          .groupBy("__id").agg(sum(col("x") * col("w")).as("__z"))
+          .join(labels, "__id")
+          .select(col("__id"), (sigmoid(col("__z")) - col("y")).as("delta"))
+        val grads = feats.join(delta, "__id")
+          .groupBy("bucket")
+          .agg((sum(col("delta") * col("x")) / lit(n)).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = Array.tabulate(buckets + 1)(j =>
+          rnd9(w(j) - lr * grads.getOrElse(j - 1, 0.0)))
+        it += 1
+      }
+      HashedLogisticModel(buckets, w)
+    } finally { labels.unpersist(); feats.unpersist() }
+  }
+
+  /** Score with a trained hashed model as a ZERO-EXCHANGE projection:
+    * the weight table becomes an array literal in the plan, each gram
+    * looks its weight up by hashed bucket (`element_at`), and
+    * z = bias + Σ w[bucket(gram)] / n_grams — algebraically the
+    * feature-relation dot product, but free-riding on the scan: no
+    * explode, no join, no shuffle at 100 TB.
+    */
+  def scoreHashedClassifier(text: Column, model: HashedLogisticModel): Column = {
+    val words = filter(split(lower(trim(text)), "\\s+"), wd => wd =!= "")
+    val grams = concat(words,
+      when(size(words) >= 2,
+          zip_with(slice(words, lit(1), size(words) - 1),
+            slice(words, lit(2), size(words) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>")))
+    val wArr = typedLit(model.weights.drop(1).toSeq)
+    val bucket = (g: Column) =>
+      conv(substring(md5(g), 1, 4), 16, 10).cast("int") % model.buckets
+    val gramSum = aggregate(
+      transform(grams, g => element_at(wArr, bucket(g) + 1)),
+      lit(0.0), _ + _)
+    val z = lit(model.weights.head) +
+      when(size(grams) === 0, lit(0.0))
+        .otherwise(gramSum / size(grams).cast("double"))
+    sigmoid(z)
+  }
+
   /** The full Gopher document-quality rule set (Rae et al., "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", 2021, §A.1.1) — the standard rule filter applied before

@@ -25,8 +25,57 @@ object OpsQueries {
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
 
+  /** Shared BM25 fixture + oracle fragments (t22, n17): the fixed
+    * query-term table and the DuckDB corpus-statistics CTEs / scoring
+    * expression, factored so the two gates cannot drift. 'zzz' proves
+    * absent query terms contribute nothing.
+    */
+  private val bm25QueryTerms: Seq[(String, String)] = Seq(
+    "q1" -> "hash", "q1" -> "join",
+    "q2" -> "vector", "q2" -> "scan", "q2" -> "filter",
+    "q3" -> "spark", "q3" -> "stream", "q3" -> "window",
+    "q3" -> "zzz")
+
+  private val bm25QueryValuesSql: String =
+    bm25QueryTerms.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+
+  private val bm25StatsSql =
+    """toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+      |    x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+      |  (SELECT sum(tf) FROM tf)::DOUBLE /
+      |    (SELECT count(*) FROM documents)::DOUBLE AS avgdl)""".stripMargin
+
+  private val bm25ScoreSql =
+    """ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+      |    (tf.tf * (1.2 + 1.0)) /
+      |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))""".stripMargin
+
   private def occSql(x: String, marker: String): String =
     s"cast((length($x) - length(replace($x, '$marker', ''))) / ${marker.length} AS INT)"
+
+  /** DuckDB mirror of `TextOps.qualityScore`'s logit (the t11
+    * fixed-weight model) — shared by the t11 scoring gate and the p20
+    * per-group selection gate so the formula cannot drift.
+    */
+  private lazy val fixedQualityZSql: String = {
+    val pad = "(' ' || lower(text) || ' ')"
+    val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+    val guard = s"(CASE WHEN ($nWords) = 0 THEN 1 ELSE $nWords END)"
+    val nStop = Seq("the", "a", "and", "of", "is", "to", "in")
+      .map(m => occSql(pad, s" $m ")).mkString(" + ")
+    val nPunct = Seq(".", ",", "!", "?").map(occSql("text", _)).mkString(" + ")
+    s"""-1.0 + 0.35 * ln(1.0 + length(text))
+       | + 5.0 * (cast($nStop AS DOUBLE) / $guard)
+       | - 0.3 * abs((cast(length(text) - ${occSql("text", " ")} AS DOUBLE) / $guard) - 5.0)
+       | - 0.01 * cast($nPunct AS DOUBLE)""".stripMargin.replace("\n", "")
+  }
 
   private def scoreSql(markers: Seq[String]): String =
     markers.map(m => occSql("(' ' || lower(text) || ' ')", s" $m ")).mkString(" + ")
@@ -2492,16 +2541,7 @@ object OpsQueries {
         round(TextOps.qualityScore(col("text")), 4).as("score"),
         (TextOps.qualityScore(col("text")) >= 0.5).as("keep")),
       Some {
-        val pad = "(' ' || lower(text) || ' ')"
-        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
-        val guard = s"(CASE WHEN ($nWords) = 0 THEN 1 ELSE $nWords END)"
-        val nStop = Seq("the", "a", "and", "of", "is", "to", "in")
-          .map(m => occSql(pad, s" $m ")).mkString(" + ")
-        val nPunct = Seq(".", ",", "!", "?").map(occSql("text", _)).mkString(" + ")
-        val z = s"""-1.0 + 0.35 * ln(1.0 + length(text))
-                   | + 5.0 * (cast($nStop AS DOUBLE) / $guard)
-                   | - 0.3 * abs((cast(length(text) - ${occSql("text", " ")} AS DOUBLE) / $guard) - 5.0)
-                   | - 0.01 * cast($nPunct AS DOUBLE)""".stripMargin.replace("\n", "")
+        val z = fixedQualityZSql
         s"""SELECT doc_id,
            |  round(1.0 / (1.0 + exp(-($z))), 4) AS score,
            |  (1.0 / (1.0 + exp(-($z)))) >= 0.5 AS keep
@@ -2721,36 +2761,16 @@ object OpsQueries {
     QueryDef("t22_bm25",
       (s, dir) => {
         import s.implicits._
-        val qt = Seq(
-          "q1" -> "hash", "q1" -> "join",
-          "q2" -> "vector", "q2" -> "scan", "q2" -> "filter",
-          "q3" -> "spark", "q3" -> "stream", "q3" -> "window",
-          "q3" -> "zzz").toDF("query_id", "term")
+        val qt = bm25QueryTerms.toDF("query_id", "term")
         TextOps.bm25(docs(s, dir), "text", "doc_id", qt)
           .select(col("query_id"), col("doc_id"),
             round(col("score"), 4).as("score"), col("n_terms_hit"))
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, unnest(list_filter(
-             |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
-             |    x -> x <> '')) AS term
-             |  FROM documents),
-             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-             |st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
-             |  (SELECT sum(tf) FROM tf)::DOUBLE /
-             |    (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
-             |q(query_id, term) AS (VALUES
-             |  ('q1', 'hash'), ('q1', 'join'),
-             |  ('q2', 'vector'), ('q2', 'scan'), ('q2', 'filter'),
-             |  ('q3', 'spark'), ('q3', 'stream'), ('q3', 'window'),
-             |  ('q3', 'zzz'))
+      Some(s"""WITH $bm25StatsSql,
+             |q(query_id, term) AS (VALUES $bm25QueryValuesSql)
              |SELECT q.query_id, tf.doc_id,
              |  round(sum(
-             |    ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
-             |    (tf.tf * (1.2 + 1.0)) /
-             |    (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))
+             |    $bm25ScoreSql
              |  ), 4) AS score,
              |  count(*) AS n_terms_hit
              |FROM tf
@@ -2903,6 +2923,219 @@ object OpsQueries {
               |FROM v a JOIN v b ON a.bucket = b.bucket
               |  AND a.vec_id % 9 <> 0 AND b.vec_id % 9 = 0
               |WHERE list_cosine_similarity(a.embedding, b.embedding)
-              |  >= 0.3""".stripMargin))
+              |  >= 0.3""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (n17): the BM25
+    // lexical channel (t22's corpus statistics, cut to top-10 per
+    // query by 4dp-rounded score — the rounded value is what t22
+    // proves cross-engine-equal, so BOTH engines rank on it) fused
+    // with the embedding cosine channel (n01's exact top-10; query
+    // q<i> is vector vec_id=i — documents and embeddings share the
+    // 0..N id space). The fused score sums one reciprocal per channel
+    // (float addition of ≤2 terms is order-free, so raw-double
+    // ranking replays exactly); ties rank by doc id. This is the
+    // production RAG retrieval shape: channels stay independently
+    // bounded top-k, fusion never touches the corpus.
+    QueryDef("n17_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+        val lex = TextOps.bm25(docs(s, dir), "text", "doc_id",
+            bm25QueryTerms.toDF("query_id", "term"))
+          .withColumn("rank", row_number().over(
+            w.partitionBy("query_id")
+              .orderBy(round(col("score"), 4).desc, col("doc_id"))))
+          .filter(col("rank") <= 10)
+          .select("query_id", "doc_id", "rank")
+        val sem = Similarity.bruteForceTopK(
+            embs(s, dir).filter(col("vec_id").isin(1L, 2L, 3L)),
+            embs(s, dir), k = 10)
+          .select(concat(lit("q"), col("q_id").cast("string")).as("query_id"),
+            col("n_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(lex, sem), k = 10)
+          .select(col("query_id"), col("doc_id"), col("fused_rank"),
+            round(col("rrf"), 6).as("rrf"), col("n_channels"))
+      },
+      Some(s"""WITH $bm25StatsSql,
+              |q(query_id, term) AS (VALUES $bm25QueryValuesSql),
+              |bmscore AS (
+              |  SELECT q.query_id, tf.doc_id,
+              |    round(sum(
+              |      $bm25ScoreSql
+              |    ), 4) AS score
+              |  FROM tf
+              |  JOIN q USING (term)
+              |  JOIN dfq USING (term)
+              |  JOIN dl USING (doc_id), st
+              |  GROUP BY 1, 2),
+              |lex AS (
+              |  SELECT query_id, doc_id, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+              |  FROM bmscore QUALIFY rank <= 10),
+              |sem AS (
+              |  SELECT 'q' || cast(q.vec_id AS VARCHAR) AS query_id,
+              |    c.vec_id AS doc_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+              |        DESC, c.vec_id) AS rank
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id IN (1, 2, 3)
+              |  QUALIFY rank <= 10),
+              |fused AS (
+              |  SELECT query_id, doc_id,
+              |    sum(1.0 / (60 + rank)) AS rrf, count(*) AS n_channels
+              |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+              |  GROUP BY 1, 2)
+              |SELECT query_id, doc_id,
+              |  row_number() OVER (PARTITION BY query_id
+              |    ORDER BY rrf DESC, doc_id) AS fused_rank,
+              |  round(rrf, 6) AS rrf, n_channels
+              |FROM fused
+              |QUALIFY fused_rank <= 10""".stripMargin)),
+
+    // Binary Hamming ANN (n18): sign codes packed 32 dims/word
+    // (Similarity.signWords), stage-1 ranking by popcount(xor) —
+    // exact INTEGER distances, so the candidate cut replays
+    // engine-for-engine with no float in play — then exact cosine
+    // re-rank of the 50 fetched candidates (two-stage n09
+    // discipline; final ranking cross-engine-double, n01-proven).
+    // The oracle re-derives the packed codes from raw embeddings
+    // with the same 32-bit-word expression (DuckDB's BIGINT shift
+    // rejects bit 63, which is why the words are 32-bit) and replays
+    // both stages.
+    QueryDef("n18_ann_hamming",
+      (s, dir) => Similarity.hammingTopK(
+          embs(s, dir).filter(col("vec_id") < 20), embs(s, dir),
+          k = 5, rerankK = 50)
+        .select("q_id", "n_id", "rank"),
+      Some("""WITH codes AS (
+             |  SELECT vec_id, embedding,
+             |    list_transform(range(0, 2), wi ->
+             |      cast(list_sum(list_transform(range(0, 32), bi ->
+             |        CASE WHEN embedding[wi * 32 + bi + 1] > 0
+             |             THEN (1::BIGINT << cast(bi AS INT))
+             |             ELSE 0::BIGINT END)) AS BIGINT)) AS code
+             |  FROM embeddings),
+             |cand AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY bit_count(xor(q.code[1], c.code[1]))
+             |        + bit_count(xor(q.code[2], c.code[2])), c.vec_id) AS cr
+             |  FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20
+             |  QUALIFY cr <= 50)
+             |SELECT cand.q_id, cand.n_id,
+             |  row_number() OVER (PARTITION BY cand.q_id
+             |    ORDER BY list_cosine_similarity(qe.embedding, ce.embedding)
+             |      DESC, cand.n_id) AS rank
+             |FROM cand
+             |JOIN embeddings qe ON qe.vec_id = cand.q_id
+             |JOIN embeddings ce ON ce.vec_id = cand.n_id
+             |QUALIFY rank <= 5""".stripMargin)),
+
+    // Per-group top-fraction quality cut (p20): keep the best 30% of
+    // each source by the t11 fixed-weight quality score — the
+    // FineWeb-style per-dump adaptive threshold, rank-based so the
+    // cut is exact integer arithmetic (ceil(frac·n) per group, ties
+    // by doc id). Both engines rank on the SAME sigmoid expression
+    // t11 already proves cross-engine-equal, and ceil(0.3·n) is one
+    // IEEE multiply both engines round identically.
+    QueryDef("p20_group_quantile_filter",
+      (s, dir) => Curation.topFractionPerGroup(
+          docs(s, dir), "source", TextOps.qualityScore(col("text")),
+          "doc_id", frac = 0.3)
+        .select("doc_id", "source", "rank", "n_group"),
+      Some {
+        val sig = s"1.0 / (1.0 + exp(-($fixedQualityZSql)))"
+        s"""WITH ranked AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY ($sig) DESC, doc_id) AS rank,
+           |    count(*) OVER (PARTITION BY source) AS n_group
+           |  FROM documents)
+           |SELECT doc_id, source, rank, n_group
+           |FROM ranked
+           |WHERE rank <= ceil(0.3 * n_group)""".stripMargin
+      }),
+
+    // fastText-style HASHED-n-gram classifier (t23): where t20 trains
+    // on 4 hand-picked surface features, this trains on the md5-hashed
+    // unigram+bigram bag (the DSIR feature convention) — the model
+    // reads token content. The bias rides as a pseudo-feature row
+    // (bucket −1, x=1), so per-doc z is ONE sum(x·w) join and every
+    // gradient is the same sum(δ·x)/N groupBy. Weights quantize to the
+    // 1e-9 grid after each step, so DuckDB's replay of all 10 GD
+    // iterations lands on bit-identical weights (grid spacing ~1e6×
+    // the summation-order noise); the oracle re-derives grams,
+    // buckets, features, the full trajectory, and scores with its own
+    // trained weights. 4dp output rounding absorbs the one remaining
+    // order difference (Spark scores per-gram in doc order, the
+    // oracle per-bucket). Stage CTEs are AS MATERIALIZED: stage k
+    // references stage k-1 twice (z and step), so inlining would
+    // re-evaluate the chain 2^10 times.
+    QueryDef("t23_hashed_classifier",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val keepLabel = TextOps.qualityMetrics(col("text")).toMap.apply("keep")
+        val model = TextOps.trainHashedClassifier(d, "text", "doc_id",
+          keepLabel)
+        d.select(col("doc_id"),
+          round(TextOps.scoreHashedClassifier(col("text"), model), 4)
+            .as("score"),
+          (TextOps.scoreHashedClassifier(col("text"), model) >= 0.5)
+            .as("keep"))
+      },
+      Some {
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        val guard = s"(CASE WHEN ($nWords) = 0 THEN 1 ELSE $nWords END)"
+        val awl = s"(cast(length(text) - ${occSql("text", " ")} AS DOUBLE) / $guard)"
+        val yExpr = s"""CASE WHEN length(text) >= 20 AND ($nWords) >= 5
+                       | AND $awl BETWEEN 1.5 AND 12.0
+                       | THEN 1.0 ELSE 0.0 END""".stripMargin.replace("\n", "")
+        def zOf(wRel: String): String =
+          s"""(SELECT f.doc_id, sum(f.x * w.w) AS s
+             |   FROM feats f JOIN $wRel w USING (b) GROUP BY 1)""".stripMargin
+        val sig = (zc: String) =>
+          s"1.0 / (1.0 + exp(-greatest(least($zc, 30.0), -30.0)))"
+        def stage(k: Int): String =
+          s"""z$k AS MATERIALIZED (
+             |  SELECT l.doc_id, ${sig("fs.s")} - l.y AS delta
+             |  FROM labels l
+             |  JOIN ${zOf(s"it${k - 1}")} fs USING (doc_id)),
+             |it$k AS MATERIALIZED (
+             |  SELECT w.b, round(w.w - 0.5 * (coalesce(g.sd, 0.0) /
+             |      (SELECT count(*) FROM documents)), 9) AS w
+             |  FROM it${k - 1} w
+             |  LEFT JOIN (SELECT f.b, sum(z.delta * f.x) AS sd
+             |             FROM feats f JOIN z$k z USING (doc_id)
+             |             GROUP BY 1) g USING (b))""".stripMargin
+        s"""WITH labels AS MATERIALIZED (SELECT doc_id, $yExpr AS y FROM documents),
+           |words AS MATERIALIZED (
+           |  SELECT doc_id, list_filter(
+           |    string_split_regex(lower(trim(text)), '\\s+'),
+           |    x -> x <> '') AS w
+           |  FROM documents),
+           |grams AS MATERIALIZED (
+           |  SELECT doc_id, unnest(w) AS g FROM words
+           |  UNION ALL
+           |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+           |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+           |        FROM words WHERE len(w) >= 2)),
+           |tot AS MATERIALIZED (SELECT doc_id, count(*) AS t FROM grams GROUP BY 1),
+           |feats AS MATERIALIZED (
+           |  SELECT g.doc_id, ('0x' || substr(md5(g.g), 1, 4))::INT % 16 AS b,
+           |    cast(count(*) AS DOUBLE) / max(tot.t) AS x
+           |  FROM grams g JOIN tot ON g.doc_id = tot.doc_id
+           |  GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT doc_id, -1 AS b, 1.0 AS x FROM documents),
+           |it0 AS MATERIALIZED (SELECT cast(unnest(range(-1, 16)) AS INT) AS b, 0.0 AS w),
+           |${(1 to 10).map(stage).mkString(",\n")},
+           |sc AS (
+           |  SELECT l.doc_id, ${sig("fs.s")} AS s
+           |  FROM labels l
+           |  JOIN ${zOf("it10")} fs USING (doc_id))
+           |SELECT doc_id, round(s, 4) AS score, s >= 0.5 AS keep FROM sc""".stripMargin
+      })
   )
 }

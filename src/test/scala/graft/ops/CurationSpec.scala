@@ -459,4 +459,23 @@ class CurationSpec extends SparkSpec {
     Curation.fuzzyContamination(train, eval, "text", "doc_id",
       threshold = 1.01).count() shouldBe 0L
   }
+
+  test("topFractionPerGroup: ceil(frac*n) best rows kept per group, ties by id") {
+    import org.apache.spark.sql.functions.col
+    // group a: 10 rows scores 0..9 → keep ceil(3) = 3 best (ids 9,8,7)
+    // group b: 4 rows, all tied → keep ceil(1.2) = 2, tie-break smallest id
+    val df = ((0L until 10L).map(i => (i, "a", i.toDouble)) ++
+        (20L until 24L).map(i => (i, "b", 1.0)))
+      .toDF("doc_id", "source", "score")
+    val kept = Curation.topFractionPerGroup(df, "source", col("score"),
+        "doc_id", frac = 0.3)
+      .select("doc_id", "source", "rank", "n_group")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    kept.filter(_._2 == "a").map(_._1).sorted shouldBe Array(7L, 8L, 9L)
+    kept.filter(_._2 == "b").map(_._1).sorted shouldBe Array(20L, 21L)
+    kept.filter(_._2 == "a").foreach(_._4 shouldBe 10L)
+    // frac = 1 keeps everything
+    Curation.topFractionPerGroup(df, "source", col("score"), "doc_id",
+      frac = 1.0).count() shouldBe 14L
+  }
 }

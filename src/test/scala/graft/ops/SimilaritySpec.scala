@@ -247,4 +247,57 @@ class SimilaritySpec extends SparkSpec {
     Similarity.semanticContamination(train, eval, threshold = 1.0001,
       dim = dim).count() shouldBe 0L
   }
+
+  test("rrfFuse: cross-channel docs outrank single-channel; missing channels contribute nothing") {
+    val lex = Seq(("q1", 10L, 1), ("q1", 20L, 2), ("q1", 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq(("q1", 20L, 1), ("q1", 40L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity.rrfFuse(Seq(lex, sem), k = 10)
+      .orderBy("fused_rank")
+      .select("doc_id", "rrf", "n_channels")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 20: rank 2 lexical + rank 1 semantic → 1/62 + 1/61, 2 channels
+    out(0)._1 shouldBe 20L
+    out(0)._2 shouldBe (1.0 / 62 + 1.0 / 61) +- 1e-12
+    out(0)._3 shouldBe 2L
+    // singles follow, ordered by their one reciprocal then doc_id
+    out.map(_._1) shouldBe Array(20L, 10L, 40L, 30L)
+    out.tail.foreach(_._3 shouldBe 1L)
+    // k cut applies
+    Similarity.rrfFuse(Seq(lex, sem), k = 2).count() shouldBe 2L
+  }
+
+  test("signWords/hammingDistance: packed sign codes give exact bit distances") {
+    val a = Array.fill(64)(1f) // all bits set
+    val b = Array.tabulate(64)(i => if (i < 3) -1f else 1f) // 3 low bits off
+    val c = Array.tabulate(64)(i => if (i >= 61) -1f else 1f) // 3 high bits off
+    val df = Seq((a, b), (a, c), (a, a)).toDF("x", "y")
+    val dists = df.select(Similarity.hammingDistance(
+        Similarity.signWords($"x"), Similarity.signWords($"y")).as("d"))
+      .as[Long].collect()
+    dists shouldBe Array(3L, 3L, 0L)
+    // word packing: zeros pack to 0; exactly-0 entries do NOT set bits
+    val z = Array.fill(64)(0f)
+    Seq(Tuple1(z)).toDF("x")
+      .select(Similarity.signWords($"x").as("w"))
+      .as[Array[Long]].collect().head shouldBe Array(0L, 0L)
+  }
+
+  test("hammingTopK: with full rerank equals brute force; candidate cut respected") {
+    val r = new scala.util.Random(97)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+    // rerankK covering the whole corpus makes stage 2 the exact scan
+    val full = Similarity.hammingTopK(q, vecs, k = 5, rerankK = 29)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    full shouldBe exact
+    // narrow rerank still returns k ranked rows per query
+    val narrow = Similarity.hammingTopK(q, vecs, k = 5, rerankK = 8)
+    narrow.groupBy("q_id").count().select("count").as[Long]
+      .collect().toSet shouldBe Set(5L)
+  }
 }

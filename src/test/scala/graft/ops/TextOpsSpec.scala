@@ -382,4 +382,41 @@ class TextOpsSpec extends SparkSpec {
     out("q1" -> 2L)._1 shouldBe expD2 +- 1e-12
     out("q1" -> 2L)._2 shouldBe 1L
   }
+
+  test("trainHashedClassifier separates planted vocabularies; projection scoring equals the feature dot product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pos = (0L until 30L).map(i =>
+      (i, "good great excellent wonderful superb delightful", 1))
+    val neg = (30L until 60L).map(i =>
+      (i, "bad awful terrible horrid dreadful atrocious", 0))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val model = TextOps.trainHashedClassifier(df, "text", "doc_id",
+      col("y") === 1, buckets = 64, iters = 30, lr = 1.0)
+    model.weights.length shouldBe 65
+    val scored = df.select(col("y"),
+        TextOps.scoreHashedClassifier(col("text"), model).as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    scored.foreach { case (y, s) =>
+      if (y == 1) s should be > 0.5 else s should be < 0.5
+    }
+    // projection scoring == feature-relation dot product (same algebra,
+    // different plan shape)
+    val viaFeats = TextOps.hashedNgramFeatures(df, "text", "doc_id", 64)
+      .withColumn("w", element_at(
+        typedLit(model.weights.toSeq), col("bucket") + lit(2)))
+      .groupBy("doc_id").agg(sum(col("x") * col("w")).as("z"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaProj = df.select(col("doc_id"),
+        TextOps.scoreHashedClassifier(col("text"), model).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaFeats.foreach { case (id, s) => viaProj(id) shouldBe s +- 1e-12 }
+    // empty text scores at the bias alone
+    val bias = Seq((99L, "")).toDF("doc_id", "text")
+      .select(TextOps.scoreHashedClassifier(col("text"), model))
+      .as[Double].collect().head
+    bias shouldBe 1.0 / (1.0 + math.exp(-model.weights.head)) +- 1e-12
+  }
 }
