@@ -698,6 +698,61 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), _ + _)
 
+  /** MMR (maximal-marginal-relevance, Carbonell & Goldstein SIGIR
+    * 1998) diversified top-k: greedily pick k results per query
+    * trading relevance against similarity to what is already picked —
+    * pick 1 is the plain argmax of relevance; pick j maximizes
+    * λ·rel(d) − (1−λ)·max over selected s of sim(d, s). The standard
+    * re-rank when plain top-k returns near-duplicates (which, after
+    * this library's dedup tier, is exactly what dense regions of a
+    * training corpus do).
+    *
+    * Scale shape: the corpus is touched ONCE (the stage-1 candidate
+    * retrieval, here [[bruteForceTopK]] — substitute any ANN tier);
+    * the greedy runs k rounds of joins over the BOUNDED candidate
+    * relation (|Q|·candidateK rows, localCheckpointed so round j does
+    * not re-run retrieval), each round one anti-join + one
+    * max-aggregate + one per-query argmax window. Work is independent
+    * of corpus size. Determinism: relevance and pairwise cosines are
+    * cross-engine-exact doubles (n01), λ-mix is two fixed-order IEEE
+    * ops, max is exact, argmax ties break by neighbor id — so the
+    * whole greedy replays engine-for-engine (gate n19).
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              candidateK: Int = 20, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    val w = Window.partitionBy("q_id")
+    val cands = bruteForceTopK(queries, corpus, candidateK)
+      .join(corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("sim").as("rel"), col("n_emb"))
+      .localCheckpoint()
+    def argmaxBy(df: DataFrame, score: Column, pick: Int): DataFrame =
+      df.withColumn("__mmr", score)
+        .withColumn("__rn", row_number().over(
+          w.orderBy(col("__mmr").desc, col("n_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(pick).as("pick_rank"),
+          col("n_emb"))
+    var selected = argmaxBy(cands, col("rel"), 1)
+    var j = 2
+    while (j <= k) {
+      val rem = cands.join(selected.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+      val maxsim = rem.select(col("q_id"), col("n_id"), col("n_emb"))
+        .join(selected.select(col("q_id"), col("n_emb").as("__s_emb")),
+          Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(col("n_emb"), col("__s_emb")).as("__s"))
+        .groupBy("q_id", "n_id").agg(max(col("__s")).as("maxsim"))
+      selected = selected.unionByName(argmaxBy(rem.join(maxsim, Seq("q_id", "n_id")),
+        lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"), j))
+      j += 1
+    }
+    selected.select("q_id", "n_id", "pick_rank")
+  }
+
   /** Two-stage binary ANN — the classic Hamming prefilter: stage 1
     * ranks the corpus by Hamming distance over [[signWords]] codes
     * (a popcount scan of 8-byte codes instead of a float scan — the

@@ -3033,6 +3033,54 @@ object OpsQueries {
              |JOIN embeddings ce ON ce.vec_id = cand.n_id
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // MMR diversified top-k (n19): greedy λ-tradeoff between
+    // relevance and similarity-to-selected over the bounded top-20
+    // candidate set, k=3 picks per query. The oracle unrolls the
+    // greedy: stage 1 argmax(rel); stage j argmax(0.5·rel −
+    // 0.5·maxsim) with maxsim = greatest over the j−1 selections —
+    // every comparison is over cross-engine-exact doubles (n01 cosine
+    // rule), ties by id. CTEs materialized (each stage re-reads cands
+    // plus all prior selections).
+    QueryDef("n19_mmr_diversify",
+      (s, dir) => Similarity.mmrTopK(
+          embs(s, dir).filter(col("vec_id") < 10), embs(s, dir),
+          k = 3, candidateK = 20, lambda = 0.5)
+        .select("q_id", "n_id", "pick_rank"),
+      Some("""WITH cands AS MATERIALIZED (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    list_cosine_similarity(q.embedding, c.embedding) AS rel,
+             |    c.embedding AS n_emb,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+             |        DESC, c.vec_id) AS rk
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 10
+             |  QUALIFY rk <= 20),
+             |s1 AS MATERIALIZED (
+             |  SELECT q_id, n_id, n_emb FROM cands
+             |  QUALIFY row_number() OVER (PARTITION BY q_id
+             |    ORDER BY rel DESC, n_id) = 1),
+             |s2 AS MATERIALIZED (
+             |  SELECT c.q_id, c.n_id, c.n_emb FROM cands c
+             |  JOIN s1 ON c.q_id = s1.q_id AND c.n_id <> s1.n_id
+             |  QUALIFY row_number() OVER (PARTITION BY c.q_id
+             |    ORDER BY 0.5 * c.rel -
+             |      0.5 * list_cosine_similarity(c.n_emb, s1.n_emb)
+             |      DESC, c.n_id) = 1),
+             |s3 AS MATERIALIZED (
+             |  SELECT c.q_id, c.n_id FROM cands c
+             |  JOIN s1 ON c.q_id = s1.q_id
+             |  JOIN s2 ON c.q_id = s2.q_id
+             |  WHERE c.n_id <> s1.n_id AND c.n_id <> s2.n_id
+             |  QUALIFY row_number() OVER (PARTITION BY c.q_id
+             |    ORDER BY 0.5 * c.rel - 0.5 * greatest(
+             |        list_cosine_similarity(c.n_emb, s1.n_emb),
+             |        list_cosine_similarity(c.n_emb, s2.n_emb))
+             |      DESC, c.n_id) = 1)
+             |SELECT q_id, n_id, 1 AS pick_rank FROM s1
+             |UNION ALL SELECT q_id, n_id, 2 FROM s2
+             |UNION ALL SELECT q_id, n_id, 3 FROM s3""".stripMargin)),
+
     // Per-group top-fraction quality cut (p20): keep the best 30% of
     // each source by the t11 fixed-weight quality score — the
     // FineWeb-style per-dump adaptive threshold, rank-based so the

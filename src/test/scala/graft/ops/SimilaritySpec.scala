@@ -284,6 +284,29 @@ class SimilaritySpec extends SparkSpec {
       .as[Array[Long]].collect().head shouldBe Array(0L, 0L)
   }
 
+  test("mmrTopK diversifies away from a near-duplicate; lambda=1 is plain top-k") {
+    // query along x; candidates: A (rel .99-ish), A' (near-copy of A),
+    // B (lower rel, dissimilar to A). Plain top-3 = A, A', B; MMR at
+    // lambda=0.5 must pick B second because A' is redundant.
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.14f)),
+      (2L, Array(0.991f, 0.138f)), // near-duplicate of 1
+      (3L, Array(0.8f, -0.6f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrTopK(q, corpus, k = 3, candidateK = 3,
+        lambda = 0.5)
+      .orderBy("pick_rank").select("n_id").as[Long].collect()
+    picks(0) should (be(1L) or be(2L)) // highest-rel of the twins first
+    picks(1) shouldBe 3L               // diversity beats the twin
+    // lambda=1: pure relevance, equals brute-force order
+    val pure = Similarity.mmrTopK(q, corpus, k = 3, candidateK = 3,
+        lambda = 1.0)
+      .orderBy("pick_rank").select("n_id").as[Long].collect()
+    val bf = Similarity.bruteForceTopK(q, corpus, k = 3)
+      .orderBy("rank").select("n_id").as[Long].collect()
+    pure shouldBe bf
+  }
+
   test("hammingTopK: with full rerank equals brute force; candidate cut respected") {
     val r = new scala.util.Random(97)
     val vecs = (0L until 30L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
