@@ -446,4 +446,40 @@ class PlanRegressionSpec extends SparkSpec {
     seg.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
     seg should include("unigram_segment")
   }
+
+  test("hashed-classifier scoring is a zero-exchange projection over the scan") {
+    val df = spark.range(1, 41).select($"id".as("doc_id"),
+      concat(lit("some text tokens here "), $"id").as("text"))
+    val model = graft.ops.TextOps.HashedLogisticModel(16,
+      Array.tabulate(17)(i => 0.01 * i))
+    val plan = formatted(df.select($"doc_id",
+      graft.ops.TextOps.scoreHashedClassifier($"text", model).as("s")))
+    plan.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    plan should not include "Window"
+    plan should not include "Join"
+  }
+
+  test("signWords packing is a zero-exchange projection; rrfFuse and p20 use bounded exchanges") {
+    val vecs = spark.range(0, 40).select($"id".as("vec_id"),
+      array((0 until 64).map(i => ($"id" * i).cast("float")): _*).as("embedding"))
+    val packed = formatted(vecs.select($"vec_id",
+      graft.ops.Similarity.signWords($"embedding").as("code")))
+    packed.split("\\(\\d+\\) Exchange").length - 1 shouldBe 0
+    // rrfFuse: one exchange keys (query,doc) for the sum, one keys
+    // query for the rank — never more, no join of any kind
+    val ch1 = spark.range(0, 30).select(lit("q1").as("query_id"),
+      $"id".as("doc_id"), ($"id" % 10 + 1).cast("int").as("rank"))
+    val ch2 = spark.range(0, 30).select(lit("q1").as("query_id"),
+      ($"id" + 5).as("doc_id"), ($"id" % 10 + 1).cast("int").as("rank"))
+    val fused = formatted(graft.ops.Similarity.rrfFuse(Seq(ch1, ch2), k = 10))
+    (fused.split("\\(\\d+\\) Exchange").length - 1) should be <= 2
+    fused should not include "Join"
+    // p20: both windows (rank, group count) share the group-key
+    // partitioning — exactly one exchange
+    val docs = spark.range(0, 40).select($"id".as("doc_id"),
+      ($"id" % 4).cast("string").as("source"), ($"id" * 1.5).as("score"))
+    val cut = formatted(graft.ops.Curation.topFractionPerGroup(
+      docs, "source", $"score", "doc_id", frac = 0.3))
+    cut.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+  }
 }
