@@ -867,6 +867,88 @@ object TextOps {
       .agg(sum(col("__contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
   }
 
+  /** Mergeable BM25 CORPUS STATE — the incremental-index shape for the
+    * retrieval tier (the [[Curation.dsirState]] pattern): one row per
+    * term with its document frequency and corpus-wide term count, plus
+    * ONE sentinel row (term = "", df = n_docs, tf = 0) carrying the
+    * document count — tokens are never empty, so the sentinel cannot
+    * collide, and it merges by the same full-outer sum as every other
+    * row. All three statistics BM25 needs derive from the state alone:
+    * df per term, N from the sentinel, avgdl = sum(tf)/N. Counts are
+    * exact integers, so chained merges are bit-identical to a refit
+    * over the union (gate t24) — no decay, no approximation.
+    */
+  def bm25State(df: org.apache.spark.sql.DataFrame, textCol: String,
+                idCol: String): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val tf = df.select(id,
+        explode(filter(split(normalize(col(textCol)), " "), w => w =!= ""))
+          .as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("__tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("tf"))
+      .unionByName(df.agg(count(lit(1)).as("df"))
+        .select(lit("").as("term"), col("df"), lit(0L).as("tf")))
+  }
+
+  /** Roll BM25 state forward over a new batch's state: df/tf add
+    * term-wise (full-outer + coalesce); the sentinel document-count
+    * row adds like any other term. Exact.
+    */
+  def mergeBm25State(a: org.apache.spark.sql.DataFrame,
+                     b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.select(col("term"), col("df").as("__ad"), col("tf").as("__at"))
+      .join(b.select(col("term"), col("df").as("__bd"),
+        col("tf").as("__bt")), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__ad"), lit(0L)) + coalesce(col("__bd"), lit(0L)))
+          .as("df"),
+        (coalesce(col("__at"), lit(0L)) + coalesce(col("__bt"), lit(0L)))
+          .as("tf"))
+
+  /** Score a batch of documents against an existing BM25 state WITHOUT
+    * re-deriving corpus statistics: per-doc tf/dl come from the batch's
+    * own text (exact, batch-local); df/N/avgdl come from the persisted
+    * state. Because every statistic is an exact integer, scoring with
+    * a merged state equals the one-shot [[bm25]] over the union —
+    * that is the whole point of the state (index refresh touches only
+    * the new batch). Same output contract as [[bm25]].
+    */
+  def bm25ScoreWithState(state: org.apache.spark.sql.DataFrame,
+                         df: org.apache.spark.sql.DataFrame,
+                         textCol: String, idCol: String,
+                         queryTerms: org.apache.spark.sql.DataFrame,
+                         k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    val tf = df.select(id,
+        explode(filter(split(normalize(col(textCol)), " "), w => w =!= ""))
+          .as("term"))
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(id).agg(sum(col("tf")).as("dl"))
+    val stats = org.apache.spark.sql.functions.broadcast(
+      state.agg(
+        sum(when(col("term") === "", col("df")).otherwise(0L))
+          .cast("double").as("__n_docs"),
+        sum(col("tf")).cast("double").as("__n_tokens"))
+      .select(col("__n_docs"),
+        (col("__n_tokens") / col("__n_docs")).as("__avgdl")))
+    val dfq = state.filter(col("term") =!= "").select(col("term"), col("df"))
+    val q = org.apache.spark.sql.functions.broadcast(
+      queryTerms.select(col("query_id"), col("term")).distinct())
+    tf.join(q, "term")
+      .join(dfq, "term")
+      .join(dl, Seq(idCol))
+      .crossJoin(stats)
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__contrib",
+        col("__idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("query_id"), id)
+      .agg(sum(col("__contrib")).as("score"), count(lit(1)).as("n_terms_hit"))
+  }
+
   def repetition(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

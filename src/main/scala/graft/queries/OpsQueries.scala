@@ -3106,6 +3106,39 @@ object OpsQueries {
            |WHERE rank <= ceil(0.3 * n_group)""".stripMargin
       }),
 
+    // Incremental BM25 state (t24): the retrieval tier's
+    // merge-equals-refit gate (dsirState/e05 discipline). Two batch
+    // states (doc_id parity split) merge term-wise; scoring the full
+    // corpus against the MERGED state must equal the one-shot t22
+    // refit — which is exactly what the oracle computes from scratch.
+    // Every statistic (df, N, tf, dl) is an exact integer, so the
+    // equality is bit-level, not approximate; 4dp output rounding is
+    // the usual summation-order guard on the final per-(q,doc) sum.
+    QueryDef("t24_bm25_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val merged = TextOps.mergeBm25State(
+          TextOps.bm25State(d.filter(col("doc_id") % 2 === 0), "text", "doc_id"),
+          TextOps.bm25State(d.filter(col("doc_id") % 2 =!= 0), "text", "doc_id"))
+        TextOps.bm25ScoreWithState(merged, d, "text", "doc_id",
+            bm25QueryTerms.toDF("query_id", "term"))
+          .select(col("query_id"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("n_terms_hit"))
+      },
+      Some(s"""WITH $bm25StatsSql,
+             |q(query_id, term) AS (VALUES $bm25QueryValuesSql)
+             |SELECT q.query_id, tf.doc_id,
+             |  round(sum(
+             |    $bm25ScoreSql
+             |  ), 4) AS score,
+             |  count(*) AS n_terms_hit
+             |FROM tf
+             |JOIN q USING (term)
+             |JOIN dfq USING (term)
+             |JOIN dl USING (doc_id), st
+             |GROUP BY 1, 2""".stripMargin)),
+
     // fastText-style HASHED-n-gram classifier (t23): where t20 trains
     // on 4 hand-picked surface features, this trains on the md5-hashed
     // unigram+bigram bag (the DSIR feature convention) — the model

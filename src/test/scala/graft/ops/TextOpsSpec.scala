@@ -383,6 +383,39 @@ class TextOpsSpec extends SparkSpec {
     out("q1" -> 2L)._2 shouldBe 1L
   }
 
+  test("bm25State merges exactly: merged-state scoring equals one-shot bm25 over the union") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark caches hot data in memory"),
+      (3L, "the planner prunes columns early"),
+      (4L, "joins broadcast the small side"),
+      (5L, "")).toDF("doc_id", "text")
+    val qt = Seq("q1" -> "spark", "q1" -> "data", "q2" -> "broadcast")
+      .toDF("query_id", "term")
+    val merged = TextOps.mergeBm25State(
+      TextOps.bm25State(d.filter($"doc_id" <= 2), "text", "doc_id"),
+      TextOps.bm25State(d.filter($"doc_id" > 2), "text", "doc_id"))
+    // sentinel carries the doc count; term rows carry exact df/tf
+    val st = merged.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    st("") shouldBe ((5L, 0L))
+    st("spark") shouldBe ((2L, 2L))
+    st("the") shouldBe ((3L, 3L))
+    val viaState = TextOps.bm25ScoreWithState(merged, d, "text", "doc_id", qt)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val oneShot = TextOps.bm25(d, "text", "doc_id", qt)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    viaState.keySet shouldBe oneShot.keySet
+    viaState.foreach { case (k, (s, n)) =>
+      s shouldBe oneShot(k)._1 +- 1e-12
+      n shouldBe oneShot(k)._2
+    }
+  }
+
   test("trainHashedClassifier separates planted vocabularies; projection scoring equals the feature dot product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
