@@ -228,6 +228,76 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Difference-hash (dHash) of an image — the standard perceptual
+    * fingerprint for IMAGE near-dup detection (the visual sibling of
+    * the text tier's SimHash): nearest-neighbor downsample to
+    * (hashW+1)×hashH (same floor mapping as [[decodeResizeFeatures]]),
+    * grayscale as the exact integer r+g+b sum (no division — keeps
+    * every comparison integer-exact and engine-replayable), one bit
+    * per cell pair: gray(x,y) > gray(x+1,y). Bits pack 32 per long
+    * word — [[Similarity.signWords]]'s convention — so the codes feed
+    * straight into [[Similarity.hammingDistance]]/LSH banding for
+    * corpus-scale image dedup: resized crops, re-encodes, and small
+    * color shifts keep small Hamming distance while exact-hash dedup
+    * (d01) sees different bytes. None when the payload is not a
+    * decodable image (callers filter or fall back, the
+    * [[extractFeatures]] contract).
+    */
+  def dhashCode(bytes: Array[Byte], hashW: Int = 8,
+                hashH: Int = 8): Option[Array[Long]] = {
+    require(hashW > 0 && hashH > 0, s"bad hash dims ${hashW}x$hashH")
+    try {
+      readImageGuarded(bytes).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val gw = hashW + 1
+        val gs = Array.ofDim[Int](hashH, gw)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < hashH) {
+          val sy = (y.toLong * h / hashH).toInt
+          img.getRGB(0, sy, w, 1, row, 0, w)
+          var x = 0
+          while (x < gw) {
+            val rgb = row((x.toLong * w / gw).toInt)
+            gs(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val words = new Array[Long]((hashW * hashH + 31) / 32)
+        var bit = 0
+        y = 0
+        while (y < hashH) {
+          var x = 0
+          while (x < hashW) {
+            if (gs(y)(x) > gs(y)(x + 1))
+              words(bit / 32) |= (1L << (bit % 32))
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        words
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-row [[dhashCode]] over a media table — the image-dedup
+    * signature pass: one partition-wise decode sweep (decoder state
+    * per task, the codec-tier mapPartitions contract), emitting
+    * (doc_id, dhash array<long>) with NULL for undecodable payloads.
+    * Downstream is pure relational: band the words for LSH buckets or
+    * rank by [[Similarity.hammingDistance]] within buckets.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame, hashW: Int = 8,
+                 hashH: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => (r.doc_id, dhashCode(r.media, hashW, hashH)))
+      }.toDF("doc_id", "dhash")
+  }
+
   /** Nearest-neighbor resize to re-encoded BMP bytes (the pipeline
     * form — thumbnail/model-input generation feeding further media
     * stages). Same mapping as [[decodeResizeFeatures]]; spec-pinned to

@@ -3033,6 +3033,51 @@ object OpsQueries {
              |JOIN embeddings ce ON ce.vec_id = cand.n_id
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // Image perceptual hash (m11): dHash over REAL decoded rasters —
+    // the visual near-dup signature feeding the Hamming machinery
+    // (n18). Fixture: the m10 quadrant BMPs, whose NN-downsampled
+    // 9×8 gray grid is a closed form of the floor mapping + quadrant
+    // colors; the oracle recomputes every cell's integer r+g+b sum,
+    // replays the per-row gray(x) > gray(x+1) comparisons, and packs
+    // bits 32/word (n18's convention — shifts stay ≤ 31). All
+    // integers end-to-end: a resampler off-by-one, swapped axes, or a
+    // bit-order slip breaks equality exactly.
+    QueryDef("m11_image_dhash",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticQuadImages(s, docs(s, dir))
+        Multimodal.imageDHash(s, media)
+          .select(col("doc_id"), col("dhash")(0).as("w0"),
+            col("dhash")(1).as("w1"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h,
+             |    (doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256) AS gtl,
+             |    (doc_id * 3 % 256) + (doc_id * 11 % 256) + (doc_id * 17 % 256) AS gtr,
+             |    (doc_id * 5 % 256) + (doc_id * 19 % 256) + (doc_id * 23 % 256) AS gbl,
+             |    (doc_id * 29 % 256) + (doc_id * 31 % 256) + (doc_id * 37 % 256) AS gbr
+             |  FROM documents),
+             |cells AS (
+             |  SELECT g.doc_id, x.x, y.y,
+             |    CASE WHEN ((y.y * g.h) // 8) < (g.h // 2)
+             |         THEN CASE WHEN ((x.x * g.w) // 9) < (g.w // 2)
+             |                   THEN gtl ELSE gtr END
+             |         ELSE CASE WHEN ((x.x * g.w) // 9) < (g.w // 2)
+             |                   THEN gbl ELSE gbr END
+             |    END AS gs
+             |  FROM g, range(0, 9) x(x), range(0, 8) y(y)),
+             |bits AS (
+             |  SELECT a.doc_id, cast(a.y * 8 + a.x AS INT) AS bit
+             |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+             |    AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 8 AND a.gs > b.gs)
+             |SELECT d.doc_id,
+             |  cast(coalesce(sum(CASE WHEN bit < 32
+             |    THEN (1::BIGINT << (bit % 32)) END), 0) AS BIGINT) AS w0,
+             |  cast(coalesce(sum(CASE WHEN bit >= 32
+             |    THEN (1::BIGINT << (bit % 32)) END), 0) AS BIGINT) AS w1
+             |FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+             |GROUP BY 1""".stripMargin)),
+
     // MMR diversified top-k (n19): greedy λ-tradeoff between
     // relevance and similarity-to-selected over the bounded top-20
     // candidate set, k=3 picks per query. The oracle unrolls the

@@ -402,4 +402,29 @@ class MultimodalSpec extends SparkSpec {
     one.length shouldBe 1
     one(0) shouldBe ((0, 37, 370000L, 36))
   }
+
+  test("dhashCode: solid image hashes to zero, gradient edge sets one bit per row, feeds hammingDistance") {
+    // solid color: no gradient anywhere -> all-zero words
+    val solid = Multimodal.dhashCode(Multimodal.encodeBmp(16, 8, 77, 77, 77)).get
+    solid shouldBe Array(0L, 0L)
+    // bright-left/dark-right split at the exact cell boundary:
+    // 9-wide grid on an 18-wide image puts cells 0..4 bright (srcX=2x<9)
+    // and 5..8 dark -> exactly one descending pair per row at x=4
+    val split = Multimodal.dhashCode(Multimodal.encodeBmpQuad(
+      18, 8, 9, 8,
+      tl = (200, 200, 200), tr = (10, 10, 10),
+      bl = (0, 0, 0), br = (0, 0, 0))).get
+    val expected = (0 until 8).map(y => y * 8 + 4) // bit y*8+4 per row
+    def bitsOf(wd: Array[Long]): Set[Int] =
+      (0 until 64).filter(b => (wd(b / 32) >> (b % 32) & 1L) == 1L).toSet
+    bitsOf(split) shouldBe expected.toSet
+    // codes compose with the Hamming machinery: distance solid->split
+    // is exactly the 8 set bits; identical codes are 0 apart
+    import org.apache.spark.sql.functions.col
+    val df = Seq((solid, split), (split, split)).toDF("a", "b")
+    df.select(graft.ops.Similarity.hammingDistance(col("a"), col("b")))
+      .as[Long].collect() shouldBe Array(8L, 0L)
+    // undecodable payload -> None (the extractFeatures contract)
+    Multimodal.dhashCode(Array[Byte](9, 9, 9)) shouldBe None
+  }
 }
