@@ -753,6 +753,43 @@ object Similarity {
     selected.select("q_id", "n_id", "pick_rank")
   }
 
+  /** Hamming near-duplicate PAIRS over packed binary codes
+    * ([[signWords]], [[Multimodal.imageDHash]]) — the banded-LSH pair
+    * generator of the binary tier, [[Dedup.simhashPairs]]'s shape
+    * generalized to any array-of-words code: each 32-bit word splits
+    * into two 16-bit band chunks, candidates must share (band, chunk)
+    * — pigeonhole-exact for maxHamming < nBands (a pair within r bit
+    * flips cannot differ in every one of the r+1-or-more bands) — and
+    * only candidates pay the full [[hammingDistance]]. All-pairs never
+    * materializes; `maxBucket` drops degenerate hot buckets (e.g. the
+    * all-zero code of blank images) the same way the text tier does.
+    * Distances are exact integers end-to-end: the whole pass replays
+    * engine-for-engine (gate d21).
+    */
+  def hammingNearDupPairs(codes: DataFrame, idCol: String, codeCol: String,
+                          maxHamming: Int = 3, maxBucket: Int = 1000,
+                          nWords: Int = 2): DataFrame = {
+    val sig = graft.engine.CacheOnce(
+      codes.filter(col(codeCol).isNotNull)
+        .select(col(idCol).as("doc_id"), col(codeCol).as("__code")))
+    val chunked = sig.select(col("doc_id"), col("__code"),
+      posexplode(array((0 until nWords * 2).map { i =>
+        shiftright(element_at(col("__code"), i / 2 + 1), (i % 2) * 16)
+          .bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    val sized = Dedup.capBuckets(chunked, Seq("chunk_idx", "chunk"), maxBucket)
+    val a = sized.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("__code").as("__code_a"))
+    val b = sized.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("__code").as("__code_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingDistance(col("__code_a"), col("__code_b")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Two-stage binary ANN — the classic Hamming prefilter: stage 1
     * ranks the corpus by Hamming distance over [[signWords]] codes
     * (a popcount scan of 8-byte codes instead of a float scan — the

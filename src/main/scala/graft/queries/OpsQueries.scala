@@ -60,6 +60,42 @@ object OpsQueries {
   private def occSql(x: String, marker: String): String =
     s"cast((length($x) - length(replace($x, '$marker', ''))) / ${marker.length} AS INT)"
 
+  /** DuckDB replay of `Multimodal.dhashCode` over the quadrant-BMP
+    * fixture (m11, d21): NN floor mapping to the 9×8 grid, quadrant
+    * integer gray sums, per-row comparisons, bits packed 32/word.
+    * Trailing CTE fragment ending in `codes(doc_id, w0, w1)`.
+    */
+  private val dhashCodesSql: String =
+    """g AS (
+      |  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h,
+      |    (doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256) AS gtl,
+      |    (doc_id * 3 % 256) + (doc_id * 11 % 256) + (doc_id * 17 % 256) AS gtr,
+      |    (doc_id * 5 % 256) + (doc_id * 19 % 256) + (doc_id * 23 % 256) AS gbl,
+      |    (doc_id * 29 % 256) + (doc_id * 31 % 256) + (doc_id * 37 % 256) AS gbr
+      |  FROM documents),
+      |cells AS (
+      |  SELECT g.doc_id, x.x, y.y,
+      |    CASE WHEN ((y.y * g.h) // 8) < (g.h // 2)
+      |         THEN CASE WHEN ((x.x * g.w) // 9) < (g.w // 2)
+      |                   THEN gtl ELSE gtr END
+      |         ELSE CASE WHEN ((x.x * g.w) // 9) < (g.w // 2)
+      |                   THEN gbl ELSE gbr END
+      |    END AS gs
+      |  FROM g, range(0, 9) x(x), range(0, 8) y(y)),
+      |bits AS (
+      |  SELECT a.doc_id, cast(a.y * 8 + a.x AS INT) AS bit
+      |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
+      |    AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 8 AND a.gs > b.gs),
+      |codes AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    cast(coalesce(sum(CASE WHEN bit < 32
+      |      THEN (1::BIGINT << (bit % 32)) END), 0) AS BIGINT) AS w0,
+      |    cast(coalesce(sum(CASE WHEN bit >= 32
+      |      THEN (1::BIGINT << (bit % 32)) END), 0) AS BIGINT) AS w1
+      |  FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+      |  GROUP BY 1)""".stripMargin
+
   /** DuckDB mirror of `TextOps.qualityScore`'s logit (the t11
     * fixed-weight model) — shared by the t11 scoring gate and the p20
     * per-group selection gate so the formula cannot drift.
@@ -3049,34 +3085,53 @@ object OpsQueries {
           .select(col("doc_id"), col("dhash")(0).as("w0"),
             col("dhash")(1).as("w1"))
       },
-      Some("""WITH g AS (
-             |  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h,
-             |    (doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256) AS gtl,
-             |    (doc_id * 3 % 256) + (doc_id * 11 % 256) + (doc_id * 17 % 256) AS gtr,
-             |    (doc_id * 5 % 256) + (doc_id * 19 % 256) + (doc_id * 23 % 256) AS gbl,
-             |    (doc_id * 29 % 256) + (doc_id * 31 % 256) + (doc_id * 37 % 256) AS gbr
-             |  FROM documents),
-             |cells AS (
-             |  SELECT g.doc_id, x.x, y.y,
-             |    CASE WHEN ((y.y * g.h) // 8) < (g.h // 2)
-             |         THEN CASE WHEN ((x.x * g.w) // 9) < (g.w // 2)
-             |                   THEN gtl ELSE gtr END
-             |         ELSE CASE WHEN ((x.x * g.w) // 9) < (g.w // 2)
-             |                   THEN gbl ELSE gbr END
-             |    END AS gs
-             |  FROM g, range(0, 9) x(x), range(0, 8) y(y)),
-             |bits AS (
-             |  SELECT a.doc_id, cast(a.y * 8 + a.x AS INT) AS bit
-             |  FROM cells a JOIN cells b ON a.doc_id = b.doc_id
-             |    AND a.y = b.y AND b.x = a.x + 1
-             |  WHERE a.x < 8 AND a.gs > b.gs)
-             |SELECT d.doc_id,
-             |  cast(coalesce(sum(CASE WHEN bit < 32
-             |    THEN (1::BIGINT << (bit % 32)) END), 0) AS BIGINT) AS w0,
-             |  cast(coalesce(sum(CASE WHEN bit >= 32
-             |    THEN (1::BIGINT << (bit % 32)) END), 0) AS BIGINT) AS w1
-             |FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
-             |GROUP BY 1""".stripMargin)),
+      Some(s"""WITH $dhashCodesSql
+              |SELECT doc_id, w0, w1 FROM codes""".stripMargin)),
+
+    // Image NEAR-DUP pairs (d21): the end-to-end visual dedup pass —
+    // m11's dHash codes through the banded Hamming pair generator
+    // (`Similarity.hammingNearDupPairs`): 16-bit band chunks bucket
+    // candidates (pigeonhole-exact at maxHamming=3 over 4+ bands),
+    // only candidates pay the full Hamming distance. Exact integers
+    // end-to-end; the oracle re-derives the codes (shared m11
+    // fragment), re-bands them, replays the deterministic bucket cap
+    // (the fixture's blank-ish images pile thousands of identical
+    // codes into the zero bands at larger SF — exactly the degenerate
+    // case the cap exists for), and replays pair generation +
+    // distance.
+    QueryDef("d21_image_near_dup",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticQuadImages(s, docs(s, dir))
+        Similarity.hammingNearDupPairs(
+            Multimodal.imageDHash(s, media), "doc_id", "dhash",
+            maxHamming = 3, maxBucket = 1000)
+          .select("doc_a", "doc_b", "hamming")
+      },
+      Some(s"""WITH $dhashCodesSql,
+              |chunks AS (
+              |  SELECT doc_id, ci,
+              |    (CASE WHEN ci // 2 = 0 THEN w0 ELSE w1 END
+              |      >> ((ci % 2) * 16)) & 65535 AS chunk
+              |  FROM codes, range(0, 4) t(ci)),
+              |bsz AS (SELECT ci, chunk, count(*) AS n FROM chunks
+              |        GROUP BY 1, 2),
+              |sized AS (
+              |  SELECT c.doc_id, c.ci, c.chunk FROM chunks c
+              |  JOIN bsz ON c.ci = bsz.ci AND c.chunk = bsz.chunk
+              |  WHERE bsz.n <= 1000),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sized a JOIN sized b
+              |    ON a.ci = b.ci AND a.chunk = b.chunk
+              |      AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b, hamming FROM (
+              |  SELECT doc_a, doc_b,
+              |    bit_count(xor(ca.w0, cb.w0)) +
+              |    bit_count(xor(ca.w1, cb.w1)) AS hamming
+              |  FROM cand
+              |  JOIN codes ca ON ca.doc_id = cand.doc_a
+              |  JOIN codes cb ON cb.doc_id = cand.doc_b)
+              |WHERE hamming <= 3""".stripMargin)),
 
     // MMR diversified top-k (n19): greedy λ-tradeoff between
     // relevance and similarity-to-selected over the bounded top-20

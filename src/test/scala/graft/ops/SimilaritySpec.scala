@@ -284,6 +284,29 @@ class SimilaritySpec extends SparkSpec {
       .as[Array[Long]].collect().head shouldBe Array(0L, 0L)
   }
 
+  test("hammingNearDupPairs: banded candidates, exact distances, bucket cap, null codes ignored") {
+    val c0 = Array(0L, 0L)
+    val c3 = Array(7L, 0L)            // 3 flips, all in chunk 0
+    val c4 = Array(15L, 0L)           // 4 flips from c0 — candidate, then filtered
+    val cf = Array(0x10001L, 0x10001L) // one flip per 16-bit chunk: no band matches c0
+    val codes = Seq((0L, Some(c0)), (1L, Some(c3)), (2L, Some(c4)),
+      (3L, Some(cf)), (4L, None)).toDF("doc_id", "dhash")
+    val pairs = Similarity.hammingNearDupPairs(codes, "doc_id", "dhash")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // (0,1): dist 3 via shared zero bands; (1,2): dist 1; (0,2): dist 4
+    // is generated as a candidate but filtered; cf shares no band with
+    // c0 — banding recall bound — and its distances to c3/c4 exceed 3
+    pairs shouldBe Set((0L, 1L, 3L), (1L, 2L, 1L))
+    // degenerate hot bucket: five identical codes, cap 4 drops the
+    // bucket entirely; cap 10 keeps all C(5,2) zero-distance pairs
+    val blank = (0L until 5L).map(i => (i, Array(0L, 0L))).toDF("doc_id", "dhash")
+    Similarity.hammingNearDupPairs(blank, "doc_id", "dhash",
+      maxBucket = 4).count() shouldBe 0L
+    Similarity.hammingNearDupPairs(blank, "doc_id", "dhash",
+      maxBucket = 10).count() shouldBe 10L
+  }
+
   test("mmrTopK diversifies away from a near-duplicate; lambda=1 is plain top-k") {
     // query along x; candidates: A (rel .99-ish), A' (near-copy of A),
     // B (lower rel, dissimilar to A). Plain top-3 = A, A', B; MMR at
