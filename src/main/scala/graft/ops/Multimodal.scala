@@ -562,6 +562,47 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Perceptual AUDIO fingerprint — the 1-D sibling of [[dhashCode]]
+    * (chromaprint's skeleton without the chroma transform, which needs
+    * an FFT this tier deliberately does not fake): one bit per
+    * adjacent window pair, set when energy DROPS across the boundary
+    * (energy(w) > energy(w+1) over [[audioWindowStats]]'s exact
+    * integer energies), packed 32 bits per long word
+    * ([[graft.ops.Similarity.signWords]] convention) so fingerprints
+    * feed [[graft.ops.Similarity.hammingDistance]]/banded pairs for
+    * corpus-scale audio dedup: re-encodes and amplitude scaling
+    * preserve the delta SIGNS while exact-hash dedup sees different
+    * bytes. None for undecodable payloads.
+    */
+  def audioFingerprint(bytes: Array[Byte], window: Int = 8,
+                       maxBits: Int = 64): Option[Array[Long]] = {
+    require(maxBits > 0 && maxBits % 32 == 0,
+      s"maxBits must be a positive multiple of 32, got $maxBits")
+    audioWindowStats(bytes, window).map { wins =>
+      val words = new Array[Long](maxBits / 32)
+      var i = 0
+      while (i < wins.length - 1 && i < maxBits) {
+        if (wins(i)._3 > wins(i + 1)._3) words(i / 32) |= (1L << (i % 32))
+        i += 1
+      }
+      words
+    }
+  }
+
+  /** Per-row [[audioFingerprint]] over a media table — the audio-dedup
+    * signature pass, same contract as [[imageDHash]]: one
+    * partition-wise decode sweep, (doc_id, afp array<long>), NULL for
+    * undecodable payloads.
+    */
+  def audioHash(spark: SparkSession, media: DataFrame, window: Int = 8,
+                maxBits: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media", "media_type", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => (r.doc_id, audioFingerprint(r.media, window, maxBits)))
+      }.toDF("doc_id", "afp")
+  }
+
   /** Synthetic REAL-audio corpus: one square-wave WAV per document with
     * length/rate/amplitude derived from doc_id — actual RIFF bytes the
     * decoder must parse, with closed-form decoded stats.

@@ -3133,6 +3133,31 @@ object OpsQueries {
               |  JOIN codes cb ON cb.doc_id = cand.doc_b)
               |WHERE hamming <= 3""".stripMargin)),
 
+    // Audio perceptual fingerprint (m12): energy-delta bits over REAL
+    // RIFF/WAVE decodes — the 1-D sibling of m11's dHash, same
+    // 32-bit-word packing so fingerprints feed the Hamming machinery.
+    // The square-wave fixture's energies are a closed form (len·amp²
+    // per window, amp cancels in every comparison): all full-window
+    // pairs tie → bit 0; the one descending boundary is the tail
+    // window, so the whole fingerprint is the single bit before the
+    // tail — present exactly when n_samples % 8 ≠ 0. The oracle
+    // replays that arithmetic; a windowing off-by-one, a >= for >, or
+    // a bit-index slip each move or add bits.
+    QueryDef("m12_audio_fingerprint",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticAudio(s, docs(s, dir))
+        Multimodal.audioHash(s, media, window = 8)
+          .select(col("doc_id"), col("afp")(0).as("w0"),
+            col("afp")(1).as("w1"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN (doc_id % 50 + 10) % 8 <> 0
+             |       THEN (1::BIGINT << cast(
+             |         (doc_id % 50 + 10 + 7) // 8 - 2 AS INT))
+             |       ELSE 0 END AS w0,
+             |  0::BIGINT AS w1
+             |FROM documents""".stripMargin)),
+
     // MMR diversified top-k (n19): greedy λ-tradeoff between
     // relevance and similarity-to-selected over the bounded top-20
     // candidate set, k=3 picks per query. The oracle unrolls the

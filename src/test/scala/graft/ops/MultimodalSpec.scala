@@ -427,4 +427,19 @@ class MultimodalSpec extends SparkSpec {
     // undecodable payload -> None (the extractFeatures contract)
     Multimodal.dhashCode(Array[Byte](9, 9, 9)) shouldBe None
   }
+
+  test("audioFingerprint: descending-energy boundaries set bits, amplitude cancels") {
+    // 37 samples, window 16 -> windows of 16,16,5: energies tie at the
+    // first boundary, drop at the tail -> only bit 1 set
+    val wav = Multimodal.encodeWav(37, 8000, 100)
+    Multimodal.audioFingerprint(wav, window = 16).get shouldBe Array(2L, 0L)
+    // amplitude scaling preserves every delta sign -> identical code
+    val loud = Multimodal.encodeWav(37, 8000, 3000)
+    Multimodal.audioFingerprint(loud, window = 16).get shouldBe Array(2L, 0L)
+    // exact multiple of the window: no tail, no descending pair
+    Multimodal.audioFingerprint(Multimodal.encodeWav(32, 8000, 100),
+      window = 16).get shouldBe Array(0L, 0L)
+    // malformed payload -> None
+    Multimodal.audioFingerprint(Array[Byte](1, 2, 3)) shouldBe None
+  }
 }
