@@ -736,6 +736,44 @@ object Curation {
       .drop("__score")
   }
 
+  /** Per-group quality cut via a HISTOGRAM SKETCH — the giant-group
+    * scale path [[topFractionPerGroup]]'s scaladoc points at: instead
+    * of ranking rows inside each group (a per-group sort a single
+    * dominant group can blow up), bin scores into a fixed integer
+    * histogram, pick each group's threshold bin from the top-down
+    * cumulative counts (smallest bin set whose population reaches
+    * ceil(frac·n)), broadcast the |groups|-row threshold table, and
+    * keep rows map-side. The ONLY shuffles move (group, bin) counts —
+    * bounded by |groups|·bins regardless of corpus size; no row-level
+    * sort or window anywhere. The cut is bin-granular (keeps at least
+    * the target count, possibly a whole boundary bin more — that is
+    * the sketch trade) but fully deterministic: binning is one IEEE
+    * floor both engines compute identically and everything after is
+    * exact integers (gate p21).
+    */
+  def groupThresholdSketch(df: DataFrame, groupCol: String, score: Column,
+                           frac: Double, bins: Int = 64,
+                           lo: Double = 0.0, hi: Double = 1.0): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    require(bins > 0 && hi > lo, s"bad sketch params bins=$bins [$lo,$hi]")
+    val bin = least(greatest(
+        floor((score - lit(lo)) / lit(hi - lo) * lit(bins.toDouble)), lit(0.0)),
+      lit(bins - 1.0)).cast("int")
+    val binned = df.withColumn("__bin", bin)
+    val hist = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(groupCol).orderBy(col("__bin").desc)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCol)))
+    val thresholds = cum
+      .filter(col("__cum") >= ceil(lit(frac) * col("__n")))
+      .groupBy(col(groupCol)).agg(max(col("__bin")).as("__bstar"))
+    binned.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col("__bin") >= col("__bstar"))
+      .withColumnRenamed("__bin", "bin").drop("__bstar")
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

@@ -3264,6 +3264,41 @@ object OpsQueries {
              |JOIN dl USING (doc_id), st
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Per-group sketch-threshold cut (p21): the giant-group scale
+    // path p20's scaladoc promises — 64-bin score histogram per
+    // source, threshold bin from top-down cumulative counts,
+    // broadcast thresholds, map-side keep. Bin-granular (keeps the
+    // whole boundary bin) but deterministic: the t11 sigmoid is
+    // cross-engine-exact, binning is one identical IEEE floor, and
+    // everything after is exact integers the oracle replays.
+    QueryDef("p21_group_threshold_sketch",
+      (s, dir) => Curation.groupThresholdSketch(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            TextOps.qualityScore(col("text")).as("__q")),
+          "source", col("__q"), frac = 0.3, bins = 64)
+        .select("doc_id", "source", "bin"),
+      Some {
+        val sig = s"1.0 / (1.0 + exp(-($fixedQualityZSql)))"
+        s"""WITH binned AS (
+           |  SELECT doc_id, source,
+           |    cast(least(greatest(
+           |      floor((($sig) - 0.0) / 1.0 * 64.0), 0.0), 63.0) AS INT)
+           |      AS bin
+           |  FROM documents),
+           |hist AS (SELECT source, bin, count(*) AS c FROM binned
+           |         GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT source, bin,
+           |    sum(c) OVER (PARTITION BY source ORDER BY bin DESC) AS cum,
+           |    sum(c) OVER (PARTITION BY source) AS n
+           |  FROM hist),
+           |thr AS (SELECT source, max(bin) AS bstar FROM cum
+           |        WHERE cum >= ceil(0.3 * n) GROUP BY 1)
+           |SELECT b.doc_id, b.source, b.bin
+           |FROM binned b JOIN thr ON b.source = thr.source
+           |WHERE b.bin >= thr.bstar""".stripMargin
+      }),
+
     // fastText-style HASHED-n-gram classifier (t23): where t20 trains
     // on 4 hand-picked surface features, this trains on the md5-hashed
     // unigram+bigram bag (the DSIR feature convention) — the model

@@ -478,4 +478,30 @@ class CurationSpec extends SparkSpec {
     Curation.topFractionPerGroup(df, "source", col("score"), "doc_id",
       frac = 1.0).count() shouldBe 14L
   }
+
+  test("groupThresholdSketch: exact at bin granularity, over-keeps whole boundary bins") {
+    import org.apache.spark.sql.functions.col
+    // scores 0..9 in one group; 10 bins on [0,10) make the sketch cut
+    // exact: target ceil(0.3*10)=3 -> threshold bin 7 -> scores 7,8,9
+    val df = (0L until 10L).map(i => (i, "a", i.toDouble))
+      .toDF("doc_id", "source", "score")
+    val fine = Curation.groupThresholdSketch(df, "source", col("score"),
+        frac = 0.3, bins = 10, lo = 0.0, hi = 10.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    fine shouldBe Array(7L, 8L, 9L)
+    // 2 coarse bins: top bin holds scores 5..9 -> the whole boundary
+    // bin is kept (5 rows for a target of 3) — the documented trade
+    val coarse = Curation.groupThresholdSketch(df, "source", col("score"),
+        frac = 0.3, bins = 2, lo = 0.0, hi = 10.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    coarse shouldBe Array(5L, 6L, 7L, 8L, 9L)
+    // per-group independence: a second group with inverted scores gets
+    // its own threshold
+    val two = df.unionByName((10L until 20L).map(i =>
+      (i, "b", (19 - i).toDouble)).toDF("doc_id", "source", "score"))
+    val kept = Curation.groupThresholdSketch(two, "source", col("score"),
+        frac = 0.3, bins = 10, lo = 0.0, hi = 10.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(7L, 8L, 9L, 10L, 11L, 12L)
+  }
 }
