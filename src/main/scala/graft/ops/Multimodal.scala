@@ -1015,6 +1015,29 @@ object Multimodal {
     * codecs; frames of payloads no JVM codec decodes yield no rows and
     * route to the stub tier at the call site.
     */
+  /** Scene-cut detection over decoded frame statistics — the temporal
+    * segmentation pass of a video curation pipeline (shot boundaries
+    * for frame-sampling, dedup at the shot level, caption alignment):
+    * a cut is a jump in consecutive frames' total intensity
+    * |gray(f) − gray(f−1)| ≥ threshold, with gray = the exact
+    * mean_r+mean_g+mean_b sum from [[decodeVideoFrames]] — pure
+    * relational on top of the decode sweep: one window (lag) keyed by
+    * video, ordered by frame index. At 100 TB the shuffle is keyed on
+    * video id (frames of one video co-locate — bounded by the longest
+    * video, the natural partition grain for every per-video op).
+    */
+  def sceneCuts(frames: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("__gs", col("mean_r") + col("mean_g") + col("mean_b"))
+      .withColumn("__prev", lag(col("__gs"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("doc_id"), col("frame_idx"),
+        abs(col("__gs") - col("__prev")).as("delta"),
+        (abs(col("__gs") - col("__prev")) >= threshold).as("is_cut"))
+  }
+
   def decodeVideoFrames(spark: SparkSession,
                         media: DataFrame): Dataset[VideoFrame] = {
     import spark.implicits._

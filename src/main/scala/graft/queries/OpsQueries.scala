@@ -3133,6 +3133,34 @@ object OpsQueries {
               |  JOIN codes cb ON cb.doc_id = cand.doc_b)
               |WHERE hamming <= 3""".stripMargin)),
 
+    // Video scene-cut detection (m13): per-video lag window over the
+    // REAL DIB-frame decode — a cut is an intensity jump
+    // |gray(f)−gray(f−1)| ≥ 60 with gray the exact r+g+b mean sum
+    // (solid fixture frames make every mean an exact integer, so the
+    // float delta is exact and both engines agree bit-for-bit). The
+    // oracle replays the frame colors from the fixture arithmetic and
+    // the same lag.
+    QueryDef("m13_video_scene_cuts",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticDibVideos(s, docs(s, dir))
+        Multimodal.sceneCuts(
+            Multimodal.decodeVideoFrames(s, media).toDF(), threshold = 60.0)
+          .select("doc_id", "frame_idx", "delta", "is_cut")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    cast(doc_id % 5 + 1 AS INT) AS nf FROM documents),
+             |f AS (SELECT doc_id, cast(unnest(range(nf)) AS INT) AS fi
+             |      FROM p),
+             |g AS (SELECT doc_id, fi,
+             |    cast((doc_id + 11 * fi) % 256
+             |      + (7 * doc_id + 17 * fi) % 256
+             |      + (13 * doc_id + 23 * fi) % 256 AS REAL) AS gs
+             |  FROM f)
+             |SELECT a.doc_id, a.fi AS frame_idx,
+             |  cast(abs(a.gs - b.gs) AS REAL) AS delta,
+             |  abs(a.gs - b.gs) >= 60.0 AS is_cut
+             |FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.fi = a.fi - 1""".stripMargin)),
+
     // Audio perceptual fingerprint (m12): energy-delta bits over REAL
     // RIFF/WAVE decodes — the 1-D sibling of m11's dHash, same
     // 32-bit-word packing so fingerprints feed the Hamming machinery.

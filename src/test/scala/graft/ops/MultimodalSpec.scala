@@ -442,4 +442,19 @@ class MultimodalSpec extends SparkSpec {
     // malformed payload -> None
     Multimodal.audioFingerprint(Array[Byte](1, 2, 3)) shouldBe None
   }
+
+  test("sceneCuts: flags intensity jumps between consecutive frames only") {
+    import org.apache.spark.sql.functions.col
+    // two videos: doc 1 has a cut at frame 2, doc 2 is static
+    val frames = Seq(
+      (1L, 0, 30f, 30f, 40f), (1L, 1, 30f, 30f, 40f), (1L, 2, 90f, 90f, 90f),
+      (2L, 0, 10f, 10f, 10f), (2L, 1, 10f, 10f, 10f))
+      .toDF("doc_id", "frame_idx", "mean_r", "mean_g", "mean_b")
+    val cuts = Multimodal.sceneCuts(frames, threshold = 60.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2),
+        r.getBoolean(3))).toSet
+    // frame 0 rows never emit (no predecessor); delta 1->2 = 170
+    cuts shouldBe Set((1L, 1, 0f, false), (1L, 2, 170f, true),
+      (2L, 1, 0f, false))
+  }
 }
