@@ -77,6 +77,41 @@ object OpsScaleBench {
         // a cached (doc, term) combine would flatten the curve
         sink(graft.ops.TextOps.bm25(df, "text", "doc_id", qt,
           cacheTf = false))
+      },
+      // State build + scoring at the growing corpus — the incremental
+      // retrieval path. The state is per-run (not cached), so the
+      // curve measures the full tokenize+aggregate+score pipeline.
+      "bm25_state_score" -> { df =>
+        import spark.implicits._
+        val qt = Seq("q1" -> "hash", "q1" -> "join", "q2" -> "vector",
+          "q2" -> "scan", "q3" -> "stream").toDF("query_id", "term")
+        val st = graft.ops.TextOps.bm25State(df, "text", "doc_id")
+        sink(graft.ops.TextOps.bm25ScoreWithState(st, df, "text",
+          "doc_id", qt))
+      },
+      // Full-batch GD over hashed n-gram features: iteration count is
+      // fixed, so the curve is the per-iteration aggregate cost.
+      "hashed_classifier_train" -> { df =>
+        val keep = graft.ops.TextOps.qualityMetrics(col("text"))
+          .toMap.apply("keep")
+        val m = graft.ops.TextOps.trainHashedClassifier(df, "text",
+          "doc_id", keep, buckets = 64, iters = 3)
+        sink(df.select(col("doc_id"),
+          graft.ops.TextOps.scoreHashedClassifier(col("text"), m).as("s")))
+      },
+      // Banded Hamming pairs over packed text-simhash-style codes
+      // derived from the replicated corpus: replicas become clusters
+      // of identical codes — the hostile quadratic shape for any pair
+      // generator — so this curve bounds the banding's blowup with
+      // the cap in place.
+      "hamming_pairs" -> { df =>
+        val sim = graft.functions.SimHashSignature.simhashSignature(
+          split(graft.ops.TextOps.normalize(col("text")), " "))
+        val fp = df.select(col("doc_id"),
+          array(sim.bitwiseAND(lit(0xFFFFFFFFL)),
+            shiftright(sim, 32).bitwiseAND(lit(0xFFFFFFFFL))).as("code"))
+        sink(graft.ops.Similarity.hammingNearDupPairs(fp, "doc_id",
+          "code", maxHamming = 3, maxBucket = 1000))
       })
 
     val parts = ops.map { case (name, f) =>
