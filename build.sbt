@@ -38,5 +38,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full 154-gate bench keeps every memoized fixture
+  // and CacheOnce entry pinned for the whole run by design (cross-gate
+  // reuse); at 8g the tail of the suite ran into GC-locker stalls and
+  // an executor OOM on a 32-thread local run. The host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

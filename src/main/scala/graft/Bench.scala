@@ -72,7 +72,12 @@ object Bench {
     // nothing in it memoizes (training IS the operator), so a warmup
     // would only double its wall.
     val warmFirst = Set("q47_warehouse_batch2", "q49_warehouse_batch3_chain")
-    val singleIter = warmFirst + "e04_pca_randomized_truncated"
+    // t23/t24 join e04 in the cold-single-sample tier: training (t23)
+    // and state building (t24) ARE the operators and nothing memoizes,
+    // so a second iteration doubles wall for no extra signal.
+    val singleIter = warmFirst ++
+      Set("e04_pca_randomized_truncated", "t23_hashed_classifier",
+        "t24_bm25_incremental")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

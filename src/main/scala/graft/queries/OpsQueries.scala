@@ -3069,6 +3069,34 @@ object OpsQueries {
              |JOIN embeddings ce ON ce.vec_id = cand.n_id
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // FILTERED ANN (n20): top-k under a metadata predicate — the
+    // vector-database staple ("nearest docs WHERE lang='en'"). In the
+    // relational formulation this is pure composition: the predicate
+    // is a WHERE on the corpus relation, Catalyst pushes it below the
+    // cell-assignment projection to the scan, and every retrieval
+    // shape (Flat/IVF/PQ/two-stage) accepts the filtered corpus
+    // unchanged — no index-side filter machinery to build or get
+    // wrong. Machinery gate in the n06 discipline: probe-all IVF over
+    // the filtered corpus must equal the filtered exhaustive scan; a
+    // vector wrongly dropped or leaked past the predicate by cell
+    // routing breaks it.
+    QueryDef("n20_ann_filtered",
+      (s, dir) => {
+        val e = embs(s, dir)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20),
+            e.filter(col("label") % 2 === 0), k = 5,
+            nlist = 16, nprobe = 16)
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+             |      DESC, c.vec_id) AS rank
+             |FROM embeddings q JOIN embeddings c
+             |  ON q.vec_id <> c.vec_id AND c.label % 2 = 0
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin)),
+
     // Image perceptual hash (m11): dHash over REAL decoded rasters —
     // the visual near-dup signature feeding the Hamming machinery
     // (n18). Fixture: the m10 quadrant BMPs, whose NN-downsampled
