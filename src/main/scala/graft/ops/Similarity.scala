@@ -790,6 +790,48 @@ object Similarity {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** INCREMENTAL Hamming near-dup pairs — the corpus-growth shape for
+    * the binary-code tier ([[Dedup.minhashLshIncremental]]'s
+    * discipline): only the NEW batch's codes sit on the build side of
+    * the band join, so a bucket with m corpus rows and n new rows
+    * produces n·(m+n) tuples, never the m² corpus-corpus tuples a
+    * full re-run would enumerate just to discard. New-new pairs
+    * surface twice (once per orientation); least/greatest +
+    * dropDuplicates collapses them. Old batches never rescan; with
+    * corpus ≫ batch the per-batch cost is batch-sized.
+    */
+  def hammingNearDupPairsIncremental(newCodes: DataFrame,
+                                     existingCodes: DataFrame,
+                                     idCol: String, codeCol: String,
+                                     maxHamming: Int = 3,
+                                     maxBucket: Int = 1000,
+                                     nWords: Int = 2): DataFrame = {
+    def side(df: DataFrame, isNew: Boolean) =
+      df.filter(col(codeCol).isNotNull)
+        .select(col(idCol).as("doc_id"), col(codeCol).as("__code"),
+          lit(isNew).as("__new"))
+    val banded = side(existingCodes, isNew = false)
+      .unionByName(side(newCodes, isNew = true))
+      .select(col("doc_id"), col("__code"), col("__new"),
+        posexplode(array((0 until nWords * 2).map { i =>
+          shiftright(element_at(col("__code"), i / 2 + 1), (i % 2) * 16)
+            .bitwiseAND(lit(0xFFFFL))
+        }: _*)).as(Seq("chunk_idx", "chunk")))
+    val sized = Dedup.capBuckets(banded, Seq("chunk_idx", "chunk"), maxBucket)
+    val a = sized.filter(col("__new")).select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("da"), col("__code").as("__code_a"))
+    val b = sized.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("db"), col("__code").as("__code_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        // hamming is symmetric, so pair orientation is irrelevant
+        hammingDistance(col("__code_a"), col("__code_b")).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Two-stage binary ANN — the classic Hamming prefilter: stage 1
     * ranks the corpus by Hamming distance over [[signWords]] codes
     * (a popcount scan of 8-byte codes instead of a float scan — the

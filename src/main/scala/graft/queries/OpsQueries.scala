@@ -3069,6 +3069,51 @@ object OpsQueries {
              |JOIN embeddings ce ON ce.vec_id = cand.n_id
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // Incremental image near-dup (d22): the corpus-growth shape for
+    // the binary-code tier — only the new batch (doc_id % 3 = 0)
+    // builds the band join, the accumulated corpus probes; result =
+    // every qualifying pair touching at least one new code. The
+    // oracle re-derives codes + bands + the cap on the COMBINED
+    // relation (identical to d21's) and keeps pairs with a new
+    // member — if the asymmetric join dropped a corpus-corpus pair it
+    // should (or leaked one it shouldn't), the sets diverge.
+    QueryDef("d22_image_near_dup_incremental",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticQuadImages(s, docs(s, dir))
+        val codes = Multimodal.imageDHash(s, media)
+        Similarity.hammingNearDupPairsIncremental(
+            codes.filter(col("doc_id") % 3 === 0),
+            codes.filter(col("doc_id") % 3 =!= 0),
+            "doc_id", "dhash", maxHamming = 3, maxBucket = 1000)
+          .select("doc_a", "doc_b", "hamming")
+      },
+      Some(s"""WITH $dhashCodesSql,
+              |chunks AS (
+              |  SELECT doc_id, ci,
+              |    (CASE WHEN ci // 2 = 0 THEN w0 ELSE w1 END
+              |      >> ((ci % 2) * 16)) & 65535 AS chunk
+              |  FROM codes, range(0, 4) t(ci)),
+              |bsz AS (SELECT ci, chunk, count(*) AS n FROM chunks
+              |        GROUP BY 1, 2),
+              |sized AS (
+              |  SELECT c.doc_id, c.ci, c.chunk FROM chunks c
+              |  JOIN bsz ON c.ci = bsz.ci AND c.chunk = bsz.chunk
+              |  WHERE bsz.n <= 1000),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sized a JOIN sized b
+              |    ON a.ci = b.ci AND a.chunk = b.chunk
+              |      AND a.doc_id < b.doc_id
+              |  WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)
+              |SELECT doc_a, doc_b, hamming FROM (
+              |  SELECT doc_a, doc_b,
+              |    bit_count(xor(ca.w0, cb.w0)) +
+              |    bit_count(xor(ca.w1, cb.w1)) AS hamming
+              |  FROM cand
+              |  JOIN codes ca ON ca.doc_id = cand.doc_a
+              |  JOIN codes cb ON cb.doc_id = cand.doc_b)
+              |WHERE hamming <= 3""".stripMargin)),
+
     // FILTERED ANN (n20): top-k under a metadata predicate — the
     // vector-database staple ("nearest docs WHERE lang='en'"). In the
     // relational formulation this is pure composition: the predicate

@@ -307,6 +307,27 @@ class SimilaritySpec extends SparkSpec {
       maxBucket = 10).count() shouldBe 10L
   }
 
+  test("hammingNearDupPairsIncremental: new-vs-all only, equals full-run pairs touching the batch") {
+    val codes = Seq(
+      (0L, Array(0L, 0L)), (1L, Array(1L, 0L)), (2L, Array(3L, 0L)),
+      (3L, Array(0L, 0L)), (4L, Array(0xFF00FFL, 0xF0L)))
+      .toDF("doc_id", "dhash")
+    val newer = codes.filter($"doc_id" >= 3)
+    val older = codes.filter($"doc_id" < 3)
+    val inc = Similarity.hammingNearDupPairsIncremental(newer, older,
+        "doc_id", "dhash")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val full = Similarity.hammingNearDupPairs(codes, "doc_id", "dhash")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    inc shouldBe full.filter(p => p._1 >= 3 || p._2 >= 3)
+    // the corpus-corpus pair (0,1) exists in the full run but must NOT
+    // be re-emitted by the incremental pass
+    full should contain((0L, 1L, 1L))
+    inc.foreach { p => (p._1 >= 3 || p._2 >= 3) shouldBe true }
+  }
+
   test("mmrTopK diversifies away from a near-duplicate; lambda=1 is plain top-k") {
     // query along x; candidates: A (rel .99-ish), A' (near-copy of A),
     // B (lower rel, dissimilar to A). Plain top-3 = A, A', B; MMR at
