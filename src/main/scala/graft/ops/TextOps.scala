@@ -498,6 +498,108 @@ object TextOps {
     } finally { labels.unpersist(); feats.unpersist() }
   }
 
+  /** Multiclass sibling of [[HashedLogisticModel]]: softmax weights
+    * over the same hashed feature space, one row vector per class —
+    * `weights(c)(0)` the class bias, `weights(c)(b + 1)` bucket b.
+    * Classes are sorted ascending, which fixes every tie-break.
+    */
+  final case class HashedSoftmaxModel(classes: Array[String], buckets: Int,
+                                      weights: Array[Array[Double]])
+
+  /** Train a hashed-n-gram SOFTMAX classifier — fastText's actual
+    * shape (its flagship use case, language ID, is C-way): full-batch
+    * GD on softmax cross-entropy over [[hashedNgramFeatures]]. Each
+    * iteration: ONE broadcast join of the C·(buckets+1)-row weight
+    * table builds per-(doc, class) logits, a per-doc window turns
+    * them into probabilities, and ONE map-side-combined
+    * groupBy(class, bucket) yields every gradient — biases included,
+    * via the pseudo-feature row. Driver work is O(C·buckets)/iter.
+    * Weights quantize to the 1e-9 grid per step (the t23 discipline),
+    * so the whole trajectory — including the softmax normalizer,
+    * whose 4-term sums differ across engines only in last bits —
+    * replays bit-identically in an independent engine (gate t25).
+    */
+  def trainHashedSoftmax(df: org.apache.spark.sql.DataFrame,
+                         textCol: String, idCol: String, labelCol: String,
+                         buckets: Int = 16, iters: Int = 10,
+                         lr: Double = 0.5): HashedSoftmaxModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val id = col(idCol)
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .as[String].collect().sorted
+    val labels = df.select(id.as("__id"),
+      col(labelCol).cast("string").as("__y")).persist()
+    val feats = hashedNgramFeatures(df, textCol, idCol, buckets)
+      .select(id.as("__id"), col("bucket"), col("x")).persist()
+    try {
+      val n = labels.count().toDouble
+      def rnd9(v: Double): Double =
+        BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var w = Array.fill(classes.length, buckets + 1)(0.0)
+      val wIdx = classes.zipWithIndex.toMap
+      var it = 0
+      while (it < iters) {
+        val wDf = broadcast(
+          (for { (c, ci) <- classes.zipWithIndex; j <- 0 to buckets }
+            yield (c, j - 1, w(ci)(j))).toSeq.toDF("__c", "bucket", "w"))
+        val z = feats.join(wDf, "bucket")
+          .groupBy("__id", "__c").agg(sum(col("x") * col("w")).as("__z"))
+        val e = exp(greatest(least(col("__z"), lit(30.0)), lit(-30.0)))
+        val p = z.withColumn("__e", e)
+          .withColumn("__p", col("__e") / sum(col("__e")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("__id")))
+        val delta = p.join(labels, "__id")
+          .select(col("__id"), col("__c"),
+            (col("__p") - when(col("__c") === col("__y"), 1.0).otherwise(0.0))
+              .as("delta"))
+        val grads = feats.join(delta, "__id")
+          .groupBy("__c", "bucket")
+          .agg((sum(col("delta") * col("x")) / lit(n)).as("g"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        w = Array.tabulate(classes.length, buckets + 1) { (ci, j) =>
+          rnd9(w(ci)(j) - lr * grads.getOrElse((classes(ci), j - 1), 0.0))
+        }
+        it += 1
+      }
+      HashedSoftmaxModel(classes, buckets, w)
+    } finally { labels.unpersist(); feats.unpersist() }
+  }
+
+  /** Predict with a trained softmax model: per-doc logits from the
+    * feature relation against the broadcast weight table, winner by
+    * (6dp-rounded logit, class) — softmax preserves logit order, and
+    * the rounding puts cross-engine last-bit noise (~1e-15) six
+    * decades below the decision grid, so predictions replay exactly.
+    * Returns (idCol, pred, logit) — `logit` is the winner's
+    * 4dp-rounded raw score. (A zero-exchange projection variant in
+    * the [[scoreHashedClassifier]] style is possible — C array
+    * literals — but the relational form is what composes with
+    * downstream per-class calibration joins.)
+    */
+  def predictHashedSoftmax(df: org.apache.spark.sql.DataFrame,
+                           textCol: String, idCol: String,
+                           model: HashedSoftmaxModel): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val id = col(idCol)
+    val wDf = broadcast(
+      (for { (c, ci) <- model.classes.zipWithIndex; j <- 0 to model.buckets }
+        yield (c, j - 1, model.weights(ci)(j))).toSeq
+        .toDF("__c", "bucket", "w"))
+    val z = hashedNgramFeatures(df, textCol, idCol, model.buckets)
+      .select(id.as("__id"), col("bucket"), col("x"))
+      .join(wDf, "bucket")
+      .groupBy("__id", "__c").agg(sum(col("x") * col("w")).as("__z"))
+    z.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__id")
+          .orderBy(round(col("__z"), 6).desc, col("__c"))))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__c").as("pred"),
+        round(col("__z"), 4).as("logit"))
+  }
+
   /** Score with a trained hashed model as a ZERO-EXCHANGE projection:
     * the weight table becomes an array literal in the plan, each gram
     * looks its weight up by hashed bucket (`element_at`), and

@@ -96,6 +96,34 @@ object OpsQueries {
       |  FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
       |  GROUP BY 1)""".stripMargin
 
+  /** DuckDB replay of `TextOps.hashedNgramFeatures` (t23, t25):
+    * unigram+bigram grams, md5 16-bucket hashing, per-doc
+    * count/total features, bias pseudo-rows. Trailing CTE fragment
+    * ending in `feats(doc_id, b, x)`. MATERIALIZED: the GD stage
+    * chains reference it once per stage side.
+    */
+  private val hashedFeatsSql: String =
+    """words AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    x -> x <> '') AS w
+      |  FROM documents),
+      |grams AS MATERIALIZED (
+      |  SELECT doc_id, unnest(w) AS g FROM words
+      |  UNION ALL
+      |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |        FROM words WHERE len(w) >= 2)),
+      |tot AS MATERIALIZED (
+      |  SELECT doc_id, count(*) AS t FROM grams GROUP BY 1),
+      |feats AS MATERIALIZED (
+      |  SELECT g.doc_id, ('0x' || substr(md5(g.g), 1, 4))::INT % 16 AS b,
+      |    cast(count(*) AS DOUBLE) / max(tot.t) AS x
+      |  FROM grams g JOIN tot ON g.doc_id = tot.doc_id
+      |  GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT doc_id, -1 AS b, 1.0 AS x FROM documents)""".stripMargin
+
   /** DuckDB mirror of `TextOps.qualityScore`'s logit (the t11
     * fixed-weight model) — shared by the t11 scoring gate and the p20
     * per-group selection gate so the formula cannot drift.
@@ -3332,6 +3360,58 @@ object OpsQueries {
            |WHERE rank <= ceil(0.3 * n_group)""".stripMargin
       }),
 
+    // Multiclass hashed softmax (t25): fastText's flagship shape —
+    // C-way language ID trained on the REAL lang labels over the
+    // shared hashed unigram+bigram features. Same replay discipline
+    // as t23: the 1e-9 weight lattice after each step crushes the
+    // softmax normalizer's summation-order last-bits, so DuckDB
+    // retrains all 10 iterations to bit-identical weights; prediction
+    // ranks classes by (6dp-rounded logit, class), six decades above
+    // the cross-engine noise floor. Stage CTEs MATERIALIZED (each
+    // stage reads the previous twice).
+    QueryDef("t25_hashed_softmax_langid",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val model = TextOps.trainHashedSoftmax(d, "text", "doc_id", "lang")
+        TextOps.predictHashedSoftmax(d, "text", "doc_id", model)
+          .select("doc_id", "pred", "logit")
+      },
+      Some {
+        def stage(k: Int): String =
+          s"""z$k AS MATERIALIZED (
+             |  SELECT f.doc_id, w.c, sum(f.x * w.w) AS z
+             |  FROM feats f JOIN it${k - 1} w USING (b) GROUP BY 1, 2),
+             |d$k AS MATERIALIZED (
+             |  SELECT z.doc_id, z.c,
+             |    exp(greatest(least(z.z, 30.0), -30.0)) /
+             |      sum(exp(greatest(least(z.z, 30.0), -30.0)))
+             |        OVER (PARTITION BY z.doc_id)
+             |    - CASE WHEN l.y = z.c THEN 1.0 ELSE 0.0 END AS delta
+             |  FROM z$k z JOIN labels l USING (doc_id)),
+             |it$k AS MATERIALIZED (
+             |  SELECT w.c, w.b, round(w.w - 0.5 * (coalesce(g.sd, 0.0) /
+             |      (SELECT count(*) FROM documents)), 9) AS w
+             |  FROM it${k - 1} w
+             |  LEFT JOIN (SELECT d.c, f.b, sum(d.delta * f.x) AS sd
+             |             FROM feats f JOIN d$k d USING (doc_id)
+             |             GROUP BY 1, 2) g
+             |    ON w.c = g.c AND w.b = g.b)""".stripMargin
+        s"""WITH labels AS MATERIALIZED (SELECT doc_id, lang AS y FROM documents),
+           |$hashedFeatsSql,
+           |it0 AS MATERIALIZED (
+           |  SELECT l.c, cast(unnest(range(-1, 16)) AS INT) AS b, 0.0 AS w
+           |  FROM (SELECT DISTINCT lang AS c FROM documents) l),
+           |${(1 to 10).map(stage).mkString(",\n")},
+           |zf AS MATERIALIZED (
+           |  SELECT f.doc_id, w.c, sum(f.x * w.w) AS z
+           |  FROM feats f JOIN it10 w USING (b) GROUP BY 1, 2)
+           |SELECT doc_id, c AS pred, round(z, 4) AS logit FROM (
+           |  SELECT doc_id, c, z, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY round(z, 6) DESC, c) AS rn
+           |  FROM zf)
+           |WHERE rn = 1""".stripMargin
+      }),
+
     // Incremental BM25 state (t24): the retrieval tier's
     // merge-equals-refit gate (dsirState/e05 discipline). Two batch
     // states (doc_id parity split) merge term-wise; scoring the full
@@ -3452,25 +3532,7 @@ object OpsQueries {
              |             FROM feats f JOIN z$k z USING (doc_id)
              |             GROUP BY 1) g USING (b))""".stripMargin
         s"""WITH labels AS MATERIALIZED (SELECT doc_id, $yExpr AS y FROM documents),
-           |words AS MATERIALIZED (
-           |  SELECT doc_id, list_filter(
-           |    string_split_regex(lower(trim(text)), '\\s+'),
-           |    x -> x <> '') AS w
-           |  FROM documents),
-           |grams AS MATERIALIZED (
-           |  SELECT doc_id, unnest(w) AS g FROM words
-           |  UNION ALL
-           |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
-           |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
-           |        FROM words WHERE len(w) >= 2)),
-           |tot AS MATERIALIZED (SELECT doc_id, count(*) AS t FROM grams GROUP BY 1),
-           |feats AS MATERIALIZED (
-           |  SELECT g.doc_id, ('0x' || substr(md5(g.g), 1, 4))::INT % 16 AS b,
-           |    cast(count(*) AS DOUBLE) / max(tot.t) AS x
-           |  FROM grams g JOIN tot ON g.doc_id = tot.doc_id
-           |  GROUP BY 1, 2
-           |  UNION ALL
-           |  SELECT doc_id, -1 AS b, 1.0 AS x FROM documents),
+           |$hashedFeatsSql,
            |it0 AS MATERIALIZED (SELECT cast(unnest(range(-1, 16)) AS INT) AS b, 0.0 AS w),
            |${(1 to 10).map(stage).mkString(",\n")},
            |sc AS (

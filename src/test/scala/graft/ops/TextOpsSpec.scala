@@ -416,6 +416,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("trainHashedSoftmax recovers planted class vocabularies; empty docs get the bias argmax") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val aa = (0L until 20L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta", "aa"))
+    val bb = (20L until 40L).map(i =>
+      (i, "uno dos tres cuatro cinco seis", "bb"))
+    val cc = (40L until 60L).map(i =>
+      (i, "eins zwei drei vier funf sechs", "cc"))
+    val df = (aa ++ bb ++ cc).toDF("doc_id", "text", "lang")
+    val m = TextOps.trainHashedSoftmax(df, "text", "doc_id", "lang",
+      buckets = 64, iters = 25, lr = 1.0)
+    m.classes shouldBe Array("aa", "bb", "cc")
+    m.weights.length shouldBe 3
+    m.weights.foreach(_.length shouldBe 65)
+    val preds = TextOps.predictHashedSoftmax(df, "text", "doc_id", m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (aa ++ bb ++ cc).foreach { case (id, _, lang) =>
+      preds(id) shouldBe lang
+    }
+    // empty text: logits reduce to the class biases; winner is still
+    // deterministic (rounded bias, then class order)
+    val empty = Seq((99L, "", "aa")).toDF("doc_id", "text", "lang")
+    TextOps.predictHashedSoftmax(empty, "text", "doc_id", m)
+      .count() shouldBe 1L
+  }
+
   test("trainHashedClassifier separates planted vocabularies; projection scoring equals the feature dot product") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
