@@ -774,6 +774,89 @@ object Curation {
       .withColumnRenamed("__bin", "bin").drop("__bstar")
   }
 
+  /** Exact heavy hitters via sketch-then-recount — every distinct value
+    * of `itemCol` whose row count is ≥ `minCount`, with its EXACT count.
+    *
+    * Two passes over the big table, neither with a wide shuffle:
+    *  1. one [[graft.functions.FrequentItems.mgSketch]] aggregate (plus
+    *     a total row count in the same job) produces a bounded candidate
+    *     summary — by the Misra–Gries guarantee the summary contains
+    *     every item with true count > N/(capacity+1), so when
+    *     minCount clears that bound the candidate set is provably
+    *     complete (asserted at runtime, never silently approximate);
+    *  2. an exact recount confined to the candidates: the ≤ capacity
+    *     candidate items broadcast-join against the table (map-side
+    *     semi filter — no shuffle of the non-candidate mass), and only
+    *     the surviving rows aggregate.
+    * Versus `groupBy(item).count().filter(...)`: that shuffles every
+    * distinct item; this shuffles ≤ capacity×tasks summary entries plus
+    * the candidates' own rows. Output is exact and deterministic — the
+    * merge-order-dependent sketch residuals never reach it (any true
+    * sub-threshold candidate the sketch happened to keep is recounted
+    * exactly and then filtered out).
+    *
+    * Output: (item, n_occurrences), the exact count ≥ minCount rows.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, minCount: Long,
+                   capacity: Int = 4096): DataFrame = {
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    import graft.functions.FrequentItems.mgSketch
+    val spark = df.sparkSession
+    val summary = df.agg(
+      mgSketch(col(itemCol), capacity).as("sketch"),
+      count(col(itemCol)).as("n")).head()
+    val n = summary.getLong(1)
+    require(minCount > n / (capacity + 1L),
+      s"minCount=$minCount is inside the sketch error band " +
+        s"N/(capacity+1)=${n / (capacity + 1L)}; raise capacity " +
+        s"so the candidate set is provably complete")
+    val cand = summary.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cand.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cand",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    df.join(broadcast(candDf), col(itemCol) === col("__cand"), "left_semi")
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
+  /** Boilerplate-line removal — strip every line that appears verbatim
+    * in ≥ `minDocs` DISTINCT documents (headers, footers, nav chrome,
+    * license banners: the dominant residual duplication in web corpora
+    * after document-level dedup).
+    *
+    * Doc-frequency, not occurrence count: each document contributes a
+    * line at most once (`array_distinct` before the explode), so a page
+    * that repeats its own footer 50× cannot promote it alone. Candidate
+    * lines come from [[heavyHitters]] over the exploded distinct lines
+    * (sketch + exact recount — the line table is corpus-sized, the
+    * boilerplate set is tiny); the ≤ capacity surviving lines come back
+    * to the driver as a broadcast-able literal set and the rewrite is a
+    * zero-shuffle projection: split → filter(¬ boilerplate) → rejoin.
+    * Blank lines are never candidates and are always kept — removing
+    * them is a formatting choice, not dedup.
+    *
+    * Output: documents with `textCol` rewritten in place plus
+    * `n_lines_removed`; line order inside each doc is preserved.
+    */
+  def stripBoilerplateLines(docs: DataFrame, textCol: String, idCol: String,
+                            minDocs: Long, capacity: Int = 4096): DataFrame = {
+    val lines = docs.select(
+        explode(array_distinct(split(col(textCol), "\n"))).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+    val frequent = heavyHitters(lines, "line", minDocs, capacity)
+      .collect().map(_.getString(0)).sorted
+    val boiler = lit(frequent)
+    val kept = filter(split(col(textCol), "\n"),
+      l => !(array_contains(boiler, l) && length(trim(l)) > 0))
+    docs
+      .withColumn("n_lines_removed",
+        (size(split(col(textCol), "\n")) - size(kept)).cast("long"))
+      .withColumn(textCol, array_join(kept, "\n"))
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

@@ -3540,6 +3540,89 @@ object OpsQueries {
            |  FROM labels l
            |  JOIN ${zOf("it10")} fs USING (doc_id))
            |SELECT doc_id, round(s, 4) AS score, s >= 0.5 AS keep FROM sc""".stripMargin
+      }),
+
+    // Exact heavy hitters via Misra–Gries sketch + recount (t26): every
+    // whitespace bigram with ≥ 30 occurrences, with its EXACT count.
+    // The Spark path never groupBy-counts the full bigram table — one
+    // bounded-summary aggregate (candidate generation, provably
+    // complete above N/(capacity+1)) plus an exact recount confined to
+    // the broadcast candidates. The oracle is the plain exact GROUP BY
+    // the sketch path must reproduce verbatim — integers only, so the
+    // hash compare is trivial.
+    QueryDef("t26_frequent_ngrams",
+      (s, dir) => {
+        val grams = docs(s, dir).select(explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> concat(element_at(split(text, ' '), i), ' ',
+            |              element_at(split(text, ' '), i + 1)))"""
+            .stripMargin)).as("item"))
+        Curation.heavyHitters(grams, "item", minCount = 30L)
+      },
+      Some {
+        """WITH toks AS (
+          |  SELECT string_split(text, ' ') AS ls FROM documents),
+          |bi AS (
+          |  SELECT unnest(list_transform(range(1, len(ls)),
+          |    i -> ls[i] || ' ' || ls[i + 1])) AS item
+          |  FROM toks)
+          |SELECT item, count(*) AS n_occurrences
+          |FROM bi GROUP BY 1 HAVING count(*) >= 30""".stripMargin
+      }),
+
+    // Boilerplate-line removal (d23): pages are synthesized from the
+    // corpus (5 docs per page, a 7-variant header and a shared footer
+    // injected — both engines build the identical fixture), then every
+    // line appearing verbatim in ≥ 10 distinct pages is stripped while
+    // blank lines and line order survive. Exercises the full
+    // sketch → exact-recount → broadcast-rewrite chain end to end; the
+    // rewritten text is hash-compared byte-for-byte.
+    QueryDef("d23_boilerplate_lines",
+      (s, dir) => {
+        val pages = docs(s, dir)
+          .groupBy(expr("doc_id div 5").as("page_id"))
+          .agg(concat(
+            lit("HDR-"), (col("page_id") % 7).cast("string"), lit("\n"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x("text")), "\n"),
+            lit("\n\nFOOTER")).as("text"))
+        Curation.stripBoilerplateLines(pages, "text", "page_id",
+            minDocs = 10L)
+          .select("page_id", "text", "n_lines_removed")
+      },
+      Some {
+        """WITH pages AS MATERIALIZED (
+          |  SELECT doc_id // 5 AS page_id,
+          |    'HDR-' || cast((doc_id // 5) % 7 AS VARCHAR) || chr(10) ||
+          |    string_agg(text, chr(10) ORDER BY doc_id) ||
+          |    chr(10) || chr(10) || 'FOOTER' AS text
+          |  FROM documents GROUP BY doc_id // 5),
+          |docfreq AS (
+          |  SELECT unnest(list_distinct(string_split(text, chr(10)))) AS line
+          |  FROM pages),
+          |boiler AS (
+          |  SELECT line FROM docfreq WHERE trim(line) <> ''
+          |  GROUP BY line HAVING count(*) >= 10),
+          |split AS (
+          |  SELECT page_id, string_split(text, chr(10)) AS ls FROM pages),
+          |exploded AS (
+          |  SELECT page_id, unnest(ls) AS line,
+          |    unnest(range(1, len(ls) + 1)) AS ord
+          |  FROM split),
+          |kept AS (
+          |  SELECT page_id, line, ord FROM exploded
+          |  WHERE trim(line) = ''
+          |     OR line NOT IN (SELECT line FROM boiler))
+          |SELECT e.page_id,
+          |  coalesce(k.text, '') AS text,
+          |  e.n_total - coalesce(k.n_kept, 0) AS n_lines_removed
+          |FROM (SELECT page_id, count(*) AS n_total
+          |      FROM exploded GROUP BY 1) e
+          |LEFT JOIN (SELECT page_id,
+          |        array_to_string(list(line ORDER BY ord), chr(10)) AS text,
+          |        count(*) AS n_kept
+          |      FROM kept GROUP BY 1) k USING (page_id)""".stripMargin
       })
   )
 }
