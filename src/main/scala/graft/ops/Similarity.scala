@@ -868,4 +868,110 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "sim")
   }
+
+  /** A built residual IVF+PQ index: the trained artifacts (coarse cells
+    * + residual sub-codebooks) plus the PRE-ENCODED corpus. Building is
+    * the expensive pass (assign + encode touch every vector); queries
+    * against a built index never re-encode — they probe cells and
+    * ADC-rank stored codes only. [[saveIvfPqIndex]] / [[loadIvfPqIndex]]
+    * round-trip the whole thing through parquet, which is what turns
+    * the ANN tier from per-job training into a build-once / query-many
+    * production index (FAISS `write_index`/`read_index`).
+    */
+  final case class IvfPqIndex(cells: Array[Array[Double]],
+                              codebook: Array[Array[Double]],
+                              codes: DataFrame,
+                              m: Int, ks: Int, dim: Int)
+
+  /** Build a residual IVF+PQ index over `corpus` (vec_id, embedding).
+    * Defaults reproduce [[ivfPqResidualTopK]]'s deterministic trainers
+    * (first-nlist cells, first-ks residual codebook) so gates can
+    * replay; production passes the distributed Lloyd / residual-PQ
+    * trainer outputs via `centroids` / `codebook` (the n14 path).
+    * One projection over the corpus — assign + encode in a single
+    * codegen stage, no shuffle.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, nlist: Int = 16,
+                      m: Int = 8, ks: Int = 16, dim: Int = 64,
+                      centroids: Option[Array[Array[Double]]] = None,
+                      codebook: Option[Array[Array[Double]]] = None): IvfPqIndex = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cellCb = centroids.getOrElse(firstVectors(corpus, nlist))
+    val cb = codebook.getOrElse(
+      defaultResidualPqCodebook(corpus, m, ks, sub, cellCb))
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val codes = corpus.select(col("vec_id").as("n_id"), col("embedding"),
+        C.centroidAssign(col("embedding"), cellCb).as("cell"))
+      .withColumn("codes", P.pqEncode(
+        C.centroidResidual(col("embedding"), col("cell"), cellCb), cb, sub))
+      .drop("embedding")
+    IvfPqIndex(cellCb, cb, codes, m, ks, dim)
+  }
+
+  /** Persist an index as four parquet tables under `dir`: `meta`
+    * (single row of dimensions), `cells` (cell_id, centroid),
+    * `codebook` (sub_id, entries), `codes` (n_id, cell, codes). The
+    * encoded corpus — the only corpus-sized piece — stays distributed
+    * end to end; the trained artifacts are a few KB each. `codes` is
+    * written bucketed by nothing but partitioned as computed, so a
+    * reload scans only (n_id, cell, codes) — 16× less than the floats.
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    Seq((index.m, index.ks, index.dim, index.cells.length))
+      .toDF("m", "ks", "dim", "nlist")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.cells.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    index.codebook.zipWithIndex.map { case (v, j) => (j, v.toSeq) }.toSeq
+      .toDF("sub_id", "entries")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Reload a persisted index. The trained artifacts (bounded: nlist
+    * and m rows) collect to the driver exactly as a fresh build leaves
+    * them; the encoded corpus is a lazy parquet scan.
+    */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val cells = spark.read.parquet(s"$dir/cells")
+      .orderBy("cell_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .orderBy("sub_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfPqIndex(cells, cb, spark.read.parquet(s"$dir/codes"),
+      meta.getInt(0), meta.getInt(1), meta.getInt(2))
+  }
+
+  /** Query a built (or reloaded) index: probe nprobe cells, ADC-rank
+    * the stored codes — identical search semantics to
+    * [[ivfPqResidualTopK]] (probe-all reproduces the exhaustive
+    * residual scan, gate n21), but the corpus side is a scan of the
+    * pre-encoded codes: no assignment, no encoding, no float vectors
+    * move. At 100 TB this is the serving shape — the per-query cost is
+    * the probed cells' code bytes, nothing else.
+    */
+  def queryIvfPqIndex(queries: DataFrame, index: IvfPqIndex, k: Int,
+                      nprobe: Int = 4): DataFrame = {
+    val sub = index.dim / index.m
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      explode(C.centroidProbes(col("embedding"), index.cells, nprobe))
+        .as("cell"))
+    q.join(index.codes, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", P.pqAdc(
+        C.centroidResidual(col("q_emb"), col("cell"), index.cells),
+        col("codes"), index.codebook, sub))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "adc")
+  }
 }

@@ -446,6 +446,38 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Index persistence (n21): FAISS write_index/read_index for the
+    // residual IVF+PQ tier. Build → save (parquet: meta/cells/codebook/
+    // codes) → reload → query with EVERY cell probed must reproduce the
+    // exhaustive residual-PQ scan row-for-row (n13 precedent) — the
+    // artifacts and the pre-encoded corpus must survive the round-trip
+    // byte-faithfully or ADC values and tie-breaks drift. The serving
+    // path never touches a float corpus vector: queries rank stored
+    // codes only.
+    QueryDef("n21_index_persist",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val idxDir = "/tmp/graft_gate_index_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.saveIvfPqIndex(
+          Similarity.buildIvfPqIndex(e, nlist = 32, m = 16, ks = 64), idxDir)
+        val loaded = Similarity.loadIvfPqIndex(s, idxDir)
+        val got = Similarity.queryIvfPqIndex(q, loaded, 5, nprobe = 32)
+          .select("q_id", "n_id", "rank")
+        val base = Similarity.pqResidualTopK(q, e, 5, nlist = 32,
+            m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(got.withColumnRenamed("rank", "rank_loaded"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_base") === col("rank_loaded"), 1)
+            .otherwise(0))).as("roundtrip_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS roundtrip_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Cluster purity over the deterministic first-16 centroid scheme
     // (the same assignment the n03 oracle replays): per-cell majority
     // label fraction from exact integer counts. The embedding-quality

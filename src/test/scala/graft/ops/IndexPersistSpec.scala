@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Index persistence: the parquet round-trip must preserve the trained
+  * artifacts exactly (cells/codebook arrays bit-identical), the reloaded
+  * index must answer queries identically to the in-memory build, and
+  * the serving plan must scan codes — never the float corpus.
+  */
+class IndexPersistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  private def vecs(n: Int) = (0 until n).map { i =>
+    (i.toLong, Array.tabulate(dim)(j =>
+      math.sin(i * 31 + j * 7).abs + 0.125 * (i % 5)))
+  }.toDF("vec_id", "embedding")
+
+  test("save/load round-trips artifacts bit-identically and answers match") {
+    val corpus = vecs(120)
+    val idx = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 4, ks = 8,
+      dim = dim)
+    val dir = Files.createTempDirectory("graft_idx").toString
+    Similarity.saveIvfPqIndex(idx, dir)
+    val back = Similarity.loadIvfPqIndex(spark, dir)
+
+    back.m shouldBe idx.m
+    back.ks shouldBe idx.ks
+    back.dim shouldBe idx.dim
+    back.cells.map(_.toSeq).toSeq shouldBe idx.cells.map(_.toSeq).toSeq
+    back.codebook.map(_.toSeq).toSeq shouldBe idx.codebook.map(_.toSeq).toSeq
+
+    val q = corpus.filter(col("vec_id") < 5)
+    val mem = Similarity.queryIvfPqIndex(q, idx, 3, nprobe = 8)
+      .select("q_id", "n_id", "rank").collect().toSet
+    val disk = Similarity.queryIvfPqIndex(q, back, 3, nprobe = 8)
+      .select("q_id", "n_id", "rank").collect().toSet
+    disk shouldBe mem
+  }
+
+  test("probe-all query over a built index equals the exhaustive residual scan") {
+    val corpus = vecs(120)
+    val q = corpus.filter(col("vec_id") < 5)
+    val idx = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 4, ks = 8,
+      dim = dim)
+    val got = Similarity.queryIvfPqIndex(q, idx, 3, nprobe = 8)
+      .select("q_id", "n_id", "rank").collect().toSet
+    val base = Similarity.pqResidualTopK(q, corpus, 3, nlist = 8,
+        m = 4, ks = 8, dim = dim)
+      .select("q_id", "n_id", "rank").collect().toSet
+    got shouldBe base
+  }
+
+  test("the serving plan reads codes only — no embedding column in the scan") {
+    val corpus = vecs(120)
+    val idx = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 4, ks = 8,
+      dim = dim)
+    val dir = Files.createTempDirectory("graft_idx2").toString
+    Similarity.saveIvfPqIndex(idx, dir)
+    val back = Similarity.loadIvfPqIndex(spark, dir)
+    val plan = Similarity.queryIvfPqIndex(
+        corpus.filter(col("vec_id") < 3), back, 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the corpus side of the join is the parquet codes scan; its read
+    // schema must not contain the float vectors
+    assert(plan.contains("codes"), plan.take(500))
+    assert(!plan.contains("n_emb"), "serving plan fetched corpus floats")
+  }
+}
