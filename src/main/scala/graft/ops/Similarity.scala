@@ -513,6 +513,50 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Graded retrieval-quality metrics — the IR evaluation loop for the
+    * whole n-tier: per query, recall@k / MRR@k / nDCG@k of a ranked
+    * result list against a relevance-judgment table.
+    *
+    * `ranked` is (q_id, n_id, rank) from ANY retrieval operator —
+    * brute force, IVF+PQ, BM25, RRF fusion; `qrels` is (q_id, n_id,
+    * rel) with graded relevance ≥ 0. Definitions (trec_eval
+    * conventions): recall@k counts rel>0 results in the top k over all
+    * rel>0 judgments; MRR is 1/rank of the first rel>0 result (0 when
+    * none retrieved); nDCG@k uses DCG = Σ rel/log2(rank+1) with the
+    * ideal ranking by rel desc. Queries with judgments but no results
+    * score 0 (never dropped — silent query loss is the classic eval
+    * bug). Scale shape: two bounded joins on (q_id, n_id) — both
+    * sides are top-k-bounded per query — and one aggregate; the
+    * corpus is never touched.
+    */
+  def retrievalMetrics(ranked: DataFrame, qrels: DataFrame,
+                       k: Int): DataFrame = {
+    val r = ranked.filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+    val judged = qrels.select(col("q_id"), col("n_id"),
+      col("rel").cast("double"))
+    val hits = r.join(judged, Seq("q_id", "n_id"))
+    val perQ = hits.groupBy("q_id").agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_ret"),
+      max(when(col("rel") > 0, lit(1.0) / col("rank"))
+        .otherwise(lit(0.0))).as("mrr"),
+      sum(col("rel") / log2(col("rank") + 1)).as("dcg"))
+    val ideal = judged.filter(col("rel") > 0)
+      .withColumn("irank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))))
+      .groupBy("q_id").agg(
+        count(lit(1)).as("n_rel"),
+        sum(when(col("irank") <= k, col("rel") / log2(col("irank") + 1))
+          .otherwise(lit(0.0))).as("idcg"))
+    ideal.join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("n_rel_ret"), lit(0L)).as("n_rel_ret"),
+        (coalesce(col("n_rel_ret"), lit(0L)).cast("double") / col("n_rel"))
+          .as("recall"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+  }
+
   /** k-NN label propagation (weak labeling): each query takes the
     * majority label of its k nearest labeled neighbors — the standard
     * way a small labeled seed set annotates an unlabeled corpus in a
@@ -947,6 +991,29 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     IvfPqIndex(cells, cb, spark.read.parquet(s"$dir/codes"),
       meta.getInt(0), meta.getInt(1), meta.getInt(2))
+  }
+
+  /** Append a new vector batch to a built index WITHOUT retraining:
+    * the stored artifacts assign + encode the batch (the same single
+    * codegen projection as the build pass, confined to the new rows)
+    * and the code table is the union. This is the corpus-growth shape
+    * of the ANN tier (the d13/e03/t24 incremental discipline): since
+    * encoding is per-row against FROZEN artifacts, append-then-query
+    * is EXACTLY rebuild-then-query over the union (gate n22) — the
+    * trade is that cells/codebooks drift from the data distribution as
+    * the corpus grows, which is when production re-trains and
+    * re-encodes (monitor via [[clusterPurity]]).
+    */
+  def appendToIvfPqIndex(index: IvfPqIndex, newVecs: DataFrame): IvfPqIndex = {
+    val sub = index.dim / index.m
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val add = newVecs.select(col("vec_id").as("n_id"), col("embedding"),
+        C.centroidAssign(col("embedding"), index.cells).as("cell"))
+      .withColumn("codes", P.pqEncode(
+        C.centroidResidual(col("embedding"), col("cell"), index.cells),
+        index.codebook, sub))
+      .drop("embedding")
+    index.copy(codes = index.codes.unionByName(add))
   }
 
   /** Query a built (or reloaded) index: probe nprobe cells, ADC-rank

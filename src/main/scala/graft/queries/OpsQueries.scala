@@ -478,6 +478,106 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS roundtrip_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Incremental index growth (n22): artifacts FROZEN, a new vector
+    // batch encodes against them and appends — append-then-query must
+    // EXACTLY equal query over an index of the union (per-row encode
+    // against frozen artifacts is batch-invariant). The corpus split
+    // keeps the first-ks seed vectors inside the first half, so the
+    // deterministic default artifacts are identical on both paths and
+    // equality is exact, not statistical.
+    QueryDef("n22_index_append",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val idx = Similarity.buildIvfPqIndex(
+          e.filter(col("vec_id") < 250), nlist = 32, m = 16, ks = 64)
+        val grown = Similarity.appendToIvfPqIndex(idx,
+          e.filter(col("vec_id") >= 250))
+        val got = Similarity.queryIvfPqIndex(q, grown, 5, nprobe = 32)
+          .select("q_id", "n_id", "rank")
+        val base = Similarity.pqResidualTopK(q, e, 5, nlist = 32,
+            m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(got.withColumnRenamed("rank", "rank_grown"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_base") === col("rank_grown"), 1)
+            .otherwise(0))).as("append_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS append_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
+    // Retrieval-quality metrics (n23): recall@10 / MRR@10 / nDCG@10 of
+    // the exact cosine top-10 against graded label-derived judgments
+    // (same label rel=2, adjacent label rel=1). The oracle recomputes
+    // the whole evaluation — ranked list, judgment table, ideal
+    // ranking — from scratch in SQL; floats round to 6dp (the log2 DCG
+    // terms are the only cross-engine-sensitive values; MRR and recall
+    // are exact IEEE divisions of identical operands).
+    QueryDef("n23_retrieval_metrics",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val ranked = Similarity.bruteForceTopK(q, e, 10)
+          .select("q_id", "n_id", "rank")
+        val qrels = q.select(col("vec_id").as("q_id"),
+            col("label").as("q_label"))
+          .join(e.select(col("vec_id").as("n_id"),
+            col("label").as("n_label")), col("q_id") =!= col("n_id"))
+          .withColumn("rel",
+            when(col("q_label") === col("n_label"), 2.0)
+              .when(abs(col("q_label") - col("n_label")) === 1, 1.0)
+              .otherwise(0.0))
+          .filter(col("rel") > 0)
+          .select("q_id", "n_id", "rel")
+        Similarity.retrievalMetrics(ranked, qrels, 10)
+          .select(col("q_id"), col("n_rel"), col("n_rel_ret"),
+            round(col("recall"), 6).as("recall"),
+            round(col("mrr"), 6).as("mrr"),
+            round(col("ndcg"), 6).as("ndcg"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |               c.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20
+             |  QUALIFY rank <= 10),
+             |qrels AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    CASE WHEN q.label = c.label THEN 2.0
+             |         ELSE 1.0 END AS rel
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20
+             |    AND (q.label = c.label OR abs(q.label - c.label) = 1)),
+             |hits AS (
+             |  SELECT r.q_id, r.rank, s.rel
+             |  FROM ranked r JOIN qrels s ON r.q_id = s.q_id AND r.n_id = s.n_id),
+             |perq AS (
+             |  SELECT q_id,
+             |    cast(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_ret,
+             |    max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+             |    sum(rel / log2(rank + 1)) AS dcg
+             |  FROM hits GROUP BY 1),
+             |ideal AS (
+             |  SELECT q_id, cast(count(*) AS BIGINT) AS n_rel,
+             |    sum(CASE WHEN irank <= 10 THEN rel / log2(irank + 1)
+             |        ELSE 0.0 END) AS idcg
+             |  FROM (SELECT q_id, n_id, rel,
+             |          row_number() OVER (PARTITION BY q_id
+             |            ORDER BY rel DESC, n_id) AS irank
+             |        FROM qrels)
+             |  GROUP BY 1)
+             |SELECT i.q_id, i.n_rel,
+             |  coalesce(p.n_rel_ret, 0) AS n_rel_ret,
+             |  round(cast(coalesce(p.n_rel_ret, 0) AS DOUBLE) / i.n_rel, 6)
+             |    AS recall,
+             |  round(coalesce(p.mrr, 0.0), 6) AS mrr,
+             |  round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg
+             |FROM ideal i LEFT JOIN perq p USING (q_id)""".stripMargin)),
+
     // Cluster purity over the deterministic first-16 centroid scheme
     // (the same assignment the n03 oracle replays): per-cell majority
     // label fraction from exact integer counts. The embedding-quality

@@ -55,6 +55,20 @@ class IndexPersistSpec extends SparkSpec {
     got shouldBe base
   }
 
+  test("append with frozen artifacts equals a rebuild over the union") {
+    val all = vecs(120)
+    val half = all.filter(col("vec_id") < 60)
+    val rest = all.filter(col("vec_id") >= 60)
+    // seeds (first nlist/ks vec_ids) live in the first half, so default
+    // artifacts are identical on both paths
+    val grown = Similarity.appendToIvfPqIndex(
+      Similarity.buildIvfPqIndex(half, nlist = 8, m = 4, ks = 8, dim = dim),
+      rest)
+    val full = Similarity.buildIvfPqIndex(all, nlist = 8, m = 4, ks = 8,
+      dim = dim)
+    grown.codes.collect().toSet shouldBe full.codes.collect().toSet
+  }
+
   test("the serving plan reads codes only — no embedding column in the scan") {
     val corpus = vecs(120)
     val idx = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 4, ks = 8,
