@@ -857,6 +857,67 @@ object Curation {
       .withColumn(textCol, array_join(kept, "\n"))
   }
 
+  /** Systematic PPS sampling — draw `n` of the corpus with inclusion
+    * probability proportional to an integer weight (token count, byte
+    * size), the standard way a token-budgeted mixture takes "b tokens
+    * from this source" without biasing toward many-small or few-large
+    * documents.
+    *
+    * Mechanics: rows order by md5(id) (deterministic, decorrelated
+    * from any natural ordering), a distributed prefix sum lays the
+    * weights end to end on [0, W), and `n` equally-spaced points
+    * (step = W div n, phase = step div 2) select every row whose
+    * weight interval they hit; `n_draws` is the hit count (a row with
+    * weight > step can be drawn more than once — that IS PPS
+    * semantics; callers wanting at-most-once should cap weights at
+    * step). Everything is int64 — md5 ordering, prefix sums, one
+    * shifted truncating division per row — so the draw replays exactly
+    * engine-for-engine (gate p22) and run-for-run; Σ n_draws = n by
+    * construction.
+    *
+    * Scale: the prefix sum is the [[assignShards]] machinery (per-
+    * partition subtotals broadcast back — no global single-partition
+    * window); selection is a map-side projection. One pass, one
+    * bounded shuffle of subtotals.
+    */
+  def ppsSample(df: DataFrame, idCol: String, weight: Column,
+                n: Long): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val staged = graft.engine.CacheOnce(df
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .withColumn("__w", weight.cast("long"))
+      .repartitionByRange(col("__ord"), col(idCol))
+      .withColumn("__pid", spark_partition_id()))
+    val subtotals = staged.groupBy("__pid").agg(sum("__w").as("__ptok"))
+    val offsets = subtotals
+      .withColumn("__before",
+        coalesce(sum("__ptok").over(
+          Window.partitionBy(lit(0)).orderBy("__pid")) - col("__ptok"),
+          lit(0L)))
+      .withColumn("__wtot", sum("__ptok").over(Window.partitionBy(lit(0))))
+      .drop("__ptok")
+    val w = Window.partitionBy("__pid").orderBy(col("__ord"), col(idCol))
+    staged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__cum", col("__before") + sum("__w").over(w) - col("__w"))
+      .withColumn("__step", expr(s"__wtot div ${n}L"))
+      // total weight must cover n unit-spaced points (step >= 1) or the
+      // draw is ill-posed; fail loudly, not with a null-div empty result
+      .withColumn("__step", when(col("__step") >= 1, col("__step"))
+        .otherwise(raise_error(concat(
+          lit(s"ppsSample: n=$n exceeds total weight "), col("__wtot")))))
+      // shift so the point lattice (phase = step div 2) becomes the
+      // positive multiples of step, then count multiples in the row's
+      // interval with one truncating div pair — clamped to the first n
+      // (when W mod n > phase an (n+1)-th multiple lands inside [0,W))
+      .withColumn("__c1", col("__cum") + col("__step") - expr("__step div 2"))
+      .withColumn("n_draws",
+        expr(s"least((__c1 + __w - 1) div __step, ${n}L)" +
+          s" - least((__c1 - 1) div __step, ${n}L)"))
+      .filter(col("n_draws") > 0)
+      .drop("__ord", "__w", "__pid", "__before", "__wtot", "__cum",
+        "__step", "__c1")
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

@@ -3674,6 +3674,39 @@ object OpsQueries {
            |SELECT doc_id, round(s, 4) AS score, s >= 0.5 AS keep FROM sc""".stripMargin
       }),
 
+    // Systematic PPS sampling (p22): 50 draws proportional to token
+    // count, all-integer (md5 order, prefix sums, shifted truncating
+    // divisions) — the oracle replays the identical lattice arithmetic
+    // in SQL, so the drawn multiset must match row-for-row. Σ n_draws
+    // = 50 by construction on both sides.
+    QueryDef("p22_pps_sample",
+      (s, dir) => Curation.ppsSample(docs(s, dir), "doc_id",
+          size(split(col("text"), " ")).cast("long"), n = 50L)
+        .select("doc_id", "n_draws"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    cast(len(string_split(text, ' ')) AS BIGINT) AS wt,
+             |    md5(cast(doc_id AS VARCHAR)) AS ord
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, wt,
+             |    cast(sum(wt) OVER (ORDER BY ord, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - wt AS BIGINT) AS cb,
+             |    cast(sum(wt) OVER () AS BIGINT) AS wtot
+             |  FROM w),
+             |s AS (
+             |  SELECT doc_id, wt,
+             |    cb + (wtot // 50) - (wtot // 50) // 2 AS c1,
+             |    wtot // 50 AS step
+             |  FROM c)
+             |SELECT doc_id,
+             |  least((c1 + wt - 1) // step, 50)
+             |    - least((c1 - 1) // step, 50) AS n_draws
+             |FROM s
+             |WHERE least((c1 + wt - 1) // step, 50)
+             |    - least((c1 - 1) // step, 50) > 0""".stripMargin)),
+
     // Exact heavy hitters via Misra–Gries sketch + recount (t26): every
     // whitespace bigram with ≥ 30 occurrences, with its EXACT count.
     // The Spark path never groupBy-counts the full bigram table — one

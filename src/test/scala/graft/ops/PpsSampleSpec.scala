@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Systematic PPS sampling: the draw count is exactly n, the multiset
+  * is layout-independent (the prefix sum may not depend on partition
+  * layout), a heavyweight row draws multiple times, and the ill-posed
+  * n > W case fails loudly.
+  */
+class PpsSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (1 to 300).map { i =>
+    (i.toLong, (i % 17) + 1L) // weights 1..17, W = 300*9 = 2700
+  }.toDF("id", "wt")
+
+  test("sum of n_draws is exactly n, layout-independent") {
+    val base = Curation.ppsSample(corpus, "id", col("wt"), 40L)
+      .select("id", "n_draws").as[(Long, Long)].collect().toMap
+    base.values.sum shouldBe 40L
+    for (layout <- Seq(corpus.repartition(11), corpus.coalesce(1))) {
+      val got = Curation.ppsSample(layout, "id", col("wt"), 40L)
+        .select("id", "n_draws").as[(Long, Long)].collect().toMap
+      got shouldBe base
+    }
+  }
+
+  test("a row heavier than the step draws multiple times") {
+    val df = ((1 to 50).map(i => (i.toLong, 1L)) :+ (99L, 1000L))
+      .toDF("id", "wt") // W=1050, n=10 -> step=105; the heavy row ~9-10 draws
+    val out = Curation.ppsSample(df, "id", col("wt"), 10L)
+      .select("id", "n_draws").as[(Long, Long)].collect().toMap
+    out.values.sum shouldBe 10L
+    out(99L) should be >= 9L
+  }
+
+  test("n exceeding total weight raises instead of returning empty") {
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("id", "wt") // W = 5
+    val e = intercept[Exception] {
+      Curation.ppsSample(df, "id", col("wt"), 10L).collect()
+    }
+    e.getMessage should include("exceeds total weight")
+  }
+}
