@@ -557,6 +557,42 @@ object Similarity {
         (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
   }
 
+  /** Aggregate-form index serving: the same probe + ADC candidates as
+    * [[queryIvfPqIndex]], but the per-query top-k comes from the
+    * bounded-heap [[graft.functions.TopKAggregate]] instead of a
+    * row_number window. Two consequences:
+    *  - scale: the window form SORTS every probed candidate per query;
+    *    the heap keeps k and discards the rest map-side, so the shuffle
+    *    carries ≤ k pairs per (query, task) — the right batch-serving
+    *    shape when nprobe × cell size ≫ k;
+    *  - streaming: windows over unbounded streams are unsupported, an
+    *    aggregate is — so THIS form serves a readStream of queries
+    *    against a static (loaded) index via a stream-static join
+    *    (StreamingAnnServeSpec).
+    * Identical results to the window form (gate n24): the heap's
+    * tie-break (highest score, then lowest id) mirrors ORDER BY adc
+    * ASC, n_id ASC under score = −adc.
+    */
+  def queryIvfPqIndexAgg(queries: DataFrame, index: IvfPqIndex, k: Int,
+                         nprobe: Int = 4): DataFrame = {
+    val sub = index.dim / index.m
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      explode(C.centroidProbes(col("embedding"), index.cells, nprobe))
+        .as("cell"))
+    q.join(index.codes, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", P.pqAdc(
+        C.centroidResidual(col("q_emb"), col("cell"), index.cells),
+        col("codes"), index.codebook, sub))
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topK(-col("adc"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.score")).as("adc"))
+  }
+
   /** k-NN label propagation (weak labeling): each query takes the
     * majority label of its k nearest labeled neighbors — the standard
     * way a small labeled seed set annotates an unlabeled corpus in a

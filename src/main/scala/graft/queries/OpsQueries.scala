@@ -508,6 +508,31 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS append_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Aggregate-form serving (n24): the bounded-heap TopK aggregate
+    // must reproduce the window-rank serving path row-for-row at
+    // partial probes (nprobe=4 — the serving configuration, not just
+    // probe-all): same candidates, same ADC, same tie-break under
+    // score = −adc. This is the shape that serves streaming queries
+    // (StreamingAnnServeSpec) and skips the per-query candidate sort.
+    QueryDef("n24_index_serve_agg",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val idx = Similarity.buildIvfPqIndex(e, nlist = 32, m = 16, ks = 64)
+        val win = Similarity.queryIvfPqIndex(q, idx, 5, nprobe = 4)
+          .select("q_id", "n_id", "rank")
+        val agg = Similarity.queryIvfPqIndexAgg(q, idx, 5, nprobe = 4)
+          .select("q_id", "n_id", "rank")
+        val joint = win.withColumnRenamed("rank", "rank_win")
+          .join(agg.withColumnRenamed("rank", "rank_agg"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_win") === col("rank_agg"), 1)
+            .otherwise(0))).as("agg_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS agg_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Retrieval-quality metrics (n23): recall@10 / MRR@10 / nDCG@10 of
     // the exact cosine top-10 against graded label-derived judgments
     // (same label rel=2, adjacent label rel=1). The oracle recomputes

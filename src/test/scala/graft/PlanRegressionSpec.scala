@@ -413,6 +413,21 @@ class PlanRegressionSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("agg-form index serving: heap aggregate, no per-query rank sort") {
+    val vecs = (0 until 60).map(i => (i.toLong,
+      Array.tabulate(16)(j => math.sin(i * 31 + j * 7).abs)))
+      .toDF("vec_id", "embedding")
+    val idx = graft.ops.Similarity.buildIvfPqIndex(vecs, nlist = 4, m = 4,
+      ks = 8, dim = 16)
+    val plan = formatted(graft.ops.Similarity.queryIvfPqIndexAgg(
+      vecs.filter($"vec_id" < 3), idx, k = 3, nprobe = 2))
+    // the candidate set reaches a partial+final top_k aggregate; no
+    // Window/Sort ever ranks the full candidate mass
+    plan should include("top_k")
+    plan should not include "(Window"
+    plan should not include "WindowGroupLimit"
+  }
+
   test("semanticContamination: eval buckets broadcast, zero shuffles end-to-end") {
     val train = (1 to 50).map(i => (i.toLong, Array.fill(16)(i.toFloat)))
       .toDF("vec_id", "embedding")
