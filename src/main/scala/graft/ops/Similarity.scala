@@ -513,6 +513,33 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Hard-negative mining (the DPR/contrastive-training loop): for each
+    * query, the `m` HIGHEST-scoring corpus items that are NOT judged
+    * positive — the negatives that actually move a bi-encoder, as
+    * opposed to random negatives the model already separates.
+    *
+    * `retriever` plugs in any (queries, corpus, k) => ranked generator
+    * (brute force for gates, [[queryIvfPqIndexAgg]] at scale). It is
+    * asked for m + maxPositives candidates so the anti-join against
+    * the judgments cannot starve the output; the final re-rank keeps
+    * the top m survivors per query (deterministic: rank order is the
+    * retriever's own). One bounded anti-join + one bounded window —
+    * both over top-k-sized relations, never the corpus.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame, m: Int, maxPositives: Int,
+                    retriever: (DataFrame, DataFrame, Int) => DataFrame =
+                      (q, c, k) => bruteForceTopK(q, c, k)): DataFrame = {
+    val ranked = retriever(queries, corpus, m + maxPositives)
+      .select(col("q_id"), col("n_id"), col("rank"))
+    ranked.join(positives.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rank"))))
+      .filter(col("neg_rank") <= m)
+      .select("q_id", "n_id", "neg_rank")
+  }
+
   /** Graded retrieval-quality metrics — the IR evaluation loop for the
     * whole n-tier: per query, recall@k / MRR@k / nDCG@k of a ranked
     * result list against a relevance-judgment table.

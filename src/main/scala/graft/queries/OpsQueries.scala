@@ -533,6 +533,45 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS agg_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Hard-negative mining (n25): top-5 non-positive neighbors per
+    // query (positives = same-label pairs), mined from the exact
+    // cosine ranking over an over-fetched candidate list. The oracle
+    // replays ranking, anti-join, and re-rank in SQL — integer ranks
+    // only, so the compare is exact.
+    QueryDef("n25_hard_negatives",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val positives = q.select(col("vec_id").as("q_id"),
+            col("label").as("q_label"))
+          .join(e.select(col("vec_id").as("n_id"),
+            col("label").as("n_label")),
+            col("q_id") =!= col("n_id") && col("q_label") === col("n_label"))
+          .select("q_id", "n_id")
+        Similarity.hardNegatives(q, e, positives, m = 5,
+          maxPositives = 60)
+      },
+      Some("""WITH ranked AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+             |               c.vec_id) AS rank
+             |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             |  WHERE q.vec_id < 20
+             |  QUALIFY rank <= 65),
+             |pos AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS n_id
+             |  FROM embeddings q JOIN embeddings c
+             |    ON q.vec_id <> c.vec_id AND q.label = c.label
+             |  WHERE q.vec_id < 20)
+             |SELECT q_id, n_id, neg_rank FROM (
+             |  SELECT r.q_id, r.n_id,
+             |    row_number() OVER (PARTITION BY r.q_id ORDER BY r.rank)
+             |      AS neg_rank
+             |  FROM ranked r ANTI JOIN pos p
+             |    ON r.q_id = p.q_id AND r.n_id = p.n_id)
+             |WHERE neg_rank <= 5""".stripMargin)),
+
     // Retrieval-quality metrics (n23): recall@10 / MRR@10 / nDCG@10 of
     // the exact cosine top-10 against graded label-derived judgments
     // (same label rel=2, adjacent label rel=1). The oracle recomputes

@@ -40,6 +40,20 @@ class RetrievalMetricsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives skips positives, keeps retriever order, yields m rows") {
+    // retriever rank order for q=1: 10, 11, 12, 13, 14; positives 10, 12
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (1L, 13L, 4), (1L, 14L, 5)).toDF("q_id", "n_id", "rank")
+    val pos = Seq((1L, 10L), (1L, 12L)).toDF("q_id", "n_id")
+    val out = Similarity.hardNegatives(
+        ranked.limit(0).select("q_id").limit(0), // unused by stub retriever
+        ranked.limit(0), pos, m = 3, maxPositives = 2,
+        retriever = (_, _, _) => ranked)
+      .orderBy("neg_rank").collect()
+    out.map(r => (r.getLong(1), r.getInt(2))).toSeq shouldBe
+      Seq((11L, 1), (13L, 2), (14L, 3))
+  }
+
   test("results beyond k are ignored") {
     val ranked = Seq((1L, 10L, 1), (1L, 11L, 4)).toDF("q_id", "n_id", "rank")
     val qrels = Seq((1L, 11L, 1.0)).toDF("q_id", "n_id", "rel")
