@@ -413,6 +413,27 @@ class PlanRegressionSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("heavyHitters recount pass: candidates broadcast, no full-width shuffle join") {
+    val items = (1 to 500).map(i => Tuple1(s"it${i % 40}")).toDF("item")
+    val plan = formatted(graft.ops.Curation.heavyHitters(items, "item", 5L,
+      capacity = 256))
+    // the second pass semi-joins the broadcast candidate list, then one
+    // ordinary agg exchange over the surviving rows only
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("ppsSample: one subtotal broadcast, no global single-partition row window") {
+    val df = (1 to 300).map(i => (i.toLong, (i % 17) + 1L)).toDF("id", "wt")
+    val plan = formatted(graft.ops.Curation.ppsSample(df, "id", $"wt", 40L))
+    // the row-level window partitions by __pid (bounded per partition);
+    // the only single-partition window is over the ≤#partitions
+    // subtotal relation, which broadcasts back
+    plan should include("BroadcastExchange")
+    plan should not include "SortMergeJoin"
+  }
+
   test("agg-form index serving: heap aggregate, no per-query rank sort") {
     val vecs = (0 until 60).map(i => (i.toLong,
       Array.tabulate(16)(j => math.sin(i * 31 + j * 7).abs)))
