@@ -104,6 +104,30 @@ object OpsScaleBench {
       // of identical codes — the hostile quadratic shape for any pair
       // generator — so this curve bounds the banding's blowup with
       // the cap in place.
+      // Sketch-then-recount heavy hitters over exploded bigrams: the
+      // gram table grows linearly with the corpus but the shuffle only
+      // ever carries bounded MG summaries + the candidates' rows, so
+      // the curve should track the scan, not the distinct-gram count
+      // (replicas multiply gram OCCURRENCES, not distinct grams —
+      // the sketch's easy direction; the replica-suffix tokens add
+      // mult new grams each).
+      "heavy_hitters" -> { df =>
+        val grams = df.select(explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> concat(element_at(split(text, ' '), i), ' ',
+            |              element_at(split(text, ' '), i + 1)))"""
+            .stripMargin)).as("item"))
+        // capacity sized so the MG error band (N/(capacity+1)) stays
+        // under the threshold at the 10× corpus (~2.7M bigram rows)
+        sink(graft.ops.Curation.heavyHitters(grams, "item",
+          minCount = 100L, capacity = 65536))
+      },
+      // All-integer PPS draw: prefix sum + lattice count. The curve is
+      // the subtotal machinery's — one bounded shuffle of per-partition
+      // sums — so it should be scan-bound at any corpus size.
+      "pps_sample" -> (df => sink(graft.ops.Curation.ppsSample(df,
+        "doc_id", size(split(col("text"), " ")).cast("long"),
+        n = 50L))),
       "hamming_pairs" -> { df =>
         val sim = graft.functions.SimHashSignature.simhashSignature(
           split(graft.ops.TextOps.normalize(col("text")), " "))

@@ -48,4 +48,32 @@ object Sources {
     */
   def xml(spark: SparkSession, path: String, rowTag: String): DataFrame =
     spark.read.option("rowTag", rowTag).xml(path)
+
+  /** JSONL corpus source — the de-facto LLM training-data interchange
+    * format (one JSON document per line). Explicit schema (same
+    * no-inference rule as every reader here) + PERMISSIVE mode with a
+    * `_corrupt_record` column: at corpus scale some lines ARE broken,
+    * and the pipeline must count/quarantine them rather than abort
+    * (FAILFAST) or silently null them out (the default DROPMALFORMED
+    * trap). Returns rows for every input line; callers split on
+    * `_corrupt_record IS NULL` — see [[jsonlSplit]].
+    */
+  def jsonl(spark: SparkSession, path: String,
+            schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Split a [[jsonl]] read into (clean rows, quarantine rows). The
+    * quarantine keeps the raw offending line for repair/audit. One scan
+    * serves both sides (cache if both are consumed).
+    */
+  def jsonlSplit(df: DataFrame): (DataFrame, DataFrame) = (
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    df.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line")))
 }

@@ -44,4 +44,26 @@ class SourcesSpec extends SparkSpec {
     Files.writeString(dir.resolve("OTHER"), "zz\n")
     spark.read.text(dir.toString + "/FINWIRE??????").count() shouldBe 3L
   }
+
+  test("jsonl reads clean lines, quarantines corrupt ones with the raw text") {
+    val dir = Files.createTempDirectory("jsonl")
+    Files.writeString(dir.resolve("docs.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2 "text": "broken-no-comma"}
+        |{"doc_id": 3, "text": "gamma"}
+        |not json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val raw = Sources.jsonl(spark, dir.resolve("docs.jsonl").toString,
+      schema).cache()
+    val (clean, bad) = Sources.jsonlSplit(raw)
+    clean.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "alpha"), (3L, "gamma"))
+    val badLines = bad.collect().map(_.getString(0))
+    badLines.length shouldBe 2
+    badLines.exists(_.contains("broken-no-comma")) shouldBe true
+    badLines.exists(_.contains("not json at all")) shouldBe true
+  }
 }
