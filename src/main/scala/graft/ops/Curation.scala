@@ -918,6 +918,38 @@ object Curation {
         "__step", "__c1")
   }
 
+  /** Mixture-weighted PPS draw — the training-recipe op: "totalDraws
+    * documents, 50% from web, 30% from code, 20% from books, each
+    * source sampled proportional to token count". Per-source draw
+    * counts come from largest-remainder apportionment of
+    * `shares` (exact: Σ n_s = totalDraws whenever shares sum to ~1;
+    * deterministic tie-break by largest fractional remainder then
+    * source name), then each source runs its own [[ppsSample]]
+    * lattice. The loop is over the bounded share table (a training
+    * mixture names a handful of sources), not the data — each
+    * source's pass is the ppsSample plan, and sources evaluate
+    * independently so Spark schedules their jobs back to back on the
+    * shared corpus scan.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    weight: Column, shares: Map[String, Double],
+                    totalDraws: Long): DataFrame = {
+    require(shares.nonEmpty, "shares must name at least one source")
+    require(shares.valuesIterator.forall(_ > 0), "shares must be positive")
+    val norm = shares.valuesIterator.sum
+    val quotas = shares.toSeq.map { case (s, w) =>
+      (s, totalDraws * w / norm)
+    }
+    val floors = quotas.map { case (s, q) => (s, q.toLong, q - q.toLong) }
+    val remainder = (totalDraws - floors.map(_._2).sum).toInt
+    val bumped = floors.sortBy { case (s, _, frac) => (-frac, s) }
+      .zipWithIndex
+      .map { case ((s, fl, _), i) => (s, fl + (if (i < remainder) 1L else 0L)) }
+    bumped.filter(_._2 > 0).map { case (s, nS) =>
+      ppsSample(df.filter(col(sourceCol) === s), idCol, weight, nS)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

@@ -3771,6 +3771,44 @@ object OpsQueries {
              |WHERE least((c1 + wt - 1) // step, 50)
              |    - least((c1 - 1) // step, 50) > 0""".stripMargin)),
 
+    // Mixture-weighted PPS draw (p23): 20 draws split 50/30/20 across
+    // three sources (exact apportionment: 10/6/4), each source running
+    // its own integer lattice — the oracle replays every lattice
+    // partitioned by source. Composes p22's machinery; the mixture
+    // loop is over the share table, never the data.
+    QueryDef("p23_mixture_sample",
+      (s, dir) => Curation.mixtureSample(docs(s, dir), "source", "doc_id",
+          size(split(col("text"), " ")).cast("long"),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          totalDraws = 20L)
+        .select("doc_id", "source", "n_draws"),
+      Some("""WITH quota AS (
+             |  SELECT * FROM (VALUES ('src0', 10), ('src1', 6),
+             |    ('src2', 4)) q(src, n)),
+             |w AS (
+             |  SELECT d.doc_id, d.source, q.n,
+             |    cast(len(string_split(d.text, ' ')) AS BIGINT) AS wt,
+             |    md5(cast(d.doc_id AS VARCHAR)) AS ord
+             |  FROM documents d JOIN quota q ON d.source = q.src),
+             |c AS (
+             |  SELECT doc_id, source, n, wt,
+             |    cast(sum(wt) OVER (PARTITION BY source ORDER BY ord, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - wt AS BIGINT) AS cb,
+             |    cast(sum(wt) OVER (PARTITION BY source) AS BIGINT) AS wtot
+             |  FROM w),
+             |s AS (
+             |  SELECT doc_id, source, n, wt,
+             |    cb + (wtot // n) - (wtot // n) // 2 AS c1,
+             |    wtot // n AS step
+             |  FROM c)
+             |SELECT doc_id, source,
+             |  least((c1 + wt - 1) // step, n)
+             |    - least((c1 - 1) // step, n) AS n_draws
+             |FROM s
+             |WHERE least((c1 + wt - 1) // step, n)
+             |    - least((c1 - 1) // step, n) > 0""".stripMargin)),
+
     // Exact heavy hitters via Misra–Gries sketch + recount (t26): every
     // whitespace bigram with ≥ 30 occurrences, with its EXACT count.
     // The Spark path never groupBy-counts the full bigram table — one

@@ -35,6 +35,29 @@ class PpsSampleSpec extends SparkSpec {
     out(99L) should be >= 9L
   }
 
+  test("mixtureSample apportions draws by largest remainder and samples per source") {
+    val df = (1 to 300).map { i =>
+      (i.toLong, s"s${i % 3}", (i % 7) + 1L)
+    }.toDF("id", "source", "wt")
+    // equal thirds of 10 -> floors 3/3/3, one remainder bumped to the
+    // lexicographically-first source among equal fractions: s0 gets 4
+    val out = Curation.mixtureSample(df, "source", "id", col("wt"),
+        Map("s0" -> 1.0 / 3, "s1" -> 1.0 / 3, "s2" -> 1.0 / 3), 10L)
+      .groupBy("source").agg(sum("n_draws").as("n"))
+      .as[(String, Long)].collect().toMap
+    out shouldBe Map("s0" -> 4L, "s1" -> 3L, "s2" -> 3L)
+  }
+
+  test("mixtureSample normalizes shares that do not sum to 1") {
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 2}", 2L))
+      .toDF("id", "source", "wt")
+    val out = Curation.mixtureSample(df, "source", "id", col("wt"),
+        Map("s0" -> 3.0, "s1" -> 1.0), 8L) // 3:1 -> 6/2
+      .groupBy("source").agg(sum("n_draws").as("n"))
+      .as[(String, Long)].collect().toMap
+    out shouldBe Map("s0" -> 6L, "s1" -> 2L)
+  }
+
   test("n exceeding total weight raises instead of returning empty") {
     val df = Seq((1L, 2L), (2L, 3L)).toDF("id", "wt") // W = 5
     val e = intercept[Exception] {
