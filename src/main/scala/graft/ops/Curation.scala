@@ -950,6 +950,34 @@ object Curation {
     }.reduce(_.unionByName(_))
   }
 
+  /** Token-budget quota fill — "take B tokens from each source": rows
+    * are laid out in md5(id) order per source (deterministic,
+    * order-decorrelated) and kept while the tokens BEFORE them stay
+    * under the source's budget, so the straddling document is included
+    * and every source fills to at least its budget (never silently
+    * under). The recipe-building dual of [[mixtureSample]]: that draws
+    * a document COUNT with PPS inclusion; this fills a TOKEN quota
+    * with certainty inclusion — the usual way published data recipes
+    * state source mixes ("300B web tokens, 50B code tokens").
+    *
+    * One pass on the [[assignShards]] grouped-prefix-sum machinery
+    * (budget=1 turns its shard id into the raw cumulative count);
+    * budgets broadcast. Exact integers throughout (gate p24).
+    */
+  def takeTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+                      weight: Column,
+                      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.valuesIterator.forall(_ > 0), "budgets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = broadcast(budgets.toSeq.toDF(sourceCol, "__budget"))
+    assignShards(
+        df.join(b, sourceCol), col(sourceCol),
+        md5(col(idCol).cast("string")), weight, 1L)
+      .filter(col("shard") < col("__budget"))
+      .withColumnRenamed("shard", "tokens_before").drop("offset", "__budget")
+  }
+
   /** Write packed training shards: co-locate each shard in one file
     * chain (`repartition(shard)`), keep document order inside the file
     * (`sortWithinPartitions`), and bound file size with

@@ -483,6 +483,34 @@ object Dedup {
     * least that long; `l` is the gram width, and raising it only
     * shrinks the marked set.
     */
+  /** Pair-level detector evaluation: precision / recall / F1 of a
+    * predicted near-dup pair set against a truth pair set. Pairs are
+    * unordered — both sides canonicalize to (min, max) and distinct
+    * before comparing, so a detector emitting (a,b) and (b,a) is not
+    * double-counted. One row out; counts exact, ratios derived.
+    * Scale: two distincts + one join, all on pair relations that are
+    * tiny next to the corpus (and empty-truth/empty-pred degenerate
+    * cases yield 0-valued metrics rather than nulls).
+    */
+  def pairEval(pred: DataFrame, truth: DataFrame,
+               aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as("p1"),
+      greatest(col(aCol), col(bCol)).as("p2")).distinct()
+    val p = canon(pred)
+    val t = canon(truth)
+    val tp = p.join(t, Seq("p1", "p2")).count()
+    val nP = p.count()
+    val nT = t.count()
+    val prec = if (nP == 0) 0.0 else tp.toDouble / nP
+    val rec = if (nT == 0) 0.0 else tp.toDouble / nT
+    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+    val spark = pred.sparkSession
+    import spark.implicits._
+    Seq((nP, nT, tp, prec, rec, f1))
+      .toDF("n_pred", "n_truth", "n_tp", "precision", "recall", "f1")
+  }
+
   def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
                  l: Int = 8, minOccurrences: Int = 2,
                  minSpanTokens: Int = 0): DataFrame = {

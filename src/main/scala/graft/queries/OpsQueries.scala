@@ -3809,6 +3809,78 @@ object OpsQueries {
              |WHERE least((c1 + wt - 1) // step, n)
              |    - least((c1 - 1) // step, n) > 0""".stripMargin)),
 
+    // Token-budget quota fill (p24): "500/300/200 tokens from
+    // src0/src1/src2" — md5-ordered per-source prefix sum, keep while
+    // tokens-before < budget (straddler included). The oracle replays
+    // the cumulative window; exact integers end to end.
+    QueryDef("p24_token_budget",
+      (s, dir) => Curation.takeTokenBudget(docs(s, dir), "source",
+          "doc_id", size(split(col("text"), " ")).cast("long"),
+          Map("src0" -> 500L, "src1" -> 300L, "src2" -> 200L))
+        .select("doc_id", "source", "tokens_before"),
+      Some("""WITH b AS (
+             |  SELECT * FROM (VALUES ('src0', 500), ('src1', 300),
+             |    ('src2', 200)) t(src, budget)),
+             |w AS (
+             |  SELECT d.doc_id, d.source, b.budget,
+             |    cast(len(string_split(d.text, ' ')) AS BIGINT) AS wt,
+             |    md5(cast(d.doc_id AS VARCHAR)) AS ord
+             |  FROM documents d JOIN b ON d.source = b.src),
+             |c AS (
+             |  SELECT doc_id, source, budget,
+             |    cast(sum(wt) OVER (PARTITION BY source ORDER BY ord, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - wt AS BIGINT) AS tokens_before
+             |  FROM w)
+             |SELECT doc_id, source, tokens_before
+             |FROM c WHERE tokens_before < budget""".stripMargin)),
+
+    // Pair-level detector evaluation (d24): precision/recall/F1 of one
+    // replayable pair relation against another (same-lang pairs vs
+    // same-source pairs over the first 40 docs — the METRIC is under
+    // test; the pair semantics are fixture). Counts exact; ratios are
+    // IEEE divisions of identical integers, rounded 6dp.
+    QueryDef("d24_pair_eval",
+      (s, dir) => {
+        val d = docs(s, dir).filter(col("doc_id") < 40)
+        def pairs(keyCol: String) = d.select(col("doc_id").as("a"),
+            col(keyCol).as("k"))
+          .join(d.select(col("doc_id").as("b"), col(keyCol).as("k")),
+            Seq("k"))
+          .filter(col("a") < col("b"))
+          .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        Dedup.pairEval(pairs("lang"), pairs("source"))
+          .select(col("n_pred"), col("n_truth"), col("n_tp"),
+            round(col("precision"), 6).as("precision"),
+            round(col("recall"), 6).as("recall"),
+            round(col("f1"), 6).as("f1"))
+      },
+      Some("""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+             |pred AS (
+             |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS p1,
+             |    greatest(a.doc_id, b.doc_id) AS p2
+             |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+             |truth AS (
+             |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS p1,
+             |    greatest(a.doc_id, b.doc_id) AS p2
+             |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id),
+             |m AS (
+             |  SELECT cast((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+             |    cast((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+             |    cast((SELECT count(*) FROM pred JOIN truth USING (p1, p2))
+             |      AS BIGINT) AS n_tp)
+             |SELECT n_pred, n_truth, n_tp,
+             |  round(CASE WHEN n_pred = 0 THEN 0.0
+             |    ELSE cast(n_tp AS DOUBLE) / n_pred END, 6) AS precision,
+             |  round(CASE WHEN n_truth = 0 THEN 0.0
+             |    ELSE cast(n_tp AS DOUBLE) / n_truth END, 6) AS recall,
+             |  round(CASE WHEN n_tp = 0 THEN 0.0
+             |    ELSE 2.0 * (cast(n_tp AS DOUBLE) / n_pred)
+             |      * (cast(n_tp AS DOUBLE) / n_truth)
+             |      / ((cast(n_tp AS DOUBLE) / n_pred)
+             |        + (cast(n_tp AS DOUBLE) / n_truth)) END, 6) AS f1
+             |FROM m""".stripMargin)),
+
     // Exact heavy hitters via Misra–Gries sketch + recount (t26): every
     // whitespace bigram with ≥ 30 occurrences, with its EXACT count.
     // The Spark path never groupBy-counts the full bigram table — one

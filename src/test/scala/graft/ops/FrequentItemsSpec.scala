@@ -71,6 +71,21 @@ class FrequentItemsSpec extends SparkSpec {
     out.agg(sum("n_lines_removed")).as[Long].head() shouldBe 80L
   }
 
+  test("pairEval canonicalizes unordered pairs and handles empty sides") {
+    val pred = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 6L))
+      .toDF("doc_a", "doc_b") // (1,2) duplicated in both orders
+    val truth = Seq((2L, 1L), (4L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val m = Dedup.pairEval(pred, truth).head()
+    m.getAs[Long]("n_pred") shouldBe 3L
+    m.getAs[Long]("n_truth") shouldBe 3L
+    m.getAs[Long]("n_tp") shouldBe 2L
+    m.getAs[Double]("precision") shouldBe (2.0 / 3.0) +- 1e-12
+    m.getAs[Double]("recall") shouldBe (2.0 / 3.0) +- 1e-12
+    val empty = Dedup.pairEval(pred.limit(0), truth).head()
+    empty.getAs[Double]("precision") shouldBe 0.0
+    empty.getAs[Double]("f1") shouldBe 0.0
+  }
+
   test("stripBoilerplateLines with no frequent lines is the identity") {
     val docs = (1 to 5).map(i => (i.toLong, s"only-$i\nline-$i"))
       .toDF("doc_id", "text")

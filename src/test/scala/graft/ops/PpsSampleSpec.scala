@@ -58,6 +58,21 @@ class PpsSampleSpec extends SparkSpec {
     out shouldBe Map("s0" -> 6L, "s1" -> 2L)
   }
 
+  test("takeTokenBudget fills each source to at least its budget, straddler included") {
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 2}", 10L))
+      .toDF("id", "source", "wt") // each source: 50 docs x 10 tokens
+    val out = Curation.takeTokenBudget(df, "source", "id", col("wt"),
+        Map("s0" -> 95L, "s1" -> 200L))
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        max("tokens_before").as("maxtb"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    // s0: kept while tokens_before < 95 -> 10 docs (the 10th starts at
+    // 90 < 95 and straddles to 100); s1: 20 docs fill exactly 200
+    out("s0") shouldBe ((10L, 90L))
+    out("s1") shouldBe ((20L, 190L))
+  }
+
   test("n exceeding total weight raises instead of returning empty") {
     val df = Seq((1L, 2L), (2L, 3L)).toDF("id", "wt") // W = 5
     val e = intercept[Exception] {
