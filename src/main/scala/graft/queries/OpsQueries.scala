@@ -3101,11 +3101,13 @@ object OpsQueries {
           Embeddings.sampleState(
             e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", 128),
           cap = 128)
-        // partitionBy(lit(0)): single-partition either way (cap rows);
-        // an empty partitionSpec would log the WindowExec warning
+        // singlePartitionKey: single-partition either way (cap rows);
+        // an empty partitionSpec logs the WindowExec warning and a bare
+        // lit(0) is constant-folded back to empty
         merged.select(col("id").as("vec_id"),
           row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(lit(0)).orderBy(col("__rk"), col("id"))).as("rk"))
+            .partitionBy(graft.engine.Windows.singlePartitionKey(col("id")))
+            .orderBy(col("__rk"), col("id"))).as("rk"))
       },
       Some("""SELECT vec_id,
              |  cast(row_number() OVER (
@@ -3776,7 +3778,7 @@ object OpsQueries {
     // its own integer lattice — the oracle replays every lattice
     // partitioned by source. Composes p22's machinery; the mixture
     // loop is over the share table, never the data.
-    QueryDef("p23_mixture_sample",
+    QueryDef("p23_pps_mixture",
       (s, dir) => Curation.mixtureSample(docs(s, dir), "source", "doc_id",
           size(split(col("text"), " ")).cast("long"),
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
@@ -3808,6 +3810,34 @@ object OpsQueries {
              |FROM s
              |WHERE least((c1 + wt - 1) // step, n)
              |    - least((c1 - 1) // step, n) > 0""".stripMargin)),
+
+    // Corpus snapshot diff (p25): v1 = docs 0-399, v2 = docs 100-499
+    // with every doc_id divisible by 7 rewritten — classify
+    // added/removed/changed/unchanged by content fingerprint. Both
+    // engines build both versions identically; the shuffle carries
+    // (id, md5), never text.
+    QueryDef("p25_corpus_diff",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val v1 = d.filter(col("doc_id") < 400)
+        val v2 = d.filter(col("doc_id") >= 100)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Curation.corpusDiff(v1, v2, "doc_id", "text")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, md5(text) AS fp FROM documents
+             |  WHERE doc_id < 400),
+             |v2 AS (
+             |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+             |    THEN text || ' v2' ELSE text END) AS fp
+             |  FROM documents WHERE doc_id >= 100)
+             |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |  CASE WHEN v1.fp IS NULL THEN 'added'
+             |       WHEN v2.fp IS NULL THEN 'removed'
+             |       WHEN v1.fp = v2.fp THEN 'unchanged'
+             |       ELSE 'changed' END AS status
+             |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin)),
 
     // Token-budget quota fill (p24): "500/300/200 tokens from
     // src0/src1/src2" — md5-ordered per-source prefix sum, keep while
@@ -3880,6 +3910,81 @@ object OpsQueries {
              |      / ((cast(n_tp AS DOUBLE) / n_pred)
              |        + (cast(n_tp AS DOUBLE) / n_truth)) END, 6) AS f1
              |FROM m""".stripMargin)),
+
+    // Passage retrieval with document aggregation (t27): the RAG
+    // pattern for long documents — chunk the corpus (32-token
+    // non-overlapping windows), score CHUNKS with BM25 (corpus
+    // statistics at chunk grain), then max-pool to documents keeping
+    // the best chunk id (the passage to stuff into the prompt). Pure
+    // composition of chunkTokens + bm25 + one aggregate; the oracle
+    // rebuilds chunking, chunk-grain BM25, and the pooling in SQL.
+    // Ranking inside the pool uses 6dp-rounded scores (t25 precedent)
+    // so cross-engine float noise cannot flip the argmax; the reported
+    // score rounds to 4dp.
+    QueryDef("t27_passage_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val qt = bm25QueryTerms.toDF("query_id", "term")
+        val chunks = Curation.chunkTokens(docs(s, dir), "text", "doc_id",
+            chunkTokens = 32, stride = 32)
+          .withColumn("chunk_id",
+            col("doc_id") * 1000 + col("chunk_idx"))
+        val scored = TextOps.bm25(chunks, "chunk_text", "chunk_id", qt)
+        scored
+          .withColumn("doc_id", expr("chunk_id div 1000"))
+          .withColumn("chunk_idx", col("chunk_id") % 1000)
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id", "doc_id")
+              .orderBy(round(col("score"), 6).desc, col("chunk_idx"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("doc_id"),
+            col("chunk_idx").as("best_chunk"),
+            round(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH words AS (
+             |  SELECT doc_id, list_filter(string_split(
+             |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+             |    x -> x <> '') AS ws
+             |  FROM documents),
+             |nch AS (
+             |  SELECT doc_id, ws,
+             |    CASE WHEN len(ws) <= 32 THEN 1
+             |         ELSE ((len(ws) - 32 + 31) // 32) + 1 END AS nc
+             |  FROM words),
+             |chunks AS MATERIALIZED (
+             |  SELECT doc_id, i.i AS chunk_idx,
+             |    doc_id * 1000 + i.i AS chunk_id,
+             |    list_slice(ws, i.i * 32 + 1, i.i * 32 + 32) AS cw
+             |  FROM nch, range(0, nc) i(i)),
+             |tf AS MATERIALIZED (
+             |  SELECT chunk_id, term, count(*) AS tf
+             |  FROM (SELECT chunk_id, unnest(cw) AS term FROM chunks)
+             |  GROUP BY 1, 2),
+             |dl AS (SELECT chunk_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT (SELECT count(*) FROM chunks)::DOUBLE AS n_docs,
+             |  (SELECT sum(tf) FROM tf)::DOUBLE /
+             |    (SELECT count(*) FROM chunks)::DOUBLE AS avgdl),
+             |qt(query_id, term) AS (VALUES $bm25QueryValuesSql),
+             |cs AS (
+             |  SELECT qt.query_id, tf.chunk_id,
+             |    sum($bm25ScoreSql) AS score
+             |  FROM qt JOIN tf USING (term)
+             |  JOIN dl ON tf.chunk_id = dl.chunk_id
+             |  CROSS JOIN st
+             |  JOIN dfq ON tf.term = dfq.term
+             |  GROUP BY 1, 2)
+             |SELECT query_id, chunk_id // 1000 AS doc_id,
+             |  chunk_id % 1000 AS best_chunk,
+             |  round(score, 4) AS score
+             |FROM (
+             |  SELECT query_id, chunk_id, score,
+             |    row_number() OVER (
+             |      PARTITION BY query_id, chunk_id // 1000
+             |      ORDER BY round(score, 6) DESC, chunk_id % 1000) AS rn
+             |  FROM cs)
+             |WHERE rn = 1""".stripMargin)),
 
     // Exact heavy hitters via Misra–Gries sketch + recount (t26): every
     // whitespace bigram with ≥ 30 occurrences, with its EXACT count.
