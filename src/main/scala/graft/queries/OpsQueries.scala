@@ -3952,11 +3952,14 @@ object OpsQueries {
              |    CASE WHEN len(ws) <= 32 THEN 1
              |         ELSE ((len(ws) - 32 + 31) // 32) + 1 END AS nc
              |  FROM words),
+             |chunkidx AS (
+             |  SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_idx
+             |  FROM nch),
              |chunks AS MATERIALIZED (
-             |  SELECT doc_id, i.i AS chunk_idx,
-             |    doc_id * 1000 + i.i AS chunk_id,
-             |    list_slice(ws, i.i * 32 + 1, i.i * 32 + 32) AS cw
-             |  FROM nch, range(0, nc) i(i)),
+             |  SELECT doc_id, chunk_idx,
+             |    doc_id * 1000 + chunk_idx AS chunk_id,
+             |    list_slice(ws, chunk_idx * 32 + 1, chunk_idx * 32 + 32) AS cw
+             |  FROM chunkidx),
              |tf AS MATERIALIZED (
              |  SELECT chunk_id, term, count(*) AS tf
              |  FROM (SELECT chunk_id, unnest(cw) AS term FROM chunks)
