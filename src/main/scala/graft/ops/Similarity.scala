@@ -1079,6 +1079,32 @@ object Similarity {
     index.copy(codes = index.codes.unionByName(add))
   }
 
+  /** Index health report — the numbers that decide when to re-train
+    * (the drift caveat on [[appendToIvfPqIndex]]): how the corpus
+    * spreads over the coarse cells. Hot cells slow every query that
+    * probes them (candidate count is the per-probe cost); empty cells
+    * waste probe budget. One aggregate over the code table (never the
+    * vectors): per-cell counts, then population min/max/avg and the
+    * skew ratio max/avg — at 100 TB this is a seconds-long scan of the
+    * codes, run after every append wave.
+    */
+  def indexStats(index: IvfPqIndex): DataFrame = {
+    val nlist = index.cells.length
+    val perCell = index.codes.groupBy("cell").agg(count(lit(1)).as("n"))
+    perCell.agg(
+        count(lit(1)).as("n_cells_used"),
+        sum(col("n")).as("n_vectors"),
+        min(col("n")).as("min_cell"),
+        max(col("n")).as("max_cell"))
+      .select(col("n_cells_used"),
+        (lit(nlist) - col("n_cells_used")).as("n_cells_empty"),
+        col("n_vectors"), col("min_cell"), col("max_cell"),
+        (col("n_vectors").cast("double") / col("n_cells_used"))
+          .as("avg_cell"),
+        (col("max_cell") / (col("n_vectors").cast("double") / col("n_cells_used")))
+          .as("skew"))
+  }
+
   /** Query a built (or reloaded) index: probe nprobe cells, ADC-rank
     * the stored codes — identical search semantics to
     * [[ivfPqResidualTopK]] (probe-all reproduces the exhaustive

@@ -642,6 +642,49 @@ object OpsQueries {
              |  round(coalesce(p.dcg, 0.0) / i.idcg, 6) AS ndcg
              |FROM ideal i LEFT JOIN perq p USING (q_id)""".stripMargin)),
 
+    // Index health stats (n26): the re-train trigger for the grow-by-
+    // append lifecycle — cell-population min/max/avg and skew over the
+    // code table (one aggregate over codes, vectors never read). The
+    // oracle replays the n11 assignment scheme (first-32 cells,
+    // cosine argmax, 1-based) and the integer statistics; the two
+    // ratio columns are IEEE divisions of identical integers, 6dp.
+    QueryDef("n26_index_stats",
+      (s, dir) => {
+        val idx = Similarity.buildIvfPqIndex(embs(s, dir), nlist = 32,
+          m = 16, ks = 64)
+        Similarity.indexStats(idx)
+          .select(col("n_cells_used"), col("n_cells_empty"),
+            col("n_vectors"), col("min_cell"), col("max_cell"),
+            round(col("avg_cell"), 6).as("avg_cell"),
+            round(col("skew"), 6).as("skew"))
+      },
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding AS cemb
+             |  FROM embeddings WHERE vec_id < 32),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_cosine_similarity(e.embedding, c.cemb) AS s
+             |  FROM embeddings e, cent c),
+             |cell AS (
+             |  SELECT vec_id, cid + 1 AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY s DESC, cid) AS rn
+             |    FROM sims) WHERE rn = 1),
+             |pc AS (SELECT cell, count(*) AS n FROM cell GROUP BY 1),
+             |agg AS (
+             |  SELECT cast(count(*) AS BIGINT) AS n_cells_used,
+             |    cast(sum(n) AS BIGINT) AS n_vectors,
+             |    cast(min(n) AS BIGINT) AS min_cell,
+             |    cast(max(n) AS BIGINT) AS max_cell
+             |  FROM pc)
+             |SELECT n_cells_used, 32 - n_cells_used AS n_cells_empty,
+             |  n_vectors, min_cell, max_cell,
+             |  round(cast(n_vectors AS DOUBLE) / n_cells_used, 6) AS avg_cell,
+             |  round(max_cell / (cast(n_vectors AS DOUBLE) / n_cells_used), 6)
+             |    AS skew
+             |FROM agg""".stripMargin)),
+
     // Cluster purity over the deterministic first-16 centroid scheme
     // (the same assignment the n03 oracle replays): per-cell majority
     // label fraction from exact integer counts. The embedding-quality

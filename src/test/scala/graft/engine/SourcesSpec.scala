@@ -45,6 +45,20 @@ class SourcesSpec extends SparkSpec {
     spark.read.text(dir.toString + "/FINWIRE??????").count() shouldBe 3L
   }
 
+  test("ORC round-trips with predicate pushdown reaching the scan") {
+    val dir = Files.createTempDirectory("orc").toString + "/t"
+    import spark.implicits._
+    (1 to 500).map(i => (i.toLong, s"name$i", i * 1.5))
+      .toDF("id", "name", "amt")
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("id") > 490)
+    back.count() shouldBe 10L
+    // ORC scans support filter pushdown — the plan must carry it
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,490)]"),
+      plan.take(600))
+  }
+
   test("jsonl reads clean lines, quarantines corrupt ones with the raw text") {
     val dir = Files.createTempDirectory("jsonl")
     Files.writeString(dir.resolve("docs.jsonl"),
