@@ -447,6 +447,67 @@ object KMeans {
     fitSphericalDistributed(vecs, idCol, embCol, nlist, sampleCap, iters,
       seed, initMode = "parallel")
 
+  /** One distributed mini-batch update of a running-mean k-means state
+    * — the STREAMING/GROWING-corpus trainer the batch tiers
+    * ([[trainCentroidsDistributed]], k-means‖) deliberately lack: when
+    * vectors arrive in waves, refitting from scratch re-scans the whole
+    * history; this folds each new batch into (centroids, per-cell
+    * counts) with one assignment projection + one (cell, dim) sum
+    * aggregate over the BATCH only. The update is the exact running
+    * mean — new_c = (old_c·n_old + Σ_batch) / (n_old + n_batch) — i.e.
+    * Spark MLlib's StreamingKMeans with decay 1 (no forgetting), the
+    * well-posed distributed form of Sculley's per-point mini-batch
+    * SGD (whose result depends on intra-batch order; the running mean
+    * does not). Cells with no batch members keep their centroid and
+    * count.
+    *
+    * Every updated coordinate rounds to the 1e-9 lattice (HALF_UP —
+    * the t23/t25 trained-model discipline): the division's last bits
+    * depend on summation order, the lattice crushes them, so the state
+    * replays bit-identically engine-for-engine (gate n27) and
+    * run-for-run. Assignment is the same cosine argmax every retrieval
+    * tier uses (1-based [[graft.functions.Centroids]] ids).
+    *
+    * Driver cost per batch: the k×dim state update — same bounded
+    * shape as the batch trainers; the corpus never accumulates on the
+    * driver.
+    */
+  def miniBatchStep(centroids: Array[Array[Double]], counts: Array[Long],
+                    batch: DataFrame, idCol: String, embCol: String)
+      : (Array[Array[Double]], Array[Long]) = {
+    require(centroids.nonEmpty && centroids.length == counts.length,
+      s"state mismatch: ${centroids.length} centroids, ${counts.length} counts")
+    import graft.functions.Centroids
+    def rnd9(v: Double): Double =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k = centroids.length
+    val dim = centroids(0).length
+    val dbl = transform(col(embCol), x => x.cast("double"))
+    val sums = batch
+      .select(dbl.as("__v"),
+        Centroids.centroidAssign(col(embCol), centroids).as("__cell"))
+      .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy("__cell", "__pos")
+      .agg(sum("__x").as("__s"), count(lit(1)).as("__n"))
+      .collect()
+    val sumArr = Array.fill(k)(new Array[Double](dim))
+    val nArr = new Array[Long](k)
+    sums.foreach { r =>
+      val c = r.getInt(0) - 1
+      val p = r.getInt(1)
+      sumArr(c)(p) = r.getDouble(2)
+      if (p == 0) nArr(c) = r.getLong(3)
+    }
+    val newCents = Array.tabulate(k) { j =>
+      if (nArr(j) == 0L) centroids(j)
+      else Array.tabulate(dim) { p =>
+        rnd9((centroids(j)(p) * counts(j) + sumArr(j)(p)) /
+          (counts(j) + nArr(j)))
+      }
+    }
+    (newCents, Array.tabulate(k)(j => counts(j) + nArr(j)))
+  }
+
   /** Train a two-level (coarse/fine) spherical codebook for
     * hierarchical IVF ([[Similarity.ivfTopKHier]]): `nCoarse` coarse
     * cells over the sample, then an independent `nFine`-cell spherical

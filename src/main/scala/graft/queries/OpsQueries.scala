@@ -685,6 +685,88 @@ object OpsQueries {
              |    AS skew
              |FROM agg""".stripMargin)),
 
+    // Streaming (mini-batch) k-means (n27): two sequential running-
+    // mean updates from the first-32 seeds, batches = vec_id parity
+    // halves in arrival order. The oracle RETRAINS both steps in SQL —
+    // assignment (cosine argmax, 1-based, cid tie-break), per-(cell,
+    // dim) batch sums, the running-mean division on the 1e-9 HALF_UP
+    // lattice (t23/t25 trained-model discipline), cells without batch
+    // members carrying state forward — and the final k×dim state plus
+    // per-cell counts must match bit-for-bit.
+    QueryDef("n27_kmeans_minibatch",
+      (s, dir) => {
+        import s.implicits._
+        val e = embs(s, dir)
+        val seeds = Similarity.firstVectors(e, 32)
+        val (c1, n1) = KMeans.miniBatchStep(seeds, new Array[Long](32),
+          e.filter(col("vec_id") < 250), "vec_id", "embedding")
+        val (c2, n2) = KMeans.miniBatchStep(c1, n1,
+          e.filter(col("vec_id") >= 250), "vec_id", "embedding")
+        c2.zipWithIndex.flatMap { case (cent, j) =>
+          cent.zipWithIndex.map { case (v, p) =>
+            (j + 1, p, v, n2(j))
+          }
+        }.toSeq.toDF("cell", "pos", "coord", "n_members")
+      },
+      Some("""WITH cent0 AS MATERIALIZED (
+             |  SELECT vec_id + 1 AS cell, embedding AS c
+             |  FROM embeddings WHERE vec_id < 32),
+             |seed AS MATERIALIZED (
+             |  SELECT vec_id + 1 AS cell,
+             |    unnest(embedding)::DOUBLE AS coord,
+             |    unnest(range(0, len(embedding))) AS pos
+             |  FROM embeddings WHERE vec_id < 32),
+             |a1 AS MATERIALIZED (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.embedding, c.c) DESC,
+             |                 c.cell) AS rn
+             |    FROM embeddings e, cent0 c WHERE e.vec_id < 250)
+             |  WHERE rn = 1),
+             |s1 AS MATERIALIZED (
+             |  SELECT a1.cell, t.pos, sum(t.v) AS sv, count(*) AS n
+             |  FROM a1 JOIN (
+             |    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             |      unnest(range(0, len(embedding))) AS pos
+             |    FROM embeddings WHERE vec_id < 250) t USING (vec_id)
+             |  GROUP BY 1, 2),
+             |st1 AS MATERIALIZED (
+             |  SELECT seed.cell, seed.pos,
+             |    CASE WHEN s1.n IS NULL THEN seed.coord
+             |         ELSE round(s1.sv / s1.n, 9) END AS coord,
+             |    coalesce(s1.n, 0) AS cnt
+             |  FROM seed LEFT JOIN s1
+             |    ON seed.cell = s1.cell AND seed.pos = s1.pos),
+             |cent1 AS MATERIALIZED (
+             |  SELECT cell, list(coord ORDER BY pos) AS c,
+             |    max(cnt) AS cnt
+             |  FROM st1 GROUP BY 1),
+             |a2 AS MATERIALIZED (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(
+             |          list_transform(e.embedding, x -> x::DOUBLE), c.c) DESC,
+             |                 c.cell) AS rn
+             |    FROM embeddings e, cent1 c WHERE e.vec_id >= 250)
+             |  WHERE rn = 1),
+             |s2 AS MATERIALIZED (
+             |  SELECT a2.cell, t.pos, sum(t.v) AS sv, count(*) AS n
+             |  FROM a2 JOIN (
+             |    SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+             |      unnest(range(0, len(embedding))) AS pos
+             |    FROM embeddings WHERE vec_id >= 250) t USING (vec_id)
+             |  GROUP BY 1, 2)
+             |SELECT cast(st1.cell AS INT) AS cell, cast(st1.pos AS INT) AS pos,
+             |  CASE WHEN s2.n IS NULL THEN st1.coord
+             |       ELSE round((st1.coord * c1.cnt + s2.sv) /
+             |                  (c1.cnt + s2.n), 9) END AS coord,
+             |  cast(c1.cnt + coalesce(s2.n, 0) AS BIGINT) AS n_members
+             |FROM st1
+             |JOIN cent1 c1 ON st1.cell = c1.cell
+             |LEFT JOIN s2 ON st1.cell = s2.cell AND st1.pos = s2.pos""".stripMargin)),
+
     // Cluster purity over the deterministic first-16 centroid scheme
     // (the same assignment the n03 oracle replays): per-cell majority
     // label fraction from exact integer counts. The embedding-quality
