@@ -12,6 +12,16 @@ import graft.engine.Tables
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the two benign environment notices (no native-hadoop lib in this
+    // container; plan-string truncation in debug output) are the only
+    // WARNs left in a clean run — drop them so any WARN in the log is a
+    // real signal
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.util.NativeCodeLoader",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils",
+      org.apache.logging.log4j.Level.ERROR)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

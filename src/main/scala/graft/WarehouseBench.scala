@@ -126,6 +126,16 @@ object WarehouseBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the two benign environment notices (no native-hadoop lib in this
+    // container; plan-string truncation in debug output) are the only
+    // WARNs left in a clean run — drop them so any WARN in the log is a
+    // real signal
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.util.NativeCodeLoader",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils",
+      org.apache.logging.log4j.Level.ERROR)
     val nCust = args.headOption.map(_.toInt).getOrElse(20000)
     val nTrades = args.lift(1).map(_.toInt).getOrElse(100000)
     val work = args.lift(2).getOrElse("/tmp/graft-whbench")
