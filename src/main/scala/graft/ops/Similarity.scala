@@ -1105,6 +1105,38 @@ object Similarity {
           .as("skew"))
   }
 
+  /** Reconstruction-distortion report — the m/ks sizing tool: how much
+    * squared error the PQ codes carry, per cell and overall. Uses the
+    * self-ADC identity (no decode path needed): for a vector's OWN
+    * code, `pqAdc(residual(x), codes(x))` IS ‖r − decode(codes)‖² —
+    * the quantization error of that row. One projection over the
+    * corpus (assign → residual → encode → self-ADC, all existing
+    * codegen nodes) + one aggregate; compare reports across m/ks or
+    * between a plain and an OPQ-rotated build (OpqSpec's error cut,
+    * now measurable on a live index) to pick the operating point.
+    */
+  def indexDistortion(corpus: DataFrame, nlist: Int = 16,
+                      m: Int = 8, ks: Int = 16, dim: Int = 64,
+                      centroids: Option[Array[Array[Double]]] = None,
+                      codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cellCb = centroids.getOrElse(firstVectors(corpus, nlist))
+    val cb = codebook.getOrElse(
+      defaultResidualPqCodebook(corpus, m, ks, sub, cellCb))
+    import graft.functions.{Centroids => C, PqColumns => P}
+    corpus.select(col("vec_id"),
+        C.centroidAssign(col("embedding"), cellCb).as("cell"),
+        C.centroidResidual(col("embedding"),
+          C.centroidAssign(col("embedding"), cellCb), cellCb).as("__r"))
+      .withColumn("__err", P.pqAdc(col("__r"),
+        P.pqEncode(col("__r"), cb, sub), cb, sub))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        avg(col("__err")).as("mse"),
+        max(col("__err")).as("max_err"))
+  }
+
   /** Query a built (or reloaded) index: probe nprobe cells, ADC-rank
     * the stored codes — identical search semantics to
     * [[ivfPqResidualTopK]] (probe-all reproduces the exhaustive
