@@ -276,6 +276,173 @@ object Embeddings {
     balanceBlocks(pcaFit(vecs, idCol, embCol, k, sampleCap), m)
   }
 
+  /** FULL parametric OPQ (Ge et al. 2013 §4.2): alternate codebook
+    * training and the orthogonal-Procrustes rotation update until the
+    * rotation is jointly optimized WITH the quantizer —
+    * [[pcaFitBalanced]] is this loop's standard initialization (§4.1),
+    * and FAISS's `OPQ{m}` runs exactly this refinement on top of it.
+    *
+    * Per iteration, on the md5-ranked driver sample (the pcaFit /
+    * codebook-fit precedent — every trainer here finishes on a bounded
+    * sample while ENCODING and RETRIEVAL stay distributed):
+    *  1. rotate the centered sample by R, fit ks Euclidean centroids
+    *     per subspace block (the PQ codebook for this R);
+    *  2. reconstruct each rotated point from its nearest per-block
+    *     codewords;
+    *  3. update R = U Vᵀ from the SVD of M = Σ y·xᵀ (reconstruction ⊗
+    *     centered input) — the orthogonal matrix minimizing
+    *     ‖R·X − Y‖_F (orthogonal Procrustes), computed from
+    *     [[jacobiEigen]] of MᵀM (V, σ²) with U = M·v/σ.
+    * Both sub-steps are exact or monotone-approximate minimizers, so
+    * the quantization objective is non-increasing across iterations
+    * (spec-pinned: the iterated rotation cuts live-index distortion
+    * below the balanced init on anisotropic data).
+    *
+    * Returns the rotation as a [[PcaModel]] (mean = sample mean from
+    * the init fit; eigenvalues carried from the init — after iteration
+    * the rows are no longer eigenvectors, the field documents the init
+    * spectrum) plus the final flattened per-subspace codebook in
+    * [[graft.functions.Pq]] layout, ready for
+    * [[Similarity.rotateToBasis]] + rotated PQ / IVF+PQ retrieval.
+    */
+  def opqTrain(vecs: DataFrame, idCol: String, embCol: String,
+               m: Int, ks: Int, iters: Int = 8, kmeansIters: Int = 8,
+               sampleCap: Int = 65536, seed: Long = 42L)
+      : (PcaModel, Array[Array[Double]]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val init = pcaFitBalanced(vecs, idCol, embCol,
+      k = firstDim(vecs, embCol), m = m, sampleCap = sampleCap)
+    val dim = init.mean.length
+    val sub = dim / m
+    val sample = KMeans.sampleVectors(vecs, idCol, embCol, sampleCap)
+    val centered = sample.map { v =>
+      Array.tabulate(dim)(i => v(i) - init.mean(i))
+    }
+    var r = init.basis
+    var cb: Array[Array[Double]] = null
+    var it = 0
+    while (it < iters) {
+      val rotated = centered.map(matVec(r, _))
+      cb = Array.tabulate(m) { j =>
+        KMeans.fitEuclidean(
+          rotated.map(_.slice(j * sub, (j + 1) * sub)),
+          ks, kmeansIters, seed + j).flatten
+      }
+      val recon = rotated.map { y =>
+        val out = new Array[Double](dim)
+        var j = 0
+        while (j < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var cIdx = 0
+          while (cIdx * sub < cb(j).length) {
+            var d = 0.0; var t = 0
+            while (t < sub) {
+              val diff = y(j * sub + t) - cb(j)(cIdx * sub + t)
+              d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = cIdx }
+            cIdx += 1
+          }
+          var t = 0
+          while (t < sub) {
+            out(j * sub + t) = cb(j)(best * sub + t); t += 1
+          }
+          j += 1
+        }
+        out
+      }
+      // M = Σ y xᵀ; R = U Vᵀ from its SVD (orthogonal Procrustes)
+      val mm = Array.ofDim[Double](dim, dim)
+      var i = 0
+      while (i < centered.length) {
+        val x = centered(i); val y = recon(i)
+        var a = 0
+        while (a < dim) {
+          val ya = y(a)
+          if (ya != 0.0) {
+            var b = 0
+            while (b < dim) { mm(a)(b) += ya * x(b); b += 1 }
+          }
+          a += 1
+        }
+        i += 1
+      }
+      r = procrustesRotation(mm)
+      it += 1
+    }
+    (PcaModel(init.mean, init.eigenvalues, r), cb)
+  }
+
+  private def firstDim(vecs: DataFrame, embCol: String): Int =
+    vecs.select(size(col(embCol))).head.getInt(0)
+
+  private def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+    Array.tabulate(m.length) { a =>
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += m(a)(i) * x(i); i += 1 }
+      s
+    }
+
+  /** The orthogonal matrix U·Vᵀ nearest to having M = U·Σ·Vᵀ — SVD via
+    * [[jacobiEigen]] of MᵀM (eigencols = V, σ = √λ), U columns from
+    * M·v/σ; near-null singular directions (σ ≤ 1e-12·σmax) complete by
+    * Gram-Schmidt against the accepted columns so U stays orthonormal
+    * even on degenerate M.
+    */
+  private[ops] def procrustesRotation(mm: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = mm.length
+    val ata = Array.ofDim[Double](dim, dim)
+    for (a <- 0 until dim; b <- a until dim) {
+      var s = 0.0; var t = 0
+      while (t < dim) { s += mm(t)(a) * mm(t)(b); t += 1 }
+      ata(a)(b) = s; ata(b)(a) = s
+    }
+    val (evals, v) = jacobiEigen(ata)
+    val order = evals.indices.sortBy(j => (-evals(j), j)).toArray
+    val sigMax = math.sqrt(math.max(evals(order(0)), 0.0))
+    val u = Array.ofDim[Double](dim, dim) // columns
+    val vCols = Array.ofDim[Double](dim, dim)
+    var filled = 0
+    order.foreach { j =>
+      val sig = math.sqrt(math.max(evals(j), 0.0))
+      val vj = Array.tabulate(dim)(t => v(t)(j))
+      vCols.indices.foreach(t => vCols(t)(filled) = vj(t))
+      if (sig > 1e-12 * math.max(sigMax, 1e-300)) {
+        val uj = matVec(mm, vj).map(_ / sig)
+        u.indices.foreach(t => u(t)(filled) = uj(t))
+      } else {
+        // complete with a unit vector orthogonal to accepted columns
+        var e = 0
+        var done = false
+        while (e < dim && !done) {
+          val cand = Array.tabulate(dim)(t => if (t == e) 1.0 else 0.0)
+          var c = 0
+          while (c < filled) {
+            var d = 0.0; var t = 0
+            while (t < dim) { d += cand(t) * u(t)(c); t += 1 }
+            t = 0
+            while (t < dim) { cand(t) -= d * u(t)(c); t += 1 }
+            c += 1
+          }
+          val nrm = math.sqrt(cand.map(x => x * x).sum)
+          if (nrm > 1e-6) {
+            u.indices.foreach(t => u(t)(filled) = cand(t) / nrm)
+            done = true
+          }
+          e += 1
+        }
+        require(done, "could not complete an orthonormal basis for U")
+      }
+      filled += 1
+    }
+    // R = U Vᵀ, as basis ROWS (y = R x convention)
+    Array.tabulate(dim, dim) { (a, b) =>
+      var s = 0.0; var j = 0
+      while (j < dim) { s += u(a)(j) * vCols(b)(j); j += 1 }
+      s
+    }
+  }
+
   /** The OPQ eigenvalue-allocation greedy, shared by the exact and
     * truncated balanced fits: permute an eigenvalue-descending model's
     * components so the spectrum spreads across the m PQ blocks.

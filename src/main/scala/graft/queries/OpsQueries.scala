@@ -685,6 +685,43 @@ object OpsQueries {
              |    AS skew
              |FROM agg""".stripMargin)),
 
+    // Parametric OPQ composition (n28): the FULL Ge et al. §4.2 loop —
+    // Procrustes-iterated rotation (4 alternations on the md5 sample)
+    // — slots into the production residual IVF+PQ path exactly as the
+    // n14 init-only rotation does: probing EVERY cell over the
+    // OPQ-rotated corpus must reproduce the exhaustive residual scan
+    // in that space row-for-row. The error-cut property of the
+    // iterations themselves is spec-pinned (IndexDistortionSpec);
+    // this gate pins that the trained rotation applies identically on
+    // corpus and query paths through the whole retrieval stack.
+    QueryDef("n28_ann_opq_parametric",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val (model, _) = Embeddings.opqTrain(e, "vec_id", "embedding",
+          m = 16, ks = 64, iters = 4)
+        val rot = Similarity.rotateToBasis(e, model)
+        val q = rot.filter(col("vec_id") < 20)
+        val cells = KMeans.trainCentroidsDistributed(rot, "vec_id",
+          "embedding", nlist = 32, iters = 5)
+        val cb = KMeans.trainResidualPqCodebook(rot, "vec_id", "embedding",
+          cells, m = 16, ks = 64, dim = 64)
+        val base = Similarity.pqResidualTopK(q, rot, 5, nlist = 32,
+            m = 16, ks = 64, centroids = Some(cells), codebook = Some(cb))
+          .select("q_id", "n_id", "rank")
+        val ivfpq = Similarity.ivfPqResidualTopK(q, rot, 5, nlist = 32,
+            nprobe = 32, m = 16, ks = 64,
+            centroids = Some(cells), codebook = Some(cb))
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(ivfpq.withColumnRenamed("rank", "rank_ivfpq"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_base") === col("rank_ivfpq"), 1)
+            .otherwise(0))).as("probe_all_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS probe_all_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Streaming (mini-batch) k-means (n27): two sequential running-
     // mean updates from the first-32 seeds, batches = vec_id parity
     // halves in arrival order. The oracle RETRAINS both steps in SQL —

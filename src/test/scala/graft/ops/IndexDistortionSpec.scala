@@ -46,6 +46,32 @@ class IndexDistortionSpec extends SparkSpec {
       s"ks=64 mse $fine not below ks=8 mse $coarse")
   }
 
+  test("parametric OPQ iterations stay orthonormal and cut error below the init") {
+    val corpus = aniso(1000)
+    val (model, cb) = Embeddings.opqTrain(corpus, "vec_id", "embedding",
+      m = m, ks = 16, iters = 6)
+    // R orthonormal: R·Rᵀ = I
+    val r = model.basis
+    for (a <- r.indices; b <- r.indices) {
+      val d = r(a).zip(r(b)).map { case (x, y) => x * y }.sum
+      d shouldBe (if (a == b) 1.0 else 0.0) +- 1e-8
+    }
+    // the iterated (rotation, codebook) pair must beat codebooks trained
+    // on the init rotation alone — the parametric refinement's whole point
+    val initModel = Embeddings.pcaFitBalanced(corpus, "vec_id", "embedding",
+      k = dim, m = m)
+    val initRot = Similarity.rotateToBasis(corpus, initModel)
+    val initCb = KMeans.trainPqCodebook(initRot, "vec_id", "embedding",
+      m = m, ks = 16, dim = dim, iters = 5)
+    val initMse = totalMse(Similarity.indexDistortion(initRot, nlist = 1,
+      m = m, ks = 16, dim = dim, codebook = Some(initCb)))
+    val opqRot = Similarity.rotateToBasis(corpus, model)
+    val opqMse = totalMse(Similarity.indexDistortion(opqRot, nlist = 1,
+      m = m, ks = 16, dim = dim, codebook = Some(cb)))
+    assert(opqMse < initMse,
+      s"OPQ iterations did not improve: $opqMse vs init $initMse")
+  }
+
   test("OPQ rotation cuts the live-index distortion on anisotropic data") {
     val corpus = aniso(1000)
     val plainCb = KMeans.trainPqCodebook(corpus, "vec_id", "embedding",
