@@ -87,7 +87,8 @@ object Bench {
     // so a second iteration doubles wall for no extra signal.
     val singleIter = warmFirst ++
       Set("e04_pca_randomized_truncated", "t23_hashed_classifier",
-        "t24_bm25_incremental", "t25_hashed_softmax_langid")
+        "t24_bm25_incremental", "t25_hashed_softmax_langid",
+        "n28_ann_opq_parametric")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {
