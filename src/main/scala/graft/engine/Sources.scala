@@ -69,11 +69,18 @@ object Sources {
   }
 
   /** Split a [[jsonl]] read into (clean rows, quarantine rows). The
-    * quarantine keeps the raw offending line for repair/audit. One scan
-    * serves both sides (cache if both are consumed).
+    * quarantine keeps the raw offending line for repair/audit.
+    *
+    * The cache is REQUIRED, not an optimization: on an uncached raw
+    * JSON scan Spark refuses a query whose referenced columns are only
+    * the internal corrupt-record column (AnalysisException), so the
+    * quarantine side is unreadable without materializing first. One
+    * cached scan then serves both sides.
     */
-  def jsonlSplit(df: DataFrame): (DataFrame, DataFrame) = (
-    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
-    df.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw_line")))
+  def jsonlSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
 
@@ -103,11 +104,16 @@ case class MisraGriesAggregate(itemExpr: Expression, capacity: Int,
     })
   }
 
+  // Keys are length-prefixed raw UTF-8 (not writeUTF, whose modified-UTF-8
+  // form is capped at 65535 bytes — corpus lines and long n-grams exceed it).
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -115,7 +121,11 @@ case class MisraGriesAggregate(itemExpr: Expression, capacity: Int,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, StandardCharsets.UTF_8), in.readLong())
+    }
     buf
   }
 

@@ -313,6 +313,8 @@ object Embeddings {
     val init = pcaFitBalanced(vecs, idCol, embCol,
       k = firstDim(vecs, embCol), m = m, sampleCap = sampleCap)
     val dim = init.mean.length
+    require(dim % m == 0,
+      s"embedding dim ($dim) must be divisible by m ($m) subspaces")
     val sub = dim / m
     val sample = KMeans.sampleVectors(vecs, idCol, embCol, sampleCap)
     val centered = sample.map { v =>

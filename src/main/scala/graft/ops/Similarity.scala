@@ -853,8 +853,11 @@ object Similarity {
         .select(col("q_id"), col("n_id"),
           cosine(col("n_emb"), col("__s_emb")).as("__s"))
         .groupBy("q_id", "n_id").agg(max(col("__s")).as("maxsim"))
+      // checkpoint per round: selected feeds three ops next round, so an
+      // unchecked plan would triple each iteration (~3^k analysis blow-up)
       selected = selected.unionByName(argmaxBy(rem.join(maxsim, Seq("q_id", "n_id")),
         lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"), j))
+        .localCheckpoint()
       j += 1
     }
     selected.select("q_id", "n_id", "pick_rank")
@@ -1027,8 +1030,8 @@ object Similarity {
   def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
-    Seq((index.m, index.ks, index.dim, index.cells.length))
-      .toDF("m", "ks", "dim", "nlist")
+    Seq((1, index.m, index.ks, index.dim, index.cells.length))
+      .toDF("format_version", "m", "ks", "dim", "nlist")
       .write.mode("overwrite").parquet(s"$dir/meta")
     index.cells.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell_id", "centroid")
@@ -1046,6 +1049,13 @@ object Similarity {
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): IvfPqIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
+    // by-name access, never ordinal: a reordered/extended meta schema must
+    // not silently swap m/ks/dim into a plausible-but-wrong index
+    val version =
+      if (meta.schema.fieldNames.contains("format_version"))
+        meta.getAs[Int]("format_version")
+      else 0 // pre-versioned round-8 layout: same named fields, no tag
+    require(version <= 1, s"unsupported IVF-PQ index format_version $version")
     val cells = spark.read.parquet(s"$dir/cells")
       .orderBy("cell_id").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -1053,7 +1063,7 @@ object Similarity {
       .orderBy("sub_id").collect()
       .map(_.getSeq[Double](1).toArray)
     IvfPqIndex(cells, cb, spark.read.parquet(s"$dir/codes"),
-      meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
   }
 
   /** Append a new vector batch to a built index WITHOUT retraining:

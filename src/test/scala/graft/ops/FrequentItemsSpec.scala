@@ -38,6 +38,20 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
+  test("sketch survives shuffle serialization of keys past the 64 KiB writeUTF limit") {
+    // minified-JS / base64-blob shape: single items whose UTF-8 form
+    // exceeds 65535 bytes (writeUTF's hard cap). repartition forces the
+    // partial buffers through serialize/deserialize.
+    val big = "x" * 70000
+    val other = "y" * 70001
+    val df = (Seq.fill(5)(big) ++ Seq.fill(3)(other)).toDF("item")
+      .repartition(7)
+    val got = df.agg(mgSketch(col("item"), 8).as("s"))
+      .selectExpr("explode(s) as e").select("e.item", "e.count")
+      .as[(String, Long)].collect().toMap
+    got shouldBe Map(big -> 5L, other -> 3L)
+  }
+
   test("heavyHitters is exact with capacity far below the distinct count") {
     val df = zipf
     val exact = df.groupBy("item").count().filter(col("count") >= 50)
