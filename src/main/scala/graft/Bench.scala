@@ -9,6 +9,16 @@ import graft.engine.Tables
   * cost to a different query). A warmup pass — scan every table + one
   * small shuffle — absorbs first-query JIT, parquet footer reads, and
   * codegen compilation so per-query numbers are comparable.
+  *
+  * Alongside wall, every query records executor CPU seconds (sum of
+  * per-task `executorCpuTime` via a SparkListener, bus-drained between
+  * samples so attribution is exact). Wall on a shared host is hostage
+  * to co-tenant contention — the round-8 driver artifact reported 2-3×
+  * the wall of a same-code quiet-host run — but CPU consumed by the
+  * tasks barely moves under contention, so the `queries_cpu` column is
+  * the number to compare across environments. Driver-side compute
+  * (bounded trainer loops, codebook updates) is outside task CPU by
+  * design; for those gates CPU reads low and wall remains the signal.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +41,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+        }
+      })
+    def cpuSnapshot(): Long = {
+      org.apache.spark.graftbridge.CoreBridge
+        .drainListenerBus(spark.sparkContext)
+      cpuNanos.get()
+    }
 
     // warmup: touch every table and exercise shuffle + window codegen
     Tables.all.foreach { t =>
@@ -98,26 +123,34 @@ object Bench {
       }
       val nIters = if (singleIter(name)) 1 else iters
       val times = (1 to nIters).map { _ =>
+        val c0 = cpuSnapshot()
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
         } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, (cpuSnapshot() - c0) / 1e9)
       }
-      (name, times.min, times.sum / times.length)
+      // CPU is reported from the min-WALL sample: the pair comes from the
+      // same run, so cpu/wall per query stays a meaningful parallelism
+      // ratio (min-of-each would mix runs).
+      val best = times.minBy(_._1)
+      (name, best._1, times.map(_._1).sum / times.length, best._2)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // in comma-decimal locales would emit "361,530" — invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonMap(f: ((String, Double, Double)) => Double): String =
+    def jsonMap(f: ((String, Double, Double, Double)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + fmt(f(r))).mkString("{", ",", "}")
     val qs = jsonMap(_._2)
     val qsMean = jsonMap(_._3)
+    val qsCpu = jsonMap(_._4)
     val total = results.map(_._2).sum
+    val totalCpu = results.map(_._4).sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"queries_mean":$qsMean,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"iters":$iters,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"sf":"$sfDir"}"""
     // Full per-query results: one stdout line (for complete logs) plus a
     // file, because the driver's artifact keeps only the LAST ~2000
     // chars of sbt output. With 120+ queries the full JSON line is
@@ -136,7 +169,7 @@ object Bench {
     val budget = 1500
     val byCost = results.sortBy(-_._2)
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"BENCH_full.json","queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"BENCH_full.json","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = header.length + 2 // closing }}
     for (r <- byCost) {
