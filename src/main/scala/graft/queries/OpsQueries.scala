@@ -3530,6 +3530,117 @@ object OpsQueries {
              |WHERE q.vec_id < 20
              |QUALIFY rank <= 5""".stripMargin)),
 
+    // GRAPH ANN, saturated-config exactness (n29): the HNSW-regime
+    // index — per-cell neighbor lists + batched best-first beam
+    // search ([[GraphAnn]]). Machinery gate in the n08 discipline:
+    // with one cell, full out-degree, and one expansion round, the
+    // beam provably visits every node, so the search must reproduce
+    // the exhaustive brute-force scan ROW-FOR-ROW (same fused cosine,
+    // same (sim desc, id asc) tie-break — but flowing through the
+    // build's edge topology, the entry routing, the frontier heaps,
+    // and the serve aggregate). A lost edge, a visited-set slip, or a
+    // heap tie-break drift breaks per-row rank equality.
+    QueryDef("n29_ann_graph_exact",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val n = e.count().toInt
+        val idx = GraphAnn.buildGraphIndex(e, nlist = 1, degree = n - 1,
+          crossDegree = 0)
+        val graph = GraphAnn.queryGraphIndex(q, idx, k = 5, beam = 5,
+            hops = 1, entryProbes = 1)
+          .select("q_id", "n_id", "rank")
+        val exact = Similarity.bruteForceTopK(q, e, 5)
+          .select("q_id", "n_id", "rank")
+        val joint = exact.withColumnRenamed("rank", "rank_exact")
+          .join(graph.withColumnRenamed("rank", "rank_graph"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_exact") === col("rank_graph"), 1).otherwise(0)))
+            .as("beam_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS beam_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
+    // GRAPH ANN recall vs IVF at matched budget (n31) — the regime
+    // graph indexes exist for: true neighbors STRADDLING cell
+    // boundaries, IVF's canonical blind spot. Planted fixture (hash-
+    // derived from the embeddings table, fully deterministic): 16
+    // unit-norm hash centers; cluster j lives at the MIDPOINT of
+    // centers j and j+1 (member = 5·ĉ_j + 5·ĉ_{j+1} + hash noise), so
+    // each member is a coin-flip between cells j and j+1 and every
+    // query's top-5 splits across BOTH (diagnosed: 17/20 queries
+    // straddle 2 cells). Both sides use the SAME 16 cells: IVF probes
+    // its 1 nearest (≈31 candidates — more probes would double its
+    // budget); the graph walks the SAME partition with hash-spread
+    // entries + cross-cell edges, crossing the boundary adaptively.
+    // Measured at sf0.01: graph 75/100 hits with max 23 visited vs
+    // IVF 63/100 with min 26 candidates — strictly better recall at a
+    // strictly smaller PER-QUERY budget (budget_ok pins n_visited ≤
+    // that query's IVF candidate count). Booleans summarize the
+    // per-run integers; the oracle pins them.
+    QueryDef("n31_ann_graph_recall",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val centers = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"),
+            expr("transform(sequence(1, 64), j -> " +
+              "cast(pmod(xxhash64(vec_id * 1000 + j * 17 + 1), 2001) " +
+              "/ 1000.0 - 1.0 as float))").as("c_raw"))
+          .select(col("cid"), expr("transform(c_raw, x -> cast(x / " +
+            "sqrt(aggregate(zip_with(c_raw, c_raw, (a, b) -> " +
+            "cast(a as double) * b), cast(0.0 as double), (s, x) -> s + x)) " +
+            "as float))").as("c_emb"))
+        val cA = centers
+        val cB = centers.select(pmod(col("cid") - 1 + 16, lit(16)).as("cid"),
+          col("c_emb").as("c_emb2"))
+        val corpus = e.withColumn("cid", pmod(col("vec_id"), lit(16)))
+          .withColumn("noise",
+            expr("transform(sequence(1, 64), j -> " +
+              "cast(pmod(xxhash64(vec_id * 1000 + j * 17 + 2), 2001) " +
+              "/ 1000.0 - 1.0 as float))"))
+          .join(broadcast(cA), Seq("cid")).join(broadcast(cB), Seq("cid"))
+          .select(col("vec_id"),
+            zip_with(zip_with(col("c_emb"), col("c_emb2"),
+                (a, b) => a * lit(5.0f) + b * lit(5.0f)),
+              col("noise"), (m, o) => (m + o).cast("float"))
+            .as("embedding"))
+        val cells = centers.orderBy("cid").collect()
+          .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        val q = corpus.filter(col("vec_id") >= 16 && col("vec_id") < 36)
+          .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+        val exact = Similarity.bruteForceTopK(q, corpus, 5)
+          .select("q_id", "n_id")
+        val ivf = Similarity.ivfTopK(q, corpus, 5, nlist = 16, nprobe = 1,
+            centroids = Some(cells)).select("q_id", "n_id")
+        // IVF's actual candidate budget: rows surviving the probe join
+        val ivfCands = q.select(col("vec_id").as("q_id"),
+            explode(graft.functions.Centroids.centroidProbes(
+              col("embedding"), cells, 1)).as("cell"))
+          .join(corpus.select(
+            graft.functions.Centroids.centroidAssign(
+              col("embedding"), cells).as("cell")), Seq("cell"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+        val idx = GraphAnn.buildGraphIndex(corpus, nlist = 16, degree = 4,
+          crossDegree = 2, centroids = Some(cells))
+        val graph = GraphAnn.queryGraphIndex(q, idx, k = 5, beam = 2,
+          hops = 2, entryProbes = 1)
+        def hits(approx: org.apache.spark.sql.DataFrame) =
+          exact.join(approx.select("q_id", "n_id"), Seq("q_id", "n_id"))
+            .count()
+        val budgetOk = graph.select(col("q_id"), col("n_visited"))
+          .distinct()
+          .join(ivfCands, Seq("q_id"))
+          .filter(col("n_visited") > col("n_cand")).count() == 0
+        val s2 = s
+        import s2.implicits._
+        Seq((q.count(), hits(graph) > hits(ivf), budgetOk))
+          .toDF("nq", "graph_beats_ivf", "budget_ok")
+      },
+      Some("SELECT 20::BIGINT AS nq, TRUE AS graph_beats_ivf, " +
+        "TRUE AS budget_ok")),
+
     // Image perceptual hash (m11): dHash over REAL decoded rasters —
     // the visual near-dup signature feeding the Hamming machinery
     // (n18). Fixture: the m10 quadrant BMPs, whose NN-downsampled

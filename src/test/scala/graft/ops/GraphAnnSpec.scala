@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Graph ANN: saturated-config exactness vs brute force, recall on
+  * planted clusters at a matched candidate budget, cross-cell edge
+  * structure, layout determinism, and the serve-path plan pin (node
+  * table never shuffles).
+  */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted(nClusters: Int, perCluster: Int, dim: Int,
+                      seed: Int, idBase: Long = 0L) = {
+    val r = new scala.util.Random(seed)
+    val anchors = Array.fill(nClusters)(Array.fill(dim)(r.nextGaussian()))
+    (0 until nClusters * perCluster).map { i =>
+      val a = anchors(i % nClusters)
+      (idBase + i,
+        a.map(x => (x + 0.05 * r.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("saturated config reproduces bruteForceTopK exactly") {
+    val corpus = planted(4, 25, 16, seed = 31)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 1, degree = 99,
+      crossDegree = 0)
+    val graph = GraphAnn.queryGraphIndex(queries, idx, k = 5,
+        beam = 5, hops = 1, entryProbes = 1)
+      .select("q_id", "n_id", "rank")
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("q_id", "n_id", "rank")
+    graph.except(exact).count() shouldBe 0
+    exact.except(graph).count() shouldBe 0
+  }
+
+  test("planted clusters: high recall at a bounded candidate budget") {
+    val corpus = planted(8, 40, 16, seed = 47)
+    // queries: one corpus member per cluster, re-identified (cosine is
+    // scale-free, so their true neighbors are their cluster peers)
+    val queries = corpus.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 16, degree = 6,
+      crossDegree = 2)
+    val res = GraphAnn.queryGraphIndex(queries, idx, k = 5,
+      beam = 4, hops = 2, entryProbes = 2)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+    val recall = Similarity.recallAtK(res.select("q_id", "n_id"),
+        exact.select("q_id", "n_id"))
+      .agg(avg("recall")).head().getDouble(0)
+    recall should be >= 0.9
+    // budget: n_visited stays within the formula bound per query
+    // (entryProbes·entriesPerCell + hops·beam·(degree+crossDegree))
+    val bound = 2 * 4 + 2 * 4 * (6 + 2)
+    val maxVisited = res.agg(max("n_visited")).head().getLong(0)
+    maxVisited should be <= bound.toLong
+  }
+
+  test("cross-cell edges actually cross cells; degrees stay bounded") {
+    val corpus = planted(6, 30, 16, seed = 53)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 6, degree = 4,
+      crossDegree = 2)
+    val cellOf = corpus.select(col("vec_id").as("n_id"),
+      graft.functions.Centroids
+        .centroidAssign(col("embedding"), idx.cells).as("cell"))
+    val edges = idx.nodes
+      .select(col("n_id"), explode(col("neighbors")).as("m_id"))
+    edges.groupBy("n_id").count().agg(max("count")).head().getLong(0) should
+      be <= 6L
+    val crossing = edges.join(cellOf, Seq("n_id"))
+      .join(cellOf.select(col("n_id").as("m_id"), col("cell").as("m_cell")),
+        Seq("m_id"))
+      .filter(col("cell") =!= col("m_cell")).count()
+    crossing should be > 0L
+  }
+
+  test("search replays identically across corpus layouts") {
+    val corpus = planted(5, 24, 16, seed = 59)
+    val queries = corpus.filter(col("vec_id") < 6)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val idx = GraphAnn.buildGraphIndex(c, nlist = 8, degree = 5,
+        crossDegree = 2)
+      GraphAnn.queryGraphIndex(queries, idx, k = 4, beam = 3, hops = 2)
+        .select("q_id", "n_id", "rank", "n_visited")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    }
+    run(corpus.repartition(13)) shouldBe run(corpus.coalesce(1))
+  }
+
+  test("serve plan: node table is never shuffled (broadcast joins only)") {
+    val corpus = planted(4, 20, 16, seed = 61)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 4)
+    val cand = queries.select(col("q_id"), col("q_id").as("n_id"))
+    val plan = GraphAnn.scoreCandidates(cand, idx.nodes, queries)
+      .queryExecution.executedPlan.toString
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffledHashJoin"
+    plan should not include "Exchange hashpartitioning"
+  }
+}
