@@ -113,7 +113,10 @@ object Bench {
     val singleIter = warmFirst ++
       Set("e04_pca_randomized_truncated", "t23_hashed_classifier",
         "t24_bm25_incremental", "t25_hashed_softmax_langid",
-        "n28_ann_opq_parametric")
+        "n28_ann_opq_parametric",
+        // index/class-table construction IS the operator; nothing
+        // memoizes across iterations
+        "d25_substr_dedup_exact", "n29_ann_graph_exact")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

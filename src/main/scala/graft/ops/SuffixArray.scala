@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT substring dedup via distributed suffix-array bucket
+  * refinement — the Lee et al. "Deduplicating Training Data" ExactSubstr
+  * shape (arXiv:2107.06499): find every maximal span of ≥ `minLen`
+  * CHARACTERS whose every window occurs elsewhere in the corpus.
+  *
+  * [[Dedup.dedupSpans]] (d15) approximates this at token grain with
+  * fixed-width hashed grams; this module is the exact arbitrary-length
+  * character-grain method. The engine core is Manber–Myers prefix
+  * doubling, with one deliberate departure: repeat extraction needs
+  * only suffix EQUALITY CLASSES (which suffixes share a length-w
+  * prefix), never their lexicographic ORDER — so each doubling round
+  * assigns the class id `min(position)` over the (rank_w(p),
+  * rank_w(p+w)) pair via a groupBy + join-back (two hash shuffles),
+  * instead of the global sort + dense-rank a full suffix-array build
+  * pays. The refinement lattice is identical to the textbook
+  * algorithm's bucket structure; only the ordering of bucket labels
+  * differs. No hashing is involved anywhere: two positions land in the
+  * same class iff their windows are CHARACTER-IDENTICAL, which is what
+  * makes the result exact rather than d15's md5-gram approximation.
+  *
+  * Length-`L` keys from width-`w` classes use the standard overlap
+  * argument: for w ≥ L/2, s[i,i+L) = s[q,q+L) iff the width-w windows
+  * at i and at i+L−w match those at q and q+L−w — so ⌈log₂ L⌉ − 1
+  * rounds suffice for any L, and the final marking is ONE count over
+  * composite class keys.
+  *
+  * Scale shape: the working relation is one row per corpus character
+  * — (pos, class) longs, 16 bytes a row — and every round is two
+  * hash-partitioned shuffles of it; log₂(minLen) rounds total,
+  * localCheckpointed so the plan stays flat. Documents never
+  * concatenate: positions live on a per-doc stride grid (stride >
+  * maxLen + w guards every in-round shift), so cross-document
+  * adjacency — the sentinel machinery of array-based builds — never
+  * exists in the first place. The island merge runs per document over
+  * marked positions only. At corpus scale the refinement is the cost
+  * of ~2·log₂(L) shuffles of the character table; production would
+  * additionally drop positions whose class is already a singleton
+  * from the CANDIDATE side after each round (a singleton can never
+  * seed a repeat; it must remain on the PROVIDER side, which is why
+  * this implementation keeps the table whole).
+  */
+object SuffixArray {
+
+  /** Maximal repeated character spans, one row per span:
+    * `(idCol, span_start, span_end, span_len)` — start inclusive, end
+    * exclusive, 0-based character offsets. Every length-`minLen`
+    * window inside a span occurs at least `minOccurrences` times
+    * corpus-wide (occurrences in the same document count — a
+    * self-repeat is a repeat).
+    */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    minLen: Int, minOccurrences: Int = 2): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minOccurrences >= 2,
+      s"minOccurrences below 2 would mark every position, got $minOccurrences")
+    // target class width: smallest power of two with 2·targetW ≥ minLen
+    var targetW = 1
+    while (targetW * 2 < minLen) targetW *= 2
+    val staged = docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__t"))
+      .withColumn("__n", length(col("__t")))
+    val maxLen = staged.agg(max(col("__n"))).head().getInt(0)
+    val stride = maxLen.toLong + targetW + 1
+    // one row per character; class id seeds as min position per char
+    val chars = staged
+      .select(col("__id"), col("__n"),
+        posexplode(split(col("__t"), "")).as(Seq("__off", "__c")))
+      .select(col("__id"), col("__n"), col("__off"),
+        (col("__id") * stride + col("__off")).as("__pos"), col("__c"))
+    var ranks = chars
+      .join(chars.groupBy("__c").agg(min("__pos").as("__cls")), Seq("__c"))
+      .select(col("__id"), col("__n"), col("__off"), col("__pos"),
+        col("__cls"))
+      .localCheckpoint()
+    def widen(cur: DataFrame, shift: Int): DataFrame = {
+      // class of the window starting `shift` to the right; a position
+      // whose window runs off the document end gets a class unique to
+      // itself (−pos − 1: disjoint from min-position ids, which are ≥ 0)
+      val r2 = cur.select(col("__pos").as("__p2"), col("__cls").as("__r2"))
+      cur.join(r2, col("__pos") + shift === col("__p2"), "left")
+        .select(col("__id"), col("__n"), col("__off"), col("__pos"),
+          col("__cls").as("__r1"),
+          coalesce(col("__r2"), -col("__pos") - 1).as("__r2"))
+    }
+    // doubling rounds: classes of width `width` → width 2·width via the
+    // (cls(p), cls(p+width)) pair, class id = min position in the pair
+    // group
+    var width = 1
+    while (width < targetW) {
+      val paired = widen(ranks, width)
+      val newCls = paired.groupBy("__r1", "__r2")
+        .agg(min("__pos").as("__cls"))
+      ranks = paired.join(newCls, Seq("__r1", "__r2"))
+        .select(col("__id"), col("__n"), col("__off"), col("__pos"),
+          col("__cls"))
+        .localCheckpoint()
+      width *= 2
+    }
+    // composite key covering exactly minLen chars: width-`width`
+    // classes at off and off + minLen − width (overlap argument:
+    // 2·width ≥ minLen); only positions with a full window participate
+    val keyed = widen(ranks, minLen - width)
+      .filter(col("__off") <= col("__n") - minLen)
+    val repeatedKeys = keyed.groupBy("__r1", "__r2")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minOccurrences)
+      .select("__r1", "__r2")
+    val marked = keyed.join(repeatedKeys, Seq("__r1", "__r2"))
+      .select(col("__id"), col("__off"),
+        (col("__off") + minLen - 1).as("__e"))
+    // gap-and-island merge of covered intervals (the d15 cutSpans
+    // shape): a new span starts when this window's first position
+    // clears the running max covered end by more than one
+    val byDoc = Window.partitionBy("__id").orderBy("__off")
+    val runPrev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .withColumn("__brk",
+        when(col("__off") > coalesce(max(col("__e")).over(runPrev),
+          lit(-2L)) + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(byDoc))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("__off").as("__ss"), (max("__off") + minLen).as("__se"))
+      .select(col("__id").as(idCol),
+        col("__ss").cast("int").as("span_start"),
+        col("__se").cast("int").as("span_end"),
+        (col("__se") - col("__ss")).cast("int").as("span_len"))
+  }
+}

@@ -1278,6 +1278,40 @@ object OpsQueries {
              |FROM n LEFT JOIN spc USING (doc_id)
              |LEFT JOIN k USING (doc_id)""".stripMargin)),
 
+    // EXACT substring dedup via distributed suffix-array bucket
+    // refinement (d25, the Lee et al. ExactSubstr shape): maximal
+    // character spans whose every 40-char window repeats corpus-wide.
+    // Supersedes d15's fixed-md5-gram approximation for long repeats:
+    // character grain, every offset, no hashing — equality comes from
+    // prefix-doubling equality classes. The oracle is a DIFFERENT
+    // algorithm (brute-force per-offset 40-char grams + island merge
+    // in SQL), so the two engines cross-check the semantics, not the
+    // implementation: a class-refinement slip, an off-by-one in the
+    // overlap key, or a wrong island merge all surface as span-set
+    // divergence.
+    QueryDef("d25_substr_dedup_exact",
+      (s, dir) => SuffixArray.repeatedSpans(docs(s, dir), "text",
+        "doc_id", minLen = 40),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.off FROM g JOIN r USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1)
+             |SELECT doc_id, cast(min(off) AS INT) AS span_start,
+             |  cast(max(off) + 40 AS INT) AS span_end,
+             |  cast(max(off) + 40 - min(off) AS INT) AS span_len
+             |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact substring spans: planted cross-doc and self repeats, equality
+  * with a brute-force reference on randomized fixtures, span
+  * maximality, short docs, and layout determinism.
+  */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force truth: every offset's minLen-gram, counted, merged
+    * into islands — O(n·L) strings, test-only.
+    */
+  private def bruteSpans(docs: Seq[(Long, String)], minLen: Int)
+      : Set[(Long, Int, Int, Int)] = {
+    val grams = docs.flatMap { case (id, t) =>
+      (0 to t.length - minLen).map(i => (id, i, t.substring(i, i + minLen)))
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val marked = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    marked.flatMap { case (id, offs) =>
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var start = offs.head
+      var maxE = offs.head + minLen - 1
+      for (o <- offs.tail) {
+        if (o > maxE + 1) { spans += ((start, maxE + 1)); start = o }
+        maxE = math.max(maxE, o + minLen - 1)
+      }
+      spans += ((start, maxE + 1))
+      spans.map { case (s, e) => (id, s, e, e - s) }
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], minLen: Int,
+                  parts: Int = 5): Set[(Long, Int, Int, Int)] =
+    SuffixArray.repeatedSpans(
+        docs.toDF("doc_id", "text").repartition(parts), "text", "doc_id",
+        minLen)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+
+  test("planted cross-document repeat is found exactly, maximal, nothing else") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (0L, s"alpha alpha $shared omega end text one"),
+      (1L, s"completely different preamble here $shared trailing bits"),
+      (2L, "no repeats in this document at all zzz"))
+    val got = run(docs, minLen = 20)
+    // the shared region includes the flanking spaces both docs share:
+    // " the quick … dog " — 45 chars at doc0 off 11, doc1 off 34
+    got shouldBe Set((0L, 11, 11 + shared.length + 2, shared.length + 2),
+      (1L, 34, 34 + shared.length + 2, shared.length + 2))
+  }
+
+  test("self-repeat within one document counts as a repeat") {
+    val block = "abcdefghijklmnop" // 16 chars, repeated twice in doc 0
+    val docs = Seq((0L, s"$block--filler--$block"),
+      (1L, "unrelated text without any of that"))
+    val got = run(docs, minLen = 16)
+    got shouldBe Set((0L, 0, 16, 16),
+      (0L, 26, 42, 16))
+  }
+
+  test("matches brute force on randomized small-alphabet fixtures") {
+    val r = new scala.util.Random(73)
+    for (trial <- 1 to 3) {
+      val docs = (0L until 12L).map { id =>
+        (id, (1 to 60 + r.nextInt(60)).map(_ => ('a' + r.nextInt(3)).toChar)
+          .mkString)
+      }
+      for (minLen <- Seq(5, 8, 12)) {
+        withClue(s"trial=$trial minLen=$minLen: ") {
+          run(docs, minLen) shouldBe bruteSpans(docs, minLen)
+        }
+      }
+    }
+  }
+
+  test("docs shorter than minLen never mark; no spans on unique text") {
+    val docs = Seq((0L, "tiny"), (1L, "abcdefghij"), (2L, "qrstuvwxyz"))
+    run(docs, minLen = 8) shouldBe Set.empty
+  }
+
+  test("spans replay identically across layouts") {
+    val r = new scala.util.Random(79)
+    val docs = (0L until 20L).map { id =>
+      (id, (1 to 100).map(_ => ('a' + r.nextInt(4)).toChar).mkString)
+    }
+    run(docs, 10, parts = 1) shouldBe run(docs, 10, parts = 17)
+  }
+}
