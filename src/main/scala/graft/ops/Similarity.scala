@@ -1147,6 +1147,86 @@ object Similarity {
         max(col("__err")).as("max_err"))
   }
 
+  /** Mean self-ADC quantization error of `vecs` against an index's
+    * frozen artifacts — the scalar the refresh policy watches. One
+    * codegen projection + one scalar aggregate; at 100 TB run it on
+    * the arriving batch (bounded), not the corpus.
+    */
+  def meanDistortion(vecs: DataFrame, index: IvfPqIndex): Double = {
+    val sub = index.dim / index.m
+    import graft.functions.{Centroids => C, PqColumns => P}
+    vecs.select(
+        C.centroidResidual(col("embedding"),
+          C.centroidAssign(col("embedding"), index.cells), index.cells)
+          .as("__r"))
+      .select(P.pqAdc(col("__r"),
+        P.pqEncode(col("__r"), index.codebook, sub), index.codebook, sub)
+        .as("__e"))
+      .agg(avg(col("__e"))).head().getDouble(0)
+  }
+
+  /** Index refresh-policy loop — the decision layer the grow-by-append
+    * lifecycle needs (the drift caveat on [[appendToIvfPqIndex]],
+    * closed): each arriving batch is appended against the FROZEN
+    * artifacts, its quantization distortion ([[meanDistortion]] — the
+    * batch only, so the check costs one bounded projection no matter
+    * how large the accumulated corpus) is compared against
+    * `threshold ×` the baseline distortion the current artifacts were
+    * trained at, and a breach triggers a full retrain + re-encode over
+    * the accumulated corpus, after which the baseline resets to the
+    * new artifacts' corpus-wide distortion. Returns the decision
+    * trace, one row per batch: (batch_id, n_appended, n_total,
+    * retrained, recovered) — `recovered` pins that the retrained
+    * artifacts actually cut the breaching batch's distortion
+    * (vacuously true for non-retrained batches). The floats stay
+    * internal; the trace is integers + booleans, which is what makes
+    * it oracle-pinnable (gate n30).
+    *
+    * Scale shape: per batch one append projection + one bounded
+    * distortion aggregate; a retrain costs what the original build
+    * cost — the policy's whole point is paying it only when the
+    * distortion evidence says the frozen artifacts stopped fitting.
+    */
+  def refreshPolicy(base: DataFrame, batches: Seq[DataFrame],
+                    nlist: Int = 16, m: Int = 8, ks: Int = 16,
+                    dim: Int = 64, threshold: Double = 2.0): DataFrame = {
+    require(threshold > 1.0,
+      s"threshold must exceed 1 (a ratio to baseline), got $threshold")
+    // the real (distributed Lloyd + residual-PQ) trainers, not the
+    // deterministic first-N gate scheme: a retrain must ADAPT to the
+    // accumulated distribution, and first-N rows never change
+    def train(c: DataFrame): IvfPqIndex = {
+      val cells = KMeans.trainCentroidsDistributed(c, "vec_id",
+        "embedding", nlist, iters = 5)
+      val cb = KMeans.trainResidualPqCodebook(c, "vec_id", "embedding",
+        cells, m, ks, dim)
+      buildIvfPqIndex(c, nlist, m, ks, dim, Some(cells), Some(cb))
+    }
+    var corpus = base.select("vec_id", "embedding").localCheckpoint()
+    var idx = train(corpus)
+    var baseline = meanDistortion(corpus, idx)
+    val trace = batches.zipWithIndex.map { case (b, i) =>
+      val batch = b.select("vec_id", "embedding").localCheckpoint()
+      val nAppended = batch.count()
+      idx = appendToIvfPqIndex(idx, batch)
+      corpus = corpus.unionByName(batch).localCheckpoint()
+      val nTotal = corpus.count()
+      val batchMse = meanDistortion(batch, idx)
+      val retrain = batchMse > threshold * baseline
+      var recovered = true
+      if (retrain) {
+        idx = train(corpus)
+        recovered = meanDistortion(batch, idx) < batchMse
+        baseline = meanDistortion(corpus, idx)
+      }
+      (i + 1, nAppended, nTotal, retrain, recovered)
+    }
+    val spark = base.sparkSession
+    import spark.implicits._
+    trace.toDF("batch_id", "n_appended", "n_total", "retrained",
+      "recovered")
+  }
+
   /** Query a built (or reloaded) index: probe nprobe cells, ADC-rank
     * the stored codes — identical search semantics to
     * [[ivfPqResidualTopK]] (probe-all reproduces the exhaustive

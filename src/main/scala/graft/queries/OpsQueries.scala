@@ -3675,6 +3675,39 @@ object OpsQueries {
       Some("SELECT 20::BIGINT AS nq, TRUE AS graph_beats_ivf, " +
         "TRUE AS budget_ok")),
 
+    // INDEX REFRESH POLICY (n30): the decision loop closing the
+    // grow-by-append lifecycle — n22's append + the self-ADC
+    // distortion monitor + retrain composed into a policy whose
+    // integer/boolean trace the oracle pins. Two in-distribution
+    // batches append without triggering (their distortion stays under
+    // 2× the trained baseline); the third batch is planted drift
+    // (vectors scaled 3× — cosine-invariant routing, but residuals
+    // blow past the codebook's trained range), which must breach the
+    // threshold, trigger a retrain (distributed Lloyd + residual-PQ
+    // on the accumulated corpus — trainers that ADAPT, not the
+    // frozen first-N gate scheme), and provably cut the breaching
+    // batch's distortion. A policy that fires on in-distribution
+    // noise, misses the drift, or "retrains" without recovering
+    // breaks a literal row.
+    QueryDef("n30_index_refresh_policy",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val base = e.filter(col("vec_id") < 300)
+        val b1 = e.filter(col("vec_id") >= 300 && col("vec_id") < 380)
+        val b2 = e.filter(col("vec_id") >= 380 && col("vec_id") < 420)
+        val b3 = e.filter(col("vec_id") >= 420 && col("vec_id") < 500)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> x * cast(3.0 as float))")
+              .as("embedding"))
+        Similarity.refreshPolicy(base, Seq(b1, b2, b3))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (1, 80::BIGINT, 380::BIGINT, FALSE, TRUE),
+             |  (2, 40::BIGINT, 420::BIGINT, FALSE, TRUE),
+             |  (3, 80::BIGINT, 500::BIGINT, TRUE, TRUE))
+             |  t(batch_id, n_appended, n_total, retrained, recovered)"""
+        .stripMargin)),
+
     // Image perceptual hash (m11): dHash over REAL decoded rasters —
     // the visual near-dup signature feeding the Hamming machinery
     // (n18). Fixture: the m10 quadrant BMPs, whose NN-downsampled
