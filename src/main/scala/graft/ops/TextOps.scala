@@ -253,6 +253,85 @@ object TextOps {
       graft.functions.UnigramSegmenter.unigramSegment(col("word"),
         model.pieces, model.costInt, model.maxPieceLen))
 
+  /** Word table + posterior expected piece counts (the lattice
+    * forward–backward E-step, [[graft.functions.UnigramExpectations]])
+    * — one codegen node per row, vocab as a reference object, no
+    * shuffle; `expect` is array<struct<piece,e>> sorted by piece.
+    */
+  def unigramExpectWords(wordTable: org.apache.spark.sql.DataFrame,
+                         model: UnigramModel): org.apache.spark.sql.DataFrame =
+    wordTable.withColumn("expect",
+      graft.functions.UnigramExpectations.unigramExpect(col("word"),
+        model.pieces, model.counts, model.maxPieceLen))
+
+  /** One SOFT-EM iteration (SentencePiece's real E-step): expected
+    * piece counts from the segmentation lattice instead of hard
+    * Viterbi ones. The E-step is the distributed expectation node +
+    * one freq-weighted piece aggregate; the M-step re-estimates on the
+    * driver, with the expected counts quantized to the 1e-6 integer
+    * lattice (math.round — HALF_UP for the positive values here,
+    * the t23/t25 trained-model discipline) plus one full count of
+    * Laplace smoothing, so the updated model is integers end-to-end
+    * and a SQL engine replaying the same lattice lands on the same
+    * model exactly. Probabilities inside the lattice are the exact
+    * quotient count/total — no log/exp, so no libm drift either.
+    */
+  def unigramSoftEmStep(wordTable: org.apache.spark.sql.DataFrame,
+                        model: UnigramModel): UnigramModel = {
+    val soft = unigramExpectWords(wordTable, model)
+      .select(col("freq"), explode(col("expect")).as("x"))
+      .groupBy(col("x.piece").as("piece"))
+      .agg(sum(col("freq") * col("x.e")).as("s"))
+      .collect().map(r => r.getAs[String]("piece") -> r.getAs[Double]("s"))
+      .toMap
+    val cnts = model.pieces.map(p =>
+      math.round(1e6 * soft.getOrElse(p, 0.0)) + 1000000L)
+    UnigramModel(model.pieces, cnts, unigramCosts(cnts), model.maxPieceLen)
+  }
+
+  /** Freq-weighted marginal log-likelihood Σ freq·ln Z(word) — the
+    * objective soft-EM ascends (hard-EM ascends only its Viterbi lower
+    * bound). Words the vocab cannot cover contribute −∞ in theory;
+    * they are excluded here (both models under comparison keep all
+    * seed characters, so coverage is identical).
+    */
+  def unigramMarginalLogLik(wordTable: org.apache.spark.sql.DataFrame,
+                            model: UnigramModel): Double =
+    wordTable.select(col("freq"),
+        graft.functions.UnigramExpectations.unigramMarginal(col("word"),
+          model.pieces, model.counts, model.maxPieceLen).as("z"))
+      .filter(col("z") > 0.0)
+      .select(sum(col("freq") * log(col("z"))).as("ll"))
+      .head().getDouble(0)
+
+  /** Train with soft-EM: same seed → iterate [[unigramSoftEmStep]]. */
+  def unigramTrainSoft(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       vocabSize: Int, maxPieceLen: Int = 4,
+                       emIters: Int = 2,
+                       maxWords: Int = 65536): UnigramModel = {
+    val table = bpeWordTable(df, textCol, maxWords).drop("syms")
+      .localCheckpoint()
+    var m = unigramSeedModel(table, vocabSize, maxPieceLen)
+    var i = 0
+    while (i < emIters) { m = unigramSoftEmStep(table, m); i += 1 }
+    m
+  }
+
+  /** Sampling (subword-regularization) encode: per-word segmentation
+    * drawn ∝ its posterior probability from a (seed, word)-keyed
+    * splitmix64 stream — different epochs pass different seeds, same
+    * seed replays exactly. Zero-shuffle scan rider like
+    * [[unigramEncode]].
+    */
+  def unigramSampleEncode(text: Column, model: UnigramModel,
+                          seed: Long): Column = {
+    val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+    flatten(filter(transform(words, w =>
+      graft.functions.UnigramExpectations.unigramSample(w,
+        model.pieces, model.counts, model.maxPieceLen, seed)),
+      a => a.isNotNull))
+  }
+
   /** Train a unigram tokenizer: seed from substring statistics, then
     * `emIters` hard-EM refinements — the SentencePiece training shape
     * (seed → EM → prune) with the EM expectation distributed and every

@@ -3179,6 +3179,130 @@ object OpsQueries {
            |SELECT 'vocab', piece, '', cnt FROM v2""".stripMargin
       }),
 
+    // SOFT-EM unigram E-step + M-step (t28): the lattice
+    // forward–backward expectations SentencePiece really trains with
+    // (t21 implements the hard/Viterbi approximation). Same fixture
+    // and seed vocabulary as t21; probabilities are the exact IEEE
+    // quotient cnt/total (no log/exp — libm can't drift), and both
+    // engines run the SAME fixed-order recurrences: α ascending with
+    // the l=1,2,3 sum left-to-right, β descending likewise (DuckDB
+    // recursive CTEs carrying a 3-slot sliding window of lattice
+    // values), then E[piece | word] = Σ α(j)·p·β(j+l)/Z over
+    // occurrences. Expectations compare on the 6dp grid (t16 float
+    // rule absorbs aggregation-order last-bits); the M-step re-counts
+    // on the 1e-6 integer lattice + one full Laplace count (t23/t25
+    // trained-model discipline), so the UPDATED MODEL matches as exact
+    // integers. An off-by-one in either recurrence, a wrong window
+    // slot, or a truncated-piece leak at word edges shifts whole
+    // posterior rows, not last bits.
+    QueryDef("t28_unigram_soft_em",
+      (s, dir) => {
+        import s.implicits._
+        val table = TextOps.bpeWordTable(docs(s, dir), "text",
+            maxWords = 100000).drop("syms")
+          .filter(length(col("word")) <= 12)
+          .orderBy(col("freq").desc, col("word")).limit(200)
+          .localCheckpoint()
+        val m0 = TextOps.unigramSeedModel(table, vocabSize = 120,
+          maxPieceLen = 3)
+        val expRows = TextOps.unigramExpectWords(table, m0)
+          .select(col("word"), explode(col("expect")).as("x"))
+          .select(lit("exp").as("chk"), col("word").as("k"),
+            col("x.piece").as("p"), round(col("x.e"), 6).as("v"))
+        val m1 = TextOps.unigramSoftEmStep(table, m0)
+        val vocabRows = m1.pieces.zip(m1.counts).toSeq.toDF("p", "cnt")
+          .select(lit("vocab").as("chk"), lit("").as("k"), col("p"),
+            col("cnt").cast("double").as("v"))
+        expRows.unionByName(vocabRows)
+      },
+      Some {
+        val wordTable =
+          """wd AS (SELECT word, count(*) AS freq FROM (
+            |    SELECT unnest(list_filter(
+            |      string_split_regex(lower(trim(text)), '\s+'),
+            |      x -> x <> '')) AS word FROM documents) GROUP BY 1),
+            |wt AS (SELECT word, freq FROM wd WHERE length(word) <= 12
+            |       ORDER BY freq DESC, word LIMIT 200)""".stripMargin
+        val seed =
+          """subs AS (SELECT substr(w.word, cast(t.i AS INT), cast(u.l AS INT)) AS piece,
+            |    w.freq
+            |  FROM wt w,
+            |    unnest(range(1, length(w.word) + 1)) AS t(i),
+            |    unnest(range(1, least(3, length(w.word) - t.i + 1) + 1)) AS u(l)),
+            |sc AS (SELECT piece, cast(sum(freq) AS BIGINT) AS cnt
+            |  FROM subs GROUP BY 1),
+            |v0sel AS (
+            |  SELECT piece, cnt FROM sc WHERE length(piece) = 1
+            |  UNION ALL
+            |  SELECT piece, cnt FROM (
+            |    SELECT piece, cnt,
+            |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+            |    FROM sc WHERE length(piece) > 1)
+            |  WHERE rn <= 120 - (SELECT count(*) FROM sc
+            |                     WHERE length(piece) = 1)),
+            |vp AS (SELECT piece, cnt::DOUBLE /
+            |    (SELECT sum(cnt)::DOUBLE FROM v0sel) AS p
+            |  FROM v0sel)""".stripMargin
+        val lattice =
+          """fwd AS (
+            |  SELECT word, 0 AS i, 1.0::DOUBLE AS a0, 0.0::DOUBLE AS am1,
+            |    0.0::DOUBLE AS am2
+            |  FROM wt
+            |  UNION ALL
+            |  SELECT f.word, f.i + 1,
+            |    coalesce(p1.p * f.a0, 0.0) + coalesce(p2.p * f.am1, 0.0)
+            |      + coalesce(p3.p * f.am2, 0.0),
+            |    f.a0, f.am1
+            |  FROM fwd f
+            |  LEFT JOIN vp p1 ON p1.piece = substr(f.word, f.i + 1, 1)
+            |  LEFT JOIN vp p2 ON f.i >= 1 AND p2.piece = substr(f.word, f.i, 2)
+            |  LEFT JOIN vp p3 ON f.i >= 2
+            |    AND p3.piece = substr(f.word, f.i - 1, 3)
+            |  WHERE f.i < length(f.word)),
+            |bwd AS (
+            |  SELECT word, length(word) AS j, 1.0::DOUBLE AS b0,
+            |    0.0::DOUBLE AS bp1, 0.0::DOUBLE AS bp2
+            |  FROM wt
+            |  UNION ALL
+            |  SELECT b.word, b.j - 1,
+            |    coalesce(q1.p * b.b0, 0.0) + coalesce(q2.p * b.bp1, 0.0)
+            |      + coalesce(q3.p * b.bp2, 0.0),
+            |    b.b0, b.bp1
+            |  FROM bwd b
+            |  LEFT JOIN vp q1 ON q1.piece = substr(b.word, b.j, 1)
+            |  LEFT JOIN vp q2 ON q2.piece = substr(b.word, b.j, 2)
+            |  LEFT JOIN vp q3 ON q3.piece = substr(b.word, b.j, 3)
+            |  WHERE b.j > 0),
+            |occ AS (
+            |  SELECT g.word, g.piece, fa.a0 * v.p * fb.b0 / fz.a0 AS e
+            |  FROM (SELECT w.word, cast(t.j AS INT) AS j,
+            |          cast(u.l AS INT) AS l,
+            |          substr(w.word, cast(t.j + 1 AS INT),
+            |            cast(u.l AS INT)) AS piece
+            |        FROM wt w,
+            |          unnest(range(0, length(w.word))) AS t(j),
+            |          unnest(range(1, least(3, length(w.word) - t.j) + 1))
+            |            AS u(l)) g
+            |  JOIN vp v USING (piece)
+            |  JOIN fwd fa ON fa.word = g.word AND fa.i = g.j
+            |  JOIN bwd fb ON fb.word = g.word AND fb.j = g.j + g.l
+            |  JOIN (SELECT word, a0 FROM fwd WHERE i = length(word)) fz
+            |    ON fz.word = g.word),
+            |softc AS (SELECT o.piece, sum(w.freq * o.e) AS s
+            |  FROM occ o JOIN wt w USING (word) GROUP BY 1)""".stripMargin
+        s"""WITH RECURSIVE $wordTable,
+           |$seed,
+           |$lattice
+           |SELECT 'exp' AS chk, word AS k, piece AS p,
+           |  round(sum(e), 6) AS v
+           |FROM occ GROUP BY word, piece
+           |UNION ALL
+           |SELECT 'vocab', '', v.piece,
+           |  cast(cast(round(1e6 * coalesce(s.s, 0.0)) AS BIGINT)
+           |       + 1000000 AS DOUBLE)
+           |FROM v0sel v LEFT JOIN softc s ON v.piece = s.piece""".stripMargin
+      }),
+
     // FUZZY decontamination (d19): MinHash matches of the training
     // corpus (doc_id % 7 != 0) against an eval benchmark (% 7 == 0) —
     // the asymmetric broadcast shape where NO train row shuffles
