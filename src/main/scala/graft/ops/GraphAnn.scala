@@ -50,19 +50,50 @@ object GraphAnn {
 
   /** A built graph index.
     *
-    * @param nodes   n_id, emb (array, as loaded), neighbors
-    *                (array<long>, best-first) — localCheckpointed
+    * @param nodes   n_id, emb (array, as loaded), cell (home cell),
+    *                neighbors (array<long>, best-first) —
+    *                localCheckpointed
     * @param entries per-cell entry nodes: cell, entry_id
     *                (nlist · entriesPerCell rows)
     * @param cells   the coarse codebook used for routing
+    * @param degree  intra-cell out-degree the index was built with
+    * @param crossDegree cross-cell out-degree
+    * @param entriesPerCell entries kept per cell
     */
   case class GraphIndex(nodes: DataFrame, entries: DataFrame,
-                        cells: Array[Array[Double]])
+                        cells: Array[Array[Double]], degree: Int,
+                        crossDegree: Int, entriesPerCell: Int)
 
   private def dot(x: org.apache.spark.sql.Column,
                   y: org.apache.spark.sql.Column) =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), _ + _)
+
+  /** Top-`d` scored out-edges of `side` (cell, n_id, emb) against the
+    * peer relation (cell, m_id, m_emb): per-cell join + fused cosine +
+    * bounded-heap per node. Shared by build and append.
+    */
+  private def topEdges(side: DataFrame, peers: DataFrame,
+                       d: Int): DataFrame =
+    side.select("cell", "n_id", "emb")
+      .join(peers, Seq("cell")).filter(col("n_id") =!= col("m_id"))
+      .withColumn("sim", Similarity.cosine(col("emb"), col("m_emb")))
+      .groupBy("n_id").agg(TopK.topK(col("sim"), col("m_id"), d).as("top"))
+      .select(col("n_id"), explode(col("top")).as("e"))
+      .select(col("n_id"), col("e.id").as("m_id"), col("e.score").as("sim"))
+
+  /** The same nodes re-keyed by their SECOND-closest cell. */
+  private def secondCellSide(c: DataFrame,
+                             cells: Array[Array[Double]]): DataFrame =
+    c.select(col("n_id"), col("emb"),
+      Centroids.centroidProbes(col("emb"), cells, 2).getItem(1).as("cell"))
+
+  /** Hash-spread entry selection over a member relation (cell, n_id). */
+  private def hashEntries(members: DataFrame, e: Int): DataFrame =
+    members.groupBy("cell")
+      .agg(TopK.topK(-abs(xxhash64(col("n_id"))).cast("double"),
+        col("n_id"), e).as("top"))
+      .select(col("cell"), explode(col("top.id")).as("entry_id"))
 
   /** Build the neighborhood graph.
     *
@@ -90,29 +121,21 @@ object GraphAnn {
       Centroids.centroidAssign(col("embedding"), cells).as("cell"))
     val peers = c.select(col("cell"), col("n_id").as("m_id"),
       col("emb").as("m_emb"))
-    def scoredEdges(side: DataFrame, d: Int): DataFrame =
-      side.join(peers, Seq("cell")).filter(col("n_id") =!= col("m_id"))
-        .withColumn("sim", Similarity.cosine(col("emb"), col("m_emb")))
-        .groupBy("n_id").agg(TopK.topK(col("sim"), col("m_id"), d).as("top"))
-        .select(col("n_id"), explode(col("top")).as("e"))
-        .select(col("n_id"), col("e.id").as("m_id"), col("e.score").as("sim"))
-    val intra = scoredEdges(c, degree)
+    val intra = topEdges(c, peers, degree)
     val edges =
       if (crossDegree == 0) intra
       else {
         // route each node to its SECOND-closest cell for cross-links;
         // members of that cell live in a different home cell, so the
         // edge crosses the partition boundary by construction
-        val second = c.select(col("n_id"), col("emb"),
-          Centroids.centroidProbes(col("emb"), cells, 2).getItem(1)
-            .as("cell"))
-        intra.unionByName(scoredEdges(second, crossDegree))
+        intra.unionByName(topEdges(secondCellSide(c, cells), peers,
+          crossDegree))
       }
     val nbrs = edges.groupBy("n_id")
       .agg(TopK.topK(col("sim"), col("m_id"), degree + crossDegree).as("top"))
       .select(col("n_id"), col("top.id").as("neighbors"))
     val nodes = c.join(nbrs, Seq("n_id"))
-      .select("n_id", "emb", "neighbors")
+      .select("n_id", "emb", "cell", "neighbors")
       .localCheckpoint()
     // entries per cell: `entriesPerCell` members in deterministic HASH
     // order, NOT the members closest to the centroid. A cell is often a
@@ -123,13 +146,8 @@ object GraphAnn {
     // Hash-spread entries land one in each sizeable sub-cluster with
     // high probability — the flat-index substitute for HNSW's
     // long-range upper-layer links.
-    val entries = c
-      .groupBy("cell")
-      .agg(TopK.topK(-abs(xxhash64(col("n_id"))).cast("double"),
-        col("n_id"), entriesPerCell).as("top"))
-      .select(col("cell"), explode(col("top.id")).as("entry_id"))
-      .localCheckpoint()
-    GraphIndex(nodes, entries, cells)
+    val entries = hashEntries(c, entriesPerCell).localCheckpoint()
+    GraphIndex(nodes, entries, cells, degree, crossDegree, entriesPerCell)
   }
 
   /** One scoring step: candidates (q_id, n_id) pick up their embedding
@@ -208,5 +226,144 @@ object GraphAnn {
       .select(col("q_id"), col("e.id").as("n_id"),
         (col("pos") + 1).cast("int").as("rank"), col("e.score").as("sim"))
       .join(nVisited, Seq("q_id"))
+  }
+
+  /** Persist the index as four parquet tables under `dir` (the n21
+    * IVF-PQ layout discipline): `meta` (format_version + build
+    * parameters, read back BY NAME), `cells`, `entries`, `nodes`. The
+    * node table — the only corpus-sized piece — stays distributed end
+    * to end; build once, reload and serve forever.
+    */
+  def saveGraphIndex(index: GraphIndex, dir: String): Unit = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    Seq((1, index.cells.length, index.degree, index.crossDegree,
+        index.entriesPerCell))
+      .toDF("format_version", "nlist", "degree", "cross_degree",
+        "entries_per_cell")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.cells.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    index.entries.write.mode("overwrite").parquet(s"$dir/entries")
+    index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+  }
+
+  /** Reload a persisted index: bounded artifacts collect to the
+    * driver, the node table is a lazy parquet scan.
+    */
+  def loadGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): GraphIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported graph index format_version " +
+        meta.getAs[Int]("format_version"))
+    val cells = spark.read.parquet(s"$dir/cells")
+      .orderBy("cell_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    GraphIndex(spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/entries"), cells,
+      meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
+      meta.getAs[Int]("entries_per_cell"))
+  }
+
+  /** Append a batch WITHOUT touching unaffected nodes, yet EXACTLY
+    * rebuild-equivalent (gate n33 pins index equality with a from-
+    * scratch build over the union). The argument is heap dominance
+    * plus one structural fact: a stored neighbor list is the union of
+    * a top-`degree` intra list and a top-`crossDegree` cross list over
+    * DISJOINT pools (an edge is intra iff the neighbor's home cell is
+    * the node's own), so the split reconstructs from the stored edges,
+    * and topK(pool ∪ batch) = topK(topK(pool) ∪ batch) per pool.
+    * Work is proportional to the batch and the members of cells it
+    * touches, never the corpus: untouched nodes and entries carry
+    * over verbatim. Cells and routing stay FROZEN — the n22 trade —
+    * with drift monitored/retrained by the same policy shape as n30.
+    */
+  def appendToGraphIndex(index: GraphIndex, newVecs: DataFrame)
+      : GraphIndex = {
+    val cells = index.cells
+    val deg = index.degree
+    val cross = index.crossDegree
+    val nu = newVecs.select(col("vec_id").as("n_id"),
+        col("embedding").as("emb"),
+        Centroids.centroidAssign(col("embedding"), cells).as("cell"))
+      .localCheckpoint()
+    val oldC = index.nodes.select("n_id", "emb", "cell")
+    val all = oldC.unionByName(nu)
+    val allPeers = all.select(col("cell"), col("n_id").as("m_id"),
+      col("emb").as("m_emb"))
+    // new nodes: exactly the build rule against the full member set
+    val nuIntra = topEdges(nu, allPeers, deg)
+    val nuEdges =
+      if (cross == 0) nuIntra
+      else nuIntra.unionByName(
+        topEdges(secondCellSide(nu, cells), allPeers, cross))
+    val nuNbrs = nuEdges.groupBy("n_id")
+      .agg(TopK.topK(col("sim"), col("m_id"), deg + cross).as("top"))
+      .select(col("n_id"), col("top.id").as("neighbors"))
+    val nuNodes = nu.join(nuNbrs, Seq("n_id"))
+      .select("n_id", "emb", "cell", "neighbors")
+    // affected old nodes: home or second cell received new members
+    val touched = nu.select("cell").distinct().localCheckpoint()
+    val oldSecond = oldC.withColumn("cell2",
+      Centroids.centroidProbes(col("emb"), cells, 2).getItem(1))
+    val affected = oldSecond.join(touched, Seq("cell"), "left_semi")
+      .unionByName(oldSecond.join(
+        touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+        "left_semi"))
+      .dropDuplicates("n_id")
+      .localCheckpoint()
+    // stored edges of affected nodes, re-scored and split intra/cross
+    // by the neighbor's home cell
+    val mSide = oldC.select(col("n_id").as("m_id"),
+      col("emb").as("m_emb"), col("cell").as("m_cell"))
+    val oldEdges = index.nodes
+      .join(affected.select("n_id"), Seq("n_id"), "left_semi")
+      .select(col("n_id"), col("cell"), col("emb"),
+        explode(col("neighbors")).as("m_id"))
+      .join(mSide, Seq("m_id"))
+      .select(col("n_id"), col("m_id"),
+        Similarity.cosine(col("emb"), col("m_emb")).as("sim"),
+        (col("m_cell") === col("cell")).as("is_intra"))
+    // candidate edges into the batch, per pool
+    val newPeers = nu.select(col("cell"), col("n_id").as("m_id"),
+      col("emb").as("m_emb"))
+    def fresh(side: DataFrame): DataFrame =
+      side.join(newPeers, Seq("cell"))
+        .select(col("n_id"), col("m_id"),
+          Similarity.cosine(col("emb"), col("m_emb")).as("sim"))
+    def pool(existing: DataFrame, candidates: DataFrame,
+             d: Int): DataFrame =
+      existing.select("n_id", "m_id", "sim").unionByName(candidates)
+        .groupBy("n_id").agg(TopK.topK(col("sim"), col("m_id"), d).as("top"))
+        .select(col("n_id"), explode(col("top")).as("e"))
+        .select(col("n_id"), col("e.id").as("m_id"),
+          col("e.score").as("sim"))
+    val intraTop = pool(oldEdges.filter(col("is_intra")),
+      fresh(affected.select("cell", "n_id", "emb")), deg)
+    val merged =
+      if (cross == 0) intraTop
+      else intraTop.unionByName(pool(oldEdges.filter(!col("is_intra")),
+        fresh(affected.select(col("cell2").as("cell"), col("n_id"),
+          col("emb"))), cross))
+    val affNbrs = merged.groupBy("n_id")
+      .agg(TopK.topK(col("sim"), col("m_id"), deg + cross).as("top"))
+      .select(col("n_id"), col("top.id").as("neighbors"))
+    val affNodes = affected.select("n_id", "emb", "cell")
+      .join(affNbrs, Seq("n_id"))
+      .select("n_id", "emb", "cell", "neighbors")
+    val untouched = index.nodes
+      .join(affected.select("n_id"), Seq("n_id"), "left_anti")
+    val nodes2 = untouched.unionByName(affNodes).unionByName(nuNodes)
+      .localCheckpoint()
+    // entries: recompute only cells that gained members
+    val entries2 = index.entries
+      .join(touched, Seq("cell"), "left_anti")
+      .unionByName(hashEntries(
+        all.join(touched, Seq("cell"), "left_semi"),
+        index.entriesPerCell))
+      .localCheckpoint()
+    index.copy(nodes = nodes2, entries = entries2)
   }
 }

@@ -317,6 +317,44 @@ object TextOps {
     m
   }
 
+  /** Persist a trained unigram model as two parquet tables under
+    * `dir` — the "ship the tokenizer artifact" step every production
+    * pipeline ends with (SentencePiece's .model file, re-expressed as
+    * the engine's native tables): `meta` (format_version +
+    * max_piece_len, read back BY NAME) and `pieces` (piece, count,
+    * cost). Counts AND the fixed-point costs both round-trip, so a
+    * reloaded model segments bit-identically (gate t29).
+    */
+  def saveUnigramModel(spark: org.apache.spark.sql.SparkSession,
+                       model: UnigramModel, dir: String): Unit = {
+    import spark.implicits._
+    Seq((1, model.maxPieceLen))
+      .toDF("format_version", "max_piece_len")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    model.pieces.indices.map(i =>
+        (model.pieces(i), model.counts(i), model.costInt(i)))
+      .toDF("piece", "count", "cost")
+      .write.mode("overwrite").parquet(s"$dir/pieces")
+  }
+
+  /** Reload a persisted unigram model. Pieces come back sorted (the
+    * array order is not semantic — the segmenter's vocab is a map —
+    * but a canonical order keeps the artifact comparable).
+    */
+  def loadUnigramModel(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): UnigramModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported unigram model format_version " +
+        meta.getAs[Int]("format_version"))
+    val rows = spark.read.parquet(s"$dir/pieces")
+      .orderBy("piece").collect()
+    UnigramModel(rows.map(_.getAs[String]("piece")),
+      rows.map(_.getAs[Long]("count")),
+      rows.map(_.getAs[Long]("cost")),
+      meta.getAs[Int]("max_piece_len"))
+  }
+
   /** Sampling (subword-regularization) encode: per-word segmentation
     * drawn ∝ its posterior probability from a (seed, word)-keyed
     * splitmix64 stream — different epochs pass different seeds, same

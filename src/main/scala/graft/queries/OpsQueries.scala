@@ -3179,6 +3179,72 @@ object OpsQueries {
            |SELECT 'vocab', piece, '', cnt FROM v2""".stripMargin
       }),
 
+    // TOKENIZER ARTIFACT persistence (t29): the "ship the tokenizer"
+    // step — a trained unigram model (t21's fixture, one hard-EM
+    // iteration) written as meta+pieces parquet, reloaded, and proven
+    // behavior-identical: every word's Viterbi segmentation under the
+    // LOADED model equals the in-memory one (integer-cost comparisons,
+    // so equality is exact), and every (piece, count, cost) row
+    // round-trips. A lost piece, a count/cost swap, or a
+    // max_piece_len drop changes segmentations, not just metadata.
+    QueryDef("t29_tokenizer_artifact",
+      (s, dir) => {
+        import s.implicits._
+        val table = TextOps.bpeWordTable(docs(s, dir), "text",
+            maxWords = 100000).drop("syms")
+          .filter(length(col("word")) <= 12)
+          .orderBy(col("freq").desc, col("word")).limit(200)
+          .localCheckpoint()
+        val m1 = TextOps.unigramEmStep(table,
+          TextOps.unigramSeedModel(table, vocabSize = 120,
+            maxPieceLen = 3))
+        val mDir = "/tmp/graft_gate_unigram_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        TextOps.saveUnigramModel(s, m1, mDir)
+        val m2 = TextOps.loadUnigramModel(s, mDir)
+        val segOk = TextOps.unigramSegmentWords(table, m1)
+          .select(col("word"), col("pieces").as("a"))
+          .join(TextOps.unigramSegmentWords(table, m2)
+            .select(col("word"), col("pieces").as("b")), Seq("word"))
+          .select(lit("seg").as("chk"), col("word").as("k"),
+            (col("a") === col("b")).as("ok"))
+        val inMem = m1.pieces.indices
+          .map(i => (m1.pieces(i), m1.counts(i), m1.costInt(i)))
+        val vocabOk = inMem.zip(
+            m2.pieces.indices.map(i =>
+              (m2.pieces(i), m2.counts(i), m2.costInt(i))))
+          .map { case (a, b) => (a._1, a == b) }
+          .toDF("k", "ok")
+          .select(lit("vocab").as("chk"), col("k"), col("ok"))
+        segOk.unionByName(vocabOk)
+      },
+      Some("""WITH wd AS (SELECT word, count(*) AS freq FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(trim(text)), '\s+'),
+             |      x -> x <> '')) AS word FROM documents) GROUP BY 1),
+             |wt AS (SELECT word, freq FROM wd WHERE length(word) <= 12
+             |       ORDER BY freq DESC, word LIMIT 200),
+             |subs AS (SELECT substr(w.word, cast(t.i AS INT),
+             |      cast(u.l AS INT)) AS piece, w.freq
+             |  FROM wt w,
+             |    unnest(range(1, length(w.word) + 1)) AS t(i),
+             |    unnest(range(1, least(3, length(w.word) - t.i + 1) + 1))
+             |      AS u(l)),
+             |sc AS (SELECT piece, cast(sum(freq) AS BIGINT) AS cnt
+             |  FROM subs GROUP BY 1),
+             |v0sel AS (
+             |  SELECT piece FROM sc WHERE length(piece) = 1
+             |  UNION ALL
+             |  SELECT piece FROM (
+             |    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece)
+             |      AS rn
+             |    FROM sc WHERE length(piece) > 1)
+             |  WHERE rn <= 120 - (SELECT count(*) FROM sc
+             |                     WHERE length(piece) = 1))
+             |SELECT 'seg' AS chk, word AS k, TRUE AS ok FROM wt
+             |UNION ALL
+             |SELECT 'vocab', piece, TRUE FROM v0sel""".stripMargin)),
+
     // SOFT-EM unigram E-step + M-step (t28): the lattice
     // forward–backward expectations SentencePiece really trains with
     // (t21 implements the hard/Viterbi approximation). Same fixture
@@ -3798,6 +3864,82 @@ object OpsQueries {
       },
       Some("SELECT 20::BIGINT AS nq, TRUE AS graph_beats_ivf, " +
         "TRUE AS budget_ok")),
+
+    // GRAPH INDEX persistence (n32): the n21 write_index/read_index
+    // discipline for the graph tier — build → save (meta/cells/
+    // entries/nodes parquet) → reload → search must reproduce the
+    // pre-save search ROW-FOR-ROW (neighbor lists, entry sets, and
+    // build parameters all survive the round-trip byte-faithfully or
+    // ranks drift).
+    QueryDef("n32_graph_index_persist",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val idx = GraphAnn.buildGraphIndex(e, nlist = 16, degree = 6,
+          crossDegree = 2)
+        val idxDir = "/tmp/graft_gate_graphidx_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        GraphAnn.saveGraphIndex(idx, idxDir)
+        val loaded = GraphAnn.loadGraphIndex(s, idxDir)
+        def search(i: GraphAnn.GraphIndex) =
+          GraphAnn.queryGraphIndex(q, i, k = 5, beam = 3, hops = 2)
+            .select("q_id", "n_id", "rank")
+        val base = search(idx)
+        val got = search(loaded)
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(got.withColumnRenamed("rank", "rank_loaded"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_loaded"), 1).otherwise(0)))
+            .as("roundtrip_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS roundtrip_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
+    // GRAPH INDEX append (n33): corpus growth for the graph tier —
+    // stronger than n22's query-equivalence: append must equal the
+    // from-scratch rebuild over the union as an INDEX (every node's
+    // neighbor list and every cell's entry set identical). The
+    // equality is structural, not statistical: a stored neighbor list
+    // is the union of disjoint intra/cross top-k pools, the split
+    // reconstructs from the neighbors' home cells, and
+    // topK(pool ∪ batch) = topK(topK(pool) ∪ batch) by heap
+    // dominance — so only the batch and the members of cells it
+    // touches are reworked, and the result must still match the full
+    // rebuild node-for-node. Routing stays frozen (cells from the
+    // base build, which the vec_id<16 seeds keep inside the base
+    // half, so both paths train identical cells).
+    QueryDef("n33_graph_index_append",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val base = e.filter(col("vec_id") < 400)
+        val batch = e.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        val appended = GraphAnn.appendToGraphIndex(
+          GraphAnn.buildGraphIndex(base, nlist = 16, degree = 5,
+            crossDegree = 2), batch)
+        val rebuilt = GraphAnn.buildGraphIndex(
+          e.filter(col("vec_id") < 500), nlist = 16, degree = 5,
+          crossDegree = 2)
+        val nodesOk = appended.nodes
+          .select(col("n_id"), col("neighbors").as("nb_app"))
+          .join(rebuilt.nodes
+            .select(col("n_id"), col("neighbors").as("nb_full")),
+            Seq("n_id"), "full")
+          .select(col("n_id"),
+            (col("nb_app") === col("nb_full")).as("append_exact"))
+        val entriesOk = appended.entries
+          .select(col("cell"), col("entry_id")).withColumn("__a", lit(1))
+          .join(rebuilt.entries.select(col("cell"), col("entry_id"))
+            .withColumn("__m", lit(1)), Seq("cell", "entry_id"), "full")
+          .agg((count(lit(1)) === sum(col("__m")) &&
+            count(lit(1)) === sum(col("__a"))).as("append_exact"))
+          .select(lit(-1L).as("n_id"), col("append_exact"))
+        nodesOk.unionByName(entriesOk)
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS append_exact
+             |FROM embeddings WHERE vec_id < 500
+             |UNION ALL SELECT -1, TRUE""".stripMargin)),
 
     // INDEX REFRESH POLICY (n30): the decision loop closing the
     // grow-by-append lifecycle — n22's append + the self-ADC

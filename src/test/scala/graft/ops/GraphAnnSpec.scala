@@ -90,6 +90,42 @@ class GraphAnnSpec extends SparkSpec {
     run(corpus.repartition(13)) shouldBe run(corpus.coalesce(1))
   }
 
+  test("save/load round-trips the index; search replays exactly") {
+    val corpus = planted(4, 20, 16, seed = 67)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 5,
+      crossDegree = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graphidx").toString
+    GraphAnn.saveGraphIndex(idx, dir)
+    val loaded = GraphAnn.loadGraphIndex(spark, dir)
+    loaded.degree shouldBe 5
+    loaded.crossDegree shouldBe 2
+    loaded.cells.length shouldBe 4
+    def run(i: GraphAnn.GraphIndex) =
+      GraphAnn.queryGraphIndex(queries, i, k = 4, beam = 3, hops = 2)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    run(loaded) shouldBe run(idx)
+  }
+
+  test("append equals a from-scratch rebuild, node-for-node") {
+    val all = planted(5, 30, 16, seed = 71)
+    val base = all.filter(col("vec_id") < 100)
+    val batch = all.filter(col("vec_id") >= 100)
+    val appended = GraphAnn.appendToGraphIndex(
+      GraphAnn.buildGraphIndex(base, nlist = 5, degree = 4,
+        crossDegree = 2), batch)
+    val rebuilt = GraphAnn.buildGraphIndex(all, nlist = 5, degree = 4,
+      crossDegree = 2)
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    nbrs(appended) shouldBe nbrs(rebuilt)
+    def ent(i: GraphAnn.GraphIndex) = i.entries.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    ent(appended) shouldBe ent(rebuilt)
+  }
+
   test("serve plan: node table is never shuffled (broadcast joins only)") {
     val corpus = planted(4, 20, 16, seed = 61)
     val queries = corpus.filter(col("vec_id") < 4)

@@ -80,6 +80,27 @@ class UnigramSoftSpec extends SparkSpec {
     fused shouldBe (8.0 / 9.0 +- 0.07)
   }
 
+  test("unigram model artifact round-trips and segments identically") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, "xy yx xyx yxy xyxy"))
+      .toDF("doc_id", "text")
+    val table = TextOps.bpeWordTable(docs, "text", 1000).drop("syms")
+      .localCheckpoint()
+    val m1 = TextOps.unigramEmStep(table,
+      TextOps.unigramSeedModel(table, 8, 2))
+    val dir = java.nio.file.Files.createTempDirectory("unigram").toString
+    TextOps.saveUnigramModel(spark, m1, dir)
+    val m2 = TextOps.loadUnigramModel(spark, dir)
+    m2.maxPieceLen shouldBe m1.maxPieceLen
+    m2.pieces.toSeq shouldBe m1.pieces.toSeq
+    m2.counts.toSeq shouldBe m1.counts.toSeq
+    m2.costInt.toSeq shouldBe m1.costInt.toSeq
+    val a = TextOps.unigramSegmentWords(table, m1)
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    val b = TextOps.unigramSegmentWords(table, m2)
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    b shouldBe a
+  }
+
   test("quantized soft M-step replays across layouts") {
     val docs = Seq.tabulate(40) { i =>
       (i.toLong, Seq.fill(4)("ab" * (1 + i % 3)).mkString(" "))
