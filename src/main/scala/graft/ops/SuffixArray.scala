@@ -67,16 +67,18 @@ object SuffixArray {
       .withColumn("__n", length(col("__t")))
     val maxLen = staged.agg(max(col("__n"))).head().getInt(0)
     val stride = maxLen.toLong + targetW + 1
-    // one row per character; class id seeds as min position per char
+    // one row per character; class id seeds as min position per char.
+    // The refinement relation carries ONLY (pos, cls) — two longs a
+    // row: doc id and offset are pos arithmetic on the stride grid
+    // (recovered once at the end), and every round's shuffle moves 16
+    // bytes per corpus character, not a five-column row.
     val chars = staged
-      .select(col("__id"), col("__n"),
-        posexplode(split(col("__t"), "")).as(Seq("__off", "__c")))
-      .select(col("__id"), col("__n"), col("__off"),
-        (col("__id") * stride + col("__off")).as("__pos"), col("__c"))
+      .select(posexplode(split(col("__t"), "")).as(Seq("__off", "__c")),
+        col("__id"))
+      .select((col("__id") * stride + col("__off")).as("__pos"), col("__c"))
     var ranks = chars
       .join(chars.groupBy("__c").agg(min("__pos").as("__cls")), Seq("__c"))
-      .select(col("__id"), col("__n"), col("__off"), col("__pos"),
-        col("__cls"))
+      .select(col("__pos"), col("__cls"))
       .localCheckpoint()
     def widen(cur: DataFrame, shift: Int): DataFrame = {
       // class of the window starting `shift` to the right; a position
@@ -84,8 +86,7 @@ object SuffixArray {
       // itself (−pos − 1: disjoint from min-position ids, which are ≥ 0)
       val r2 = cur.select(col("__pos").as("__p2"), col("__cls").as("__r2"))
       cur.join(r2, col("__pos") + shift === col("__p2"), "left")
-        .select(col("__id"), col("__n"), col("__off"), col("__pos"),
-          col("__cls").as("__r1"),
+        .select(col("__pos"), col("__cls").as("__r1"),
           coalesce(col("__r2"), -col("__pos") - 1).as("__r2"))
     }
     // doubling rounds: classes of width `width` → width 2·width via the
@@ -97,15 +98,19 @@ object SuffixArray {
       val newCls = paired.groupBy("__r1", "__r2")
         .agg(min("__pos").as("__cls"))
       ranks = paired.join(newCls, Seq("__r1", "__r2"))
-        .select(col("__id"), col("__n"), col("__off"), col("__pos"),
-          col("__cls"))
+        .select(col("__pos"), col("__cls"))
         .localCheckpoint()
       width *= 2
     }
     // composite key covering exactly minLen chars: width-`width`
     // classes at off and off + minLen − width (overlap argument:
     // 2·width ≥ minLen); only positions with a full window participate
+    val lengths = staged.select(col("__id"), col("__n"))
     val keyed = widen(ranks, minLen - width)
+      .select(expr(s"__pos div ${stride}L").as("__id"),
+        pmod(col("__pos"), lit(stride)).as("__off"),
+        col("__r1"), col("__r2"))
+      .join(lengths, Seq("__id"))
       .filter(col("__off") <= col("__n") - minLen)
     val repeatedKeys = keyed.groupBy("__r1", "__r2")
       .agg(count(lit(1)).as("__cnt"))
