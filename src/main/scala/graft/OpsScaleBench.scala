@@ -136,6 +136,32 @@ object OpsScaleBench {
             shiftright(sim, 32).bitwiseAND(lit(0xFFFFFFFFL))).as("code"))
         sink(graft.ops.Similarity.hammingNearDupPairs(fp, "doc_id",
           "code", maxHamming = 3, maxBucket = 1000))
+      },
+      // EXACT substring dedup at character grain: the curve is
+      // log(minLen) rounds of two hash shuffles over one (pos, cls)
+      // row per corpus character — should track the character count
+      // linearly (replica-suffix tokens add fresh text, so the marked
+      // set grows too, but marking is one more keyed aggregate).
+      "substr_dedup_exact" -> (df => sink(
+        graft.ops.SuffixArray.repeatedSpans(df, "text", "doc_id",
+          minLen = 40))),
+      // Graph-ANN build + serve with nlist scaled to hold cell size
+      // constant (the production configuration — fixed nlist would
+      // make the within-cell self-join quadratic): build is n·cellsize
+      // edge candidates, serve is a fixed 20-query beam batch, so the
+      // curve should be ~linear in the corpus.
+      "graph_ann" -> { df =>
+        val vecs = df.select(col("doc_id").as("vec_id"),
+          expr("transform(sequence(1, 32), j -> " +
+            "cast(pmod(xxhash64(doc_id * 31 + j), 1000) / 500.0 - 1.0 " +
+            "as float))").as("embedding")).localCheckpoint()
+        val n = vecs.count()
+        val idx = graft.ops.GraphAnn.buildGraphIndex(vecs,
+          nlist = math.max(16, (n / 64).toInt), degree = 6,
+          crossDegree = 2)
+        sink(graft.ops.GraphAnn.queryGraphIndex(
+          vecs.filter(col("vec_id") < 20), idx, k = 5, beam = 3,
+          hops = 2))
       })
 
     val parts = ops.map { case (name, f) =>
