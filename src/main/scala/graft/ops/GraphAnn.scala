@@ -183,23 +183,34 @@ object GraphAnn {
     */
   def queryGraphIndex(queries: DataFrame, index: GraphIndex, k: Int,
                       beam: Int = 8, hops: Int = 3,
-                      entryProbes: Int = 2): DataFrame = {
+                      entryProbes: Int = 2): DataFrame =
+    beamSearch(queries, index.nodes, index.entries, index.cells, k, beam,
+      hops, entryProbes, scoreCandidates(_, index.nodes, _))
+
+  /** The shared batched best-first loop: each round expands the best
+    * `beam` scored-but-unexpanded candidates per query (NOT just the
+    * newest hop's — a strong find from an earlier round stays
+    * eligible, the property that makes HNSW's ef-search converge),
+    * scores their out-edges through the pluggable `score` (exact
+    * cosine for the float index, ADC for the PQ-compressed one), and
+    * folds them into the candidate pool.
+    */
+  private def beamSearch(queries: DataFrame, nodes: DataFrame,
+                         entries: DataFrame, cells: Array[Array[Double]],
+                         k: Int, beam: Int, hops: Int, entryProbes: Int,
+                         score: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(beam >= 1, s"beam must be >= 1, got $beam")
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     val entryCand = q.select(col("q_id"),
-        explode(Centroids.centroidProbes(col("q_emb"), index.cells,
+        explode(Centroids.centroidProbes(col("q_emb"), cells,
           entryProbes)).as("cell"))
-      .join(broadcast(index.entries), Seq("cell"))
+      .join(broadcast(entries), Seq("cell"))
       .select(col("q_id"), col("entry_id").as("n_id"))
       .distinct()
-    // best-first, batched: each round expands the best `beam` scored-
-    // but-unexpanded candidates per query (NOT just the newest hop's —
-    // a strong find from an earlier round stays eligible, the property
-    // that makes HNSW's ef-search converge), scores their out-edges,
-    // and folds them into the candidate pool.
-    var scored = scoreCandidates(entryCand, index.nodes, q).localCheckpoint()
+    var scored = score(entryCand, q).localCheckpoint()
     var expanded = scored.select("q_id", "n_id").limit(0).localCheckpoint()
     var h = 0
     while (h < hops) {
@@ -208,12 +219,12 @@ object GraphAnn {
         .localCheckpoint()
       expanded = expanded.unionByName(frontier).localCheckpoint()
       val cand = frontier
-        .join(index.nodes.select(col("n_id"), col("neighbors")), Seq("n_id"))
+        .join(nodes.select(col("n_id"), col("neighbors")), Seq("n_id"))
         .select(col("q_id"), explode(col("neighbors")).as("n_id"))
         .distinct()
         .join(scored.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
       scored = scored
-        .unionByName(scoreCandidates(cand, index.nodes, q))
+        .unionByName(score(cand, q))
         .localCheckpoint()
       h += 1
     }
@@ -226,6 +237,72 @@ object GraphAnn {
       .select(col("q_id"), col("e.id").as("n_id"),
         (col("pos") + 1).cast("int").as("rank"), col("e.score").as("sim"))
       .join(nVisited, Seq("q_id"))
+  }
+
+  /** Graph index over PQ-COMPRESSED vectors — the DiskANN/HNSW-PQ
+    * marriage: the navigation structure of the graph tier with the
+    * memory footprint of the PQ tier. The serve path never touches a
+    * float corpus vector: candidates rank by asymmetric distance
+    * against their stored byte codes (one codegen [[graft.functions
+    * .PqColumns.pqAdc]] per candidate), so the resident state per node
+    * is `m` bytes + the neighbor list instead of `4·dim` float bytes —
+    * at production dims the difference between an in-memory serve and
+    * one that pages.
+    *
+    * @param nodes    n_id, cell, neighbors, codes — NO embeddings
+    * @param codebook flat per-subspace PQ codebook
+    */
+  case class GraphPqIndex(nodes: DataFrame, entries: DataFrame,
+                          cells: Array[Array[Double]],
+                          codebook: Array[Array[Double]],
+                          m: Int, ks: Int, dim: Int)
+
+  /** Build: the float graph build (edges need real geometry), then one
+    * encode projection and the floats are DROPPED. `codebook` defaults
+    * to the deterministic first-ks scheme [[Similarity.pqTopK]] gates
+    * replay; production passes [[KMeans.trainPqCodebook]] output.
+    */
+  def buildGraphPqIndex(corpus: DataFrame, nlist: Int = 16,
+                        degree: Int = 8, crossDegree: Int = 2,
+                        m: Int = 8, ks: Int = 16, dim: Int = 64,
+                        centroids: Option[Array[Array[Double]]] = None,
+                        codebook: Option[Array[Array[Double]]] = None,
+                        entriesPerCell: Int = 4): GraphPqIndex = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cb = codebook.getOrElse(
+      Similarity.defaultPqCodebook(corpus, m, ks, sub))
+    val g = buildGraphIndex(corpus, nlist, degree, crossDegree,
+      centroids, entriesPerCell)
+    val nodes = g.nodes
+      .withColumn("codes",
+        graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
+      .select("n_id", "cell", "neighbors", "codes")
+      .localCheckpoint()
+    GraphPqIndex(nodes, g.entries, g.cells, cb, m, ks, dim)
+  }
+
+  /** ADC beam search over the compressed graph: identical walk to
+    * [[queryGraphIndex]] with the scorer swapped — candidates pick up
+    * their CODES (not floats) and rank by −ADC (squared asymmetric
+    * distance; ties by id). With one cell, full out-degree, and one
+    * expansion round this must reproduce [[Similarity.pqTopK]]'s
+    * exhaustive compressed scan row-for-row (gate n34).
+    */
+  def queryGraphPqIndex(queries: DataFrame, index: GraphPqIndex, k: Int,
+                        beam: Int = 8, hops: Int = 3,
+                        entryProbes: Int = 2): DataFrame = {
+    val sub = index.dim / index.m
+    def adcScore(cand: DataFrame, q: DataFrame): DataFrame =
+      broadcast(cand)
+        .join(index.nodes.select(col("n_id"), col("codes")), Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          (-graft.functions.PqColumns.pqAdc(col("q_emb"), col("codes"),
+            index.codebook, sub)).as("sim"))
+    beamSearch(queries, index.nodes, index.entries, index.cells, k, beam,
+      hops, entryProbes, adcScore)
+      .withColumn("adc", -col("sim")).drop("sim")
   }
 
   /** Persist the index as four parquet tables under `dir` (the n21

@@ -276,8 +276,8 @@ object Similarity {
   /** Deterministic seed PQ codebook (subvectors of the first ks corpus
     * vectors) — the scheme the n05 recall gate replays.
     */
-  private def defaultPqCodebook(corpus: DataFrame, m: Int, ks: Int,
-                                sub: Int): Array[Array[Double]] = {
+  private[ops] def defaultPqCodebook(corpus: DataFrame, m: Int, ks: Int,
+                                     sub: Int): Array[Array[Double]] = {
     val seeds = firstVectors(corpus, ks)
     // codebook[j] = flattened ks centroids for subspace j
     Array.tabulate(m)(j => seeds.flatMap(v => v.slice(j * sub, (j + 1) * sub)))

@@ -3787,6 +3787,38 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS beam_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // GRAPH over PQ codes (n34) — the DiskANN/HNSW-PQ shape: the n29
+    // walk with the serve path never touching a float corpus vector
+    // (candidates rank by codegen ADC against stored byte codes; the
+    // node table holds m bytes + a neighbor list per vector).
+    // Machinery gate in the n29/n08 discipline: saturated config must
+    // reproduce the exhaustive compressed scan (pqTopK, same
+    // deterministic first-ks codebook, same adc-asc/id tie-break)
+    // ROW-FOR-ROW — an encode/ADC asymmetry, a dropped code column,
+    // or a heap sign slip breaks per-row rank equality.
+    QueryDef("n34_ann_graph_pq",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val n = e.count().toInt
+        val idx = GraphAnn.buildGraphPqIndex(e, nlist = 1, degree = n - 1,
+          crossDegree = 0, m = 16, ks = 64)
+        val graph = GraphAnn.queryGraphPqIndex(q, idx, k = 5, beam = 5,
+            hops = 1, entryProbes = 1)
+          .select("q_id", "n_id", "rank")
+        val base = Similarity.pqTopK(q, e, 5, m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(graph.withColumnRenamed("rank", "rank_graph"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_graph"), 1).otherwise(0)))
+            .as("adc_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS adc_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // GRAPH ANN recall vs IVF at matched budget (n31) — the regime
     // graph indexes exist for: true neighbors STRADDLING cell
     // boundaries, IVF's canonical blind spot. Planted fixture (hash-

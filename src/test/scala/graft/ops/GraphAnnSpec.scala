@@ -90,6 +90,47 @@ class GraphAnnSpec extends SparkSpec {
     run(corpus.repartition(13)) shouldBe run(corpus.coalesce(1))
   }
 
+  test("PQ-compressed graph: no floats in the node table, recall holds on planted clusters") {
+    // looser clusters than the float tests (noise 0.3): within-cluster
+    // gaps must stay above the ADC quantization error for compressed
+    // ranking to be meaningful — the regime the index targets (tight
+    // near-duplicates are the float tier's or a rerank stage's job)
+    val r = new scala.util.Random(83)
+    val anchors = Array.fill(6)(Array.fill(16)(r.nextGaussian()))
+    val corpus = (0 until 192).map { i =>
+      val a = anchors(i % 6)
+      (i.toLong, a.map(x => (x + 0.3 * r.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    // trained codebook (the production path — the first-ks gate scheme
+    // is deliberately crude and would blur within-cluster ranking)
+    val cb = KMeans.trainPqCodebook(corpus, "vec_id", "embedding",
+      m = 8, ks = 32, dim = 16)
+    val idx = GraphAnn.buildGraphPqIndex(corpus, nlist = 6, degree = 6,
+      crossDegree = 2, m = 8, ks = 32, dim = 16, codebook = Some(cb))
+    // the serve-side state is codes + topology only
+    idx.nodes.columns.toSet shouldBe Set("n_id", "cell", "neighbors",
+      "codes")
+    val res = GraphAnn.queryGraphPqIndex(queries, idx, k = 5, beam = 4,
+      hops = 2, entryProbes = 2)
+    // the walk's job is to approximate the EXHAUSTIVE scan of the same
+    // compressed representation (what the index could ever return);
+    // quantization loss vs true neighbors is the codebook's property,
+    // bounded separately
+    val adcExhaustive = Similarity.pqTopK(queries, corpus, 5, m = 8,
+      ks = 32, dim = 16, codebook = Some(cb))
+    val walkRecall = Similarity.recallAtK(res.select("q_id", "n_id"),
+        adcExhaustive.select("q_id", "n_id"))
+      .agg(avg("recall")).head().getDouble(0)
+    walkRecall should be >= 0.85
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+    val trueRecall = Similarity.recallAtK(res.select("q_id", "n_id"),
+        exact.select("q_id", "n_id"))
+      .agg(avg("recall")).head().getDouble(0)
+    trueRecall should be >= 0.5 // quantization floor, not walk quality
+  }
+
   test("save/load round-trips the index; search replays exactly") {
     val corpus = planted(4, 20, 16, seed = 67)
     val queries = corpus.filter(col("vec_id") < 5)
