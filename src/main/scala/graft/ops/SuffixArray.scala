@@ -136,4 +136,40 @@ object SuffixArray {
         col("__se").cast("int").as("span_end"),
         (col("__se") - col("__ss")).cast("int").as("span_len"))
   }
+
+  /** Cut the repeated spans OUT of each document — the "drop the
+    * duplicated bytes" rebuild the spans exist for (Lee et al. §4).
+    * One left join of the span sets back onto the docs and one
+    * aggregate-HOF projection per row: the sorted span list folds
+    * left-to-right, copying the kept gap before each span and the
+    * tail after the last — no explode, no per-character rows, the
+    * rebuild rides whatever scan produces the text. Returns
+    * `(idCol, n_chars, n_spans, chars_removed, clean_text)` (the d15
+    * output contract at character grain).
+    */
+  def cutRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                       minLen: Int, minOccurrences: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, textCol, idCol, minLen, minOccurrences)
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("__spans"))
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        expr("cast(array() as array<struct<s:int,e:int>>)")))
+      .withColumn("__clean", expr(
+        """aggregate(__spans,
+          |  struct(cast('' as string) as t, 0 as p),
+          |  (acc, sp) -> struct(
+          |    concat(acc.t, substring(__t, acc.p + 1, sp.s - acc.p)),
+          |    sp.e),
+          |  acc -> concat(acc.t,
+          |    substring(__t, acc.p + 1, length(__t) - acc.p)))"""
+          .stripMargin))
+      .select(col(idCol), length(col("__t")).as("n_chars"),
+        size(col("__spans")).as("n_spans"),
+        (length(col("__t")) - length(col("__clean")))
+          .as("chars_removed"),
+        col("__clean").as("clean_text"))
+  }
 }

@@ -1312,6 +1312,55 @@ object OpsQueries {
              |  cast(max(off) + 40 - min(off) AS INT) AS span_len
              |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
 
+    // Span CUT over the d25 spans (d26) — the "drop the duplicated
+    // bytes" rebuild, Lee et al.'s actual output: every repeated
+    // 40-char-window span removed, kept text reassembled from the
+    // gaps in order. One aggregate-HOF projection per doc (no
+    // per-character rows); the oracle rebuilds each document from the
+    // SAME span set via lag-window gap segments + ordered string_agg
+    // — an off-by-one at either span edge shifts whole strings.
+    QueryDef("d26_substr_dedup_cut",
+      (s, dir) => SuffixArray.cutRepeatedSpans(docs(s, dir), "text",
+        "doc_id", minLen = 40),
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.off FROM g JOIN r USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1),
+             |sp AS (SELECT doc_id, cast(min(off) AS INT) AS ss,
+             |    cast(max(off) + 40 AS INT) AS se
+             |  FROM i2 GROUP BY doc_id, isl),
+             |gaps AS (
+             |  SELECT sp.doc_id,
+             |    coalesce(lag(sp.se) OVER (PARTITION BY sp.doc_id
+             |      ORDER BY sp.ss), 0) AS gs,
+             |    sp.ss AS ge
+             |  FROM sp
+             |  UNION ALL
+             |  SELECT d.doc_id, coalesce(max(sp.se), 0), max(d.n)
+             |  FROM d LEFT JOIN sp USING (doc_id) GROUP BY d.doc_id),
+             |k AS (SELECT g2.doc_id,
+             |    string_agg(substr(d.text, g2.gs + 1, g2.ge - g2.gs), ''
+             |      ORDER BY g2.gs) AS clean
+             |  FROM gaps g2 JOIN d USING (doc_id) GROUP BY g2.doc_id),
+             |spc AS (SELECT doc_id, count(*) AS ns FROM sp GROUP BY 1)
+             |SELECT d.doc_id, cast(d.n AS INT) AS n_chars,
+             |  cast(coalesce(spc.ns, 0) AS INT) AS n_spans,
+             |  cast(d.n - length(k.clean) AS INT) AS chars_removed,
+             |  k.clean AS clean_text
+             |FROM d JOIN k USING (doc_id)
+             |LEFT JOIN spc USING (doc_id)""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).

@@ -85,6 +85,26 @@ class SuffixArraySpec extends SparkSpec {
     run(docs, minLen = 8) shouldBe Set.empty
   }
 
+  test("cutRepeatedSpans removes exactly the spans, keeps gaps in order") {
+    val block = "0123456789abcdef" // 16 chars
+    val docs = Seq(
+      (0L, s"HEAD-$block-MID-$block-TAIL"), // self-repeat, two spans
+      (1L, "completely unique text stays intact"),
+      (2L, block * 2)) // fully covered → empty rebuild
+      .toDF("doc_id", "text")
+    val got = SuffixArray.cutRepeatedSpans(docs, "text", "doc_id",
+        minLen = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    // doc 0: the repeat includes the shared flanks ("D-" before each
+    // block — HEAD/MID both end in D — and "-" after), so the maximal
+    // spans are [3,22) and [24,43): kept = "HEA" + "MI" + "TAIL"
+    got(0L) shouldBe ((47, 2, 38, "HEAMITAIL"))
+    got(1L) shouldBe ((35, 0, 0, "completely unique text stays intact"))
+    // doc 2: "blockblock" is one maximal span covering everything
+    got(2L) shouldBe ((32, 1, 32, ""))
+  }
+
   test("spans replay identically across layouts") {
     val r = new scala.util.Random(79)
     val docs = (0L until 20L).map { id =>
