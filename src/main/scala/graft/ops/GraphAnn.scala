@@ -305,6 +305,43 @@ object GraphAnn {
       .withColumn("adc", -col("sim")).drop("sim")
   }
 
+  /** Persist a PQ-compressed graph index: the [[saveGraphIndex]]
+    * layout plus a `codebook` table; nodes carry codes, never floats —
+    * what lands on disk is exactly the m-bytes-per-vector serve state.
+    */
+  def saveGraphPqIndex(index: GraphPqIndex, dir: String): Unit = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    Seq((1, index.cells.length, index.m, index.ks, index.dim))
+      .toDF("format_version", "nlist", "m", "ks", "dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.cells.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    index.codebook.zipWithIndex.map { case (v, j) => (j, v.toSeq) }.toSeq
+      .toDF("sub_id", "entries")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    index.entries.write.mode("overwrite").parquet(s"$dir/entries")
+    index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+  }
+
+  def loadGraphPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): GraphPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported graph-pq index format_version " +
+        meta.getAs[Int]("format_version"))
+    val cells = spark.read.parquet(s"$dir/cells")
+      .orderBy("cell_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .orderBy("sub_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    GraphPqIndex(spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/entries"), cells, cb,
+      meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
+  }
+
   /** Persist the index as four parquet tables under `dir` (the n21
     * IVF-PQ layout discipline): `meta` (format_version + build
     * parameters, read back BY NAME), `cells`, `entries`, `nodes`. The

@@ -149,6 +149,23 @@ class GraphAnnSpec extends SparkSpec {
     run(loaded) shouldBe run(idx)
   }
 
+  test("PQ graph index save/load round-trips; ADC search replays exactly") {
+    val corpus = planted(4, 20, 16, seed = 89)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val idx = GraphAnn.buildGraphPqIndex(corpus, nlist = 4, degree = 5,
+      crossDegree = 2, m = 4, ks = 16, dim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graphpq").toString
+    GraphAnn.saveGraphPqIndex(idx, dir)
+    val loaded = GraphAnn.loadGraphPqIndex(spark, dir)
+    loaded.m shouldBe 4
+    loaded.codebook.length shouldBe idx.codebook.length
+    def run(i: GraphAnn.GraphPqIndex) =
+      GraphAnn.queryGraphPqIndex(queries, i, k = 4, beam = 3, hops = 2)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    run(loaded) shouldBe run(idx)
+  }
+
   test("append equals a from-scratch rebuild, node-for-node") {
     val all = planted(5, 30, 16, seed = 71)
     val base = all.filter(col("vec_id") < 100)
