@@ -56,15 +56,29 @@ object SuffixArray {
     */
   def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
                     minLen: Int, minOccurrences: Int = 2): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minOccurrences >= 2,
       s"minOccurrences below 2 would mark every position, got $minOccurrences")
-    // target class width: smallest power of two with 2·targetW ≥ minLen
-    var targetW = 1
-    while (targetW * 2 < minLen) targetW *= 2
     val staged = docs.select(col(idCol).cast("long").as("__id"),
         col(textCol).as("__t"))
       .withColumn("__n", length(col("__t")))
+    val keyed = lengthKeys(staged, minLen)
+    val repeatedKeys = keyed.groupBy("__r1", "__r2")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minOccurrences)
+      .select("__r1", "__r2")
+    islandSpans(keyed.join(repeatedKeys, Seq("__r1", "__r2")), idCol,
+      minLen)
+  }
+
+  /** The refinement core shared by every span flavor: (id, off, r1,
+    * r2) for each full-window position, where (r1, r2) is equal for
+    * two positions iff their `minLen`-char windows are identical.
+    */
+  private def lengthKeys(staged: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    // target class width: smallest power of two with 2·targetW ≥ minLen
+    var targetW = 1
+    while (targetW * 2 < minLen) targetW *= 2
     val maxLen = staged.agg(max(col("__n"))).head().getInt(0)
     val stride = maxLen.toLong + targetW + 1
     // one row per character; class id seeds as min position per char.
@@ -106,25 +120,27 @@ object SuffixArray {
     // classes at off and off + minLen − width (overlap argument:
     // 2·width ≥ minLen); only positions with a full window participate
     val lengths = staged.select(col("__id"), col("__n"))
-    val keyed = widen(ranks, minLen - width)
+    widen(ranks, minLen - width)
       .select(expr(s"__pos div ${stride}L").as("__id"),
         pmod(col("__pos"), lit(stride)).as("__off"),
         col("__r1"), col("__r2"))
       .join(lengths, Seq("__id"))
       .filter(col("__off") <= col("__n") - minLen)
-    val repeatedKeys = keyed.groupBy("__r1", "__r2")
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minOccurrences)
-      .select("__r1", "__r2")
-    val marked = keyed.join(repeatedKeys, Seq("__r1", "__r2"))
-      .select(col("__id"), col("__off"),
-        (col("__off") + minLen - 1).as("__e"))
-    // gap-and-island merge of covered intervals (the d15 cutSpans
-    // shape): a new span starts when this window's first position
-    // clears the running max covered end by more than one
+      .select("__id", "__off", "__r1", "__r2")
+  }
+
+  /** Gap-and-island merge of marked (id, off) window starts into
+    * maximal spans (the d15 cutSpans shape): a new span starts when a
+    * window's first position clears the running max covered end by
+    * more than one.
+    */
+  private def islandSpans(marked: DataFrame, idCol: String,
+                          minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy("__id").orderBy("__off")
     val runPrev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     marked
+      .select(col("__id"), col("__off"),
+        (col("__off") + minLen - 1).as("__e"))
       .withColumn("__brk",
         when(col("__off") > coalesce(max(col("__e")).over(runPrev),
           lit(-2L)) + 1, 1).otherwise(0))
@@ -135,6 +151,43 @@ object SuffixArray {
         col("__ss").cast("int").as("span_start"),
         col("__se").cast("int").as("span_end"),
         (col("__se") - col("__ss")).cast("int").as("span_len"))
+  }
+
+  /** EXACT substring decontamination spans — the published eval-overlap
+    * standard (GPT-3's 13-gram / PaLM's contamination sweeps, done
+    * exactly at character grain): every maximal span of `train` text
+    * whose EVERY `minLen`-char window also occurs somewhere in `eval`.
+    * Train-internal and eval-internal repeats do NOT mark (unlike
+    * [[repeatedSpans]]): the criterion is cross-corpus presence, so
+    * the key filter keeps exactly the equality classes with at least
+    * one member on each side. Both corpora flow through ONE shared
+    * refinement (ids interleave on parity: train 2·id, eval 2·id+1 —
+    * windows never span corpora because the stride grid separates
+    * documents anyway), so the cost is one d25 pass over the union.
+    * Returns train-side spans `(idCol, span_start, span_end,
+    * span_len)`; compose with [[cutRepeatedSpans]]'s surgery or drop
+    * whole documents above an overlap threshold.
+    */
+  def contaminationSpans(train: DataFrame, eval: DataFrame,
+                         textCol: String, idCol: String,
+                         minLen: Int): DataFrame = {
+    val staged = train.select((col(idCol).cast("long") * 2).as("__id"),
+        col(textCol).as("__t"))
+      .unionByName(eval.select(
+        (col(idCol).cast("long") * 2 + 1).as("__id"),
+        col(textCol).as("__t")))
+      .withColumn("__n", length(col("__t")))
+    val keyed = lengthKeys(staged, minLen)
+    val crossKeys = keyed
+      .groupBy("__r1", "__r2")
+      .agg(sum(when(pmod(col("__id"), lit(2L)) === 1, 1).otherwise(0))
+        .as("__nEval"))
+      .filter(col("__nEval") >= 1)
+      .select("__r1", "__r2")
+    val markedTrain = keyed.join(crossKeys, Seq("__r1", "__r2"))
+      .filter(pmod(col("__id"), lit(2L)) === 0)
+      .select(expr("__id div 2L").as("__id"), col("__off"))
+    islandSpans(markedTrain, idCol, minLen)
   }
 
   /** Cut the repeated spans OUT of each document — the "drop the

@@ -1312,6 +1312,48 @@ object OpsQueries {
              |  cast(max(off) + 40 - min(off) AS INT) AS span_len
              |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
 
+    // EXACT substring decontamination (d27) — the published
+    // eval-overlap standard done exactly at character grain: maximal
+    // train-side spans whose every 40-char window also occurs in the
+    // eval split (doc_id % 7 == 0, the d19 split). Cross-corpus
+    // presence is the criterion — train-internal repeats must NOT
+    // mark, which is exactly what separates this from d25 and what
+    // the oracle checks: DuckDB joins train grams against DISTINCT
+    // eval grams only. One shared refinement pass over the union
+    // (ids interleave on parity).
+    QueryDef("d27_substr_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        SuffixArray.contaminationSpans(
+          d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", minLen = 40)
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents),
+             |gtr AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i)
+             |  WHERE n >= 40 AND doc_id % 7 <> 0),
+             |gev AS (SELECT DISTINCT
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i)
+             |  WHERE n >= 40 AND doc_id % 7 = 0),
+             |m AS (SELECT gtr.doc_id, gtr.off FROM gtr
+             |  JOIN gev USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1)
+             |SELECT doc_id, cast(min(off) AS INT) AS span_start,
+             |  cast(max(off) + 40 AS INT) AS span_end,
+             |  cast(max(off) + 40 - min(off) AS INT) AS span_len
+             |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
+
     // Span CUT over the d25 spans (d26) — the "drop the duplicated
     // bytes" rebuild, Lee et al.'s actual output: every repeated
     // 40-char-window span removed, kept text reassembled from the

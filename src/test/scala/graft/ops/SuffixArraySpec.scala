@@ -105,6 +105,27 @@ class SuffixArraySpec extends SparkSpec {
     got(2L) shouldBe ((32, 1, 32, ""))
   }
 
+  test("contaminationSpans marks cross-corpus overlap only") {
+    val leak = "this exact benchmark sentence leaked into training"
+    val train = Seq(
+      (0L, s"prefix text $leak suffix text"),
+      // train-internal repeat — must NOT mark (both occurrences here)
+      (1L, "zzrepeatedblockzz filler zzrepeatedblockzz"),
+      (2L, "clean document with nothing shared")).toDF("doc_id", "text")
+    val eval = Seq(
+      (0L, s"eval question about $leak indeed"), // id collides with train 0
+      // eval-internal repeat — must not cause train marks either
+      (1L, "zqqq zqqq zqqq zqqq zqqq zqqq zqqq")).toDF("doc_id", "text")
+    val got = SuffixArray.contaminationSpans(train, eval, "text",
+        "doc_id", minLen = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // only train doc 0's leaked region marks — including the shared
+    // flanks "t " (both "text"/"about" end in t) and the trailing
+    // space: "t " + leak + " " = 53 chars at offset 10
+    got shouldBe Set((0L, 10, 10 + leak.length + 3))
+  }
+
   test("spans replay identically across layouts") {
     val r = new scala.util.Random(79)
     val docs = (0L until 20L).map { id =>
