@@ -75,12 +75,25 @@ object Sources {
     * JSON scan Spark refuses a query whose referenced columns are only
     * the internal corrupt-record column (AnalysisException), so the
     * quarantine side is unreadable without materializing first. One
-    * cached scan then serves both sides.
+    * cached scan then serves both sides. The cache pins the parsed
+    * corpus in storage until released — batch pipelines that consume
+    * both sides and move on should use [[jsonlSplitManaged]] and call
+    * the release.
     */
   def jsonlSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    val (clean, quarantine, _) = jsonlSplitManaged(df)
+    (clean, quarantine)
+  }
+
+  /** [[jsonlSplit]] plus the cache-release handle: call the thunk once
+    * both sides are consumed to free the materialized parse.
+    */
+  def jsonlSplitManaged(df: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
     val cached = df.cache()
     (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       cached.filter(col("_corrupt_record").isNotNull)
-        .select(col("_corrupt_record").as("raw_line")))
+        .select(col("_corrupt_record").as("raw_line")),
+      () => { cached.unpersist(); () })
   }
 }

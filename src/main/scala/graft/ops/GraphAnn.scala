@@ -64,11 +64,6 @@ object GraphAnn {
                         cells: Array[Array[Double]], degree: Int,
                         crossDegree: Int, entriesPerCell: Int)
 
-  private def dot(x: org.apache.spark.sql.Column,
-                  y: org.apache.spark.sql.Column) =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), _ + _)
-
   /** Top-`d` scored out-edges of `side` (cell, n_id, emb) against the
     * peer relation (cell, m_id, m_emb): per-cell join + fused cosine +
     * bounded-heap per node. Shared by build and append.
@@ -134,8 +129,15 @@ object GraphAnn {
     val nbrs = edges.groupBy("n_id")
       .agg(TopK.topK(col("sim"), col("m_id"), degree + crossDegree).as("top"))
       .select(col("n_id"), col("top.id").as("neighbors"))
-    val nodes = c.join(nbrs, Seq("n_id"))
-      .select("n_id", "emb", "cell", "neighbors")
+    // LEFT join + empty-list default: a vector alone in its cell (and,
+    // with crossDegree=0 or an empty second cell, without cross links)
+    // has no out-edges but must stay a NODE — it is still reachable as
+    // an entry and as a scoring candidate; an inner join would silently
+    // drop it from the index
+    val nodes = c.join(nbrs, Seq("n_id"), "left")
+      .select(col("n_id"), col("emb"), col("cell"),
+        coalesce(col("neighbors"),
+          expr("cast(array() as array<bigint>)")).as("neighbors"))
       .localCheckpoint()
     // entries per cell: `entriesPerCell` members in deterministic HASH
     // order, NOT the members closest to the centroid. A cell is often a
@@ -204,12 +206,21 @@ object GraphAnn {
     require(beam >= 1, s"beam must be >= 1, got $beam")
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
-    val entryCand = q.select(col("q_id"),
+    val probed = q.select(col("q_id"),
         explode(Centroids.centroidProbes(col("q_emb"), cells,
           entryProbes)).as("cell"))
       .join(broadcast(entries), Seq("cell"))
       .select(col("q_id"), col("entry_id").as("n_id"))
       .distinct()
+    // a query whose probed cells are all entry-less (k-means can leave
+    // cells empty) must not silently VANISH from the results: it falls
+    // back to the globally-lowest entry id — deterministic, and the
+    // walk's cross-links navigate from there
+    val fallback = broadcast(entries.agg(min("entry_id").as("n_id")))
+    val entryCand = probed.unionByName(
+      q.select("q_id").join(probed.select("q_id"), Seq("q_id"),
+          "left_anti")
+        .crossJoin(fallback))
     var scored = score(entryCand, q).localCheckpoint()
     var expanded = scored.select("q_id", "n_id").limit(0).localCheckpoint()
     var h = 0
@@ -315,12 +326,10 @@ object GraphAnn {
     Seq((1, index.cells.length, index.m, index.ks, index.dim))
       .toDF("format_version", "nlist", "m", "ks", "dim")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    index.cells.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell_id", "centroid")
-      .write.mode("overwrite").parquet(s"$dir/cells")
-    index.codebook.zipWithIndex.map { case (v, j) => (j, v.toSeq) }.toSeq
-      .toDF("sub_id", "entries")
-      .write.mode("overwrite").parquet(s"$dir/codebook")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
+    IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
+      index.codebook)
     index.entries.write.mode("overwrite").parquet(s"$dir/entries")
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
   }
@@ -331,12 +340,8 @@ object GraphAnn {
     require(meta.getAs[Int]("format_version") <= 1,
       s"unsupported graph-pq index format_version " +
         meta.getAs[Int]("format_version"))
-    val cells = spark.read.parquet(s"$dir/cells")
-      .orderBy("cell_id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val cb = spark.read.parquet(s"$dir/codebook")
-      .orderBy("sub_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id")
+    val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id")
     GraphPqIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells, cb,
       meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
@@ -356,9 +361,8 @@ object GraphAnn {
       .toDF("format_version", "nlist", "degree", "cross_degree",
         "entries_per_cell")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    index.cells.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell_id", "centroid")
-      .write.mode("overwrite").parquet(s"$dir/cells")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
     index.entries.write.mode("overwrite").parquet(s"$dir/entries")
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
   }
@@ -372,9 +376,7 @@ object GraphAnn {
     require(meta.getAs[Int]("format_version") <= 1,
       s"unsupported graph index format_version " +
         meta.getAs[Int]("format_version"))
-    val cells = spark.read.parquet(s"$dir/cells")
-      .orderBy("cell_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id")
     GraphIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells,
       meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
@@ -416,8 +418,10 @@ object GraphAnn {
     val nuNbrs = nuEdges.groupBy("n_id")
       .agg(TopK.topK(col("sim"), col("m_id"), deg + cross).as("top"))
       .select(col("n_id"), col("top.id").as("neighbors"))
-    val nuNodes = nu.join(nuNbrs, Seq("n_id"))
-      .select("n_id", "emb", "cell", "neighbors")
+    val nuNodes = nu.join(nuNbrs, Seq("n_id"), "left")
+      .select(col("n_id"), col("emb"), col("cell"),
+        coalesce(col("neighbors"),
+          expr("cast(array() as array<bigint>)")).as("neighbors"))
     // affected old nodes: home or second cell received new members
     val touched = nu.select("cell").distinct().localCheckpoint()
     val oldSecond = oldC.withColumn("cell2",
@@ -465,8 +469,10 @@ object GraphAnn {
       .agg(TopK.topK(col("sim"), col("m_id"), deg + cross).as("top"))
       .select(col("n_id"), col("top.id").as("neighbors"))
     val affNodes = affected.select("n_id", "emb", "cell")
-      .join(affNbrs, Seq("n_id"))
-      .select("n_id", "emb", "cell", "neighbors")
+      .join(affNbrs, Seq("n_id"), "left")
+      .select(col("n_id"), col("emb"), col("cell"),
+        coalesce(col("neighbors"),
+          expr("cast(array() as array<bigint>)")).as("neighbors"))
     val untouched = index.nodes
       .join(affected.select("n_id"), Seq("n_id"), "left_anti")
     val nodes2 = untouched.unionByName(affNodes).unionByName(nuNodes)

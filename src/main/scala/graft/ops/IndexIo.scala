@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared persistence scaffolding for the index families' bounded
+  * vector tables (coarse cells, PQ codebooks): one writer/reader pair
+  * instead of a copy per index flavor, so a layout change lands
+  * everywhere at once. Tables are tiny (nlist / m rows); the ordered
+  * collect-back is the codebook discipline.
+  */
+private[ops] object IndexIo {
+
+  def saveVectors(spark: SparkSession, dir: String, idCol: String,
+                  vecCol: String, vecs: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    vecs.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF(idCol, vecCol)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  def loadVectors(spark: SparkSession, dir: String,
+                  idCol: String): Array[Array[Double]] =
+    spark.read.parquet(dir).orderBy(idCol).collect()
+      .map(_.getSeq[Double](1).toArray)
+}

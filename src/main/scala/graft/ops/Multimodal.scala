@@ -1152,18 +1152,37 @@ object Multimodal {
                   }
                   f += 1
                 }
-                // first GCE block: 0x21 0xF9 0x04, delay at offsets 2..3
-                // of the block body (centiseconds, LE)
+                // first Graphic Control Extension via a REAL block walk
+                // (a raw byte scan would false-match 0x21 0xF9 0x04 runs
+                // inside the global color table or LZW data, and could
+                // not distinguish a genuine delay-0 GCE from "keep
+                // looking"): skip the logical screen descriptor + global
+                // color table, then iterate blocks until the first GCE,
+                // image, or trailer
                 var usec = 0L
-                var i = 13
-                while (usec == 0L && i + 5 < bytes.length) {
-                  if ((bytes(i) & 0xff) == 0x21 &&
-                      (bytes(i + 1) & 0xff) == 0xf9 &&
-                      (bytes(i + 2) & 0xff) == 0x04) {
-                    usec = ((bytes(i + 4) & 0xffL) |
-                      (bytes(i + 5) & 0xffL) << 8) * 10000L
+                val packed = bytes(10) & 0xff
+                var i = 13 + (if ((packed & 0x80) != 0)
+                  3 * (1 << ((packed & 7) + 1)) else 0)
+                var done = false
+                while (!done && i < bytes.length) {
+                  (bytes(i) & 0xff) match {
+                    case 0x21 if i + 1 < bytes.length =>
+                      val label = bytes(i + 1) & 0xff
+                      if (label == 0xf9 && i + 6 < bytes.length) {
+                        usec = ((bytes(i + 4) & 0xffL) |
+                          (bytes(i + 5) & 0xffL) << 8) * 10000L
+                        done = true
+                      } else {
+                        // skip extension sub-blocks
+                        var j = i + 2
+                        while (j < bytes.length && (bytes(j) & 0xff) != 0) {
+                          j += 1 + (bytes(j) & 0xff)
+                        }
+                        i = j + 1
+                      }
+                    case 0x2c | 0x3b => done = true // image data / trailer
+                    case _ => done = true // malformed: keep delay 0
                   }
-                  i += 1
                 }
                 val np = w.toLong * h * n
                 Some(Array(w.toFloat, h.toFloat, n.toFloat, usec.toFloat,

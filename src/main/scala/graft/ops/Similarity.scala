@@ -1033,12 +1033,10 @@ object Similarity {
     Seq((1, index.m, index.ks, index.dim, index.cells.length))
       .toDF("format_version", "m", "ks", "dim", "nlist")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    index.cells.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-      .toDF("cell_id", "centroid")
-      .write.mode("overwrite").parquet(s"$dir/cells")
-    index.codebook.zipWithIndex.map { case (v, j) => (j, v.toSeq) }.toSeq
-      .toDF("sub_id", "entries")
-      .write.mode("overwrite").parquet(s"$dir/codebook")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
+    IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
+      index.codebook)
     index.codes.write.mode("overwrite").parquet(s"$dir/codes")
   }
 
@@ -1056,12 +1054,8 @@ object Similarity {
         meta.getAs[Int]("format_version")
       else 0 // pre-versioned round-8 layout: same named fields, no tag
     require(version <= 1, s"unsupported IVF-PQ index format_version $version")
-    val cells = spark.read.parquet(s"$dir/cells")
-      .orderBy("cell_id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val cb = spark.read.parquet(s"$dir/codebook")
-      .orderBy("sub_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id")
+    val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id")
     IvfPqIndex(cells, cb, spark.read.parquet(s"$dir/codes"),
       meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
   }
@@ -1162,7 +1156,9 @@ object Similarity {
       .select(P.pqAdc(col("__r"),
         P.pqEncode(col("__r"), index.codebook, sub), index.codebook, sub)
         .as("__e"))
-      .agg(avg(col("__e"))).head().getDouble(0)
+      // empty batches are routine in the append lifecycle: avg over
+      // zero rows is null → distortion 0 (an empty batch drifts nothing)
+      .agg(coalesce(avg(col("__e")), lit(0.0))).head().getDouble(0)
   }
 
   /** Index refresh-policy loop — the decision layer the grow-by-append

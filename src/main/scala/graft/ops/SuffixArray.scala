@@ -79,7 +79,26 @@ object SuffixArray {
     // target class width: smallest power of two with 2·targetW ≥ minLen
     var targetW = 1
     while (targetW * 2 < minLen) targetW *= 2
-    val maxLen = staged.agg(max(col("__n"))).head().getInt(0)
+    // one bounded pass for the grid bound AND the id-domain contract:
+    // the stride grid and the −pos−1 off-end sentinel both assume
+    // non-negative ids (a negative pos would let the sentinel collide
+    // with real class ids — silently wrong spans), and a null id
+    // (failed cast from a non-numeric idCol) would collapse documents
+    // onto one corrupt grid row
+    val bounds = staged.agg(max(col("__n")).as("mx"),
+      min(col("__id")).as("mn"),
+      sum(when(col("__id").isNull, 1).otherwise(0)).as("nulls")).head()
+    if (bounds.isNullAt(0)) {
+      // empty corpus: no positions, no spans
+      return staged.select(col("__id"), lit(0L).as("__off"),
+        lit(0L).as("__r1"), lit(0L).as("__r2")).limit(0)
+    }
+    require(bounds.getLong(2) == 0,
+      "id column must cast to a non-null long for the position grid")
+    require(bounds.getLong(1) >= 0,
+      s"ids must be non-negative for the position grid, " +
+        s"got min ${bounds.getLong(1)}")
+    val maxLen = bounds.getInt(0)
     val stride = maxLen.toLong + targetW + 1
     // one row per character; class id seeds as min position per char.
     // The refinement relation carries ONLY (pos, cls) — two longs a

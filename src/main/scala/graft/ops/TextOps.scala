@@ -301,7 +301,10 @@ object TextOps {
         graft.functions.UnigramExpectations.unigramMarginal(col("word"),
           model.pieces, model.counts, model.maxPieceLen).as("z"))
       .filter(col("z") > 0.0)
-      .select(sum(col("freq") * log(col("z"))).as("ll"))
+      // empty word table / nothing coverable: sum over zero rows is
+      // null → a 0.0 log-likelihood (the empty product)
+      .select(coalesce(sum(col("freq") * log(col("z"))), lit(0.0))
+        .as("ll"))
       .head().getDouble(0)
 
   /** Train with soft-EM: same seed → iterate [[unigramSoftEmStep]]. */

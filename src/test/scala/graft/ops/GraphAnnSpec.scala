@@ -184,6 +184,29 @@ class GraphAnnSpec extends SparkSpec {
     ent(appended) shouldBe ent(rebuilt)
   }
 
+  test("edgeless vectors stay indexed; entry-less probes fall back instead of vanishing") {
+    // two explicit cells, all corpus mass in cell 0 — cell 1 is empty
+    val cells = Array(Array.fill(8)(1.0), Array.fill(8)(-1.0))
+    val corpus = (0L until 10L).map(i =>
+      (i, Array.tabulate(8)(j => (1.0 + 0.01 * (i + j)).toFloat)))
+      .toDF("vec_id", "embedding")
+    // single-member cells with crossDegree=0: without the left-join
+    // default a lone vector would drop out of the node table entirely
+    val lonely = GraphAnn.buildGraphIndex(
+      corpus.filter(col("vec_id") === 0L), nlist = 2, degree = 3,
+      crossDegree = 0, centroids = Some(cells))
+    lonely.nodes.count() shouldBe 1
+    lonely.nodes.select("neighbors").head().getSeq[Long](0) shouldBe Seq()
+    // a query pointing at the EMPTY cell must still get answers via
+    // the global fallback entry
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 2, degree = 3,
+      crossDegree = 0, centroids = Some(cells))
+    val q = Seq((100L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val res = GraphAnn.queryGraphIndex(q, idx, k = 3, beam = 2, hops = 1,
+      entryProbes = 1)
+    res.select("q_id").distinct().count() shouldBe 1
+  }
+
   test("serve plan: node table is never shuffled (broadcast joins only)") {
     val corpus = planted(4, 20, 16, seed = 61)
     val queries = corpus.filter(col("vec_id") < 4)
