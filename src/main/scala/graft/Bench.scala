@@ -116,7 +116,10 @@ object Bench {
         "n28_ann_opq_parametric",
         // index/class-table construction IS the operator; nothing
         // memoizes across iterations
-        "d25_substr_dedup_exact", "n29_ann_graph_exact")
+        "d25_substr_dedup_exact", "d26_substr_dedup_cut",
+        "d27_substr_decontaminate", "n29_ann_graph_exact",
+        "n32_graph_index_persist", "n33_graph_index_append",
+        "n34_ann_graph_pq")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {
