@@ -79,7 +79,13 @@ object Sources {
     * corpus in storage until released — batch pipelines that consume
     * both sides and move on should use [[jsonlSplitManaged]] and call
     * the release.
+    *
+    * This 2-tuple signature has no release path BY DESIGN and leaks
+    * the cache into LRU eviction in a long-lived session; it survives
+    * for interactive use only. New call sites should prefer
+    * [[jsonlSplitManaged]].
     */
+  @deprecated("use jsonlSplitManaged and call the release thunk", "r10")
   def jsonlSplit(df: DataFrame): (DataFrame, DataFrame) = {
     val (clean, quarantine, _) = jsonlSplitManaged(df)
     (clean, quarantine)
@@ -87,10 +93,15 @@ object Sources {
 
   /** [[jsonlSplit]] plus the cache-release handle: call the thunk once
     * both sides are consumed to free the materialized parse.
+    * MEMORY_AND_DISK explicitly (also the `cache()` default, pinned
+    * here so a Spark default change can't turn an over-memory parse
+    * into recomputation-per-side): a parsed corpus larger than
+    * storage memory spills to disk instead of evicting.
     */
   def jsonlSplitManaged(df: DataFrame)
       : (DataFrame, DataFrame, () => Unit) = {
-    val cached = df.cache()
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       cached.filter(col("_corrupt_record").isNotNull)
         .select(col("_corrupt_record").as("raw_line")),

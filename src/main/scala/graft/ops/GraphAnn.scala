@@ -340,8 +340,8 @@ object GraphAnn {
     require(meta.getAs[Int]("format_version") <= 1,
       s"unsupported graph-pq index format_version " +
         meta.getAs[Int]("format_version"))
-    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id")
-    val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id")
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id", "centroid")
+    val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id", "entries")
     GraphPqIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells, cb,
       meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
@@ -376,7 +376,7 @@ object GraphAnn {
     require(meta.getAs[Int]("format_version") <= 1,
       s"unsupported graph index format_version " +
         meta.getAs[Int]("format_version"))
-    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id")
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id", "centroid")
     GraphIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells,
       meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),

@@ -18,8 +18,8 @@ private[ops] object IndexIo {
       .write.mode("overwrite").parquet(dir)
   }
 
-  def loadVectors(spark: SparkSession, dir: String,
-                  idCol: String): Array[Array[Double]] =
+  def loadVectors(spark: SparkSession, dir: String, idCol: String,
+                  vecCol: String): Array[Array[Double]] =
     spark.read.parquet(dir).orderBy(idCol).collect()
-      .map(_.getSeq[Double](1).toArray)
+      .map(r => r.getSeq[Double](r.fieldIndex(vecCol)).toArray)
 }

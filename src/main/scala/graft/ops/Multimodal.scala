@@ -1133,16 +1133,24 @@ object Multimodal {
               if (n <= 0 || w <= 0 || h <= 0 ||
                   w.toLong * h * n > MaxDecodePixels) None
               else {
-                var sr = 0L; var sg = 0L; var sb = 0L
-                val row = new Array[Int](w)
+                // optimized GIFs encode later frames as PARTIAL deltas
+                // (smaller than frame 0) or occasionally larger than
+                // the first frame, so both the divisor and the row
+                // buffer must follow each frame's ACTUAL dimensions:
+                // `np` accumulates the real summed pixel count, and
+                // the row buffer is sized per frame (a frame wider
+                // than frame 0 would otherwise overflow it)
+                var sr = 0L; var sg = 0L; var sb = 0L; var np = 0L
                 var f = 0
                 while (f < n) {
                   val img = reader.read(f)
+                  val fw = img.getWidth
+                  val row = new Array[Int](fw)
                   var y = 0
                   while (y < img.getHeight) {
-                    img.getRGB(0, y, img.getWidth, 1, row, 0, img.getWidth)
+                    img.getRGB(0, y, fw, 1, row, 0, fw)
                     var x = 0
-                    while (x < img.getWidth) {
+                    while (x < fw) {
                       val rgb = row(x)
                       sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
                       sb += rgb & 0xff
@@ -1150,6 +1158,7 @@ object Multimodal {
                     }
                     y += 1
                   }
+                  np += fw.toLong * img.getHeight
                   f += 1
                 }
                 // first Graphic Control Extension via a REAL block walk
@@ -1184,8 +1193,9 @@ object Multimodal {
                     case _ => done = true // malformed: keep delay 0
                   }
                 }
-                val np = w.toLong * h * n
-                Some(Array(w.toFloat, h.toFloat, n.toFloat, usec.toFloat,
+                if (np == 0L) None
+                else Some(Array(w.toFloat, h.toFloat, n.toFloat,
+                  usec.toFloat,
                   (sr.toDouble / np).toFloat, (sg.toDouble / np).toFloat,
                   (sb.toDouble / np).toFloat,
                   ((sr + sg + sb).toDouble / (3.0 * np)).toFloat))

@@ -1054,8 +1054,8 @@ object Similarity {
         meta.getAs[Int]("format_version")
       else 0 // pre-versioned round-8 layout: same named fields, no tag
     require(version <= 1, s"unsupported IVF-PQ index format_version $version")
-    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id")
-    val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id")
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id", "centroid")
+    val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id", "entries")
     IvfPqIndex(cells, cb, spark.read.parquet(s"$dir/codes"),
       meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
   }

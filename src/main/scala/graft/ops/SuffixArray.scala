@@ -49,10 +49,14 @@ object SuffixArray {
 
   /** Maximal repeated character spans, one row per span:
     * `(idCol, span_start, span_end, span_len)` — start inclusive, end
-    * exclusive, 0-based character offsets. Every length-`minLen`
-    * window inside a span occurs at least `minOccurrences` times
-    * corpus-wide (occurrences in the same document count — a
-    * self-repeat is a repeat).
+    * exclusive, 0-based character offsets. Coverage semantics (the
+    * Lee et al. byte-coverage contract): every character in a span is
+    * covered by at least one length-`minLen` window that occurs at
+    * least `minOccurrences` times corpus-wide (occurrences in the
+    * same document count — a self-repeat is a repeat). Islands merge
+    * coverage-contiguous windows, so a span's INTERIOR windows need
+    * not each be repeated — only enough of them to cover every
+    * character.
     */
   def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
                     minLen: Int, minOccurrences: Int = 2): DataFrame = {
@@ -86,20 +90,32 @@ object SuffixArray {
     // (failed cast from a non-numeric idCol) would collapse documents
     // onto one corrupt grid row
     val bounds = staged.agg(max(col("__n")).as("mx"),
-      min(col("__id")).as("mn"),
+      min(col("__id")).as("mn"), max(col("__id")).as("mxid"),
       sum(when(col("__id").isNull, 1).otherwise(0)).as("nulls")).head()
     if (bounds.isNullAt(0)) {
       // empty corpus: no positions, no spans
       return staged.select(col("__id"), lit(0L).as("__off"),
         lit(0L).as("__r1"), lit(0L).as("__r2")).limit(0)
     }
-    require(bounds.getLong(2) == 0,
-      "id column must cast to a non-null long for the position grid")
+    require(bounds.getLong(3) == 0,
+      "id column must cast to a non-null long for the position grid " +
+        "(nulls can also mean a caller's re-keying overflowed — see " +
+        "contaminationSpans' parity interleave)")
     require(bounds.getLong(1) >= 0,
       s"ids must be non-negative for the position grid, " +
         s"got min ${bounds.getLong(1)}")
     val maxLen = bounds.getInt(0)
     val stride = maxLen.toLong + targetW + 1
+    // upper bound of the id domain: `__id * stride + __off` must fit a
+    // long (hash-derived ids near 1e18 at modest stride would
+    // otherwise overflow — under Spark 4's ANSI mode that is a
+    // mid-job abort with an arithmetic error, not a message). Fail
+    // fast on the driver with the actual numbers instead.
+    val maxId = bounds.getLong(2)
+    require(maxId <= (Long.MaxValue - stride) / stride,
+      s"id domain too large for the position grid: max id $maxId " +
+        s"times stride $stride overflows long — re-key ids densely " +
+        s"(e.g. zipWithIndex / row_number) before substring dedup")
     // one row per character; class id seeds as min position per char.
     // The refinement relation carries ONLY (pos, cls) — two longs a
     // row: doc id and offset are pos arithmetic on the stride grid
@@ -190,11 +206,14 @@ object SuffixArray {
   def contaminationSpans(train: DataFrame, eval: DataFrame,
                          textCol: String, idCol: String,
                          minLen: Int): DataFrame = {
-    val staged = train.select((col(idCol).cast("long") * 2).as("__id"),
-        col(textCol).as("__t"))
-      .unionByName(eval.select(
-        (col(idCol).cast("long") * 2 + 1).as("__id"),
-        col(textCol).as("__t")))
+    // parity interleave with try_multiply: an id beyond the ×2
+    // headroom degrades to null, which [[lengthKeys]]' id-domain
+    // check turns into a fail-fast message instead of a mid-job ANSI
+    // arithmetic abort
+    def half(df: DataFrame, parity: Int): DataFrame =
+      df.select((expr(s"try_multiply(cast($idCol as long), 2L)")
+        + parity).as("__id"), col(textCol).as("__t"))
+    val staged = half(train, 0).unionByName(half(eval, 1))
       .withColumn("__n", length(col("__t")))
     val keyed = lengthKeys(staged, minLen)
     val crossKeys = keyed

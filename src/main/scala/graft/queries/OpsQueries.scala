@@ -3926,10 +3926,14 @@ object OpsQueries {
     // IVF 63/100 with min 26 candidates — strictly better recall at a
     // strictly smaller PER-QUERY budget (budget_ok pins n_visited ≤
     // that query's IVF candidate count). Booleans summarize the
-    // per-run integers; the oracle pins them.
+    // per-run integers; the oracle pins them. The fixture is PINNED
+    // to the first 500 vec_ids (the full sf0.01 table): recall and
+    // budget are statistical outcomes of the planted geometry, so a
+    // corpus that grew with sf would legitimately flip them — the
+    // fixture must be identical at every scale factor.
     QueryDef("n31_ann_graph_recall",
       (s, dir) => {
-        val e = embs(s, dir)
+        val e = embs(s, dir).filter(col("vec_id") < 500)
         val centers = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"),
             expr("transform(sequence(1, 64), j -> " +

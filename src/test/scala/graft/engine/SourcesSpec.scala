@@ -71,7 +71,8 @@ class SourcesSpec extends SparkSpec {
       StructField("doc_id", LongType), StructField("text", StringType)))
     val raw = Sources.jsonl(spark, dir.resolve("docs.jsonl").toString,
       schema).cache()
-    val (clean, bad) = Sources.jsonlSplit(raw)
+    val (clean, bad) =
+      (Sources.jsonlSplit(raw): @annotation.nowarn("cat=deprecation"))
     clean.orderBy("doc_id").collect().map(r =>
       (r.getLong(0), r.getString(1))) shouldBe
       Array((1L, "alpha"), (3L, "gamma"))
