@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Centroids, TopK}
+import graft.functions.{Centroids, RobustPruner, TopK}
 
 /** Distributed graph-based ANN — the HNSW/Vamana regime (high recall
   * at a small candidate budget) re-expressed for a partitioned engine.
@@ -59,10 +59,18 @@ object GraphAnn {
     * @param degree  intra-cell out-degree the index was built with
     * @param crossDegree cross-cell out-degree
     * @param entriesPerCell entries kept per cell
+    * @param alpha   Some(α) when edges were RobustPrune-diversified
+    *                (degree + crossDegree becomes the TOTAL out-degree
+    *                budget over the α-pruned combined pool); None for
+    *                the plain kNN edge rule
+    * @param poolSize resolved α-prune candidate pool size (0 when
+    *                alpha is None) — part of the build rule, so append
+    *                must replay it exactly
     */
   case class GraphIndex(nodes: DataFrame, entries: DataFrame,
                         cells: Array[Array[Double]], degree: Int,
-                        crossDegree: Int, entriesPerCell: Int)
+                        crossDegree: Int, entriesPerCell: Int,
+                        alpha: Option[Double] = None, poolSize: Int = 0)
 
   /** Top-`d` scored out-edges of `side` (cell, n_id, emb) against the
     * peer relation (cell, m_id, m_emb): per-cell join + fused cosine +
@@ -77,11 +85,75 @@ object GraphAnn {
       .select(col("n_id"), explode(col("top")).as("e"))
       .select(col("n_id"), col("e.id").as("m_id"), col("e.score").as("sim"))
 
+  /** Second-closest cell of an embedding; a single-cell index has no
+    * second cell, so it degrades to the home cell (an append touching
+    * the one cell then affects everything — vacuously correct).
+    */
+  private def secondCell(emb: org.apache.spark.sql.Column,
+                         cells: Array[Array[Double]])
+      : org.apache.spark.sql.Column =
+    if (cells.length < 2) Centroids.centroidAssign(emb, cells)
+    else Centroids.centroidProbes(emb, cells, 2).getItem(1)
+
   /** The same nodes re-keyed by their SECOND-closest cell. */
   private def secondCellSide(c: DataFrame,
                              cells: Array[Array[Double]]): DataFrame =
     c.select(col("n_id"), col("emb"),
       Centroids.centroidProbes(col("emb"), cells, 2).getItem(1).as("cell"))
+
+  /** The plain kNN edge rule: per-pool top-k (intra `degree`, cross
+    * `crossDegree`) folded to one best-first neighbor list. Shared by
+    * build and append-rebuild paths.
+    */
+  private def knnNeighbors(side: DataFrame, peers: DataFrame,
+                           cells: Array[Array[Double]], degree: Int,
+                           crossDegree: Int): DataFrame = {
+    val intra = topEdges(side, peers, degree)
+    val edges =
+      if (crossDegree == 0) intra
+      else intra.unionByName(
+        topEdges(secondCellSide(side, cells), peers, crossDegree))
+    edges.groupBy("n_id")
+      .agg(TopK.topK(col("sim"), col("m_id"),
+        degree + crossDegree).as("top"))
+      .select(col("n_id"), col("top.id").as("neighbors"))
+  }
+
+  /** The RobustPrune edge rule: a bounded per-pool candidate top-`poolN`
+    * (home cell, plus second cell when crossDegree > 0 — same
+    * navigability story as the kNN build), candidate embeddings joined
+    * back, then ONE α-prune per node over the combined pool to the
+    * total out-degree budget. The collect_list is bounded by 2·poolN
+    * rows per node, and the prune is order-insensitive (it re-sorts
+    * internally), so the nondeterministic list order is harmless.
+    */
+  private def prunedNeighbors(side: DataFrame, peers: DataFrame,
+                              cells: Array[Array[Double]], degree: Int,
+                              crossDegree: Int, alpha: Double,
+                              poolN: Int): DataFrame = {
+    val intra = topEdges(side, peers, poolN)
+    val pool =
+      if (crossDegree == 0) intra
+      else intra.unionByName(
+        topEdges(secondCellSide(side, cells), peers, poolN))
+    pool.join(peers.select(col("m_id"), col("m_emb")), Seq("m_id"))
+      .groupBy("n_id")
+      .agg(collect_list(struct(col("sim").as("sim"),
+        col("m_id").as("id"), col("m_emb").as("emb"))).as("pool"))
+      .select(col("n_id"),
+        RobustPruner.robustPrune(col("pool"), degree + crossDegree,
+          alpha).as("neighbors"))
+  }
+
+  /** Dispatch to the index's edge rule. */
+  private def neighborRule(side: DataFrame, peers: DataFrame,
+                           cells: Array[Array[Double]], degree: Int,
+                           crossDegree: Int, alpha: Option[Double],
+                           poolN: Int): DataFrame = alpha match {
+    case Some(a) =>
+      prunedNeighbors(side, peers, cells, degree, crossDegree, a, poolN)
+    case None => knnNeighbors(side, peers, cells, degree, crossDegree)
+  }
 
   /** Hash-spread entry selection over a member relation (cell, n_id). */
   private def hashEntries(members: DataFrame, e: Int): DataFrame =
@@ -101,41 +173,52 @@ object GraphAnn {
     *                    ([[KMeans.trainCentroidsDistributed]] — the
     *                    production path); None = the deterministic
     *                    first-nlist scheme every n-gate replays
+    * @param alpha       Some(α ≥ 1) switches edge selection from plain
+    *                    per-pool kNN to Vamana RobustPrune over a
+    *                    combined candidate pool — same total
+    *                    out-degree, directionally diverse edges (gate
+    *                    n35 pins the recall win at equal budget)
+    * @param poolSize    α-prune candidate pool per source pool; 0 =
+    *                    3 · (degree + crossDegree)
     */
   def buildGraphIndex(corpus: DataFrame, nlist: Int = 16, degree: Int = 8,
                       crossDegree: Int = 2,
                       centroids: Option[Array[Array[Double]]] = None,
-                      entriesPerCell: Int = 4): GraphIndex = {
+                      entriesPerCell: Int = 4,
+                      alpha: Option[Double] = None,
+                      poolSize: Int = 0): GraphIndex = {
     require(degree >= 1, s"degree must be >= 1, got $degree")
     require(crossDegree >= 0, s"crossDegree must be >= 0, got $crossDegree")
     require(entriesPerCell >= 1,
       s"entriesPerCell must be >= 1, got $entriesPerCell")
+    alpha.foreach(a => require(a >= 1.0, s"alpha must be >= 1.0, got $a"))
+    val poolN =
+      if (alpha.isEmpty) 0
+      else if (poolSize > 0) poolSize
+      else 3 * (degree + crossDegree)
     val cells = centroids.getOrElse(Similarity.firstVectors(corpus, nlist))
     val c = corpus.select(col("vec_id").as("n_id"),
       col("embedding").as("emb"),
       Centroids.centroidAssign(col("embedding"), cells).as("cell"))
     val peers = c.select(col("cell"), col("n_id").as("m_id"),
       col("emb").as("m_emb"))
-    val intra = topEdges(c, peers, degree)
-    val edges =
-      if (crossDegree == 0) intra
-      else {
-        // route each node to its SECOND-closest cell for cross-links;
-        // members of that cell live in a different home cell, so the
-        // edge crosses the partition boundary by construction
-        intra.unionByName(topEdges(secondCellSide(c, cells), peers,
-          crossDegree))
-      }
-    val nbrs = edges.groupBy("n_id")
-      .agg(TopK.topK(col("sim"), col("m_id"), degree + crossDegree).as("top"))
-      .select(col("n_id"), col("top.id").as("neighbors"))
+    // intra edges come from the home-cell pool; cross edges route each
+    // node to its SECOND-closest cell, whose members live in a
+    // different home cell, so those edges cross the partition boundary
+    // by construction (both rules share this pool shape)
+    val nbrs = neighborRule(c, peers, cells, degree, crossDegree,
+      alpha, poolN)
     // LEFT join + empty-list default: a vector alone in its cell (and,
     // with crossDegree=0 or an empty second cell, without cross links)
     // has no out-edges but must stay a NODE — it is still reachable as
     // an entry and as a scoring candidate; an inner join would silently
     // drop it from the index
+    // cell2 (second-closest cell) is STORED at build time: append's
+    // affected-set detection becomes a semi-join on stored columns
+    // instead of a full-corpus centroid recomputation per batch
     val nodes = c.join(nbrs, Seq("n_id"), "left")
       .select(col("n_id"), col("emb"), col("cell"),
+        secondCell(col("emb"), cells).as("cell2"),
         coalesce(col("neighbors"),
           expr("cast(array() as array<bigint>)")).as("neighbors"))
       .localCheckpoint()
@@ -149,7 +232,8 @@ object GraphAnn {
     // high probability — the flat-index substitute for HNSW's
     // long-range upper-layer links.
     val entries = hashEntries(c, entriesPerCell).localCheckpoint()
-    GraphIndex(nodes, entries, cells, degree, crossDegree, entriesPerCell)
+    GraphIndex(nodes, entries, cells, degree, crossDegree, entriesPerCell,
+      alpha, poolN)
   }
 
   /** One scoring step: candidates (q_id, n_id) pick up their embedding
@@ -278,13 +362,15 @@ object GraphAnn {
                         m: Int = 8, ks: Int = 16, dim: Int = 64,
                         centroids: Option[Array[Array[Double]]] = None,
                         codebook: Option[Array[Array[Double]]] = None,
-                        entriesPerCell: Int = 4): GraphPqIndex = {
+                        entriesPerCell: Int = 4,
+                        alpha: Option[Double] = None,
+                        poolSize: Int = 0): GraphPqIndex = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
     val cb = codebook.getOrElse(
       Similarity.defaultPqCodebook(corpus, m, ks, sub))
     val g = buildGraphIndex(corpus, nlist, degree, crossDegree,
-      centroids, entriesPerCell)
+      centroids, entriesPerCell, alpha, poolSize)
     val nodes = g.nodes
       .withColumn("codes",
         graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
@@ -356,10 +442,13 @@ object GraphAnn {
   def saveGraphIndex(index: GraphIndex, dir: String): Unit = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
+    // alpha rides as NaN-for-None (parquet-friendly; read back by
+    // name, and a pre-r10 meta without the column loads as None)
     Seq((1, index.cells.length, index.degree, index.crossDegree,
-        index.entriesPerCell))
+        index.entriesPerCell, index.alpha.getOrElse(Double.NaN),
+        index.poolSize))
       .toDF("format_version", "nlist", "degree", "cross_degree",
-        "entries_per_cell")
+        "entries_per_cell", "alpha", "pool_size")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
       index.cells)
@@ -377,10 +466,14 @@ object GraphAnn {
       s"unsupported graph index format_version " +
         meta.getAs[Int]("format_version"))
     val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id", "centroid")
+    val hasAlpha = meta.schema.fieldNames.contains("alpha")
+    val alpha = if (hasAlpha && !meta.getAs[Double]("alpha").isNaN)
+      Some(meta.getAs[Double]("alpha")) else None
+    val poolSize = if (hasAlpha) meta.getAs[Int]("pool_size") else 0
     GraphIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells,
       meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
-      meta.getAs[Int]("entries_per_cell"))
+      meta.getAs[Int]("entries_per_cell"), alpha, poolSize)
   }
 
   /** Append a batch WITHOUT touching unaffected nodes, yet EXACTLY
@@ -403,80 +496,102 @@ object GraphAnn {
     val cross = index.crossDegree
     val nu = newVecs.select(col("vec_id").as("n_id"),
         col("embedding").as("emb"),
-        Centroids.centroidAssign(col("embedding"), cells).as("cell"))
+        Centroids.centroidAssign(col("embedding"), cells).as("cell"),
+        secondCell(col("embedding"), cells).as("cell2"))
       .localCheckpoint()
-    val oldC = index.nodes.select("n_id", "emb", "cell")
-    val all = oldC.unionByName(nu)
+    // cell2 is stored at build time since r10; a pre-r10 node table
+    // (loaded from disk) recomputes it once here and the appended
+    // index carries it forward
+    val oldNodes =
+      if (index.nodes.columns.contains("cell2")) index.nodes
+      else index.nodes.withColumn("cell2", secondCell(col("emb"), cells))
+    val oldC = oldNodes.select("n_id", "emb", "cell", "cell2")
+    val all = oldC.select("n_id", "emb", "cell")
+      .unionByName(nu.select("n_id", "emb", "cell"))
     val allPeers = all.select(col("cell"), col("n_id").as("m_id"),
       col("emb").as("m_emb"))
-    // new nodes: exactly the build rule against the full member set
-    val nuIntra = topEdges(nu, allPeers, deg)
-    val nuEdges =
-      if (cross == 0) nuIntra
-      else nuIntra.unionByName(
-        topEdges(secondCellSide(nu, cells), allPeers, cross))
-    val nuNbrs = nuEdges.groupBy("n_id")
-      .agg(TopK.topK(col("sim"), col("m_id"), deg + cross).as("top"))
-      .select(col("n_id"), col("top.id").as("neighbors"))
-    val nuNodes = nu.join(nuNbrs, Seq("n_id"), "left")
-      .select(col("n_id"), col("emb"), col("cell"),
-        coalesce(col("neighbors"),
-          expr("cast(array() as array<bigint>)")).as("neighbors"))
-    // affected old nodes: home or second cell received new members
+    // affected old nodes: home or second cell received new members —
+    // a semi-join on STORED columns, no per-node geometry
     val touched = nu.select("cell").distinct().localCheckpoint()
-    val oldSecond = oldC.withColumn("cell2",
-      Centroids.centroidProbes(col("emb"), cells, 2).getItem(1))
-    val affected = oldSecond.join(touched, Seq("cell"), "left_semi")
-      .unionByName(oldSecond.join(
+    val affected = oldC.join(touched, Seq("cell"), "left_semi")
+      .unionByName(oldC.join(
         touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
         "left_semi"))
       .dropDuplicates("n_id")
       .localCheckpoint()
-    // stored edges of affected nodes, re-scored and split intra/cross
-    // by the neighbor's home cell
-    val mSide = oldC.select(col("n_id").as("m_id"),
-      col("emb").as("m_emb"), col("cell").as("m_cell"))
-    val oldEdges = index.nodes
-      .join(affected.select("n_id"), Seq("n_id"), "left_semi")
-      .select(col("n_id"), col("cell"), col("emb"),
-        explode(col("neighbors")).as("m_id"))
-      .join(mSide, Seq("m_id"))
-      .select(col("n_id"), col("m_id"),
-        Similarity.cosine(col("emb"), col("m_emb")).as("sim"),
-        (col("m_cell") === col("cell")).as("is_intra"))
-    // candidate edges into the batch, per pool
-    val newPeers = nu.select(col("cell"), col("n_id").as("m_id"),
-      col("emb").as("m_emb"))
-    def fresh(side: DataFrame): DataFrame =
-      side.join(newPeers, Seq("cell"))
-        .select(col("n_id"), col("m_id"),
-          Similarity.cosine(col("emb"), col("m_emb")).as("sim"))
-    def pool(existing: DataFrame, candidates: DataFrame,
-             d: Int): DataFrame =
-      existing.select("n_id", "m_id", "sim").unionByName(candidates)
-        .groupBy("n_id").agg(TopK.topK(col("sim"), col("m_id"), d).as("top"))
-        .select(col("n_id"), explode(col("top")).as("e"))
-        .select(col("n_id"), col("e.id").as("m_id"),
-          col("e.score").as("sim"))
-    val intraTop = pool(oldEdges.filter(col("is_intra")),
-      fresh(affected.select("cell", "n_id", "emb")), deg)
-    val merged =
-      if (cross == 0) intraTop
-      else intraTop.unionByName(pool(oldEdges.filter(!col("is_intra")),
-        fresh(affected.select(col("cell2").as("cell"), col("n_id"),
-          col("emb"))), cross))
-    val affNbrs = merged.groupBy("n_id")
-      .agg(TopK.topK(col("sim"), col("m_id"), deg + cross).as("top"))
-      .select(col("n_id"), col("top.id").as("neighbors"))
-    val affNodes = affected.select("n_id", "emb", "cell")
-      .join(affNbrs, Seq("n_id"), "left")
-      .select(col("n_id"), col("emb"), col("cell"),
-        coalesce(col("neighbors"),
-          expr("cast(array() as array<bigint>)")).as("neighbors"))
-    val untouched = index.nodes
-      .join(affected.select("n_id"), Seq("n_id"), "left_anti")
-    val nodes2 = untouched.unionByName(affNodes).unionByName(nuNodes)
-      .localCheckpoint()
+    val emptyNbrs = expr("cast(array() as array<bigint>)")
+    val nodes2 = (index.alpha match {
+      case Some(a) =>
+        // α-pruned edges cannot be merged from stored lists: pruning
+        // is pool-geometry-dependent, so heap dominance does not
+        // apply. Instead the affected set re-runs the BUILD RULE
+        // against the union's full cell membership — rebuild
+        // equivalence is immediate because a node's pruned list
+        // depends only on its home + second cells' members, and an
+        // unaffected node's cells gained none. Work ∝ members of
+        // touched cells × their cell sizes, never the corpus.
+        val redo = nu.unionByName(affected)
+        val redoNbrs = prunedNeighbors(redo.select("cell", "n_id", "emb"),
+          allPeers, cells, deg, cross, a, index.poolSize)
+        val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
+          .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
+            coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+        oldNodes.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+          .unionByName(redoNodes)
+      case None =>
+        // kNN edge rule: incremental merge by heap dominance —
+        // topK(pool ∪ batch) = topK(topK(pool) ∪ batch) per disjoint
+        // intra/cross pool, so stored edges + batch candidates suffice
+        // new nodes: exactly the build rule against the full member set
+        val nuNbrs = knnNeighbors(nu.select("cell", "n_id", "emb"),
+          allPeers, cells, deg, cross)
+        val nuNodes = nu.join(nuNbrs, Seq("n_id"), "left")
+          .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
+            coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+        // stored edges of affected nodes, re-scored and split
+        // intra/cross by the neighbor's home cell
+        val mSide = oldC.select(col("n_id").as("m_id"),
+          col("emb").as("m_emb"), col("cell").as("m_cell"))
+        val oldEdges = oldNodes
+          .join(affected.select("n_id"), Seq("n_id"), "left_semi")
+          .select(col("n_id"), col("cell"), col("emb"),
+            explode(col("neighbors")).as("m_id"))
+          .join(mSide, Seq("m_id"))
+          .select(col("n_id"), col("m_id"),
+            Similarity.cosine(col("emb"), col("m_emb")).as("sim"),
+            (col("m_cell") === col("cell")).as("is_intra"))
+        // candidate edges into the batch, per pool
+        val newPeers = nu.select(col("cell"), col("n_id").as("m_id"),
+          col("emb").as("m_emb"))
+        def fresh(side: DataFrame): DataFrame =
+          side.join(newPeers, Seq("cell"))
+            .select(col("n_id"), col("m_id"),
+              Similarity.cosine(col("emb"), col("m_emb")).as("sim"))
+        def pool(existing: DataFrame, candidates: DataFrame,
+                 d: Int): DataFrame =
+          existing.select("n_id", "m_id", "sim").unionByName(candidates)
+            .groupBy("n_id")
+            .agg(TopK.topK(col("sim"), col("m_id"), d).as("top"))
+            .select(col("n_id"), explode(col("top")).as("e"))
+            .select(col("n_id"), col("e.id").as("m_id"),
+              col("e.score").as("sim"))
+        val intraTop = pool(oldEdges.filter(col("is_intra")),
+          fresh(affected.select("cell", "n_id", "emb")), deg)
+        val merged =
+          if (cross == 0) intraTop
+          else intraTop.unionByName(pool(oldEdges.filter(!col("is_intra")),
+            fresh(affected.select(col("cell2").as("cell"), col("n_id"),
+              col("emb"))), cross))
+        val affNbrs = merged.groupBy("n_id")
+          .agg(TopK.topK(col("sim"), col("m_id"), deg + cross).as("top"))
+          .select(col("n_id"), col("top.id").as("neighbors"))
+        val affNodes = affected.select("n_id", "emb", "cell", "cell2")
+          .join(affNbrs, Seq("n_id"), "left")
+          .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
+            coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+        oldNodes.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+          .unionByName(affNodes).unionByName(nuNodes)
+    }).localCheckpoint()
     // entries: recompute only cells that gained members
     val entries2 = index.entries
       .join(touched, Seq("cell"), "left_anti")

@@ -207,6 +207,70 @@ class GraphAnnSpec extends SparkSpec {
     res.select("q_id").distinct().count() shouldBe 1
   }
 
+  test("RobustPrune: covered candidates are dropped, diverse ones kept, best-first") {
+    // p = (1,0). A=(1,0.1) is the best candidate; B=(1,0.15) sits in
+    // A's "shadow" (α·d(A,B) ≤ d(p,B)) so it must be pruned; C=(0,1)
+    // is orthogonal — nothing covers it — so it takes the second slot
+    // even though its sim is far lower.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val p = Array(1.0, 0.0)
+    val cands = Seq(
+      (1L, Array(1.0, 0.1)), (2L, Array(1.0, 0.15)), (3L, Array(0.0, 1.0)))
+    val pool = cands.map { case (id, e) => (cos(p, e), id, e) }
+    val df = Seq(Tuple1(pool)).toDF("raw")
+      .select(expr("transform(raw, x -> struct(x._1 as sim, " +
+        "x._2 as id, x._3 as emb))").as("pool"))
+    def prune(degree: Int, alpha: Double) =
+      df.select(graft.functions.RobustPruner
+          .robustPrune(col("pool"), degree, alpha).as("nbrs"))
+        .head().getSeq[Long](0)
+    prune(2, 1.4) shouldBe Seq(1L, 3L) // B dominated by A
+    prune(3, 1.4) shouldBe Seq(1L, 3L) // dominated = removed, not deferred
+    // with kNN selection (no pruning) the same pool would keep (1, 2):
+    // that IS the clustering failure the α-prune exists to break
+    pool.sortBy(-_._1).take(2).map(_._2) shouldBe Seq(1L, 2L)
+  }
+
+  test("α-pruned append equals a from-scratch rebuild, node-for-node") {
+    val all = planted(5, 30, 16, seed = 73)
+    val base = all.filter(col("vec_id") < 100)
+    val batch = all.filter(col("vec_id") >= 100)
+    val appended = GraphAnn.appendToGraphIndex(
+      GraphAnn.buildGraphIndex(base, nlist = 5, degree = 4,
+        crossDegree = 2, alpha = Some(1.4)), batch)
+    val rebuilt = GraphAnn.buildGraphIndex(all, nlist = 5, degree = 4,
+      crossDegree = 2, alpha = Some(1.4))
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    nbrs(appended) shouldBe nbrs(rebuilt)
+    def ent(i: GraphAnn.GraphIndex) = i.entries.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    ent(appended) shouldBe ent(rebuilt)
+  }
+
+  test("α-pruned index: alpha and pool size survive save/load; search replays") {
+    val corpus = planted(4, 20, 16, seed = 79)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 5,
+      crossDegree = 2, alpha = Some(1.4))
+    idx.poolSize shouldBe 21 // resolved default 3·(degree+crossDegree)
+    val dir = java.nio.file.Files.createTempDirectory("graphprune").toString
+    GraphAnn.saveGraphIndex(idx, dir)
+    val loaded = GraphAnn.loadGraphIndex(spark, dir)
+    loaded.alpha shouldBe Some(1.4)
+    loaded.poolSize shouldBe 21
+    def run(i: GraphAnn.GraphIndex) =
+      GraphAnn.queryGraphIndex(queries, i, k = 4, beam = 3, hops = 2)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    run(loaded) shouldBe run(idx)
+  }
+
   test("serve plan: node table is never shuffled (broadcast joins only)") {
     val corpus = planted(4, 20, 16, seed = 61)
     val queries = corpus.filter(col("vec_id") < 4)
