@@ -173,7 +173,16 @@ object OpsScaleBench {
       val s1 = math.min(s1a, s1b); val sM = math.min(sMa, sMb)
       f"""\"$name\":{\"sec_1x\":$s1%.2f,\"sec_${mult}x\":$sM%.2f,\"ratio\":${sM / s1}%.2f,\"rows_1x\":$r1,\"rows_${mult}x\":$rM}"""
     }
-    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,${parts.mkString(",")}}""")
+    // singleton-pruning collapse curve on NATURAL text (the 1× corpus):
+    // per-refinement-round surviving (pos, cls) rows — the volume each
+    // later round actually shuffles, vs the total character count the
+    // unpruned loop would carry to the end
+    val survivors = graft.ops.SuffixArray.refinementSurvivorCounts(
+      base, "text", "doc_id", minLen = 40)
+    val totalChars = base.agg(sum(length(col("text")))).head().getLong(0)
+    val survJson = survivors
+      .map { case (w, n) => s""""w$w":$n""" }.mkString(",")
+    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -39,11 +39,12 @@ import org.apache.spark.sql.functions._
   * adjacency — the sentinel machinery of array-based builds — never
   * exists in the first place. The island merge runs per document over
   * marked positions only. At corpus scale the refinement is the cost
-  * of ~2·log₂(L) shuffles of the character table; production would
-  * additionally drop positions whose class is already a singleton
-  * from the CANDIDATE side after each round (a singleton can never
-  * seed a repeat; it must remain on the PROVIDER side, which is why
-  * this implementation keeps the table whole).
+  * of ~2·log₂(L) shuffles of the character table — and the table
+  * SHRINKS each round: positions whose class is already a singleton
+  * are dropped (exact — see the pruning note in [[lengthKeys]]), so
+  * on natural text later rounds shuffle only the small surviving
+  * repeated core rather than the whole corpus (OpsScaleBench's
+  * substr_survivor curve measures the collapse).
   */
 object SuffixArray {
 
@@ -74,11 +75,36 @@ object SuffixArray {
       minLen)
   }
 
+  /** Per-round surviving candidate rows of the refinement — the
+    * singleton-pruning collapse curve (one (width, rows) pair per
+    * round, width 1 = the char-class seed). On natural text the count
+    * collapses within a few rounds: most windows go corpus-unique
+    * fast, and pruned rounds shuffle only the repeated core.
+    * Diagnostic companion to [[repeatedSpans]]; OpsScaleBench prints
+    * it as `substr_survivors`.
+    */
+  def refinementSurvivorCounts(docs: DataFrame, textCol: String,
+                               idCol: String, minLen: Int)
+      : Seq[(Int, Long)] = {
+    val staged = docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__t"))
+      .withColumn("__n", length(col("__t")))
+    val buf = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    // localCheckpoint is eager, so the rounds execute inside this call
+    // and each count reads the just-materialized checkpoint
+    lengthKeys(staged, minLen, (w, df) => buf += ((w, df.count())))
+    buf.toSeq
+  }
+
   /** The refinement core shared by every span flavor: (id, off, r1,
     * r2) for each full-window position, where (r1, r2) is equal for
     * two positions iff their `minLen`-char windows are identical.
+    * `onRound` observes each round's surviving checkpointed relation
+    * (diagnostics only — the default no-op adds no work).
     */
-  private def lengthKeys(staged: DataFrame, minLen: Int): DataFrame = {
+  private def lengthKeys(staged: DataFrame, minLen: Int,
+                         onRound: (Int, DataFrame) => Unit = (_, _) => ())
+      : DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     // target class width: smallest power of two with 2·targetW ≥ minLen
     var targetW = 1
@@ -125,14 +151,33 @@ object SuffixArray {
       .select(posexplode(split(col("__t"), "")).as(Seq("__off", "__c")),
         col("__id"))
       .select((col("__id") * stride + col("__off")).as("__pos"), col("__c"))
+    // SINGLETON PRUNING (the production constant-factor lever): a
+    // position whose class is corpus-unique at width w heads a unique
+    // window at EVERY wider width — it can neither seed a repeat nor
+    // help another position match (two candidates with identical
+    // wider windows have extension positions with identical width-w
+    // windows, i.e. a class of size ≥ 2 that pruning keeps). Dropped
+    // positions resurface only through widen's left-join sentinel
+    // (−pos − 1), which assigns the looking-up candidate a class
+    // unique to itself — EXACTLY the class the unpruned run would
+    // have assigned it (the pair group would have been {candidate}
+    // and min-position = candidate either way). So every surviving
+    // class id is bit-identical to the unpruned run's, and on natural
+    // text the shuffled relation collapses within 2-3 rounds (most
+    // width-8 windows are already unique) instead of carrying dead
+    // rows to the end.
     var ranks = chars
-      .join(chars.groupBy("__c").agg(min("__pos").as("__cls")), Seq("__c"))
+      .join(chars.groupBy("__c").agg(min("__pos").as("__cls"),
+        count(lit(1)).as("__sz")), Seq("__c"))
+      .filter(col("__sz") >= 2)
       .select(col("__pos"), col("__cls"))
       .localCheckpoint()
+    onRound(1, ranks)
     def widen(cur: DataFrame, shift: Int): DataFrame = {
       // class of the window starting `shift` to the right; a position
-      // whose window runs off the document end gets a class unique to
-      // itself (−pos − 1: disjoint from min-position ids, which are ≥ 0)
+      // whose window runs off the document end — or whose extension
+      // was pruned as a singleton — gets a class unique to itself
+      // (−pos − 1: disjoint from min-position ids, which are ≥ 0)
       val r2 = cur.select(col("__pos").as("__p2"), col("__cls").as("__r2"))
       cur.join(r2, col("__pos") + shift === col("__p2"), "left")
         .select(col("__pos"), col("__cls").as("__r1"),
@@ -140,16 +185,18 @@ object SuffixArray {
     }
     // doubling rounds: classes of width `width` → width 2·width via the
     // (cls(p), cls(p+width)) pair, class id = min position in the pair
-    // group
+    // group; new singletons drop out each round
     var width = 1
     while (width < targetW) {
       val paired = widen(ranks, width)
       val newCls = paired.groupBy("__r1", "__r2")
-        .agg(min("__pos").as("__cls"))
+        .agg(min("__pos").as("__cls"), count(lit(1)).as("__sz"))
       ranks = paired.join(newCls, Seq("__r1", "__r2"))
+        .filter(col("__sz") >= 2)
         .select(col("__pos"), col("__cls"))
         .localCheckpoint()
       width *= 2
+      onRound(width, ranks)
     }
     // composite key covering exactly minLen chars: width-`width`
     // classes at off and off + minLen − width (overlap argument:

@@ -133,4 +133,37 @@ class SuffixArraySpec extends SparkSpec {
     }
     run(docs, 10, parts = 1) shouldBe run(docs, 10, parts = 17)
   }
+
+  test("singleton pruning collapses the refinement relation; unique text empties it") {
+    // one planted 40-char repeat inside otherwise position-unique text
+    // (distinct letters per position): only the repeat's neighborhoods
+    // survive past the seed rounds
+    val block = "x" * 40
+    // random filler over an x-free alphabet: no 16-char window repeats
+    // by chance (23^16), and no 'x' can extend the planted spans
+    val r = new scala.util.Random(101)
+    val uniq = (1 to 400).map(_ => ('a' + r.nextInt(23)).toChar).mkString
+    val docs = Seq(
+      (0L, uniq.substring(0, 100) + block + uniq.substring(100, 200)),
+      (1L, uniq.substring(200, 300) + block + uniq.substring(300, 400)))
+      .toDF("doc_id", "text")
+    val curve = SuffixArray.refinementSurvivorCounts(docs, "text",
+      "doc_id", minLen = 20)
+    curve.map(_._1) shouldBe Seq(1, 2, 4, 8, 16)
+    // monotone collapse, and the widest round carries only the
+    // repeated block's windows (2 docs × (40 − 16 + 1) starts) plus
+    // nothing from the unique filler
+    curve.map(_._2) shouldBe curve.map(_._2).sorted.reverse
+    curve.last._2 shouldBe 2L * (40 - 16 + 1)
+    // fully unique corpus: the relation empties (every later round —
+    // and the final marking — shuffles nothing)
+    val clean = Seq((0L, uniq)).toDF("doc_id", "text")
+    SuffixArray.refinementSurvivorCounts(clean, "text", "doc_id",
+      minLen = 20).last._2 shouldBe 0L
+    // and the pruned path still finds exactly the planted repeat
+    val spans = SuffixArray.repeatedSpans(docs, "text", "doc_id",
+        minLen = 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    spans shouldBe Set((0L, 100, 140), (1L, 100, 140))
+  }
 }
