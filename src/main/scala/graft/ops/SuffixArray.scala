@@ -173,22 +173,12 @@ object SuffixArray {
       .select(col("__pos"), col("__cls"))
       .localCheckpoint()
     onRound(1, ranks)
-    def widen(cur: DataFrame, shift: Int): DataFrame = {
-      // class of the window starting `shift` to the right; a position
-      // whose window runs off the document end — or whose extension
-      // was pruned as a singleton — gets a class unique to itself
-      // (−pos − 1: disjoint from min-position ids, which are ≥ 0)
-      val r2 = cur.select(col("__pos").as("__p2"), col("__cls").as("__r2"))
-      cur.join(r2, col("__pos") + shift === col("__p2"), "left")
-        .select(col("__pos"), col("__cls").as("__r1"),
-          coalesce(col("__r2"), -col("__pos") - 1).as("__r2"))
-    }
     // doubling rounds: classes of width `width` → width 2·width via the
     // (cls(p), cls(p+width)) pair, class id = min position in the pair
     // group; new singletons drop out each round
     var width = 1
     while (width < targetW) {
-      val paired = widen(ranks, width)
+      val paired = widenRel(ranks, width)
       val newCls = paired.groupBy("__r1", "__r2")
         .agg(min("__pos").as("__cls"), count(lit(1)).as("__sz"))
       ranks = paired.join(newCls, Seq("__r1", "__r2"))
@@ -202,13 +192,26 @@ object SuffixArray {
     // classes at off and off + minLen − width (overlap argument:
     // 2·width ≥ minLen); only positions with a full window participate
     val lengths = staged.select(col("__id"), col("__n"))
-    widen(ranks, minLen - width)
+    widenRel(ranks, minLen - width)
       .select(expr(s"__pos div ${stride}L").as("__id"),
         pmod(col("__pos"), lit(stride)).as("__off"),
         col("__r1"), col("__r2"))
       .join(lengths, Seq("__id"))
       .filter(col("__off") <= col("__n") - minLen)
       .select("__id", "__off", "__r1", "__r2")
+  }
+
+  /** One widening step shared by every refinement flavor: pair each
+    * position's class with the class of the window `shift` to the
+    * right. A position whose extension runs off the document end — or
+    * was pruned/never existed in `cur` — gets a class unique to
+    * itself (−pos − 1: disjoint from min-position ids, which are ≥ 0).
+    */
+  private def widenRel(cur: DataFrame, shift: Int): DataFrame = {
+    val r2 = cur.select(col("__pos").as("__p2"), col("__cls").as("__r2"))
+    cur.join(r2, col("__pos") + shift === col("__p2"), "left")
+      .select(col("__pos"), col("__cls").as("__r1"),
+        coalesce(col("__r2"), -col("__pos") - 1).as("__r2"))
   }
 
   /** Gap-and-island merge of marked (id, off) window starts into
@@ -309,5 +312,250 @@ object SuffixArray {
         (length(col("__t")) - length(col("__clean")))
           .as("chars_removed"),
         col("__clean").as("clean_text"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental substring dedup: the persisted-rank-state lifecycle
+  // (the d13/d14/d16 incremental discipline for the exact-substring
+  // family). At corpus scale a full re-refinement per append is the
+  // one remaining full-recompute story; this index removes it.
+  //
+  // What persists, and why it is EXACTLY append-composable:
+  //  - per-width pair→class DICTIONARIES — (r1, r2) → class id for
+  //    every distinct window the accumulated corpus has seen (width 1
+  //    is the char→class dictionary). Class ids are min-positions, so
+  //    with batch ids strictly above all prior ids (enforced), an old
+  //    class's id can NEVER change when new members join — old state
+  //    is immutable, appends only ADD dictionary rows.
+  //  - the final per-position KEY relation (id, off, r1, r2) — the
+  //    lengthKeys output for every full-window position, UNPRUNED: a
+  //    window unique so far can be matched by any future batch, so
+  //    the index (unlike the one-shot [[repeatedSpans]] fast path)
+  //    must remember singletons.
+  // An append refines ONLY its own characters: each round classifies
+  // batch pairs against the dictionary (hit = the established class;
+  // miss = provably no prior member, so min-batch-position is the
+  // exact union class id) and appends the misses. No prior position
+  // is ever re-refined — the log₂(L) doubling rounds run over batch
+  // characters only, joined against persisted state. (At production
+  // volume the dictionaries and keys would persist BUCKETED by their
+  // join keys so these lookups co-locate without shuffling the large
+  // side.)
+  // ------------------------------------------------------------------
+
+  /** Persisted refinement state for incremental exact-substring dedup.
+    *
+    * @param dictChars (__c, __cls) — char → class id
+    * @param dictPairs (__w, __r1, __r2, __cls) — width-w window-pair →
+    *                  class id (sentinel pairs omitted: a batch can
+    *                  never look one up)
+    * @param keys      (__id, __off, __r1, __r2) — final composite key
+    *                  per full-window position of the accumulated
+    *                  corpus
+    * @param stride    the FIXED position grid (set at build from
+    *                  maxDocLen; every appended doc must fit)
+    * @param maxId     largest doc id seen (appends must exceed it)
+    */
+  case class SubstrIndex(dictChars: DataFrame, dictPairs: DataFrame,
+                         keys: DataFrame, minLen: Int, targetW: Int,
+                         stride: Long, maxId: Long)
+
+  private def targetWidth(minLen: Int): Int = {
+    var targetW = 1
+    while (targetW * 2 < minLen) targetW *= 2
+    targetW
+  }
+
+  private def stageDocs(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__t"))
+      .withColumn("__n", length(col("__t")))
+
+  /** (bounds row, chars relation) with the lengthKeys id-domain
+    * contract enforced against a given stride.
+    */
+  private def checkedChars(staged: DataFrame, stride: Long,
+                           targetW: Int): (org.apache.spark.sql.Row,
+                                           DataFrame) = {
+    val bounds = staged.agg(max(col("__n")).as("mx"),
+      min(col("__id")).as("mn"), max(col("__id")).as("mxid"),
+      sum(when(col("__id").isNull, 1).otherwise(0)).as("nulls")).head()
+    require(!bounds.isNullAt(0), "empty corpus: nothing to index")
+    require(bounds.getLong(3) == 0,
+      "id column must cast to a non-null long for the position grid")
+    require(bounds.getLong(1) >= 0,
+      s"ids must be non-negative for the position grid, " +
+        s"got min ${bounds.getLong(1)}")
+    require(bounds.getInt(0) <= stride - targetW - 1,
+      s"document of ${bounds.getInt(0)} chars exceeds the index grid " +
+        s"(stride $stride, width $targetW): rebuild with a larger " +
+        s"maxDocLen")
+    val maxId = bounds.getLong(2)
+    require(maxId <= (Long.MaxValue - stride) / stride,
+      s"id domain too large for the position grid: max id $maxId " +
+        s"times stride $stride overflows long — re-key ids densely")
+    (bounds, staged
+      .select(posexplode(split(col("__t"), "")).as(Seq("__off", "__c")),
+        col("__id"))
+      .select((col("__id") * stride + col("__off")).as("__pos"),
+        col("__c")))
+  }
+
+  /** Run the doubling rounds for a char relation against (possibly
+    * empty) dictionaries, returning the final keys plus the grown
+    * dictionaries. Shared verbatim by build (empty dictionaries) and
+    * append (the persisted ones) — which is the append-exactness
+    * argument in code: both paths ARE the same refinement.
+    */
+  private def refineAgainst(chars: DataFrame, staged: DataFrame,
+                            dictChars: DataFrame, dictPairs: DataFrame,
+                            minLen: Int, targetW: Int, stride: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // width 1: dictionary hit keeps the established class (min
+    // position over the accumulated corpus — immutable because batch
+    // positions are larger); miss mints min-batch-position, exactly
+    // the union build's id for a class with no prior member
+    val withD = chars.join(
+      dictChars.withColumnRenamed("__cls", "__dcls"), Seq("__c"), "left")
+    val newChars = withD.filter(col("__dcls").isNull)
+      .groupBy("__c").agg(min("__pos").as("__cls"))
+    val dictChars2 = dictChars
+      .unionByName(newChars).localCheckpoint()
+    var ranks = withD.join(newChars, Seq("__c"), "left")
+      .select(col("__pos"),
+        coalesce(col("__dcls"), col("__cls")).as("__cls"))
+      .localCheckpoint()
+    var dictPairs2 = dictPairs
+    var width = 1
+    while (width < targetW) {
+      val w2 = width * 2
+      val paired = widenRel(ranks, width)
+      val dw = dictPairs2.filter(col("__w") === w2)
+        .select(col("__r1"), col("__r2"), col("__cls").as("__dcls"))
+      val joined = paired.join(dw, Seq("__r1", "__r2"), "left")
+      val newPairs = joined.filter(col("__dcls").isNull)
+        .groupBy("__r1", "__r2").agg(min("__pos").as("__cls"))
+      ranks = joined.join(newPairs, Seq("__r1", "__r2"), "left")
+        .select(col("__pos"),
+          coalesce(col("__dcls"), col("__cls")).as("__cls"))
+        .localCheckpoint()
+      // sentinel pairs (r2 < 0) never match a future lookup (each
+      // batch mints its own −pos−1 sentinels), so they stay out of
+      // the persisted dictionary
+      dictPairs2 = dictPairs2.unionByName(
+        newPairs.filter(col("__r2") >= 0)
+          .select(lit(w2).as("__w"), col("__r1"), col("__r2"),
+            col("__cls")))
+      width *= 2
+    }
+    val lengths = staged.select(col("__id"), col("__n"))
+    val keys = widenRel(ranks, minLen - width)
+      .select(expr(s"__pos div ${stride}L").as("__id"),
+        pmod(col("__pos"), lit(stride)).as("__off"),
+        col("__r1"), col("__r2"))
+      .join(lengths, Seq("__id"))
+      .filter(col("__off") <= col("__n") - minLen)
+      .select("__id", "__off", "__r1", "__r2")
+      .localCheckpoint()
+    (dictChars2, dictPairs2.localCheckpoint(), keys)
+  }
+
+  /** Build the incremental index over a base corpus. `maxDocLen` sets
+    * the position grid for the index's LIFETIME (0 = size to this
+    * corpus; give headroom if future batches may carry longer docs).
+    */
+  def buildSubstrIndex(docs: DataFrame, textCol: String, idCol: String,
+                       minLen: Int, maxDocLen: Int = 0): SubstrIndex = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val targetW = targetWidth(minLen)
+    val staged = stageDocs(docs, textCol, idCol)
+    val observed = staged.agg(max("__n")).head()
+    require(!observed.isNullAt(0), "empty corpus: nothing to index")
+    val cap = if (maxDocLen > 0) maxDocLen
+      else observed.getInt(0)
+    val stride = cap.toLong + targetW + 1
+    val (bounds, chars) = checkedChars(staged, stride, targetW)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val emptyChars = Seq.empty[(String, Long)].toDF("__c", "__cls")
+    val emptyPairs = Seq.empty[(Int, Long, Long, Long)]
+      .toDF("__w", "__r1", "__r2", "__cls")
+    val (dc, dp, keys) = refineAgainst(chars, staged, emptyChars,
+      emptyPairs, minLen, targetW, stride)
+    SubstrIndex(dc, dp, keys, minLen, targetW, stride,
+      bounds.getLong(2))
+  }
+
+  /** Append a batch: refine ONLY the batch's characters against the
+    * persisted dictionaries. Batch doc ids must be strictly greater
+    * than every id already indexed (the min-position class-id
+    * invariant) and batch docs must fit the build-time grid. The
+    * result is EXACTLY the index a from-scratch build over the union
+    * would produce (gate d28 + spec pin structural equality).
+    */
+  def appendToSubstrIndex(index: SubstrIndex, batch: DataFrame,
+                          textCol: String, idCol: String): SubstrIndex = {
+    val staged = stageDocs(batch, textCol, idCol)
+    if (staged.limit(1).isEmpty) return index // nothing to append
+    val (bounds, chars) = checkedChars(staged, index.stride,
+      index.targetW)
+    require(bounds.getLong(1) > index.maxId,
+      s"batch ids must exceed every indexed id (class ids are " +
+        s"min-positions): batch min ${bounds.getLong(1)} vs indexed " +
+        s"max ${index.maxId}")
+    val (dc, dp, batchKeys) = refineAgainst(chars, staged,
+      index.dictChars, index.dictPairs, index.minLen, index.targetW,
+      index.stride)
+    index.copy(dictChars = dc, dictPairs = dp,
+      keys = index.keys.unionByName(batchKeys).localCheckpoint(),
+      maxId = bounds.getLong(2))
+  }
+
+  /** Maximal repeated spans over the ACCUMULATED corpus — the
+    * [[repeatedSpans]] contract read off the persisted keys: one
+    * count over composite keys + the island merge, no refinement
+    * rounds at all (that is the index's point: log₂(L) rounds of
+    * corpus-sized shuffles collapse to one keyed aggregate).
+    */
+  def substrIndexSpans(index: SubstrIndex, idCol: String,
+                       minOccurrences: Int = 2): DataFrame = {
+    require(minOccurrences >= 2,
+      s"minOccurrences below 2 would mark every position, " +
+        s"got $minOccurrences")
+    val repeatedKeys = index.keys.groupBy("__r1", "__r2")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minOccurrences)
+      .select("__r1", "__r2")
+    islandSpans(index.keys.join(repeatedKeys, Seq("__r1", "__r2")),
+      idCol, index.minLen)
+  }
+
+  /** Persist the index as four parquet tables under `dir` (the
+    * t29/n32 layout discipline): meta (format_version + parameters,
+    * read back BY NAME), dict_chars, dict_pairs, keys.
+    */
+  def saveSubstrIndex(index: SubstrIndex, dir: String): Unit = {
+    val spark = index.keys.sparkSession
+    import spark.implicits._
+    Seq((1, index.minLen, index.targetW, index.stride, index.maxId))
+      .toDF("format_version", "min_len", "target_w", "stride", "max_id")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.dictChars.write.mode("overwrite").parquet(s"$dir/dict_chars")
+    index.dictPairs.write.mode("overwrite").parquet(s"$dir/dict_pairs")
+    index.keys.write.mode("overwrite").parquet(s"$dir/keys")
+  }
+
+  def loadSubstrIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): SubstrIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported substr index format_version " +
+        meta.getAs[Int]("format_version"))
+    SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
+      spark.read.parquet(s"$dir/dict_pairs"),
+      spark.read.parquet(s"$dir/keys"),
+      meta.getAs[Int]("min_len"), meta.getAs[Int]("target_w"),
+      meta.getAs[Long]("stride"), meta.getAs[Long]("max_id"))
   }
 }
