@@ -38,12 +38,14 @@ import org.apache.spark.sql.graftbridge.Bridge
 object RobustPruner {
 
   /** Static greedy α-prune (called from codegen). `simOrd`/`idOrd`/
-    * `embOrd` locate the struct fields; `embFloat` flags float32
-    * embeddings. Null pool entries are not supported (the pool comes
-    * from an inner join).
+    * `embOrd` locate the struct fields; `nFields` is the struct's
+    * ACTUAL arity (UnsafeRow field offsets derive from it — a
+    * hardcoded 3 would silently misread a struct carrying extra
+    * fields); `embFloat` flags float32 embeddings. Null pool entries
+    * are not supported (the pool comes from an inner join).
     */
   def prune(pool: ArrayData, degree: Int, alpha: Double,
-            simOrd: Int, idOrd: Int, embOrd: Int,
+            simOrd: Int, idOrd: Int, embOrd: Int, nFields: Int,
             embFloat: Boolean): ArrayData = {
     val n = pool.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
@@ -52,7 +54,7 @@ object RobustPruner {
     val embs = new Array[Array[Double]](n)
     var i = 0
     while (i < n) {
-      val row = pool.getStruct(i, 3)
+      val row = pool.getStruct(i, nFields)
       sims(i) = row.getDouble(simOrd)
       ids(i) = row.getLong(idOrd)
       val a = row.getArray(embOrd)
@@ -148,6 +150,7 @@ case class RobustPrune(child: Expression, degree: Int, alpha: Double)
   private lazy val simOrd = structType.get.fieldIndex("sim")
   private lazy val idOrd = structType.get.fieldIndex("id")
   private lazy val embOrd = structType.get.fieldIndex("emb")
+  private lazy val nFields = structType.get.length
   private lazy val embFloat =
     structType.get(embOrd).dataType == ArrayType(FloatType, false) ||
       structType.get(embOrd).dataType == ArrayType(FloatType, true)
@@ -156,12 +159,12 @@ case class RobustPrune(child: Expression, degree: Int, alpha: Double)
 
   override def nullSafeEval(input: Any): Any =
     RobustPruner.prune(input.asInstanceOf[ArrayData], degree, alpha,
-      simOrd, idOrd, embOrd, embFloat)
+      simOrd, idOrd, embOrd, nFields, embFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
       |${ev.value} = graft.functions.RobustPruner.prune($c, $degree,
-      |  $alpha, $simOrd, $idOrd, $embOrd, $embFloat);
+      |  $alpha, $simOrd, $idOrd, $embOrd, $nFields, $embFloat);
       |""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

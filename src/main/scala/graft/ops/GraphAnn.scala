@@ -443,8 +443,15 @@ object GraphAnn {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     // alpha rides as NaN-for-None (parquet-friendly; read back by
-    // name, and a pre-r10 meta without the column loads as None)
-    Seq((1, index.cells.length, index.degree, index.crossDegree,
+    // name, and a pre-r10 meta without the column loads as None).
+    // α-pruned indexes write format_version 2: a pre-r10 READER
+    // (version <= 1, reads by name) would load the pruned edges
+    // without error and then append under the kNN merge rule —
+    // silently breaking the pruned index's rebuild-equivalence
+    // invariant. The version bump turns that into a fail-fast; plain
+    // kNN indexes stay at 1 for backward compatibility.
+    val fmt = if (index.alpha.isDefined) 2 else 1
+    Seq((fmt, index.cells.length, index.degree, index.crossDegree,
         index.entriesPerCell, index.alpha.getOrElse(Double.NaN),
         index.poolSize))
       .toDF("format_version", "nlist", "degree", "cross_degree",
@@ -462,7 +469,7 @@ object GraphAnn {
   def loadGraphIndex(spark: org.apache.spark.sql.SparkSession,
                      dir: String): GraphIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("format_version") <= 1,
+    require(meta.getAs[Int]("format_version") <= 2,
       s"unsupported graph index format_version " +
         meta.getAs[Int]("format_version"))
     val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id", "centroid")
@@ -530,9 +537,15 @@ object GraphAnn {
         // depends only on its home + second cells' members, and an
         // unaffected node's cells gained none. Work ∝ members of
         // touched cells × their cell sizes, never the corpus.
+        // resolve the pool the way build does: GraphIndex is a public
+        // case class whose defaults allow alpha = Some(a) with
+        // poolSize = 0 (a hand-constructed index); passing 0 through
+        // would hit topEdges with k = 0 and yield an edge-less graph
+        val poolN = if (index.poolSize > 0) index.poolSize
+          else 3 * (deg + cross)
         val redo = nu.unionByName(affected)
         val redoNbrs = prunedNeighbors(redo.select("cell", "n_id", "emb"),
-          allPeers, cells, deg, cross, a, index.poolSize)
+          allPeers, cells, deg, cross, a, poolN)
         val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
           .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
             coalesce(col("neighbors"), emptyNbrs).as("neighbors"))

@@ -1139,26 +1139,43 @@ object Multimodal {
                 // buffer must follow each frame's ACTUAL dimensions:
                 // `np` accumulates the real summed pixel count, and
                 // the row buffer is sized per frame (a frame wider
-                // than frame 0 would otherwise overflow it)
+                // than frame 0 would otherwise overflow it). The
+                // w·h·n check above only bounds FRAME-0-sized frames;
+                // a crafted payload with a tiny first frame and huge
+                // later ones would blow past it, so the RUNNING total
+                // re-checks against the cap per frame — from header
+                // dims (getWidth/getHeight(f) read the image
+                // descriptor only), BEFORE the LZW decode spends the
+                // memory/CPU the cap exists to bound
                 var sr = 0L; var sg = 0L; var sb = 0L; var np = 0L
+                var overCap = false
                 var f = 0
-                while (f < n) {
-                  val img = reader.read(f)
-                  val fw = img.getWidth
-                  val row = new Array[Int](fw)
-                  var y = 0
-                  while (y < img.getHeight) {
-                    img.getRGB(0, y, fw, 1, row, 0, fw)
-                    var x = 0
-                    while (x < fw) {
-                      val rgb = row(x)
-                      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
-                      sb += rgb & 0xff
-                      x += 1
+                while (!overCap && f < n) {
+                  val fw = reader.getWidth(f)
+                  val fh = reader.getHeight(f)
+                  if (fw <= 0 || fh <= 0 ||
+                      np + fw.toLong * fh > MaxDecodePixels) overCap = true
+                  else {
+                    // decoded dims, not header dims, drive the walk:
+                    // the cap check above is the bound, the decode is
+                    // the truth (they agree for every well-formed GIF)
+                    val img = reader.read(f)
+                    val iw = img.getWidth
+                    val row = new Array[Int](iw)
+                    var y = 0
+                    while (y < img.getHeight) {
+                      img.getRGB(0, y, iw, 1, row, 0, iw)
+                      var x = 0
+                      while (x < iw) {
+                        val rgb = row(x)
+                        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                        sb += rgb & 0xff
+                        x += 1
+                      }
+                      y += 1
                     }
-                    y += 1
+                    np += iw.toLong * img.getHeight
                   }
-                  np += fw.toLong * img.getHeight
                   f += 1
                 }
                 // first Graphic Control Extension via a REAL block walk
@@ -1193,7 +1210,7 @@ object Multimodal {
                     case _ => done = true // malformed: keep delay 0
                   }
                 }
-                if (np == 0L) None
+                if (overCap || np == 0L) None
                 else Some(Array(w.toFloat, h.toFloat, n.toFloat,
                   usec.toFloat,
                   (sr.toDouble / np).toFloat, (sg.toDouble / np).toFloat,

@@ -233,6 +233,34 @@ class GraphAnnSpec extends SparkSpec {
     // with kNN selection (no pruning) the same pool would keep (1, 2):
     // that IS the clustering failure the α-prune exists to break
     pool.sortBy(-_._1).take(2).map(_._2) shouldBe Seq(1L, 2L)
+    // a pool struct carrying EXTRA fields must prune identically: the
+    // type check only requires sim/id/emb to exist, so the evaluator
+    // must read with the struct's actual arity (a hardcoded 3 would
+    // corrupt UnsafeRow field offsets and silently misread)
+    val wide = Seq(Tuple1(pool)).toDF("raw")
+      .select(expr("transform(raw, x -> struct(x._1 as sim, " +
+        "x._2 as id, x._3 as emb, 'pad' as extra))").as("pool"))
+    wide.select(graft.functions.RobustPruner
+        .robustPrune(col("pool"), 2, 1.4).as("nbrs"))
+      .head().getSeq[Long](0) shouldBe Seq(1L, 3L)
+  }
+
+  test("α-pruned append resolves an unresolved poolSize (hand-built index)") {
+    // GraphIndex is a public case class whose defaults allow
+    // alpha = Some(a) with poolSize = 0; append must resolve the pool
+    // the way build does instead of running topEdges with k = 0 (an
+    // edge-less appended graph, silently)
+    val all = planted(4, 20, 16, seed = 91)
+    val base = all.filter(col("vec_id") < 60)
+    val batch = all.filter(col("vec_id") >= 60)
+    val built = GraphAnn.buildGraphIndex(base, nlist = 4, degree = 4,
+      crossDegree = 2, alpha = Some(1.4))
+    val handMade = built.copy(poolSize = 0)
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    nbrs(GraphAnn.appendToGraphIndex(handMade, batch)) shouldBe
+      nbrs(GraphAnn.appendToGraphIndex(built, batch))
   }
 
   test("α-pruned append equals a from-scratch rebuild, node-for-node") {
@@ -261,6 +289,11 @@ class GraphAnnSpec extends SparkSpec {
     idx.poolSize shouldBe 21 // resolved default 3·(degree+crossDegree)
     val dir = java.nio.file.Files.createTempDirectory("graphprune").toString
     GraphAnn.saveGraphIndex(idx, dir)
+    // α-pruned indexes write format_version 2 so a pre-r10 reader
+    // (accepts <= 1) fails fast instead of appending under the kNN
+    // merge rule and silently breaking rebuild-equivalence
+    spark.read.parquet(s"$dir/meta").head()
+      .getAs[Int]("format_version") shouldBe 2
     val loaded = GraphAnn.loadGraphIndex(spark, dir)
     loaded.alpha shouldBe Some(1.4)
     loaded.poolSize shouldBe 21
