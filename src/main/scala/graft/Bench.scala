@@ -117,7 +117,8 @@ object Bench {
         // index/class-table construction IS the operator; nothing
         // memoizes across iterations
         "d25_substr_dedup_exact", "d26_substr_dedup_cut",
-        "d27_substr_decontaminate", "n29_ann_graph_exact",
+        "d27_substr_decontaminate", "d28_substr_index_incremental",
+        "n29_ann_graph_exact",
         "n32_graph_index_persist", "n33_graph_index_append",
         "n34_ann_graph_pq", "n35_ann_graph_pruned")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -372,15 +372,18 @@ object SuffixArray {
         col(textCol).as("__t"))
       .withColumn("__n", length(col("__t")))
 
-  /** (bounds row, chars relation) with the lengthKeys id-domain
-    * contract enforced against a given stride.
+  /** One bounded aggregate over the staged corpus: (max doc length,
+    * min id, max id, null-id count). Computed ONCE per build/append —
+    * build derives its grid from the same row it validates against.
     */
-  private def checkedChars(staged: DataFrame, stride: Long,
-                           targetW: Int): (org.apache.spark.sql.Row,
-                                           DataFrame) = {
-    val bounds = staged.agg(max(col("__n")).as("mx"),
+  private def corpusBounds(staged: DataFrame): org.apache.spark.sql.Row =
+    staged.agg(max(col("__n")).as("mx"),
       min(col("__id")).as("mn"), max(col("__id")).as("mxid"),
       sum(when(col("__id").isNull, 1).otherwise(0)).as("nulls")).head()
+
+  /** Enforce the lengthKeys id-domain contract against a given stride. */
+  private def validateBounds(bounds: org.apache.spark.sql.Row,
+                             stride: Long, targetW: Int): Unit = {
     require(!bounds.isNullAt(0), "empty corpus: nothing to index")
     require(bounds.getLong(3) == 0,
       "id column must cast to a non-null long for the position grid")
@@ -395,12 +398,15 @@ object SuffixArray {
     require(maxId <= (Long.MaxValue - stride) / stride,
       s"id domain too large for the position grid: max id $maxId " +
         s"times stride $stride overflows long — re-key ids densely")
-    (bounds, staged
+  }
+
+  /** One row per character on the stride grid. */
+  private def charsOf(staged: DataFrame, stride: Long): DataFrame =
+    staged
       .select(posexplode(split(col("__t"), "")).as(Seq("__off", "__c")),
         col("__id"))
       .select((col("__id") * stride + col("__off")).as("__pos"),
-        col("__c")))
-  }
+        col("__c"))
 
   /** Run the doubling rounds for a char relation against (possibly
     * empty) dictionaries, returning the final keys plus the grown
@@ -434,8 +440,15 @@ object SuffixArray {
       val dw = dictPairs2.filter(col("__w") === w2)
         .select(col("__r1"), col("__r2"), col("__cls").as("__dcls"))
       val joined = paired.join(dw, Seq("__r1", "__r2"), "left")
+      // checkpointed at mint time: the pair relation is read twice
+      // right here (class assignment + dictionary growth) and again
+      // by every LATER round's `dw` filter — uncheckpointed, a
+      // build-plus-append sequence would re-derive the whole union
+      // chain each time it was touched, and the plan would deepen
+      // with every append
       val newPairs = joined.filter(col("__dcls").isNull)
         .groupBy("__r1", "__r2").agg(min("__pos").as("__cls"))
+        .localCheckpoint()
       ranks = joined.join(newPairs, Seq("__r1", "__r2"), "left")
         .select(col("__pos"),
           coalesce(col("__dcls"), col("__cls")).as("__cls"))
@@ -470,12 +483,15 @@ object SuffixArray {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val targetW = targetWidth(minLen)
     val staged = stageDocs(docs, textCol, idCol)
-    val observed = staged.agg(max("__n")).head()
-    require(!observed.isNullAt(0), "empty corpus: nothing to index")
+    // ONE bounded pass serves both the grid sizing and the id-domain
+    // validation (maxDocLen = 0 sizes the grid to this corpus)
+    val bounds = corpusBounds(staged)
+    require(!bounds.isNullAt(0), "empty corpus: nothing to index")
     val cap = if (maxDocLen > 0) maxDocLen
-      else observed.getInt(0)
+      else bounds.getInt(0)
     val stride = cap.toLong + targetW + 1
-    val (bounds, chars) = checkedChars(staged, stride, targetW)
+    validateBounds(bounds, stride, targetW)
+    val chars = charsOf(staged, stride)
     val spark = docs.sparkSession
     import spark.implicits._
     val emptyChars = Seq.empty[(String, Long)].toDF("__c", "__cls")
@@ -498,8 +514,9 @@ object SuffixArray {
                           textCol: String, idCol: String): SubstrIndex = {
     val staged = stageDocs(batch, textCol, idCol)
     if (staged.limit(1).isEmpty) return index // nothing to append
-    val (bounds, chars) = checkedChars(staged, index.stride,
-      index.targetW)
+    val bounds = corpusBounds(staged)
+    validateBounds(bounds, index.stride, index.targetW)
+    val chars = charsOf(staged, index.stride)
     require(bounds.getLong(1) > index.maxId,
       s"batch ids must exceed every indexed id (class ids are " +
         s"min-positions): batch min ${bounds.getLong(1)} vs indexed " +
@@ -534,6 +551,17 @@ object SuffixArray {
   /** Persist the index as four parquet tables under `dir` (the
     * t29/n32 layout discipline): meta (format_version + parameters,
     * read back BY NAME), dict_chars, dict_pairs, keys.
+    *
+    * Production-volume note: an append's dictionary lookups hash-join
+    * the batch's pair relation against `dict_pairs` on (__r1, __r2),
+    * and `substrIndexSpans` aggregates `keys` on the same pair — at
+    * 100 TB both persisted relations should be written BUCKETED on
+    * (__r1, __r2) (`bucketBy` into a catalog table, one bucket file
+    * set per sort key) so those joins/aggregates co-locate and only
+    * the small batch side shuffles. Plain parquet here because the
+    * bucketed write path needs a table catalog (a metastore name, not
+    * a directory), which a library save to an arbitrary `dir` cannot
+    * assume; the layout and join keys are already bucketing-shaped.
     */
   def saveSubstrIndex(index: SubstrIndex, dir: String): Unit = {
     val spark = index.keys.sparkSession

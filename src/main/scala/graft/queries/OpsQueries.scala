@@ -1449,6 +1449,51 @@ object OpsQueries {
              |FROM d JOIN k USING (doc_id)
              |LEFT JOIN spc USING (doc_id)""".stripMargin)),
 
+    // Incremental substring index (d28) — the d13/d14/d16 persisted-
+    // state discipline for the EXACT substring family: build the
+    // refinement index over the first 80% of documents (by id), append
+    // the rest refining ONLY the batch's characters against the
+    // persisted dictionaries, then read the accumulated corpus's
+    // repeated spans straight off the stored keys. The oracle is the
+    // d25 brute-force gram SQL over the WHOLE corpus: the gate is
+    // green iff append-then-read equals a from-scratch pass over the
+    // union — the index's entire correctness claim (immutable
+    // min-position class ids; a dictionary miss provably has no prior
+    // member). The grid is sized to the full corpus max doc length so
+    // batch documents fit the build-time stride.
+    QueryDef("d28_substr_index_incremental",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val stats = d.agg(max(col("doc_id")).cast("long").as("mx"),
+          max(length(col("text"))).as("ml")).head()
+        val cut = stats.getLong(0) * 4 / 5
+        val base = SuffixArray.buildSubstrIndex(
+          d.filter(col("doc_id") < cut), "text", "doc_id",
+          minLen = 40, maxDocLen = stats.getInt(1))
+        val grown = SuffixArray.appendToSubstrIndex(base,
+          d.filter(col("doc_id") >= cut), "text", "doc_id")
+        SuffixArray.substrIndexSpans(grown, "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.off FROM g JOIN r USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1)
+             |SELECT doc_id, cast(min(off) AS INT) AS span_start,
+             |  cast(max(off) + 40 AS INT) AS span_end,
+             |  cast(max(off) + 40 - min(off) AS INT) AS span_len
+             |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).

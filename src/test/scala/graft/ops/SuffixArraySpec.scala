@@ -166,4 +166,131 @@ class SuffixArraySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     spans shouldBe Set((0L, 100, 140), (1L, 100, 140))
   }
+
+  // ---- incremental substring index (d28 family) ----
+
+  /** Random small-alphabet corpus: repeats arise by chance, including
+    * ones that only exist ACROSS the base/batch boundary — the case
+    * the dictionary-refinement append exists for.
+    */
+  private def randomCorpus(n: Int, seed: Int): Seq[(Long, String)] = {
+    val r = new scala.util.Random(seed)
+    (0L until n.toLong).map { id =>
+      (id, (1 to 50 + r.nextInt(50)).map(_ => ('a' + r.nextInt(3)).toChar)
+        .mkString)
+    }
+  }
+
+  private def indexState(i: SuffixArray.SubstrIndex)
+      : (Set[(String, Long)], Set[(Int, Long, Long, Long)],
+         Set[(Long, Long, Long, Long)]) = (
+    i.dictChars.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+    i.dictPairs.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet,
+    i.keys.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet)
+
+  private def spansOf(i: SuffixArray.SubstrIndex): Set[(Long, Int, Int, Int)] =
+    SuffixArray.substrIndexSpans(i, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+
+  test("append equals a from-scratch union build, state-for-state") {
+    val all = randomCorpus(14, seed = 211)
+    val maxLen = all.map(_._2.length).max
+    val (base, batch) = all.partition(_._1 < 9)
+    val minLen = 8
+    // identical grid on both paths: the build-time maxDocLen IS the
+    // index's lifetime grid, so the rebuild must size it the same way
+    val grown = SuffixArray.appendToSubstrIndex(
+      SuffixArray.buildSubstrIndex(base.toDF("doc_id", "text"), "text",
+        "doc_id", minLen, maxDocLen = maxLen),
+      batch.toDF("doc_id", "text"), "text", "doc_id")
+    val rebuilt = SuffixArray.buildSubstrIndex(
+      all.toDF("doc_id", "text"), "text", "doc_id", minLen,
+      maxDocLen = maxLen)
+    indexState(grown) shouldBe indexState(rebuilt)
+    // and the read-off spans equal the one-shot oracle path
+    spansOf(grown) shouldBe bruteSpans(all, minLen)
+  }
+
+  test("two successive appends still equal the union build") {
+    val all = randomCorpus(15, seed = 223)
+    val maxLen = all.map(_._2.length).max
+    val minLen = 8
+    val i0 = SuffixArray.buildSubstrIndex(
+      all.filter(_._1 < 5).toDF("doc_id", "text"), "text", "doc_id",
+      minLen, maxDocLen = maxLen)
+    val i1 = SuffixArray.appendToSubstrIndex(i0,
+      all.filter(d => d._1 >= 5 && d._1 < 10).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val i2 = SuffixArray.appendToSubstrIndex(i1,
+      all.filter(_._1 >= 10).toDF("doc_id", "text"), "text", "doc_id")
+    val rebuilt = SuffixArray.buildSubstrIndex(
+      all.toDF("doc_id", "text"), "text", "doc_id", minLen,
+      maxDocLen = maxLen)
+    indexState(i2) shouldBe indexState(rebuilt)
+  }
+
+  test("append finds repeats that exist only across the boundary") {
+    val shared = "the shared block that straddles the corpus split"
+    val base = Seq((0L, s"base preamble $shared base tail"),
+      (1L, "nothing repeated in this one qqq"))
+    val batch = Seq((5L, s"batch lead-in $shared batch outro"))
+    val idx = SuffixArray.appendToSubstrIndex(
+      SuffixArray.buildSubstrIndex(base.toDF("doc_id", "text"), "text",
+        "doc_id", minLen = 20, maxDocLen = 100),
+      batch.toDF("doc_id", "text"), "text", "doc_id")
+    // before the append the base corpus has no repeats at all
+    spansOf(SuffixArray.buildSubstrIndex(base.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 20, maxDocLen = 100)) shouldBe Set.empty
+    spansOf(idx) shouldBe bruteSpans(base ++ batch, 20)
+  }
+
+  test("append guard rails: id ordering, over-grid doc, empty batch") {
+    val base = randomCorpus(6, seed = 229)
+    val idx = SuffixArray.buildSubstrIndex(base.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 8, maxDocLen = 120)
+    // batch ids must strictly exceed every indexed id (min-position
+    // class ids are immutable only under that ordering)
+    val clash = intercept[IllegalArgumentException] {
+      SuffixArray.appendToSubstrIndex(idx,
+        Seq((3L, "aabbccddeeffaabbccddeeff")).toDF("doc_id", "text"),
+        "text", "doc_id")
+    }
+    clash.getMessage should include("batch ids must exceed")
+    // a document longer than the build-time grid cannot append
+    val tooLong = intercept[IllegalArgumentException] {
+      SuffixArray.appendToSubstrIndex(idx,
+        Seq((50L, "x" * 200)).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    tooLong.getMessage should include("exceeds the index grid")
+    // empty batch: the index comes back unchanged
+    val same = SuffixArray.appendToSubstrIndex(idx,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id")
+    same.maxId shouldBe idx.maxId
+    spansOf(same) shouldBe spansOf(idx)
+  }
+
+  test("substr index save/load round-trips state and spans") {
+    val all = randomCorpus(10, seed = 233)
+    val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 8, maxDocLen = 150)
+    val dir = java.nio.file.Files.createTempDirectory("substridx").toString
+    SuffixArray.saveSubstrIndex(idx, dir)
+    val loaded = SuffixArray.loadSubstrIndex(spark, dir)
+    loaded.minLen shouldBe idx.minLen
+    loaded.targetW shouldBe idx.targetW
+    loaded.stride shouldBe idx.stride
+    loaded.maxId shouldBe idx.maxId
+    indexState(loaded) shouldBe indexState(idx)
+    spansOf(loaded) shouldBe spansOf(idx)
+    // and a loaded index keeps accepting appends, rebuild-equivalent
+    val batch = Seq((100L, all.head._2)) // duplicate of doc 0's text
+    val grown = SuffixArray.appendToSubstrIndex(loaded,
+      batch.toDF("doc_id", "text"), "text", "doc_id")
+    spansOf(grown) shouldBe bruteSpans(all ++ batch, 8)
+  }
 }
