@@ -35,16 +35,22 @@ import graft.functions.{Centroids, RobustPruner, TopK}
   * started in the wrong cell can cross over). The built node table is
   * localCheckpointed: build once, query many.
   *
-  * Serve shape: the corpus-sized node table is NEVER exchanged. Each
-  * hop broadcast-joins the (|Q|·beam)-row frontier against the node
+  * Serve shape, interactive regime (|Q| ≤ the broadcast limit): the
+  * corpus-sized node table is NEVER exchanged. Each hop
+  * broadcast-joins the (|Q|·beam)-row frontier against the node
   * table twice — once for adjacency, once for candidate embeddings —
   * and reduces with the bounded-heap [[graft.functions.TopKAggregate]]
   * (the n24 serving aggregate), whose shuffle carries at most
   * beam/k pairs per (query, task). Per-query candidate budget is
   * entryProbes + hops · beam · (degree + crossDegree), independent of
-  * corpus size. GraphAnnSpec pins the no-exchange serve plan;
-  * gates n29/n31 pin saturated-config exactness vs [[Similarity
-  * .bruteForceTopK]] and recall-vs-IVF at matched budget.
+  * corpus size. Offline regime (million-query batches, past the
+  * limit): the frontier no longer fits a broadcast budget, so every
+  * per-hop join switches to SHUFFLE_HASH — each side exchanges once
+  * on its join key; same results, different meeting point (one
+  * bounded query-count decides, per serve call). GraphAnnSpec pins
+  * BOTH physical plans and their result equality; gates n29/n31 pin
+  * saturated-config exactness vs [[Similarity.bruteForceTopK]] and
+  * recall-vs-IVF at matched budget.
   */
 object GraphAnn {
 
@@ -237,18 +243,32 @@ object GraphAnn {
   }
 
   /** One scoring step: candidates (q_id, n_id) pick up their embedding
-    * from the node table and their query vector from the broadcast
-    * query side, and evaluate one fused cosine. Package-private so
-    * GraphAnnSpec can pin this plan: both joins broadcast the SMALL
-    * side — the node table itself never exchanges.
+    * from the node table and their query vector from the query side,
+    * and evaluate one fused cosine. Two physical regimes, both pinned
+    * by GraphAnnSpec:
+    *  - `bcast = true` (interactive |Q|): both joins broadcast the
+    *    SMALL side — the node table itself never exchanges;
+    *  - `bcast = false` (offline million-query batches): the frontier
+    *    is |Q|·beam·degree rows — far past any broadcast budget — so
+    *    both joins are hinted SHUFFLE_HASH: each side exchanges once
+    *    on its join key and probes a per-partition hash map, no sort,
+    *    no driver-sized frontier copy per executor.
     */
   private[ops] def scoreCandidates(cand: DataFrame, nodes: DataFrame,
-                                   q: DataFrame): DataFrame =
-    broadcast(cand)
-      .join(nodes.select(col("n_id"), col("emb")), Seq("n_id"))
-      .join(broadcast(q), Seq("q_id"))
-      .select(col("q_id"), col("n_id"),
-        Similarity.cosine(col("q_emb"), col("emb")).as("sim"))
+                                   q: DataFrame,
+                                   bcast: Boolean = true): DataFrame = {
+    val scored =
+      if (bcast)
+        broadcast(cand)
+          .join(nodes.select(col("n_id"), col("emb")), Seq("n_id"))
+          .join(broadcast(q), Seq("q_id"))
+      else
+        cand.hint("shuffle_hash")
+          .join(nodes.select(col("n_id"), col("emb")), Seq("n_id"))
+          .join(q.hint("shuffle_hash"), Seq("q_id"))
+    scored.select(col("q_id"), col("n_id"),
+      Similarity.cosine(col("q_emb"), col("emb")).as("sim"))
+  }
 
   private def topPerQuery(scored: DataFrame, n: Int): DataFrame =
     scored.groupBy("q_id")
@@ -269,27 +289,48 @@ object GraphAnn {
     */
   def queryGraphIndex(queries: DataFrame, index: GraphIndex, k: Int,
                       beam: Int = 8, hops: Int = 3,
-                      entryProbes: Int = 2): DataFrame =
+                      entryProbes: Int = 2,
+                      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+      : DataFrame =
     beamSearch(queries, index.nodes, index.entries, index.cells, k, beam,
-      hops, entryProbes, scoreCandidates(_, index.nodes, _))
+      hops, entryProbes, scoreCandidates(_, index.nodes, _, _),
+      frontierBroadcastLimit)
+
+  /** Query-count ceiling for the broadcast-frontier serve regime. At
+    * beam 8 · degree 10 the frontier expansion is ≈5 M (q_id, n_id)
+    * pairs at this |Q| — the edge of a sane broadcast budget; offline
+    * batches beyond it switch to shuffle-hash joins automatically.
+    */
+  val DefaultFrontierBroadcastLimit: Long = 65536L
 
   /** The shared batched best-first loop: each round expands the best
     * `beam` scored-but-unexpanded candidates per query (NOT just the
     * newest hop's — a strong find from an earlier round stays
     * eligible, the property that makes HNSW's ef-search converge),
     * scores their out-edges through the pluggable `score` (exact
-    * cosine for the float index, ADC for the PQ-compressed one), and
-    * folds them into the candidate pool.
+    * cosine for the float index, ADC for the PQ-compressed one; the
+    * Boolean is the broadcast-vs-shuffle regime), and folds them into
+    * the candidate pool.
+    *
+    * Regime pick: ONE bounded count of the query table up front —
+    * |Q| ≤ `frontierBroadcastLimit` serves with broadcast joins (the
+    * node table never exchanges, the plan GraphAnnSpec pins);
+    * beyond it, every per-hop join goes shuffle-hash, because a
+    * million-query frontier broadcast would ship |Q|·beam·degree rows
+    * to every executor per hop. Results are identical either way —
+    * the regime only moves WHERE rows meet, never which rows win.
     */
   private def beamSearch(queries: DataFrame, nodes: DataFrame,
                          entries: DataFrame, cells: Array[Array[Double]],
                          k: Int, beam: Int, hops: Int, entryProbes: Int,
-                         score: (DataFrame, DataFrame) => DataFrame)
+                         score: (DataFrame, DataFrame, Boolean) => DataFrame,
+                         frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(beam >= 1, s"beam must be >= 1, got $beam")
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
+    val bcast = q.count() <= frontierBroadcastLimit
     val probed = q.select(col("q_id"),
         explode(Centroids.centroidProbes(col("q_emb"), cells,
           entryProbes)).as("cell"))
@@ -305,7 +346,7 @@ object GraphAnn {
       q.select("q_id").join(probed.select("q_id"), Seq("q_id"),
           "left_anti")
         .crossJoin(fallback))
-    var scored = score(entryCand, q).localCheckpoint()
+    var scored = score(entryCand, q, bcast).localCheckpoint()
     var expanded = scored.select("q_id", "n_id").limit(0).localCheckpoint()
     var h = 0
     while (h < hops) {
@@ -313,13 +354,14 @@ object GraphAnn {
         scored.join(expanded, Seq("q_id", "n_id"), "left_anti"), beam)
         .localCheckpoint()
       expanded = expanded.unionByName(frontier).localCheckpoint()
-      val cand = frontier
+      val adjSide = if (bcast) frontier else frontier.hint("shuffle_hash")
+      val cand = adjSide
         .join(nodes.select(col("n_id"), col("neighbors")), Seq("n_id"))
         .select(col("q_id"), explode(col("neighbors")).as("n_id"))
         .distinct()
         .join(scored.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
       scored = scored
-        .unionByName(score(cand, q))
+        .unionByName(score(cand, q, bcast))
         .localCheckpoint()
       h += 1
     }
@@ -388,17 +430,27 @@ object GraphAnn {
     */
   def queryGraphPqIndex(queries: DataFrame, index: GraphPqIndex, k: Int,
                         beam: Int = 8, hops: Int = 3,
-                        entryProbes: Int = 2): DataFrame = {
+                        entryProbes: Int = 2,
+                        frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+      : DataFrame = {
     val sub = index.dim / index.m
-    def adcScore(cand: DataFrame, q: DataFrame): DataFrame =
-      broadcast(cand)
-        .join(index.nodes.select(col("n_id"), col("codes")), Seq("n_id"))
-        .join(broadcast(q), Seq("q_id"))
-        .select(col("q_id"), col("n_id"),
-          (-graft.functions.PqColumns.pqAdc(col("q_emb"), col("codes"),
-            index.codebook, sub)).as("sim"))
+    def adcScore(cand: DataFrame, q: DataFrame,
+                 bcast: Boolean): DataFrame = {
+      val joined =
+        if (bcast)
+          broadcast(cand)
+            .join(index.nodes.select(col("n_id"), col("codes")), Seq("n_id"))
+            .join(broadcast(q), Seq("q_id"))
+        else
+          cand.hint("shuffle_hash")
+            .join(index.nodes.select(col("n_id"), col("codes")), Seq("n_id"))
+            .join(q.hint("shuffle_hash"), Seq("q_id"))
+      joined.select(col("q_id"), col("n_id"),
+        (-graft.functions.PqColumns.pqAdc(col("q_emb"), col("codes"),
+          index.codebook, sub)).as("sim"))
+    }
     beamSearch(queries, index.nodes, index.entries, index.cells, k, beam,
-      hops, entryProbes, adcScore)
+      hops, entryProbes, adcScore, frontierBroadcastLimit)
       .withColumn("adc", -col("sim")).drop("sim")
   }
 

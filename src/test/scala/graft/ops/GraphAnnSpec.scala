@@ -316,4 +316,45 @@ class GraphAnnSpec extends SparkSpec {
     plan should not include "ShuffledHashJoin"
     plan should not include "Exchange hashpartitioning"
   }
+
+  test("offline serve plan: past the broadcast limit both joins go shuffle-hash") {
+    val corpus = planted(4, 20, 16, seed = 61)
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 4)
+    val cand = queries.select(col("q_id"), col("q_id").as("n_id"))
+    val plan = GraphAnn.scoreCandidates(cand, idx.nodes, queries,
+        bcast = false)
+      .queryExecution.executedPlan.toString
+    // a million-query frontier must NOT ship to every executor: both
+    // joins exchange on their key and hash-probe per partition
+    plan should include("ShuffledHashJoin")
+    plan should not include "BroadcastExchange"
+  }
+
+  test("shuffle-regime serve returns exactly the broadcast-regime results") {
+    val corpus = planted(4, 25, 16, seed = 67)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2)
+    def run(limit: Long) =
+      GraphAnn.queryGraphIndex(queries, idx, k = 5, beam = 3, hops = 2,
+          frontierBroadcastLimit = limit)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(4)))
+        .toSet
+    // limit 0 forces the shuffle regime for the same 10 queries;
+    // rank, sim ties, and n_visited must all replay identically —
+    // the regime moves where rows meet, never which rows win
+    run(Long.MaxValue) shouldBe run(0L)
+    // the PQ-compressed serve obeys the same regime switch
+    val pq = GraphAnn.buildGraphPqIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2, m = 8, ks = 16, dim = 16)
+    def runPq(limit: Long) =
+      GraphAnn.queryGraphPqIndex(queries, pq, k = 5, beam = 3, hops = 2,
+          frontierBroadcastLimit = limit)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    runPq(Long.MaxValue) shouldBe runPq(0L)
+  }
 }
