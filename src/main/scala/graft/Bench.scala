@@ -120,7 +120,7 @@ object Bench {
         "d27_substr_decontaminate", "d28_substr_index_incremental",
         "n29_ann_graph_exact",
         "n32_graph_index_persist", "n33_graph_index_append",
-        "n34_ann_graph_pq", "n35_ann_graph_pruned")
+        "n34_ann_graph_pq", "n35_ann_graph_pruned", "n36_ann_graph_opq")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

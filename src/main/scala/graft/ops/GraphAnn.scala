@@ -388,16 +388,30 @@ object GraphAnn {
     *
     * @param nodes    n_id, cell, neighbors, codes — NO embeddings
     * @param codebook flat per-subspace PQ codebook
+    * @param rotation Some(model) when the index lives in an
+    *                 OPQ-rotated basis ([[Embeddings.opqTrain]]'s
+    *                 trained rotation): the whole index — cells,
+    *                 edges, codes — was built over rotated vectors,
+    *                 and the serve rotates queries through the same
+    *                 model before anything else
     */
   case class GraphPqIndex(nodes: DataFrame, entries: DataFrame,
                           cells: Array[Array[Double]],
                           codebook: Array[Array[Double]],
-                          m: Int, ks: Int, dim: Int)
+                          m: Int, ks: Int, dim: Int,
+                          rotation: Option[Embeddings.PcaModel] = None)
 
   /** Build: the float graph build (edges need real geometry), then one
     * encode projection and the floats are DROPPED. `codebook` defaults
     * to the deterministic first-ks scheme [[Similarity.pqTopK]] gates
     * replay; production passes [[KMeans.trainPqCodebook]] output.
+    * With `rotation` (the OPQ∘graph composition, gate n36) the corpus
+    * projects through the trained basis FIRST, so cells, edges, and
+    * codes all live in the rotated space the codebook was trained in
+    * — pass [[Embeddings.opqTrain]]'s (model, codebook) pair together;
+    * a codebook trained in one basis ADC-scored against codes encoded
+    * in another is silently garbage, which is exactly what threading
+    * the rotation through the index prevents.
     */
   def buildGraphPqIndex(corpus: DataFrame, nlist: Int = 16,
                         degree: Int = 8, crossDegree: Int = 2,
@@ -406,19 +420,23 @@ object GraphAnn {
                         codebook: Option[Array[Array[Double]]] = None,
                         entriesPerCell: Int = 4,
                         alpha: Option[Double] = None,
-                        poolSize: Int = 0): GraphPqIndex = {
+                        poolSize: Int = 0,
+                        rotation: Option[Embeddings.PcaModel] = None)
+      : GraphPqIndex = {
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val sub = dim / m
+    val c = rotation.map(Similarity.rotateToBasis(corpus, _))
+      .getOrElse(corpus)
     val cb = codebook.getOrElse(
-      Similarity.defaultPqCodebook(corpus, m, ks, sub))
-    val g = buildGraphIndex(corpus, nlist, degree, crossDegree,
+      Similarity.defaultPqCodebook(c, m, ks, sub))
+    val g = buildGraphIndex(c, nlist, degree, crossDegree,
       centroids, entriesPerCell, alpha, poolSize)
     val nodes = g.nodes
       .withColumn("codes",
         graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
       .select("n_id", "cell", "neighbors", "codes")
       .localCheckpoint()
-    GraphPqIndex(nodes, g.entries, g.cells, cb, m, ks, dim)
+    GraphPqIndex(nodes, g.entries, g.cells, cb, m, ks, dim, rotation)
   }
 
   /** ADC beam search over the compressed graph: identical walk to
@@ -434,6 +452,10 @@ object GraphAnn {
                         frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
       : DataFrame = {
     val sub = index.dim / index.m
+    // an OPQ-rotated index rotates queries through the SAME model
+    // before routing/scoring — everything downstream is rotated-space
+    val qIn = index.rotation.map(Similarity.rotateToBasis(queries, _))
+      .getOrElse(queries)
     def adcScore(cand: DataFrame, q: DataFrame,
                  bcast: Boolean): DataFrame = {
       val joined =
@@ -449,7 +471,7 @@ object GraphAnn {
         (-graft.functions.PqColumns.pqAdc(col("q_emb"), col("codes"),
           index.codebook, sub)).as("sim"))
     }
-    beamSearch(queries, index.nodes, index.entries, index.cells, k, beam,
+    beamSearch(qIn, index.nodes, index.entries, index.cells, k, beam,
       hops, entryProbes, adcScore, frontierBroadcastLimit)
       .withColumn("adc", -col("sim")).drop("sim")
   }
@@ -461,13 +483,27 @@ object GraphAnn {
   def saveGraphPqIndex(index: GraphPqIndex, dir: String): Unit = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
-    Seq((1, index.cells.length, index.m, index.ks, index.dim))
-      .toDF("format_version", "nlist", "m", "ks", "dim")
+    // rotated indexes write format_version 2: a pre-r11 reader would
+    // otherwise load the rotated codes and serve UNROTATED queries
+    // against them — silently garbage ADC ranks, the exact mismatch
+    // the threaded rotation exists to prevent
+    val fmt = if (index.rotation.isDefined) 2 else 1
+    Seq((fmt, index.cells.length, index.m, index.ks, index.dim,
+        index.rotation.isDefined))
+      .toDF("format_version", "nlist", "m", "ks", "dim", "has_rotation")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
       index.cells)
     IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
       index.codebook)
+    index.rotation.foreach { rot =>
+      IndexIo.saveVectors(spark, s"$dir/rotation_basis", "row_id", "row",
+        rot.basis)
+      IndexIo.saveVectors(spark, s"$dir/rotation_mean", "row_id", "row",
+        Array(rot.mean))
+      IndexIo.saveVectors(spark, s"$dir/rotation_eigenvalues", "row_id",
+        "row", Array(rot.eigenvalues))
+    }
     index.entries.write.mode("overwrite").parquet(s"$dir/entries")
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
   }
@@ -475,14 +511,27 @@ object GraphAnn {
   def loadGraphPqIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String): GraphPqIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("format_version") <= 1,
+    require(meta.getAs[Int]("format_version") <= 2,
       s"unsupported graph-pq index format_version " +
         meta.getAs[Int]("format_version"))
     val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id", "centroid")
     val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id", "entries")
+    // by-name with schema probe: pre-r11 metas have no has_rotation
+    val rotation =
+      if (meta.schema.fieldNames.contains("has_rotation") &&
+          meta.getAs[Boolean]("has_rotation"))
+        Some(Embeddings.PcaModel(
+          IndexIo.loadVectors(spark, s"$dir/rotation_mean", "row_id",
+            "row").head,
+          IndexIo.loadVectors(spark, s"$dir/rotation_eigenvalues",
+            "row_id", "row").head,
+          IndexIo.loadVectors(spark, s"$dir/rotation_basis", "row_id",
+            "row")))
+      else None
     GraphPqIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells, cb,
-      meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
+      meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"),
+      rotation)
   }
 
   /** Persist the index as four parquet tables under `dir` (the n21

@@ -4001,6 +4001,46 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS adc_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // OPQ ∘ graph composition (n36): the n28 trained rotation threads
+    // through the graph-PQ index — corpus rotates through the learned
+    // basis, then cells/edges/codes are all built in rotated space,
+    // and the serve rotates queries through the SAME model before
+    // routing. At saturated config (one cell, full out-degree, one
+    // expansion round) the walk visits everything, so the graph serve
+    // must reproduce the EXHAUSTIVE rotated-space ADC scan
+    // ([[Similarity.pqTopK]] over the rotated corpus with the same
+    // trained codebook) row-for-row: any basis mismatch anywhere in
+    // the chain — codes encoded unrotated, queries routed unrotated,
+    // the codebook paired with the wrong space — breaks rank equality
+    // immediately.
+    QueryDef("n36_ann_graph_opq",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val n = e.count().toInt
+        val (model, cb) = Embeddings.opqTrain(e, "vec_id", "embedding",
+          m = 16, ks = 64, iters = 4)
+        val idx = GraphAnn.buildGraphPqIndex(e, nlist = 1,
+          degree = n - 1, crossDegree = 0, m = 16, ks = 64,
+          codebook = Some(cb), rotation = Some(model))
+        val graph = GraphAnn.queryGraphPqIndex(
+            e.filter(col("vec_id") < 20), idx, k = 5, beam = 5,
+            hops = 1, entryProbes = 1)
+          .select("q_id", "n_id", "rank")
+        val rot = Similarity.rotateToBasis(e, model)
+        val base = Similarity.pqTopK(rot.filter(col("vec_id") < 20),
+            rot, 5, m = 16, ks = 64, codebook = Some(cb))
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(graph.withColumnRenamed("rank", "rank_graph"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_graph"), 1).otherwise(0)))
+            .as("opq_adc_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS opq_adc_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // GRAPH ANN recall vs IVF at matched budget (n31) — on the
     // [[straddleFixture]] (pinned, scale-factor-independent; see the
     // helper's doc), both sides use the SAME 16 cells: IVF probes its

@@ -317,6 +317,40 @@ class GraphAnnSpec extends SparkSpec {
     plan should not include "Exchange hashpartitioning"
   }
 
+  test("OPQ-rotated graph-PQ index: rotation survives save/load; serve replays") {
+    val corpus = planted(4, 20, 16, seed = 83)
+    val queries = corpus.filter(col("vec_id") < 6)
+    val (model, cb) = Embeddings.opqTrain(corpus, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2)
+    val idx = GraphAnn.buildGraphPqIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2, m = 4, ks = 8, dim = 16, codebook = Some(cb),
+      rotation = Some(model))
+    val dir = java.nio.file.Files.createTempDirectory("graphopq").toString
+    GraphAnn.saveGraphPqIndex(idx, dir)
+    // rotated indexes write format_version 2: a pre-r11 reader would
+    // serve unrotated queries against rotated codes — garbage ranks
+    spark.read.parquet(s"$dir/meta").head()
+      .getAs[Int]("format_version") shouldBe 2
+    val loaded = GraphAnn.loadGraphPqIndex(spark, dir)
+    loaded.rotation.isDefined shouldBe true
+    loaded.rotation.get.basis.map(_.toSeq).toSeq shouldBe
+      model.basis.map(_.toSeq).toSeq
+    loaded.rotation.get.mean.toSeq shouldBe model.mean.toSeq
+    def run(i: GraphAnn.GraphPqIndex) =
+      GraphAnn.queryGraphPqIndex(queries, i, k = 4, beam = 3, hops = 2)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    run(loaded) shouldBe run(idx)
+    // an unrotated index stays at format_version 1 (old readers fine)
+    val plain = GraphAnn.buildGraphPqIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2, m = 4, ks = 8, dim = 16)
+    val dir2 = java.nio.file.Files.createTempDirectory("graphplain").toString
+    GraphAnn.saveGraphPqIndex(plain, dir2)
+    spark.read.parquet(s"$dir2/meta").head()
+      .getAs[Int]("format_version") shouldBe 1
+    GraphAnn.loadGraphPqIndex(spark, dir2).rotation shouldBe None
+  }
+
   test("offline serve plan: past the broadcast limit both joins go shuffle-hash") {
     val corpus = planted(4, 20, 16, seed = 61)
     val queries = corpus.filter(col("vec_id") < 4)
