@@ -19,6 +19,15 @@ import graft.engine.Tables
   * the number to compare across environments. Driver-side compute
   * (bounded trainer loops, codebook updates) is outside task CPU by
   * design; for those gates CPU reads low and wall remains the signal.
+  *
+  * `queries_gc` (JVM GC seconds inside tasks) and `queries_spill`
+  * (memory + disk shuffle-spill bytes) make the artifact
+  * self-adjudicating — the columns two straight rounds of contended
+  * driver runs needed a quiet-host re-run to supply: host memory
+  * pressure shows as GC inflating WITH wall at flat spill (and severe
+  * pressure inflates CPU too — GC threads burn task-attributed CPU);
+  * a real regression in a query's memory footprint shows as spill
+  * bytes moving at stable GC. Interpretation guide in PLANS.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,19 +51,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-task counters, bus-drained between samples so attribution is
+    // exact. CPU is the contention-robust headline; GC time and
+    // shuffle spill are the self-adjudication columns: a contended
+    // host shows wall AND GC inflating together at flat spill, while
+    // a genuine memory-pressure regression shows spill bytes moving —
+    // so a bench artifact reader can tell environment from code
+    // without a quiet-host re-run.
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+          if (m != null) {
+            cpuNanos.addAndGet(m.executorCpuTime)
+            gcMillis.addAndGet(m.jvmGCTime)
+            spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          }
         }
       })
-    def cpuSnapshot(): Long = {
+    def snapshot(): (Long, Long, Long) = {
       org.apache.spark.graftbridge.CoreBridge
         .drainListenerBus(spark.sparkContext)
-      cpuNanos.get()
+      (cpuNanos.get(), gcMillis.get(), spillBytes.get())
     }
 
     // warmup: touch every table and exercise shuffle + window codegen
@@ -130,34 +152,42 @@ object Bench {
       }
       val nIters = if (singleIter(name)) 1 else iters
       val times = (1 to nIters).map { _ =>
-        val c0 = cpuSnapshot()
+        val (c0, g0, s0) = snapshot()
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
           df.agg(bit_xor(xxhash64(struct(df.columns.map(col): _*)))).collect()
         } catch { case _: Throwable => }
         val wall = (System.nanoTime() - t0) / 1e9
-        (wall, (cpuSnapshot() - c0) / 1e9)
+        val (c1, g1, s1) = snapshot()
+        (wall, (c1 - c0) / 1e9, (g1 - g0) / 1e3, (s1 - s0).toDouble)
       }
-      // CPU is reported from the min-WALL sample: the pair comes from the
-      // same run, so cpu/wall per query stays a meaningful parallelism
-      // ratio (min-of-each would mix runs).
+      // CPU/GC/spill are reported from the min-WALL sample: the tuple
+      // comes from one run, so the per-query ratios (cpu/wall
+      // parallelism, gc/wall pressure) stay meaningful (min-of-each
+      // would mix runs).
       val best = times.minBy(_._1)
-      (name, best._1, times.map(_._1).sum / times.length, best._2)
+      (name, best._1, times.map(_._1).sum / times.length, best._2,
+        best._3, best._4)
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // in comma-decimal locales would emit "361,530" — invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonMap(f: ((String, Double, Double, Double)) => Double): String =
+    def jsonMap(f: ((String, Double, Double, Double, Double, Double)) => Double)
+        : String =
       results.map(r => s"\"" + r._1 + "\":" + fmt(f(r))).mkString("{", ",", "}")
     val qs = jsonMap(_._2)
     val qsMean = jsonMap(_._3)
     val qsCpu = jsonMap(_._4)
+    val qsGc = jsonMap(_._5)
+    val qsSpill = jsonMap(_._6)
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._4).sum
+    val totalGc = results.map(_._5).sum
+    val totalSpill = results.map(_._6).sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"iters":$iters,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_spill":$qsSpill,"sf":"$sfDir"}"""
     // Full per-query results: one stdout line (for complete logs) plus a
     // file, because the driver's artifact keeps only the LAST ~2000
     // chars of sbt output. With 120+ queries the full JSON line is
@@ -176,7 +206,7 @@ object Bench {
     val budget = 1500
     val byCost = results.sortBy(-_._2)
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"BENCH_full.json","queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"BENCH_full.json","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = header.length + 2 // closing }}
     for (r <- byCost) {
