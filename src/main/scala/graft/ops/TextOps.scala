@@ -278,12 +278,7 @@ object TextOps {
     */
   def unigramSoftEmStep(wordTable: org.apache.spark.sql.DataFrame,
                         model: UnigramModel): UnigramModel = {
-    val soft = unigramExpectWords(wordTable, model)
-      .select(col("freq"), explode(col("expect")).as("x"))
-      .groupBy(col("x.piece").as("piece"))
-      .agg(sum(col("freq") * col("x.e")).as("s"))
-      .collect().map(r => r.getAs[String]("piece") -> r.getAs[Double]("s"))
-      .toMap
+    val soft = expectedCounts(wordTable, model)
     val cnts = model.pieces.map(p =>
       math.round(1e6 * soft.getOrElse(p, 0.0)) + 1000000L)
     UnigramModel(model.pieces, cnts, unigramCosts(cnts), model.maxPieceLen)
@@ -317,6 +312,141 @@ object TextOps {
     var m = unigramSeedModel(table, vocabSize, maxPieceLen)
     var i = 0
     while (i < emIters) { m = unigramSoftEmStep(table, m); i += 1 }
+    m
+  }
+
+  /** Min integer cost of segmenting `s` WITHOUT the full-span edge —
+    * the "alternative segmentation" of SentencePiece's prune: since a
+    * piece can never occur as a proper substring of itself, banning
+    * the single edge that covers all of `s` is exactly banning the
+    * piece from its own lattice. Plain Viterbi DP over the fixed-point
+    * costs (integer min — no float ties), O(|s|·maxPieceLen) driver
+    * work per piece. Always finite while every single codepoint stays
+    * in the vocabulary (the seed/prune invariant).
+    */
+  private def altSegmentCost(s: String, costOf: Map[String, Long],
+                             maxPieceLen: Int): Long = {
+    val n = s.length
+    val inf = Long.MaxValue / 4
+    val dp = Array.fill(n + 1)(inf)
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      val lmax = math.min(maxPieceLen, i)
+      var l = 1
+      while (l <= lmax) {
+        if (!(i == n && l == n)) { // the full-span edge IS the piece
+          costOf.get(s.substring(i - l, i)).foreach { c =>
+            if (dp(i - l) < inf && dp(i - l) + c < dp(i)) dp(i) = dp(i - l) + c
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
+
+  /** SentencePiece phase-3 pruning losses, one row per MULTI-codepoint
+    * piece: `(piece, e6, delta)` where `e6` is the freq-weighted
+    * lattice-expected count of the piece quantized to the 1e-6 integer
+    * grid (the soft-EM M-step quantization — what a SQL engine replays
+    * exactly) and `delta = altCost − cost(piece) ≥ 0` is the
+    * fixed-point extra cost of re-segmenting the piece's own surface
+    * without it. The likelihood loss of dropping the piece is
+    * `e6 · delta` (in 10⁻¹²-nat units): every expected use of the
+    * piece pays the alternative's surcharge — Kudo 2018's prune
+    * criterion on the model's integer skeleton, so the RANKING is
+    * exact integer arithmetic in any engine (products go through
+    * BigInt; no float anywhere). Single-codepoint pieces are never
+    * candidates (coverage invariant).
+    *
+    * Scale shape: the E-step is the one distributed piece — the
+    * [[unigramExpectWords]] codegen node + a freq-weighted aggregate
+    * over the Zipf-bounded word table; the per-piece alternative
+    * Viterbi is O(|vocab|·maxPieceLen²) driver work on the collected
+    * vocabulary (codebook discipline — nothing corpus-sized).
+    */
+  def unigramPruneLosses(wordTable: org.apache.spark.sql.DataFrame,
+                         model: UnigramModel): Seq[(String, Long, Long)] = {
+    val soft = expectedCounts(wordTable, model)
+    val costOf = model.pieces.zip(model.costInt).toMap
+    model.pieces.toSeq.filter(_.length > 1).map { p =>
+      val e6 = math.round(1e6 * soft.getOrElse(p, 0.0))
+      (p, e6, altSegmentCost(p, costOf, model.maxPieceLen) - costOf(p))
+    }
+  }
+
+  /** Freq-weighted lattice-expected piece counts (the soft E-step
+    * aggregate shared by [[unigramSoftEmStep]] and the prune).
+    */
+  private def expectedCounts(wordTable: org.apache.spark.sql.DataFrame,
+                             model: UnigramModel): Map[String, Double] =
+    unigramExpectWords(wordTable, model)
+      .select(col("freq"), explode(col("expect")).as("x"))
+      .groupBy(col("x.piece").as("piece"))
+      .agg(sum(col("freq") * col("x.e")).as("s"))
+      .collect().map(r => r.getAs[String]("piece") -> r.getAs[Double]("s"))
+      .toMap
+
+  /** One phase-3 prune + re-estimate: keep every single-codepoint
+    * piece (coverage) plus the `targetSize − #chars` multi-codepoint
+    * pieces with the LARGEST likelihood loss `e6 · delta`
+    * ([[unigramPruneLosses]]; exact-integer ranking, ties by piece),
+    * then re-estimate the survivors from the same E-step's expected
+    * counts — quantized + one full Laplace count, the
+    * [[unigramSoftEmStep]] M-step — so the pruned model is integers
+    * end-to-end and a SQL engine replaying the lattice lands on the
+    * same model exactly (gate t30).
+    */
+  def unigramPruneStep(wordTable: org.apache.spark.sql.DataFrame,
+                       model: UnigramModel, targetSize: Int): UnigramModel = {
+    val nChars = model.pieces.count(_.length == 1)
+    require(targetSize >= nChars,
+      s"targetSize ($targetSize) must cover the $nChars single-char " +
+        "pieces (they are never pruned — coverage)")
+    val soft = expectedCounts(wordTable, model)
+    val costOf = model.pieces.zip(model.costInt).toMap
+    val keepMulti = model.pieces.toSeq.filter(_.length > 1)
+      .map { p =>
+        val e6 = math.round(1e6 * soft.getOrElse(p, 0.0))
+        val delta = altSegmentCost(p, costOf, model.maxPieceLen) - costOf(p)
+        (p, BigInt(e6) * BigInt(delta))
+      }
+      .sortBy { case (p, loss) => (-loss, p) }
+      .take(targetSize - nChars).map(_._1).toSet
+    val survivors = model.pieces.filter(p =>
+      p.length == 1 || keepMulti(p)) // pieces are sorted; order survives
+    val cnts = survivors.map(p =>
+      math.round(1e6 * soft.getOrElse(p, 0.0)) + 1000000L)
+    UnigramModel(survivors, cnts, unigramCosts(cnts), model.maxPieceLen)
+  }
+
+  /** Full three-phase unigram training (the SentencePiece pipeline):
+    * seed a large candidate vocabulary, soft-EM it, then alternate
+    * prune (drop the lowest-loss `1 − shrink` fraction, never below
+    * `targetVocab`) with one soft-EM re-fit until the target size —
+    * Kudo 2018 §3.2's outer loop.
+    */
+  def unigramTrainPruned(df: org.apache.spark.sql.DataFrame,
+                         textCol: String, seedVocab: Int, targetVocab: Int,
+                         maxPieceLen: Int = 4, emIters: Int = 2,
+                         shrink: Double = 0.8,
+                         maxWords: Int = 65536): UnigramModel = {
+    require(seedVocab >= targetVocab,
+      s"seedVocab ($seedVocab) must be >= targetVocab ($targetVocab)")
+    require(shrink > 0.0 && shrink < 1.0, s"shrink must be in (0,1), got $shrink")
+    val table = bpeWordTable(df, textCol, maxWords).drop("syms")
+      .localCheckpoint()
+    var m = unigramSeedModel(table, seedVocab, maxPieceLen)
+    var i = 0
+    while (i < emIters) { m = unigramSoftEmStep(table, m); i += 1 }
+    while (m.pieces.length > targetVocab) {
+      val next = math.max(targetVocab,
+        math.ceil(shrink * m.pieces.length).toInt)
+      m = unigramPruneStep(table, m, next)
+      m = unigramSoftEmStep(table, m)
+    }
     m
   }
 

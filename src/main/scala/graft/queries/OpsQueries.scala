@@ -3551,6 +3551,165 @@ object OpsQueries {
            |FROM v0sel v LEFT JOIN softc s ON v.piece = s.piece""".stripMargin
       }),
 
+    // SentencePiece PHASE-3 vocabulary pruning (t30) — the
+    // likelihood-loss step t21/t28 stop short of (Kudo 2018 §3.2):
+    // per multi-char piece, e6 = its lattice-expected count on the
+    // 1e-6 grid (the t28 E-step) and delta = the fixed-point extra
+    // cost of segmenting the piece's own surface WITHOUT it (banning
+    // the full-span edge ≡ banning the piece — a piece cannot occur
+    // as a proper substring of itself); dropping the piece costs
+    // e6·delta, ranked as exact HUGEINT/BigInt products (no float in
+    // the ranking anywhere). The pruned vocab keeps every single char
+    // plus the top-loss multis to target 90, re-estimated on the
+    // integer lattice. The oracle replays ALL of it: the t28
+    // forward–backward CTEs for e6, a recursive path enumeration per
+    // piece surface with the single-piece path excluded for delta,
+    // and the HUGEINT ranking for the survivor set — a wrong
+    // alternative cost, a float-ranked tie, or a pruned char all
+    // shift whole rows.
+    QueryDef("t30_unigram_prune",
+      (s, dir) => {
+        import s.implicits._
+        val table = TextOps.bpeWordTable(docs(s, dir), "text",
+            maxWords = 100000).drop("syms")
+          .filter(length(col("word")) <= 12)
+          .orderBy(col("freq").desc, col("word")).limit(200)
+          .localCheckpoint()
+        val m0 = TextOps.unigramSeedModel(table, vocabSize = 120,
+          maxPieceLen = 3)
+        val losses = TextOps.unigramPruneLosses(table, m0).toDF("p", "e6", "d")
+        val expRows = losses.select(lit("exp").as("chk"),
+          col("p").as("k"), col("e6").cast("double").as("v"))
+        val deltaRows = losses.select(lit("delta").as("chk"),
+          col("p").as("k"), col("d").cast("double").as("v"))
+        val m1 = TextOps.unigramPruneStep(table, m0, targetSize = 90)
+        val vocabRows = m1.pieces.zip(m1.counts).toSeq.toDF("k", "cnt")
+          .select(lit("vocab").as("chk"), col("k"),
+            col("cnt").cast("double").as("v"))
+        expRows.unionByName(deltaRows).unionByName(vocabRows)
+      },
+      Some {
+        val wordTable =
+          """wd AS (SELECT word, count(*) AS freq FROM (
+            |    SELECT unnest(list_filter(
+            |      string_split_regex(lower(trim(text)), '\s+'),
+            |      x -> x <> '')) AS word FROM documents) GROUP BY 1),
+            |wt AS (SELECT word, freq FROM wd WHERE length(word) <= 12
+            |       ORDER BY freq DESC, word LIMIT 200)""".stripMargin
+        val seed =
+          """subs AS (SELECT substr(w.word, cast(t.i AS INT), cast(u.l AS INT)) AS piece,
+            |    w.freq
+            |  FROM wt w,
+            |    unnest(range(1, length(w.word) + 1)) AS t(i),
+            |    unnest(range(1, least(3, length(w.word) - t.i + 1) + 1)) AS u(l)),
+            |sc AS (SELECT piece, cast(sum(freq) AS BIGINT) AS cnt
+            |  FROM subs GROUP BY 1),
+            |v0sel AS (
+            |  SELECT piece, cnt FROM sc WHERE length(piece) = 1
+            |  UNION ALL
+            |  SELECT piece, cnt FROM (
+            |    SELECT piece, cnt,
+            |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+            |    FROM sc WHERE length(piece) > 1)
+            |  WHERE rn <= 120 - (SELECT count(*) FROM sc
+            |                     WHERE length(piece) = 1)),
+            |vp AS (SELECT piece, cnt::DOUBLE /
+            |    (SELECT sum(cnt)::DOUBLE FROM v0sel) AS p
+            |  FROM v0sel),
+            |v0 AS (SELECT piece, cnt,
+            |    cast(-round(1e6 * ln(cnt::DOUBLE /
+            |      (SELECT sum(cnt)::DOUBLE FROM v0sel))) AS BIGINT) AS cost
+            |  FROM v0sel)""".stripMargin
+        val lattice =
+          """fwd AS (
+            |  SELECT word, 0 AS i, 1.0::DOUBLE AS a0, 0.0::DOUBLE AS am1,
+            |    0.0::DOUBLE AS am2
+            |  FROM wt
+            |  UNION ALL
+            |  SELECT f.word, f.i + 1,
+            |    coalesce(p1.p * f.a0, 0.0) + coalesce(p2.p * f.am1, 0.0)
+            |      + coalesce(p3.p * f.am2, 0.0),
+            |    f.a0, f.am1
+            |  FROM fwd f
+            |  LEFT JOIN vp p1 ON p1.piece = substr(f.word, f.i + 1, 1)
+            |  LEFT JOIN vp p2 ON f.i >= 1 AND p2.piece = substr(f.word, f.i, 2)
+            |  LEFT JOIN vp p3 ON f.i >= 2
+            |    AND p3.piece = substr(f.word, f.i - 1, 3)
+            |  WHERE f.i < length(f.word)),
+            |bwd AS (
+            |  SELECT word, length(word) AS j, 1.0::DOUBLE AS b0,
+            |    0.0::DOUBLE AS bp1, 0.0::DOUBLE AS bp2
+            |  FROM wt
+            |  UNION ALL
+            |  SELECT b.word, b.j - 1,
+            |    coalesce(q1.p * b.b0, 0.0) + coalesce(q2.p * b.bp1, 0.0)
+            |      + coalesce(q3.p * b.bp2, 0.0),
+            |    b.b0, b.bp1
+            |  FROM bwd b
+            |  LEFT JOIN vp q1 ON q1.piece = substr(b.word, b.j, 1)
+            |  LEFT JOIN vp q2 ON q2.piece = substr(b.word, b.j, 2)
+            |  LEFT JOIN vp q3 ON q3.piece = substr(b.word, b.j, 3)
+            |  WHERE b.j > 0),
+            |occ AS (
+            |  SELECT g.word, g.piece, fa.a0 * v.p * fb.b0 / fz.a0 AS e
+            |  FROM (SELECT w.word, cast(t.j AS INT) AS j,
+            |          cast(u.l AS INT) AS l,
+            |          substr(w.word, cast(t.j + 1 AS INT),
+            |            cast(u.l AS INT)) AS piece
+            |        FROM wt w,
+            |          unnest(range(0, length(w.word))) AS t(j),
+            |          unnest(range(1, least(3, length(w.word) - t.j) + 1))
+            |            AS u(l)) g
+            |  JOIN vp v USING (piece)
+            |  JOIN fwd fa ON fa.word = g.word AND fa.i = g.j
+            |  JOIN bwd fb ON fb.word = g.word AND fb.j = g.j + g.l
+            |  JOIN (SELECT word, a0 FROM fwd WHERE i = length(word)) fz
+            |    ON fz.word = g.word),
+            |softc AS (SELECT o.piece, sum(w.freq * o.e) AS s
+            |  FROM occ o JOIN wt w USING (word) GROUP BY 1)""".stripMargin
+        val prune =
+          """mp AS (SELECT piece, cost FROM v0 WHERE length(piece) > 1),
+            |ap AS (
+            |  SELECT piece AS w, 0 AS pos, cast(0 AS BIGINT) AS c,
+            |    0 AS np
+            |  FROM mp
+            |  UNION ALL
+            |  SELECT a.w, a.pos + length(v.piece), a.c + v.cost,
+            |    a.np + 1
+            |  FROM ap a JOIN v0 v
+            |    ON substr(a.w, a.pos + 1, length(v.piece)) = v.piece
+            |  WHERE a.pos < length(a.w)),
+            |alt AS (SELECT w AS piece, min(c) AS altc FROM ap
+            |  WHERE pos = length(w) AND np >= 2 GROUP BY w),
+            |dl AS (SELECT m.piece,
+            |    cast(round(1e6 * coalesce(s.s, 0.0)) AS BIGINT) AS e6,
+            |    a.altc - m.cost AS d
+            |  FROM mp m JOIN alt a ON a.piece = m.piece
+            |  LEFT JOIN softc s ON s.piece = m.piece),
+            |keepm AS (SELECT piece FROM (
+            |    SELECT piece, row_number() OVER (
+            |      ORDER BY cast(e6 AS HUGEINT) * cast(d AS HUGEINT)
+            |        DESC, piece) AS rn
+            |    FROM dl)
+            |  WHERE rn <= 90 - (SELECT count(*) FROM v0
+            |                    WHERE length(piece) = 1)),
+            |surv AS (SELECT piece FROM v0 WHERE length(piece) = 1
+            |  UNION ALL SELECT piece FROM keepm)""".stripMargin
+        s"""WITH RECURSIVE $wordTable,
+           |$seed,
+           |$lattice,
+           |$prune
+           |SELECT 'exp' AS chk, piece AS k, cast(e6 AS DOUBLE) AS v
+           |FROM dl
+           |UNION ALL
+           |SELECT 'delta', piece, cast(d AS DOUBLE) FROM dl
+           |UNION ALL
+           |SELECT 'vocab', sv.piece,
+           |  cast(cast(round(1e6 * coalesce(s.s, 0.0)) AS BIGINT)
+           |       + 1000000 AS DOUBLE)
+           |FROM surv sv LEFT JOIN softc s ON sv.piece = s.piece""".stripMargin
+      }),
+
     // FUZZY decontamination (d19): MinHash matches of the training
     // corpus (doc_id % 7 != 0) against an eval benchmark (% 7 == 0) —
     // the asymmetric broadcast shape where NO train row shuffles

@@ -113,4 +113,70 @@ class UnigramSoftSpec extends SparkSpec {
     }
     counts(1) shouldBe counts(11)
   }
+
+  // ---- phase-3 likelihood-loss pruning (t30 family) ----
+
+  test("prune loss matches the closed form on the 2-path toy") {
+    // vocab {a:1, ab:2, b:1}, total 4: cost(a)=cost(b)=−round(1e6·ln ¼),
+    // cost(ab)=−round(1e6·ln ½). Word table = one "ab": E[ab]=8/9, so
+    // e6 = round(1e6·8/9); the only alternative for "ab" is a·b, so
+    // delta = cost(a)+cost(b)−cost(ab)
+    val costs = Array(-math.round(1e6 * math.log(0.25)),
+      -math.round(1e6 * math.log(0.5)), -math.round(1e6 * math.log(0.25)))
+    val m = TextOps.UnigramModel(toyPieces, toyCounts, costs, 2)
+    val table = Seq(("ab", 1L)).toDF("word", "freq")
+    val losses = TextOps.unigramPruneLosses(table, m)
+    losses.map(_._1) shouldBe Seq("ab")
+    val (_, e6, delta) = losses.head
+    e6 shouldBe math.round(1e6 * 8.0 / 9.0)
+    delta shouldBe costs(0) + costs(2) - costs(1)
+  }
+
+  test("prune keeps every char, hits the target, drops exactly the lowest-loss multis") {
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, s"alpha beta gamma delta ${"ab" * (1 + i % 3)} epsilon")
+    }.toDF("doc_id", "text")
+    val table = TextOps.bpeWordTable(docs, "text", 1000).drop("syms")
+      .localCheckpoint()
+    val m0 = TextOps.unigramSeedModel(table, 40, 3)
+    val nChars = m0.pieces.count(_.length == 1)
+    val target = nChars + 8
+    val m1 = TextOps.unigramPruneStep(table, m0, target)
+    m1.pieces.length shouldBe target
+    // coverage: every single-char piece survives
+    m0.pieces.filter(_.length == 1).toSet.subsetOf(
+      m1.pieces.toSet) shouldBe true
+    // the survivor set IS the top-loss set under the exact integer
+    // ranking (loss desc, piece asc) — recomputed independently here
+    val expected = TextOps.unigramPruneLosses(table, m0)
+      .sortBy { case (p, e6, d) => (-(BigInt(e6) * BigInt(d)), p) }
+      .take(8).map(_._1).toSet
+    m1.pieces.filter(_.length > 1).toSet shouldBe expected
+    // pieces stay sorted (the model's order invariant)
+    m1.pieces.toSeq shouldBe m1.pieces.toSeq.sorted
+    // re-estimate is the quantized-expectation M-step: integer counts,
+    // all >= the Laplace floor
+    all(m1.counts.toSeq) should be >= 1000000L
+  }
+
+  test("three-phase training reaches the target vocab and still segments everything") {
+    val docs = Seq.tabulate(50) { i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog " +
+        s"pack my box with five dozen liquor jugs ${i % 7}")
+    }.toDF("doc_id", "text")
+    val table = TextOps.bpeWordTable(docs, "text", 1000).drop("syms")
+      .localCheckpoint()
+    val nChars = TextOps.unigramSeedModel(table, 200, 3)
+      .pieces.count(_.length == 1)
+    val target = nChars + 20
+    val m = TextOps.unigramTrainPruned(docs, "text", seedVocab = 200,
+      targetVocab = target, maxPieceLen = 3, emIters = 1)
+    m.pieces.length shouldBe target
+    // coverage survives the prune chain: every word still segments
+    val segged = TextOps.unigramSegmentWords(table, m)
+      .select("word", "pieces").as[(String, Seq[String])].collect()
+    segged.foreach { case (w, ps) =>
+      withClue(s"word=$w: ") { ps.mkString shouldBe w }
+    }
+  }
 }
