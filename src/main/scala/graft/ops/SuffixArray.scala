@@ -373,13 +373,16 @@ object SuffixArray {
       .withColumn("__n", length(col("__t")))
 
   /** One bounded aggregate over the staged corpus: (max doc length,
-    * min id, max id, null-id count). Computed ONCE per build/append —
-    * build derives its grid from the same row it validates against.
+    * min id, max id, null-id count, total chars). Computed ONCE per
+    * build/append — build derives its grid from the same row it
+    * validates against; append reads total chars for the
+    * broadcast-batch decision.
     */
   private def corpusBounds(staged: DataFrame): org.apache.spark.sql.Row =
     staged.agg(max(col("__n")).as("mx"),
       min(col("__id")).as("mn"), max(col("__id")).as("mxid"),
-      sum(when(col("__id").isNull, 1).otherwise(0)).as("nulls")).head()
+      sum(when(col("__id").isNull, 1).otherwise(0)).as("nulls"),
+      sum(col("__n").cast("long")).as("chars")).head()
 
   /** Enforce the lengthKeys id-domain contract against a given stride. */
   private def validateBounds(bounds: org.apache.spark.sql.Row,
@@ -413,10 +416,24 @@ object SuffixArray {
     * dictionaries. Shared verbatim by build (empty dictionaries) and
     * append (the persisted ones) — which is the append-exactness
     * argument in code: both paths ARE the same refinement.
+    *
+    * `bcastBatch` picks the dictionary-lookup orientation. The
+    * persisted pair dictionary is CORPUS-sized (it keeps singletons —
+    * any window can be matched by a future batch), so the default
+    * outer join would shuffle the whole dictionary per round — an
+    * append that costs as much as the rebuild it exists to avoid
+    * (measured: ratio 1.1 at 3×-accumulated before this switch).
+    * With `bcastBatch` the batch's pair relation broadcasts and the
+    * dictionary STREAMS through a hash probe: zero dictionary
+    * exchange, per-round cost = one dictionary scan + batch-sized
+    * work. Build passes false (its dictionaries are empty — every
+    * round's lookup width is minted only after the round runs);
+    * append switches on batch size.
     */
   private def refineAgainst(chars: DataFrame, staged: DataFrame,
                             dictChars: DataFrame, dictPairs: DataFrame,
-                            minLen: Int, targetW: Int, stride: Long)
+                            minLen: Int, targetW: Int, stride: Long,
+                            bcastBatch: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     // width 1: dictionary hit keeps the established class (min
     // position over the accumulated corpus — immutable because batch
@@ -436,23 +453,44 @@ object SuffixArray {
     var width = 1
     while (width < targetW) {
       val w2 = width * 2
-      val paired = widenRel(ranks, width)
       val dw = dictPairs2.filter(col("__w") === w2)
         .select(col("__r1"), col("__r2"), col("__cls").as("__dcls"))
-      val joined = paired.join(dw, Seq("__r1", "__r2"), "left")
-      // checkpointed at mint time: the pair relation is read twice
-      // right here (class assignment + dictionary growth) and again
-      // by every LATER round's `dw` filter — uncheckpointed, a
+      // newPairs checkpointed at mint time: it is read twice right
+      // here (class assignment + dictionary growth) and again by
+      // every LATER append's `dw` filter — uncheckpointed, a
       // build-plus-append sequence would re-derive the whole union
-      // chain each time it was touched, and the plan would deepen
-      // with every append
-      val newPairs = joined.filter(col("__dcls").isNull)
-        .groupBy("__r1", "__r2").agg(min("__pos").as("__cls"))
-        .localCheckpoint()
-      ranks = joined.join(newPairs, Seq("__r1", "__r2"), "left")
-        .select(col("__pos"),
-          coalesce(col("__dcls"), col("__cls")).as("__cls"))
-        .localCheckpoint()
+      // chain each time it was touched
+      val (ranksNext, newPairs) =
+        if (bcastBatch) {
+          // dictionary streams, batch broadcasts: hits pick up their
+          // established class with no dictionary exchange; misses are
+          // a batch-vs-batch anti join
+          val paired = widenRel(ranks, width).localCheckpoint()
+          val hits = dw.join(broadcast(paired), Seq("__r1", "__r2"))
+            .select(col("__pos"), col("__dcls"))
+            .localCheckpoint()
+          val misses = paired.join(hits.select("__pos"), Seq("__pos"),
+            "left_anti")
+          val np = misses.groupBy("__r1", "__r2")
+            .agg(min("__pos").as("__cls")).localCheckpoint()
+          val r = hits.select(col("__pos"), col("__dcls").as("__cls"))
+            .unionByName(misses.join(np, Seq("__r1", "__r2"))
+              .select(col("__pos"), col("__cls")))
+            .localCheckpoint()
+          (r, np)
+        } else {
+          val paired = widenRel(ranks, width)
+          val joined = paired.join(dw, Seq("__r1", "__r2"), "left")
+          val np = joined.filter(col("__dcls").isNull)
+            .groupBy("__r1", "__r2").agg(min("__pos").as("__cls"))
+            .localCheckpoint()
+          val r = joined.join(np, Seq("__r1", "__r2"), "left")
+            .select(col("__pos"),
+              coalesce(col("__dcls"), col("__cls")).as("__cls"))
+            .localCheckpoint()
+          (r, np)
+        }
+      ranks = ranksNext
       // sentinel pairs (r2 < 0) never match a future lookup (each
       // batch mints its own −pos−1 sentinels), so they stay out of
       // the persisted dictionary
@@ -471,7 +509,11 @@ object SuffixArray {
       .filter(col("__off") <= col("__n") - minLen)
       .select("__id", "__off", "__r1", "__r2")
       .localCheckpoint()
-    (dictChars2, dictPairs2.localCheckpoint(), keys)
+    // dictPairs2 is the persisted dictionary ∪ per-round CHECKPOINTED
+    // additions — deliberately NOT re-checkpointed as a whole: that
+    // would rewrite the accumulated (corpus-sized) dictionary on
+    // every append; the union of materialized pieces scans flat
+    (dictChars2, dictPairs2, keys)
   }
 
   /** Build the incremental index over a base corpus. `maxDocLen` sets
@@ -509,9 +551,24 @@ object SuffixArray {
     * invariant) and batch docs must fit the build-time grid. The
     * result is EXACTLY the index a from-scratch build over the union
     * would produce (gate d28 + spec pin structural equality).
+    *
+    * Batches up to `batchBroadcastChars` characters look up the
+    * dictionaries with the batch side BROADCAST, so the corpus-sized
+    * dictionary streams with zero exchange (the d19 asymmetric
+    * shape); larger batches fall back to the shuffle join. Results
+    * are identical either way (spec-pinned) — the switch only moves
+    * where rows meet. On a real cluster the broadcast orientation is
+    * the scale design: the shuffle path exchanges the accumulated
+    * dictionary (∝ corpus) over the network every round, the
+    * broadcast path ships only the batch. In local mode an exchange
+    * is a memcpy, so the two time within ~25% of each other there
+    * (OpsScaleBench) — the threshold guards driver/broadcast memory,
+    * not local wall.
     */
   def appendToSubstrIndex(index: SubstrIndex, batch: DataFrame,
-                          textCol: String, idCol: String): SubstrIndex = {
+                          textCol: String, idCol: String,
+                          batchBroadcastChars: Long = 1L << 20)
+      : SubstrIndex = {
     val staged = stageDocs(batch, textCol, idCol)
     if (staged.limit(1).isEmpty) return index // nothing to append
     val bounds = corpusBounds(staged)
@@ -523,9 +580,12 @@ object SuffixArray {
         s"max ${index.maxId}")
     val (dc, dp, batchKeys) = refineAgainst(chars, staged,
       index.dictChars, index.dictPairs, index.minLen, index.targetW,
-      index.stride)
+      index.stride, bcastBatch = bounds.getLong(4) <= batchBroadcastChars)
+    // the keys union is NOT re-checkpointed: both sides are already
+    // materialized, and rewriting the accumulated corpus-sized keys
+    // per append would make append cost ∝ corpus by itself
     index.copy(dictChars = dc, dictPairs = dp,
-      keys = index.keys.unionByName(batchKeys).localCheckpoint(),
+      keys = index.keys.unionByName(batchKeys),
       maxId = bounds.getLong(2))
   }
 

@@ -274,6 +274,21 @@ class SuffixArraySpec extends SparkSpec {
     spansOf(same) shouldBe spansOf(idx)
   }
 
+  test("broadcast-batch and shuffle append regimes produce identical state") {
+    // the broadcast path (dictionary streams, batch pairs broadcast)
+    // and the shuffle fallback must land on the same index exactly —
+    // the regime only moves where rows meet, never which class wins
+    val all = randomCorpus(12, seed = 241)
+    val maxLen = all.map(_._2.length).max
+    val (base, batch) = all.partition(_._1 < 8)
+    def grow(limit: Long) = SuffixArray.appendToSubstrIndex(
+      SuffixArray.buildSubstrIndex(base.toDF("doc_id", "text"), "text",
+        "doc_id", minLen = 8, maxDocLen = maxLen),
+      batch.toDF("doc_id", "text"), "text", "doc_id",
+      batchBroadcastChars = limit)
+    indexState(grow(Long.MaxValue)) shouldBe indexState(grow(0L))
+  }
+
   test("substr index save/load round-trips state and spans") {
     val all = randomCorpus(10, seed = 233)
     val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
