@@ -140,6 +140,7 @@ object Bench {
         // memoizes across iterations
         "d25_substr_dedup_exact", "d26_substr_dedup_cut",
         "d27_substr_decontaminate", "d28_substr_index_incremental",
+        "d29_substr_index_decontaminate",
         "n29_ann_graph_exact",
         "n32_graph_index_persist", "n33_graph_index_append",
         "n34_ann_graph_pq", "n35_ann_graph_pruned", "n36_ann_graph_opq")

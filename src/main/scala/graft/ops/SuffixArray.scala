@@ -608,6 +608,52 @@ object SuffixArray {
       idCol, index.minLen)
   }
 
+  /** EXACT substring decontamination against the INDEXED corpus — the
+    * [[contaminationSpans]] contract with the eval side replaced by a
+    * persisted [[SubstrIndex]]: maximal spans of `train` text whose
+    * every `minLen`-char window occurs somewhere in the corpus the
+    * index accumulated. This is the streaming-decontamination shape a
+    * pipeline actually runs: build the index over the benchmark suite
+    * ONCE, then screen every crawl batch against it — the eval corpus
+    * is never re-refined (d27 re-refines the union per call).
+    *
+    * Read-only: the train batch refines against the persisted
+    * dictionaries exactly like an append, but the grown state is
+    * discarded and the index is untouched. A train window is
+    * contaminated iff its final composite key exists among the
+    * index's keys — a hit requires every refinement level to have
+    * been a dictionary hit, i.e. character-identical presence in the
+    * indexed corpus. Train ids are offset above `maxId` internally
+    * (and restored in the output), so a freshly minted class id can
+    * never collide numerically with an indexed one — train ids may
+    * overlap indexed ids freely, unlike [[appendToSubstrIndex]].
+    */
+  def substrIndexContamination(index: SubstrIndex, train: DataFrame,
+                               textCol: String, idCol: String,
+                               batchBroadcastChars: Long = 1L << 20)
+      : DataFrame = {
+    val staged0 = stageDocs(train, textCol, idCol)
+    val offset = index.maxId + 1
+    val staged = staged0.withColumn("__id", col("__id") + offset)
+    if (staged.limit(1).isEmpty)
+      return staged.select(col("__id").as(idCol),
+        lit(0).as("span_start"), lit(0).as("span_end"),
+        lit(0).as("span_len")).limit(0)
+    val bounds = corpusBounds(staged)
+    validateBounds(bounds, index.stride, index.targetW)
+    require(bounds.getLong(1) >= offset,
+      "train ids must be non-negative") // offset preserved ⇒ id >= 0
+    val chars = charsOf(staged, index.stride)
+    val (_, _, trainKeys) = refineAgainst(chars, staged,
+      index.dictChars, index.dictPairs, index.minLen, index.targetW,
+      index.stride, bcastBatch = bounds.getLong(4) <= batchBroadcastChars)
+    val marked = trainKeys
+      .join(index.keys.select("__r1", "__r2"), Seq("__r1", "__r2"),
+        "left_semi")
+      .select((col("__id") - offset).as("__id"), col("__off"))
+    islandSpans(marked, idCol, index.minLen)
+  }
+
   /** Persist the index as four parquet tables under `dir` (the
     * t29/n32 layout discipline): meta (format_version + parameters,
     * read back BY NAME), dict_chars, dict_pairs, keys.

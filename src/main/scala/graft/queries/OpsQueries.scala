@@ -1494,6 +1494,54 @@ object OpsQueries {
              |  cast(max(off) + 40 - min(off) AS INT) AS span_len
              |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
 
+    // Index-based incremental decontamination (d29) — the d27
+    // contract served from a PERSISTED index: build the substring
+    // index over the eval split ONCE, then screen the train split
+    // against it read-only (train windows refine against the stored
+    // dictionaries; a contaminated window is one whose composite key
+    // exists among the indexed keys). This is the shape a production
+    // pipeline runs — the benchmark suite is indexed once, every
+    // crawl batch screens against it — and the oracle is d27's
+    // brute-force cross-corpus SQL: index-then-screen must equal the
+    // one-shot shared-refinement pass over the union exactly. Train
+    // and eval ids OVERLAP here (both are documents subsets), which
+    // also exercises the internal id-offset that keeps minted class
+    // ids disjoint from indexed ones.
+    QueryDef("d29_substr_index_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val maxLen = d.agg(max(length(col("text")))).head().getInt(0)
+        val idx = SuffixArray.buildSubstrIndex(
+          d.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+          minLen = 40, maxDocLen = maxLen)
+        SuffixArray.substrIndexContamination(idx,
+          d.filter(col("doc_id") % 7 =!= 0), "text", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents),
+             |gtr AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i)
+             |  WHERE n >= 40 AND doc_id % 7 <> 0),
+             |gev AS (SELECT DISTINCT
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i)
+             |  WHERE n >= 40 AND doc_id % 7 = 0),
+             |m AS (SELECT gtr.doc_id, gtr.off FROM gtr
+             |  JOIN gev USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1)
+             |SELECT doc_id, cast(min(off) AS INT) AS span_start,
+             |  cast(max(off) + 40 AS INT) AS span_end,
+             |  cast(max(off) + 40 - min(off) AS INT) AS span_len
+             |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
+
     // Exact ANN baseline: brute-force cosine top-5 for the first 20
     // query vectors. IDs + rank only (the sim double stays out of the
     // compared columns; cross-engine float rounding could differ).

@@ -289,6 +289,49 @@ class SuffixArraySpec extends SparkSpec {
     indexState(grow(Long.MaxValue)) shouldBe indexState(grow(0L))
   }
 
+  test("index decontamination equals the one-shot pass; ids may overlap") {
+    val r = new scala.util.Random(251)
+    def corpus(n: Int): Seq[(Long, String)] = (0L until n.toLong).map { id =>
+      (id, (1 to 60 + r.nextInt(40)).map(_ => ('a' + r.nextInt(3)).toChar)
+        .mkString)
+    }
+    // train and eval deliberately share the SAME id range — the
+    // one-shot contaminationSpans interleaves on parity, the index
+    // path offsets internally; both must land on identical spans
+    val train = corpus(10)
+    val evalC = corpus(8)
+    val minLen = 8
+    def spans(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Int, Int, Int)] = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+      .toSet
+    val oneShot = spans(SuffixArray.contaminationSpans(
+      train.toDF("doc_id", "text"), evalC.toDF("doc_id", "text"),
+      "text", "doc_id", minLen))
+    val maxLen = (train ++ evalC).map(_._2.length).max
+    val idx = SuffixArray.buildSubstrIndex(evalC.toDF("doc_id", "text"),
+      "text", "doc_id", minLen, maxDocLen = maxLen)
+    val viaIndex = spans(SuffixArray.substrIndexContamination(idx,
+      train.toDF("doc_id", "text"), "text", "doc_id"))
+    viaIndex shouldBe oneShot
+    oneShot should not be empty // 3-letter alphabet: repeats guaranteed
+    // read-only: screening must not grow the index
+    SuffixArray.substrIndexSpans(idx, "doc_id") // still evaluable
+    idx.keys.count() shouldBe SuffixArray.buildSubstrIndex(
+      evalC.toDF("doc_id", "text"), "text", "doc_id", minLen,
+      maxDocLen = maxLen).keys.count()
+    // and it composes with appends: grow the eval index, re-screen
+    val evalMore = (20L until 24L).map(id =>
+      (id, train((id % 10).toInt)._2)) // duplicates of train docs
+    val grown = SuffixArray.appendToSubstrIndex(idx,
+      evalMore.toDF("doc_id", "text"), "text", "doc_id")
+    spans(SuffixArray.substrIndexContamination(grown,
+      train.toDF("doc_id", "text"), "text", "doc_id")) shouldBe
+      spans(SuffixArray.contaminationSpans(train.toDF("doc_id", "text"),
+        (evalC ++ evalMore).toDF("doc_id", "text"), "text", "doc_id",
+        minLen))
+  }
+
   test("substr index save/load round-trips state and spans") {
     val all = randomCorpus(10, seed = 233)
     val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
