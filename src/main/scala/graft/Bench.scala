@@ -143,6 +143,7 @@ object Bench {
         "d29_substr_index_decontaminate",
         "n29_ann_graph_exact",
         "n32_graph_index_persist", "n33_graph_index_append",
+        "n37_graph_index_delete",
         "n34_ann_graph_pq", "n35_ann_graph_pruned", "n36_ann_graph_opq")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {

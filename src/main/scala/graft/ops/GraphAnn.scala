@@ -715,4 +715,69 @@ object GraphAnn {
       .localCheckpoint()
     index.copy(nodes = nodes2, entries = entries2)
   }
+
+  /** Delete vectors WITHOUT touching unaffected nodes, yet EXACTLY
+    * rebuild-equivalent (gate n37 pins index equality with a
+    * from-scratch build over the remaining corpus) — the FreshDiskANN
+    * consolidation contract done exactly rather than lazily. Unlike
+    * [[appendToGraphIndex]]'s kNN path, stored edges cannot be merged
+    * under EITHER edge rule: a deleted neighbor's replacement is the
+    * (k+1)-th pool member, which the stored top-k dropped — so every
+    * affected node re-runs the build rule against its pools' REMAINING
+    * members. Affected = remaining nodes whose home or second cell is
+    * among the deleted nodes' home cells (pool membership flows only
+    * through home cells, so an unaffected node's stored list cannot
+    * point at a deleted node). Entries recompute for touched cells
+    * only. Work ∝ members of touched cells × their cell sizes, never
+    * the corpus; cells and routing stay FROZEN (the n22/n33 trade).
+    *
+    * `ids`: one `vec_id` column; ids absent from the index are
+    * ignored. Deleting every member of a cell leaves the cell
+    * entry-less (queries probing it fall back per [[beamSearch]]).
+    */
+  def deleteFromGraphIndex(index: GraphIndex, ids: DataFrame)
+      : GraphIndex = {
+    val cells = index.cells
+    val deg = index.degree
+    val cross = index.crossDegree
+    val delIds = ids.select(col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    val oldNodes =
+      if (index.nodes.columns.contains("cell2")) index.nodes
+      else index.nodes.withColumn("cell2", secondCell(col("emb"), cells))
+    val touched = oldNodes.join(delIds, Seq("n_id"), "left_semi")
+      .select("cell").distinct().localCheckpoint()
+    val remaining = oldNodes.join(delIds, Seq("n_id"), "left_anti")
+      .localCheckpoint()
+    val remC = remaining.select("n_id", "emb", "cell", "cell2")
+    val peers = remC.select(col("cell"), col("n_id").as("m_id"),
+      col("emb").as("m_emb"))
+    val affected = remC.join(touched, Seq("cell"), "left_semi")
+      .unionByName(remC.join(
+        touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+        "left_semi"))
+      .dropDuplicates("n_id")
+      .localCheckpoint()
+    val poolN =
+      if (index.alpha.isEmpty) 0
+      else if (index.poolSize > 0) index.poolSize
+      else 3 * (deg + cross)
+    val redoNbrs = neighborRule(affected.select("cell", "n_id", "emb"),
+      peers, cells, deg, cross, index.alpha, poolN)
+    val emptyNbrs = expr("cast(array() as array<bigint>)")
+    val redoNodes = affected.join(redoNbrs, Seq("n_id"), "left")
+      .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
+        coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+    val nodes2 = remaining
+      .join(affected.select("n_id"), Seq("n_id"), "left_anti")
+      .unionByName(redoNodes)
+      .localCheckpoint()
+    val entries2 = index.entries
+      .join(touched, Seq("cell"), "left_anti")
+      .unionByName(hashEntries(
+        remC.join(touched, Seq("cell"), "left_semi"),
+        index.entriesPerCell))
+      .localCheckpoint()
+    index.copy(nodes = nodes2, entries = entries2)
+  }
 }

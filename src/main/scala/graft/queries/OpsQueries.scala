@@ -4412,6 +4412,49 @@ object OpsQueries {
              |FROM embeddings WHERE vec_id < 500
              |UNION ALL SELECT -1, TRUE""".stripMargin)),
 
+    // GRAPH INDEX delete (n37): the other half of the n33 lifecycle —
+    // FreshDiskANN's consolidation contract done EXACTLY. Stored
+    // edges cannot be merged on delete under either edge rule (a
+    // deleted neighbor's replacement is the (k+1)-th pool member the
+    // stored top-k dropped), so affected nodes — home or second cell
+    // among the deleted nodes' home cells — re-run the build rule
+    // against the remaining members; everything else carries over
+    // verbatim. The gate deletes a fifth of the corpus (seeds kept so
+    // both paths route identically) and pins node-for-node and
+    // entry-set equality with the from-scratch build over the
+    // remaining vectors.
+    QueryDef("n37_graph_index_delete",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val all = e.filter(col("vec_id") < 500)
+        val delCond = col("vec_id") >= 20 && col("vec_id") % 5 === 3
+        val deleted = GraphAnn.deleteFromGraphIndex(
+          GraphAnn.buildGraphIndex(all, nlist = 16, degree = 5,
+            crossDegree = 2),
+          all.filter(delCond).select("vec_id"))
+        val rebuilt = GraphAnn.buildGraphIndex(all.filter(!delCond),
+          nlist = 16, degree = 5, crossDegree = 2)
+        val nodesOk = deleted.nodes
+          .select(col("n_id"), col("neighbors").as("nb_del"))
+          .join(rebuilt.nodes
+            .select(col("n_id"), col("neighbors").as("nb_full")),
+            Seq("n_id"), "full")
+          .select(col("n_id"),
+            (col("nb_del") === col("nb_full")).as("delete_exact"))
+        val entriesOk = deleted.entries
+          .select(col("cell"), col("entry_id")).withColumn("__a", lit(1))
+          .join(rebuilt.entries.select(col("cell"), col("entry_id"))
+            .withColumn("__m", lit(1)), Seq("cell", "entry_id"), "full")
+          .agg((count(lit(1)) === sum(col("__m")) &&
+            count(lit(1)) === sum(col("__a"))).as("delete_exact"))
+          .select(lit(-1L).as("n_id"), col("delete_exact"))
+        nodesOk.unionByName(entriesOk)
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS delete_exact
+             |FROM embeddings
+             |WHERE vec_id < 500 AND NOT (vec_id >= 20 AND vec_id % 5 = 3)
+             |UNION ALL SELECT -1, TRUE""".stripMargin)),
+
     // INDEX REFRESH POLICY (n30): the decision loop closing the
     // grow-by-append lifecycle — n22's append + the self-ADC
     // distortion monitor + retrain composed into a policy whose

@@ -317,6 +317,64 @@ class GraphAnnSpec extends SparkSpec {
     plan should not include "Exchange hashpartitioning"
   }
 
+  test("delete: α-pruned and kNN indexes both equal the remaining-corpus rebuild") {
+    val all = planted(5, 30, 16, seed = 97)
+    val delIds = all.filter(col("vec_id") >= 10 && col("vec_id") % 4 === 1)
+      .select("vec_id")
+    val remaining = all.filter(!(col("vec_id") >= 10 && col("vec_id") % 4 === 1))
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ent(i: GraphAnn.GraphIndex) = i.entries.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    for (alpha <- Seq(None, Some(1.4))) withClue(s"alpha=$alpha: ") {
+      val afterDel = GraphAnn.deleteFromGraphIndex(
+        GraphAnn.buildGraphIndex(all, nlist = 5, degree = 4,
+          crossDegree = 2, alpha = alpha), delIds)
+      val rebuilt = GraphAnn.buildGraphIndex(remaining, nlist = 5,
+        degree = 4, crossDegree = 2, alpha = alpha)
+      nbrs(afterDel) shouldBe nbrs(rebuilt)
+      ent(afterDel) shouldBe ent(rebuilt)
+    }
+  }
+
+  test("delete edge cases: non-member ids are a no-op; an emptied cell still serves") {
+    val corpus = planted(4, 20, 16, seed = 103)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2)
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // ids the index never held: nothing may change
+    val noop = GraphAnn.deleteFromGraphIndex(idx,
+      Seq(900L, 901L).toDF("vec_id"))
+    nbrs(noop) shouldBe nbrs(idx)
+    // delete EVERY member of one cell: remaining nodes re-link, and a
+    // query aimed at the emptied cell still gets k answers via the
+    // fallback entry
+    val cellOf = idx.nodes.select("n_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val victim = cellOf.values.groupBy(identity).view.mapValues(_.size)
+      .toSeq.minBy(_._2)._1
+    val victims = cellOf.filter(_._2 == victim).keys.toSeq
+    val after = GraphAnn.deleteFromGraphIndex(idx,
+      victims.toDF("vec_id"))
+    after.nodes.count() shouldBe idx.nodes.count() - victims.length
+    val q = corpus.filter(col("vec_id") === victims.head)
+      .select(col("vec_id"), col("embedding"))
+    val res = GraphAnn.queryGraphIndex(q, after, k = 3, beam = 3, hops = 2)
+    res.select("n_id").collect().length shouldBe 3
+    // and delete composes with append: remove then re-add different
+    // vectors, still rebuild-equivalent
+    val batch = planted(4, 5, 16, seed = 104, idBase = 500L)
+    val grown = GraphAnn.appendToGraphIndex(after, batch)
+    val rebuilt = GraphAnn.buildGraphIndex(
+      corpus.filter(!col("vec_id").isin(victims: _*)).unionByName(batch),
+      nlist = 4, degree = 4, crossDegree = 2,
+      centroids = Some(idx.cells))
+    nbrs(grown) shouldBe nbrs(rebuilt)
+  }
+
   test("OPQ-rotated graph-PQ index: rotation survives save/load; serve replays") {
     val corpus = planted(4, 20, 16, seed = 83)
     val queries = corpus.filter(col("vec_id") < 6)
