@@ -135,7 +135,7 @@ object Bench {
     val singleIter = warmFirst ++
       Set("e04_pca_randomized_truncated", "t23_hashed_classifier",
         "t24_bm25_incremental", "t25_hashed_softmax_langid",
-        "t30_unigram_prune", "n28_ann_opq_parametric",
+        "t30_unigram_prune", "t31_bm25_delete", "n28_ann_opq_parametric",
         // index/class-table construction IS the operator; nothing
         // memoizes across iterations
         "d25_substr_dedup_exact", "d26_substr_dedup_cut",

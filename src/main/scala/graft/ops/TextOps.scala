@@ -1258,6 +1258,39 @@ object TextOps {
         (coalesce(col("__at"), lit(0L)) + coalesce(col("__bt"), lit(0L)))
           .as("tf"))
 
+  /** Roll BM25 state BACKWARD: subtract a deleted batch's state — the
+    * deletion half of the incremental lifecycle [[mergeBm25State]]
+    * opens. All statistics are exact integer sums, so subtraction is
+    * exact inverse merge: `subtract(merge(a, b), b) = a` row-for-row,
+    * and scoring with the subtracted state equals a refit over the
+    * remaining corpus (gate t31). Terms whose df hits zero leave the
+    * state; the document-count sentinel row stays (an emptied corpus
+    * is a valid state). `deleted` MUST be the state of a subset of
+    * the corpus the state describes — subtracting anything else would
+    * mint negative counts, which fail fast here (one aggregate over
+    * the vocabulary-sized state) instead of silently corrupting every
+    * later idf.
+    */
+  def subtractBm25State(state: org.apache.spark.sql.DataFrame,
+                        deleted: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val out = state
+      .select(col("term"), col("df").as("__ad"), col("tf").as("__at"))
+      .join(deleted.select(col("term"), col("df").as("__bd"),
+        col("tf").as("__bt")), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__ad"), lit(0L)) - coalesce(col("__bd"), lit(0L)))
+          .as("df"),
+        (coalesce(col("__at"), lit(0L)) - coalesce(col("__bt"), lit(0L)))
+          .as("tf"))
+      .localCheckpoint()
+    val bad = out.filter(col("df") < 0 || col("tf") < 0).count()
+    require(bad == 0,
+      s"deleted state is not a subset of the corpus state: $bad terms " +
+        "would go negative")
+    out.filter(col("term") === "" || col("df") > 0)
+  }
+
   /** Score a batch of documents against an existing BM25 state WITHOUT
     * re-deriving corpus statistics: per-doc tf/dl come from the batch's
     * own text (exact, batch-local); df/N/avgdl come from the persisted

@@ -4763,6 +4763,53 @@ object OpsQueries {
              |JOIN dl USING (doc_id), st
              |GROUP BY 1, 2""".stripMargin)),
 
+    // BM25 state DELETION (t31): the backward half of the t24
+    // lifecycle — subtract a deleted batch's state from the corpus
+    // state (exact inverse merge over integer counts; terms whose df
+    // hits zero leave, negative counts fail fast) and score the
+    // remaining documents. Must equal a from-scratch refit over the
+    // remaining corpus, which is exactly what the oracle computes:
+    // every statistic (df, N, avgdl) re-derived in SQL over documents
+    // with the deleted fifth excluded.
+    QueryDef("t31_bm25_delete",
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val afterDelete = TextOps.subtractBm25State(
+          TextOps.bm25State(d, "text", "doc_id"),
+          TextOps.bm25State(d.filter(col("doc_id") % 5 === 2), "text",
+            "doc_id"))
+        TextOps.bm25ScoreWithState(afterDelete,
+            d.filter(col("doc_id") % 5 =!= 2), "text", "doc_id",
+            bm25QueryTerms.toDF("query_id", "term"))
+          .select(col("query_id"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("n_terms_hit"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+             |    x -> x <> '')) AS term
+             |  FROM documents WHERE doc_id % 5 <> 2),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT (SELECT count(*) FROM documents
+             |                WHERE doc_id % 5 <> 2)::DOUBLE AS n_docs,
+             |  (SELECT sum(tf) FROM tf)::DOUBLE /
+             |    (SELECT count(*) FROM documents
+             |     WHERE doc_id % 5 <> 2)::DOUBLE AS avgdl),
+             |q(query_id, term) AS (VALUES $bm25QueryValuesSql)
+             |SELECT q.query_id, tf.doc_id,
+             |  round(sum(
+             |    $bm25ScoreSql
+             |  ), 4) AS score,
+             |  count(*) AS n_terms_hit
+             |FROM tf
+             |JOIN q USING (term)
+             |JOIN dfq USING (term)
+             |JOIN dl USING (doc_id), st
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Per-group sketch-threshold cut (p21): the giant-group scale
     // path p20's scaladoc promises — 64-bin score histogram per
     // source, threshold bin from top-down cumulative counts,

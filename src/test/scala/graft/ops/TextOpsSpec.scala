@@ -416,6 +416,44 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("subtractBm25State is the exact inverse merge; negatives fail fast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark caches hot data in memory"),
+      (3L, "the planner prunes columns early"),
+      (4L, "joins broadcast the small side")).toDF("doc_id", "text")
+    def stateMap(s: org.apache.spark.sql.DataFrame) = s.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = TextOps.bm25State(d.filter($"doc_id" <= 2), "text", "doc_id")
+    val b = TextOps.bm25State(d.filter($"doc_id" > 2), "text", "doc_id")
+    // subtract(merge(a, b), b) = a, row-for-row — terms df=0 dropped
+    stateMap(TextOps.subtractBm25State(
+      TextOps.mergeBm25State(a, b), b)) shouldBe stateMap(a)
+    // scoring with the subtracted state equals a refit over remaining
+    val qt = Seq("q1" -> "spark", "q1" -> "data").toDF("query_id", "term")
+    val whole = TextOps.bm25State(d, "text", "doc_id")
+    val afterDel = TextOps.subtractBm25State(whole, b)
+    val viaState = TextOps.bm25ScoreWithState(afterDel,
+        d.filter($"doc_id" <= 2), "text", "doc_id", qt)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val refit = TextOps.bm25(d.filter($"doc_id" <= 2), "text", "doc_id", qt)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    viaState.keySet shouldBe refit.keySet
+    viaState.foreach { case (k, s) => s shouldBe refit(k) +- 1e-12 }
+    // deleting the whole corpus leaves only the (zeroed) sentinel
+    stateMap(TextOps.subtractBm25State(whole, whole)) shouldBe
+      Map("" -> ((0L, 0L)))
+    // a non-subset deletion fails fast instead of minting negative df
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.subtractBm25State(a, b)
+    }
+    ex.getMessage should include("not a subset")
+  }
+
   test("trainHashedSoftmax recovers planted class vocabularies; empty docs get the bias argmax") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
