@@ -1083,6 +1083,21 @@ object Similarity {
     index.copy(codes = index.codes.unionByName(add))
   }
 
+  /** Delete vectors from the index — one anti join over the codes
+    * table, the deletion half of the [[appendToIvfPqIndex]] lifecycle
+    * (gate n38). Exactly equal to a build over the remaining corpus
+    * under the same FROZEN artifacts, because per-row assign/encode
+    * is row-independent: no other row's cell or code depends on the
+    * deleted ones. (Artifact drift from a shrunken corpus is the
+    * [[indexStats]]/n30 refresh policy's job, same as for appends.)
+    * `ids`: one `vec_id` column; ids absent from the index are
+    * ignored.
+    */
+  def deleteFromIvfPqIndex(index: IvfPqIndex, ids: DataFrame): IvfPqIndex =
+    index.copy(codes = index.codes.join(
+      ids.select(col("vec_id").cast("long").as("n_id")).distinct(),
+      Seq("n_id"), "left_anti"))
+
   /** Index health report — the numbers that decide when to re-train
     * (the drift caveat on [[appendToIvfPqIndex]]): how the corpus
     * spreads over the coarse cells. Hot cells slow every query that

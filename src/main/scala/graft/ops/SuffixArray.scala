@@ -608,6 +608,34 @@ object SuffixArray {
       idCol, index.minLen)
   }
 
+  /** Delete documents from the index — one filter over the keys
+    * relation, nothing else. Spans ([[substrIndexSpans]]) and
+    * contamination screens ([[substrIndexContamination]]) derive ONLY
+    * from the keys, so dropping a document's key rows removes every
+    * trace of it from every read path. The dictionaries deliberately
+    * keep entries minted by deleted documents: class ids are opaque
+    * LABELS (equal label ⟺ identical window), and a label whose
+    * minting position was deleted still labels correctly — a future
+    * batch matching it gets a class that simply counts no deleted
+    * occurrences, because counting happens over the filtered keys.
+    * `maxId` is NOT lowered: deleted ids stay burned (re-adding a
+    * doc under a deleted id would violate the min-position-immutable
+    * invariant the dictionaries were built under).
+    *
+    * Read-path equivalence with a from-scratch build over the
+    * remaining corpus is exact (gate d30) even though the STATE is
+    * deliberately not identical (stale dictionary labels, different
+    * class-id numbering): equality classes as PARTITIONS of the
+    * remaining positions are the same either way.
+    */
+  def deleteFromSubstrIndex(index: SubstrIndex,
+                            ids: DataFrame): SubstrIndex = {
+    val del = ids.select(col(ids.columns.head).cast("long").as("__did"))
+      .distinct()
+    index.copy(keys = index.keys.join(
+      del.withColumnRenamed("__did", "__id"), Seq("__id"), "left_anti"))
+  }
+
   /** EXACT substring decontamination against the INDEXED corpus — the
     * [[contaminationSpans]] contract with the eval side replaced by a
     * persisted [[SubstrIndex]]: maximal spans of `train` text whose

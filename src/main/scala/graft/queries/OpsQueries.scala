@@ -554,6 +554,37 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS append_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // IVF-PQ DELETION (n38): the backward half of the n22 lifecycle —
+    // one anti join over the codes table. Exactly equal to a build
+    // over the remaining corpus under the SAME frozen artifacts
+    // because per-row assign/encode is row-independent; the deleted
+    // set keeps the deterministic first-ks seeds intact so both paths
+    // derive identical artifacts and the equality is exact, not
+    // statistical. Query-for-query rank equality at probe-all.
+    QueryDef("n38_index_delete",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val delCond = col("vec_id") >= 100 && col("vec_id") % 4 === 2
+        val shrunk = Similarity.deleteFromIvfPqIndex(
+          Similarity.buildIvfPqIndex(e, nlist = 32, m = 16, ks = 64),
+          e.filter(delCond).select("vec_id"))
+        val got = Similarity.queryIvfPqIndex(q, shrunk, 5, nprobe = 32)
+          .select("q_id", "n_id", "rank")
+        val base = Similarity.queryIvfPqIndex(q,
+            Similarity.buildIvfPqIndex(e.filter(!delCond), nlist = 32,
+              m = 16, ks = 64), 5, nprobe = 32)
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(got.withColumnRenamed("rank", "rank_del"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(col("rank_base") === col("rank_del"), 1)
+            .otherwise(0))).as("delete_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS delete_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Aggregate-form serving (n24): the bounded-heap TopK aggregate
     // must reproduce the window-rank serving path row-for-row at
     // partial probes (nprobe=4 — the serving configuration, not just
@@ -1476,6 +1507,43 @@ object OpsQueries {
       },
       Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
              |  FROM documents),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.off FROM g JOIN r USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1)
+             |SELECT doc_id, cast(min(off) AS INT) AS span_start,
+             |  cast(max(off) + 40 AS INT) AS span_end,
+             |  cast(max(off) + 40 - min(off) AS INT) AS span_len
+             |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
+
+    // Substring-index DELETION (d30): drop a sixth of the documents
+    // from the accumulated index — one filter over the keys relation
+    // (spans derive only from keys; dictionary labels minted by
+    // deleted docs stay, harmlessly, because counting happens over
+    // the filtered keys). The oracle is the d25 brute-force gram SQL
+    // over the REMAINING documents: read-path equality with a
+    // from-scratch build even though the state deliberately is not
+    // identical (stale labels, different class-id numbering).
+    QueryDef("d30_substr_index_delete",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val idx = SuffixArray.buildSubstrIndex(d, "text", "doc_id",
+          minLen = 40)
+        val afterDel = SuffixArray.deleteFromSubstrIndex(idx,
+          d.filter(col("doc_id") % 6 === 1).select("doc_id"))
+        SuffixArray.substrIndexSpans(afterDel, "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents WHERE doc_id % 6 <> 1),
              |g AS (SELECT doc_id, cast(u.i AS INT) AS off,
              |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
              |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),

@@ -69,6 +69,31 @@ class IndexPersistSpec extends SparkSpec {
     grown.codes.collect().toSet shouldBe full.codes.collect().toSet
   }
 
+  test("delete with frozen artifacts equals a rebuild over the remainder") {
+    import spark.implicits._
+    val all = vecs(120)
+    // keep the first-ks seeds so both paths derive identical artifacts
+    val delCond = col("vec_id") >= 20 && col("vec_id") % 3 === 1
+    val shrunk = Similarity.deleteFromIvfPqIndex(
+      Similarity.buildIvfPqIndex(all, nlist = 8, m = 4, ks = 8, dim = dim),
+      all.filter(delCond).select("vec_id"))
+    val rebuilt = Similarity.buildIvfPqIndex(all.filter(!delCond),
+      nlist = 8, m = 4, ks = 8, dim = dim)
+    shrunk.codes.collect().toSet shouldBe rebuilt.codes.collect().toSet
+    // non-member ids are a no-op
+    Similarity.deleteFromIvfPqIndex(rebuilt,
+        Seq(900L).toDF("vec_id")).codes.count() shouldBe
+      rebuilt.codes.count()
+    // delete composes with append: re-add different vectors, still
+    // equal to the build over that corpus
+    val extra = vecs(140).filter(col("vec_id") >= 120)
+    val grown = Similarity.appendToIvfPqIndex(shrunk, extra)
+    val target = Similarity.buildIvfPqIndex(
+      all.filter(!delCond).unionByName(extra), nlist = 8, m = 4, ks = 8,
+      dim = dim)
+    grown.codes.collect().toSet shouldBe target.codes.collect().toSet
+  }
+
   test("the serving plan reads codes only — no embedding column in the scan") {
     val corpus = vecs(120)
     val idx = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 4, ks = 8,

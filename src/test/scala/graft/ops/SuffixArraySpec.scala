@@ -332,6 +332,49 @@ class SuffixArraySpec extends SparkSpec {
         minLen))
   }
 
+  test("index deletion: read paths equal the remaining-corpus build; appends still work") {
+    val all = randomCorpus(14, seed = 257)
+    val maxLen = all.map(_._2.length).max + 20
+    val minLen = 8
+    val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", minLen, maxDocLen = maxLen)
+    val delIds = Seq(2L, 5L, 11L)
+    val remaining = all.filterNot(d => delIds.contains(d._1))
+    val afterDel = SuffixArray.deleteFromSubstrIndex(idx,
+      delIds.toDF("doc_id"))
+    // spans over the shrunk index equal the brute force over remaining
+    spansOf(afterDel) shouldBe bruteSpans(remaining, minLen)
+    // contamination screens see only remaining occurrences: a train
+    // window whose only indexed match was deleted must NOT mark
+    def contam(df: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Int, Int, Int)] = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+      .toSet
+    val onlyInDeleted = all.find(_._1 == 2L).get._2.substring(0, minLen)
+    val train = Seq((0L, s"zzzz $onlyInDeleted zzzz"))
+    contam(SuffixArray.substrIndexContamination(afterDel,
+        train.toDF("doc_id", "text"), "text", "doc_id")) shouldBe
+      contam(SuffixArray.substrIndexContamination(
+        SuffixArray.buildSubstrIndex(remaining.toDF("doc_id", "text"),
+          "text", "doc_id", minLen, maxDocLen = maxLen),
+        train.toDF("doc_id", "text"), "text", "doc_id"))
+    // non-member ids are a no-op
+    spansOf(SuffixArray.deleteFromSubstrIndex(afterDel,
+      Seq(900L).toDF("doc_id"))) shouldBe spansOf(afterDel)
+    // appends after a delete stay exact (maxId stays burned: the
+    // dictionaries were minted under the original id ordering)
+    val batch = Seq((50L, all.head._2)) // duplicate of doc 0's text
+    spansOf(SuffixArray.appendToSubstrIndex(afterDel,
+        batch.toDF("doc_id", "text"), "text", "doc_id")) shouldBe
+      bruteSpans(remaining ++ batch, minLen)
+    // re-using a deleted id must still be rejected
+    intercept[IllegalArgumentException] {
+      SuffixArray.appendToSubstrIndex(afterDel,
+        Seq((5L, "aabbccddeeff")).toDF("doc_id", "text"), "text",
+        "doc_id")
+    }
+  }
+
   test("substr index save/load round-trips state and spans") {
     val all = randomCorpus(10, seed = 233)
     val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
