@@ -141,6 +141,7 @@ object Bench {
         "d25_substr_dedup_exact", "d26_substr_dedup_cut",
         "d27_substr_decontaminate", "d28_substr_index_incremental",
         "d29_substr_index_decontaminate", "d30_substr_index_delete",
+        "d31_substr_index_bucketed", "d32_decontaminate_cut",
         "n38_index_delete",
         "n29_ann_graph_exact",
         "n32_graph_index_persist", "n33_graph_index_append",

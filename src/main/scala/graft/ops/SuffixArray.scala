@@ -289,8 +289,23 @@ object SuffixArray {
     * output contract at character grain).
     */
   def cutRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
-                       minLen: Int, minOccurrences: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, textCol, idCol, minLen, minOccurrences)
+                       minLen: Int, minOccurrences: Int = 2): DataFrame =
+    cutSpans(docs,
+      repeatedSpans(docs, textCol, idCol, minLen, minOccurrences),
+      textCol, idCol)
+
+  /** Cut an arbitrary span set out of each document — the surgery
+    * shared by [[cutRepeatedSpans]] (dedup) and the decontamination
+    * composition (gate d32): one left join of the span sets back onto
+    * the docs and one aggregate-HOF projection per row; the sorted
+    * span list folds left-to-right, copying the kept gap before each
+    * span and the tail after the last. `spans` carries
+    * `(idCol, span_start, span_end)` — any producer in this module
+    * qualifies. Returns `(idCol, n_chars, n_spans, chars_removed,
+    * clean_text)`.
+    */
+  def cutSpans(docs: DataFrame, spans: DataFrame, textCol: String,
+               idCol: String): DataFrame = {
     val perDoc = spans.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e")))).as("__spans"))
@@ -717,6 +732,55 @@ object SuffixArray {
     SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
       spark.read.parquet(s"$dir/dict_pairs"),
       spark.read.parquet(s"$dir/keys"),
+      meta.getAs[Int]("min_len"), meta.getAs[Int]("target_w"),
+      meta.getAs[Long]("stride"), meta.getAs[Long]("max_id"))
+  }
+
+  /** Persist with the two corpus-sized relations BUCKETED on their
+    * join keys — the production-volume layout [[saveSubstrIndex]]'s
+    * note promises: `keys` and `dict_pairs` write through
+    * `bucketBy(buckets, __r1, __r2).sortBy(...)` into catalog tables
+    * (data under `dir`, names `<tablePrefix>_keys` /
+    * `<tablePrefix>_dict_pairs`), so a [[substrIndexSpans]] readout
+    * aggregates and joins WITHOUT ANY EXCHANGE of the key relation
+    * (spec-pinned plan), and an append's dictionary lookups co-locate
+    * the same way. Needs a table catalog — with the default in-memory
+    * catalog the bucketing metadata lives only for the session; a
+    * shared metastore makes it durable (the data files themselves are
+    * plain parquet either way).
+    */
+  def saveSubstrIndexBucketed(index: SubstrIndex, dir: String,
+                              tablePrefix: String,
+                              buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = index.keys.sparkSession
+    import spark.implicits._
+    Seq((1, index.minLen, index.targetW, index.stride, index.maxId,
+        buckets))
+      .toDF("format_version", "min_len", "target_w", "stride", "max_id",
+        "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.dictChars.write.mode("overwrite").parquet(s"$dir/dict_chars")
+    index.dictPairs.write.mode("overwrite")
+      .bucketBy(buckets, "__r1", "__r2").sortBy("__r1", "__r2")
+      .option("path", s"$dir/dict_pairs")
+      .saveAsTable(s"${tablePrefix}_dict_pairs")
+    index.keys.write.mode("overwrite")
+      .bucketBy(buckets, "__r1", "__r2").sortBy("__r1", "__r2")
+      .option("path", s"$dir/keys")
+      .saveAsTable(s"${tablePrefix}_keys")
+  }
+
+  def loadSubstrIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, tablePrefix: String)
+      : SubstrIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported substr index format_version " +
+        meta.getAs[Int]("format_version"))
+    SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
+      spark.table(s"${tablePrefix}_dict_pairs"),
+      spark.table(s"${tablePrefix}_keys"),
       meta.getAs[Int]("min_len"), meta.getAs[Int]("target_w"),
       meta.getAs[Long]("stride"), meta.getAs[Long]("max_id"))
   }

@@ -1525,6 +1525,111 @@ object OpsQueries {
              |  cast(max(off) + 40 - min(off) AS INT) AS span_len
              |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
 
+    // BUCKETED index persistence (d31): the production-volume layout —
+    // keys and pair dictionary bucketed + sorted on (__r1, __r2), so
+    // the spans readout aggregates and self-joins with ZERO exchange
+    // of the corpus-sized key relation (spec pins the plan; this gate
+    // pins that the bucketed round trip changes no answer: spans off
+    // the bucket-loaded index must equal the d25 brute-force oracle).
+    QueryDef("d31_substr_index_bucketed",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val idx = SuffixArray.buildSubstrIndex(d, "text", "doc_id",
+          minLen = 40)
+        val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"/tmp/graft_gate_substr_bucketed_$safe"
+        SuffixArray.saveSubstrIndexBucketed(idx, out,
+          s"graft_gate_substr_$safe", buckets = 16)
+        val loaded = SuffixArray.loadSubstrIndexBucketed(s, out,
+          s"graft_gate_substr_$safe")
+        SuffixArray.substrIndexSpans(loaded, "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.off FROM g JOIN r USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1)
+             |SELECT doc_id, cast(min(off) AS INT) AS span_start,
+             |  cast(max(off) + 40 AS INT) AS span_end,
+             |  cast(max(off) + 40 - min(off) AS INT) AS span_len
+             |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
+
+    // Decontamination SURGERY (d32): the full production composition —
+    // index the eval split once, screen the train split against it
+    // (d29's read-only contamination), then CUT the contaminated
+    // spans out of the training text (the d26 aggregate-HOF rebuild,
+    // shared via cutSpans). This is what a pipeline actually ships:
+    // training documents with the leaked benchmark bytes surgically
+    // removed rather than whole documents dropped. The oracle
+    // recomputes the d27 cross-corpus span set AND the gap rebuild in
+    // SQL — an off-by-one at either span edge shifts whole strings.
+    QueryDef("d32_decontaminate_cut",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val maxLen = d.agg(max(length(col("text")))).head().getInt(0)
+        val train = d.filter(col("doc_id") % 7 =!= 0)
+        val idx = SuffixArray.buildSubstrIndex(
+          d.filter(col("doc_id") % 7 === 0), "text", "doc_id",
+          minLen = 40, maxDocLen = maxLen)
+        SuffixArray.cutSpans(train,
+          SuffixArray.substrIndexContamination(idx, train, "text",
+            "doc_id"),
+          "text", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents WHERE doc_id % 7 <> 0),
+             |e AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |gtr AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |gev AS (SELECT DISTINCT
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM e, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |m AS (SELECT gtr.doc_id, gtr.off FROM gtr
+             |  JOIN gev USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1),
+             |sp AS (SELECT doc_id, cast(min(off) AS INT) AS ss,
+             |    cast(max(off) + 40 AS INT) AS se
+             |  FROM i2 GROUP BY doc_id, isl),
+             |gaps AS (
+             |  SELECT sp.doc_id,
+             |    coalesce(lag(sp.se) OVER (PARTITION BY sp.doc_id
+             |      ORDER BY sp.ss), 0) AS gs,
+             |    sp.ss AS ge
+             |  FROM sp
+             |  UNION ALL
+             |  SELECT d.doc_id, coalesce(max(sp.se), 0), max(d.n)
+             |  FROM d LEFT JOIN sp USING (doc_id) GROUP BY d.doc_id),
+             |k AS (SELECT g2.doc_id,
+             |    string_agg(substr(d.text, g2.gs + 1, g2.ge - g2.gs), ''
+             |      ORDER BY g2.gs) AS clean
+             |  FROM gaps g2 JOIN d USING (doc_id) GROUP BY g2.doc_id),
+             |spc AS (SELECT doc_id, count(*) AS ns FROM sp GROUP BY 1)
+             |SELECT d.doc_id, cast(d.n AS INT) AS n_chars,
+             |  cast(coalesce(spc.ns, 0) AS INT) AS n_spans,
+             |  cast(d.n - length(k.clean) AS INT) AS chars_removed,
+             |  k.clean AS clean_text
+             |FROM d JOIN k USING (doc_id)
+             |LEFT JOIN spc USING (doc_id)""".stripMargin)),
+
     // Substring-index DELETION (d30): drop a sixth of the documents
     // from the accumulated index — one filter over the keys relation
     // (spans derive only from keys; dictionary labels minted by

@@ -375,6 +375,32 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("bucketed persistence: state round-trips and the spans readout never exchanges the keys") {
+    val all = randomCorpus(10, seed = 263)
+    val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 8)
+    val dir = java.nio.file.Files.createTempDirectory("substrbkt").toString
+    SuffixArray.saveSubstrIndexBucketed(idx, dir, "substr_bucketed_spec",
+      buckets = 8)
+    val loaded = SuffixArray.loadSubstrIndexBucketed(spark, dir,
+      "substr_bucketed_spec")
+    indexState(loaded) shouldBe indexState(idx)
+    spansOf(loaded) shouldBe spansOf(idx)
+    // the point of the layout: aggregating the keys on the bucket
+    // columns needs no Exchange — at 100 TB this is the difference
+    // between a metadata-priced readout and re-shuffling the corpus
+    val aggPlan = loaded.keys.groupBy("__r1", "__r2")
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    aggPlan should not include "Exchange hashpartitioning"
+    // and the full spans pipeline exchanges only the (tiny) marked
+    // relation for the per-document island merge, never the keys:
+    // exactly one exchange, keyed by the document id
+    val spansPlan = SuffixArray.substrIndexSpans(loaded, "doc_id")
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(spansPlan).size shouldBe 1
+    spansPlan should include("Exchange hashpartitioning(__id")
+  }
+
   test("substr index save/load round-trips state and spans") {
     val all = randomCorpus(10, seed = 233)
     val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
