@@ -1,77 +1,69 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.ops.SuffixArray
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
 
+/** Screening a STREAM of crawl batches against a static substring
+  * index — the d29/d32 production loop as a streaming job: the
+  * benchmark suite is indexed once, each micro-batch refines against
+  * the frozen dictionaries inside `foreachBatch` (the screen is a
+  * multi-join refinement, so it runs as a per-batch batch query —
+  * exactly the incremental-dedup streaming discipline), and the union
+  * of per-batch spans must equal screening the whole stream at once.
+  * Micro-batch boundaries cannot change answers: each document's
+  * spans depend only on its own text and the frozen index.
+  */
 class StreamingDecontaminateSpec extends SparkSpec {
-  import StreamingDedup.Doc
 
-  private val base = "the quick brown fox jumps over the lazy dog near the " +
-    "wide river bank while the tall grey heron watches every small silver " +
-    "fish swim slowly past the old wooden bridge under the warm sun today"
+  case class Doc(doc_id: Long, text: String)
 
-  test("exactStream drops normalization-equal benchmark matches inside the streaming plan") {
+  test("per-micro-batch screening equals the one-shot batch screen") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
+    val leak = "this exact benchmark sentence leaked into the training set"
+    val evalDocs = Seq(
+      (0L, s"question about $leak indeed"),
+      (1L, "an unrelated benchmark prompt with unique words")).toDF("doc_id", "text")
+    val idx = SuffixArray.buildSubstrIndex(evalDocs, "text", "doc_id",
+      minLen = 20, maxDocLen = 200)
+    val crawl = Seq(
+      Doc(0L, s"prefix text $leak suffix text"), // id collides with eval 0
+      Doc(1L, "clean crawl document with nothing shared"),
+      Doc(2L, s"another capture of $leak here"),
+      Doc(3L, "zzrepeatedblockzz filler zzrepeatedblockzz"), // self-repeat only
+      Doc(4L, s"$leak"))
 
-    val eval = Seq(100L -> base).toDF("doc_id", "text")
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Int, Int)]
     val input = MemoryStream[Doc]
-    val cleaned = StreamingDecontaminate.exactStream(
-      input.toDF(), "text", eval, "text")
-    val q = cleaned.writeStream.format("memory").queryName("exact_decon_out")
-      .outputMode(OutputMode.Append()).start()
-
-    input.addData(
-      Doc(1L, ts("2020-01-01 00:00:00"), base.toUpperCase), // normalization-equal leak
-      Doc(2L, ts("2020-01-01 00:00:01"), "clean doc one"))
-    q.processAllAvailable()
-    input.addData(
-      Doc(3L, ts("2020-01-02 00:00:00"), "  " + base + "  "), // cross-batch leak
-      Doc(4L, ts("2020-01-02 00:00:01"), "clean doc two"))
-    q.processAllAvailable()
-    q.stop()
-
-    spark.table("exact_decon_out").select("doc_id").as[Long]
-      .collect().sorted.toSeq shouldBe Seq(2L, 4L)
-  }
-
-  test("fuzzy foreachBatch accumulation equals the batch pass over the union") {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import spark.implicits._
-
-    val eval = Seq(100L -> base).toDF("doc_id", "text")
-    val input = MemoryStream[Doc]
-    val sink = scala.collection.mutable.ArrayBuffer.empty[Long]
     val q = input.toDF().writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        sink.synchronized {
-          sink ++= StreamingDecontaminate
-            .fuzzyBatch(batch, "text", "doc_id", eval)
-            .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
-            .collect()
-        }
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got ++= SuffixArray.substrIndexContamination(idx, batch, "text",
+            "doc_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
         ()
       }
-      .outputMode(OutputMode.Append()).start()
-
-    val b1 = Seq(
-      Doc(1L, ts("2020-01-01 00:00:00"), base), // exact leak
-      Doc(2L, ts("2020-01-01 00:00:01"), "unrelated text about query engines"))
-    val b2 = Seq(
-      Doc(3L, ts("2020-01-02 00:00:00"), base.replace("today", "tonight")), // near-dup leak
-      Doc(4L, ts("2020-01-02 00:00:01"), "another clean training document"))
-    input.addData(b1: _*)
+      .start()
+    input.addData(crawl(0), crawl(1))
     q.processAllAvailable()
-    input.addData(b2: _*)
+    input.addData(crawl(2))
+    q.processAllAvailable()
+    input.addData(crawl(3), crawl(4))
     q.processAllAvailable()
     q.stop()
 
-    // streaming accumulation == the batch pass over the full corpus
-    val batchKept = graft.ops.Curation.fuzzyDecontaminate(
-        (b1 ++ b2).toDF(), eval, "text", "doc_id")
-      .select("doc_id").as[Long].collect().toSet
-    sink.toSet shouldBe batchKept
-    sink.toSet shouldBe Set(2L, 4L)
+    val batchAnswer = SuffixArray.substrIndexContamination(idx,
+        crawl.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    got.toSet shouldBe batchAnswer
+    // the leak really is caught (docs 0, 2, 4), the clean and
+    // self-repeating docs stay unmarked
+    got.map(_._1).toSet shouldBe Set(0L, 2L, 4L)
   }
 }
