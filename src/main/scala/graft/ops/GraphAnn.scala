@@ -780,4 +780,172 @@ object GraphAnn {
       .localCheckpoint()
     index.copy(nodes = nodes2, entries = entries2)
   }
+
+  // --------------------------------------------------------------------
+  // NN-Descent: iterative kNN-graph refinement (Dong, Charikar & Li,
+  // "Efficient k-nearest neighbor graph construction for generic
+  // similarity measures", WWW 2011). The cell-bounded build above gets
+  // its candidate pools from a coarse codebook; NN-Descent needs NO
+  // codebook at all — it starts from an arbitrary graph and repeatedly
+  // applies the paper's one observation: "a neighbor of a neighbor is
+  // likely a neighbor". Each round, every node's candidate set is the
+  // pairs that co-occur in some node's (undirected) neighbor list; the
+  // merged graph keeps the best k per node. A handful of rounds
+  // converges the graph toward the exact kNN graph regardless of how
+  // bad the seed was — the cell-free scale path for kNN-graph
+  // construction (semantic dedup, graph-index edge supply) when no
+  // trained codebook exists or cells would split true neighborhoods.
+  //
+  // Shuffle shape per round (everything bounded by the out-degree k,
+  // NOTHING by corpus size):
+  //  - undirected view: forward ∪ reversed edges, deduped by max(sim)
+  //    (one hash shuffle on n_id), then capped to `undCap` per node by
+  //    the bounded-heap [[graft.functions.TopKAggregate]] — the
+  //    deterministic stand-in for the paper's reverse-neighbor
+  //    sampling; without it a hub node's reverse degree is unbounded
+  //    and the clique join below goes quadratic in it;
+  //  - candidate generation: the capped list self-joined through the
+  //    shared CENTER node (x.center = y.center ⇒ pair (x.m, y.m)) —
+  //    ≤ undCap² ordered pairs per center — plus the capped edges
+  //    themselves (a reversed edge is a candidate its head has never
+  //    scored), deduped;
+  //  - scoring: two embedding pickups + the fused codegen cosine;
+  //  - merge: current ∪ scored, dedup by (n_id, m_id), bounded-heap
+  //    top-k per node (ties sim-desc then id-asc everywhere, so every
+  //    round is deterministic and cross-engine replayable).
+  // Per-round lineage is cut with localCheckpoint: the graph state is
+  // k rows per node, and without the cut `iters` rounds of
+  // join-union-aggregate would compound into one giant replanned DAG.
+
+  /** Deterministic random k-out seed graph: each node draws `k`
+    * pseudo-random targets from the WHOLE corpus via md5 chunks
+    * (`conv(md5)` — the cross-engine bucket idiom shared with DSIR and
+    * the sampling family). A target is addressed as (bucket, position):
+    * hash chars 1-8 pick the bucket, chars 9-16 pick the row inside it
+    * — so the only window is the per-bucket `row_number` (PARTITIONED —
+    * no global sort exists at any scale) and the only other state is
+    * the nBuckets-row size table (broadcast).
+    *
+    * Cross-bucket targeting is the point, not a convenience: NN-Descent
+    * can NEVER merge connected components (a neighbor of a neighbor is
+    * in my component by definition), so a bucket-local seed pins the
+    * final graph at per-bucket kNN forever. A random k-out digraph is
+    * strongly connected w.h.p. for k ≥ 2 — the property the refinement
+    * rounds actually need from their seed.
+    *
+    * Returns (n_id, m_id, sim) with ≤ k out-edges per node (self-hits
+    * and duplicate draws are dropped, not redrawn — NN-Descent only
+    * needs roughly-k, and redraw loops don't replay cross-engine).
+    */
+  def nnDescentSeed(vecs: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs.select(col("vec_id").cast("long").as("n_id"),
+      col("embedding").as("emb"))
+    val b = v.withColumn("bucket",
+      conv(substring(md5(col("n_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % nBuckets)
+    val w = Window.partitionBy("bucket")
+    val pos = b
+      .withColumn("pos", row_number().over(w.orderBy("n_id")))
+    val sizes = pos.groupBy("bucket").agg(max("pos").as("bn"))
+    val tries = v.select(col("n_id"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("hh", md5(concat(col("n_id").cast("string"), lit("_"),
+        col("j").cast("string"))))
+      .withColumn("bucket",
+        conv(substring(col("hh"), 1, 8), 16, 10).cast("long") % nBuckets)
+      .join(broadcast(sizes), Seq("bucket"))
+      .withColumn("m_pos",
+        (conv(substring(col("hh"), 9, 8), 16, 10).cast("long")
+          % col("bn") + 1).cast("int"))
+    val succ = tries
+      .join(pos.select(col("bucket"), col("pos").as("m_pos"),
+          col("n_id").as("m_id")),
+        Seq("bucket", "m_pos"))
+      .filter(col("n_id") =!= col("m_id"))
+      .select("n_id", "m_id").distinct()
+    succ.join(v, Seq("n_id"))
+      .join(v.select(col("n_id").as("m_id"), col("emb").as("m_emb")),
+        Seq("m_id"))
+      .select(col("n_id"), col("m_id"),
+        Similarity.cosine(col("emb"), col("m_emb")).as("sim"))
+  }
+
+  /** One NN-Descent round over graph state `g` (n_id, m_id, sim):
+    * undirected-cap → clique candidates → score → merge top-k.
+    * `emb` is the (n_id, emb) embedding relation.
+    */
+  private def nnDescentRound(g: DataFrame, emb: DataFrame, k: Int,
+                             undCap: Int): DataFrame = {
+    val und = g.select("n_id", "m_id", "sim")
+      .unionByName(g.select(col("m_id").as("n_id"),
+        col("n_id").as("m_id"), col("sim")))
+      .groupBy("n_id", "m_id").agg(max("sim").as("sim"))
+    val capped = und.groupBy("n_id")
+      .agg(TopK.topK(col("sim"), col("m_id"), undCap).as("top"))
+      .select(col("n_id").as("center"), explode(col("top.id")).as("m_id"))
+    val clique = capped.as("x")
+      .join(capped.as("y"), col("x.center") === col("y.center"))
+      .select(col("x.m_id").as("n_id"), col("y.m_id").as("c_id"))
+      .filter(col("n_id") =!= col("c_id"))
+    val cand = clique
+      .unionByName(capped.select(col("center").as("n_id"),
+        col("m_id").as("c_id")))
+      .distinct()
+    val scored = cand
+      .join(emb, Seq("n_id"))
+      .join(emb.select(col("n_id").as("c_id"), col("emb").as("c_emb")),
+        Seq("c_id"))
+      .select(col("n_id"), col("c_id").as("m_id"),
+        Similarity.cosine(col("emb"), col("c_emb")).as("sim"))
+    g.select("n_id", "m_id", "sim").unionByName(scored)
+      .groupBy("n_id", "m_id").agg(max("sim").as("sim"))
+      .groupBy("n_id")
+      .agg(TopK.topK(col("sim"), col("m_id"), k).as("top"))
+      .select(col("n_id"), explode(col("top")).as("e"))
+      .select(col("n_id"), col("e.id").as("m_id"), col("e.score").as("sim"))
+  }
+
+  /** NN-Descent kNN-graph construction: `iters` refinement rounds from
+    * either the caller's seed graph (n_id, m_id, sim — e.g. a built
+    * [[GraphIndex]]'s edges, to repair cell-boundary misses) or the
+    * deterministic [[nnDescentSeed]].
+    *
+    * @param corpus   vec_id, embedding
+    * @param k        out-degree of the maintained graph
+    * @param iters    refinement rounds (each strictly improves or
+    *                 preserves every node's neighbor list — the merge
+    *                 keeps the best k of old ∪ scored)
+    * @param nBuckets seed addressing buckets (targets are drawn across
+    *                 ALL buckets; this only sizes the per-bucket
+    *                 row_number window); 0 = one count job sizes
+    *                 buckets to ≈ 4·(k+1) members
+    * @param undCap   undirected-degree cap per node (0 = 2·k), the
+    *                 deterministic reverse-sampling bound
+    * @return (n_id, m_id, sim, rank) — rank 1..k best-first per node
+    */
+  def nnDescent(corpus: DataFrame, k: Int, iters: Int,
+                nBuckets: Int = 0, undCap: Int = 0,
+                seed: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val cap = if (undCap > 0) undCap else 2 * k
+    require(cap >= k,
+      s"undCap must be >= k (capping below k would shrink the graph), " +
+        s"got $cap < $k")
+    val emb = corpus.select(col("vec_id").cast("long").as("n_id"),
+      col("embedding").as("emb")).localCheckpoint()
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else math.max(1, (emb.count() / (4L * (k + 1))).toInt)
+    var g = seed.getOrElse(nnDescentSeed(corpus, k, buckets))
+      .select("n_id", "m_id", "sim").localCheckpoint()
+    for (_ <- 1 to iters)
+      g = nnDescentRound(g, emb, k, cap).localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    g.withColumn("rank", row_number().over(
+      Window.partitionBy("n_id").orderBy(col("sim").desc, col("m_id"))))
+  }
 }

@@ -1134,6 +1134,105 @@ object TextOps {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("avg_logscore"))
   }
 
+  /** Trigram LM scoring with stupid backoff — the top tier of the
+    * perplexity-filter stack ([[unigramScore]] → [[bigramScore]] →
+    * this). Same Brants et al. 2007 recipe, one more context word:
+    * S(w3|w1 w2) is c(w1 w2 w3)/c(w1 w2) on a trigram hit,
+    * 0.4 · c(w2 w3)/c(w2) on bigram backoff, 0.4² · c(w3)/N on unigram
+    * backoff, 0.4² · 0.5/N for an unknown continuation word. Trained on
+    * the `trainFilter` rows only, scores every row (the CCNet held-out
+    * shape that keeps all three backoff tiers non-degenerate).
+    *
+    * Per input row: `n_trigrams`, `n_hit` (trigram seen in training),
+    * `n_back2` (bigram-tier backoff), `n_back1` (unigram-tier), `n_oov`
+    * — exact integers — plus `avg_logscore` = mean log S.
+    *
+    * Scale shape: gram tables are Zipf-bounded (one row per DISTINCT
+    * training gram) and localCheckpoint'd — training text is tokenized
+    * once; the scoring side shuffles the document trigram stream four
+    * times (trigram key, context-bigram key, continuation-bigram key,
+    * continuation word) — the irreducible lookup cost of a three-tier
+    * LM, with no window function and no driver-side state. Docs with
+    * < 3 tokens are pinned with explicit zero counts and a null score.
+    */
+  def trigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, trainFilter: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val id = col(idCol)
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
+    val withToks = df.select(id, toks(col(textCol)).as("__w"))
+    val pairStruct = (a: Column, b: Column) =>
+      struct(a.as("w1"), b.as("w2"))
+    val trigrams = withToks.select(id,
+      explode(when(size(col("__w")) >= 3,
+          zip_with(
+            zip_with(slice(col("__w"), lit(1), size(col("__w")) - 2),
+              slice(col("__w"), lit(2), size(col("__w")) - 2), pairStruct),
+            slice(col("__w"), lit(3), size(col("__w")) - 2),
+            (p, c) => struct(p.getField("w1").as("w1"),
+              p.getField("w2").as("w2"), c.as("w3"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string,w3:string>>")))
+        .as("__t"))
+      .select(id, col("__t.w1").as("__w1"), col("__t.w2").as("__w2"),
+        col("__t.w3").as("__w3"))
+    val train = df.filter(trainFilter)
+    val trainToks = train.select(id, toks(col(textCol)).as("__w"))
+    val uni = trainToks.select(explode(col("__w")).as("__word"))
+      .groupBy("__word").agg(count(lit(1)).as("__cu"))
+      .localCheckpoint()
+    val bi = trainToks.select(
+        explode(when(size(col("__w")) >= 2,
+            zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
+              slice(col("__w"), lit(2), size(col("__w")) - 1), pairStruct))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("__b"))
+      .groupBy(col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+      .localCheckpoint()
+    val tri = trigrams.join(train.select(id), Seq(idCol), "left_semi")
+      .groupBy("__w1", "__w2", "__w3").agg(count(lit(1)).as("__ct"))
+      .localCheckpoint()
+    val total = uni.agg(sum("__cu").as("__total"))
+    val b12 = bi.select(col("__w1"), col("__w2"), col("__cb").as("__cb12"))
+    val b23 = bi.select(col("__w1").as("__w2"), col("__w2").as("__w3"),
+      col("__cb").as("__cb23"))
+    val u2 = uni.select(col("__word").as("__w2"), col("__cu").as("__cu2"))
+    val u3 = uni.select(col("__word").as("__w3"), col("__cu").as("__cu3"))
+    val score = when(col("__ct").isNotNull,
+        col("__ct").cast("double") / col("__cb12").cast("double"))
+      .when(col("__cb23").isNotNull,
+        lit(0.4) * col("__cb23").cast("double") / col("__cu2").cast("double"))
+      .when(col("__cu3").isNotNull,
+        lit(0.16) * col("__cu3").cast("double") /
+          col("__total").cast("double"))
+      .otherwise(lit(0.08) / col("__total").cast("double"))
+    val scored = trigrams
+      .join(tri, Seq("__w1", "__w2", "__w3"), "left")
+      .join(b12, Seq("__w1", "__w2"), "left")
+      .join(b23, Seq("__w2", "__w3"), "left")
+      .join(u2, Seq("__w2"), "left")
+      .join(u3, Seq("__w3"), "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("__ct").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("__ct").isNull && col("__cb23").isNotNull, 1L)
+          .otherwise(0L)).as("n_back2"),
+        sum(when(col("__ct").isNull && col("__cb23").isNull &&
+          col("__cu3").isNotNull, 1L).otherwise(0L)).as("n_back1"),
+        sum(when(col("__ct").isNull && col("__cb23").isNull &&
+          col("__cu3").isNull, 1L).otherwise(0L)).as("n_oov"),
+        (sum(log(score)) / count(lit(1))).as("avg_logscore"))
+    df.select(id).distinct().join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_back2"), lit(0L)).as("n_back2"),
+        coalesce(col("n_back1"), lit(0L)).as("n_back1"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("avg_logscore"))
+  }
+
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
             idCol: String, topN: Int = 5): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

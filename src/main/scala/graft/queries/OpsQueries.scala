@@ -5410,6 +5410,141 @@ object OpsQueries {
           |        array_to_string(list(line ORDER BY ord), chr(10)) AS text,
           |        count(*) AS n_kept
           |      FROM kept GROUP BY 1) k USING (page_id)""".stripMargin
-      })
+      }),
+
+    // NN-Descent kNN-graph construction (n39): two refinement rounds
+    // from the deterministic hash-bucket ring seed, k=4, undirected cap
+    // 8 — the cell-free kNN-graph path. TRUE cross-engine replay: the
+    // oracle unrolls both rounds in DuckDB (seed ring from the same
+    // md5-bucket idiom, undirected max-merge + row_number cap, clique
+    // candidates through the shared center ∪ the capped edges
+    // themselves, cosine re-score, top-k merge), so every deterministic
+    // tie-break (sim desc, id asc) and every set operation must agree
+    // exactly for ranks to line up. Output is the integer skeleton
+    // (n_id, m_id, rank); sims stay internal.
+    QueryDef("n39_knn_graph_descent",
+      (s, dir) => GraphAnn.nnDescent(embs(s, dir), k = 4, iters = 2,
+          nBuckets = 32, undCap = 8)
+        .select("n_id", "m_id", "rank"),
+      Some {
+        def round(gin: String, gout: String, tag: String): String =
+          s"""u$tag AS (
+             |  SELECT n_id, m_id, max(sim) AS sim FROM (
+             |    SELECT n_id, m_id, sim FROM $gin
+             |    UNION ALL SELECT m_id AS n_id, n_id AS m_id, sim
+             |    FROM $gin)
+             |  GROUP BY 1, 2),
+             |uc$tag AS (
+             |  SELECT n_id AS center, m_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY n_id
+             |      ORDER BY sim DESC, m_id) AS rn FROM u$tag)
+             |  WHERE rn <= 8),
+             |cand$tag AS (
+             |  SELECT x.m_id AS n_id, y.m_id AS c_id
+             |  FROM uc$tag x JOIN uc$tag y ON x.center = y.center
+             |  WHERE x.m_id <> y.m_id
+             |  UNION
+             |  SELECT center AS n_id, m_id AS c_id FROM uc$tag),
+             |s$tag AS (
+             |  SELECT c.n_id, c.c_id AS m_id,
+             |    list_cosine_similarity(a.emb, b.emb) AS sim
+             |  FROM cand$tag c JOIN e a ON a.n_id = c.n_id
+             |  JOIN e b ON b.n_id = c.c_id),
+             |$gout AS (
+             |  SELECT n_id, m_id, sim FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY n_id
+             |      ORDER BY sim DESC, m_id) AS rn
+             |    FROM (SELECT n_id, m_id, max(sim) AS sim FROM (
+             |            SELECT * FROM $gin
+             |            UNION ALL SELECT * FROM s$tag)
+             |          GROUP BY 1, 2))
+             |  WHERE rn <= 4)"""
+            .stripMargin
+        s"""WITH e AS (SELECT vec_id AS n_id, embedding AS emb
+           |  FROM embeddings),
+           |b AS (SELECT n_id,
+           |    ('0x' || substr(md5(cast(n_id AS VARCHAR)), 1, 4))::BIGINT
+           |      % 32 AS bucket
+           |  FROM e),
+           |pos AS (SELECT n_id, bucket,
+           |    row_number() OVER (PARTITION BY bucket ORDER BY n_id)
+           |      AS pos
+           |  FROM b),
+           |sizes AS (SELECT bucket, max(pos) AS bn FROM pos GROUP BY 1),
+           |tries AS (SELECT e.n_id,
+           |    md5(cast(e.n_id AS VARCHAR) || '_' ||
+           |      cast(js.j AS VARCHAR)) AS hh
+           |  FROM e CROSS JOIN unnest(range(1, 5)) AS js(j)),
+           |seedpairs AS (
+           |  SELECT DISTINCT t.n_id, m.n_id AS m_id
+           |  FROM tries t
+           |  JOIN sizes s
+           |    ON s.bucket = ('0x' || substr(t.hh, 1, 8))::BIGINT % 32
+           |  JOIN pos m ON m.bucket = s.bucket
+           |    AND m.pos = ('0x' || substr(t.hh, 9, 8))::BIGINT % s.bn + 1
+           |  WHERE t.n_id <> m.n_id),
+           |g0 AS (
+           |  SELECT s.n_id, s.m_id,
+           |    list_cosine_similarity(a.emb, b2.emb) AS sim
+           |  FROM seedpairs s JOIN e a ON a.n_id = s.n_id
+           |  JOIN e b2 ON b2.n_id = s.m_id),
+           |${round("g0", "g1", "1")},
+           |${round("g1", "g2", "2")}
+           |SELECT n_id, m_id,
+           |  cast(row_number() OVER (PARTITION BY n_id
+           |    ORDER BY sim DESC, m_id) AS INT) AS rank
+           |FROM g2""".stripMargin
+      }),
+
+    // Trigram stupid-backoff LM (t32): the top tier of the perplexity
+    // stack (t14 unigram → t15 bigram → this), trained on the even
+    // half and scoring everything. The gate pins the exact integer
+    // skeleton (trigram / hit / bigram-backoff / unigram-backoff / OOV
+    // counts per doc, full LEFT JOIN recompute in DuckDB); the float
+    // avg_logscore is pinned closed-form in TextOpsSpec, the t15
+    // recipe.
+    QueryDef("t32_trigram_lm",
+      (s, dir) => TextOps.trigramScore(docs(s, dir), "doc_id", "text",
+          col("doc_id") % 2 === 0)
+        .select("doc_id", "n_trigrams", "n_hit", "n_back2", "n_back1",
+          "n_oov"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks FROM documents),
+             |bg AS (SELECT doc_id, toks[u.j] AS w1, toks[u.j + 1] AS w2
+             |  FROM t, unnest(range(1, len(toks))) AS u(j)),
+             |tg AS (SELECT doc_id, toks[u.j] AS w1, toks[u.j + 1] AS w2,
+             |    toks[u.j + 2] AS w3
+             |  FROM t, unnest(range(1, len(toks) - 1)) AS u(j)),
+             |uni AS (SELECT u.w AS word, count(*) AS cu
+             |  FROM t, unnest(toks) AS u(w) WHERE doc_id % 2 = 0
+             |  GROUP BY 1),
+             |bi AS (SELECT w1, w2, count(*) AS cb FROM bg
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |tri AS (SELECT w1, w2, w3, count(*) AS ct FROM tg
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+             |s AS (SELECT tg.doc_id, count(*) AS nt,
+             |    sum(CASE WHEN tri.ct IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS nh,
+             |    sum(CASE WHEN tri.ct IS NULL AND b23.cb IS NOT NULL
+             |        THEN 1 ELSE 0 END) AS n2,
+             |    sum(CASE WHEN tri.ct IS NULL AND b23.cb IS NULL
+             |        AND u3.cu IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+             |    sum(CASE WHEN tri.ct IS NULL AND b23.cb IS NULL
+             |        AND u3.cu IS NULL THEN 1 ELSE 0 END) AS nov
+             |  FROM tg
+             |  LEFT JOIN tri ON tg.w1 = tri.w1 AND tg.w2 = tri.w2
+             |    AND tg.w3 = tri.w3
+             |  LEFT JOIN bi b23 ON tg.w2 = b23.w1 AND tg.w3 = b23.w2
+             |  LEFT JOIN uni u3 ON tg.w3 = u3.word
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  cast(coalesce(s.nt, 0) AS BIGINT) AS n_trigrams,
+             |  cast(coalesce(s.nh, 0) AS BIGINT) AS n_hit,
+             |  cast(coalesce(s.n2, 0) AS BIGINT) AS n_back2,
+             |  cast(coalesce(s.n1, 0) AS BIGINT) AS n_back1,
+             |  cast(coalesce(s.nov, 0) AS BIGINT) AS n_oov
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin))
   )
 }

@@ -449,4 +449,83 @@ class GraphAnnSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     runPq(Long.MaxValue) shouldBe runPq(0L)
   }
+
+  // ------------------------------------------------------------------
+  // NN-Descent
+
+  /** Exact kNN graph as (n_id, m_id) pairs: every node queried against
+    * the whole corpus, self excluded (bruteForceTopK already skips the
+    * identical id).
+    */
+  private def exactKnnPairs(corpus: org.apache.spark.sql.DataFrame,
+                            k: Int) =
+    Similarity.bruteForceTopK(corpus, corpus, k)
+      .select(col("q_id").as("n_id"), col("n_id").as("m_id"))
+
+  private def graphRecall(g: org.apache.spark.sql.DataFrame,
+                          exact: org.apache.spark.sql.DataFrame): Double = {
+    val hit = g.select("n_id", "m_id").join(exact, Seq("n_id", "m_id"))
+      .count().toDouble
+    hit / exact.count().toDouble
+  }
+
+  test("nnDescent: recall vs the exact kNN graph improves per round") {
+    val corpus = planted(6, 30, 16, seed = 91)
+    val exact = exactKnnPairs(corpus, 4).cache()
+    val r0 = graphRecall(GraphAnn.nnDescent(corpus, k = 4, iters = 0,
+      nBuckets = 16), exact)
+    val r1 = graphRecall(GraphAnn.nnDescent(corpus, k = 4, iters = 1,
+      nBuckets = 16), exact)
+    val r2 = graphRecall(GraphAnn.nnDescent(corpus, k = 4, iters = 2,
+      nBuckets = 16), exact)
+    val r3 = graphRecall(GraphAnn.nnDescent(corpus, k = 4, iters = 3,
+      nBuckets = 16), exact)
+    // the random k-out seed is arbitrary-quality by construction; each
+    // round merges only improvements, so recall is non-decreasing and
+    // the first rounds climb steeply (the paper's empirical signature).
+    // k=4 on well-separated clusters is the paper's hardest regime
+    // (small k fragments the graph into near-cliques), so the high bar
+    // sits at round 3, not 2.
+    r0 should be < 0.5
+    r1 should be > r0
+    r2 should be > r1
+    r3 should be >= 0.85
+  }
+
+  test("nnDescent: the exact kNN graph is a fixed point") {
+    val corpus = planted(4, 20, 8, seed = 17)
+    val exact = Similarity.bruteForceTopK(corpus, corpus, 3)
+      .select(col("q_id").as("n_id"), col("n_id").as("m_id"))
+    val exactEdges = corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("emb"))
+      .join(exact, Seq("n_id"))
+      .join(corpus.select(col("vec_id").as("m_id"),
+        col("embedding").as("m_emb")), Seq("m_id"))
+      .select(col("n_id"), col("m_id"),
+        Similarity.cosine(col("emb"), col("m_emb")).as("sim"))
+    // a round can only replace an edge with a strictly better one;
+    // no better edge exists, so the graph must come back unchanged
+    val out = GraphAnn.nnDescent(corpus, k = 3, iters = 2,
+      seed = Some(exactEdges))
+    out.select("n_id", "m_id").except(exact).count() shouldBe 0
+    exact.except(out.select("n_id", "m_id")).count() shouldBe 0
+  }
+
+  test("nnDescent: deterministic replay and seed shape invariants") {
+    val corpus = planted(5, 16, 8, seed = 53)
+    val seed = GraphAnn.nnDescentSeed(corpus, k = 3, nBuckets = 8)
+    // seed: at most k out-edges per node, never a self edge
+    seed.groupBy("n_id").count().agg(max("count")).head().getLong(0) should
+      be <= 3L
+    seed.filter(col("n_id") === col("m_id")).count() shouldBe 0
+    val a = GraphAnn.nnDescent(corpus, k = 3, iters = 2, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = GraphAnn.nnDescent(corpus, k = 3, iters = 2, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    a shouldBe b
+    // out-degree never exceeds k after refinement either
+    val g = GraphAnn.nnDescent(corpus, k = 3, iters = 2, nBuckets = 8)
+    g.groupBy("n_id").count().agg(max("count")).head().getLong(0) should
+      be <= 3L
+  }
 }

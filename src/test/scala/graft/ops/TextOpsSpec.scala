@@ -287,6 +287,47 @@ class TextOpsSpec extends SparkSpec {
     r.getAs[Double]("avg_logscore") shouldBe math.log(0.2) +- 1e-12
   }
 
+  test("trigramScore: all four tiers and closed-form score") {
+    // train = doc 2 only: tokens [a b a b a] -> uni a=3 b=2, N=5;
+    // bigrams (a,b)=2, (b,a)=2; trigrams (a,b,a)=2, (b,a,b)=1
+    val df = Seq(
+      (2L, "a b a b a"),
+      (1L, "a b a c"),  // (a,b,a) hit; (b,a,c): c OOV
+      (3L, "x a b"),    // (x,a,b): bigram-tier backoff via (a,b)
+      (5L, "p q a"),    // (p,q,a): unigram-tier backoff via a
+      (7L, "x y")).toDF("doc_id", "text") // < 3 tokens -> pinned zeros
+    val got = TextOps.trigramScore(df, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+      .orderBy("doc_id").collect()
+    // doc 1: S(a|a b) = c(a,b,a)/c(a,b) = 2/2 = 1;
+    // (b,a,c): no trigram, no bigram (a,c), c unknown -> 0.08/5
+    got(0).getAs[Long]("n_trigrams") shouldBe 2L
+    got(0).getAs[Long]("n_hit") shouldBe 1L
+    got(0).getAs[Long]("n_back2") shouldBe 0L
+    got(0).getAs[Long]("n_back1") shouldBe 0L
+    got(0).getAs[Long]("n_oov") shouldBe 1L
+    got(0).getAs[Double]("avg_logscore") shouldBe
+      ((math.log(1.0) + math.log(0.08 / 5)) / 2) +- 1e-12
+    // doc 2 (training doc): trigrams (a,b,a) S=2/2, (b,a,b) S=1/2,
+    // (a,b,a) S=1 -> all hits
+    got(1).getAs[Long]("n_hit") shouldBe 3L
+    got(1).getAs[Double]("avg_logscore") shouldBe
+      (math.log(0.5) / 3) +- 1e-12
+    // doc 3: (x,a,b) falls to the bigram tier:
+    // S = 0.4 * c(a,b)/c(a) = 0.4 * 2/3
+    got(2).getAs[Long]("n_back2") shouldBe 1L
+    got(2).getAs[Double]("avg_logscore") shouldBe
+      math.log(0.4 * 2.0 / 3.0) +- 1e-12
+    // doc 5: (p,q,a) falls to the unigram tier:
+    // S = 0.16 * c(a)/N = 0.16 * 3/5
+    got(3).getAs[Long]("n_back1") shouldBe 1L
+    got(3).getAs[Double]("avg_logscore") shouldBe
+      math.log(0.16 * 3.0 / 5.0) +- 1e-12
+    // doc 7: zero trigrams pinned, null score
+    got(4).getAs[Long]("n_trigrams") shouldBe 0L
+    got(4).isNullAt(got(4).fieldIndex("avg_logscore")) shouldBe true
+  }
+
   test("unigram Viterbi picks the minimum-cost split with deterministic ties") {
     import graft.functions.UnigramSegmenter
     // costs: cheap bigrams make ["ab","ab"] beat ["a","b","a","b"]
