@@ -1233,6 +1233,118 @@ object TextOps {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"), col("avg_logscore"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998) — the principled
+    * alternative to [[bigramScore]]'s stupid backoff, and the smoothing
+    * every published n-gram perplexity filter actually ships. The two
+    * ideas stupid backoff lacks:
+    *  - ABSOLUTE DISCOUNTING: a fixed D is subtracted from every seen
+    *    bigram count and the freed mass is redistributed, so
+    *    singleton bigrams stop being treated as certainty;
+    *  - CONTINUATION PROBABILITY: the backoff distribution is NOT the
+    *    unigram frequency but N1+(·w2)/N1+(··) — how many DISTINCT
+    *    contexts w2 follows — which is what stops high-frequency but
+    *    context-locked words ("Francisco") from soaking up backoff
+    *    mass.
+    *
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    *              + D · N1+(w1·)/c(w1·) · Pcont(w2)
+    *   Pcont(w2) = N1+(·w2)/N1+(··)   (seen w2; else 0.5/N1+(··))
+    *
+    * with D = 0.75 (the Chen–Goodman fixed-discount convention) and an
+    * unseen CONTEXT (c(w1·) = 0) falling back to Pcont(w2) alone. The
+    * LM is trained on the `trainFilter` rows only and scores EVERY row
+    * (the CCNet held-out shape that keeps all tiers non-degenerate).
+    *
+    * Per input row, the exact-integer skeleton the gate replays:
+    * `n_bigrams`, `n_hit` (bigram seen), `n_ctx` (unseen bigram, seen
+    * context), `n_cont` (unseen context, seen continuation), `n_oov`
+    * (both unseen), and the statistic sums `sum_c12` (Σ c(w1 w2)),
+    * `sum_c1` (Σ c(w1·) over seen-context tokens), `sum_n1fw`
+    * (Σ N1+(w1·)), `sum_n1bw` (Σ N1+(·w2)) — plus the float
+    * `avg_logscore` = mean log P (closed-form-pinned in TextOpsSpec).
+    *
+    * Scale shape: all KN statistics derive from ONE Zipf-bounded table
+    * (one row per DISTINCT training bigram, localCheckpoint'd — its
+    * groupBys are distinct-gram-sized, not token-sized); the scoring
+    * side shuffles the document bigram stream twice (bigram key,
+    * continuation key) plus once on the context key — the same
+    * irreducible LM-lookup cost as [[bigramScore]] with one extra
+    * distinct-gram-sized join, no window function, no driver state.
+    * Docs with < 2 tokens are pinned with explicit zero counts and a
+    * null score.
+    */
+  def knBigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, trainFilter: Column,
+                    discount: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    val id = col(idCol)
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
+    val withToks = df.select(id, toks(col(textCol)).as("__w"))
+    val bigrams = withToks.select(id,
+      explode(when(size(col("__w")) >= 2,
+          zip_with(slice(col("__w"), lit(1), size(col("__w")) - 1),
+            slice(col("__w"), lit(2), size(col("__w")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("__b"))
+      .select(id, col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    // every KN statistic is a view over the distinct-bigram table:
+    // c(w1 w2) directly; c(w1·) and N1+(w1·) by context; N1+(·w2) by
+    // continuation; N1+(··) its row count
+    val bi = bigrams
+      .join(df.filter(trainFilter).select(id), Seq(idCol), "left_semi")
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint()
+    val ctx = bi.groupBy("__w1")
+      .agg(sum("__cb").as("__c1"), count(lit(1)).as("__n1fw"))
+    val cont = bi.groupBy("__w2").agg(count(lit(1)).as("__n1bw"))
+    val types = bi.agg(count(lit(1)).as("__types"))
+    val d = lit(discount)
+    val pcont = when(col("__n1bw").isNotNull,
+        col("__n1bw").cast("double") / col("__types").cast("double"))
+      .otherwise(lit(0.5) / col("__types").cast("double"))
+    val score = when(col("__c1").isNotNull,
+        greatest(coalesce(col("__cb").cast("double"), lit(0.0)) - d,
+            lit(0.0)) / col("__c1").cast("double") +
+          d * col("__n1fw").cast("double") / col("__c1").cast("double") *
+            pcont)
+      .otherwise(pcont)
+    val scored = bigrams
+      .join(bi, Seq("__w1", "__w2"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(types))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__cb").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("__cb").isNull && col("__c1").isNotNull, 1L)
+          .otherwise(0L)).as("n_ctx"),
+        sum(when(col("__c1").isNull && col("__n1bw").isNotNull, 1L)
+          .otherwise(0L)).as("n_cont"),
+        sum(when(col("__c1").isNull && col("__n1bw").isNull, 1L)
+          .otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("__cb"), lit(0L))).as("sum_c12"),
+        sum(coalesce(col("__c1"), lit(0L))).as("sum_c1"),
+        sum(coalesce(col("__n1fw"), lit(0L))).as("sum_n1fw"),
+        sum(coalesce(col("__n1bw"), lit(0L))).as("sum_n1bw"),
+        (sum(log(score)) / count(lit(1))).as("avg_logscore"))
+    df.select(id).distinct().join(scored, Seq(idCol), "left")
+      .select(id, coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_ctx"), lit(0L)).as("n_ctx"),
+        coalesce(col("n_cont"), lit(0L)).as("n_cont"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sum_c12"), lit(0L)).as("sum_c12"),
+        coalesce(col("sum_c1"), lit(0L)).as("sum_c1"),
+        coalesce(col("sum_n1fw"), lit(0L)).as("sum_n1fw"),
+        coalesce(col("sum_n1bw"), lit(0L)).as("sum_n1bw"),
+        col("avg_logscore"))
+  }
+
   def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
             idCol: String, topN: Int = 5): org.apache.spark.sql.DataFrame = {
     val id = col(idCol)

@@ -5545,6 +5545,59 @@ object OpsQueries {
              |  cast(coalesce(s.n1, 0) AS BIGINT) AS n_back1,
              |  cast(coalesce(s.nov, 0) AS BIGINT) AS n_oov
              |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram LM (t33): the principled
+    // smoothing next to t15's stupid backoff — absolute discounting
+    // plus the continuation-count backoff distribution. The gate pins
+    // the exact integer skeleton (tier counts AND the four KN
+    // statistic sums, full LEFT JOIN recompute in DuckDB); the float
+    // avg_logscore is pinned closed-form in TextOpsSpec, the t15
+    // recipe.
+    QueryDef("t33_kneser_ney_lm",
+      (s, dir) => TextOps.knBigramScore(docs(s, dir), "doc_id", "text",
+          col("doc_id") % 2 === 0)
+        .select("doc_id", "n_bigrams", "n_hit", "n_ctx", "n_cont",
+          "n_oov", "sum_c12", "sum_c1", "sum_n1fw", "sum_n1bw"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             |                x -> x <> '') AS toks FROM documents),
+             |bg AS (SELECT doc_id, toks[u.j] AS w1, toks[u.j + 1] AS w2
+             |  FROM t, unnest(range(1, len(toks))) AS u(j)),
+             |bi AS (SELECT w1, w2, count(*) AS cb FROM bg
+             |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+             |ctx AS (SELECT w1, sum(cb) AS c1, count(*) AS n1fw
+             |  FROM bi GROUP BY 1),
+             |cont AS (SELECT w2, count(*) AS n1bw FROM bi GROUP BY 1),
+             |s AS (SELECT bg.doc_id, count(*) AS nb,
+             |    sum(CASE WHEN bi.cb IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS nh,
+             |    sum(CASE WHEN bi.cb IS NULL AND ctx.c1 IS NOT NULL
+             |        THEN 1 ELSE 0 END) AS nc,
+             |    sum(CASE WHEN ctx.c1 IS NULL AND cont.n1bw IS NOT NULL
+             |        THEN 1 ELSE 0 END) AS nk,
+             |    sum(CASE WHEN ctx.c1 IS NULL AND cont.n1bw IS NULL
+             |        THEN 1 ELSE 0 END) AS nov,
+             |    sum(coalesce(bi.cb, 0)) AS sc12,
+             |    sum(coalesce(ctx.c1, 0)) AS sc1,
+             |    sum(coalesce(ctx.n1fw, 0)) AS sfw,
+             |    sum(coalesce(cont.n1bw, 0)) AS sbw
+             |  FROM bg
+             |  LEFT JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+             |  LEFT JOIN ctx ON bg.w1 = ctx.w1
+             |  LEFT JOIN cont ON bg.w2 = cont.w2
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  cast(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+             |  cast(coalesce(s.nh, 0) AS BIGINT) AS n_hit,
+             |  cast(coalesce(s.nc, 0) AS BIGINT) AS n_ctx,
+             |  cast(coalesce(s.nk, 0) AS BIGINT) AS n_cont,
+             |  cast(coalesce(s.nov, 0) AS BIGINT) AS n_oov,
+             |  cast(coalesce(s.sc12, 0) AS BIGINT) AS sum_c12,
+             |  cast(coalesce(s.sc1, 0) AS BIGINT) AS sum_c1,
+             |  cast(coalesce(s.sfw, 0) AS BIGINT) AS sum_n1fw,
+             |  cast(coalesce(s.sbw, 0) AS BIGINT) AS sum_n1bw
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin))
   )
 }

@@ -287,6 +287,51 @@ class TextOpsSpec extends SparkSpec {
     r.getAs[Double]("avg_logscore") shouldBe math.log(0.2) +- 1e-12
   }
 
+  test("knBigramScore: KN tiers, statistic sums, and closed-form score") {
+    // train = doc 2 only: tokens [a b a b] -> bigrams (a,b)=2, (b,a)=1;
+    // ctx: a -> c1=2 n1fw=1, b -> c1=1 n1fw=1; cont: a -> 1, b -> 1;
+    // N1+(..) = 2 bigram types; D = 0.75
+    val df = Seq(
+      (2L, "a b a b"),
+      (1L, "a b c"),   // (a,b) hit; (b,c): seen context, unseen cont
+      (3L, "x")).toDF("doc_id", "text") // < 2 tokens -> pinned zeros
+    val got = TextOps.knBigramScore(df, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+      .orderBy("doc_id").collect()
+    // doc 1: P(b|a) = (2-.75)/2 + .75*(1/2)*(1/2) = 0.8125
+    //        P(c|b) = 0 + .75*(1/1)*(0.5/2)       = 0.1875
+    got(0).getAs[Long]("n_bigrams") shouldBe 2L
+    got(0).getAs[Long]("n_hit") shouldBe 1L
+    got(0).getAs[Long]("n_ctx") shouldBe 1L
+    got(0).getAs[Long]("n_cont") shouldBe 0L
+    got(0).getAs[Long]("n_oov") shouldBe 0L
+    got(0).getAs[Long]("sum_c12") shouldBe 2L
+    got(0).getAs[Long]("sum_c1") shouldBe 3L
+    got(0).getAs[Long]("sum_n1fw") shouldBe 2L
+    got(0).getAs[Long]("sum_n1bw") shouldBe 1L
+    got(0).getAs[Double]("avg_logscore") shouldBe
+      ((math.log(0.8125) + math.log(0.1875)) / 2) +- 1e-12
+    // doc 2 (training doc): (a,b) 0.8125 twice;
+    // P(a|b) = (1-.75)/1 + .75*(1/1)*(1/2) = 0.625
+    got(1).getAs[Long]("n_hit") shouldBe 3L
+    got(1).getAs[Double]("avg_logscore") shouldBe
+      ((2 * math.log(0.8125) + math.log(0.625)) / 3) +- 1e-12
+    // doc 3: zero bigrams pinned, null score
+    got(2).getAs[Long]("n_bigrams") shouldBe 0L
+    got(2).isNullAt(got(2).fieldIndex("avg_logscore")) shouldBe true
+    // unseen-context tiers: (c,a) falls to Pcont(a) = 1/2 alone;
+    // (q,z) is fully OOV -> 0.5/2
+    val df2 = Seq((2L, "a b a b"), (1L, "c a"), (3L, "q z"))
+      .toDF("doc_id", "text")
+    val r = TextOps.knBigramScore(df2, "doc_id", "text",
+        col("doc_id") % 2 === 0)
+      .filter(col("doc_id") =!= 2).orderBy("doc_id").collect()
+    r(0).getAs[Long]("n_cont") shouldBe 1L
+    r(0).getAs[Double]("avg_logscore") shouldBe math.log(0.5) +- 1e-12
+    r(1).getAs[Long]("n_oov") shouldBe 1L
+    r(1).getAs[Double]("avg_logscore") shouldBe math.log(0.25) +- 1e-12
+  }
+
   test("trigramScore: all four tiers and closed-form score") {
     // train = doc 2 only: tokens [a b a b a] -> uni a=3 b=2, N=5;
     // bigrams (a,b)=2, (b,a)=2; trigrams (a,b,a)=2, (b,a,b)=1
