@@ -101,11 +101,14 @@ object GraphAnn {
     if (cells.length < 2) Centroids.centroidAssign(emb, cells)
     else Centroids.centroidProbes(emb, cells, 2).getItem(1)
 
-  /** The same nodes re-keyed by their SECOND-closest cell. */
+  /** The same nodes re-keyed by their SECOND-closest cell (via
+    * [[secondCell]], so a single-cell grid degrades to the home cell
+    * instead of indexing past the probe list).
+    */
   private def secondCellSide(c: DataFrame,
                              cells: Array[Array[Double]]): DataFrame =
     c.select(col("n_id"), col("emb"),
-      Centroids.centroidProbes(col("emb"), cells, 2).getItem(1).as("cell"))
+      secondCell(col("emb"), cells).as("cell"))
 
   /** The plain kNN edge rule: per-pool top-k (intra `degree`, cross
     * `crossDegree`) folded to one best-first neighbor list. Shared by
@@ -346,6 +349,24 @@ object GraphAnn {
       q.select("q_id").join(probed.select("q_id"), Seq("q_id"),
           "left_anti")
         .crossJoin(fallback))
+    val scored = beamLoop(q, nodes.select(col("n_id"), col("neighbors")),
+      entryCand, beam, hops, score, bcast)
+    val nVisited = scored.groupBy("q_id")
+      .agg(count(lit(1)).as("n_visited"))
+    finishTopK(scored, k, nVisited)
+  }
+
+  /** The best-first expansion loop alone: seed the candidate pool from
+    * `entryCand` (q_id, n_id), expand `hops` rounds over the `adj`
+    * relation (n_id, neighbors), return every scored candidate. The
+    * per-layer building block shared by the flat serve and the
+    * [[queryHnswIndex]] layered descent (which runs it once per layer
+    * over that layer's adjacency).
+    */
+  private def beamLoop(q: DataFrame, adj: DataFrame, entryCand: DataFrame,
+                       beam: Int, hops: Int,
+                       score: (DataFrame, DataFrame, Boolean) => DataFrame,
+                       bcast: Boolean): DataFrame = {
     var scored = score(entryCand, q, bcast).localCheckpoint()
     var expanded = scored.select("q_id", "n_id").limit(0).localCheckpoint()
     var h = 0
@@ -356,7 +377,7 @@ object GraphAnn {
       expanded = expanded.unionByName(frontier).localCheckpoint()
       val adjSide = if (bcast) frontier else frontier.hint("shuffle_hash")
       val cand = adjSide
-        .join(nodes.select(col("n_id"), col("neighbors")), Seq("n_id"))
+        .join(adj, Seq("n_id"))
         .select(col("q_id"), explode(col("neighbors")).as("n_id"))
         .distinct()
         .join(scored.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
@@ -365,8 +386,13 @@ object GraphAnn {
         .localCheckpoint()
       h += 1
     }
-    val nVisited = scored.groupBy("q_id")
-      .agg(count(lit(1)).as("n_visited"))
+    scored
+  }
+
+  /** Fold a scored candidate pool to the (q_id, n_id, rank, sim,
+    * n_visited) serve contract. */
+  private def finishTopK(scored: DataFrame, k: Int,
+                         nVisited: DataFrame): DataFrame =
     scored.filter(col("q_id") =!= col("n_id"))
       .groupBy("q_id")
       .agg(TopK.topK(col("sim"), col("n_id"), k).as("top"))
@@ -374,7 +400,6 @@ object GraphAnn {
       .select(col("q_id"), col("e.id").as("n_id"),
         (col("pos") + 1).cast("int").as("rank"), col("e.score").as("sim"))
       .join(nVisited, Seq("q_id"))
-  }
 
   /** Graph index over PQ-COMPRESSED vectors — the DiskANN/HNSW-PQ
     * marriage: the navigation structure of the graph tier with the
@@ -947,5 +972,159 @@ object GraphAnn {
     import org.apache.spark.sql.expressions.Window
     g.withColumn("rank", row_number().over(
       Window.partitionBy("n_id").orderBy(col("sim").desc, col("m_id"))))
+  }
+
+  // --------------------------------------------------------------------
+  // Hierarchical (HNSW-shape) tier: layered graphs + adaptive entry
+  // --------------------------------------------------------------------
+
+  /** A built hierarchical index (Malkov & Yashunin 2016, re-expressed
+    * for a partitioned engine).
+    *
+    * @param nodes n_id, emb, cell, level — every corpus vector, with
+    *              its deterministic layer-membership level
+    *              (localCheckpointed)
+    * @param adj   layer, n_id, neighbors (array<long>, best-first) —
+    *              one adjacency row per (layer, member); a layer-ℓ
+    *              row's neighbors are all layer-ℓ members
+    * @param levelFanout the geometric decay M: P(level ≥ ℓ) = M^{-ℓ}
+    * @param maxLevel    the level cap the index was built with
+    */
+  case class HnswIndex(nodes: DataFrame, adj: DataFrame,
+                       cells: Array[Array[Double]], degree: Int,
+                       crossDegree: Int, levelFanout: Int, maxLevel: Int,
+                       alpha: Option[Double] = None, poolSize: Int = 0)
+
+  /** Deterministic geometric level: the largest ℓ ≤ maxLevel with
+    * xxhash64(n_id) ≡ 0 (mod M^ℓ) — P(level ≥ ℓ) = M^{-ℓ} like HNSW's
+    * random draw, but replayable on any layout (divisibility by M^ℓ
+    * implies divisibility by M^{ℓ-1}, so the indicator sum IS the max
+    * consistent prefix).
+    */
+  private[ops] def hashLevel(id: org.apache.spark.sql.Column, fanout: Int,
+                             maxLevel: Int): org.apache.spark.sql.Column =
+    if (maxLevel == 0) lit(0)
+    else (1 to maxLevel).map { l =>
+      when(pmod(xxhash64(id), lit(math.pow(fanout.toDouble, l).toLong))
+        === 0, 1).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Build the layered index. Layer 0 holds every vector with the flat
+    * build's edge rule (same cells, same intra/cross pools, same
+    * optional α-prune); layer ℓ ≥ 1 holds the ~n/M^ℓ members whose
+    * hash level reaches ℓ, wired by the same rule over just those
+    * members — but over a COARSENED cell grid of max(1, nlist/M^ℓ)
+    * cells. Shrinking member count and cell count together keeps the
+    * per-cell pool size ≈ n/nlist at every layer (the build stays
+    * Σ_ℓ n_ℓ · n_c, a geometric series dominated by the layer-0 term)
+    * while making upper-layer edges genuinely LONG-RANGE: a layer-ℓ
+    * member's nearest peers among a 1/M^ℓ sample span M^ℓ× more of the
+    * space, which is exactly the role of HNSW's upper layers — without
+    * it, upper edges inherit layer 0's cell locality and a
+    * single-entry descent cannot cross the corpus (measured on the
+    * straddle fixture: 9/100 recall with inherited cells vs 75+/100
+    * coarsened).
+    */
+  def buildHnswIndex(corpus: DataFrame, nlist: Int = 16, degree: Int = 8,
+                     crossDegree: Int = 2, levelFanout: Int = 8,
+                     maxLevel: Int = 2,
+                     centroids: Option[Array[Array[Double]]] = None,
+                     alpha: Option[Double] = None,
+                     poolSize: Int = 0): HnswIndex = {
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    require(crossDegree >= 0, s"crossDegree must be >= 0, got $crossDegree")
+    require(levelFanout >= 2, s"levelFanout must be >= 2, got $levelFanout")
+    require(maxLevel >= 0, s"maxLevel must be >= 0, got $maxLevel")
+    alpha.foreach(a => require(a >= 1.0, s"alpha must be >= 1.0, got $a"))
+    val poolN =
+      if (alpha.isEmpty) 0
+      else if (poolSize > 0) poolSize
+      else 3 * (degree + crossDegree)
+    val cells = centroids.getOrElse(Similarity.firstVectors(corpus, nlist))
+    val nodes = corpus.select(col("vec_id").as("n_id"),
+        col("embedding").as("emb"),
+        Centroids.centroidAssign(col("embedding"), cells).as("cell"))
+      .withColumn("level",
+        hashLevel(col("n_id"), levelFanout, maxLevel).cast("int"))
+      .localCheckpoint()
+    val adj = (0 to maxLevel).map { l =>
+      // coarsen the grid with the layer: member count and cell count
+      // shrink by the same M^ℓ, so pool size stays ≈ n/nlist while the
+      // edges reach M^ℓ× further
+      val cellsL =
+        if (l == 0) cells
+        else cells.take(math.max(1,
+          (cells.length / math.pow(levelFanout.toDouble, l)).toInt))
+      val members = nodes.filter(col("level") >= l)
+        .select(col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), cellsL).as("cell"))
+      val peers = members.select(col("cell"), col("n_id").as("m_id"),
+        col("emb").as("m_emb"))
+      val nbrs = neighborRule(members, peers, cellsL, degree, crossDegree,
+        alpha, poolN)
+      // LEFT join: an upper-layer member alone in its cell keeps an
+      // empty list but stays a waypoint (same invariant as the flat
+      // build)
+      members.select("n_id").join(nbrs, Seq("n_id"), "left")
+        .select(lit(l).as("layer"), col("n_id"),
+          coalesce(col("neighbors"),
+            expr("cast(array() as array<bigint>)")).as("neighbors"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    HnswIndex(nodes, adj, cells, degree, crossDegree, levelFanout,
+      maxLevel, alpha, poolN)
+  }
+
+  /** Layered serve: start every query at ONE deterministic entry (the
+    * hash-min member of the top non-empty layer), greedily descend —
+    * a narrow beam ([[upperBeam]], [[upperHops]]) per upper layer,
+    * each layer's winners seeding the next — then run the full
+    * layer-0 beam search from the descended entry points. This is the
+    * HNSW serve shape: the upper layers ADAPT the entry to the query,
+    * replacing the flat index's fixed per-cell entry lists, so the
+    * layer-0 walk starts next to the answer instead of at a cell
+    * centroid's hash picks. Same batched physics as the flat serve:
+    * per layer, one broadcast (or shuffle-hash past the |Q| limit)
+    * join per hop + the bounded-heap fold; n_visited counts EVERY
+    * scored candidate across all layers, so budget-matched gates stay
+    * honest.
+    */
+  def queryHnswIndex(queries: DataFrame, index: HnswIndex, k: Int,
+                     beam: Int = 8, hops: Int = 3, upperBeam: Int = 1,
+                     upperHops: Int = 2,
+                     frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(beam >= 1, s"beam must be >= 1, got $beam")
+    require(upperBeam >= 1, s"upperBeam must be >= 1, got $upperBeam")
+    require(upperHops >= 0, s"upperHops must be >= 0, got $upperHops")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val bcast = q.count() <= frontierBroadcastLimit
+    val score = scoreCandidates(_: DataFrame, index.nodes, _: DataFrame,
+      _: Boolean)
+    // levels are monotone sets (layer ℓ members ⊇ layer ℓ+1 members),
+    // so every layer up to the realized max is non-empty
+    val topLevel = index.nodes.agg(max("level")).head().getInt(0)
+    val entry = broadcast(index.nodes.filter(col("level") >= topLevel)
+      .select(col("n_id"), abs(xxhash64(col("n_id"))).as("__h"))
+      .orderBy(col("__h"), col("n_id")).limit(1).select("n_id"))
+    var entryCand = q.select("q_id").crossJoin(entry)
+    var visited = q.select("q_id").limit(0)
+    var l = topLevel
+    while (l >= 1) {
+      val adjL = index.adj.filter(col("layer") === l)
+        .select("n_id", "neighbors")
+      val scored = beamLoop(q, adjL, entryCand, upperBeam, upperHops,
+        score, bcast)
+      visited = visited.unionByName(scored.select("q_id"))
+      entryCand = topPerQuery(scored, upperBeam).localCheckpoint()
+      l -= 1
+    }
+    val adj0 = index.adj.filter(col("layer") === 0)
+      .select("n_id", "neighbors")
+    val scored0 = beamLoop(q, adj0, entryCand, beam, hops, score, bcast)
+    val nVisited = visited.unionByName(scored0.select("q_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_visited"))
+    finishTopK(scored0, k, nVisited)
   }
 }

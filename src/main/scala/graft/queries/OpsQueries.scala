@@ -5547,6 +5547,62 @@ object OpsQueries {
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin)),
 
+    // Hierarchical layered graph ANN (n40): the HNSW claim (Malkov &
+    // Yashunin 2016 — the hierarchy's job is ADAPTIVE ENTRY) measured
+    // on the straddle fixture. Three serves share the layer-0 edge
+    // rule (degree 4 + cross 2) and budget (k=5, beam=2, hops=2):
+    // the n31 flat graph with codebook-probed entries (75/100 hits,
+    // max 23 visited at the pinned fixture), the same graph from ONE
+    // fixed global entry — the single-layer NSW baseline, which
+    // collapses to 5/100 because a low-degree walk cannot cross the
+    // corpus in 2 hops — and the layered index descending from the
+    // SAME single entry through two hash-leveled coarsened upper
+    // layers (79/100, max 34). The gate pins: the hierarchy rescues
+    // the single-entry regime, matches-or-beats the codebook-probed
+    // serve (HNSW needs NO centroid probing per query), and its
+    // upper-layer overhead stays within the formula bound
+    // Σ_layers (upperBeam + upperHops·upperBeam·(degree+cross)) = 26.
+    QueryDef("n40_ann_hnsw",
+      (s, dir) => {
+        val (corpus, cells, q) = straddleFixture(s, dir)
+        val exact = Similarity.bruteForceTopK(q, corpus, 5)
+          .select("q_id", "n_id")
+        val flatIdx = GraphAnn.buildGraphIndex(corpus, nlist = 16,
+          degree = 4, crossDegree = 2, centroids = Some(cells))
+        val flat = GraphAnn.queryGraphIndex(q, flatIdx, k = 5, beam = 2,
+          hops = 2, entryProbes = 1)
+        // NSW baseline: identical graph + serve, every cell's entry
+        // list replaced by the one hash-min global node
+        val gEntry = flatIdx.nodes
+          .select(col("n_id"), abs(xxhash64(col("n_id"))).as("__h"))
+          .orderBy(col("__h"), col("n_id")).limit(1).head().getLong(0)
+        val nswIdx = flatIdx.copy(entries = flatIdx.entries
+          .select("cell").distinct()
+          .withColumn("entry_id", lit(gEntry)).localCheckpoint())
+        val nsw = GraphAnn.queryGraphIndex(q, nswIdx, k = 5, beam = 2,
+          hops = 2, entryProbes = 1)
+        val hnswIdx = GraphAnn.buildHnswIndex(corpus, nlist = 16,
+          degree = 4, crossDegree = 2, levelFanout = 8, maxLevel = 2,
+          centroids = Some(cells))
+        val hnsw = GraphAnn.queryHnswIndex(q, hnswIdx, k = 5, beam = 2,
+          hops = 2, upperBeam = 1, upperHops = 2)
+        def hits(approx: org.apache.spark.sql.DataFrame) =
+          exact.join(approx.select("q_id", "n_id"), Seq("q_id", "n_id"))
+            .count()
+        def maxVisited(r: org.apache.spark.sql.DataFrame) =
+          r.select("q_id", "n_visited").distinct()
+            .agg(max("n_visited")).head().getLong(0)
+        val s2 = s
+        import s2.implicits._
+        Seq((q.count(), hits(hnsw) > hits(nsw),
+            hits(hnsw) >= hits(flat),
+            maxVisited(hnsw) <= maxVisited(nsw) + 26))
+          .toDF("nq", "hierarchy_rescues_entry", "matches_probed",
+            "overhead_bounded")
+      },
+      Some("SELECT 20::BIGINT AS nq, TRUE AS hierarchy_rescues_entry, " +
+        "TRUE AS matches_probed, TRUE AS overhead_bounded")),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

@@ -528,4 +528,95 @@ class GraphAnnSpec extends SparkSpec {
     g.groupBy("n_id").count().agg(max("count")).head().getLong(0) should
       be <= 3L
   }
+
+  test("HNSW: hash levels follow the divisibility rule; layers are closed") {
+    val corpus = planted(6, 30, 16, seed = 71)
+    val idx = GraphAnn.buildHnswIndex(corpus, nlist = 8, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 3)
+    // the level column IS the divisibility count of xxhash64(n_id)
+    // by 4^l — recompute it independently
+    val expected = corpus.select(col("vec_id").as("n_id"),
+      ((1 to 3).map(l => when(pmod(xxhash64(col("vec_id")),
+          lit(math.pow(4.0, l).toLong)) === 0, 1).otherwise(0))
+        .reduce(_ + _)).cast("int").as("exp_level"))
+    idx.nodes.select("n_id", "level")
+      .join(expected, Seq("n_id"))
+      .filter(col("level") =!= col("exp_level")).count() shouldBe 0
+    // monotone membership: every layer-l adjacency row belongs to a
+    // node with level >= l, and every neighbor is a layer member too
+    val lv = idx.nodes.select(col("n_id"), col("level"))
+    idx.adj.join(lv, Seq("n_id"))
+      .filter(col("level") < col("layer")).count() shouldBe 0
+    idx.adj.select(col("layer"), explode(col("neighbors")).as("n_id"))
+      .join(lv, Seq("n_id"))
+      .filter(col("level") < col("layer")).count() shouldBe 0
+    // every member of layer l has an adjacency row at every layer <= l
+    val members = lv.select(col("n_id"), col("level"))
+    val adjCount = idx.adj.groupBy("n_id").count()
+    members.join(adjCount, Seq("n_id"))
+      .filter(col("count") =!= col("level") + 1).count() shouldBe 0
+  }
+
+  test("HNSW serve replays identically across corpus layouts") {
+    val corpus = planted(5, 24, 16, seed = 83)
+    val queries = corpus.filter(col("vec_id") < 6)
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val idx = GraphAnn.buildHnswIndex(c, nlist = 8, degree = 5,
+        crossDegree = 2, levelFanout = 4, maxLevel = 2)
+      GraphAnn.queryHnswIndex(queries, idx, k = 4, beam = 3, hops = 2,
+          upperBeam = 1, upperHops = 2)
+        .select("q_id", "n_id", "rank", "n_visited")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    }
+    run(corpus.repartition(13)) shouldBe run(corpus.coalesce(1))
+  }
+
+  test("HNSW with maxLevel=0 equals the flat graph served from the same single entry") {
+    val corpus = planted(5, 20, 16, seed = 29)
+    val queries = corpus.filter(col("vec_id") < 6)
+    val hIdx = GraphAnn.buildHnswIndex(corpus, nlist = 8, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 0)
+    val fIdx = GraphAnn.buildGraphIndex(corpus, nlist = 8, degree = 4,
+      crossDegree = 2)
+    // flat index rewired to the hash-min global entry (the degenerate
+    // one-layer HNSW's entry rule)
+    val gEntry = fIdx.nodes
+      .select(col("n_id"), abs(xxhash64(col("n_id"))).as("__h"))
+      .orderBy(col("__h"), col("n_id")).limit(1).head().getLong(0)
+    val nswIdx = fIdx.copy(entries = fIdx.entries.select("cell")
+      .distinct().withColumn("entry_id", lit(gEntry)).localCheckpoint())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank", "sim", "n_visited")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3), r.getLong(4))).toSet
+    rows(GraphAnn.queryHnswIndex(queries, hIdx, k = 4, beam = 3,
+      hops = 2)) shouldBe
+      rows(GraphAnn.queryGraphIndex(queries, nswIdx, k = 4, beam = 3,
+        hops = 2, entryProbes = 1))
+  }
+
+  test("HNSW: adaptive entry beats the single-entry flat serve on planted clusters") {
+    val corpus = planted(10, 30, 16, seed = 101)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("q_id", "n_id")
+    val fIdx = GraphAnn.buildGraphIndex(corpus, nlist = 8, degree = 4,
+      crossDegree = 2)
+    val gEntry = fIdx.nodes
+      .select(col("n_id"), abs(xxhash64(col("n_id"))).as("__h"))
+      .orderBy(col("__h"), col("n_id")).limit(1).head().getLong(0)
+    val nswIdx = fIdx.copy(entries = fIdx.entries.select("cell")
+      .distinct().withColumn("entry_id", lit(gEntry)).localCheckpoint())
+    val hIdx = GraphAnn.buildHnswIndex(corpus, nlist = 8, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      exact.join(df.select("q_id", "n_id"), Seq("q_id", "n_id")).count()
+    val nsw = hits(GraphAnn.queryGraphIndex(queries, nswIdx, k = 5,
+      beam = 2, hops = 2, entryProbes = 1))
+    val hnsw = hits(GraphAnn.queryHnswIndex(queries, hIdx, k = 5,
+      beam = 2, hops = 2, upperBeam = 1, upperHops = 2))
+    hnsw should be > nsw
+  }
 }
