@@ -112,14 +112,24 @@ object Dedup {
                  threshold: Double = 0.7, seed: Long = 42L,
                  maxBucket: Int = 1000,
                  carrySignatures: Boolean = true): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val rows = k / bands
     // CacheOnce, not .cache(): repeated invocations (bench iterations,
     // the d02/d12 banding variants) re-derive the identical signature
     // plan — dedup to ONE shared entry instead of stacking a leaked
     // cache + CacheManager warning per call
     val sig = graft.engine.CacheOnce(
       minhashSignatures(docs, textCol, idCol, k, shingleN, seed))
+    pairsFromSigs(sig, k, bands, threshold, maxBucket, carrySignatures)
+  }
+
+  /** The LSH banding + pairing + scoring stage alone, over an already-
+    * materialized signature relation (doc_id, sig) — shared by
+    * [[minhashLsh]] (signatures computed in-flight) and
+    * [[minhashIndexPairs]] (signatures read from a persisted index).
+    */
+  private def pairsFromSigs(sig: DataFrame, k: Int, bands: Int,
+                            threshold: Double, maxBucket: Int,
+                            carrySignatures: Boolean): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     // Band keys via the single-pass BandHashes expression: bucket
     // condition (slice equality) is identical to the previous
     // concat_ws/element_at formulation, minus its interpreted per-band
@@ -214,6 +224,124 @@ object Dedup {
         col("siga").as("sig_a"), col("sigb").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     scorePairs(pairs, k, threshold)
+  }
+
+  /** A persisted MinHash-LSH dedup index — the signature artifact the
+    * incremental path reads, promoted to a first-class lifecycle
+    * (build / save / load / append / delete / read) like the IVF-PQ,
+    * graph, substring, and BM25 families. The state is ONE relation:
+    * per-doc k-long signatures (8·k bytes/doc, corpus-linear but
+    * text-free); every verb is either a pure per-row projection
+    * (signatures are row-independent functions of the text, so append
+    * and delete are union/anti-join with EXACT rebuild equality) or a
+    * banding readout over the signatures alone.
+    *
+    * @param sigs doc_id, sig (array<long>, length k) — localCheckpointed
+    */
+  case class MinHashIndex(sigs: DataFrame, k: Int, bands: Int,
+                          shingleN: Int, seed: Long)
+
+  /** Sign the corpus once; the text is never needed again. */
+  def buildMinHashIndex(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                        seed: Long = 42L): MinHashIndex = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    MinHashIndex(minhashSignatures(docs, textCol, idCol, k, shingleN, seed)
+      .localCheckpoint(), k, bands, shingleN, seed)
+  }
+
+  /** Append a batch: sign ONLY the new text, union. Signatures are
+    * row-independent, so the result is exactly the from-scratch build
+    * over the union (spec pins it). Duplicate ids fail fast — a
+    * re-signed id would double-band and emit self-pairs downstream.
+    */
+  def appendToMinHashIndex(index: MinHashIndex, newDocs: DataFrame,
+                           textCol: String, idCol: String): MinHashIndex = {
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, index.k,
+      index.shingleN, index.seed)
+    val dup = index.sigs.select("doc_id")
+      .join(newSigs.select("doc_id"), Seq("doc_id"), "left_semi").count()
+    require(dup == 0,
+      s"appendToMinHashIndex: $dup batch ids already indexed — " +
+        "delete them first or de-duplicate the batch")
+    MinHashIndex(index.sigs.unionByName(newSigs).localCheckpoint(),
+      index.k, index.bands, index.shingleN, index.seed)
+  }
+
+  /** Delete documents: one anti join. Non-members are a no-op, and a
+    * deleted id may be re-appended later (signatures carry no
+    * cross-document state, unlike the substring index's burned ids).
+    */
+  def deleteFromMinHashIndex(index: MinHashIndex, ids: DataFrame,
+                             idCol: String = "doc_id"): MinHashIndex =
+    MinHashIndex(index.sigs.join(ids.select(col(idCol).as("doc_id")),
+        Seq("doc_id"), "left_anti").localCheckpoint(),
+      index.k, index.bands, index.shingleN, index.seed)
+
+  /** Full self-dedup readout from the index alone (no text): band the
+    * stored signatures, bucket-join, score — row-for-row what
+    * [[minhashLsh]] emits over the same corpus (gate d33).
+    */
+  def minhashIndexPairs(index: MinHashIndex, threshold: Double = 0.7,
+                        maxBucket: Int = 1000,
+                        carrySignatures: Boolean = true): DataFrame =
+    pairsFromSigs(index.sigs, index.k, index.bands, threshold, maxBucket,
+      carrySignatures)
+
+  /** Read-only screen of a probe batch against the index: the
+    * [[minhashLshIncremental]] asymmetric-join shape (only
+    * probe-touching buckets expand) without mutating the index.
+    * `includeProbePairs = false` drops probe-probe pairs — the
+    * decontamination orientation, where only probe-vs-indexed overlap
+    * matters.
+    */
+  def queryMinHashIndex(index: MinHashIndex, probes: DataFrame,
+                        textCol: String, idCol: String,
+                        threshold: Double = 0.7, maxBucket: Int = 1000,
+                        includeProbePairs: Boolean = true): DataFrame = {
+    val pairs = minhashLshIncremental(probes, textCol, idCol, index.sigs,
+      index.k, index.bands, threshold, index.shingleN, index.seed,
+      maxBucket)
+    if (includeProbePairs) pairs
+    else {
+      val pid = probes.select(col(idCol).as("doc_id")).distinct()
+      pairs
+        .join(pid.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+          "left_semi")
+        .join(pid.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+          "left_anti")
+        .unionByName(pairs
+          .join(pid.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+            "left_semi")
+          .join(pid.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+            "left_anti"))
+    }
+  }
+
+  /** Persist as two parquet tables under `dir` (the n21/n32 layout
+    * discipline): `meta` (format_version + build parameters, read back
+    * BY NAME) and `sigs` — the only corpus-sized piece, distributed
+    * end to end.
+    */
+  def saveMinHashIndex(index: MinHashIndex, dir: String): Unit = {
+    val spark = index.sigs.sparkSession
+    import spark.implicits._
+    Seq((1, index.k, index.bands, index.shingleN, index.seed))
+      .toDF("format_version", "k", "bands", "shingle_n", "seed")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+  }
+
+  /** Reload: meta collects one row; signatures stay a lazy scan. */
+  def loadMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): MinHashIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported minhash index format_version " +
+        meta.getAs[Int]("format_version"))
+    MinHashIndex(spark.read.parquet(s"$dir/sigs"),
+      meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+      meta.getAs[Int]("shingle_n"), meta.getAs[Long]("seed"))
   }
 
   /** Shared signature-agreement scoring: estimated Jaccard from two

@@ -1630,6 +1630,36 @@ object OpsQueries {
              |FROM d JOIN k USING (doc_id)
              |LEFT JOIN spc USING (doc_id)""".stripMargin)),
 
+    // MinHash-LSH index LIFECYCLE (d33): the d13 signature artifact
+    // promoted to a persisted index with the full verb set every
+    // other index family already carries — build the even-corpus
+    // index, save/load it, append the doc_id%5 batch (fail-fast on id
+    // collision), delete the doc_id%10==3 slice, then read the
+    // surviving corpus's dedup pairs from SIGNATURES ALONE (no text
+    // re-scan). Every verb is union/anti-join over row-independent
+    // signatures, so the final readout must equal the d02 truth over
+    // exactly the surviving documents — the oracle replays true
+    // 3-gram Jaccard >= 0.7 with the deleted slice excluded.
+    QueryDef("d33_minhash_index_lifecycle",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val idxDir = "/tmp/graft_gate_minhashidx_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val built = Dedup.buildMinHashIndex(
+          d.filter(col("doc_id") % 5 =!= 0), "text", "doc_id")
+        Dedup.saveMinHashIndex(built, idxDir)
+        val loaded = Dedup.loadMinHashIndex(s, idxDir)
+        val appended = Dedup.appendToMinHashIndex(loaded,
+          d.filter(col("doc_id") % 5 === 0), "text", "doc_id")
+        val fin = Dedup.deleteFromMinHashIndex(appended,
+          d.filter(col("doc_id") % 10 === 3).select("doc_id"))
+        Dedup.minhashIndexPairs(fin).select("doc_a", "doc_b")
+      },
+      Some(s"""WITH $trueJaccardSql
+              |SELECT doc_a, doc_b FROM truth
+              |WHERE jac >= 0.7
+              |  AND doc_a % 10 <> 3 AND doc_b % 10 <> 3""".stripMargin)),
+
     // Substring-index DELETION (d30): drop a sixth of the documents
     // from the accumulated index — one filter over the keys relation
     // (spans derive only from keys; dictionary labels minted by

@@ -75,6 +75,91 @@ class DedupSpec extends SparkSpec {
     full.exceptAll(incr).count() shouldBe 0L
   }
 
+  test("minhash index lifecycle: append/delete equal the rebuild; pairs read from state") {
+    val base = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") > 3)
+    val idx = Dedup.buildMinHashIndex(base, "text", "doc_id")
+    val appended = Dedup.appendToMinHashIndex(idx, batch, "text", "doc_id")
+    // append == from-scratch build over the union, signature-for-signature
+    val rebuilt = Dedup.buildMinHashIndex(docs, "text", "doc_id")
+    def sigSet(i: Dedup.MinHashIndex) = i.sigs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    sigSet(appended) shouldBe sigSet(rebuilt)
+    // readout from the index equals the text-path LSH over the corpus
+    val fromIdx = Dedup.minhashIndexPairs(appended, threshold = 0.4)
+      .select("doc_a", "doc_b", "est_jaccard")
+    val fromText = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4)
+      .select("doc_a", "doc_b", "est_jaccard")
+    fromIdx.exceptAll(fromText).count() shouldBe 0L
+    fromText.exceptAll(fromIdx).count() shouldBe 0L
+    // delete: anti-join equality with the remaining-corpus build;
+    // non-members are a no-op; a deleted id can come back
+    val afterDel = Dedup.deleteFromMinHashIndex(appended,
+      Seq(2L, 99L).toDF("doc_id"))
+    sigSet(afterDel) shouldBe
+      sigSet(Dedup.buildMinHashIndex(
+        docs.filter(col("doc_id") =!= 2), "text", "doc_id"))
+    val back = Dedup.appendToMinHashIndex(afterDel,
+      docs.filter(col("doc_id") === 2), "text", "doc_id")
+    sigSet(back) shouldBe sigSet(rebuilt)
+    // duplicate-id append fails fast
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToMinHashIndex(appended, batch, "text", "doc_id")
+    }
+    e.getMessage should include("already indexed")
+  }
+
+  test("minhash index: save/load round-trips state and parameters") {
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val idx = Dedup.buildMinHashIndex(docs, "text", "doc_id",
+      k = 32, bands = 8, shingleN = 2, seed = 7L)
+    Dedup.saveMinHashIndex(idx, dir)
+    val loaded = Dedup.loadMinHashIndex(spark, dir)
+    loaded.k shouldBe 32
+    loaded.bands shouldBe 8
+    loaded.shingleN shouldBe 2
+    loaded.seed shouldBe 7L
+    def pairs(i: Dedup.MinHashIndex) =
+      Dedup.minhashIndexPairs(i, threshold = 0.4)
+        .select("doc_a", "doc_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pairs(loaded) shouldBe pairs(idx)
+    // a future format version fails fast instead of misreading
+    spark.createDataFrame(Seq((99, 32, 8, 2, 7L)))
+      .toDF("format_version", "k", "bands", "shingle_n", "seed")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.loadMinHashIndex(spark, dir)
+    }
+    err.getMessage should include("format_version")
+  }
+
+  test("queryMinHashIndex screens probes; probe-probe pairs are separable") {
+    val idx = Dedup.buildMinHashIndex(
+      docs.filter(col("doc_id") === 1 || col("doc_id") === 4),
+      "text", "doc_id")
+    val probes = docs.filter(col("doc_id") === 2 || col("doc_id") === 3)
+    val all = Dedup.queryMinHashIndex(idx, probes, "text", "doc_id",
+        threshold = 0.4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe 2 is an exact dup of indexed 1; probes 2 and 3 are near
+    // dups of each other (a probe-probe pair)
+    all should contain((1L, 2L))
+    all.exists(p => p == ((2L, 3L)) ) shouldBe true
+    val xOnly = Dedup.queryMinHashIndex(idx, probes, "text", "doc_id",
+        threshold = 0.4, includeProbePairs = false)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    xOnly should contain((1L, 2L))
+    xOnly.exists(p => p == ((2L, 3L)) ) shouldBe false
+    // every surviving pair has exactly one probe side
+    val probeIds = Set(2L, 3L)
+    xOnly.foreach { case (a, b) =>
+      probeIds.contains(a) ^ probeIds.contains(b) shouldBe true
+    }
+  }
+
   test("simhash: identical -> distance 0 pair; disjoint docs absent") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").intValue()))
