@@ -984,9 +984,13 @@ object GraphAnn {
     * @param nodes n_id, emb, cell, level — every corpus vector, with
     *              its deterministic layer-membership level
     *              (localCheckpointed)
-    * @param adj   layer, n_id, neighbors (array<long>, best-first) —
-    *              one adjacency row per (layer, member); a layer-ℓ
-    *              row's neighbors are all layer-ℓ members
+    * @param adj   layer, n_id, cell, cell2, neighbors (array<long>,
+    *              best-first) — one adjacency row per (layer, member);
+    *              a layer-ℓ row's neighbors are all layer-ℓ members,
+    *              and cell/cell2 are the member's home/second cell on
+    *              that LAYER's coarsened grid, stored so append/delete
+    *              detect affected nodes by semi-join instead of a
+    *              full-layer geometry recompute (the n33 r10 lesson)
     * @param levelFanout the geometric decay M: P(level ≥ ℓ) = M^{-ℓ}
     * @param maxLevel    the level cap the index was built with
     */
@@ -1048,30 +1052,50 @@ object GraphAnn {
         hashLevel(col("n_id"), levelFanout, maxLevel).cast("int"))
       .localCheckpoint()
     val adj = (0 to maxLevel).map { l =>
-      // coarsen the grid with the layer: member count and cell count
-      // shrink by the same M^ℓ, so pool size stays ≈ n/nlist while the
-      // edges reach M^ℓ× further
-      val cellsL =
-        if (l == 0) cells
-        else cells.take(math.max(1,
-          (cells.length / math.pow(levelFanout.toDouble, l)).toInt))
+      val cellsL = hnswLayerCells(cells, levelFanout, l)
       val members = nodes.filter(col("level") >= l)
         .select(col("n_id"), col("emb"),
-          Centroids.centroidAssign(col("emb"), cellsL).as("cell"))
-      val peers = members.select(col("cell"), col("n_id").as("m_id"),
-        col("emb").as("m_emb"))
-      val nbrs = neighborRule(members, peers, cellsL, degree, crossDegree,
-        alpha, poolN)
-      // LEFT join: an upper-layer member alone in its cell keeps an
-      // empty list but stays a waypoint (same invariant as the flat
-      // build)
-      members.select("n_id").join(nbrs, Seq("n_id"), "left")
-        .select(lit(l).as("layer"), col("n_id"),
-          coalesce(col("neighbors"),
-            expr("cast(array() as array<bigint>)")).as("neighbors"))
+          Centroids.centroidAssign(col("emb"), cellsL).as("cell"),
+          secondCell(col("emb"), cellsL).as("cell2"))
+      hnswLayerRows(members, cellsL, l, degree, crossDegree, alpha, poolN)
     }.reduce(_.unionByName(_)).localCheckpoint()
     HnswIndex(nodes, adj, cells, degree, crossDegree, levelFanout,
       maxLevel, alpha, poolN)
+  }
+
+  /** The layer-ℓ grid: coarsen the cell count with the layer — member
+    * count and cell count shrink by the same M^ℓ, so pool size stays
+    * ≈ n/nlist while the edges reach M^ℓ× further (the long-range
+    * property HNSW's upper layers exist for).
+    */
+  private def hnswLayerCells(cells: Array[Array[Double]], fanout: Int,
+                             l: Int): Array[Array[Double]] =
+    if (l == 0) cells
+    else cells.take(math.max(1,
+      (cells.length / math.pow(fanout.toDouble, l)).toInt))
+
+  /** Wire one layer: run the edge rule over `members` (n_id, emb,
+    * cell, cell2 — already on the layer's grid) and emit the adj rows.
+    * LEFT join: an upper-layer member alone in its cell keeps an empty
+    * list but stays a waypoint (same invariant as the flat build).
+    * Shared by build and the append/delete redo paths, so the edge
+    * rule cannot drift between them.
+    */
+  private def hnswLayerRows(members: DataFrame,
+                            cellsL: Array[Array[Double]], l: Int,
+                            degree: Int, crossDegree: Int,
+                            alpha: Option[Double], poolN: Int,
+                            peersOverride: Option[DataFrame] = None)
+      : DataFrame = {
+    val peers = peersOverride.getOrElse(members.select(col("cell"),
+      col("n_id").as("m_id"), col("emb").as("m_emb")))
+    val nbrs = neighborRule(members.select("cell", "n_id", "emb"), peers,
+      cellsL, degree, crossDegree, alpha, poolN)
+    members.select("n_id", "cell", "cell2")
+      .join(nbrs, Seq("n_id"), "left")
+      .select(lit(l).as("layer"), col("n_id"), col("cell"), col("cell2"),
+        coalesce(col("neighbors"),
+          expr("cast(array() as array<bigint>)")).as("neighbors"))
   }
 
   /** Layered serve: start every query at ONE deterministic entry (the
@@ -1126,5 +1150,154 @@ object GraphAnn {
     val nVisited = visited.unionByName(scored0.select("q_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_visited"))
     finishTopK(scored0, k, nVisited)
+  }
+
+  /** HnswIndex is a public case class; resolve a hand-built index's
+    * unresolved α-prune pool the way build does (the flat-append
+    * lesson: passing 0 through hits the candidate top-k with k = 0).
+    */
+  private def hnswPool(index: HnswIndex): Int =
+    if (index.alpha.isEmpty) 0
+    else if (index.poolSize > 0) index.poolSize
+    else 3 * (index.degree + index.crossDegree)
+
+  /** Append a batch to the layered index, EXACTLY rebuild-equivalent
+    * (gate n41 pins per-layer neighbor-list equality with a
+    * from-scratch build over the union). Levels are pure hash, so new
+    * members' layer memberships are frozen facts; per layer, the
+    * affected old members — home or second cell (on that layer's
+    * stored grid columns) received new members — re-run the build rule
+    * against the layer's full member set, and untouched rows carry
+    * over verbatim. Work per layer ∝ batch + members of touched cells;
+    * the geometric layer sizes make the upper-layer terms vanish.
+    * Cells and routing stay FROZEN (the n22/n33 trade).
+    */
+  def appendToHnswIndex(index: HnswIndex, newVecs: DataFrame)
+      : HnswIndex = {
+    val poolN = hnswPool(index)
+    val nu0 = newVecs.select(col("vec_id").as("n_id"),
+        col("embedding").as("emb"))
+      .withColumn("level",
+        hashLevel(col("n_id"), index.levelFanout, index.maxLevel)
+          .cast("int"))
+      .localCheckpoint()
+    val nodes2 = index.nodes.unionByName(
+        nu0.select(col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), index.cells).as("cell"),
+          col("level")))
+      .localCheckpoint()
+    val embById = index.nodes.select(col("n_id"), col("emb"))
+    val adj2 = (0 to index.maxLevel).map { l =>
+      val cellsL = hnswLayerCells(index.cells, index.levelFanout, l)
+      val nuL = nu0.filter(col("level") >= l)
+        .select(col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), cellsL).as("cell"),
+          secondCell(col("emb"), cellsL).as("cell2"))
+      val oldL = index.adj.filter(col("layer") === l)
+      val touched = nuL.select("cell").distinct().localCheckpoint()
+      val affected = oldL.join(touched, Seq("cell"), "left_semi")
+        .unionByName(oldL.join(
+          touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+          "left_semi"))
+        .dropDuplicates("n_id")
+        .join(embById, Seq("n_id"))
+        .select("n_id", "emb", "cell", "cell2")
+      val redo = affected.unionByName(nuL)
+      // peers = the layer's FULL post-append member set on its grid —
+      // old members from stored adj columns, new ones from the batch
+      val peersL = oldL.join(embById, Seq("n_id"))
+        .select(col("cell"), col("n_id").as("m_id"), col("emb").as("m_emb"))
+        .unionByName(nuL.select(col("cell"), col("n_id").as("m_id"),
+          col("emb").as("m_emb")))
+      val redoRows = hnswLayerRows(redo, cellsL, l, index.degree,
+        index.crossDegree, index.alpha, poolN, Some(peersL))
+      oldL.join(redo.select("n_id"), Seq("n_id"), "left_anti")
+        .unionByName(redoRows)
+        .select("layer", "n_id", "cell", "cell2", "neighbors")
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    index.copy(nodes = nodes2, adj = adj2)
+  }
+
+  /** Delete vectors from the layered index, EXACTLY rebuild-equivalent
+    * (gate n41). Per layer: affected = remaining members whose home or
+    * second cell (stored grid columns) is among the deleted members'
+    * home cells — pool membership flows only through home cells, so an
+    * unaffected node's stored list provably cannot dangle — and stored
+    * edges cannot be merged (the (k+1)-th pool member was dropped), so
+    * affected members re-run the build rule against the layer's
+    * remaining member set. Deleting a whole top layer degrades the
+    * serve's entry search to the next layer (topLevel is read off the
+    * node table). `ids`: one vec_id column; non-members are ignored.
+    */
+  def deleteFromHnswIndex(index: HnswIndex, ids: DataFrame): HnswIndex = {
+    val poolN = hnswPool(index)
+    val delIds = ids.select(col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    val embById = index.nodes.select(col("n_id"), col("emb"))
+    val nodes2 = index.nodes.join(delIds, Seq("n_id"), "left_anti")
+      .localCheckpoint()
+    val adj2 = (0 to index.maxLevel).map { l =>
+      val cellsL = hnswLayerCells(index.cells, index.levelFanout, l)
+      val oldL = index.adj.filter(col("layer") === l)
+      val touched = oldL.join(delIds, Seq("n_id"), "left_semi")
+        .select("cell").distinct().localCheckpoint()
+      val remaining = oldL.join(delIds, Seq("n_id"), "left_anti")
+      val affected = remaining.join(touched, Seq("cell"), "left_semi")
+        .unionByName(remaining.join(
+          touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+          "left_semi"))
+        .dropDuplicates("n_id")
+        .join(embById, Seq("n_id"))
+        .select("n_id", "emb", "cell", "cell2")
+      val peersL = remaining.join(embById, Seq("n_id"))
+        .select(col("cell"), col("n_id").as("m_id"), col("emb").as("m_emb"))
+      val redoRows = hnswLayerRows(affected, cellsL, l, index.degree,
+        index.crossDegree, index.alpha, poolN, Some(peersL))
+      remaining.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+        .unionByName(redoRows)
+        .select("layer", "n_id", "cell", "cell2", "neighbors")
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    index.copy(nodes = nodes2, adj = adj2)
+  }
+
+  /** Persist the layered index as four parquet tables under `dir`
+    * (the n21/n32 layout discipline): `meta` (format_version + build
+    * parameters, read back BY NAME), `cells`, `nodes`, `adj`. The
+    * node and adjacency tables — the corpus-sized pieces — stay
+    * distributed end to end.
+    */
+  def saveHnswIndex(index: HnswIndex, dir: String): Unit = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    Seq((1, index.cells.length, index.degree, index.crossDegree,
+        index.levelFanout, index.maxLevel,
+        index.alpha.getOrElse(Double.NaN), index.poolSize))
+      .toDF("format_version", "nlist", "degree", "cross_degree",
+        "level_fanout", "max_level", "alpha", "pool_size")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
+    index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    index.adj.write.mode("overwrite").parquet(s"$dir/adj")
+  }
+
+  /** Reload a persisted layered index: bounded artifacts collect to
+    * the driver, node and adjacency tables are lazy parquet scans.
+    */
+  def loadHnswIndex(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): HnswIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported hnsw index format_version " +
+        meta.getAs[Int]("format_version"))
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id",
+      "centroid")
+    val alpha = if (meta.getAs[Double]("alpha").isNaN) None
+      else Some(meta.getAs[Double]("alpha"))
+    HnswIndex(spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/adj"), cells,
+      meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
+      meta.getAs[Int]("level_fanout"), meta.getAs[Int]("max_level"),
+      alpha, meta.getAs[Int]("pool_size"))
   }
 }

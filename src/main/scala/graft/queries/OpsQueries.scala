@@ -5633,6 +5633,49 @@ object OpsQueries {
       Some("SELECT 20::BIGINT AS nq, TRUE AS hierarchy_rescues_entry, " +
         "TRUE AS matches_probed, TRUE AS overhead_bounded")),
 
+    // HNSW index LIFECYCLE (n41): the full verb set for the layered
+    // tier — build the base index (vec_id < 400), save/load it,
+    // append the 400-500 batch, delete the (vec_id % 10 == 7,
+    // >= 20) slice — then pin STRUCTURAL equality with a from-scratch
+    // build over the surviving corpus: per (layer, n_id), the stored
+    // neighbor list must match array-for-array (levels are pure hash,
+    // grids are frozen, and the redo paths re-run the one shared edge
+    // rule, so equality is exact, not statistical). The delete slice
+    // starts at 20 so both paths train identical first-16 cells.
+    QueryDef("n41_hnsw_index_lifecycle",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val idxDir = "/tmp/graft_gate_hnswidx_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val idx = GraphAnn.buildHnswIndex(e.filter(col("vec_id") < 400),
+          nlist = 16, degree = 4, crossDegree = 2, levelFanout = 4,
+          maxLevel = 2)
+        GraphAnn.saveHnswIndex(idx, idxDir)
+        val loaded = GraphAnn.loadHnswIndex(s, idxDir)
+        val appended = GraphAnn.appendToHnswIndex(loaded,
+          e.filter(col("vec_id") >= 400 && col("vec_id") < 500))
+        val fin = GraphAnn.deleteFromHnswIndex(appended,
+          e.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 20)
+            .select("vec_id"))
+        val rebuilt = GraphAnn.buildHnswIndex(
+          e.filter(col("vec_id") < 500 &&
+            !(col("vec_id") % 10 === 7 && col("vec_id") >= 20)),
+          nlist = 16, degree = 4, crossDegree = 2, levelFanout = 4,
+          maxLevel = 2)
+        fin.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_inc"))
+          .join(rebuilt.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_reb")), Seq("layer", "n_id"), "full")
+          .groupBy("n_id")
+          .agg((count(lit(1)) === sum(when(
+            col("nb_inc") === col("nb_reb"), 1).otherwise(0)))
+            .as("lifecycle_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS lifecycle_exact
+             |FROM embeddings
+             |WHERE vec_id < 500
+             |  AND NOT (vec_id % 10 = 7 AND vec_id >= 20)""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

@@ -596,6 +596,79 @@ class GraphAnnSpec extends SparkSpec {
         hops = 2, entryProbes = 1))
   }
 
+  test("HNSW append/delete equal the from-scratch rebuild at every layer") {
+    val corpus = planted(6, 25, 16, seed = 37)
+    val base = corpus.filter(col("vec_id") < 100)
+    val batch = corpus.filter(col("vec_id") >= 100)
+    def build(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildHnswIndex(c, nlist = 8, degree = 4, crossDegree = 2,
+        levelFanout = 4, maxLevel = 2)
+    def adjSet(i: GraphAnn.HnswIndex) = i.adj.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](4))).toSet
+    def nodeSet(i: GraphAnn.HnswIndex) = i.nodes
+      .select("n_id", "cell", "level").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val appended = GraphAnn.appendToHnswIndex(build(base), batch)
+    val rebuilt = build(corpus)
+    // cells must be frozen-identical for structural equality (first-8
+    // seeds live in the base half)
+    appended.cells.map(_.toSeq).toSeq shouldBe rebuilt.cells.map(_.toSeq).toSeq
+    adjSet(appended) shouldBe adjSet(rebuilt)
+    nodeSet(appended) shouldBe nodeSet(rebuilt)
+    // delete some of each region; non-members are a no-op
+    val del = Seq(50L, 120L, 9999L).toDF("vec_id")
+    val afterDel = GraphAnn.deleteFromHnswIndex(appended, del)
+    val rebuiltDel = build(corpus.filter(col("vec_id") =!= 50 &&
+      col("vec_id") =!= 120))
+    adjSet(afterDel) shouldBe adjSet(rebuiltDel)
+    nodeSet(afterDel) shouldBe nodeSet(rebuiltDel)
+  }
+
+  test("HNSW: deleting a whole top layer degrades the entry search gracefully") {
+    val corpus = planted(4, 25, 16, seed = 61)
+    val idx = GraphAnn.buildHnswIndex(corpus, nlist = 8, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2)
+    val top = idx.nodes.agg(max("level")).head().getInt(0)
+    top should be >= 1 // the fixture is big enough to populate layer 1
+    val topIds = idx.nodes.filter(col("level") === top)
+      .select(col("n_id").as("vec_id"))
+    val pruned = GraphAnn.deleteFromHnswIndex(idx, topIds)
+    pruned.nodes.agg(max("level")).head().getInt(0) should be < top
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    val got = GraphAnn.queryHnswIndex(queries, pruned, k = 3, beam = 3,
+      hops = 2)
+    got.groupBy("q_id").count().collect().foreach(_.getLong(1) shouldBe 3L)
+  }
+
+  test("HNSW save/load round-trips the index; serve replays exactly") {
+    val corpus = planted(5, 20, 16, seed = 43)
+    val queries = corpus.filter(col("vec_id") < 6)
+    val idx = GraphAnn.buildHnswIndex(corpus, nlist = 8, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hnswidx").toString
+    GraphAnn.saveHnswIndex(idx, dir)
+    val loaded = GraphAnn.loadHnswIndex(spark, dir)
+    loaded.levelFanout shouldBe 4
+    loaded.maxLevel shouldBe 2
+    loaded.alpha shouldBe None
+    def run(i: GraphAnn.HnswIndex) =
+      GraphAnn.queryHnswIndex(queries, i, k = 4, beam = 3, hops = 2)
+        .select("q_id", "n_id", "rank", "n_visited")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    run(loaded) shouldBe run(idx)
+    // a future format version fails fast instead of misreading
+    spark.createDataFrame(Seq((9, 8, 4, 2, 4, 2, Double.NaN, 0)))
+      .toDF("format_version", "nlist", "degree", "cross_degree",
+        "level_fanout", "max_level", "alpha", "pool_size")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val err = intercept[IllegalArgumentException] {
+      GraphAnn.loadHnswIndex(spark, dir)
+    }
+    err.getMessage should include("format_version")
+  }
+
   test("HNSW: adaptive entry beats the single-entry flat serve on planted clusters") {
     val corpus = planted(10, 30, 16, seed = 101)
     val queries = corpus.filter(col("vec_id") < 10)
