@@ -146,7 +146,13 @@ object Bench {
         "n29_ann_graph_exact",
         "n32_graph_index_persist", "n33_graph_index_append",
         "n37_graph_index_delete",
-        "n34_ann_graph_pq", "n35_ann_graph_pruned", "n36_ann_graph_opq")
+        "n34_ann_graph_pq", "n35_ann_graph_pruned", "n36_ann_graph_opq",
+        // graph construction / index lifecycles added in round 11:
+        // n39 builds the kNN graph iteratively, n40 builds three
+        // indexes per evaluation, n41/d33 run whole save/load/append/
+        // delete lifecycles — construction IS the operator
+        "n39_knn_graph_descent", "n40_ann_hnsw",
+        "n41_hnsw_index_lifecycle", "d33_minhash_index_lifecycle")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {
