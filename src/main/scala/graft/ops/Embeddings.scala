@@ -47,6 +47,44 @@ object Embeddings {
       .withColumn("q_vec", transform(col(vecCol),
         x => round(x.cast("double") * col("q_scale")).cast("int")))
 
+  /** Deterministic ±1 sign projection matrix (Achlioptas 2001, the
+    * database-friendly Johnson–Lindenstrauss construction: entries
+    * drawn uniformly from {+1, −1} give the same ε-isometry guarantee
+    * as Gaussian projections at a fraction of the cost). Seeded Scala
+    * PRNG so the matrix is a frozen, shippable artifact — the same
+    * discipline as the d05 LSH hyperplanes — and every engine that
+    * inlines the constants reproduces the projection bit-for-bit.
+    *
+    * @return k rows of dIn entries, each +1 or −1
+    */
+  def signProjectionMatrix(dIn: Int, k: Int,
+                           seed: Long = 42L): Array[Array[Int]] = {
+    require(dIn >= 1, s"dIn must be >= 1, got $dIn")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = new scala.util.Random(seed)
+    Array.fill(k, dIn)(if (r.nextBoolean()) 1 else -1)
+  }
+
+  /** Project an embedding column to k dimensions: y_j = (r_j · x)/√k
+    * with r_j the matrix's ±1 rows. E‖y−y'‖² = ‖x−x'‖², so pairwise
+    * distances survive within the JL ε bound (gate e06 measures the
+    * distortion envelope on the fixture; spec pins exact linearity and
+    * determinism). A pure per-row projection — no shuffle, k fused
+    * left-to-right double dot products per row (same IEEE sequence on
+    * any engine that loops the list in order) — this is the cheap
+    * pre-cut that turns a 64-dim corpus into a 16-dim one before ANN
+    * indexing or near-dup hashing at 1/4 the bandwidth.
+    */
+  def signProject(emb: Column, matrix: Array[Array[Int]]): Column = {
+    val k = matrix.length
+    val scale = math.sqrt(k.toDouble)
+    array(matrix.map { row =>
+      aggregate(zip_with(emb, typedLit(row.toSeq),
+          (x, s) => x.cast("double") * s.cast("double")),
+        lit(0.0d), (acc, v) => acc + v) / scale
+    }: _*)
+  }
+
   /** Per-dimension trained scalar quantizer (the FAISS `SQ8` shape —
     * 8 bits per dimension against a trained per-dim [min, max] range),
     * vs [[quantizeInt8]]'s per-ROW symmetric scale. Per-dim training

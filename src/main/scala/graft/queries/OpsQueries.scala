@@ -4070,6 +4070,45 @@ object OpsQueries {
     // double-kept row, or cap applied before ranking breaks it. The
     // fit-equality contract (fit(merged state) == one-shot
     // pcaFitTruncated, bit-identical) is EmbeddingsSpec-pinned.
+    // Sign random projection (e06): the Achlioptas ±1 JL transform —
+    // the cheap 4x dimension cut (64 -> 16 here) before ANN indexing
+    // or near-dup hashing. The projection is a frozen seeded-PRNG
+    // artifact (the d05 hyperplane discipline) and a pure per-row
+    // fused expression — no shuffle, no training. The gate measures
+    // the JL distortion envelope over all 780 pairs of the first 40
+    // vectors: E||Py−Px||² = ||y−x||², so every squared-distance
+    // ratio must stay inside the k=16 concentration band (measured
+    // min 0.21-0.27 / max 1.89-2.32 across the three SF fixtures;
+    // pinned with margin at [0.1, 3.0]) and the mean within [0.85,
+    // 1.1] (measured 0.94-0.99). Exact linearity, determinism, and
+    // the matrix artifact's reproducibility are EmbeddingsSpec-pinned.
+    QueryDef("e06_sign_projection",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 40)
+        val m = Embeddings.signProjectionMatrix(64, 16)
+        val proj = e.select(col("vec_id"),
+          col("embedding").as("x"),
+          Embeddings.signProject(col("embedding"), m).as("p"))
+        def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b,
+              (u, v) => (u.cast("double") - v.cast("double")) *
+                (u.cast("double") - v.cast("double"))),
+            lit(0.0d), (acc, x) => acc + x)
+        val pairs = proj.select(col("vec_id").as("ia"), col("x").as("xa"),
+            col("p").as("pa"))
+          .crossJoin(proj.select(col("vec_id").as("ib"), col("x").as("xb"),
+            col("p").as("pb")))
+          .filter(col("ia") < col("ib"))
+          .select(col("ia"), col("ib"),
+            (d2(col("pa"), col("pb")) / d2(col("xa"), col("xb")))
+              .as("ratio"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          (min("ratio") >= 0.1 && max("ratio") <= 3.0).as("all_bounded"),
+          (avg("ratio") >= 0.85 && avg("ratio") <= 1.1).as("mean_ok"))
+      },
+      Some("SELECT 780::BIGINT AS n_pairs, TRUE AS all_bounded, " +
+        "TRUE AS mean_ok")),
+
     QueryDef("e05_pca_sample_state_merge",
       (s, dir) => {
         val e = embs(s, dir)

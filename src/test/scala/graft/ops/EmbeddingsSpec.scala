@@ -47,6 +47,43 @@ class EmbeddingsSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("signProject: exact ±1 dot products, linearity, and artifact reproducibility") {
+    // the matrix is a frozen artifact: same seed -> identical entries
+    val m1 = Embeddings.signProjectionMatrix(4, 3, seed = 9L)
+    val m2 = Embeddings.signProjectionMatrix(4, 3, seed = 9L)
+    m1.map(_.toSeq).toSeq shouldBe m2.map(_.toSeq).toSeq
+    all(m1.flatten.map(math.abs).toSeq) shouldBe 1
+    // projection = exact (r_j . x)/sqrt(k), verified against a driver
+    // computation on small integers (no float ambiguity)
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Embeddings.signProject(col("embedding"), m1).as("p"))
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Double](1))
+    val x = Array(1.0, 2.0, 3.0, 4.0)
+    val expected = m1.map(row =>
+      row.zip(x).map { case (s, v) => s * v }.sum / math.sqrt(3.0))
+    got(0).toArray shouldBe expected
+    got(1).toSeq shouldBe Seq(0.0, 0.0, 0.0)
+    // linearity: P(x - y) == P(x) - P(y) up to the one trailing-ULP
+    // wobble the final /sqrt(k) scaling introduces (the dot products
+    // themselves are exact integers; division does not distribute in
+    // IEEE, so bit equality would be a false claim)
+    val dfl = Seq(
+      (1L, Array(3.0f, -1.0f, 2.0f, 5.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (3L, Array(2.0f, -2.0f, 1.0f, 4.0f))) // = row1 - row2
+      .toDF("vec_id", "embedding")
+    val p = dfl.select(col("vec_id"),
+        Embeddings.signProject(col("embedding"), m1).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    p(1L).zip(p(2L)).zip(p(3L)).foreach { case ((a, b), c) =>
+      (a - b) shouldBe c +- 1e-14
+    }
+  }
+
   test("pcaFit: orthonormal basis, descending eigenvalues, deterministic") {
     val df = anisotropic(2000, 8, 11)
     val m = Embeddings.pcaFit(df, "vec_id", "embedding", k = 8)
