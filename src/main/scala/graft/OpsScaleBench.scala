@@ -162,6 +162,25 @@ object OpsScaleBench {
         sink(graft.ops.GraphAnn.queryGraphIndex(
           vecs.filter(col("vec_id") < 20), idx, k = 5, beam = 3,
           hops = 2))
+      },
+      // HNSW build + serve, nlist scaled like graph_ann (cell size
+      // constant). Layer sizes decay by fanout^l and the per-layer
+      // grid coarsens with them, so the build cost is a geometric
+      // series over the layer-0 term — the curve should track
+      // graph_ann's with a bounded constant on top, NOT a second
+      // linear term; serve adds two narrow upper sweeps per query.
+      "hnsw" -> { df =>
+        val vecs = df.select(col("doc_id").as("vec_id"),
+          expr("transform(sequence(1, 32), j -> " +
+            "cast(pmod(xxhash64(doc_id * 31 + j), 1000) / 500.0 - 1.0 " +
+            "as float))").as("embedding")).localCheckpoint()
+        val n = vecs.count()
+        val idx = graft.ops.GraphAnn.buildHnswIndex(vecs,
+          nlist = math.max(16, (n / 64).toInt), degree = 6,
+          crossDegree = 2, levelFanout = 8, maxLevel = 2)
+        sink(graft.ops.GraphAnn.queryHnswIndex(
+          vecs.filter(col("vec_id") < 20), idx, k = 5, beam = 3,
+          hops = 2, upperBeam = 1, upperHops = 2))
       })
 
     val parts = ops.map { case (name, f) =>

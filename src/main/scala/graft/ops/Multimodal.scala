@@ -1038,6 +1038,52 @@ object Multimodal {
         (abs(col("__gs") - col("__prev")) >= threshold).as("is_cut"))
   }
 
+  /** Cross-video near-duplicate frame detection over decoded frame
+    * statistics — the candidate-generation pass of a video dedup
+    * pipeline (re-encoded uploads, shared intro/outro footage,
+    * mirrored clips): each frame is keyed by its dimensions plus a
+    * quantized mean-color cube cell (`bucket`-wide per channel — the
+    * grid-LSH shape: near frames usually share a cell, the standard
+    * boundary-miss trade), candidates meet in a bucket equi-join, and
+    * survive only if their exact per-channel mean distance (L∞) is at
+    * most `maxDist` — so every emitted pair is verified, never just
+    * co-bucketed. Output: (doc_a, doc_b, n_frame_pairs, min_dist),
+    * doc_a < doc_b, one row per video pair.
+    *
+    * Scale shape: one shuffle on the bucket key; bucket population is
+    * bounded by how many frames can share a color cell at the given
+    * grid, the same capping regime as LSH banding; the join output —
+    * not the corpus — is the quadratic term, and it only grows with
+    * genuine near-duplicates. The verification distance is exact
+    * integer arithmetic on the decoded means (solid fixture frames
+    * make them exact), so gate m14 replays the whole pipeline in SQL.
+    */
+  def videoFrameNearDupPairs(frames: DataFrame, bucket: Int = 64,
+                             maxDist: Int = 48): DataFrame = {
+    require(bucket >= 1, s"bucket must be >= 1, got $bucket")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    def side(tag: String): DataFrame =
+      frames.select(col("doc_id").as(s"doc_$tag"),
+        col("width"), col("height"),
+        col("mean_r").cast("int").as(s"r_$tag"),
+        col("mean_g").cast("int").as(s"g_$tag"),
+        col("mean_b").cast("int").as(s"b_$tag"))
+        .withColumn("qr", floor(col(s"r_$tag") / bucket))
+        .withColumn("qg", floor(col(s"g_$tag") / bucket))
+        .withColumn("qb", floor(col(s"b_$tag") / bucket))
+    side("a").join(side("b"),
+        Seq("width", "height", "qr", "qg", "qb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", greatest(
+        abs(col("r_a") - col("r_b")),
+        abs(col("g_a") - col("g_b")),
+        abs(col("b_a") - col("b_b"))))
+      .filter(col("dist") <= maxDist)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min("dist").as("min_dist"))
+  }
+
   def decodeVideoFrames(spark: SparkSession,
                         media: DataFrame): Dataset[VideoFrame] = {
     import spark.implicits._

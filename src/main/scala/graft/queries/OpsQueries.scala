@@ -4822,6 +4822,42 @@ object OpsQueries {
              |  abs(a.gs - b.gs) >= 60.0 AS is_cut
              |FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.fi = a.fi - 1""".stripMargin)),
 
+    // Cross-video near-duplicate frames (m14): the candidate+verify
+    // composition over the REAL DIB decode — frames meet in a
+    // (dims, quantized-color-cube) bucket join and survive only at
+    // exact L-inf mean distance <= 48. Solid fixture frames make
+    // every mean an exact integer, so the oracle replays the whole
+    // pipeline (fixture color arithmetic -> cube cells -> bucket
+    // join -> exact distance -> per-pair aggregate) value-for-value.
+    QueryDef("m14_video_frame_near_dup",
+      (s, dir) => {
+        val media = Multimodal.attachSyntheticDibVideos(s, docs(s, dir))
+        Multimodal.videoFrameNearDupPairs(
+          Multimodal.decodeVideoFrames(s, media).toDF())
+      },
+      Some("""WITH p AS (SELECT doc_id, doc_id % 16 + 4 AS w,
+             |    doc_id % 12 + 3 AS h,
+             |    cast(doc_id % 5 + 1 AS INT) AS nf FROM documents),
+             |f AS (SELECT doc_id, w, h,
+             |    cast(unnest(range(nf)) AS INT) AS fi FROM p),
+             |g AS (SELECT doc_id, w, h,
+             |    (doc_id + 11 * fi) % 256 AS r,
+             |    (7 * doc_id + 17 * fi) % 256 AS gg,
+             |    (13 * doc_id + 23 * fi) % 256 AS b
+             |  FROM f),
+             |q AS (SELECT *, r // 64 AS qr, gg // 64 AS qg,
+             |    b // 64 AS qb FROM g)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  cast(count(*) AS BIGINT) AS n_frame_pairs,
+             |  cast(min(greatest(abs(a.r - b.r), abs(a.gg - b.gg),
+             |    abs(a.b - b.b))) AS INT) AS min_dist
+             |FROM q a JOIN q b ON a.w = b.w AND a.h = b.h
+             |  AND a.qr = b.qr AND a.qg = b.qg AND a.qb = b.qb
+             |  AND a.doc_id < b.doc_id
+             |WHERE greatest(abs(a.r - b.r), abs(a.gg - b.gg),
+             |    abs(a.b - b.b)) <= 48
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Audio perceptual fingerprint (m12): energy-delta bits over REAL
     // RIFF/WAVE decodes — the 1-D sibling of m11's dHash, same
     // 32-bit-word packing so fingerprints feed the Hamming machinery.

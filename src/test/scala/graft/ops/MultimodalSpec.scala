@@ -457,4 +457,36 @@ class MultimodalSpec extends SparkSpec {
     cuts shouldBe Set((1L, 1, 0f, false), (1L, 2, 170f, true),
       (2L, 1, 0f, false))
   }
+
+  test("videoFrameNearDupPairs: bucket-join candidates, exact-distance verify") {
+    import org.apache.spark.sql.functions.col
+    // bucket 64, maxDist 48. doc 1 frame0 ~ doc 2 frame0 (dist 10,
+    // same cube cell); doc 1 frame1 and doc 3 frame0 share a cell but
+    // distance 60 > 48 -> dropped; doc 4 is 8 away from doc 1 frame0
+    // but straddles the 64-boundary (60 vs 68) -> missed, the grid-LSH
+    // trade; doc 5 has different dims -> never a candidate
+    val frames = Seq(
+      (1L, 0, 8f, 6f, 10f, 20f, 30f),
+      (1L, 1, 8f, 6f, 130f, 130f, 130f),
+      (2L, 0, 8f, 6f, 20f, 25f, 35f),
+      (3L, 0, 8f, 6f, 190f, 130f, 130f),
+      (4L, 0, 8f, 6f, 10f, 20f, 68f),
+      (5L, 0, 4f, 3f, 10f, 20f, 30f))
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+    val got = Multimodal.videoFrameNearDupPairs(frames)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    got shouldBe Set((1L, 2L, 1L, 10))
+    // same-video frames never pair with themselves; a second shared
+    // frame raises the pair count and min_dist takes the closest
+    val frames2 = frames.unionByName(Seq(
+        (2L, 1, 8f, 6f, 9f, 21f, 31f)) // dist 1 from doc1 frame0
+      .toDF("doc_id", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b"))
+    val got2 = Multimodal.videoFrameNearDupPairs(frames2)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .collect().map(r => (r.getLong(2), r.getInt(3)))
+    got2 shouldBe Array((2L, 1))
+  }
 }
