@@ -518,6 +518,53 @@ object Dedup {
       .unionByName(merged.select("doc_id", "component"))
   }
 
+  /** Delete documents from a component assignment WITHOUT re-running
+    * [[connectedComponents]] over the whole graph — the backward half
+    * of the [[mergeComponents]] incremental lifecycle (the
+    * right-to-be-forgotten path every other index family here already
+    * carries). Deletion can FRAGMENT a cluster (the removed node may
+    * have been the only bridge) and can change a cluster's label (the
+    * removed node may have been the min id), so — unlike merge — the
+    * touched region cannot be patched from star edges: components that
+    * contained a deleted node recompute from their members' SURVIVING
+    * evidence pairs, and a survivor left with no surviving pair drops
+    * out of the assignment entirely, exactly as a full recompute over
+    * the surviving pairs would leave it. Untouched components pass
+    * through an anti-join verbatim (pairs never cross components, so
+    * their pair sets — and min-id labels — are unchanged). Work per
+    * delete ∝ touched components' members + their pairs, never the
+    * corpus-wide graph.
+    *
+    * @param existing doc_id, component (a [[connectedComponents]] /
+    *                 [[mergeComponents]] assignment)
+    * @param pairs    the evidence pairs the assignment was built from
+    * @param ids      doc_id column of documents to delete; non-members
+    *                 are ignored
+    */
+  def deleteFromComponents(existing: DataFrame, pairs: DataFrame,
+                           ids: DataFrame, aCol: String = "doc_a",
+                           bCol: String = "doc_b",
+                           maxIter: Int = 25): DataFrame = {
+    val delIds = ids.select(col(ids.columns.head).cast("long")
+      .as("doc_id")).distinct().localCheckpoint()
+    val touchedComps = existing.join(delIds, Seq("doc_id"), "left_semi")
+      .select("component").distinct()
+    val touchedMembers = existing
+      .join(touchedComps, Seq("component"), "left_semi")
+      .select("doc_id")
+    val survivingTouchedPairs = pairs.select(col(aCol), col(bCol))
+      .join(touchedMembers.select(col("doc_id").as(aCol)), Seq(aCol),
+        "left_semi")
+      .join(delIds.select(col("doc_id").as(aCol)), Seq(aCol), "left_anti")
+      .join(delIds.select(col("doc_id").as(bCol)), Seq(bCol), "left_anti")
+    val recomputed = connectedComponents(survivingTouchedPairs, aCol,
+      bCol, maxIter)
+    existing
+      .join(touchedComps, Seq("component"), "left_anti")
+      .select("doc_id", "component")
+      .unionByName(recomputed.select("doc_id", "component"))
+  }
+
   /** Two-phase fuzzy dedup with EXACT edit-distance verification:
     * candidate pairs come from LSH banding (cheap, high recall), then
     * each candidate is verified with true Levenshtein distance on the

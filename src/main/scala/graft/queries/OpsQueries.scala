@@ -1630,6 +1630,37 @@ object OpsQueries {
              |FROM d JOIN k USING (doc_id)
              |LEFT JOIN spc USING (doc_id)""".stripMargin)),
 
+    // Component DELETION (d34): the backward half of the d14
+    // incremental-clusters lifecycle. Deletion can fragment a cluster
+    // (the deleted node may be the only bridge) and can retire a
+    // cluster's min-id label, so the touched components recompute
+    // from their members' SURVIVING evidence pairs while untouched
+    // assignments pass through verbatim; a survivor stripped of all
+    // evidence drops out exactly as a full recompute would leave it.
+    // Oracle: the same recursive-CTE closure as d06/d14, over truth
+    // pairs with the deleted slice (doc_id % 7 == 2) excluded from
+    // both endpoints.
+    QueryDef("d34_components_delete",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.minhashLsh(d, "text", "doc_id")
+          .select("doc_a", "doc_b")
+        val comps = Dedup.connectedComponents(pairs)
+        Dedup.deleteFromComponents(comps, pairs,
+          d.filter(col("doc_id") % 7 === 2).select("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $trueJaccardSql,
+              |cand AS (SELECT doc_a, doc_b FROM truth
+              |  WHERE jac >= 0.7 AND doc_a % 7 <> 2 AND doc_b % 7 <> 2),
+              |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+              |        UNION SELECT doc_b, doc_a FROM cand),
+              |walk(node, comp) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+              |  UNION
+              |  SELECT p.u, w.comp FROM und p JOIN walk w ON w.node = p.v)
+              |SELECT node AS doc_id, min(comp) AS component
+              |FROM walk GROUP BY 1""".stripMargin)),
+
     // MinHash-LSH index LIFECYCLE (d33): the d13 signature artifact
     // promoted to a persisted index with the full verb set every
     // other index family already carries — build the even-corpus

@@ -200,6 +200,39 @@ class DedupSpec extends SparkSpec {
     all(comp.map(_.getLong(1))) shouldBe 1L
   }
 
+  test("deleteFromComponents: fragmentation, relabeling, and pass-through") {
+    // two components: {1,2,3} chained through 2 (1-2, 2-3) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    asMap(comps) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // deleting the bridge node 2 FRAGMENTS {1,2,3}: 1 and 3 lose all
+    // surviving evidence and drop out; {10,11} passes through verbatim
+    val afterBridge = Dedup.deleteFromComponents(comps, pairs,
+      Seq(2L).toDF("doc_id"))
+    asMap(afterBridge) shouldBe Map(10L -> 10L, 11L -> 10L)
+    // deleting the min-id member RELABELS: {1,2,3} minus 1 keeps the
+    // 2-3 pair and relabels to component 2
+    val afterMin = Dedup.deleteFromComponents(comps, pairs,
+      Seq(1L).toDF("doc_id"))
+    asMap(afterMin) shouldBe Map(2L -> 2L, 3L -> 2L, 10L -> 10L,
+      11L -> 10L)
+    // non-member deletion is a no-op; equality with the full recompute
+    val noop = Dedup.deleteFromComponents(comps, pairs,
+      Seq(99L).toDF("doc_id"))
+    asMap(noop) shouldBe asMap(comps)
+    // triangle component survives any single deletion intact
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val triComps = Dedup.connectedComponents(tri)
+    val afterTri = Dedup.deleteFromComponents(triComps, tri,
+      Seq(2L).toDF("doc_id"))
+    asMap(afterTri) shouldBe Map(1L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L)
+  }
+
   test("mergeComponents: new pairs fold in; untouched components pass through") {
     import org.apache.spark.sql.functions.col
     // existing: {1,2} (rep 1), {5,6,7} (rep 5), {10,11} (rep 10)
