@@ -1502,6 +1502,36 @@ object TextOps {
     out.filter(col("term") === "" || col("df") > 0)
   }
 
+  /** Persist a BM25 corpus state as two parquet tables under `dir`
+    * (the n21/n32/d33 layout discipline): `meta` (format_version, read
+    * back BY NAME) and `state` (term, df, tf — Zipf-bounded, one row
+    * per distinct term plus the doc-count sentinel). This is the verb
+    * that makes the t24/t31 lifecycle real across RUNS: a nightly
+    * refresh loads yesterday's state, merges today's batch state,
+    * subtracts deletions, saves — the corpus text is never re-scanned.
+    */
+  def saveBm25State(state: org.apache.spark.sql.DataFrame,
+                    dir: String): Unit = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(1)).toDF("format_version")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    state.select("term", "df", "tf")
+      .write.mode("overwrite").parquet(s"$dir/state")
+  }
+
+  /** Reload a persisted BM25 state: meta collects one row, the state
+    * stays a lazy scan. Fails fast on a future format_version.
+    */
+  def loadBm25State(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): org.apache.spark.sql.DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported bm25 state format_version " +
+        meta.getAs[Int]("format_version"))
+    spark.read.parquet(s"$dir/state")
+  }
+
   /** Score a batch of documents against an existing BM25 state WITHOUT
     * re-deriving corpus statistics: per-doc tf/dl come from the batch's
     * own text (exact, batch-local); df/N/avgdl come from the persisted

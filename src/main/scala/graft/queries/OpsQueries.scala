@@ -5072,6 +5072,61 @@ object OpsQueries {
              |JOIN dl USING (doc_id), st
              |GROUP BY 1, 2""".stripMargin)),
 
+    // BM25 state PERSISTENCE (t34): the verb that makes the t24/t31
+    // lifecycle real across runs — build the even-half state, SAVE it,
+    // reload, merge the odd half, subtract the doc_id%5==2 slice,
+    // score the surviving corpus. The final state equals a refit over
+    // documents with the deleted fifth excluded, so the oracle is
+    // t31's from-scratch SQL refit verbatim: if any statistic (df, N,
+    // avgdl, the sentinel) were damaged by the round trip, every
+    // downstream score would drift.
+    QueryDef("t34_bm25_state_persist",
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val stDir = "/tmp/graft_gate_bm25state_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        TextOps.saveBm25State(
+          TextOps.bm25State(d.filter(col("doc_id") % 2 === 0), "text",
+            "doc_id"), stDir)
+        val merged = TextOps.mergeBm25State(
+          TextOps.loadBm25State(s, stDir),
+          TextOps.bm25State(d.filter(col("doc_id") % 2 =!= 0), "text",
+            "doc_id"))
+        val afterDelete = TextOps.subtractBm25State(merged,
+          TextOps.bm25State(d.filter(col("doc_id") % 5 === 2), "text",
+            "doc_id"))
+        TextOps.bm25ScoreWithState(afterDelete,
+            d.filter(col("doc_id") % 5 =!= 2), "text", "doc_id",
+            bm25QueryTerms.toDF("query_id", "term"))
+          .select(col("query_id"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("n_terms_hit"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+             |    x -> x <> '')) AS term
+             |  FROM documents WHERE doc_id % 5 <> 2),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT (SELECT count(*) FROM documents
+             |                WHERE doc_id % 5 <> 2)::DOUBLE AS n_docs,
+             |  (SELECT sum(tf) FROM tf)::DOUBLE /
+             |    (SELECT count(*) FROM documents
+             |     WHERE doc_id % 5 <> 2)::DOUBLE AS avgdl),
+             |q(query_id, term) AS (VALUES $bm25QueryValuesSql)
+             |SELECT q.query_id, tf.doc_id,
+             |  round(sum(
+             |    $bm25ScoreSql
+             |  ), 4) AS score,
+             |  count(*) AS n_terms_hit
+             |FROM tf
+             |JOIN q USING (term)
+             |JOIN dfq USING (term)
+             |JOIN dl USING (doc_id), st
+             |GROUP BY 1, 2""".stripMargin)),
+
     // BM25 state DELETION (t31): the backward half of the t24
     // lifecycle — subtract a deleted batch's state from the corpus
     // state (exact inverse merge over integer counts; terms whose df

@@ -287,6 +287,34 @@ class TextOpsSpec extends SparkSpec {
     r.getAs[Double]("avg_logscore") shouldBe math.log(0.2) +- 1e-12
   }
 
+  test("bm25 state persistence: round-trip, sentinel, format fail-fast") {
+    val docs = Seq(
+      (1L, "spark engine scale"),
+      (2L, "spark join shuffle join")).toDF("doc_id", "text")
+    val state = TextOps.bm25State(docs, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("bm25st").toString
+    TextOps.saveBm25State(state, dir)
+    val loaded = TextOps.loadBm25State(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    rows(loaded) shouldBe rows(state)
+    // the doc-count sentinel survives the round trip
+    loaded.filter(col("term") === "").collect()
+      .map(r => (r.getLong(1), r.getLong(2))) shouldBe Array((2L, 0L))
+    // merging a loaded state behaves exactly like merging a live one
+    val more = TextOps.bm25State(
+      Seq((3L, "scale out")).toDF("doc_id", "text"), "text", "doc_id")
+    rows(TextOps.mergeBm25State(loaded, more)) shouldBe
+      rows(TextOps.mergeBm25State(state, more))
+    // a future format version fails fast instead of misreading
+    spark.createDataFrame(Seq(Tuple1(7))).toDF("format_version")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    val err = intercept[IllegalArgumentException] {
+      TextOps.loadBm25State(spark, dir)
+    }
+    err.getMessage should include("format_version")
+  }
+
   test("knBigramScore: KN tiers, statistic sums, and closed-form score") {
     // train = doc 2 only: tokens [a b a b] -> bigrams (a,b)=2, (b,a)=1;
     // ctx: a -> c1=2 n1fw=1, b -> c1=1 n1fw=1; cont: a -> 1, b -> 1;
