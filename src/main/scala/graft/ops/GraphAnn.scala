@@ -1245,6 +1245,69 @@ object GraphAnn {
       .withColumn("adc", -col("sim")).drop("sim")
   }
 
+  /** Persist the layered PQ index: the [[saveHnswIndex]] layout plus
+    * codebook and (when rotated) the OPQ model tables; nodes carry
+    * codes, never floats — what lands on disk is exactly the
+    * m-bytes-per-vector serve state. Rotated indexes write
+    * format_version 2 (the [[saveGraphPqIndex]] contract: a reader
+    * that ignored the rotation would serve unrotated queries against
+    * rotated codes — silently garbage ranks).
+    */
+  def saveHnswPqIndex(index: HnswPqIndex, dir: String): Unit = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val fmt = if (index.rotation.isDefined) 2 else 1
+    Seq((fmt, index.cells.length, index.m, index.ks, index.dim,
+        index.levelFanout, index.maxLevel, index.rotation.isDefined))
+      .toDF("format_version", "nlist", "m", "ks", "dim", "level_fanout",
+        "max_level", "has_rotation")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
+    IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
+      index.codebook)
+    index.rotation.foreach { rot =>
+      IndexIo.saveVectors(spark, s"$dir/rotation_basis", "row_id", "row",
+        rot.basis)
+      IndexIo.saveVectors(spark, s"$dir/rotation_mean", "row_id", "row",
+        Array(rot.mean))
+      IndexIo.saveVectors(spark, s"$dir/rotation_eigenvalues", "row_id",
+        "row", Array(rot.eigenvalues))
+    }
+    index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    index.adj.write.mode("overwrite").parquet(s"$dir/adj")
+  }
+
+  /** Reload a persisted layered PQ index: bounded artifacts collect to
+    * the driver, node and adjacency tables stay lazy scans.
+    */
+  def loadHnswPqIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): HnswPqIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 2,
+      s"unsupported hnsw-pq index format_version " +
+        meta.getAs[Int]("format_version"))
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id",
+      "centroid")
+    val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id",
+      "entries")
+    val rotation =
+      if (meta.getAs[Boolean]("has_rotation"))
+        Some(Embeddings.PcaModel(
+          IndexIo.loadVectors(spark, s"$dir/rotation_mean", "row_id",
+            "row").head,
+          IndexIo.loadVectors(spark, s"$dir/rotation_eigenvalues",
+            "row_id", "row").head,
+          IndexIo.loadVectors(spark, s"$dir/rotation_basis", "row_id",
+            "row")))
+      else None
+    HnswPqIndex(spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/adj"), cells, cb,
+      meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
+      meta.getAs[Int]("dim"), meta.getAs[Int]("level_fanout"),
+      meta.getAs[Int]("max_level"), rotation)
+  }
+
   /** HnswIndex is a public case class; resolve a hand-built index's
     * unresolved α-prune pool the way build does (the flat-append
     * lesson: passing 0 through hits the candidate top-k with k = 0).

@@ -4558,6 +4558,41 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS layered_adc_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // HNSW-PQ persistence (n43): the n32 round-trip discipline for
+    // the layered compressed tier, with the OPQ model riding along —
+    // build (rotated) → save → reload → serve must reproduce the
+    // pre-save serve ROW-FOR-ROW. Everything that could drift is on
+    // the disk path: codes, per-layer adjacency, levels, codebook,
+    // the rotation matrices, and the layer parameters.
+    QueryDef("n43_hnsw_pq_persist",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val (model, cb) = Embeddings.opqTrain(e, "vec_id", "embedding",
+          m = 16, ks = 64, iters = 4)
+        val idx = GraphAnn.buildHnswPqIndex(e, nlist = 16, degree = 6,
+          crossDegree = 2, levelFanout = 8, maxLevel = 2, m = 16,
+          ks = 64, codebook = Some(cb), rotation = Some(model))
+        val idxDir = "/tmp/graft_gate_hnswpqidx_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        GraphAnn.saveHnswPqIndex(idx, idxDir)
+        val loaded = GraphAnn.loadHnswPqIndex(s, idxDir)
+        def search(i: GraphAnn.HnswPqIndex) =
+          GraphAnn.queryHnswPqIndex(q, i, k = 5, beam = 3, hops = 2,
+            upperBeam = 1, upperHops = 2).select("q_id", "n_id", "rank")
+        val base = search(idx)
+        val got = search(loaded)
+        base.withColumnRenamed("rank", "rank_base")
+          .join(got.withColumnRenamed("rank", "rank_loaded"),
+            Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_loaded"), 1).otherwise(0)))
+            .as("roundtrip_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS roundtrip_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // GRAPH ANN recall vs IVF at matched budget (n31) — on the
     // [[straddleFixture]] (pinned, scale-factor-independent; see the
     // helper's doc), both sides use the SAME 16 cells: IVF probes its

@@ -450,6 +450,34 @@ class GraphAnnSpec extends SparkSpec {
     runPq(Long.MaxValue) shouldBe runPq(0L)
   }
 
+  test("HNSW shuffle-regime serve returns exactly the broadcast-regime results") {
+    val corpus = planted(4, 25, 16, seed = 79)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val idx = GraphAnn.buildHnswIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2)
+    def run(limit: Long) =
+      GraphAnn.queryHnswIndex(queries, idx, k = 5, beam = 3, hops = 2,
+          upperBeam = 1, upperHops = 2, frontierBroadcastLimit = limit)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(4)))
+        .toSet
+    // limit 0 forces every per-hop join in every LAYER to shuffle-hash;
+    // ranks, sim ties, and the cross-layer n_visited sum must all
+    // replay identically — the regime moves where rows meet, never
+    // which rows win
+    run(Long.MaxValue) shouldBe run(0L)
+    // the layered PQ serve obeys the same regime switch
+    val pq = GraphAnn.buildHnswPqIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2, m = 8, ks = 16,
+      dim = 16)
+    def runPq(limit: Long) =
+      GraphAnn.queryHnswPqIndex(queries, pq, k = 5, beam = 3, hops = 2,
+          frontierBroadcastLimit = limit)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    runPq(Long.MaxValue) shouldBe runPq(0L)
+  }
+
   // ------------------------------------------------------------------
   // NN-Descent
 
