@@ -257,8 +257,11 @@ object Dedup {
     */
   def appendToMinHashIndex(index: MinHashIndex, newDocs: DataFrame,
                            textCol: String, idCol: String): MinHashIndex = {
+    // checkpoint BEFORE the dup-id check: the check is an action, so a
+    // lazy plan would evaluate the signing subtree once for the check
+    // and again for the union — 2x the verb's most expensive stage
     val newSigs = minhashSignatures(newDocs, textCol, idCol, index.k,
-      index.shingleN, index.seed)
+      index.shingleN, index.seed).localCheckpoint()
     val dup = index.sigs.select("doc_id")
       .join(newSigs.select("doc_id"), Seq("doc_id"), "left_semi").count()
     require(dup == 0,

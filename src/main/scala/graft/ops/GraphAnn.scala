@@ -78,6 +78,16 @@ object GraphAnn {
                         crossDegree: Int, entriesPerCell: Int,
                         alpha: Option[Double] = None, poolSize: Int = 0)
 
+  /** The ONE α-prune pool resolver every build/append/delete path
+    * shares — the append paths must replay the build's resolution
+    * exactly or the rebuild-equivalence gates break.
+    */
+  private def resolvePool(alpha: Option[Double], poolSize: Int,
+                          degree: Int, crossDegree: Int): Int =
+    if (alpha.isEmpty) 0
+    else if (poolSize > 0) poolSize
+    else 3 * (degree + crossDegree)
+
   /** Top-`d` scored out-edges of `side` (cell, n_id, emb) against the
     * peer relation (cell, m_id, m_emb): per-cell join + fused cosine +
     * bounded-heap per node. Shared by build and append.
@@ -117,10 +127,15 @@ object GraphAnn {
   private def knnNeighbors(side: DataFrame, peers: DataFrame,
                            cells: Array[Array[Double]], degree: Int,
                            crossDegree: Int): DataFrame = {
-    val intra = topEdges(side, peers, degree)
+    // single-cell grid: the home pool already spans everything, so the
+    // cross pool would be the SAME rows — unioning it would feed
+    // duplicate (n_id, m_id) pairs into the final top-k (TopK keeps
+    // duplicates), halving the effective out-degree. One pool at the
+    // full degree budget is the faithful degenerate case.
     val edges =
-      if (crossDegree == 0) intra
-      else intra.unionByName(
+      if (crossDegree == 0 || cells.length < 2)
+        topEdges(side, peers, degree + crossDegree)
+      else topEdges(side, peers, degree).unionByName(
         topEdges(secondCellSide(side, cells), peers, crossDegree))
     edges.groupBy("n_id")
       .agg(TopK.topK(col("sim"), col("m_id"),
@@ -141,8 +156,10 @@ object GraphAnn {
                               crossDegree: Int, alpha: Double,
                               poolN: Int): DataFrame = {
     val intra = topEdges(side, peers, poolN)
+    // single-cell grid: the cross pool would duplicate the home pool
+    // row-for-row (see knnNeighbors) — wasted collect_list budget
     val pool =
-      if (crossDegree == 0) intra
+      if (crossDegree == 0 || cells.length < 2) intra
       else intra.unionByName(
         topEdges(secondCellSide(side, cells), peers, poolN))
     pool.join(peers.select(col("m_id"), col("m_emb")), Seq("m_id"))
@@ -201,10 +218,7 @@ object GraphAnn {
     require(entriesPerCell >= 1,
       s"entriesPerCell must be >= 1, got $entriesPerCell")
     alpha.foreach(a => require(a >= 1.0, s"alpha must be >= 1.0, got $a"))
-    val poolN =
-      if (alpha.isEmpty) 0
-      else if (poolSize > 0) poolSize
-      else 3 * (degree + crossDegree)
+    val poolN = resolvePool(alpha, poolSize, degree, crossDegree)
     val cells = centroids.getOrElse(Similarity.firstVectors(corpus, nlist))
     val c = corpus.select(col("vec_id").as("n_id"),
       col("embedding").as("emb"),
@@ -521,14 +535,7 @@ object GraphAnn {
       index.cells)
     IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
       index.codebook)
-    index.rotation.foreach { rot =>
-      IndexIo.saveVectors(spark, s"$dir/rotation_basis", "row_id", "row",
-        rot.basis)
-      IndexIo.saveVectors(spark, s"$dir/rotation_mean", "row_id", "row",
-        Array(rot.mean))
-      IndexIo.saveVectors(spark, s"$dir/rotation_eigenvalues", "row_id",
-        "row", Array(rot.eigenvalues))
-    }
+    index.rotation.foreach(IndexIo.saveRotation(spark, dir, _))
     index.entries.write.mode("overwrite").parquet(s"$dir/entries")
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
   }
@@ -545,13 +552,7 @@ object GraphAnn {
     val rotation =
       if (meta.schema.fieldNames.contains("has_rotation") &&
           meta.getAs[Boolean]("has_rotation"))
-        Some(Embeddings.PcaModel(
-          IndexIo.loadVectors(spark, s"$dir/rotation_mean", "row_id",
-            "row").head,
-          IndexIo.loadVectors(spark, s"$dir/rotation_eigenvalues",
-            "row_id", "row").head,
-          IndexIo.loadVectors(spark, s"$dir/rotation_basis", "row_id",
-            "row")))
+        Some(IndexIo.loadRotation(spark, dir))
       else None
     GraphPqIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells, cb,
@@ -632,6 +633,13 @@ object GraphAnn {
         Centroids.centroidAssign(col("embedding"), cells).as("cell"),
         secondCell(col("embedding"), cells).as("cell2"))
       .localCheckpoint()
+    // duplicate ids would put two node rows into the index with no
+    // error — fail fast (the d33/HNSW append contract)
+    val dupIds = index.nodes.select("n_id")
+      .join(nu.select("n_id"), Seq("n_id"), "left_semi").count()
+    require(dupIds == 0,
+      s"appendToGraphIndex: $dupIds batch ids already indexed — " +
+        "delete them first or de-duplicate the batch")
     // cell2 is stored at build time since r10; a pre-r10 node table
     // (loaded from disk) recomputes it once here and the appended
     // index carries it forward
@@ -667,11 +675,23 @@ object GraphAnn {
         // case class whose defaults allow alpha = Some(a) with
         // poolSize = 0 (a hand-constructed index); passing 0 through
         // would hit topEdges with k = 0 and yield an edge-less graph
-        val poolN = if (index.poolSize > 0) index.poolSize
-          else 3 * (deg + cross)
+        val poolN = resolvePool(index.alpha, index.poolSize, deg, cross)
         val redo = nu.unionByName(affected)
         val redoNbrs = prunedNeighbors(redo.select("cell", "n_id", "emb"),
           allPeers, cells, deg, cross, a, poolN)
+        val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
+          .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
+            coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+        oldNodes.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+          .unionByName(redoNodes)
+      case None if cells.length < 2 =>
+        // single-cell index: there is no disjoint intra/cross split to
+        // merge by (the build rule degrades to ONE pool at the full
+        // degree budget), so affected nodes re-run the build rule —
+        // the same shape as the α branch
+        val redo = nu.unionByName(affected)
+        val redoNbrs = knnNeighbors(redo.select("cell", "n_id", "emb"),
+          allPeers, cells, deg, cross)
         val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
           .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
             coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
@@ -783,10 +803,7 @@ object GraphAnn {
         "left_semi"))
       .dropDuplicates("n_id")
       .localCheckpoint()
-    val poolN =
-      if (index.alpha.isEmpty) 0
-      else if (index.poolSize > 0) index.poolSize
-      else 3 * (deg + cross)
+    val poolN = resolvePool(index.alpha, index.poolSize, deg, cross)
     val redoNbrs = neighborRule(affected.select("cell", "n_id", "emb"),
       peers, cells, deg, cross, index.alpha, poolN)
     val emptyNbrs = expr("cast(array() as array<bigint>)")
@@ -1040,10 +1057,7 @@ object GraphAnn {
     require(levelFanout >= 2, s"levelFanout must be >= 2, got $levelFanout")
     require(maxLevel >= 0, s"maxLevel must be >= 0, got $maxLevel")
     alpha.foreach(a => require(a >= 1.0, s"alpha must be >= 1.0, got $a"))
-    val poolN =
-      if (alpha.isEmpty) 0
-      else if (poolSize > 0) poolSize
-      else 3 * (degree + crossDegree)
+    val poolN = resolvePool(alpha, poolSize, degree, crossDegree)
     val cells = centroids.getOrElse(Similarity.firstVectors(corpus, nlist))
     val nodes = corpus.select(col("vec_id").as("n_id"),
         col("embedding").as("emb"),
@@ -1140,8 +1154,16 @@ object GraphAnn {
       col("embedding").as("q_emb"))
     val bcast = q.count() <= frontierBroadcastLimit
     // levels are monotone sets (layer ℓ members ⊇ layer ℓ+1 members),
-    // so every layer up to the realized max is non-empty
-    val topLevel = nodes.agg(max("level")).head().getInt(0)
+    // so every layer up to the realized max is non-empty. An EMPTY
+    // index (everything deleted) has no max level at all — degrade to
+    // zero results with the serve's schema, the flat tier's behavior,
+    // instead of an NPE off the null aggregate.
+    val lvlRow = nodes.agg(max("level")).head()
+    if (lvlRow.isNullAt(0))
+      return q.select(col("q_id"), col("q_id").as("n_id"),
+        lit(1).cast("int").as("rank"), lit(0.0d).as("sim"),
+        lit(0L).as("n_visited")).limit(0)
+    val topLevel = lvlRow.getInt(0)
     val entry = broadcast(nodes.filter(col("level") >= topLevel)
       .select(col("n_id"), abs(xxhash64(col("n_id"))).as("__h"))
       .orderBy(col("__h"), col("n_id")).limit(1).select("n_id"))
@@ -1266,14 +1288,7 @@ object GraphAnn {
       index.cells)
     IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
       index.codebook)
-    index.rotation.foreach { rot =>
-      IndexIo.saveVectors(spark, s"$dir/rotation_basis", "row_id", "row",
-        rot.basis)
-      IndexIo.saveVectors(spark, s"$dir/rotation_mean", "row_id", "row",
-        Array(rot.mean))
-      IndexIo.saveVectors(spark, s"$dir/rotation_eigenvalues", "row_id",
-        "row", Array(rot.eigenvalues))
-    }
+    index.rotation.foreach(IndexIo.saveRotation(spark, dir, _))
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
     index.adj.write.mode("overwrite").parquet(s"$dir/adj")
   }
@@ -1293,13 +1308,7 @@ object GraphAnn {
       "entries")
     val rotation =
       if (meta.getAs[Boolean]("has_rotation"))
-        Some(Embeddings.PcaModel(
-          IndexIo.loadVectors(spark, s"$dir/rotation_mean", "row_id",
-            "row").head,
-          IndexIo.loadVectors(spark, s"$dir/rotation_eigenvalues",
-            "row_id", "row").head,
-          IndexIo.loadVectors(spark, s"$dir/rotation_basis", "row_id",
-            "row")))
+        Some(IndexIo.loadRotation(spark, dir))
       else None
     HnswPqIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/adj"), cells, cb,
@@ -1313,9 +1322,8 @@ object GraphAnn {
     * lesson: passing 0 through hits the candidate top-k with k = 0).
     */
   private def hnswPool(index: HnswIndex): Int =
-    if (index.alpha.isEmpty) 0
-    else if (index.poolSize > 0) index.poolSize
-    else 3 * (index.degree + index.crossDegree)
+    resolvePool(index.alpha, index.poolSize, index.degree,
+      index.crossDegree)
 
   /** Append a batch to the layered index, EXACTLY rebuild-equivalent
     * (gate n41 pins per-layer neighbor-list equality with a
@@ -1337,6 +1345,14 @@ object GraphAnn {
         hashLevel(col("n_id"), index.levelFanout, index.maxLevel)
           .cast("int"))
       .localCheckpoint()
+    // duplicate ids would put two node rows and conflicting adjacency
+    // rows into the index with no error — fail fast (the d33 append
+    // contract)
+    val dup = index.nodes.select("n_id")
+      .join(nu0.select("n_id"), Seq("n_id"), "left_semi").count()
+    require(dup == 0,
+      s"appendToHnswIndex: $dup batch ids already indexed — " +
+        "delete them first or de-duplicate the batch")
     val nodes2 = index.nodes.unionByName(
         nu0.select(col("n_id"), col("emb"),
           Centroids.centroidAssign(col("emb"), index.cells).as("cell"),

@@ -22,4 +22,26 @@ private[ops] object IndexIo {
                   vecCol: String): Array[Array[Double]] =
     spark.read.parquet(dir).orderBy(idCol).collect()
       .map(r => r.getSeq[Double](r.fieldIndex(vecCol)).toArray)
+
+  /** Persist a trained OPQ/PCA rotation under `dir` — ONE layout
+    * (basis/mean/eigenvalues tables) shared by every rotated index
+    * family, so a model-shape change cannot silently diverge between
+    * the flat and layered savers.
+    */
+  def saveRotation(spark: SparkSession, dir: String,
+                   rot: graft.ops.Embeddings.PcaModel): Unit = {
+    saveVectors(spark, s"$dir/rotation_basis", "row_id", "row", rot.basis)
+    saveVectors(spark, s"$dir/rotation_mean", "row_id", "row",
+      Array(rot.mean))
+    saveVectors(spark, s"$dir/rotation_eigenvalues", "row_id", "row",
+      Array(rot.eigenvalues))
+  }
+
+  def loadRotation(spark: SparkSession,
+                   dir: String): graft.ops.Embeddings.PcaModel =
+    graft.ops.Embeddings.PcaModel(
+      loadVectors(spark, s"$dir/rotation_mean", "row_id", "row").head,
+      loadVectors(spark, s"$dir/rotation_eigenvalues", "row_id",
+        "row").head,
+      loadVectors(spark, s"$dir/rotation_basis", "row_id", "row"))
 }

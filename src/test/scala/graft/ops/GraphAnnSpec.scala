@@ -450,6 +450,64 @@ class GraphAnnSpec extends SparkSpec {
     runPq(Long.MaxValue) shouldBe runPq(0L)
   }
 
+  test("single-cell grids: no duplicate neighbor ids, full degree budget, append still rebuild-equal") {
+    val corpus = planted(3, 20, 16, seed = 41)
+    // nlist=1 with crossDegree>0: the cross pool would be the SAME
+    // rows as the home pool — the degenerate rule must spend the full
+    // degree+cross budget on DISTINCT neighbors
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 1, degree = 3,
+      crossDegree = 2)
+    val lists = idx.nodes.select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    lists.foreach { case (_, nb) =>
+      nb.distinct.length shouldBe nb.length
+      nb.length shouldBe 5 // full budget, not halved by duplicates
+    }
+    // the same invariant on every HNSW layer (the default coarsening
+    // makes upper layers single-cell)
+    val h = GraphAnn.buildHnswIndex(corpus, nlist = 4, degree = 3,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2)
+    h.adj.select("layer", "n_id", "neighbors").collect().foreach { r =>
+      val nb = r.getSeq[Long](2)
+      nb.distinct.length shouldBe nb.length
+    }
+    // single-cell append routes through the rebuild path and still
+    // equals the from-scratch build
+    val base = corpus.filter(col("vec_id") < 40)
+    val appended = GraphAnn.appendToGraphIndex(
+      GraphAnn.buildGraphIndex(base, nlist = 1, degree = 3,
+        crossDegree = 2),
+      corpus.filter(col("vec_id") >= 40))
+    val rebuilt = GraphAnn.buildGraphIndex(corpus, nlist = 1, degree = 3,
+      crossDegree = 2)
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    nbrs(appended) shouldBe nbrs(rebuilt)
+  }
+
+  test("append fails fast on already-indexed ids; empty index serves zero rows") {
+    val corpus = planted(3, 15, 16, seed = 19)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 3)
+    val e1 = intercept[IllegalArgumentException] {
+      GraphAnn.appendToGraphIndex(idx, corpus.filter(col("vec_id") < 3))
+    }
+    e1.getMessage should include("already indexed")
+    val h = GraphAnn.buildHnswIndex(corpus, nlist = 4, degree = 3,
+      crossDegree = 2, levelFanout = 4, maxLevel = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphAnn.appendToHnswIndex(h, corpus.filter(col("vec_id") < 3))
+    }
+    e2.getMessage should include("already indexed")
+    // a fully-deleted layered index degrades to zero results, the
+    // flat tier's behavior, instead of an NPE off the null max(level)
+    val emptied = GraphAnn.deleteFromHnswIndex(h,
+      corpus.select("vec_id"))
+    emptied.nodes.count() shouldBe 0
+    GraphAnn.queryHnswIndex(corpus.filter(col("vec_id") < 3), emptied,
+      k = 3).count() shouldBe 0
+  }
+
   test("HNSW shuffle-regime serve returns exactly the broadcast-regime results") {
     val corpus = planted(4, 25, 16, seed = 79)
     val queries = corpus.filter(col("vec_id") < 10)
