@@ -1135,6 +1135,27 @@ object GraphAnn {
       upperHops, scoreCandidates(_, index.nodes, _, _),
       frontierBroadcastLimit)
 
+  /** Metadata-FILTERED layered serve (the filtered-DiskANN shape, the
+    * n20 semantics at the layered tier): the walk navigates the FULL
+    * graph — disallowed nodes still work as waypoints, which is what
+    * keeps the graph connected under selective predicates; filtering
+    * the walk itself strands queries whose allowed region is only
+    * reachable through disallowed territory — and only the final
+    * top-k collection is restricted to `allowed` (one vec_id column).
+    * n_visited still counts every scored candidate: the budget is the
+    * walk's, not the survivors'.
+    */
+  def queryHnswIndexFiltered(queries: DataFrame, index: HnswIndex,
+                             allowed: DataFrame, k: Int, beam: Int = 8,
+                             hops: Int = 3, upperBeam: Int = 1,
+                             upperHops: Int = 2,
+                             frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+      : DataFrame =
+    hnswServe(queries, index.nodes, index.adj, k, beam, hops, upperBeam,
+      upperHops, scoreCandidates(_, index.nodes, _, _),
+      frontierBroadcastLimit,
+      allowed = Some(allowed.select(col("vec_id").as("n_id"))))
+
   /** The shared layered-descent loop, scorer-pluggable (exact cosine
     * for the float index, ADC for the PQ one — the same split as
     * [[beamSearch]] on the flat tier). `nodes` only supplies the
@@ -1145,7 +1166,8 @@ object GraphAnn {
                         adj: DataFrame, k: Int, beam: Int, hops: Int,
                         upperBeam: Int, upperHops: Int,
                         score: (DataFrame, DataFrame, Boolean) => DataFrame,
-                        frontierBroadcastLimit: Long): DataFrame = {
+                        frontierBroadcastLimit: Long,
+                        allowed: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(beam >= 1, s"beam must be >= 1, got $beam")
     require(upperBeam >= 1, s"upperBeam must be >= 1, got $upperBeam")
@@ -1184,7 +1206,12 @@ object GraphAnn {
     val scored0 = beamLoop(q, adj0, entryCand, beam, hops, score, bcast)
     val nVisited = visited.unionByName(scored0.select("q_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_visited"))
-    finishTopK(scored0, k, nVisited)
+    // filtered collection: the walk already happened over the full
+    // graph; only survivors compete for the top-k
+    val eligible = allowed
+      .map(a => scored0.join(broadcast(a), Seq("n_id"), "left_semi"))
+      .getOrElse(scored0)
+    finishTopK(eligible, k, nVisited)
   }
 
   /** HNSW over PQ-COMPRESSED vectors — the layered analog of

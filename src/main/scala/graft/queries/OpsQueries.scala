@@ -4593,6 +4593,34 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS roundtrip_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Filtered layered ANN (n44): metadata-predicated retrieval at
+    // the layered tier (the filtered-DiskANN shape) — the walk
+    // navigates the FULL graph (disallowed nodes remain waypoints;
+    // filtering the walk itself strands queries whose allowed region
+    // sits behind disallowed territory), and only the final top-k
+    // collection is restricted. At saturated config the walk scores
+    // everything, so the filtered serve must equal the exact top-5
+    // over the allowed corpus — n20's oracle verbatim.
+    QueryDef("n44_ann_hnsw_filtered",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val n = e.count().toInt
+        val idx = GraphAnn.buildHnswIndex(e, nlist = 1, degree = n - 1,
+          crossDegree = 0, levelFanout = 8, maxLevel = 2)
+        GraphAnn.queryHnswIndexFiltered(e.filter(col("vec_id") < 20),
+            idx, e.filter(col("label") % 2 === 0).select("vec_id"),
+            k = 5, beam = 5, hops = 1, upperBeam = 1, upperHops = 1)
+          .select("q_id", "n_id", "rank")
+      },
+      Some("""SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             |  row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+             |      DESC, c.vec_id) AS rank
+             |FROM embeddings q JOIN embeddings c
+             |  ON q.vec_id <> c.vec_id AND c.label % 2 = 0
+             |WHERE q.vec_id < 20
+             |QUALIFY rank <= 5""".stripMargin)),
+
     // GRAPH ANN recall vs IVF at matched budget (n31) — on the
     // [[straddleFixture]] (pinned, scale-factor-independent; see the
     // helper's doc), both sides use the SAME 16 cells: IVF probes its

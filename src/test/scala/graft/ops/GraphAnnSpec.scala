@@ -508,6 +508,38 @@ class GraphAnnSpec extends SparkSpec {
       k = 3).count() shouldBe 0
   }
 
+  test("filtered layered serve: survivors only, walk budget intact, waypoints still used") {
+    val corpus = planted(5, 20, 16, seed = 23)
+    val idx = GraphAnn.buildHnswIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 1)
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 8000L).as("vec_id"), col("embedding"))
+    val allowed = corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id")
+    val got = GraphAnn.queryHnswIndexFiltered(queries, idx, allowed,
+      k = 4, beam = 3, hops = 2)
+    // every returned id satisfies the predicate
+    got.select("n_id").join(allowed.select(col("vec_id").as("n_id")),
+      Seq("n_id"), "left_anti").count() shouldBe 0
+    // the walk itself is unfiltered: its budget matches the
+    // unfiltered serve's exactly (same candidates scored)
+    val unfiltered = GraphAnn.queryHnswIndex(queries, idx, k = 4,
+      beam = 3, hops = 2)
+    def vis(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_visited").distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vis(got) shouldBe vis(unfiltered)
+    // and the filtered ranks are the unfiltered candidate pool
+    // restricted to allowed ids, re-ranked — no allowed candidate the
+    // unfiltered walk scored in its top-4 goes missing
+    val unfApproved = unfiltered
+      .join(allowed.select(col("vec_id").as("n_id")), Seq("n_id"),
+        "left_semi")
+      .select("q_id", "n_id")
+    unfApproved.join(got.select("q_id", "n_id"), Seq("q_id", "n_id"),
+      "left_anti").count() shouldBe 0
+  }
+
   test("HNSW shuffle-regime serve returns exactly the broadcast-regime results") {
     val corpus = planted(4, 25, 16, seed = 79)
     val queries = corpus.filter(col("vec_id") < 10)
