@@ -154,7 +154,8 @@ object Bench {
         "n39_knn_graph_descent", "n40_ann_hnsw",
         "n41_hnsw_index_lifecycle", "d33_minhash_index_lifecycle",
         "d34_components_delete", "t34_bm25_state_persist",
-        "n42_ann_hnsw_pq", "n43_hnsw_pq_persist", "n44_ann_hnsw_filtered")
+        "n42_ann_hnsw_pq", "n43_hnsw_pq_persist", "n44_ann_hnsw_filtered",
+        "d35_minhash_index_bucketed")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

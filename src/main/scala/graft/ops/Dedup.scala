@@ -347,6 +347,78 @@ object Dedup {
       meta.getAs[Int]("shingle_n"), meta.getAs[Long]("seed"))
   }
 
+  /** Bucketed index persistence — the d31 production-volume layout for
+    * the MinHash family: the BANDED rows (doc_id, sig, band_idx,
+    * band_hash — the explode paid once, at save time) written
+    * `bucketBy(band_idx, band_hash)` into a catalog table, so the pair
+    * readout's capping aggregate and self-join both read
+    * pre-partitioned data and exchange NOTHING corpus-sized
+    * ([[minhashIndexPairsBanded]]'s plan carries exactly one Exchange,
+    * on the tiny candidate-pair relation for its dedup — spec-pinned).
+    * At production volume that is the difference between a
+    * metadata-priced nightly dedup readout and re-shuffling 8·k bytes
+    * per document per band. The plain `sigs` table persists alongside
+    * (append/delete/screen verbs read it).
+    */
+  def saveMinHashIndexBanded(index: MinHashIndex, dir: String,
+                             tablePrefix: String,
+                             buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = index.sigs.sparkSession
+    import spark.implicits._
+    Seq((1, index.k, index.bands, index.shingleN, index.seed, buckets))
+      .toDF("format_version", "k", "bands", "shingle_n", "seed",
+        "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    index.sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    index.sigs.select(col("doc_id"), col("sig"),
+        posexplode(graft.functions.BandHashes.bandHashes(col("sig"),
+          index.bands)).as(Seq("band_idx", "band_hash")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band_idx", "band_hash")
+      .sortBy("band_idx", "band_hash")
+      .option("path", s"$dir/banded")
+      .saveAsTable(s"${tablePrefix}_banded")
+  }
+
+  /** Reload the bucketed layout: the rebuilt [[MinHashIndex]] (for the
+    * append/delete/screen verbs) plus the banded catalog table (for
+    * [[minhashIndexPairsBanded]]).
+    */
+  def loadMinHashIndexBanded(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, tablePrefix: String)
+      : (MinHashIndex, DataFrame) = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported minhash index format_version " +
+        meta.getAs[Int]("format_version"))
+    (MinHashIndex(spark.read.parquet(s"$dir/sigs"),
+        meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("shingle_n"), meta.getAs[Long]("seed")),
+      spark.table(s"${tablePrefix}_banded"))
+  }
+
+  /** The pair readout over a PRE-BANDED bucketed table: identical
+    * answers to [[minhashIndexPairs]], but the capping aggregate and
+    * the bucket self-join inherit the on-disk partitioning — zero
+    * exchange of the corpus-sized banded relation.
+    */
+  def minhashIndexPairsBanded(banded: DataFrame, k: Int,
+                              threshold: Double = 0.7,
+                              maxBucket: Int = 1000): DataFrame = {
+    val sized = capBuckets(banded, Seq("band_idx", "band_hash"),
+      maxBucket)
+    val a = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+    scorePairs(pairs, k, threshold)
+  }
+
   /** Shared signature-agreement scoring: estimated Jaccard from two
     * k-long MinHash signatures, thresholded — the one implementation
     * both the full and incremental LSH paths use.

@@ -1630,6 +1630,30 @@ object OpsQueries {
              |FROM d JOIN k USING (doc_id)
              |LEFT JOIN spc USING (doc_id)""".stripMargin)),
 
+    // Bucketed MinHash index persistence (d35): the d31
+    // production-volume layout for the LSH family — banded rows
+    // written bucketBy(band_idx, band_hash) into a catalog table, so
+    // the nightly pair readout's capping aggregate and bucket
+    // self-join read pre-partitioned data and exchange NOTHING
+    // corpus-sized (plan spec-pinned: exactly one Exchange, on the
+    // tiny candidate-pair dedup). Answers must equal the in-flight
+    // d02 path row-for-row — the same truth oracle.
+    QueryDef("d35_minhash_index_bucketed",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val idx = Dedup.buildMinHashIndex(d, "text", "doc_id")
+        val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"/tmp/graft_gate_minhash_bucketed_$safe"
+        Dedup.saveMinHashIndexBanded(idx, out,
+          s"graft_gate_minhash_$safe", buckets = 16)
+        val (loaded, banded) = Dedup.loadMinHashIndexBanded(s, out,
+          s"graft_gate_minhash_$safe")
+        Dedup.minhashIndexPairsBanded(banded, loaded.k)
+          .select("doc_a", "doc_b")
+      },
+      Some(s"""WITH $trueJaccardSql
+              |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
+
     // Component DELETION (d34): the backward half of the d14
     // incremental-clusters lifecycle. Deletion can fragment a cluster
     // (the deleted node may be the only bridge) and can retire a

@@ -134,6 +134,31 @@ class DedupSpec extends SparkSpec {
     err.getMessage should include("format_version")
   }
 
+  test("bucketed minhash persistence: answers round-trip and the readout never exchanges the banded relation") {
+    val dir = java.nio.file.Files.createTempDirectory("mhbkt").toString
+    val idx = Dedup.buildMinHashIndex(docs, "text", "doc_id")
+    Dedup.saveMinHashIndexBanded(idx, dir, "minhash_bucketed_spec",
+      buckets = 4)
+    val (loaded, banded) = Dedup.loadMinHashIndexBanded(spark, dir,
+      "minhash_bucketed_spec")
+    loaded.k shouldBe idx.k
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical answers to the in-flight readout
+    pairSet(Dedup.minhashIndexPairsBanded(banded, loaded.k,
+      threshold = 0.4)) shouldBe
+      pairSet(Dedup.minhashIndexPairs(idx, threshold = 0.4))
+    // the point of the layout: the capping aggregate and the bucket
+    // self-join inherit the on-disk partitioning; the only Exchange
+    // in the whole readout is the candidate-pair dedup
+    val plan = Dedup.minhashIndexPairsBanded(banded, loaded.k,
+        threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include("Exchange hashpartitioning(doc_a")
+  }
+
   test("queryMinHashIndex screens probes; probe-probe pairs are separable") {
     val idx = Dedup.buildMinHashIndex(
       docs.filter(col("doc_id") === 1 || col("doc_id") === 4),
