@@ -5872,7 +5872,7 @@ object OpsQueries {
     // collapses to 5/100 because a low-degree walk cannot cross the
     // corpus in 2 hops — and the layered index descending from the
     // SAME single entry through two hash-leveled coarsened upper
-    // layers (79/100, max 34). The gate pins: the hierarchy rescues
+    // layers (84/100, max 36). The gate pins: the hierarchy rescues
     // the single-entry regime, matches-or-beats the codebook-probed
     // serve (HNSW needs NO centroid probing per query), and its
     // upper-layer overhead stays within the formula bound
