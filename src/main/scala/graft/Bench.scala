@@ -155,7 +155,7 @@ object Bench {
         "n41_hnsw_index_lifecycle", "d33_minhash_index_lifecycle",
         "d34_components_delete", "t34_bm25_state_persist",
         "n42_ann_hnsw_pq", "n43_hnsw_pq_persist", "n44_ann_hnsw_filtered",
-        "d35_minhash_index_bucketed")
+        "d35_minhash_index_bucketed", "n45_hnsw_index_stats")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

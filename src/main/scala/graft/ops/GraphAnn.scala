@@ -1459,6 +1459,25 @@ object GraphAnn {
     index.copy(nodes = nodes2, adj = adj2)
   }
 
+  /** Layered-index health report — the n26 re-train/rebalance trigger
+    * for the HNSW tier: per layer, member count, cell usage, and the
+    * out-degree envelope, all from ONE aggregate over the adjacency
+    * table (embeddings never read). The numbers to watch under the
+    * grow-by-append lifecycle: layer sizes drifting off the M^-ℓ
+    * geometric ladder mean the id space stopped hashing uniformly
+    * (adversarial or sequential-burst ids), and avg_degree sagging
+    * toward 0 on an upper layer means the coarsened grid left members
+    * stranded in singleton cells — both are rebuild triggers.
+    */
+  def hnswIndexStats(index: HnswIndex): DataFrame =
+    index.adj.groupBy("layer").agg(
+        count(lit(1)).as("n_members"),
+        count_distinct(col("cell")).as("n_cells_used"),
+        min(size(col("neighbors"))).as("min_degree"),
+        max(size(col("neighbors"))).as("max_degree"),
+        avg(size(col("neighbors"))).as("avg_degree"))
+      .orderBy("layer")
+
   /** Persist the layered index as four parquet tables under `dir`
     * (the n21/n32 layout discipline): `meta` (format_version + build
     * parameters, read back BY NAME), `cells`, `nodes`, `adj`. The

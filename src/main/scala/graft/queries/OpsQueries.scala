@@ -4617,6 +4617,32 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS roundtrip_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Layered-index health stats (n45): the n26 re-train trigger for
+    // the HNSW tier — per-layer member counts, cell usage, and the
+    // degree envelope from one aggregate over the adjacency table.
+    // Built over the PINNED first 500 vec_ids (the straddle-fixture
+    // discipline): levels are xxhash64-determined by id alone and the
+    // cell/degree envelope saturates at this size on every SF's
+    // embeddings, so the per-layer statistics are fixture constants
+    // the oracle pins outright — a drifted count means the level
+    // rule, the grid coarsening, or the edge rule changed.
+    QueryDef("n45_hnsw_index_stats",
+      (s, dir) => {
+        val idx = GraphAnn.buildHnswIndex(
+          embs(s, dir).filter(col("vec_id") < 500), nlist = 16,
+          degree = 4, crossDegree = 2, levelFanout = 4, maxLevel = 2)
+        GraphAnn.hnswIndexStats(idx)
+          .select(col("layer"), col("n_members"), col("n_cells_used"),
+            col("min_degree"), col("max_degree"),
+            round(col("avg_degree"), 6).as("avg_degree"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (0, 500::BIGINT, 16::BIGINT, 6, 6, 6.0),
+             |  (1, 124::BIGINT,  4::BIGINT, 6, 6, 6.0),
+             |  (2,  37::BIGINT,  1::BIGINT, 6, 6, 6.0))
+             |  t(layer, n_members, n_cells_used, min_degree,
+             |    max_degree, avg_degree)""".stripMargin)),
+
     // Filtered layered ANN (n44): metadata-predicated retrieval at
     // the layered tier (the filtered-DiskANN shape) — the walk
     // navigates the FULL graph (disallowed nodes remain waypoints;
