@@ -262,6 +262,14 @@ object Dedup {
     // and again for the union — 2x the verb's most expensive stage
     val newSigs = minhashSignatures(newDocs, textCol, idCol, index.k,
       index.shingleN, index.seed).localCheckpoint()
+    // fail fast in both directions: ids already indexed AND ids
+    // repeated within the batch (which would insert two signature
+    // rows for one document with no error)
+    val bs = newSigs.agg(count(lit(1)),
+      count_distinct(col("doc_id"))).head()
+    require(bs.getLong(0) == bs.getLong(1),
+      s"appendToMinHashIndex: batch repeats " +
+        s"${bs.getLong(0) - bs.getLong(1)} id(s) — de-duplicate the batch")
     val dup = index.sigs.select("doc_id")
       .join(newSigs.select("doc_id"), Seq("doc_id"), "left_semi").count()
     require(dup == 0,
@@ -269,6 +277,30 @@ object Dedup {
         "delete them first or de-duplicate the batch")
     MinHashIndex(index.sigs.unionByName(newSigs).localCheckpoint(),
       index.k, index.bands, index.shingleN, index.seed)
+  }
+
+  /** Merge two indexes built INDEPENDENTLY over disjoint document
+    * sets — the sharded-parallel build verb for the LSH family.
+    * Signatures are row-independent, so merge = union, EXACTLY
+    * rebuild-equal by construction (no affected set exists); the
+    * shards must share the hash family (k, bands, shingle_n, seed) or
+    * their signatures are incomparable, and ids must be disjoint —
+    * both fail fast.
+    */
+  def mergeMinHashIndexes(a: MinHashIndex, b: MinHashIndex)
+      : MinHashIndex = {
+    require(a.k == b.k && a.bands == b.bands &&
+      a.shingleN == b.shingleN && a.seed == b.seed,
+      s"mergeMinHashIndexes: hash families differ — " +
+        s"(k=${a.k},bands=${a.bands},n=${a.shingleN},seed=${a.seed}) vs " +
+        s"(k=${b.k},bands=${b.bands},n=${b.shingleN},seed=${b.seed})")
+    val dup = a.sigs.select("doc_id")
+      .join(b.sigs.select("doc_id"), Seq("doc_id"), "left_semi").count()
+    require(dup == 0,
+      s"mergeMinHashIndexes: $dup ids are present in BOTH shard " +
+        "indexes — shards must partition the corpus disjointly")
+    MinHashIndex(a.sigs.unionByName(b.sigs).localCheckpoint(),
+      a.k, a.bands, a.shingleN, a.seed)
   }
 
   /** Delete documents: one anti join. Non-members are a no-op, and a
@@ -378,12 +410,16 @@ object Dedup {
       .bucketBy(buckets, "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
       .option("path", s"$dir/banded")
-      .saveAsTable(s"${tablePrefix}_banded")
+      .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "banded", dir))
   }
 
   /** Reload the bucketed layout: the rebuilt [[MinHashIndex]] (for the
     * append/delete/screen verbs) plus the banded catalog table (for
-    * [[minhashIndexPairsBanded]]).
+    * [[minhashIndexPairsBanded]]). The catalog name is session-scoped
+    * under the default in-memory catalog, but the bucketed FILES are
+    * durable — a fresh session re-registers the external table from
+    * `dir/banded` with the saved bucket spec, so the cross-run nightly
+    * readout works without a persistent metastore.
     */
   def loadMinHashIndexBanded(spark: org.apache.spark.sql.SparkSession,
                              dir: String, tablePrefix: String)
@@ -392,10 +428,14 @@ object Dedup {
     require(meta.getAs[Int]("format_version") <= 1,
       s"unsupported minhash index format_version " +
         meta.getAs[Int]("format_version"))
+    val banded = IndexIo.resolveBucketedTable(spark,
+      IndexIo.bucketedTableName(tablePrefix, "banded", dir),
+      s"$dir/banded", Seq("band_idx", "band_hash"),
+      meta.getAs[Int]("buckets"))
     (MinHashIndex(spark.read.parquet(s"$dir/sigs"),
         meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
         meta.getAs[Int]("shingle_n"), meta.getAs[Long]("seed")),
-      spark.table(s"${tablePrefix}_banded"))
+      banded)
   }
 
   /** The pair readout over a PRE-BANDED bucketed table: identical

@@ -220,7 +220,10 @@ object GraphAnn {
     alpha.foreach(a => require(a >= 1.0, s"alpha must be >= 1.0, got $a"))
     val poolN = resolvePool(alpha, poolSize, degree, crossDegree)
     val cells = centroids.getOrElse(Similarity.firstVectors(corpus, nlist))
-    val c = corpus.select(col("vec_id").as("n_id"),
+    // n_id cast to long: hashEntries' xxhash64 is input-type-sensitive,
+    // so entry picks must hash the same representation on every path
+    // (build, append, merge) regardless of the source column type
+    val c = corpus.select(col("vec_id").cast("long").as("n_id"),
       col("embedding").as("emb"),
       Centroids.centroidAssign(col("embedding"), cells).as("cell"))
     val peers = c.select(col("cell"), col("n_id").as("m_id"),
@@ -307,11 +310,12 @@ object GraphAnn {
   def queryGraphIndex(queries: DataFrame, index: GraphIndex, k: Int,
                       beam: Int = 8, hops: Int = 3,
                       entryProbes: Int = 2,
-                      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+                      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                      broadcastFrontier: Option[Boolean] = None)
       : DataFrame =
     beamSearch(queries, index.nodes, index.entries, index.cells, k, beam,
       hops, entryProbes, scoreCandidates(_, index.nodes, _, _),
-      frontierBroadcastLimit)
+      frontierBroadcastLimit, broadcastFrontier)
 
   /** Query-count ceiling for the broadcast-frontier serve regime. At
     * beam 8 · degree 10 the frontier expansion is ≈5 M (q_id, n_id)
@@ -341,13 +345,17 @@ object GraphAnn {
                          entries: DataFrame, cells: Array[Array[Double]],
                          k: Int, beam: Int, hops: Int, entryProbes: Int,
                          score: (DataFrame, DataFrame, Boolean) => DataFrame,
-                         frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+                         frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                         broadcastFrontier: Option[Boolean] = None)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(beam >= 1, s"beam must be >= 1, got $beam")
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
-    val bcast = q.count() <= frontierBroadcastLimit
+    // a serving caller usually KNOWS |Q|; an explicit regime skips the
+    // auto-detect count job (one extra Spark job per serve call)
+    val bcast = broadcastFrontier.getOrElse(
+      q.count() <= frontierBroadcastLimit)
     val probed = q.select(col("q_id"),
         explode(Centroids.centroidProbes(col("q_emb"), cells,
           entryProbes)).as("cell"))
@@ -488,7 +496,8 @@ object GraphAnn {
   def queryGraphPqIndex(queries: DataFrame, index: GraphPqIndex, k: Int,
                         beam: Int = 8, hops: Int = 3,
                         entryProbes: Int = 2,
-                        frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+                        frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                        broadcastFrontier: Option[Boolean] = None)
       : DataFrame = {
     val sub = index.dim / index.m
     // an OPQ-rotated index rotates queries through the SAME model
@@ -511,7 +520,8 @@ object GraphAnn {
           index.codebook, sub)).as("sim"))
     }
     beamSearch(qIn, index.nodes, index.entries, index.cells, k, beam,
-      hops, entryProbes, adcScore, frontierBroadcastLimit)
+      hops, entryProbes, adcScore, frontierBroadcastLimit,
+      broadcastFrontier)
       .withColumn("adc", -col("sim")).drop("sim")
   }
 
@@ -628,13 +638,18 @@ object GraphAnn {
     val cells = index.cells
     val deg = index.degree
     val cross = index.crossDegree
-    val nu = newVecs.select(col("vec_id").as("n_id"),
+    val nu = newVecs.select(col("vec_id").cast("long").as("n_id"),
         col("embedding").as("emb"),
         Centroids.centroidAssign(col("embedding"), cells).as("cell"),
         secondCell(col("embedding"), cells).as("cell2"))
       .localCheckpoint()
     // duplicate ids would put two node rows into the index with no
-    // error — fail fast (the d33/HNSW append contract)
+    // error — fail fast (the d33/HNSW append contract). Both
+    // directions: already-indexed ids AND in-batch repeats.
+    val bs = nu.agg(count(lit(1)), count_distinct(col("n_id"))).head()
+    require(bs.getLong(0) == bs.getLong(1),
+      s"appendToGraphIndex: batch repeats ${bs.getLong(0) - bs.getLong(1)} " +
+        "id(s) — de-duplicate the batch")
     val dupIds = index.nodes.select("n_id")
       .join(nu.select("n_id"), Seq("n_id"), "left_semi").count()
     require(dupIds == 0,
@@ -823,6 +838,115 @@ object GraphAnn {
     index.copy(nodes = nodes2, entries = entries2)
   }
 
+  /** The two shard indexes a [[mergeGraphIndexes]]/[[mergeHnswIndexes]]
+    * can merge must be built with IDENTICAL frozen parameters — same
+    * codebook, same edge rule — or per-node equality with the union
+    * build is meaningless. Fail fast on any drift.
+    */
+  private def requireMergeCompatible(what: String,
+                                     cellsA: Array[Array[Double]],
+                                     cellsB: Array[Array[Double]],
+                                     paramsA: Seq[Any],
+                                     paramsB: Seq[Any]): Unit = {
+    require(cellsA.length == cellsB.length &&
+      cellsA.zip(cellsB).forall { case (x, y) => x.sameElements(y) },
+      s"$what: the shard indexes were built over different cell " +
+        "codebooks — sharded builds must share ONE frozen codebook")
+    require(paramsA == paramsB,
+      s"$what: build parameters differ between shards " +
+        s"($paramsA vs $paramsB)")
+  }
+
+  /** Disjoint-id fail-fast shared by the merge verbs. */
+  private def requireDisjointIds(what: String, a: DataFrame,
+                                 b: DataFrame): Unit = {
+    val coll = a.select("n_id")
+      .join(b.select("n_id"), Seq("n_id"), "left_semi").count()
+    require(coll == 0,
+      s"$what: $coll ids are present in BOTH shard indexes — shards " +
+        "must partition the corpus disjointly")
+  }
+
+  /** Merge two flat graph indexes built INDEPENDENTLY over disjoint id
+    * sets with the same frozen codebook and build parameters — the
+    * sharded-parallel build recipe at 100 TB (one build job per shard,
+    * then merge; the published FAISS `merge_from` / DiskANN
+    * sharded-build shape): appends are sequential, but shard builds
+    * run CONCURRENTLY and this verb stitches the results.
+    *
+    * EXACTLY rebuild-equivalent (gate n46 pins per-node neighbor-list
+    * AND per-cell entry equality with a from-scratch build over the
+    * union): a node's neighbor list depends only on its home and
+    * second cells' member sets, so the only nodes whose lists can
+    * change are those with a home/second cell the OTHER shard also
+    * occupies — they re-run the ONE shared edge rule against the
+    * union's cell membership; every other node's pools are untouched
+    * and its stored list carries over verbatim. Entries re-spread only
+    * for co-occupied cells.
+    *
+    * Scale note: work ∝ members of co-occupied cells × their cell
+    * sizes. Shard SPATIALLY (contiguous cell ranges of the shared
+    * codebook) and the co-occupied set is the shard boundary — the
+    * merge is then boundary-priced. Sharding by id range instead
+    * co-occupies every cell and the merge degenerates to a full edge
+    * re-run (correct, but no cheaper than one-shot).
+    */
+  def mergeGraphIndexes(a: GraphIndex, b: GraphIndex): GraphIndex = {
+    requireMergeCompatible("mergeGraphIndexes", a.cells, b.cells,
+      Seq(a.degree, a.crossDegree, a.entriesPerCell, a.alpha,
+        resolvePool(a.alpha, a.poolSize, a.degree, a.crossDegree)),
+      Seq(b.degree, b.crossDegree, b.entriesPerCell, b.alpha,
+        resolvePool(b.alpha, b.poolSize, b.degree, b.crossDegree)))
+    requireDisjointIds("mergeGraphIndexes", a.nodes, b.nodes)
+    val cells = a.cells
+    val poolN = resolvePool(a.alpha, a.poolSize, a.degree, a.crossDegree)
+    // pre-r10 node tables (loaded from disk) recompute cell2 once
+    def withCell2(n: DataFrame) =
+      if (n.columns.contains("cell2")) n
+      else n.withColumn("cell2", secondCell(col("emb"), cells))
+    val an = withCell2(a.nodes).select("n_id", "emb", "cell", "cell2",
+      "neighbors")
+    val bn = withCell2(b.nodes).select("n_id", "emb", "cell", "cell2",
+      "neighbors")
+    val occA = an.select("cell").distinct().localCheckpoint()
+    val occB = bn.select("cell").distinct().localCheckpoint()
+    def affectedOf(n: DataFrame, occOther: DataFrame) =
+      n.join(occOther, Seq("cell"), "left_semi")
+        .unionByName(n.join(
+          occOther.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+          "left_semi"))
+    val affected = affectedOf(an, occB).unionByName(affectedOf(bn, occA))
+      .dropDuplicates("n_id")
+      .select("n_id", "emb", "cell", "cell2")
+      .localCheckpoint()
+    val all = an.unionByName(bn)
+    val peers = all.select(col("cell"), col("n_id").as("m_id"),
+      col("emb").as("m_emb"))
+    val redoNbrs = neighborRule(affected.select("cell", "n_id", "emb"),
+      peers, cells, a.degree, a.crossDegree, a.alpha, poolN)
+    val emptyNbrs = expr("cast(array() as array<bigint>)")
+    val redoNodes = affected.join(redoNbrs, Seq("n_id"), "left")
+      .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
+        coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+    val nodes2 = all.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+      .unionByName(redoNodes)
+      .localCheckpoint()
+    // entries: a cell only one shard occupies keeps that shard's
+    // hash-spread picks (same member set, same picks); co-occupied
+    // cells re-spread over the union's members
+    val shared = occA.join(occB, Seq("cell"), "left_semi")
+      .localCheckpoint()
+    val entries2 = a.entries.join(shared, Seq("cell"), "left_anti")
+      .unionByName(b.entries.join(shared, Seq("cell"), "left_anti"))
+      .unionByName(hashEntries(
+        nodes2.join(shared, Seq("cell"), "left_semi")
+          .select("cell", "n_id"),
+        a.entriesPerCell))
+      .localCheckpoint()
+    GraphIndex(nodes2, entries2, cells, a.degree, a.crossDegree,
+      a.entriesPerCell, a.alpha, poolN)
+  }
+
   // --------------------------------------------------------------------
   // NN-Descent: iterative kNN-graph refinement (Dong, Charikar & Li,
   // "Efficient k-nearest neighbor graph construction for generic
@@ -979,11 +1103,15 @@ object GraphAnn {
         s"got $cap < $k")
     val emb = corpus.select(col("vec_id").cast("long").as("n_id"),
       col("embedding").as("emb")).localCheckpoint()
-    val buckets =
-      if (nBuckets > 0) nBuckets
-      else math.max(1, (emb.count() / (4L * (k + 1))).toInt)
-    var g = seed.getOrElse(nnDescentSeed(corpus, k, buckets))
-      .select("n_id", "m_id", "sim").localCheckpoint()
+    // bucket sizing needs a corpus count — only pay that job when the
+    // seed graph is actually built here (a caller-supplied seed makes
+    // nnDescentSeed, the count's only consumer, unreachable)
+    var g = seed.getOrElse {
+      val buckets =
+        if (nBuckets > 0) nBuckets
+        else math.max(1, (emb.count() / (4L * (k + 1))).toInt)
+      nnDescentSeed(corpus, k, buckets)
+    }.select("n_id", "m_id", "sim").localCheckpoint()
     for (_ <- 1 to iters)
       g = nnDescentRound(g, emb, k, cap).localCheckpoint()
     import org.apache.spark.sql.expressions.Window
@@ -1059,7 +1187,12 @@ object GraphAnn {
     alpha.foreach(a => require(a >= 1.0, s"alpha must be >= 1.0, got $a"))
     val poolN = resolvePool(alpha, poolSize, degree, crossDegree)
     val cells = centroids.getOrElse(Similarity.firstVectors(corpus, nlist))
-    val nodes = corpus.select(col("vec_id").as("n_id"),
+    // n_id is cast to long BEFORE hashLevel: xxhash64 is
+    // input-type-sensitive (an int 7 and a long 7 hash differently),
+    // so without the cast an append batch whose vec_id type differs
+    // from the build corpus would assign different levels and break
+    // the n41 rebuild-equivalence contract
+    val nodes = corpus.select(col("vec_id").cast("long").as("n_id"),
         col("embedding").as("emb"),
         Centroids.centroidAssign(col("embedding"), cells).as("cell"))
       .withColumn("level",
@@ -1129,11 +1262,12 @@ object GraphAnn {
   def queryHnswIndex(queries: DataFrame, index: HnswIndex, k: Int,
                      beam: Int = 8, hops: Int = 3, upperBeam: Int = 1,
                      upperHops: Int = 2,
-                     frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+                     frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                     broadcastFrontier: Option[Boolean] = None)
       : DataFrame =
     hnswServe(queries, index.nodes, index.adj, k, beam, hops, upperBeam,
       upperHops, scoreCandidates(_, index.nodes, _, _),
-      frontierBroadcastLimit)
+      frontierBroadcastLimit, broadcastFrontier = broadcastFrontier)
 
   /** Metadata-FILTERED layered serve (the filtered-DiskANN shape, the
     * n20 semantics at the layered tier): the walk navigates the FULL
@@ -1149,12 +1283,14 @@ object GraphAnn {
                              allowed: DataFrame, k: Int, beam: Int = 8,
                              hops: Int = 3, upperBeam: Int = 1,
                              upperHops: Int = 2,
-                             frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+                             frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                             broadcastFrontier: Option[Boolean] = None)
       : DataFrame =
     hnswServe(queries, index.nodes, index.adj, k, beam, hops, upperBeam,
       upperHops, scoreCandidates(_, index.nodes, _, _),
       frontierBroadcastLimit,
-      allowed = Some(allowed.select(col("vec_id").as("n_id"))))
+      allowed = Some(allowed.select(col("vec_id").as("n_id"))),
+      broadcastFrontier = broadcastFrontier)
 
   /** The shared layered-descent loop, scorer-pluggable (exact cosine
     * for the float index, ADC for the PQ one — the same split as
@@ -1167,14 +1303,19 @@ object GraphAnn {
                         upperBeam: Int, upperHops: Int,
                         score: (DataFrame, DataFrame, Boolean) => DataFrame,
                         frontierBroadcastLimit: Long,
-                        allowed: Option[DataFrame] = None): DataFrame = {
+                        allowed: Option[DataFrame] = None,
+                        broadcastFrontier: Option[Boolean] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(beam >= 1, s"beam must be >= 1, got $beam")
     require(upperBeam >= 1, s"upperBeam must be >= 1, got $upperBeam")
     require(upperHops >= 0, s"upperHops must be >= 0, got $upperHops")
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
-    val bcast = q.count() <= frontierBroadcastLimit
+    // explicit regime skips the auto-detect count job (the serving
+    // caller usually knows |Q|); default stays auto
+    val bcast = broadcastFrontier.getOrElse(
+      q.count() <= frontierBroadcastLimit)
     // levels are monotone sets (layer ℓ members ⊇ layer ℓ+1 members),
     // so every layer up to the realized max is non-empty. An EMPTY
     // index (everything deleted) has no max level at all — degrade to
@@ -1207,9 +1348,13 @@ object GraphAnn {
     val nVisited = visited.unionByName(scored0.select("q_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_visited"))
     // filtered collection: the walk already happened over the full
-    // graph; only survivors compete for the top-k
+    // graph; only survivors compete for the top-k. No broadcast hint:
+    // the allow-list can be corpus-sized (n44's gate passes half the
+    // corpus), so the optimizer picks the strategy — small lists still
+    // broadcast under the auto threshold, big ones hash-join instead
+    // of forcing an oversized broadcast
     val eligible = allowed
-      .map(a => scored0.join(broadcast(a), Seq("n_id"), "left_semi"))
+      .map(a => scored0.join(a, Seq("n_id"), "left_semi"))
       .getOrElse(scored0)
     finishTopK(eligible, k, nVisited)
   }
@@ -1269,7 +1414,8 @@ object GraphAnn {
   def queryHnswPqIndex(queries: DataFrame, index: HnswPqIndex, k: Int,
                        beam: Int = 8, hops: Int = 3, upperBeam: Int = 1,
                        upperHops: Int = 2,
-                       frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit)
+                       frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                       broadcastFrontier: Option[Boolean] = None)
       : DataFrame = {
     val sub = index.dim / index.m
     val qIn = index.rotation.map(Similarity.rotateToBasis(queries, _))
@@ -1290,7 +1436,8 @@ object GraphAnn {
           index.codebook, sub)).as("sim"))
     }
     hnswServe(qIn, index.nodes, index.adj, k, beam, hops, upperBeam,
-      upperHops, adcScore, frontierBroadcastLimit)
+      upperHops, adcScore, frontierBroadcastLimit,
+      broadcastFrontier = broadcastFrontier)
       .withColumn("adc", -col("sim")).drop("sim")
   }
 
@@ -1366,7 +1513,9 @@ object GraphAnn {
   def appendToHnswIndex(index: HnswIndex, newVecs: DataFrame)
       : HnswIndex = {
     val poolN = hnswPool(index)
-    val nu0 = newVecs.select(col("vec_id").as("n_id"),
+    // cast-to-long before hashLevel: same xxhash64 type-sensitivity
+    // note as the build — batch and corpus must hash identically
+    val nu0 = newVecs.select(col("vec_id").cast("long").as("n_id"),
         col("embedding").as("emb"))
       .withColumn("level",
         hashLevel(col("n_id"), index.levelFanout, index.maxLevel)
@@ -1374,7 +1523,12 @@ object GraphAnn {
       .localCheckpoint()
     // duplicate ids would put two node rows and conflicting adjacency
     // rows into the index with no error — fail fast (the d33 append
-    // contract)
+    // contract). Both directions: ids already indexed AND ids repeated
+    // within the batch itself (one agg job for the in-batch check).
+    val bs = nu0.agg(count(lit(1)), count_distinct(col("n_id"))).head()
+    require(bs.getLong(0) == bs.getLong(1),
+      s"appendToHnswIndex: batch repeats ${bs.getLong(0) - bs.getLong(1)} " +
+        "id(s) — de-duplicate the batch")
     val dup = index.nodes.select("n_id")
       .join(nu0.select("n_id"), Seq("n_id"), "left_semi").count()
     require(dup == 0,
@@ -1457,6 +1611,60 @@ object GraphAnn {
         .select("layer", "n_id", "cell", "cell2", "neighbors")
     }.reduce(_.unionByName(_)).localCheckpoint()
     index.copy(nodes = nodes2, adj = adj2)
+  }
+
+  /** Merge two layered indexes built INDEPENDENTLY over disjoint id
+    * sets with the same frozen codebook and build parameters — the
+    * [[mergeGraphIndexes]] recipe at the layered tier, and the verb
+    * that makes the 100 TB HNSW build PARALLEL (shard builds run
+    * concurrently, appends are sequential). EXACTLY rebuild-equivalent
+    * per (layer, n_id) neighbor list (gate n47, the n41 discipline):
+    * levels are pure id hash so each shard already assigned the union's
+    * levels; per layer, the grids coarsen from the SAME shared
+    * codebook, so the only rows whose lists can change are those whose
+    * layer-grid home/second cell the other shard also occupies ON THAT
+    * LAYER — they re-run the one shared edge rule against the layer's
+    * union membership; everything else carries over verbatim. Work per
+    * layer ∝ members of co-occupied cells, with geometrically
+    * vanishing upper-layer terms; spatial sharding makes the layer-0
+    * term boundary-priced (the mergeGraphIndexes scale note).
+    */
+  def mergeHnswIndexes(a: HnswIndex, b: HnswIndex): HnswIndex = {
+    requireMergeCompatible("mergeHnswIndexes", a.cells, b.cells,
+      Seq(a.degree, a.crossDegree, a.levelFanout, a.maxLevel, a.alpha,
+        hnswPool(a)),
+      Seq(b.degree, b.crossDegree, b.levelFanout, b.maxLevel, b.alpha,
+        hnswPool(b)))
+    requireDisjointIds("mergeHnswIndexes", a.nodes, b.nodes)
+    val poolN = hnswPool(a)
+    val nodes2 = a.nodes.unionByName(b.nodes).localCheckpoint()
+    val embById = nodes2.select(col("n_id"), col("emb"))
+    val adj2 = (0 to a.maxLevel).map { l =>
+      val cellsL = hnswLayerCells(a.cells, a.levelFanout, l)
+      val aL = a.adj.filter(col("layer") === l)
+      val bL = b.adj.filter(col("layer") === l)
+      val occA = aL.select("cell").distinct().localCheckpoint()
+      val occB = bL.select("cell").distinct().localCheckpoint()
+      def affectedOf(x: DataFrame, occOther: DataFrame) =
+        x.join(occOther, Seq("cell"), "left_semi")
+          .unionByName(x.join(
+            occOther.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+            "left_semi"))
+      val affected = affectedOf(aL, occB).unionByName(affectedOf(bL, occA))
+        .dropDuplicates("n_id")
+        .join(embById, Seq("n_id"))
+        .select("n_id", "emb", "cell", "cell2")
+      val allL = aL.unionByName(bL)
+      val peersL = allL.join(embById, Seq("n_id"))
+        .select(col("cell"), col("n_id").as("m_id"),
+          col("emb").as("m_emb"))
+      val redoRows = hnswLayerRows(affected, cellsL, l, a.degree,
+        a.crossDegree, a.alpha, poolN, Some(peersL))
+      allL.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+        .unionByName(redoRows)
+        .select("layer", "n_id", "cell", "cell2", "neighbors")
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    a.copy(nodes = nodes2, adj = adj2)
   }
 
   /** Layered-index health report — the n26 re-train/rebalance trigger

@@ -44,4 +44,36 @@ private[ops] object IndexIo {
       loadVectors(spark, s"$dir/rotation_eigenvalues", "row_id",
         "row").head,
       loadVectors(spark, s"$dir/rotation_basis", "row_id", "row"))
+
+  /** Catalog name for a bucketed persistence table: the caller's
+    * prefix plus a suffix derived from the save directory, so two
+    * concurrent saves with the same prefix into DIFFERENT dirs never
+    * collide on a global table name (same prefix + same dir IS a
+    * genuine overwrite).
+    */
+  def bucketedTableName(prefix: String, suffix: String,
+                        dir: String): String =
+    s"${prefix}_${suffix}_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Resolve a bucketed catalog table written by a `bucketBy(...)
+    * .option("path", location).saveAsTable(name)` save: if the name is
+    * still registered (same session, or a persistent metastore), read
+    * it; otherwise RE-REGISTER it from the parquet files at `location`
+    * with the same bucket spec — the data and its bucketed file layout
+    * are durable on disk, only the catalog entry was session-scoped,
+    * so a fresh session re-creates the external table and the
+    * exchange-free readout plans keep working without a metastore.
+    */
+  def resolveBucketedTable(spark: SparkSession, table: String,
+                           location: String, bucketCols: Seq[String],
+                           buckets: Int): org.apache.spark.sql.DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(location).schema.toDDL
+      val cols = bucketCols.mkString(", ")
+      spark.sql(s"CREATE TABLE $table ($schema) USING parquet " +
+        s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS " +
+        s"LOCATION '$location'")
+    }
+    spark.table(table)
+  }
 }

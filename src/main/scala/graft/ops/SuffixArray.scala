@@ -764,13 +764,19 @@ object SuffixArray {
     index.dictPairs.write.mode("overwrite")
       .bucketBy(buckets, "__r1", "__r2").sortBy("__r1", "__r2")
       .option("path", s"$dir/dict_pairs")
-      .saveAsTable(s"${tablePrefix}_dict_pairs")
+      .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "dict_pairs",
+        dir))
     index.keys.write.mode("overwrite")
       .bucketBy(buckets, "__r1", "__r2").sortBy("__r1", "__r2")
       .option("path", s"$dir/keys")
-      .saveAsTable(s"${tablePrefix}_keys")
+      .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "keys", dir))
   }
 
+  /** The catalog names are session-scoped under the default in-memory
+    * catalog but the bucketed FILES are durable: a fresh session
+    * re-registers the external tables from `dir` with the saved
+    * bucket spec, so the cross-run readout works without a metastore.
+    */
   def loadSubstrIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                               dir: String, tablePrefix: String)
       : SubstrIndex = {
@@ -778,9 +784,14 @@ object SuffixArray {
     require(meta.getAs[Int]("format_version") <= 1,
       s"unsupported substr index format_version " +
         meta.getAs[Int]("format_version"))
+    val buckets = meta.getAs[Int]("buckets")
     SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
-      spark.table(s"${tablePrefix}_dict_pairs"),
-      spark.table(s"${tablePrefix}_keys"),
+      IndexIo.resolveBucketedTable(spark,
+        IndexIo.bucketedTableName(tablePrefix, "dict_pairs", dir),
+        s"$dir/dict_pairs", Seq("__r1", "__r2"), buckets),
+      IndexIo.resolveBucketedTable(spark,
+        IndexIo.bucketedTableName(tablePrefix, "keys", dir),
+        s"$dir/keys", Seq("__r1", "__r2"), buckets),
       meta.getAs[Int]("min_len"), meta.getAs[Int]("target_w"),
       meta.getAs[Long]("stride"), meta.getAs[Long]("max_id"))
   }

@@ -159,6 +159,56 @@ class DedupSpec extends SparkSpec {
     plan should include("Exchange hashpartitioning(doc_a")
   }
 
+  test("bucketed minhash persistence survives catalog loss: load re-registers the external table") {
+    val dir = java.nio.file.Files.createTempDirectory("mhcat").toString
+    val idx = Dedup.buildMinHashIndex(docs, "text", "doc_id")
+    Dedup.saveMinHashIndexBanded(idx, dir, "mh_catalog_spec", buckets = 4)
+    // simulate a fresh session: the in-memory catalog entry is gone but
+    // the bucketed files under dir/banded are durable (external table)
+    spark.sql(s"DROP TABLE ${IndexIo.bucketedTableName("mh_catalog_spec",
+      "banded", dir)}")
+    val (loaded, banded) = Dedup.loadMinHashIndexBanded(spark, dir,
+      "mh_catalog_spec")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pairSet(Dedup.minhashIndexPairsBanded(banded, loaded.k,
+      threshold = 0.4)) shouldBe
+      pairSet(Dedup.minhashIndexPairs(idx, threshold = 0.4))
+    // the re-registered table keeps the bucket spec: still exactly one
+    // Exchange (the candidate-pair dedup), never the banded relation
+    val plan = Dedup.minhashIndexPairsBanded(banded, loaded.k,
+        threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("mergeMinHashIndexes: sharded parallel build equals the one-shot build; mismatches fail fast") {
+    val shardA = docs.filter(col("doc_id") % 2 === 0)
+    val shardB = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Dedup.mergeMinHashIndexes(
+      Dedup.buildMinHashIndex(shardA, "text", "doc_id"),
+      Dedup.buildMinHashIndex(shardB, "text", "doc_id"))
+    val oneShot = Dedup.buildMinHashIndex(docs, "text", "doc_id")
+    def pairSet(i: Dedup.MinHashIndex) =
+      Dedup.minhashIndexPairs(i, threshold = 0.4)
+        .select("doc_a", "doc_b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pairSet(merged) shouldBe pairSet(oneShot)
+    // overlapping shards fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.mergeMinHashIndexes(
+        Dedup.buildMinHashIndex(docs, "text", "doc_id"),
+        Dedup.buildMinHashIndex(shardB, "text", "doc_id"))
+    }.getMessage should include("BOTH shard")
+    // different hash families are incomparable
+    intercept[IllegalArgumentException] {
+      Dedup.mergeMinHashIndexes(
+        Dedup.buildMinHashIndex(shardA, "text", "doc_id", seed = 7L),
+        Dedup.buildMinHashIndex(shardB, "text", "doc_id", seed = 8L))
+    }.getMessage should include("hash families")
+  }
+
   test("queryMinHashIndex screens probes; probe-probe pairs are separable") {
     val idx = Dedup.buildMinHashIndex(
       docs.filter(col("doc_id") === 1 || col("doc_id") === 4),

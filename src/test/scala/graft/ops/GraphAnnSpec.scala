@@ -858,4 +858,158 @@ class GraphAnnSpec extends SparkSpec {
       beam = 2, hops = 2, upperBeam = 1, upperHops = 2))
     hnsw should be > nsw
   }
+
+  test("appends fail fast on in-batch duplicate ids (flat and layered)") {
+    val corpus = planted(3, 15, 16, seed = 71)
+    val batch = planted(1, 5, 16, seed = 73, idBase = 1000L)
+    // repeat one id inside the batch itself: without the check this
+    // would silently insert two node rows with conflicting adjacency
+    val dupBatch = batch.unionByName(batch.filter(col("vec_id") === 1000L))
+    val flat = GraphAnn.buildGraphIndex(corpus, nlist = 3, degree = 4)
+    val eFlat = intercept[IllegalArgumentException] {
+      GraphAnn.appendToGraphIndex(flat, dupBatch)
+    }
+    eFlat.getMessage should include("repeats")
+    val layered = GraphAnn.buildHnswIndex(corpus, nlist = 3, degree = 4,
+      levelFanout = 4, maxLevel = 1)
+    val eLay = intercept[IllegalArgumentException] {
+      GraphAnn.appendToHnswIndex(layered, dupBatch)
+    }
+    eLay.getMessage should include("repeats")
+    // a clean batch still appends fine
+    GraphAnn.appendToGraphIndex(flat, batch).nodes.count() shouldBe 50L
+  }
+
+  test("explicit serve regime: same results as auto-detect, fewer jobs (no |Q| count)") {
+    val corpus = planted(4, 25, 16, seed = 67)
+    val queries = corpus.filter(col("vec_id") < 6)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 4,
+      crossDegree = 2)
+    def run(regime: Option[Boolean]) =
+      GraphAnn.queryGraphIndex(queries, idx, k = 4, beam = 3, hops = 2,
+          broadcastFrontier = regime)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(4)))
+        .toSet
+    val auto = run(None)
+    run(Some(true)) shouldBe auto
+    run(Some(false)) shouldBe auto
+    // the explicit path must skip the auto-detect count job: group the
+    // construction's eager jobs (checkpoints per hop) and compare —
+    // identical work except the one |Q| count
+    val sc = spark.sparkContext
+    def jobsDuring(tag: String)(body: => Unit): Int = {
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      // the status store is fed asynchronously; wait for it to settle
+      var n, last = -1
+      var spins = 0
+      while ({ last = n; n = sc.statusTracker.getJobIdsForGroup(tag).length
+               spins += 1; n != last && spins < 50 }) Thread.sleep(100)
+      n
+    }
+    val nAuto = jobsDuring("regime-auto") {
+      GraphAnn.queryGraphIndex(queries, idx, k = 4, beam = 3, hops = 2)
+    }
+    val nExplicit = jobsDuring("regime-explicit") {
+      GraphAnn.queryGraphIndex(queries, idx, k = 4, beam = 3, hops = 2,
+        broadcastFrontier = Some(true))
+    }
+    // strictly fewer — the construction work is identical except the
+    // auto path's |Q| count (which AQE may split into more than one job)
+    nExplicit should be < nAuto
+  }
+
+  test("mergeGraphIndexes equals the union build: nodes, entries, and serve (kNN and pruned rules)") {
+    val corpus = planted(6, 30, 16, seed = 103)
+    val cells = Similarity.firstVectors(corpus, 6)
+    for (alpha <- Seq(None, Some(1.3))) withClue(s"alpha=$alpha: ") {
+      def build(c: org.apache.spark.sql.DataFrame) =
+        GraphAnn.buildGraphIndex(c, nlist = 6, degree = 4,
+          crossDegree = 2, centroids = Some(cells), alpha = alpha)
+      val union = build(corpus)
+      // spatial sharding: split by the frozen codebook's home cell so
+      // the merge's affected set is partial, exercising the carry-over
+      val cellOf = union.nodes.select("n_id", "cell")
+      val aIds = cellOf.filter(col("cell") < 3).select("n_id")
+      val shardA = corpus.join(aIds.withColumnRenamed("n_id", "vec_id"),
+        Seq("vec_id"), "left_semi")
+      val shardB = corpus.join(aIds.withColumnRenamed("n_id", "vec_id"),
+        Seq("vec_id"), "left_anti")
+      val merged = GraphAnn.mergeGraphIndexes(build(shardA), build(shardB))
+      def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+        .select("n_id", "neighbors").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      def ent(i: GraphAnn.GraphIndex) = i.entries.collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      nbrs(merged) shouldBe nbrs(union)
+      ent(merged) shouldBe ent(union)
+      // and by id-range sharding too (every cell co-occupied — the
+      // degenerate-but-correct regime)
+      val mergedId = GraphAnn.mergeGraphIndexes(
+        build(corpus.filter(col("vec_id") < 90)),
+        build(corpus.filter(col("vec_id") >= 90)))
+      nbrs(mergedId) shouldBe nbrs(union)
+      ent(mergedId) shouldBe ent(union)
+      val queries = corpus.filter(col("vec_id") < 5)
+      def serve(i: GraphAnn.GraphIndex) =
+        GraphAnn.queryGraphIndex(queries, i, k = 4, beam = 3, hops = 2)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(4)))
+          .toSet
+      serve(merged) shouldBe serve(union)
+    }
+  }
+
+  test("mergeHnswIndexes equals the union build per (layer, n_id)") {
+    val corpus = planted(6, 30, 16, seed = 107)
+    val cells = Similarity.firstVectors(corpus, 8)
+    def build(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildHnswIndex(c, nlist = 8, degree = 4, crossDegree = 2,
+        levelFanout = 4, maxLevel = 2, centroids = Some(cells))
+    val union = build(corpus)
+    val merged = GraphAnn.mergeHnswIndexes(
+      build(corpus.filter(col("vec_id") % 2 === 0)),
+      build(corpus.filter(col("vec_id") % 2 === 1)))
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    adjMap(merged) shouldBe adjMap(union)
+    def nodeMap(i: GraphAnn.HnswIndex) = i.nodes
+      .select("n_id", "level").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    nodeMap(merged) shouldBe nodeMap(union)
+  }
+
+  test("merges fail fast on id overlap and on build-parameter drift") {
+    val corpus = planted(3, 20, 16, seed = 109)
+    val cells = Similarity.firstVectors(corpus, 3)
+    val a = GraphAnn.buildGraphIndex(corpus.filter(col("vec_id") < 40),
+      nlist = 3, degree = 4, centroids = Some(cells))
+    val overlap = GraphAnn.buildGraphIndex(
+      corpus.filter(col("vec_id") >= 30), nlist = 3, degree = 4,
+      centroids = Some(cells))
+    intercept[IllegalArgumentException] {
+      GraphAnn.mergeGraphIndexes(a, overlap)
+    }.getMessage should include("BOTH shard")
+    val wrongDeg = GraphAnn.buildGraphIndex(
+      corpus.filter(col("vec_id") >= 40), nlist = 3, degree = 5,
+      centroids = Some(cells))
+    intercept[IllegalArgumentException] {
+      GraphAnn.mergeGraphIndexes(a, wrongDeg)
+    }.getMessage should include("parameters differ")
+    val wrongCells = GraphAnn.buildGraphIndex(
+      corpus.filter(col("vec_id") >= 40), nlist = 2,
+      centroids = Some(cells.take(2)), degree = 4)
+    intercept[IllegalArgumentException] {
+      GraphAnn.mergeGraphIndexes(a, wrongCells)
+    }.getMessage should include("codebook")
+    val ha = GraphAnn.buildHnswIndex(corpus.filter(col("vec_id") < 40),
+      nlist = 3, degree = 4, centroids = Some(cells))
+    val hb = GraphAnn.buildHnswIndex(corpus.filter(col("vec_id") >= 30),
+      nlist = 3, degree = 4, centroids = Some(cells))
+    intercept[IllegalArgumentException] {
+      GraphAnn.mergeHnswIndexes(ha, hb)
+    }.getMessage should include("BOTH shard")
+  }
 }

@@ -401,6 +401,28 @@ class SuffixArraySpec extends SparkSpec {
     spansPlan should include("Exchange hashpartitioning(__id")
   }
 
+  test("bucketed substr persistence survives catalog loss: load re-registers the external tables") {
+    val all = randomCorpus(8, seed = 271)
+    val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 8)
+    val dir = java.nio.file.Files.createTempDirectory("substrcat").toString
+    SuffixArray.saveSubstrIndexBucketed(idx, dir, "substr_catalog_spec",
+      buckets = 4)
+    // simulate a fresh session: drop both catalog entries; the bucketed
+    // files are durable (external tables)
+    for (sfx <- Seq("dict_pairs", "keys"))
+      spark.sql(s"DROP TABLE ${IndexIo.bucketedTableName(
+        "substr_catalog_spec", sfx, dir)}")
+    val loaded = SuffixArray.loadSubstrIndexBucketed(spark, dir,
+      "substr_catalog_spec")
+    indexState(loaded) shouldBe indexState(idx)
+    spansOf(loaded) shouldBe spansOf(idx)
+    // the re-registered layout keeps the exchange-free aggregate
+    val aggPlan = loaded.keys.groupBy("__r1", "__r2")
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    aggPlan should not include "Exchange hashpartitioning"
+  }
+
   test("substr index save/load round-trips state and spans") {
     val all = randomCorpus(10, seed = 233)
     val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
