@@ -155,7 +155,11 @@ object Bench {
         "n41_hnsw_index_lifecycle", "d33_minhash_index_lifecycle",
         "d34_components_delete", "t34_bm25_state_persist",
         "n42_ann_hnsw_pq", "n43_hnsw_pq_persist", "n44_ann_hnsw_filtered",
-        "d35_minhash_index_bucketed", "n45_hnsw_index_stats")
+        "d35_minhash_index_bucketed", "n45_hnsw_index_stats",
+        // round-12 merge gates: each builds three indexes per
+        // evaluation (two shards + the union oracle)
+        "n46_graph_index_merge", "n47_hnsw_index_merge",
+        "d36_minhash_index_merge")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {
@@ -199,8 +203,23 @@ object Bench {
     val totalCpu = results.map(_._4).sum
     val totalGc = results.map(_._5).sum
     val totalSpill = results.map(_._6).sum
+    // The relational headline (judge-run every round until now): the
+    // full 44-model warehouse build, sequential + parallel, at the
+    // 50000/500000 scale the BASELINE comparison uses — committed into
+    // the artifact so the bench-vs-BASELINE ratio needs no solo run.
+    // Skipped for partial (named-query) runs; a failure degrades to an
+    // error string, never a missing artifact.
+    val whJson =
+      if (args.nonEmpty) """"warehouse_build":"skipped (partial run)""""
+      else try {
+        val wh = WarehouseBench.run(spark, 50000, 500000,
+          "/tmp/graft-bench-wh")
+        s""""warehouse_build":{$wh}"""
+      } catch { case e: Throwable =>
+        s""""warehouse_build":"failed: ${e.getClass.getSimpleName}""""
+      }
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_spill":$qsSpill,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,$whJson,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_spill":$qsSpill,"sf":"$sfDir"}"""
     // Full per-query results: one stdout line (for complete logs) plus a
     // file, because the driver's artifact keeps only the LAST ~2000
     // chars of sbt output. With 120+ queries the full JSON line is

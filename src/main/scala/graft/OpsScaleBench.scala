@@ -241,7 +241,123 @@ object OpsScaleBench {
     val (sSpan, rSpan) = time(sink(
       graft.ops.SuffixArray.substrIndexSpans(fullIdx, "doc_id")))
     val substrIdxJson = f""""substr_index":{"acc_docs":${n1 * mult},"batch_docs":${n1 / 10},"append_sec":$sApp%.2f,"rebuild_sec":$sReb%.2f,"ratio":${sApp / sReb}%.2f,"spans_sec":$sSpan%.2f,"keys":$grownKeys,"spans":$rSpan}"""
-    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,${parts.mkString(",")}}""")
+
+    // Singleton-pruning CPU re-pin (round-11 evidence gap): d25's
+    // pruning win is re-measured here as a toggled pair on the SAME
+    // host in the SAME session — wall AND task CPU — so the claim is
+    // a committed ratio, not a cross-round comparison of contended
+    // numbers. Spans are identical either way (spec-pinned).
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
+        }
+      })
+    def cpuTime(f: => Long): (Double, Double, Long) = {
+      org.apache.spark.graftbridge.CoreBridge
+        .drainListenerBus(spark.sparkContext)
+      val c0 = cpuNanos.get()
+      val t0 = System.nanoTime()
+      val rows = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.CoreBridge
+        .drainListenerBus(spark.sparkContext)
+      ((cpuNanos.get() - c0) / 1e9, wall, rows)
+    }
+    def spansToggled(prune: Boolean): Long = sink(
+      graft.ops.SuffixArray.repeatedSpansPruneToggle(base, "text",
+        "doc_id", minLen = 40, prune = prune))
+    spansToggled(true) // warmup: JIT + codegen off the clock
+    val (cOn, wOn, rOn) = cpuTime(spansToggled(true))
+    val (cOff, wOff, rOff) = cpuTime(spansToggled(false))
+    val pruneJson = f""""substr_prune":{"cpu_on_sec":$cOn%.2f,"cpu_off_sec":$cOff%.2f,"cpu_ratio":${cOn / cOff}%.2f,"wall_on_sec":$wOn%.2f,"wall_off_sec":$wOff%.2f,"rows_equal":${rOn == rOff}}"""
+
+    // Sharded parallel build + merge (the n46/n47 verb measured),
+    // decomposed into the terms that decide the 100 TB recipe:
+    //  - parallel_build_sec: two SPATIALLY-sharded builds run
+    //    CONCURRENTLY on this host (the local stand-in for two cluster
+    //    build jobs). On ONE shared host shard builds are
+    //    work-conserving, so this ≈ the one-shot wall — the recipe's
+    //    wall win comes from disjoint cluster resources, which a
+    //    local[32] line cannot manufacture;
+    //  - merge_sec and affected_frac: the merge's work is EXACTLY the
+    //    affected fraction re-running the edge rule (plus bounded
+    //    stage constants). affected_frac is the quantity a deployment
+    //    controls via shard geometry: home cells are disjoint under
+    //    spatial sharding, so the leak is nodes whose SECOND cell
+    //    crosses the boundary — ~1/2 on this hash-random corpus (the
+    //    honest worst case; clustered corpora with geometry-aware
+    //    shards shrink it toward the boundary, and crossDegree = 0
+    //    makes it exactly zero).
+    val vecsAll = replicated(mult)
+      .select(col("doc_id").as("vec_id"),
+        expr("transform(sequence(1, 32), j -> " +
+          "cast(pmod(xxhash64(doc_id * 31 + j), 1000) / 500.0 - 1.0 " +
+          "as float))").as("embedding")).localCheckpoint()
+    val nv = vecsAll.count()
+    val nlist = math.max(16, (nv / 64).toInt)
+    val mergeCells = graft.ops.Similarity.firstVectors(vecsAll, nlist)
+    def buildShard(c: DataFrame) = graft.ops.GraphAnn.buildHnswIndex(c,
+      nlist = nlist, degree = 6, crossDegree = 2, levelFanout = 8,
+      maxLevel = 2, centroids = Some(mergeCells))
+    val cellCol = graft.functions.Centroids.centroidAssign(
+      col("embedding"), mergeCells)
+    val cell2Col = graft.functions.Centroids.centroidProbes(
+      col("embedding"), mergeCells, 2).getItem(1)
+    val shardA = vecsAll.filter(cellCol < nlist / 2).localCheckpoint()
+    val shardB = vecsAll.filter(cellCol >= nlist / 2).localCheckpoint()
+    // affected fraction at layer 0: nodes whose second cell crosses
+    // the shard boundary (home cells are disjoint by construction)
+    val affectedFrac = vecsAll
+      .select(((cellCol < nlist / 2) =!= (cell2Col < nlist / 2))
+        .cast("int").as("x"))
+      .agg(avg("x")).head().getDouble(0)
+    buildShard(vecsAll) // warmup
+    val (sOne, _) = time { buildShard(vecsAll).adj.count() }
+    var mergeSec = 0.0
+    val (sPar, _) = time {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(buildShard(shardA))
+      val fb = Future(buildShard(shardB))
+      val ia = Await.result(fa, Duration.Inf)
+      val ib = Await.result(fb, Duration.Inf)
+      val t0 = System.nanoTime()
+      val m = graft.ops.GraphAnn.mergeHnswIndexes(ia, ib)
+      val r = m.adj.count()
+      mergeSec = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val mergeJson = f""""shard_merge":{"n_vecs":$nv,"oneshot_sec":$sOne%.2f,"parallel_build_sec":${sPar - mergeSec}%.2f,"merge_sec":$mergeSec%.2f,"affected_frac":$affectedFrac%.2f,"total_ratio":${sPar / sOne}%.2f}"""
+
+    // Serve-regime scale curve: per-query serve cost swept across the
+    // broadcast↔shuffle-hash crossover (DefaultFrontierBroadcastLimit
+    // = 65536). The number to watch is sec_per_kq flatness in the
+    // shuffle regime — per-query cost must not grow with |Q|, which is
+    // what validates the default instead of asserting it.
+    val sIdx = buildShard(vecsAll)
+    def qBatch(nQ: Long) = spark.range(nQ)
+      .select((col("id") + 10000000L).as("vec_id"),
+        expr("transform(sequence(1, 32), j -> " +
+          "cast(pmod(xxhash64(id * 37 + j), 1000) / 500.0 - 1.0 " +
+          "as float))").as("embedding"))
+      .localCheckpoint()
+    val servePts = Seq(4096L, 65536L, 262144L).map { nQ =>
+      val qb = qBatch(nQ)
+      def serve() = sink(graft.ops.GraphAnn.queryHnswIndex(qb, sIdx,
+        k = 5, beam = 3, hops = 2, upperBeam = 1, upperHops = 2))
+      serve() // warmup
+      val (s1, _) = time(serve())
+      val regime = if (nQ <= 65536L) "broadcast" else "shuffle_hash"
+      f""""q$nQ":{"sec":$s1%.2f,"sec_per_kq":${s1 * 1000.0 / nQ}%.3f,"regime":"$regime"}"""
+    }
+    val serveJson = s""""serve_regime":{${servePts.mkString(",")}}"""
+
+    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$serveJson,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

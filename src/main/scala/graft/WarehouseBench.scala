@@ -139,12 +139,7 @@ object WarehouseBench {
     val nCust = args.headOption.map(_.toInt).getOrElse(20000)
     val nTrades = args.lift(1).map(_.toInt).getOrElse(100000)
     val work = args.lift(2).getOrElse("/tmp/graft-whbench")
-    val batch = s"$work/batch1"; val out = s"$work/out"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-
-    val tGen0 = System.nanoTime()
-    generate(batch, nCust, nTrades)
-    val genSec = (System.nanoTime() - tGen0) / 1e9
 
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -152,6 +147,25 @@ object WarehouseBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    println(s"""{"metric":"warehouse_build",${run(spark, nCust, nTrades,
+      work)}}""")
+    spark.stop()
+  }
+
+  /** Generate + sequential 44-model build + parallel DAG build on an
+    * existing session; returns the JSON payload (everything after the
+    * metric key). Shared by the standalone main above and the
+    * per-round [[Bench]], so the bench-vs-BASELINE ratio lives in the
+    * committed BENCH_full.json artifact instead of requiring a
+    * separate judge run.
+    */
+  def run(spark: SparkSession, nCust: Int, nTrades: Int,
+          work: String): String = {
+    val batch = s"$work/batch1"; val out = s"$work/out"
+    val tGen0 = System.nanoTime()
+    generate(batch, nCust, nTrades)
+    val genSec = (System.nanoTime() - tGen0) / 1e9
 
     val t0 = System.nanoTime()
     var last = t0
@@ -183,7 +197,6 @@ object WarehouseBench {
     val parSec = (System.nanoTime() - tp0) / 1e9
     val ftParRows = spark.read.parquet(s"$work/out_par/fact_trade").count()
 
-    println(s"""{"metric":"warehouse_build","value":$buildSec,"unit":"sec","parallel_sec":$parSec,"models":${wh.all.size},"n_customers":$nCust,"n_trades":$nTrades,"fact_trade_rows":$ftRows,"fact_trade_rows_parallel":$ftParRows,"unique_trade_violations":$violations,"gen_sec":$genSec}""")
-    spark.stop()
+    s""""value":$buildSec,"unit":"sec","parallel_sec":$parSec,"models":${wh.all.size},"n_customers":$nCust,"n_trades":$nTrades,"fact_trade_rows":$ftRows,"fact_trade_rows_parallel":$ftParRows,"unique_trade_violations":$violations,"gen_sec":$genSec"""
   }
 }

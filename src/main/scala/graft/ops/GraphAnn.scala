@@ -910,11 +910,17 @@ object GraphAnn {
       "neighbors")
     val occA = an.select("cell").distinct().localCheckpoint()
     val occB = bn.select("cell").distinct().localCheckpoint()
-    def affectedOf(n: DataFrame, occOther: DataFrame) =
-      n.join(occOther, Seq("cell"), "left_semi")
-        .unionByName(n.join(
-          occOther.withColumnRenamed("cell", "cell2"), Seq("cell2"),
-          "left_semi"))
+    // the cell2 leg only matters when cross edges exist: with
+    // crossDegree = 0 the edge rule never reads the second cell, so a
+    // spatially-sharded merge (disjoint home cells) has an EMPTY
+    // affected set and the merge is a pure union
+    def affectedOf(n: DataFrame, occOther: DataFrame) = {
+      val home = n.join(broadcast(occOther), Seq("cell"), "left_semi")
+      if (a.crossDegree == 0) home
+      else home.unionByName(n.join(
+        broadcast(occOther.withColumnRenamed("cell", "cell2")),
+        Seq("cell2"), "left_semi"))
+    }
     val affected = affectedOf(an, occB).unionByName(affectedOf(bn, occA))
       .dropDuplicates("n_id")
       .select("n_id", "emb", "cell", "cell2")
@@ -1304,7 +1310,9 @@ object GraphAnn {
                         score: (DataFrame, DataFrame, Boolean) => DataFrame,
                         frontierBroadcastLimit: Long,
                         allowed: Option[DataFrame] = None,
-                        broadcastFrontier: Option[Boolean] = None)
+                        broadcastFrontier: Option[Boolean] = None,
+                        upperScore: Option[(DataFrame, DataFrame,
+                          Boolean) => DataFrame] = None)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(beam >= 1, s"beam must be >= 1, got $beam")
@@ -1336,8 +1344,11 @@ object GraphAnn {
     while (l >= 1) {
       val adjL = adj.filter(col("layer") === l)
         .select("n_id", "neighbors")
+      // upper layers may use a DIFFERENT scorer (float descent over a
+      // PQ index); only candidate IDS cross layer boundaries, so mixed
+      // scoring units never compare across layers
       val scored = beamLoop(q, adjL, entryCand, upperBeam, upperHops,
-        score, bcast)
+        upperScore.getOrElse(score), bcast)
       visited = visited.unionByName(scored.select("q_id"))
       entryCand = topPerQuery(scored, upperBeam).localCheckpoint()
       l -= 1
@@ -1372,7 +1383,8 @@ object GraphAnn {
                          codebook: Array[Array[Double]],
                          m: Int, ks: Int, dim: Int, levelFanout: Int,
                          maxLevel: Int,
-                         rotation: Option[Embeddings.PcaModel] = None)
+                         rotation: Option[Embeddings.PcaModel] = None,
+                         upperFloats: Option[DataFrame] = None)
 
   /** Build: the float layered build (edges need real geometry), one
     * encode projection, floats dropped — exactly the
@@ -1400,8 +1412,18 @@ object GraphAnn {
         graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
       .select("n_id", "cell", "level", "codes")
       .localCheckpoint()
+    // float vectors for the UPPER-layer members only (n/M^l rows — a
+    // 1/levelFanout fraction of the corpus): the descent through the
+    // hierarchy scores in exact float, so the layer-0 entry is chosen
+    // by real geometry instead of coarse ADC codes. This recovers the
+    // measured ~8-recall-point entry price of codebook-free descent
+    // (the r11 n42 finding) for 4·dim/levelFanout bytes per corpus
+    // vector — the serve's per-CANDIDATE state at layer 0 is still
+    // m bytes + topology.
+    val uf = h.nodes.filter(col("level") >= 1)
+      .select(col("n_id"), col("emb")).localCheckpoint()
     HnswPqIndex(nodes, h.adj, h.cells, cb, m, ks, dim, levelFanout,
-      maxLevel, rotation)
+      maxLevel, rotation, Some(uf))
   }
 
   /** ADC layered serve: the [[queryHnswIndex]] walk with the scorer
@@ -1435,9 +1457,26 @@ object GraphAnn {
         (-graft.functions.PqColumns.pqAdc(col("q_emb"), col("codes"),
           index.codebook, sub)).as("sim"))
     }
+    // float-scored descent when the index carries its upper-layer
+    // vectors (all builds since r12; legacy loads fall back to the
+    // all-ADC walk): the hierarchy's ~n/M rows are exact-geometry,
+    // so coarse-code ties cannot land the layer-0 entry a cluster off
+    val upperScore = index.upperFloats.map { uf =>
+      (cand: DataFrame, q: DataFrame, bcast: Boolean) => {
+        val joined =
+          if (bcast)
+            broadcast(cand).join(uf, Seq("n_id"))
+              .join(broadcast(q), Seq("q_id"))
+          else
+            cand.hint("shuffle_hash").join(uf, Seq("n_id"))
+              .join(q.hint("shuffle_hash"), Seq("q_id"))
+        joined.select(col("q_id"), col("n_id"),
+          Similarity.cosine(col("q_emb"), col("emb")).as("sim"))
+      }
+    }
     hnswServe(qIn, index.nodes, index.adj, k, beam, hops, upperBeam,
       upperHops, adcScore, frontierBroadcastLimit,
-      broadcastFrontier = broadcastFrontier)
+      broadcastFrontier = broadcastFrontier, upperScore = upperScore)
       .withColumn("adc", -col("sim")).drop("sim")
   }
 
@@ -1454,9 +1493,10 @@ object GraphAnn {
     import spark.implicits._
     val fmt = if (index.rotation.isDefined) 2 else 1
     Seq((fmt, index.cells.length, index.m, index.ks, index.dim,
-        index.levelFanout, index.maxLevel, index.rotation.isDefined))
+        index.levelFanout, index.maxLevel, index.rotation.isDefined,
+        index.upperFloats.isDefined))
       .toDF("format_version", "nlist", "m", "ks", "dim", "level_fanout",
-        "max_level", "has_rotation")
+        "max_level", "has_rotation", "has_upper_floats")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
       index.cells)
@@ -1465,6 +1505,11 @@ object GraphAnn {
     index.rotation.foreach(IndexIo.saveRotation(spark, dir, _))
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
     index.adj.write.mode("overwrite").parquet(s"$dir/adj")
+    // the upper-layer float table (n/M rows) rides along: dropping it
+    // would only degrade the descent back to all-ADC, so no format
+    // bump — readers that find it serve the float-entry walk
+    index.upperFloats.foreach(_.write.mode("overwrite")
+      .parquet(s"$dir/upper_floats"))
   }
 
   /** Reload a persisted layered PQ index: bounded artifacts collect to
@@ -1484,11 +1529,18 @@ object GraphAnn {
       if (meta.getAs[Boolean]("has_rotation"))
         Some(IndexIo.loadRotation(spark, dir))
       else None
+    // pre-r12 saves carry no upper-float table (and no meta column):
+    // load degrades to the all-ADC descent
+    val upperFloats =
+      if (meta.schema.fieldNames.contains("has_upper_floats") &&
+          meta.getAs[Boolean]("has_upper_floats"))
+        Some(spark.read.parquet(s"$dir/upper_floats"))
+      else None
     HnswPqIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/adj"), cells, cb,
       meta.getAs[Int]("m"), meta.getAs[Int]("ks"),
       meta.getAs[Int]("dim"), meta.getAs[Int]("level_fanout"),
-      meta.getAs[Int]("max_level"), rotation)
+      meta.getAs[Int]("max_level"), rotation, upperFloats)
   }
 
   /** HnswIndex is a public case class; resolve a hand-built index's
@@ -1638,29 +1690,42 @@ object GraphAnn {
     requireDisjointIds("mergeHnswIndexes", a.nodes, b.nodes)
     val poolN = hnswPool(a)
     val nodes2 = a.nodes.unionByName(b.nodes).localCheckpoint()
-    val embById = nodes2.select(col("n_id"), col("emb"))
     val adj2 = (0 to a.maxLevel).map { l =>
       val cellsL = hnswLayerCells(a.cells, a.levelFanout, l)
-      val aL = a.adj.filter(col("layer") === l)
-      val bL = b.adj.filter(col("layer") === l)
-      val occA = aL.select("cell").distinct().localCheckpoint()
-      val occB = bL.select("cell").distinct().localCheckpoint()
-      def affectedOf(x: DataFrame, occOther: DataFrame) =
-        x.join(occOther, Seq("cell"), "left_semi")
-          .unionByName(x.join(
-            occOther.withColumnRenamed("cell", "cell2"), Seq("cell2"),
-            "left_semi"))
-      val affected = affectedOf(aL, occB).unionByName(affectedOf(bL, occA))
+      // layer members by PROJECTION off the node tables (which carry
+      // emb + level) — NOT adjacency→embedding joins: append/delete
+      // must avoid recomputing corpus geometry for a small batch (the
+      // n33 lesson), but a merge touches both shards' full geometry
+      // anyway, and one shuffle-free projection per shard beats two
+      // corpus-sized joins per layer. The projection replays the
+      // build's assignment exactly (same cells, same expression), so
+      // it agrees with the stored adj columns.
+      def members(n: DataFrame) = n.filter(col("level") >= l)
+        .select(col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), cellsL).as("cell"),
+          secondCell(col("emb"), cellsL).as("cell2"))
+      val mA = members(a.nodes)
+      val mB = members(b.nodes)
+      val occA = mA.select("cell").distinct()
+      val occB = mB.select("cell").distinct()
+      // cell2 leg skipped at crossDegree = 0 (the flat-merge note)
+      def affectedOf(m: DataFrame, occOther: DataFrame) = {
+        val home = m.join(broadcast(occOther), Seq("cell"), "left_semi")
+        if (a.crossDegree == 0) home
+        else home.unionByName(m.join(
+          broadcast(occOther.withColumnRenamed("cell", "cell2")),
+          Seq("cell2"), "left_semi"))
+      }
+      val affected = affectedOf(mA, occB).unionByName(affectedOf(mB, occA))
         .dropDuplicates("n_id")
-        .join(embById, Seq("n_id"))
-        .select("n_id", "emb", "cell", "cell2")
-      val allL = aL.unionByName(bL)
-      val peersL = allL.join(embById, Seq("n_id"))
+      val peersL = mA.unionByName(mB)
         .select(col("cell"), col("n_id").as("m_id"),
           col("emb").as("m_emb"))
       val redoRows = hnswLayerRows(affected, cellsL, l, a.degree,
         a.crossDegree, a.alpha, poolN, Some(peersL))
-      allL.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+      a.adj.filter(col("layer") === l)
+        .unionByName(b.adj.filter(col("layer") === l))
+        .join(affected.select("n_id"), Seq("n_id"), "left_anti")
         .unionByName(redoRows)
         .select("layer", "n_id", "cell", "cell2", "neighbors")
     }.reduce(_.unionByName(_)).localCheckpoint()

@@ -75,6 +75,27 @@ object SuffixArray {
       minLen)
   }
 
+  /** [[repeatedSpans]] with the singleton pruning toggleable —
+    * MEASUREMENT ONLY (package-private): identical spans either way
+    * (the pruning argument in [[lengthKeys]]); OpsScaleBench times
+    * both settings so the pruning win is a measured ratio in the
+    * artifact, not an asserted one.
+    */
+  private[graft] def repeatedSpansPruneToggle(docs: DataFrame,
+      textCol: String, idCol: String, minLen: Int,
+      prune: Boolean): DataFrame = {
+    val staged = docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__t"))
+      .withColumn("__n", length(col("__t")))
+    val keyed = lengthKeys(staged, minLen, prune = prune)
+    val repeatedKeys = keyed.groupBy("__r1", "__r2")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select("__r1", "__r2")
+    islandSpans(keyed.join(repeatedKeys, Seq("__r1", "__r2")), idCol,
+      minLen)
+  }
+
   /** Per-round surviving candidate rows of the refinement — the
     * singleton-pruning collapse curve (one (width, rows) pair per
     * round, width 1 = the char-class seed). On natural text the count
@@ -103,7 +124,8 @@ object SuffixArray {
     * (diagnostics only — the default no-op adds no work).
     */
   private def lengthKeys(staged: DataFrame, minLen: Int,
-                         onRound: (Int, DataFrame) => Unit = (_, _) => ())
+                         onRound: (Int, DataFrame) => Unit = (_, _) => (),
+                         prune: Boolean = true)
       : DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     // target class width: smallest power of two with 2·targetW ≥ minLen
@@ -166,10 +188,14 @@ object SuffixArray {
     // text the shuffled relation collapses within 2-3 rounds (most
     // width-8 windows are already unique) instead of carrying dead
     // rows to the end.
-    var ranks = chars
-      .join(chars.groupBy("__c").agg(min("__pos").as("__cls"),
-        count(lit(1)).as("__sz")), Seq("__c"))
-      .filter(col("__sz") >= 2)
+    // prune=false: the measurement-only unpruned variant (identical
+    // spans — see the correctness argument above; the toggle exists so
+    // OpsScaleBench can measure the win instead of asserting it)
+    def keepRepeated(df: DataFrame): DataFrame =
+      if (prune) df.filter(col("__sz") >= 2) else df
+    var ranks = keepRepeated(chars
+        .join(chars.groupBy("__c").agg(min("__pos").as("__cls"),
+          count(lit(1)).as("__sz")), Seq("__c")))
       .select(col("__pos"), col("__cls"))
       .localCheckpoint()
     onRound(1, ranks)
@@ -181,8 +207,7 @@ object SuffixArray {
       val paired = widenRel(ranks, width)
       val newCls = paired.groupBy("__r1", "__r2")
         .agg(min("__pos").as("__cls"), count(lit(1)).as("__sz"))
-      ranks = paired.join(newCls, Seq("__r1", "__r2"))
-        .filter(col("__sz") >= 2)
+      ranks = keepRepeated(paired.join(newCls, Seq("__r1", "__r2")))
         .select(col("__pos"), col("__cls"))
         .localCheckpoint()
       width *= 2

@@ -1654,6 +1654,26 @@ object OpsQueries {
       Some(s"""WITH $trueJaccardSql
               |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
 
+    // Sharded parallel build + merge, LSH family (d36): two shard
+    // indexes signed CONCURRENTLY over disjoint halves of the corpus
+    // merge into one, and the merged state's pair readout must equal
+    // the d02 truth oracle — signatures are row-independent, so the
+    // merge is union-by-construction and exactly rebuild-equal
+    // (spec-pinned against the one-shot index; the gate drives the
+    // composition to the same external truth every LSH gate uses).
+    QueryDef("d36_minhash_index_merge",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val merged = Dedup.mergeMinHashIndexes(
+          Dedup.buildMinHashIndex(d.filter(col("doc_id") % 2 === 0),
+            "text", "doc_id"),
+          Dedup.buildMinHashIndex(d.filter(col("doc_id") % 2 === 1),
+            "text", "doc_id"))
+        Dedup.minhashIndexPairs(merged).select("doc_a", "doc_b")
+      },
+      Some(s"""WITH $trueJaccardSql
+              |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
+
     // Component DELETION (d34): the backward half of the d14
     // incremental-clusters lifecycle. Deletion can fragment a cluster
     // (the deleted node may be the only bridge) and can retire a
@@ -5986,6 +6006,71 @@ object OpsQueries {
              |FROM embeddings
              |WHERE vec_id < 500
              |  AND NOT (vec_id % 10 = 7 AND vec_id >= 20)""".stripMargin)),
+
+    // Sharded parallel build + merge, flat tier (n46): the 100 TB
+    // build-side recipe the append verbs cannot express — one build
+    // job per shard run CONCURRENTLY, then merge (the FAISS
+    // merge_from / DiskANN sharded-build shape). The gate pins EXACT
+    // rebuild-equivalence of merge(build(A), build(B)) with the
+    // one-shot build over A ∪ B under ID sharding — the worst-case
+    // geometry where every cell is co-occupied and the entire edge
+    // set re-runs — per node (neighbor lists array-for-array) AND per
+    // cell (hash-spread entry picks as a set). Spatial sharding (the
+    // cheap regime, merge ∝ boundary) is spec-pinned in GraphAnnSpec.
+    QueryDef("n46_graph_index_merge",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val cells = Similarity.firstVectors(e, 16)
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildGraphIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, centroids = Some(cells))
+        val merged = GraphAnn.mergeGraphIndexes(
+          build(e.filter(col("vec_id") < 250)),
+          build(e.filter(col("vec_id") >= 250)))
+        val union = build(e)
+        val entriesOk =
+          merged.entries.exceptAll(union.entries).count() == 0 &&
+            union.entries.exceptAll(merged.entries).count() == 0
+        merged.nodes.select(col("n_id"), col("neighbors").as("nb_m"))
+          .join(union.nodes.select(col("n_id"),
+            col("neighbors").as("nb_u")), Seq("n_id"), "full")
+          .select(col("n_id"),
+            (col("nb_m") === col("nb_u")).as("nbrs_exact"),
+            lit(entriesOk).as("entries_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS nbrs_exact,
+             |  TRUE AS entries_exact
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
+
+    // Sharded parallel build + merge, layered tier (n47): the n46
+    // verb at the HNSW tier, pinned with the n41 discipline — per
+    // (layer, n_id), the merged index's neighbor list must equal the
+    // one-shot union build's array-for-array (levels are pure id
+    // hash, so each shard already assigned the union's levels; grids
+    // coarsen from the one frozen codebook).
+    QueryDef("n47_hnsw_index_merge",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val cells = Similarity.firstVectors(e, 16)
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildHnswIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, levelFanout = 4, maxLevel = 2,
+            centroids = Some(cells))
+        val merged = GraphAnn.mergeHnswIndexes(
+          build(e.filter(col("vec_id") % 2 === 0)),
+          build(e.filter(col("vec_id") % 2 === 1)))
+        val union = build(e)
+        merged.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_m"))
+          .join(union.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_u")), Seq("layer", "n_id"), "full")
+          .groupBy("n_id")
+          .agg((count(lit(1)) === sum(when(
+            col("nb_m") === col("nb_u"), 1).otherwise(0)))
+            .as("merge_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS merge_exact
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
 
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting

@@ -811,18 +811,50 @@ class GraphAnnSpec extends SparkSpec {
       hops = 3, upperBeam = 3, upperHops = 3)
     // the walk's job is to approximate the EXHAUSTIVE scan of the same
     // compressed representation (the flat PQ spec's contract, from a
-    // single descended entry instead of probed cells). The bar sits
-    // below the flat tier's 0.85: the descent is itself ADC-guided,
-    // so coarse-code ties can land the layer-0 entry one cluster off
-    // and the walk pays hops to recover — the documented cost of
-    // codebook-free entry under quantized scoring (measured 0.766 at
-    // this pinned fixture/config).
+    // single descended entry instead of probed cells). r11 measured
+    // this config at 0.766 and attributed the gap to ADC-guided entry;
+    // the r12 diagnosis (Scratch-run: q7005 visited ZERO members of
+    // its own cluster) showed the real cause is upper-layer topology:
+    // at nlist=6/fanout=4 the upper grids collapse to one cell, and
+    // the plain kNN edge rule wires each upper member to its own
+    // cluster's peers — near-disconnected cliques the descent cannot
+    // leave, exactly the clustered-data failure Malkov & Yashunin's
+    // select-neighbors heuristic exists for. The library's α-prune
+    // rule IS that heuristic; the α build below recovers recall to
+    // 1.0 at a LOWER visited budget. The kNN build's price stays
+    // measured (0.766) rather than hidden.
     val adcExhaustive = Similarity.pqTopK(queries, corpus, 5, m = 8,
       ks = 32, dim = 16, codebook = Some(cb))
-    val walkRecall = Similarity.recallAtK(res.select("q_id", "n_id"),
-        adcExhaustive.select("q_id", "n_id"))
-      .agg(avg("recall")).head().getDouble(0)
-    walkRecall should be >= 0.75
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(df.select("q_id", "n_id"),
+          adcExhaustive.select("q_id", "n_id"))
+        .agg(avg("recall")).head().getDouble(0)
+    def maxVisited(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_visited").distinct()
+        .agg(max("n_visited")).head().getLong(0)
+    val knnRecall = recallOf(res)
+    knnRecall should be >= 0.75 // the measured kNN-edge price
+    val idxA = GraphAnn.buildHnswPqIndex(corpus, nlist = 6, degree = 6,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2, m = 8, ks = 32,
+      dim = 16, codebook = Some(cb), alpha = Some(1.2))
+    val resA = GraphAnn.queryHnswPqIndex(queries, idxA, k = 5, beam = 6,
+      hops = 3, upperBeam = 3, upperHops = 3)
+    // diversified edges beat the probed flat serve's 0.85 bar at a
+    // budget no larger than the kNN walk's (measured: 1.0 at 67 vs
+    // 0.766 at 75)
+    recallOf(resA) should be >= 0.85
+    maxVisited(resA) should be <= maxVisited(res)
+    // the float-scored upper descent (r12) is independent insurance
+    // against coarse-code ties: never worse than the all-ADC legacy
+    // descent on the same index, at an identical per-query budget
+    val legacy = GraphAnn.queryHnswPqIndex(queries,
+      idxA.copy(upperFloats = None), k = 5, beam = 6, hops = 3,
+      upperBeam = 3, upperHops = 3)
+    recallOf(legacy) should be <= recallOf(resA)
+    // same walk SHAPE (upperBeam/upperHops/beam/hops identical), so
+    // the budget FORMULA is identical; realized counts drift by ±a few
+    // because different upper picks overlap differently at layer 0
+    math.abs(maxVisited(resA) - maxVisited(legacy)) should be <= 8L
     // deterministic replay across layouts
     def run(c: org.apache.spark.sql.DataFrame) = {
       val i = GraphAnn.buildHnswPqIndex(c, nlist = 6, degree = 6,

@@ -423,6 +423,20 @@ class SuffixArraySpec extends SparkSpec {
     aggPlan should not include "Exchange hashpartitioning"
   }
 
+  test("singleton pruning is result-invisible: prune=false replays identical spans") {
+    val df = randomCorpus(8, seed = 281).toDF("doc_id", "text")
+    val on = SuffixArray.repeatedSpansPruneToggle(df, "text", "doc_id",
+      minLen = 8, prune = true)
+    val off = SuffixArray.repeatedSpansPruneToggle(df, "text", "doc_id",
+      minLen = 8, prune = false)
+    on.count() should be > 0L
+    on.exceptAll(off).count() shouldBe 0
+    off.exceptAll(on).count() shouldBe 0
+    // and the toggled-on path IS the production path
+    on.exceptAll(SuffixArray.repeatedSpans(df, "text", "doc_id",
+      minLen = 8)).count() shouldBe 0
+  }
+
   test("substr index save/load round-trips state and spans") {
     val all = randomCorpus(10, seed = 233)
     val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
