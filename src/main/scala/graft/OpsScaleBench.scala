@@ -53,6 +53,35 @@ object OpsScaleBench {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // task CPU + input bytes via listener, bus-drained for exact
+    // attribution (the Bench discipline): CPU adjudicates contention,
+    // bytes adjudicate scan pruning
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            cpuNanos.addAndGet(m.executorCpuTime)
+            inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    def cpuTime(f: => Long): (Double, Double, Long, Long) = {
+      org.apache.spark.graftbridge.CoreBridge
+        .drainListenerBus(spark.sparkContext)
+      val c0 = cpuNanos.get(); val b0 = inputBytes.get()
+      val t0 = System.nanoTime()
+      val rows = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.CoreBridge
+        .drainListenerBus(spark.sparkContext)
+      ((cpuNanos.get() - c0) / 1e9, wall, rows,
+        inputBytes.get() - b0)
+    }
+
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "minhash_lsh_ids" -> (df => sink(graft.ops.Dedup.minhashLsh(df,
         "text", "doc_id", carrySignatures = false))),
@@ -240,39 +269,46 @@ object OpsScaleBench {
     }
     val (sSpan, rSpan) = time(sink(
       graft.ops.SuffixArray.substrIndexSpans(fullIdx, "doc_id")))
-    val substrIdxJson = f""""substr_index":{"acc_docs":${n1 * mult},"batch_docs":${n1 / 10},"append_sec":$sApp%.2f,"rebuild_sec":$sReb%.2f,"ratio":${sApp / sReb}%.2f,"spans_sec":$sSpan%.2f,"keys":$grownKeys,"spans":$rSpan}"""
+    // The nightly PERSISTED path, both layouts: a plain parquet save
+    // re-scans the whole pair dictionary from disk once per doubling
+    // round of every append; the width-partitioned bucketed layout
+    // prunes each round to its width's slice (PartitionFilters,
+    // spec-pinned), so the per-append dictionary bytes drop from
+    // rounds x |dict| to |dict| — the ratio below measures that cut
+    // on the same batch.
+    val dirP = "/tmp/graft-opsscale-substr-plain"
+    val dirB = "/tmp/graft-opsscale-substr-bucketed"
+    graft.ops.SuffixArray.saveSubstrIndex(idx0, dirP)
+    graft.ops.SuffixArray.saveSubstrIndexBucketed(idx0, dirB,
+      "opsscale_substr", buckets = 32)
+    val loadedP = graft.ops.SuffixArray.loadSubstrIndex(spark, dirP)
+    val loadedB = graft.ops.SuffixArray.loadSubstrIndexBucketed(spark,
+      dirB, "opsscale_substr")
+    // bytes read is the scale metric pruning moves (each round reads
+    // ONE width slice instead of the whole dictionary); local WALL at
+    // this corpus is file-count/catalog bound and can run against the
+    // pruned layout — report both, adjudicate by bytes
+    val (_, sAppP, _, bAppP) = cpuTime {
+      graft.ops.SuffixArray.appendToSubstrIndex(loadedP, batch,
+        "text", "doc_id").keys.count()
+    }
+    val (_, sAppB, _, bAppB) = cpuTime {
+      graft.ops.SuffixArray.appendToSubstrIndex(loadedB, batch,
+        "text", "doc_id").keys.count()
+    }
+    val substrIdxJson = f""""substr_index":{"acc_docs":${n1 * mult},"batch_docs":${n1 / 10},"append_sec":$sApp%.2f,"rebuild_sec":$sReb%.2f,"ratio":${sApp / sReb}%.2f,"append_loaded_plain_sec":$sAppP%.2f,"append_loaded_pruned_sec":$sAppB%.2f,"append_loaded_plain_bytes":$bAppP,"append_loaded_pruned_bytes":$bAppB,"pruned_bytes_ratio":${bAppB.toDouble / bAppP}%.2f,"spans_sec":$sSpan%.2f,"keys":$grownKeys,"spans":$rSpan}"""
 
     // Singleton-pruning CPU re-pin (round-11 evidence gap): d25's
-    // pruning win is re-measured here as a toggled pair on the SAME
-    // host in the SAME session — wall AND task CPU — so the claim is
-    // a committed ratio, not a cross-round comparison of contended
+    // pruning win is re-measured as a toggled pair on the SAME host in
+    // the SAME session — wall AND task CPU — so the claim is a
+    // committed ratio, not a cross-round comparison of contended
     // numbers. Spans are identical either way (spec-pinned).
-    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) cpuNanos.addAndGet(m.executorCpuTime)
-        }
-      })
-    def cpuTime(f: => Long): (Double, Double, Long) = {
-      org.apache.spark.graftbridge.CoreBridge
-        .drainListenerBus(spark.sparkContext)
-      val c0 = cpuNanos.get()
-      val t0 = System.nanoTime()
-      val rows = f
-      val wall = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.graftbridge.CoreBridge
-        .drainListenerBus(spark.sparkContext)
-      ((cpuNanos.get() - c0) / 1e9, wall, rows)
-    }
     def spansToggled(prune: Boolean): Long = sink(
       graft.ops.SuffixArray.repeatedSpansPruneToggle(base, "text",
         "doc_id", minLen = 40, prune = prune))
     spansToggled(true) // warmup: JIT + codegen off the clock
-    val (cOn, wOn, rOn) = cpuTime(spansToggled(true))
-    val (cOff, wOff, rOff) = cpuTime(spansToggled(false))
+    val (cOn, wOn, rOn, _) = cpuTime(spansToggled(true))
+    val (cOff, wOff, rOff, _) = cpuTime(spansToggled(false))
     val pruneJson = f""""substr_prune":{"cpu_on_sec":$cOn%.2f,"cpu_off_sec":$cOff%.2f,"cpu_ratio":${cOn / cOff}%.2f,"wall_on_sec":$wOn%.2f,"wall_off_sec":$wOff%.2f,"rows_equal":${rOn == rOff}}"""
 
     // Sharded parallel build + merge (the n46/n47 verb measured),

@@ -867,6 +867,32 @@ object GraphAnn {
         "must partition the corpus disjointly")
   }
 
+  /** Compact the index after append/delete cycles: re-run the build
+    * over the CURRENT member set (the node table carries the floats),
+    * cells frozen — the state comes back in the from-scratch layout
+    * (one checkpointed node table instead of a chain of
+    * carried-over/redo unions, entries re-spread per cell). Because
+    * every append/delete is rebuild-equivalent, the compacted index is
+    * bit-identical in content to the incremental one (gate n48 pins
+    * equality with the surviving-corpus build); what changes is the
+    * physical lineage. Pass `centroids` to ALSO re-train routing (the
+    * n26 drift trigger) — that changes cells, so content equality is
+    * then with a fresh build under the new codebook, not the old
+    * index.
+    */
+  def compactGraphIndex(index: GraphIndex,
+                        centroids: Option[Array[Array[Double]]] = None)
+      : GraphIndex = {
+    val cells = centroids.getOrElse(index.cells)
+    buildGraphIndex(
+      index.nodes.select(col("n_id").as("vec_id"),
+        col("emb").as("embedding")),
+      nlist = cells.length, degree = index.degree,
+      crossDegree = index.crossDegree, centroids = Some(cells),
+      entriesPerCell = index.entriesPerCell, alpha = index.alpha,
+      poolSize = index.poolSize)
+  }
+
   /** Merge two flat graph indexes built INDEPENDENTLY over disjoint id
     * sets with the same frozen codebook and build parameters — the
     * sharded-parallel build recipe at 100 TB (one build job per shard,
@@ -1730,6 +1756,26 @@ object GraphAnn {
         .select("layer", "n_id", "cell", "cell2", "neighbors")
     }.reduce(_.unionByName(_)).localCheckpoint()
     a.copy(nodes = nodes2, adj = adj2)
+  }
+
+  /** [[compactGraphIndex]] at the layered tier: rebuild from the
+    * stored floats with cells frozen (or re-trained via `centroids`),
+    * collapsing the append/delete lineage into the from-scratch
+    * layout. Content equality with the incremental index is exact
+    * (levels are pure hash, the verbs are rebuild-equivalent); gate
+    * n48 pins it against the surviving-corpus build.
+    */
+  def compactHnswIndex(index: HnswIndex,
+                       centroids: Option[Array[Array[Double]]] = None)
+      : HnswIndex = {
+    val cells = centroids.getOrElse(index.cells)
+    buildHnswIndex(
+      index.nodes.select(col("n_id").as("vec_id"),
+        col("emb").as("embedding")),
+      nlist = cells.length, degree = index.degree,
+      crossDegree = index.crossDegree, levelFanout = index.levelFanout,
+      maxLevel = index.maxLevel, centroids = Some(cells),
+      alpha = index.alpha, poolSize = index.poolSize)
   }
 
   /** Layered-index health report — the n26 re-train/rebalance trigger

@@ -66,13 +66,24 @@ private[ops] object IndexIo {
     */
   def resolveBucketedTable(spark: SparkSession, table: String,
                            location: String, bucketCols: Seq[String],
-                           buckets: Int): org.apache.spark.sql.DataFrame = {
+                           buckets: Int,
+                           partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
     if (!spark.catalog.tableExists(table)) {
-      val schema = spark.read.parquet(location).schema.toDDL
+      val onDisk = spark.read.parquet(location).schema
+      val schema = onDisk.toDDL
       val cols = bucketCols.mkString(", ")
-      spark.sql(s"CREATE TABLE $table ($schema) USING parquet " +
-        s"CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS " +
+      val partClause =
+        if (partitionCols.isEmpty) ""
+        else partitionCols.mkString(" PARTITIONED BY (", ", ", ")")
+      spark.sql(s"CREATE TABLE $table ($schema) USING parquet" +
+        partClause +
+        s" CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS " +
         s"LOCATION '$location'")
+      // a partitioned external table starts with an empty partition
+      // list — discover the on-disk directories or every read is empty
+      if (partitionCols.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $table")
     }
     spark.table(table)
   }

@@ -1080,7 +1080,49 @@ object Similarity {
         C.centroidResidual(col("embedding"), col("cell"), index.cells),
         index.codebook, sub))
       .drop("embedding")
+      .localCheckpoint()
+    // duplicate ids would put two code rows for one vector into the
+    // index with no error — fail fast in both directions (the d33/
+    // graph-append contract): already-indexed ids AND in-batch repeats
+    val bs = add.agg(count(lit(1)), count_distinct(col("n_id"))).head()
+    require(bs.getLong(0) == bs.getLong(1),
+      s"appendToIvfPqIndex: batch repeats ${bs.getLong(0) - bs.getLong(1)} " +
+        "id(s) — de-duplicate the batch")
+    val dup = index.codes.select("n_id")
+      .join(add.select("n_id"), Seq("n_id"), "left_semi").count()
+    require(dup == 0,
+      s"appendToIvfPqIndex: $dup batch ids already indexed — " +
+        "delete them first or de-duplicate the batch")
     index.copy(codes = index.codes.unionByName(add))
+  }
+
+  /** Merge two indexes built INDEPENDENTLY over disjoint id sets with
+    * the SAME frozen artifacts — the FAISS `merge_from` shape, and the
+    * easiest of the sharded-parallel merges (gate n49): per-row
+    * assign/encode is row-independent, so the merged code table is the
+    * union, EXACTLY what a one-shot build over A ∪ B produces under
+    * the shared artifacts. Artifact drift (each shard training its own
+    * cells/codebook) would make codes incomparable — fail fast, like
+    * id overlap.
+    */
+  def mergeIvfPqIndexes(a: IvfPqIndex, b: IvfPqIndex): IvfPqIndex = {
+    require(a.m == b.m && a.ks == b.ks && a.dim == b.dim,
+      s"mergeIvfPqIndexes: PQ shapes differ — " +
+        s"(m=${a.m},ks=${a.ks},dim=${a.dim}) vs (m=${b.m},ks=${b.ks},dim=${b.dim})")
+    require(a.cells.length == b.cells.length &&
+      a.cells.zip(b.cells).forall { case (x, y) => x.sameElements(y) },
+      "mergeIvfPqIndexes: shard indexes were built over different " +
+        "coarse cells — sharded builds must share ONE frozen codebook")
+    require(a.codebook.length == b.codebook.length &&
+      a.codebook.zip(b.codebook).forall { case (x, y) => x.sameElements(y) },
+      "mergeIvfPqIndexes: shard indexes were built over different PQ " +
+        "codebooks — sharded builds must share ONE frozen codebook")
+    val dup = a.codes.select("n_id")
+      .join(b.codes.select("n_id"), Seq("n_id"), "left_semi").count()
+    require(dup == 0,
+      s"mergeIvfPqIndexes: $dup ids are present in BOTH shard indexes " +
+        "— shards must partition the corpus disjointly")
+    a.copy(codes = a.codes.unionByName(b.codes))
   }
 
   /** Delete vectors from the index — one anti join over the codes

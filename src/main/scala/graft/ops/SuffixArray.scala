@@ -676,6 +676,26 @@ object SuffixArray {
       del.withColumnRenamed("__did", "__id"), Seq("__id"), "left_anti"))
   }
 
+  /** Compact the index after append/delete cycles: a from-scratch
+    * refinement over the SURVIVING corpus text (the one verb that
+    * needs the text back — keys alone cannot reconstruct the
+    * dictionaries), on the SAME lifetime grid (stride/targetW frozen),
+    * so readers and future appends see an unchanged position space.
+    * What compaction buys back, in order of weight at production
+    * volume: dead dictionary rows (labels minted by since-deleted
+    * documents — kept by [[deleteFromSubstrIndex]] because counting
+    * happens over keys, but they grow without bound under churn),
+    * the accumulated union-of-pieces lineage (state returns as single
+    * checkpointed relations), and the BURNED ids — maxId re-derives
+    * from the surviving corpus, so id ranges deleted then compacted
+    * away become appendable again. Gate d37 pins state equality with
+    * the from-scratch build over the same corpus.
+    */
+  def compactSubstrIndex(index: SubstrIndex, docs: DataFrame,
+                         textCol: String, idCol: String): SubstrIndex =
+    buildSubstrIndex(docs, textCol, idCol, index.minLen,
+      maxDocLen = (index.stride - index.targetW - 1).toInt)
+
   /** EXACT substring decontamination against the INDEXED corpus — the
     * [[contaminationSpans]] contract with the eval side replaced by a
     * persisted [[SubstrIndex]]: maximal spans of `train` text whose
@@ -786,7 +806,14 @@ object SuffixArray {
         "buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     index.dictChars.write.mode("overwrite").parquet(s"$dir/dict_chars")
+    // the pair dictionary ALSO partitions by width: an append's
+    // doubling rounds each read exactly one width's slice
+    // (PartitionFilters prune the rest — spec-pinned), so the
+    // per-append dictionary bytes read drop from rounds x |dict| to
+    // |dict| total. Width is NOT a bucket column (bucketing keys stay
+    // the lookup pair), and the spans-path keys table is untouched.
     index.dictPairs.write.mode("overwrite")
+      .partitionBy("__w")
       .bucketBy(buckets, "__r1", "__r2").sortBy("__r1", "__r2")
       .option("path", s"$dir/dict_pairs")
       .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "dict_pairs",
@@ -813,7 +840,8 @@ object SuffixArray {
     SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
       IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "dict_pairs", dir),
-        s"$dir/dict_pairs", Seq("__r1", "__r2"), buckets),
+        s"$dir/dict_pairs", Seq("__r1", "__r2"), buckets,
+        partitionCols = Seq("__w")),
       IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "keys", dir),
         s"$dir/keys", Seq("__r1", "__r2"), buckets),

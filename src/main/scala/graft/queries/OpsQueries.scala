@@ -1674,6 +1674,44 @@ object OpsQueries {
       Some(s"""WITH $trueJaccardSql
               |SELECT doc_a, doc_b FROM truth WHERE jac >= 0.7""".stripMargin)),
 
+    // Substring-index compaction (d37): after deletes, the index
+    // deliberately keeps dead dictionary labels and burned ids (the
+    // d30 trade); compaction re-refines the SURVIVING text on the
+    // same lifetime grid, returning the from-scratch state. The gate
+    // drives the delete→compact chain to d30's brute-force oracle
+    // over the surviving corpus; state equality with the fresh build
+    // (and the un-burning of deleted id ranges) is spec-pinned.
+    QueryDef("d37_substr_index_compact",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val idx = SuffixArray.buildSubstrIndex(d, "text", "doc_id",
+          minLen = 40)
+        val afterDel = SuffixArray.deleteFromSubstrIndex(idx,
+          d.filter(col("doc_id") % 6 === 1).select("doc_id"))
+        val compacted = SuffixArray.compactSubstrIndex(afterDel,
+          d.filter(col("doc_id") % 6 =!= 1), "text", "doc_id")
+        SuffixArray.substrIndexSpans(compacted, "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+             |  FROM documents WHERE doc_id % 6 <> 1),
+             |g AS (SELECT doc_id, cast(u.i AS INT) AS off,
+             |    substr(text, cast(u.i + 1 AS INT), 40) AS gram
+             |  FROM d, unnest(range(0, n - 39)) AS u(i) WHERE n >= 40),
+             |r AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+             |m AS (SELECT g.doc_id, g.off FROM g JOIN r USING (gram)),
+             |i1 AS (SELECT doc_id, off,
+             |    CASE WHEN off > coalesce(max(off + 39) OVER (
+             |        PARTITION BY doc_id ORDER BY off
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      -2) + 1 THEN 1 ELSE 0 END AS brk FROM m),
+             |i2 AS (SELECT doc_id, off,
+             |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             |  FROM i1)
+             |SELECT doc_id, cast(min(off) AS INT) AS span_start,
+             |  cast(max(off) + 40 AS INT) AS span_end,
+             |  cast(max(off) + 40 - min(off) AS INT) AS span_len
+             |FROM i2 GROUP BY doc_id, isl""".stripMargin)),
+
     // Component DELETION (d34): the backward half of the d14
     // incremental-clusters lifecycle. Deletion can fragment a cluster
     // (the deleted node may be the only bridge) and can retire a
@@ -6071,6 +6109,96 @@ object OpsQueries {
       },
       Some("""SELECT vec_id AS n_id, TRUE AS merge_exact
              |FROM embeddings WHERE vec_id < 500""".stripMargin)),
+
+    // Index compaction (n48): the lifecycle-closing verb — after an
+    // append + delete chain, compact re-runs the build over the
+    // CURRENT members (node tables carry the floats; cells frozen),
+    // collapsing the incremental lineage into the from-scratch
+    // layout. Because every verb in the chain is rebuild-equivalent,
+    // the compacted content must equal the surviving-corpus build
+    // EXACTLY — flat tier per node, layered tier per (layer, n_id).
+    QueryDef("n48_index_compact",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cells = Similarity.firstVectors(
+          e.filter(col("vec_id") < 400), 16)
+        val batch = e.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        val delIds = e.filter(col("vec_id") % 10 === 3 &&
+          col("vec_id") >= 20).select("vec_id")
+        val surv = e.filter(col("vec_id") < 500 &&
+          !(col("vec_id") % 10 === 3 && col("vec_id") >= 20))
+        val compF = GraphAnn.compactGraphIndex(
+          GraphAnn.deleteFromGraphIndex(
+            GraphAnn.appendToGraphIndex(
+              GraphAnn.buildGraphIndex(e.filter(col("vec_id") < 400),
+                nlist = 16, degree = 4, crossDegree = 2,
+                centroids = Some(cells)), batch), delIds))
+        val rebF = GraphAnn.buildGraphIndex(surv, nlist = 16,
+          degree = 4, crossDegree = 2, centroids = Some(cells))
+        val flat = compF.nodes
+          .select(col("n_id"), col("neighbors").as("nb_c"))
+          .join(rebF.nodes.select(col("n_id"),
+            col("neighbors").as("nb_r")), Seq("n_id"), "full")
+          .select(col("n_id"), (col("nb_c") === col("nb_r"))
+            .as("flat_exact"))
+        val compH = GraphAnn.compactHnswIndex(
+          GraphAnn.deleteFromHnswIndex(
+            GraphAnn.appendToHnswIndex(
+              GraphAnn.buildHnswIndex(e.filter(col("vec_id") < 400),
+                nlist = 16, degree = 4, crossDegree = 2,
+                levelFanout = 4, maxLevel = 2,
+                centroids = Some(cells)), batch), delIds))
+        val rebH = GraphAnn.buildHnswIndex(surv, nlist = 16,
+          degree = 4, crossDegree = 2, levelFanout = 4, maxLevel = 2,
+          centroids = Some(cells))
+        val layered = compH.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_c"))
+          .join(rebH.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_r")), Seq("layer", "n_id"), "full")
+          .groupBy("n_id")
+          .agg((count(lit(1)) === sum(when(
+            col("nb_c") === col("nb_r"), 1).otherwise(0)))
+            .as("layered_exact"))
+        flat.join(layered, Seq("n_id"), "full")
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS flat_exact,
+             |  TRUE AS layered_exact
+             |FROM embeddings
+             |WHERE vec_id < 500
+             |  AND NOT (vec_id % 10 = 3 AND vec_id >= 20)""".stripMargin)),
+
+    // IVF-PQ sharded merge (n49): the FAISS merge_from shape — per-row
+    // assign/encode against FROZEN shared artifacts is row-independent,
+    // so merge(build(A), build(B)) is union-by-construction and the
+    // probe-all serve over the merged index must reproduce the union
+    // build's ranks row-for-row.
+    QueryDef("n49_ivfpq_index_merge",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val union = Similarity.buildIvfPqIndex(e, nlist = 32, m = 16,
+          ks = 64)
+        def shard(c: org.apache.spark.sql.DataFrame) =
+          Similarity.buildIvfPqIndex(c, nlist = 32, m = 16, ks = 64,
+            centroids = Some(union.cells),
+            codebook = Some(union.codebook))
+        val merged = Similarity.mergeIvfPqIndexes(
+          shard(e.filter(col("vec_id") % 2 === 0)),
+          shard(e.filter(col("vec_id") % 2 === 1)))
+        val q = e.filter(col("vec_id") < 20)
+        val base = Similarity.queryIvfPqIndex(q, union, 5, nprobe = 32)
+          .select("q_id", "n_id", "rank")
+        val got = Similarity.queryIvfPqIndex(q, merged, 5, nprobe = 32)
+          .select("q_id", "n_id", "rank")
+        base.withColumnRenamed("rank", "rank_base")
+          .join(got.withColumnRenamed("rank", "rank_merged"),
+            Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_merged"), 1).otherwise(0)))
+            .as("merge_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS merge_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting

@@ -1044,4 +1044,51 @@ class GraphAnnSpec extends SparkSpec {
       GraphAnn.mergeHnswIndexes(ha, hb)
     }.getMessage should include("BOTH shard")
   }
+
+  test("compact rewrites the incremental lineage to the from-scratch layout, content-identical") {
+    val corpus = planted(4, 25, 16, seed = 113)
+    val cells = Similarity.firstVectors(corpus, 4)
+    val chain = GraphAnn.deleteFromGraphIndex(
+      GraphAnn.appendToGraphIndex(
+        GraphAnn.buildGraphIndex(corpus.filter(col("vec_id") < 70),
+          nlist = 4, degree = 4, crossDegree = 2,
+          centroids = Some(cells)),
+        corpus.filter(col("vec_id") >= 70)),
+      corpus.filter(col("vec_id") % 7 === 2).select("vec_id"))
+    val compacted = GraphAnn.compactGraphIndex(chain)
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def ent(i: GraphAnn.GraphIndex) = i.entries.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // content identical to the incremental chain (every verb is
+    // rebuild-equivalent) AND to the fresh surviving-corpus build
+    nbrs(compacted) shouldBe nbrs(chain)
+    ent(compacted) shouldBe ent(chain)
+    val fresh = GraphAnn.buildGraphIndex(
+      corpus.filter(!(col("vec_id") % 7 === 2)), nlist = 4, degree = 4,
+      crossDegree = 2, centroids = Some(cells))
+    nbrs(compacted) shouldBe nbrs(fresh)
+    // re-trained routing: content equality is with the new-codebook
+    // build instead
+    val cells2 = Similarity.firstVectors(
+      corpus.filter(!(col("vec_id") % 7 === 2)), 3)
+    val retrained = GraphAnn.compactGraphIndex(chain, Some(cells2))
+    val fresh2 = GraphAnn.buildGraphIndex(
+      corpus.filter(!(col("vec_id") % 7 === 2)), nlist = 3, degree = 4,
+      crossDegree = 2, centroids = Some(cells2))
+    nbrs(retrained) shouldBe nbrs(fresh2)
+    // layered tier
+    val chainH = GraphAnn.deleteFromHnswIndex(
+      GraphAnn.appendToHnswIndex(
+        GraphAnn.buildHnswIndex(corpus.filter(col("vec_id") < 70),
+          nlist = 4, degree = 4, crossDegree = 2, levelFanout = 4,
+          maxLevel = 2, centroids = Some(cells)),
+        corpus.filter(col("vec_id") >= 70)),
+      corpus.filter(col("vec_id") % 7 === 2).select("vec_id"))
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    adjMap(GraphAnn.compactHnswIndex(chainH)) shouldBe adjMap(chainH)
+  }
 }

@@ -367,4 +367,47 @@ class SimilaritySpec extends SparkSpec {
     narrow.groupBy("q_id").count().select("count").as[Long]
       .collect().toSet shouldBe Set(5L)
   }
+
+  test("mergeIvfPqIndexes: union-by-construction; append and merge fail fast on dup/drift") {
+    val r = new scala.util.Random(131)
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val union = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 8,
+      ks = 16)
+    def shard(c: org.apache.spark.sql.DataFrame) =
+      Similarity.buildIvfPqIndex(c, nlist = 8, m = 8, ks = 16,
+        centroids = Some(union.cells), codebook = Some(union.codebook))
+    val merged = Similarity.mergeIvfPqIndexes(
+      shard(corpus.filter(col("vec_id") < 60)),
+      shard(corpus.filter(col("vec_id") >= 60)))
+    def codeMap(i: Similarity.IvfPqIndex) = i.codes
+      .select("n_id", "cell", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2))).toMap
+    codeMap(merged) shouldBe codeMap(union)
+    // overlapping shards fail fast
+    intercept[IllegalArgumentException] {
+      Similarity.mergeIvfPqIndexes(shard(corpus),
+        shard(corpus.filter(col("vec_id") >= 60)))
+    }.getMessage should include("BOTH shard")
+    // artifact drift fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.mergeIvfPqIndexes(
+        shard(corpus.filter(col("vec_id") < 60)),
+        Similarity.buildIvfPqIndex(corpus.filter(col("vec_id") >= 60),
+          nlist = 8, m = 8, ks = 16))
+    }
+    // append fail-fasts: already-indexed and in-batch duplicate ids
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(union,
+        corpus.filter(col("vec_id") < 3))
+    }.getMessage should include("already indexed")
+    val batch = corpus.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(union, batch.unionByName(batch))
+    }.getMessage should include("repeats")
+    Similarity.appendToIvfPqIndex(union, batch)
+      .codes.count() shouldBe 122L
+  }
 }

@@ -185,7 +185,9 @@ class SuffixArraySpec extends SparkSpec {
       : (Set[(String, Long)], Set[(Int, Long, Long, Long)],
          Set[(Long, Long, Long, Long)]) = (
     i.dictChars.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
-    i.dictPairs.collect()
+    // by NAME: the width-partitioned persisted layout reorders columns
+    // (partition col last)
+    i.dictPairs.select("__w", "__r1", "__r2", "__cls").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet,
     i.keys.collect()
@@ -399,6 +401,23 @@ class SuffixArraySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     "Exchange hashpartitioning".r.findAllIn(spansPlan).size shouldBe 1
     spansPlan should include("Exchange hashpartitioning(__id")
+    // the pair dictionary is width-partitioned: each append round's
+    // per-width lookup reads only its slice (PartitionFilters at the
+    // scan), cutting the per-append dictionary bytes from
+    // rounds x |dict| to |dict|
+    val prunePlan = loaded.dictPairs.filter(col("__w") === 4)
+      .queryExecution.executedPlan.toString
+    prunePlan should include("PartitionFilters")
+    "\\(__w#\\d+ = 4\\)".r.findFirstIn(prunePlan) should not be empty
+    // an append on the loaded width-partitioned index still equals the
+    // from-scratch union build
+    val batch = Seq((500L, "zzqqzzqqzzqqzzqq")).toDF("doc_id", "text")
+    val grown = SuffixArray.appendToSubstrIndex(loaded, batch, "text",
+      "doc_id")
+    val rebuilt = SuffixArray.buildSubstrIndex(
+      all.toDF("doc_id", "text").unionByName(batch), "text", "doc_id",
+      minLen = 8)
+    spansOf(grown) shouldBe spansOf(rebuilt)
   }
 
   test("bucketed substr persistence survives catalog loss: load re-registers the external tables") {
@@ -421,6 +440,12 @@ class SuffixArraySpec extends SparkSpec {
     val aggPlan = loaded.keys.groupBy("__r1", "__r2")
       .agg(count(lit(1))).queryExecution.executedPlan.toString
     aggPlan should not include "Exchange hashpartitioning"
+    // ... and the width partitions: a doubling round's per-width
+    // lookup prunes to its slice at the SCAN (re-registration included)
+    val prunePlan = loaded.dictPairs.filter(col("__w") === 4)
+      .queryExecution.executedPlan.toString
+    prunePlan should include("PartitionFilters")
+    "\\(__w#\\d+ = 4\\)".r.findFirstIn(prunePlan) should not be empty
   }
 
   test("singleton pruning is result-invisible: prune=false replays identical spans") {
@@ -435,6 +460,34 @@ class SuffixArraySpec extends SparkSpec {
     // and the toggled-on path IS the production path
     on.exceptAll(SuffixArray.repeatedSpans(df, "text", "doc_id",
       minLen = 8)).count() shouldBe 0
+  }
+
+  test("compact returns the from-scratch state and un-burns deleted ids") {
+    val all = randomCorpus(10, seed = 307)
+    val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 8, maxDocLen = 200)
+    val afterDel = SuffixArray.deleteFromSubstrIndex(idx,
+      Seq(8L, 9L).toDF("doc_id"))
+    val surviving = all.filter(_._1 < 8)
+    val compacted = SuffixArray.compactSubstrIndex(afterDel,
+      surviving.toDF("doc_id", "text"), "text", "doc_id")
+    // state equality with the fresh build on the SAME lifetime grid
+    val fresh = SuffixArray.buildSubstrIndex(
+      surviving.toDF("doc_id", "text"), "text", "doc_id", minLen = 8,
+      maxDocLen = 200)
+    compacted.stride shouldBe idx.stride
+    indexState(compacted) shouldBe indexState(fresh)
+    spansOf(compacted) shouldBe spansOf(fresh)
+    // ids 8/9 were burned in the incremental index (append rejects
+    // them) but re-derive as appendable after compaction
+    intercept[IllegalArgumentException] {
+      SuffixArray.appendToSubstrIndex(afterDel,
+        Seq((8L, all.head._2)).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    val batch = Seq((8L, all.head._2))
+    spansOf(SuffixArray.appendToSubstrIndex(compacted,
+        batch.toDF("doc_id", "text"), "text", "doc_id")) shouldBe
+      bruteSpans(surviving ++ batch, 8)
   }
 
   test("substr index save/load round-trips state and spans") {
