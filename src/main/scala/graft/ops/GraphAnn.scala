@@ -525,6 +525,55 @@ object GraphAnn {
       .withColumn("adc", -col("sim")).drop("sim")
   }
 
+  /** [[queryGraphPqIndex]] + full-precision re-rank — the DiskANN
+    * disk shape completed: the ADC walk produces `rerankK` candidates
+    * per query from the in-memory compressed index, then ONLY those
+    * |Q|·rerankK rows fetch their float vectors from `floats` (the
+    * caller's parquet-backed full-precision corpus — disk-resident at
+    * production, never resident in the serve path) and re-rank by
+    * exact cosine. Quantization error affects candidate RECALL but no
+    * longer final RANKING; cosine is rotation-invariant, so `floats`
+    * is always the raw unrotated corpus regardless of the index's OPQ
+    * model. n_visited stays the walk's budget — the re-rank scores
+    * only already-visited candidates.
+    */
+  def queryGraphPqIndexReranked(queries: DataFrame, index: GraphPqIndex,
+                                floats: DataFrame, k: Int,
+                                rerankK: Int = 50, beam: Int = 8,
+                                hops: Int = 3, entryProbes: Int = 2,
+                                frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                                broadcastFrontier: Option[Boolean] = None)
+      : DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    rerankCandidates(
+      queryGraphPqIndex(queries, index, rerankK, beam, hops,
+        entryProbes, frontierBroadcastLimit, broadcastFrontier),
+      queries, floats, k)
+  }
+
+  /** Shared exact-cosine re-rank of a compressed serve's candidates:
+    * candidates fetch floats by id (bounded: |Q|·rerankK rows), ranks
+    * recompute under exact similarity, n_visited carries through.
+    */
+  private def rerankCandidates(cand: DataFrame, queries: DataFrame,
+                               floats: DataFrame, k: Int): DataFrame = {
+    val qv = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val cv = floats.select(col("vec_id").cast("long").as("n_id"),
+      col("embedding").as("n_emb"))
+    val scored = cand.select("q_id", "n_id", "n_visited")
+      .join(cv, Seq("n_id"))
+      .join(qv, Seq("q_id"))
+      .withColumn("sim", Similarity.cosine(col("q_emb"), col("n_emb")))
+    scored.groupBy("q_id", "n_visited")
+      .agg(TopK.topK(col("sim"), col("n_id"), k).as("top"))
+      .select(col("q_id"), col("n_visited"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.score").as("sim"), col("n_visited"))
+  }
+
   /** Persist a PQ-compressed graph index: the [[saveGraphIndex]]
     * layout plus a `codebook` table; nodes carry codes, never floats —
     * what lands on disk is exactly the m-bytes-per-vector serve state.
@@ -1403,6 +1452,13 @@ object GraphAnn {
     * a float corpus vector. With `rotation`, the whole index — levels
     * aside (pure id hash), cells, edges, codes — lives in the trained
     * OPQ basis and queries rotate once at entry (the n36 contract).
+    *
+    * No direct merge verb: layer-0 edge redo needs the full float
+    * geometry, which this index deliberately discards. The sharded
+    * recipe for the compressed tier is merge-at-the-float-tier: build
+    * float [[HnswIndex]] shards, [[mergeHnswIndexes]], then encode
+    * via [[buildHnswPqIndex]]'s codebook path — one extra float pass,
+    * paid exactly once per merge.
     */
   case class HnswPqIndex(nodes: DataFrame, adj: DataFrame,
                          cells: Array[Array[Double]],
@@ -1504,6 +1560,26 @@ object GraphAnn {
       upperHops, adcScore, frontierBroadcastLimit,
       broadcastFrontier = broadcastFrontier, upperScore = upperScore)
       .withColumn("adc", -col("sim")).drop("sim")
+  }
+
+  /** [[queryHnswPqIndex]] + full-precision re-rank — the
+    * [[queryGraphPqIndexReranked]] contract at the layered tier (and
+    * the DiskANN serve completed: hierarchy navigates, ADC ranks the
+    * walk, the final k re-ranks in exact float over a bounded fetch).
+    */
+  def queryHnswPqIndexReranked(queries: DataFrame, index: HnswPqIndex,
+                               floats: DataFrame, k: Int,
+                               rerankK: Int = 50, beam: Int = 8,
+                               hops: Int = 3, upperBeam: Int = 1,
+                               upperHops: Int = 2,
+                               frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                               broadcastFrontier: Option[Boolean] = None)
+      : DataFrame = {
+    require(rerankK >= k, s"rerankK ($rerankK) must be >= k ($k)")
+    rerankCandidates(
+      queryHnswPqIndex(queries, index, rerankK, beam, hops, upperBeam,
+        upperHops, frontierBroadcastLimit, broadcastFrontier),
+      queries, floats, k)
   }
 
   /** Persist the layered PQ index: the [[saveHnswIndex]] layout plus

@@ -676,6 +676,17 @@ object SuffixArray {
       del.withColumnRenamed("__did", "__id"), Seq("__id"), "left_anti"))
   }
 
+  /** No merge verb for this family, by design rather than omission:
+    * class ids are MIN-POSITIONS over the indexed corpus, so two
+    * shard indexes label the same window with different ids (each
+    * shard's own min position) and the persisted dictionaries cannot
+    * be reconciled without re-refining one side's text — which is
+    * exactly [[appendToSubstrIndex]] (shards with ordered id ranges
+    * append in sequence) or a rebuild. The id-ordering invariant that
+    * makes appends exactly rebuild-equivalent is the same one that
+    * rules out state-only merging.
+    */
+
   /** Compact the index after append/delete cycles: a from-scratch
     * refinement over the SURVIVING corpus text (the one verb that
     * needs the text back — keys alone cannot reconstruct the

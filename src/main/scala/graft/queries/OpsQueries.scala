@@ -6200,6 +6200,39 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS merge_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // HNSW-PQ + full-precision re-rank (n50): the DiskANN serve
+    // completed — ADC navigates and prunes, the final k re-ranks in
+    // exact float over a bounded |Q|·rerankK fetch. Saturated (one
+    // cell, full out-degree, rerank over every visited candidate) the
+    // composition must reproduce EXACT brute force row-for-row:
+    // quantization error is confined to candidate recall, and a
+    // saturated walk has perfect recall, so the float re-rank erases
+    // the codes from the final answer entirely.
+    QueryDef("n50_hnsw_pq_rerank",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val n = e.count().toInt
+        val q = e.filter(col("vec_id") < 20)
+        val idx = GraphAnn.buildHnswPqIndex(e, nlist = 1,
+          degree = n - 1, crossDegree = 0, levelFanout = 8,
+          maxLevel = 2, m = 16, ks = 64)
+        val got = GraphAnn.queryHnswPqIndexReranked(q, idx, e, k = 5,
+            rerankK = n, beam = 5, hops = 1, upperBeam = 1,
+            upperHops = 1)
+          .select("q_id", "n_id", "rank")
+        val base = Similarity.bruteForceTopK(q, e, 5)
+          .select("q_id", "n_id", "rank")
+        base.withColumnRenamed("rank", "rank_base")
+          .join(got.withColumnRenamed("rank", "rank_rr"),
+            Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_rr"), 1).otherwise(0)))
+            .as("rerank_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS rerank_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

@@ -1091,4 +1091,46 @@ class GraphAnnSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
     adjMap(GraphAnn.compactHnswIndex(chainH)) shouldBe adjMap(chainH)
   }
+
+  test("PQ rerank: exact-float final ranks lift true-neighbor recall over the pure ADC walk") {
+    val r = new scala.util.Random(139)
+    val anchors = Array.fill(6)(Array.fill(16)(r.nextGaussian()))
+    val corpus = (0 until 192).map { i =>
+      val a = anchors(i % 6)
+      (i.toLong, a.map(x => (x + 0.3 * r.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    val cb = KMeans.trainPqCodebook(corpus, "vec_id", "embedding",
+      m = 8, ks = 32, dim = 16)
+    val idx = GraphAnn.buildHnswPqIndex(corpus, nlist = 6, degree = 6,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2, m = 8, ks = 32,
+      dim = 16, codebook = Some(cb), alpha = Some(1.2))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(df.select("q_id", "n_id"),
+          exact.select("q_id", "n_id"))
+        .agg(avg("recall")).head().getDouble(0)
+    val plain = GraphAnn.queryHnswPqIndex(queries, idx, k = 5,
+      beam = 6, hops = 3, upperBeam = 3, upperHops = 3)
+    val rr = GraphAnn.queryHnswPqIndexReranked(queries, idx, corpus,
+      k = 5, rerankK = 30, beam = 6, hops = 3, upperBeam = 3,
+      upperHops = 3)
+    // vs TRUE neighbors: the ADC walk's final ranks carry quantization
+    // error; the float re-rank of its top-30 candidates removes it
+    recallOf(rr) should be >= recallOf(plain)
+    recallOf(rr) should be >= 0.9
+    // flat tier obeys the same contract
+    val fIdx = GraphAnn.buildGraphPqIndex(corpus, nlist = 6,
+      degree = 6, crossDegree = 2, m = 8, ks = 32, dim = 16,
+      codebook = Some(cb))
+    val fRr = GraphAnn.queryGraphPqIndexReranked(queries, fIdx, corpus,
+      k = 5, rerankK = 30, beam = 6, hops = 3, entryProbes = 2)
+    recallOf(fRr) should be >= 0.9
+    // n_visited is the WALK's budget — rerank adds no visits
+    val pv = plain.select("q_id", "n_visited").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rr.select("q_id", "n_visited").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe pv
+  }
 }
