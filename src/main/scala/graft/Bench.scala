@@ -211,13 +211,18 @@ object Bench {
     // the artifact so the bench-vs-BASELINE ratio needs no solo run.
     // Skipped for partial (named-query) runs; a failure degrades to an
     // error string, never a missing artifact.
+    val forceWh = sys.env.get("SPARK_GRAFT_BENCH_FORCE_WH").contains("1")
     val whJson =
-      if (args.nonEmpty) """"warehouse_build":"skipped (partial run)""""
+      if (args.nonEmpty && !forceWh)
+        """"warehouse_build":"skipped (partial run)""""
       else try {
         val wh = WarehouseBench.run(spark, 50000, 500000,
           "/tmp/graft-bench-wh")
         s""""warehouse_build":{$wh}"""
       } catch { case e: Throwable =>
+        // full trace to stderr (the artifact keeps only the class name,
+        // but a failed build must be diagnosable from the run log)
+        e.printStackTrace()
         s""""warehouse_build":"failed: ${e.getClass.getSimpleName}""""
       }
     val fullLine =
@@ -232,15 +237,20 @@ object Bench {
     // the window budget (sbt appends its own "[success] Total time…"
     // line after us, so leave headroom for it).
     println(fullLine)
+    // Named-query (partial) runs are solo-profiling tools — writing the
+    // committed artifact from one would clobber the full-suite numbers
+    // with a handful of queries. Partial output goes to /tmp instead.
+    val outPath =
+      if (args.isEmpty) "BENCH_full.json" else "/tmp/BENCH_partial.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_full.json"),
+        java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => }
     val budget = 1500
     val byCost = results.sortBy(-_._2)
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"BENCH_full.json","queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"$outPath","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = header.length + 2 // closing }}
     for (r <- byCost) {

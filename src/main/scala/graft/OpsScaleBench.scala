@@ -354,6 +354,7 @@ object OpsScaleBench {
     buildShard(vecsAll) // warmup
     val (sOne, _) = time { buildShard(vecsAll).adj.count() }
     var mergeSec = 0.0
+    var mergedIdx: graft.ops.GraphAnn.HnswIndex = null
     val (sPar, _) = time {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -366,9 +367,25 @@ object OpsScaleBench {
       val m = graft.ops.GraphAnn.mergeHnswIndexes(ia, ib)
       val r = m.adj.count()
       mergeSec = (System.nanoTime() - t0) / 1e9
+      mergedIdx = m
       r
     }
-    val mergeJson = f""""shard_merge":{"n_vecs":$nv,"oneshot_sec":$sOne%.2f,"parallel_build_sec":${sPar - mergeSec}%.2f,"merge_sec":$mergeSec%.2f,"affected_frac":$affectedFrac%.2f,"total_ratio":${sPar / sOne}%.2f}"""
+    // compressed-tier completion: projecting the merged float index
+    // into its PQ serving form (encodeHnswIndex — one row-independent
+    // pass) vs the rebuild-the-union path the recipe used to route
+    // through (buildHnswPqIndex re-runs the whole float graph build).
+    // The ratio is the verb's reason to exist.
+    val (encSec, _) = time {
+      graft.ops.GraphAnn.encodeHnswIndex(mergedIdx, m = 8, ks = 16,
+        dim = 32).nodes.count()
+    }
+    val (pqRebSec, _) = time {
+      graft.ops.GraphAnn.buildHnswPqIndex(vecsAll, nlist = nlist,
+        degree = 6, crossDegree = 2, levelFanout = 8, maxLevel = 2,
+        m = 8, ks = 16, dim = 32,
+        centroids = Some(mergeCells)).nodes.count()
+    }
+    val mergeJson = f""""shard_merge":{"n_vecs":$nv,"oneshot_sec":$sOne%.2f,"parallel_build_sec":${sPar - mergeSec}%.2f,"merge_sec":$mergeSec%.2f,"affected_frac":$affectedFrac%.2f,"total_ratio":${sPar / sOne}%.2f,"pq_encode_sec":$encSec%.2f,"pq_rebuild_sec":$pqRebSec%.2f,"pq_encode_ratio":${encSec / pqRebSec}%.2f}"""
 
     // Serve-regime scale curve: per-query serve cost swept across the
     // broadcast↔shuffle-hash crossover (DefaultFrontierBroadcastLimit

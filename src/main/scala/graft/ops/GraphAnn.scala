@@ -486,6 +486,43 @@ object GraphAnn {
     GraphPqIndex(nodes, g.entries, g.cells, cb, m, ks, dim, rotation)
   }
 
+  /** Encode an ALREADY-BUILT float index into its compressed serving
+    * form — the pure projection [[buildGraphPqIndex]] ends with, split
+    * out so the compressed tier inherits the float tier's WHOLE
+    * lifecycle without rebuilding anything: append/delete/merge/
+    * compact at the float tier (where the verbs are incremental and
+    * rebuild-equivalent), then one row-independent encode pass. The
+    * previously documented sharded recipe routed through
+    * [[buildGraphPqIndex]], which re-runs the entire float graph build
+    * on the union corpus — exactly the cost the merge verb exists to
+    * avoid; this verb is the missing projection (gate n51 pins
+    * encode ∘ merge ≡ one-shot compressed build).
+    *
+    * The float index must already live in the basis the codebook was
+    * trained in: with OPQ, build the float shards over
+    * [[Similarity.rotateToBasis]] output and pass the trained model
+    * here as `rotation` — it travels as serve metadata (queries rotate
+    * once at entry), the stored embeddings are NOT re-rotated.
+    */
+  def encodeGraphIndex(index: GraphIndex, m: Int = 8, ks: Int = 16,
+                       dim: Int = 64,
+                       codebook: Option[Array[Array[Double]]] = None,
+                       rotation: Option[Embeddings.PcaModel] = None)
+      : GraphPqIndex = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cb = codebook.getOrElse(Similarity.defaultPqCodebook(
+      index.nodes.select(col("n_id").as("vec_id"),
+        col("emb").as("embedding")), m, ks, sub))
+    val nodes = index.nodes
+      .withColumn("codes",
+        graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
+      .select("n_id", "cell", "neighbors", "codes")
+      .localCheckpoint()
+    GraphPqIndex(nodes, index.entries, index.cells, cb, m, ks, dim,
+      rotation)
+  }
+
   /** ADC beam search over the compressed graph: identical walk to
     * [[queryGraphIndex]] with the scorer swapped — candidates pick up
     * their CODES (not floats) and rank by −ADC (squared asymmetric
@@ -1456,9 +1493,11 @@ object GraphAnn {
     * No direct merge verb: layer-0 edge redo needs the full float
     * geometry, which this index deliberately discards. The sharded
     * recipe for the compressed tier is merge-at-the-float-tier: build
-    * float [[HnswIndex]] shards, [[mergeHnswIndexes]], then encode
-    * via [[buildHnswPqIndex]]'s codebook path — one extra float pass,
-    * paid exactly once per merge.
+    * float [[HnswIndex]] shards, [[mergeHnswIndexes]], then
+    * [[encodeHnswIndex]] — a pure row-independent projection (no
+    * graph rebuild), so the merge cost stays ∝ the affected cells
+    * plus one encode pass (gate n51). The same composition gives the
+    * compressed tier append, delete, and compact.
     */
   case class HnswPqIndex(nodes: DataFrame, adj: DataFrame,
                          cells: Array[Array[Double]],
@@ -1506,6 +1545,39 @@ object GraphAnn {
       .select(col("n_id"), col("emb")).localCheckpoint()
     HnswPqIndex(nodes, h.adj, h.cells, cb, m, ks, dim, levelFanout,
       maxLevel, rotation, Some(uf))
+  }
+
+  /** [[encodeGraphIndex]] at the layered tier: project an
+    * already-built float [[HnswIndex]] into its compressed serving
+    * form — per-row codes plus the upper-layer float slice — without
+    * re-running any graph build. This is how the compressed layered
+    * tier inherits every float-tier lifecycle verb
+    * (append/delete/merge/compact, each incremental and
+    * rebuild-equivalent) for the price of one row-independent encode
+    * pass; gate n51 pins encode ∘ [[mergeHnswIndexes]] ≡ the one-shot
+    * [[buildHnswPqIndex]] over the union. Basis contract as in
+    * [[encodeGraphIndex]]: with OPQ the float index was built over
+    * rotated vectors and `rotation` travels as serve metadata only.
+    */
+  def encodeHnswIndex(index: HnswIndex, m: Int = 8, ks: Int = 16,
+                      dim: Int = 64,
+                      codebook: Option[Array[Array[Double]]] = None,
+                      rotation: Option[Embeddings.PcaModel] = None)
+      : HnswPqIndex = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cb = codebook.getOrElse(Similarity.defaultPqCodebook(
+      index.nodes.select(col("n_id").as("vec_id"),
+        col("emb").as("embedding")), m, ks, sub))
+    val nodes = index.nodes
+      .withColumn("codes",
+        graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
+      .select("n_id", "cell", "level", "codes")
+      .localCheckpoint()
+    val uf = index.nodes.filter(col("level") >= 1)
+      .select(col("n_id"), col("emb")).localCheckpoint()
+    HnswPqIndex(nodes, index.adj, index.cells, cb, m, ks, dim,
+      index.levelFanout, index.maxLevel, rotation, Some(uf))
   }
 
   /** ADC layered serve: the [[queryHnswIndex]] walk with the scorer

@@ -6233,6 +6233,53 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS rerank_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Compressed-tier lifecycle by projection (n51): the sharded
+    // recipe for the PQ graph tiers is merge-at-the-float-tier, then
+    // ONE row-independent encode — previously that last step routed
+    // through buildHnswPqIndex, which re-runs the entire float build
+    // on the union (the exact cost the merge verb avoids).
+    // encodeHnswIndex is the missing pure projection; the gate pins
+    // encode(mergeHnswIndexes(build(even), build(odd))) against the
+    // one-shot compressed build under the union's frozen
+    // codebook+cells — codes per node AND neighbor lists per
+    // (layer, n_id). The flat tier (encodeGraphIndex) and the
+    // append/delete/compact compositions are spec-pinned.
+    QueryDef("n51_pq_encode_merge",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val cells = Similarity.firstVectors(e, 16)
+        val union = GraphAnn.buildHnswPqIndex(e, nlist = 16,
+          degree = 4, crossDegree = 2, levelFanout = 4, maxLevel = 2,
+          m = 16, ks = 16, centroids = Some(cells))
+        def shard(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildHnswIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, levelFanout = 4, maxLevel = 2,
+            centroids = Some(cells))
+        val merged = GraphAnn.encodeHnswIndex(
+          GraphAnn.mergeHnswIndexes(
+            shard(e.filter(col("vec_id") % 2 === 0)),
+            shard(e.filter(col("vec_id") % 2 === 1))),
+          m = 16, ks = 16, codebook = Some(union.codebook))
+        val codesOk = merged.nodes
+          .select(col("n_id"), col("codes").as("c_m"))
+          .join(union.nodes.select(col("n_id"), col("codes").as("c_u")),
+            Seq("n_id"), "full")
+          .select(col("n_id"), (col("c_m") === col("c_u"))
+            .as("codes_exact"))
+        val adjOk = merged.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_m"))
+          .join(union.adj.select(col("layer"), col("n_id"),
+            col("neighbors").as("nb_u")), Seq("layer", "n_id"), "full")
+          .groupBy("n_id")
+          .agg((count(lit(1)) === sum(when(
+            col("nb_m") === col("nb_u"), 1).otherwise(0)))
+            .as("adj_exact"))
+        codesOk.join(adjOk, Seq("n_id"), "full")
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS codes_exact,
+             |  TRUE AS adj_exact
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

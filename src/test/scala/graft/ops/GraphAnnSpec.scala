@@ -1133,4 +1133,78 @@ class GraphAnnSpec extends SparkSpec {
     rr.select("q_id", "n_visited").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe pv
   }
+
+  test("encode projections equal the one-shot compressed builds (flat and layered)") {
+    val corpus = planted(6, 30, 16, seed = 149)
+    val cells = Similarity.firstVectors(corpus, 6)
+    // flat: buildGraphPqIndex IS float build + encode, so the split-out
+    // projection over the same float index must reproduce it exactly
+    val onePq = GraphAnn.buildGraphPqIndex(corpus, nlist = 6,
+      degree = 4, crossDegree = 2, m = 8, ks = 16, dim = 16,
+      centroids = Some(cells))
+    val enc = GraphAnn.encodeGraphIndex(
+      GraphAnn.buildGraphIndex(corpus, nlist = 6, degree = 4,
+        crossDegree = 2, centroids = Some(cells)),
+      m = 8, ks = 16, dim = 16)
+    enc.codebook.map(_.toSeq).toSeq shouldBe
+      onePq.codebook.map(_.toSeq).toSeq
+    def pqNodes(i: GraphAnn.GraphPqIndex) = i.nodes
+      .select("n_id", "neighbors", "codes").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Int](2))))
+      .toMap
+    pqNodes(enc) shouldBe pqNodes(onePq)
+    enc.entries.exceptAll(onePq.entries).count() shouldBe 0
+    onePq.entries.exceptAll(enc.entries).count() shouldBe 0
+    // layered: codes, adjacency, and the upper-layer float slice
+    val oneH = GraphAnn.buildHnswPqIndex(corpus, nlist = 6, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2, m = 8, ks = 16,
+      dim = 16, centroids = Some(cells))
+    val encH = GraphAnn.encodeHnswIndex(
+      GraphAnn.buildHnswIndex(corpus, nlist = 6, degree = 4,
+        crossDegree = 2, levelFanout = 4, maxLevel = 2,
+        centroids = Some(cells)),
+      m = 8, ks = 16, dim = 16)
+    def hNodes(i: GraphAnn.HnswPqIndex) = i.nodes
+      .select("n_id", "level", "codes").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    hNodes(encH) shouldBe hNodes(oneH)
+    def adjMap(i: GraphAnn.HnswPqIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    adjMap(encH) shouldBe adjMap(oneH)
+    def upper(i: GraphAnn.HnswPqIndex) = i.upperFloats.get
+      .select("n_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    upper(encH) shouldBe upper(oneH)
+  }
+
+  test("float-tier lifecycle + encode: append/delete then project equals the one-shot compressed build") {
+    val corpus = planted(5, 24, 16, seed = 151)
+    val cells = Similarity.firstVectors(
+      corpus.filter(col("vec_id") < 80), 5)
+    val surv = corpus.filter(col("vec_id") < 100 &&
+      col("vec_id") % 9 =!= 4)
+    // the compressed tier has no append/delete of its own: the float
+    // index (disk-resident full-precision corpus, the n50 contract)
+    // takes the lifecycle verbs, and ONE row-independent encode
+    // projects the result — no graph rebuild anywhere
+    val oneShot = GraphAnn.buildGraphPqIndex(surv, nlist = 5,
+      degree = 4, crossDegree = 2, m = 8, ks = 16, dim = 16,
+      centroids = Some(cells))
+    val lifecycle = GraphAnn.encodeGraphIndex(
+      GraphAnn.deleteFromGraphIndex(
+        GraphAnn.appendToGraphIndex(
+          GraphAnn.buildGraphIndex(corpus.filter(col("vec_id") < 80),
+            nlist = 5, degree = 4, crossDegree = 2,
+            centroids = Some(cells)),
+          corpus.filter(col("vec_id") >= 80 && col("vec_id") < 100)),
+        corpus.filter(col("vec_id") < 100 && col("vec_id") % 9 === 4)
+          .select("vec_id")),
+      m = 8, ks = 16, dim = 16, codebook = Some(oneShot.codebook))
+    def pqNodes(i: GraphAnn.GraphPqIndex) = i.nodes
+      .select("n_id", "neighbors", "codes").collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Int](2))))
+      .toMap
+    pqNodes(lifecycle) shouldBe pqNodes(oneShot)
+  }
 }
