@@ -161,7 +161,7 @@ object Bench {
         "n46_graph_index_merge", "n47_hnsw_index_merge",
         "d36_minhash_index_merge", "n48_index_compact",
         "d37_substr_index_compact", "n49_ivfpq_index_merge",
-        "n50_hnsw_pq_rerank")
+        "n50_hnsw_pq_rerank", "n51_pq_encode_merge")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

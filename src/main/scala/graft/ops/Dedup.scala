@@ -265,16 +265,10 @@ object Dedup {
     // fail fast in both directions: ids already indexed AND ids
     // repeated within the batch (which would insert two signature
     // rows for one document with no error)
-    val bs = newSigs.agg(count(lit(1)),
-      count_distinct(col("doc_id"))).head()
-    require(bs.getLong(0) == bs.getLong(1),
-      s"appendToMinHashIndex: batch repeats " +
-        s"${bs.getLong(0) - bs.getLong(1)} id(s) — de-duplicate the batch")
-    val dup = index.sigs.select("doc_id")
-      .join(newSigs.select("doc_id"), Seq("doc_id"), "left_semi").count()
-    require(dup == 0,
-      s"appendToMinHashIndex: $dup batch ids already indexed — " +
-        "delete them first or de-duplicate the batch")
+    IndexIo.requireBatchIdsUnique("appendToMinHashIndex", newSigs,
+      "doc_id")
+    IndexIo.requireIdsNotIndexed("appendToMinHashIndex", index.sigs,
+      newSigs, "doc_id")
     MinHashIndex(index.sigs.unionByName(newSigs).localCheckpoint(),
       index.k, index.bands, index.shingleN, index.seed)
   }
@@ -294,11 +288,8 @@ object Dedup {
       s"mergeMinHashIndexes: hash families differ — " +
         s"(k=${a.k},bands=${a.bands},n=${a.shingleN},seed=${a.seed}) vs " +
         s"(k=${b.k},bands=${b.bands},n=${b.shingleN},seed=${b.seed})")
-    val dup = a.sigs.select("doc_id")
-      .join(b.sigs.select("doc_id"), Seq("doc_id"), "left_semi").count()
-    require(dup == 0,
-      s"mergeMinHashIndexes: $dup ids are present in BOTH shard " +
-        "indexes — shards must partition the corpus disjointly")
+    IndexIo.requireDisjointIds("mergeMinHashIndexes", a.sigs, b.sigs,
+      "doc_id")
     MinHashIndex(a.sigs.unionByName(b.sigs).localCheckpoint(),
       a.k, a.bands, a.shingleN, a.seed)
   }
@@ -431,7 +422,9 @@ object Dedup {
     val banded = IndexIo.resolveBucketedTable(spark,
       IndexIo.bucketedTableName(tablePrefix, "banded", dir),
       s"$dir/banded", Seq("band_idx", "band_hash"),
-      meta.getAs[Int]("buckets"))
+      meta.getAs[Int]("buckets"),
+      fallbackSchema = Some("doc_id BIGINT, sig ARRAY<BIGINT>, " +
+        "band_idx INT, band_hash BIGINT"))
     (MinHashIndex(spark.read.parquet(s"$dir/sigs"),
         meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
         meta.getAs[Int]("shingle_n"), meta.getAs[Long]("seed")),

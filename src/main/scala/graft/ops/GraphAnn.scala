@@ -476,14 +476,12 @@ object GraphAnn {
       .getOrElse(corpus)
     val cb = codebook.getOrElse(
       Similarity.defaultPqCodebook(c, m, ks, sub))
-    val g = buildGraphIndex(c, nlist, degree, crossDegree,
-      centroids, entriesPerCell, alpha, poolSize)
-    val nodes = g.nodes
-      .withColumn("codes",
-        graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
-      .select("n_id", "cell", "neighbors", "codes")
-      .localCheckpoint()
-    GraphPqIndex(nodes, g.entries, g.cells, cb, m, ks, dim, rotation)
+    // one-shot = float build + the encode projection, BY CONSTRUCTION
+    // (the n51 equivalence is structural, not just spec-pinned)
+    encodeGraphIndex(
+      buildGraphIndex(c, nlist, degree, crossDegree, centroids,
+        entriesPerCell, alpha, poolSize),
+      m, ks, dim, Some(cb), rotation)
   }
 
   /** Encode an ALREADY-BUILT float index into its compressed serving
@@ -732,15 +730,9 @@ object GraphAnn {
     // duplicate ids would put two node rows into the index with no
     // error — fail fast (the d33/HNSW append contract). Both
     // directions: already-indexed ids AND in-batch repeats.
-    val bs = nu.agg(count(lit(1)), count_distinct(col("n_id"))).head()
-    require(bs.getLong(0) == bs.getLong(1),
-      s"appendToGraphIndex: batch repeats ${bs.getLong(0) - bs.getLong(1)} " +
-        "id(s) — de-duplicate the batch")
-    val dupIds = index.nodes.select("n_id")
-      .join(nu.select("n_id"), Seq("n_id"), "left_semi").count()
-    require(dupIds == 0,
-      s"appendToGraphIndex: $dupIds batch ids already indexed — " +
-        "delete them first or de-duplicate the batch")
+    IndexIo.requireBatchIdsUnique("appendToGraphIndex", nu, "n_id")
+    IndexIo.requireIdsNotIndexed("appendToGraphIndex", index.nodes, nu,
+      "n_id")
     // cell2 is stored at build time since r10; a pre-r10 node table
     // (loaded from disk) recomputes it once here and the appended
     // index carries it forward
@@ -945,13 +937,8 @@ object GraphAnn {
 
   /** Disjoint-id fail-fast shared by the merge verbs. */
   private def requireDisjointIds(what: String, a: DataFrame,
-                                 b: DataFrame): Unit = {
-    val coll = a.select("n_id")
-      .join(b.select("n_id"), Seq("n_id"), "left_semi").count()
-    require(coll == 0,
-      s"$what: $coll ids are present in BOTH shard indexes — shards " +
-        "must partition the corpus disjointly")
-  }
+                                 b: DataFrame): Unit =
+    IndexIo.requireDisjointIds(what, a, b, "n_id")
 
   /** Compact the index after append/delete cycles: re-run the build
     * over the CURRENT member set (the node table carries the floats),
@@ -1526,25 +1513,15 @@ object GraphAnn {
       .getOrElse(corpus)
     val cb = codebook.getOrElse(
       Similarity.defaultPqCodebook(c, m, ks, sub))
-    val h = buildHnswIndex(c, nlist, degree, crossDegree, levelFanout,
-      maxLevel, centroids, alpha, poolSize)
-    val nodes = h.nodes
-      .withColumn("codes",
-        graft.functions.PqColumns.pqEncode(col("emb"), cb, sub))
-      .select("n_id", "cell", "level", "codes")
-      .localCheckpoint()
-    // float vectors for the UPPER-layer members only (n/M^l rows — a
-    // 1/levelFanout fraction of the corpus): the descent through the
-    // hierarchy scores in exact float, so the layer-0 entry is chosen
-    // by real geometry instead of coarse ADC codes. This recovers the
-    // measured ~8-recall-point entry price of codebook-free descent
-    // (the r11 n42 finding) for 4·dim/levelFanout bytes per corpus
-    // vector — the serve's per-CANDIDATE state at layer 0 is still
-    // m bytes + topology.
-    val uf = h.nodes.filter(col("level") >= 1)
-      .select(col("n_id"), col("emb")).localCheckpoint()
-    HnswPqIndex(nodes, h.adj, h.cells, cb, m, ks, dim, levelFanout,
-      maxLevel, rotation, Some(uf))
+    // one-shot = float build + the encode projection, BY CONSTRUCTION
+    // (the n51 equivalence is structural, not just spec-pinned); the
+    // projection keeps float vectors for the UPPER-layer members
+    // (n/M^l rows) so the descent scores in exact geometry — the fix
+    // for the r11 n42 entry-recall finding
+    encodeHnswIndex(
+      buildHnswIndex(c, nlist, degree, crossDegree, levelFanout,
+        maxLevel, centroids, alpha, poolSize),
+      m, ks, dim, Some(cb), rotation)
   }
 
   /** [[encodeGraphIndex]] at the layered tier: project an
@@ -1749,17 +1726,10 @@ object GraphAnn {
       .localCheckpoint()
     // duplicate ids would put two node rows and conflicting adjacency
     // rows into the index with no error — fail fast (the d33 append
-    // contract). Both directions: ids already indexed AND ids repeated
-    // within the batch itself (one agg job for the in-batch check).
-    val bs = nu0.agg(count(lit(1)), count_distinct(col("n_id"))).head()
-    require(bs.getLong(0) == bs.getLong(1),
-      s"appendToHnswIndex: batch repeats ${bs.getLong(0) - bs.getLong(1)} " +
-        "id(s) — de-duplicate the batch")
-    val dup = index.nodes.select("n_id")
-      .join(nu0.select("n_id"), Seq("n_id"), "left_semi").count()
-    require(dup == 0,
-      s"appendToHnswIndex: $dup batch ids already indexed — " +
-        "delete them first or de-duplicate the batch")
+    // contract), both directions
+    IndexIo.requireBatchIdsUnique("appendToHnswIndex", nu0, "n_id")
+    IndexIo.requireIdsNotIndexed("appendToHnswIndex", index.nodes, nu0,
+      "n_id")
     val nodes2 = index.nodes.unionByName(
         nu0.select(col("n_id"), col("emb"),
           Centroids.centroidAssign(col("emb"), index.cells).as("cell"),
@@ -1878,10 +1848,15 @@ object GraphAnn {
         .select(col("n_id"), col("emb"),
           Centroids.centroidAssign(col("emb"), cellsL).as("cell"),
           secondCell(col("emb"), cellsL).as("cell2"))
-      val mA = members(a.nodes)
-      val mB = members(b.nodes)
-      val occA = mA.select("cell").distinct()
-      val occB = mB.select("cell").distinct()
+      // materialize the reused sets (the mergeGraphIndexes
+      // discipline): Spark does not share identical subplans, so the
+      // lazy per-layer projection — a corpus-wide centroid assignment
+      // — would re-execute once per consumer (occ distinct, both
+      // affectedOf legs, peersL) inside the single adj2 evaluation
+      val mA = members(a.nodes).localCheckpoint()
+      val mB = members(b.nodes).localCheckpoint()
+      val occA = mA.select("cell").distinct().localCheckpoint()
+      val occB = mB.select("cell").distinct().localCheckpoint()
       // cell2 leg skipped at crossDegree = 0 (the flat-merge note)
       def affectedOf(m: DataFrame, occOther: DataFrame) = {
         val home = m.join(broadcast(occOther), Seq("cell"), "left_semi")
@@ -1890,8 +1865,11 @@ object GraphAnn {
           broadcast(occOther.withColumnRenamed("cell", "cell2")),
           Seq("cell2"), "left_semi"))
       }
+      // consumed by redoRows (which reads members twice) AND the
+      // left_anti carry-over join
       val affected = affectedOf(mA, occB).unionByName(affectedOf(mB, occA))
         .dropDuplicates("n_id")
+        .localCheckpoint()
       val peersL = mA.unionByName(mB)
         .select(col("cell"), col("n_id").as("m_id"),
           col("emb").as("m_emb"))

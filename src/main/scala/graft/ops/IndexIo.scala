@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
 
 /** Shared persistence scaffolding for the index families' bounded
   * vector tables (coarse cells, PQ codebooks): one writer/reader pair
@@ -45,6 +46,40 @@ private[ops] object IndexIo {
         "row").head,
       loadVectors(spark, s"$dir/rotation_basis", "row_id", "row"))
 
+  /** In-batch duplicate-id fail-fast shared by the append verbs: a
+    * repeated id would insert two state rows for one element with no
+    * error. One helper (with [[requireIdsNotIndexed]] and
+    * [[requireDisjointIds]]) instead of a copy per index family, so
+    * the message formats and both-direction semantics cannot drift.
+    */
+  def requireBatchIdsUnique(what: String, batch: DataFrame,
+                            idCol: String): Unit = {
+    val bs = batch.agg(count(lit(1)), count_distinct(col(idCol))).head()
+    require(bs.getLong(0) == bs.getLong(1),
+      s"$what: batch repeats ${bs.getLong(0) - bs.getLong(1)} id(s) — " +
+        "de-duplicate the batch")
+  }
+
+  /** Batch-vs-index collision fail-fast shared by the append verbs. */
+  def requireIdsNotIndexed(what: String, indexed: DataFrame,
+                           batch: DataFrame, idCol: String): Unit = {
+    val dup = indexed.select(idCol)
+      .join(batch.select(idCol), Seq(idCol), "left_semi").count()
+    require(dup == 0,
+      s"$what: $dup batch ids already indexed — delete them first or " +
+        "de-duplicate the batch")
+  }
+
+  /** Disjoint-shard-id fail-fast shared by the merge verbs. */
+  def requireDisjointIds(what: String, a: DataFrame, b: DataFrame,
+                         idCol: String): Unit = {
+    val coll = a.select(idCol)
+      .join(b.select(idCol), Seq(idCol), "left_semi").count()
+    require(coll == 0,
+      s"$what: $coll ids are present in BOTH shard indexes — shards " +
+        "must partition the corpus disjointly")
+  }
+
   /** Catalog name for a bucketed persistence table: the caller's
     * prefix plus a suffix derived from the save directory, so two
     * concurrent saves with the same prefix into DIFFERENT dirs never
@@ -67,11 +102,20 @@ private[ops] object IndexIo {
   def resolveBucketedTable(spark: SparkSession, table: String,
                            location: String, bucketCols: Seq[String],
                            buckets: Int,
-                           partitionCols: Seq[String] = Nil)
+                           partitionCols: Seq[String] = Nil,
+                           fallbackSchema: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     if (!spark.catalog.tableExists(table)) {
-      val onDisk = spark.read.parquet(location).schema
-      val schema = onDisk.toDDL
+      // an EMPTY saved relation (a degenerate but legal index state)
+      // leaves no parquet data files to infer a schema from — fall
+      // back to the caller's canonical DDL so the cross-session load
+      // still registers a (trivially empty) table instead of throwing
+      val schema =
+        try spark.read.parquet(location).schema.toDDL
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            fallbackSchema.getOrElse(throw e)
+        }
       val cols = bucketCols.mkString(", ")
       val partClause =
         if (partitionCols.isEmpty) ""

@@ -1083,16 +1083,10 @@ object Similarity {
       .localCheckpoint()
     // duplicate ids would put two code rows for one vector into the
     // index with no error — fail fast in both directions (the d33/
-    // graph-append contract): already-indexed ids AND in-batch repeats
-    val bs = add.agg(count(lit(1)), count_distinct(col("n_id"))).head()
-    require(bs.getLong(0) == bs.getLong(1),
-      s"appendToIvfPqIndex: batch repeats ${bs.getLong(0) - bs.getLong(1)} " +
-        "id(s) — de-duplicate the batch")
-    val dup = index.codes.select("n_id")
-      .join(add.select("n_id"), Seq("n_id"), "left_semi").count()
-    require(dup == 0,
-      s"appendToIvfPqIndex: $dup batch ids already indexed — " +
-        "delete them first or de-duplicate the batch")
+    // graph-append contract)
+    IndexIo.requireBatchIdsUnique("appendToIvfPqIndex", add, "n_id")
+    IndexIo.requireIdsNotIndexed("appendToIvfPqIndex", index.codes, add,
+      "n_id")
     index.copy(codes = index.codes.unionByName(add))
   }
 
@@ -1117,11 +1111,8 @@ object Similarity {
       a.codebook.zip(b.codebook).forall { case (x, y) => x.sameElements(y) },
       "mergeIvfPqIndexes: shard indexes were built over different PQ " +
         "codebooks — sharded builds must share ONE frozen codebook")
-    val dup = a.codes.select("n_id")
-      .join(b.codes.select("n_id"), Seq("n_id"), "left_semi").count()
-    require(dup == 0,
-      s"mergeIvfPqIndexes: $dup ids are present in BOTH shard indexes " +
-        "— shards must partition the corpus disjointly")
+    IndexIo.requireDisjointIds("mergeIvfPqIndexes", a.codes, b.codes,
+      "n_id")
     a.copy(codes = a.codes.unionByName(b.codes))
   }
 

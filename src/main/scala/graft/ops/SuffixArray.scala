@@ -782,7 +782,9 @@ object SuffixArray {
   def loadSubstrIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String): SubstrIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("format_version") <= 1,
+    // <= 2: a v2 (bucketed, width-partitioned) save reads fine through
+    // the plain path — partition discovery restores __w as a column
+    require(meta.getAs[Int]("format_version") <= 2,
       s"unsupported substr index format_version " +
         meta.getAs[Int]("format_version"))
     SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
@@ -811,7 +813,12 @@ object SuffixArray {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = index.keys.sparkSession
     import spark.implicits._
-    Seq((1, index.minLen, index.targetW, index.stride, index.maxId,
+    // format_version 2 = dict_pairs PARTITIONED BY (__w); version-1
+    // artifacts (pre-partitioning) wrote it as a plain bucketed
+    // relation, and the loader registers each version with its own
+    // layout — registering a v1 save as partitioned would discover
+    // ZERO partitions and read a silently empty dictionary
+    Seq((2, index.minLen, index.targetW, index.stride, index.maxId,
         buckets))
       .toDF("format_version", "min_len", "target_w", "stride", "max_id",
         "buckets")
@@ -844,18 +851,28 @@ object SuffixArray {
                               dir: String, tablePrefix: String)
       : SubstrIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("format_version") <= 1,
-      s"unsupported substr index format_version " +
-        meta.getAs[Int]("format_version"))
+    val version = meta.getAs[Int]("format_version")
+    require(version <= 2,
+      s"unsupported substr index format_version $version")
     val buckets = meta.getAs[Int]("buckets")
+    // v1 saves wrote dict_pairs UNpartitioned; registering them with
+    // the v2 width-partition spec would discover zero partitions and
+    // read an empty dictionary with no error
+    val dictPartCols = if (version >= 2) Seq("__w") else Nil
+    val dictFallback =
+      if (version >= 2) "__r1 BIGINT, __r2 BIGINT, __cls BIGINT, __w INT"
+      else "__w INT, __r1 BIGINT, __r2 BIGINT, __cls BIGINT"
     SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
       IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "dict_pairs", dir),
         s"$dir/dict_pairs", Seq("__r1", "__r2"), buckets,
-        partitionCols = Seq("__w")),
+        partitionCols = dictPartCols,
+        fallbackSchema = Some(dictFallback)),
       IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "keys", dir),
-        s"$dir/keys", Seq("__r1", "__r2"), buckets),
+        s"$dir/keys", Seq("__r1", "__r2"), buckets,
+        fallbackSchema =
+          Some("__id BIGINT, __off BIGINT, __r1 BIGINT, __r2 BIGINT")),
       meta.getAs[Int]("min_len"), meta.getAs[Int]("target_w"),
       meta.getAs[Long]("stride"), meta.getAs[Long]("max_id"))
   }

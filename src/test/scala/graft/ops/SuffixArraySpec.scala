@@ -509,4 +509,72 @@ class SuffixArraySpec extends SparkSpec {
       batch.toDF("doc_id", "text"), "text", "doc_id")
     spansOf(grown) shouldBe bruteSpans(all ++ batch, 8)
   }
+
+  test("format_version 1 bucketed artifacts (pre-width-partitioning) load with a NON-empty dictionary") {
+    val all = randomCorpus(8, seed = 281)
+    val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 8)
+    val dir = java.nio.file.Files.createTempDirectory("substrv1").toString
+    // hand-write the v1 layout the previous release produced:
+    // dict_pairs bucketed but NOT partitioned by width. Registering it
+    // with the v2 partition spec would discover zero partitions and
+    // read a silently EMPTY dictionary — the loader must dispatch on
+    // the version.
+    Seq((1, idx.minLen, idx.targetW, idx.stride, idx.maxId, 4))
+      .toDF("format_version", "min_len", "target_w", "stride", "max_id",
+        "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    idx.dictChars.write.mode("overwrite").parquet(s"$dir/dict_chars")
+    idx.dictPairs.write.mode("overwrite")
+      .bucketBy(4, "__r1", "__r2").sortBy("__r1", "__r2")
+      .option("path", s"$dir/dict_pairs")
+      .saveAsTable(IndexIo.bucketedTableName("substr_v1_spec",
+        "dict_pairs", dir))
+    idx.keys.write.mode("overwrite")
+      .bucketBy(4, "__r1", "__r2").sortBy("__r1", "__r2")
+      .option("path", s"$dir/keys")
+      .saveAsTable(IndexIo.bucketedTableName("substr_v1_spec", "keys",
+        dir))
+    // fresh-session shape: catalog entries gone, files durable
+    for (sfx <- Seq("dict_pairs", "keys"))
+      spark.sql(s"DROP TABLE ${IndexIo.bucketedTableName(
+        "substr_v1_spec", sfx, dir)}")
+    val loaded = SuffixArray.loadSubstrIndexBucketed(spark, dir,
+      "substr_v1_spec")
+    loaded.dictPairs.count() shouldBe idx.dictPairs.count()
+    indexState(loaded) shouldBe indexState(idx)
+    spansOf(loaded) shouldBe spansOf(idx)
+  }
+
+  test("an EMPTY index (no doubling rounds, no keys) survives the bucketed save/load cycle") {
+    // minLen = 2 gives targetW = 1: the doubling loop never runs and
+    // the pair dictionary is genuinely empty; a corpus of sub-minLen
+    // docs empties the keys table too. The cross-session register
+    // path must fall back to the canonical schema instead of failing
+    // to infer one from a data-fileless directory.
+    // maxDocLen sizes the grid for the later append; the build corpus
+    // itself stays sub-minLen so BOTH persisted relations are empty
+    val idx = SuffixArray.buildSubstrIndex(
+      Seq((0L, "a"), (1L, "b")).toDF("doc_id", "text"), "text",
+      "doc_id", minLen = 2, maxDocLen = 16)
+    idx.dictPairs.count() shouldBe 0
+    idx.keys.count() shouldBe 0
+    val dir = java.nio.file.Files.createTempDirectory("substrmt").toString
+    SuffixArray.saveSubstrIndexBucketed(idx, dir, "substr_empty_spec",
+      buckets = 4)
+    for (sfx <- Seq("dict_pairs", "keys")) {
+      val t = IndexIo.bucketedTableName("substr_empty_spec", sfx, dir)
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+    }
+    val loaded = SuffixArray.loadSubstrIndexBucketed(spark, dir,
+      "substr_empty_spec")
+    indexState(loaded) shouldBe indexState(idx)
+    // the degenerate state still appends: the union build from an
+    // empty start equals the one-shot
+    val batch = Seq((2L, "xyxy"), (3L, "xyxy")).toDF("doc_id", "text")
+    val grown = SuffixArray.appendToSubstrIndex(loaded, batch, "text",
+      "doc_id")
+    spansOf(grown) shouldBe bruteSpans(
+      Seq((0L, "a"), (1L, "b"), (2L, "xyxy"), (3L, "xyxy")), 2)
+  }
 }
