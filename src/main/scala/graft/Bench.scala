@@ -161,7 +161,8 @@ object Bench {
         "n46_graph_index_merge", "n47_hnsw_index_merge",
         "d36_minhash_index_merge", "n48_index_compact",
         "d37_substr_index_compact", "n49_ivfpq_index_merge",
-        "n50_hnsw_pq_rerank", "n51_pq_encode_merge")
+        "n50_hnsw_pq_rerank", "n51_pq_encode_merge",
+        "n52_ivfpq_partitioned_serve")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

@@ -410,7 +410,35 @@ object OpsScaleBench {
     }
     val serveJson = s""""serve_regime":{${servePts.mkString(",")}}"""
 
-    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$serveJson,${parts.mkString(",")}}""")
+    // Cell-partitioned IVF-PQ serving layout (n52): the same pruned
+    // serve over the plain vs the partitioned on-disk layout — the
+    // bytes ratio is the layout's reason to exist. Measured in the
+    // regime the layout serves: probed fraction << 1 (a small query
+    // batch against many well-filled inverted lists — at 100 TB this
+    // is any online serve or decontamination screen; a batch probing
+    // MOST cells should use the plain layout and a full scan). Bytes
+    // adjudicate, wall at this corpus is file-count bound — the
+    // substr_index discipline.
+    val pqNlist = math.max(16, (nv / 512).toInt)
+    val pqIdx = graft.ops.Similarity.buildIvfPqIndex(vecsAll,
+      nlist = pqNlist, m = 8, ks = 16, dim = 32,
+      centroids = Some(graft.ops.Similarity.firstVectors(vecsAll,
+        pqNlist)))
+    val dirPlainPq = "/tmp/graft-opsscale-ivfpq-plain"
+    val dirPartPq = "/tmp/graft-opsscale-ivfpq-part"
+    graft.ops.Similarity.saveIvfPqIndex(pqIdx, dirPlainPq)
+    graft.ops.Similarity.saveIvfPqIndexPartitioned(pqIdx, dirPartPq)
+    val qPq = qBatch(4L)
+    def servePq(d: String) = sink(graft.ops.Similarity
+      .queryIvfPqIndexPruned(qPq,
+        graft.ops.Similarity.loadIvfPqIndex(spark, d), k = 5,
+        nprobe = 4))
+    servePq(dirPartPq) // warmup
+    val (_, sPqPlain, _, bPqPlain) = cpuTime(servePq(dirPlainPq))
+    val (_, sPqPart, _, bPqPart) = cpuTime(servePq(dirPartPq))
+    val pqPartJson = f""""ivfpq_partitioned":{"nlist":$pqNlist,"n_queries":4,"nprobe":4,"serve_plain_sec":$sPqPlain%.2f,"serve_part_sec":$sPqPart%.2f,"serve_plain_bytes":$bPqPlain,"serve_part_bytes":$bPqPart,"part_bytes_ratio":${bPqPart.toDouble / bPqPlain}%.3f}"""
+
+    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$serveJson,$pqPartJson,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

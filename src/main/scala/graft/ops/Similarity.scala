@@ -1296,4 +1296,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "adc")
   }
+
+  /** Persist with the code table PARTITIONED BY cell — the on-disk
+    * analog of FAISS's per-inverted-list storage: each coarse cell's
+    * codes land in their own directory, so a serve that probes nprobe
+    * of nlist cells can READ exactly those directories instead of
+    * scanning the whole encoded corpus ([[queryIvfPqIndexPruned]],
+    * gate n52). At 100 TB with nprobe/nlist ~ 1/256 that is the
+    * difference between a scan of the full code table per query batch
+    * and a scan of the probed slice.
+    *
+    * The meta tag stays format_version 1: unlike the bucketed-catalog
+    * layouts (where registration must DECLARE the partitioning — the
+    * substr v1/v2 lesson), plain `spark.read.parquet` discovers
+    * partition directories transparently, so [[loadIvfPqIndex]] reads
+    * both layouts correctly with no dispatch. The `cell` column comes
+    * back from the directory names (same int type, by-name access
+    * everywhere).
+    */
+  def saveIvfPqIndexPartitioned(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    Seq((1, index.m, index.ks, index.dim, index.cells.length))
+      .toDF("format_version", "m", "ks", "dim", "nlist")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
+    IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
+      index.codebook)
+    // repartition by cell first: without it every cell directory
+    // holds one fragment per shuffle partition, and at serving time
+    // the per-file overhead (footers, row-group minimums) dominates
+    // the probed reads. One packed file per inverted list is the
+    // FAISS contiguous-blob shape; the price is one shuffle at save,
+    // paid once. (Cells larger than a task's comfort split fine —
+    // parquet readers split files by row group.)
+    index.codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** [[queryIvfPqIndex]] with the probed-cell set pushed to the SCAN
+    * as a static partition filter: the distinct cells a query batch
+    * probes are bounded by nlist — the same driver-held artifact the
+    * probe expression already broadcasts — so collecting them is
+    * scale-free, and over a [[saveIvfPqIndexPartitioned]] layout the
+    * codes scan then reads ONLY the probed directories
+    * (PartitionFilters, spec-pinned; gate n52 pins result equality
+    * with the unpruned serve). The price is one bounded driver job
+    * per serve call to gather the cell set — the explicit-regime
+    * trade, documented rather than hidden. Output is identical to
+    * [[queryIvfPqIndex]] because the join on cell already restricts
+    * to probed cells; the filter only moves that restriction from the
+    * join to the scan.
+    */
+  def queryIvfPqIndexPruned(queries: DataFrame, index: IvfPqIndex,
+                            k: Int, nprobe: Int = 4): DataFrame = {
+    val sub = index.dim / index.m
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      explode(C.centroidProbes(col("embedding"), index.cells, nprobe))
+        .as("cell")).localCheckpoint()
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    q.join(index.codes.filter(col("cell").isInCollection(probed.toSeq)),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", P.pqAdc(
+        C.centroidResidual(col("q_emb"), col("cell"), index.cells),
+        col("codes"), index.codebook, sub))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "adc")
+  }
 }

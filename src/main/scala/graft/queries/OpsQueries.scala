@@ -6280,6 +6280,58 @@ object OpsQueries {
              |  TRUE AS adj_exact
              |FROM embeddings WHERE vec_id < 500""".stripMargin)),
 
+    // Cell-partitioned serving layout (n52): the on-disk analog of
+    // FAISS's per-inverted-list storage — the code table PARTITIONED
+    // BY cell, and the pruned serve pushes the probed-cell set to the
+    // scan as a STATIC partition filter (the set is bounded by nlist,
+    // a driver-held artifact, so collecting it is scale-free). At
+    // 100 TB the serve reads nprobe/nlist of the code bytes instead
+    // of the whole encoded corpus. Pins the pruned serve over the
+    // reloaded partitioned layout to the exhaustive residual scan at
+    // probe-all AND to the unpruned serve at partial probes; the
+    // scan-level PartitionFilters pin is spec-side (IndexPersistSpec).
+    QueryDef("n52_ivfpq_partitioned_serve",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val q = e.filter(col("vec_id") < 20)
+        val idxDir = "/tmp/graft_gate_ivfpq_part_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        Similarity.saveIvfPqIndexPartitioned(
+          Similarity.buildIvfPqIndex(e, nlist = 32, m = 16, ks = 64),
+          idxDir)
+        val loaded = Similarity.loadIvfPqIndex(s, idxDir)
+        val all = Similarity.queryIvfPqIndexPruned(q, loaded, 5,
+            nprobe = 32)
+          .select("q_id", "n_id", "rank")
+        val base = Similarity.pqResidualTopK(q, e, 5, nlist = 32,
+            m = 16, ks = 64)
+          .select("q_id", "n_id", "rank")
+        val partPruned = Similarity.queryIvfPqIndexPruned(q, loaded, 5,
+            nprobe = 4)
+          .select("q_id", "n_id", "rank")
+        val partPlain = Similarity.queryIvfPqIndex(q, loaded, 5,
+            nprobe = 4)
+          .select("q_id", "n_id", "rank")
+        val j1 = base.withColumnRenamed("rank", "rank_base")
+          .join(all.withColumnRenamed("rank", "rank_pruned"),
+            Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_base") === col("rank_pruned"), 1).otherwise(0)))
+            .as("probeall_exact"))
+        val j2 = partPlain.withColumnRenamed("rank", "rank_plain")
+          .join(partPruned.withColumnRenamed("rank", "rank_pruned"),
+            Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("rank_plain") === col("rank_pruned"), 1).otherwise(0)))
+            .as("partial_exact"))
+        j1.join(j2, Seq("q_id"), "full")
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS probeall_exact,
+             |  TRUE AS partial_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins
