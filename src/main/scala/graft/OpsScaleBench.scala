@@ -436,7 +436,13 @@ object OpsScaleBench {
     servePq(dirPartPq) // warmup
     val (_, sPqPlain, _, bPqPlain) = cpuTime(servePq(dirPlainPq))
     val (_, sPqPart, _, bPqPart) = cpuTime(servePq(dirPartPq))
-    val pqPartJson = f""""ivfpq_partitioned":{"nlist":$pqNlist,"n_queries":4,"nprobe":4,"serve_plain_sec":$sPqPlain%.2f,"serve_part_sec":$sPqPart%.2f,"serve_plain_bytes":$bPqPlain,"serve_part_bytes":$bPqPart,"part_bytes_ratio":${bPqPart.toDouble / bPqPlain}%.3f}"""
+    // the analytic bound the bytes ratio converges to as inverted
+    // lists grow past the parquet per-file floor: distinct probed
+    // cells / nlist
+    val probedFrac = qPq.select(explode(graft.functions.Centroids
+        .centroidProbes(col("embedding"), pqIdx.cells, 4)).as("cell"))
+      .distinct().count().toDouble / pqNlist
+    val pqPartJson = f""""ivfpq_partitioned":{"nlist":$pqNlist,"n_queries":4,"nprobe":4,"probed_frac":$probedFrac%.3f,"serve_plain_sec":$sPqPlain%.2f,"serve_part_sec":$sPqPart%.2f,"serve_plain_bytes":$bPqPlain,"serve_part_bytes":$bPqPart,"part_bytes_ratio":${bPqPart.toDouble / bPqPlain}%.3f}"""
 
     println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$serveJson,$pqPartJson,${parts.mkString(",")}}""")
     spark.stop()
