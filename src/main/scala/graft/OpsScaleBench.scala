@@ -433,7 +433,9 @@ object OpsScaleBench {
       .queryIvfPqIndexPruned(qPq,
         graft.ops.Similarity.loadIvfPqIndex(spark, d), k = 5,
         nprobe = 4))
-    servePq(dirPartPq) // warmup
+    // warm BOTH paths: file-listing caches and codegen are
+    // plan-specific, so warming only one would bias its wall number
+    servePq(dirPartPq); servePq(dirPlainPq)
     val (_, sPqPlain, _, bPqPlain) = cpuTime(servePq(dirPlainPq))
     val (_, sPqPart, _, bPqPart) = cpuTime(servePq(dirPartPq))
     // the analytic bound the bytes ratio converges to as inverted

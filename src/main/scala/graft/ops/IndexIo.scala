@@ -80,6 +80,35 @@ private[ops] object IndexIo {
         "must partition the corpus disjointly")
   }
 
+  /** True iff the saved-relation directory itself exists — the guard
+    * that separates "legal empty relation" (fallback applies) from
+    * "missing/partially-copied artifact" (fail loudly).
+    */
+  private[ops] def dirExists(spark: SparkSession,
+                             location: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Read a saved relation, tolerating the EMPTY case: a directory
+    * with no parquet data files (only _SUCCESS) comes back as an empty
+    * DataFrame with the caller's canonical schema; a MISSING directory
+    * still throws. The plain-loader counterpart of
+    * [[resolveBucketedTable]]'s fallback, so both load paths agree on
+    * which artifacts are legal.
+    */
+  def readOrEmpty(spark: SparkSession, location: String,
+                  fallbackSchema: String)
+      : org.apache.spark.sql.DataFrame =
+    try spark.read.parquet(location)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException
+          if dirExists(spark, location) =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(fallbackSchema))
+    }
+
   /** Catalog name for a bucketed persistence table: the caller's
     * prefix plus a suffix derived from the save directory, so two
     * concurrent saves with the same prefix into DIFFERENT dirs never
@@ -109,11 +138,15 @@ private[ops] object IndexIo {
       // an EMPTY saved relation (a degenerate but legal index state)
       // leaves no parquet data files to infer a schema from — fall
       // back to the caller's canonical DDL so the cross-session load
-      // still registers a (trivially empty) table instead of throwing
+      // still registers a (trivially empty) table instead of throwing.
+      // ONLY for that case: a MISSING directory is a broken/partially
+      // copied artifact and must fail loudly, not register as empty
+      // (the silent-empty-load class this fallback exists to avoid).
       val schema =
         try spark.read.parquet(location).schema.toDDL
         catch {
-          case e: org.apache.spark.sql.AnalysisException =>
+          case e: org.apache.spark.sql.AnalysisException
+              if dirExists(spark, location) =>
             fallbackSchema.getOrElse(throw e)
         }
       val cols = bucketCols.mkString(", ")

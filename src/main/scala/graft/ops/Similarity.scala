@@ -1027,7 +1027,11 @@ object Similarity {
     * written bucketed by nothing but partitioned as computed, so a
     * reload scans only (n_id, cell, codes) — 16× less than the floats.
     */
-  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+  /** The bounded artifacts (meta/cells/codebook) both save layouts
+    * share — one writer so a meta schema change cannot silently fork
+    * the two flavors.
+    */
+  private def saveIvfPqArtifacts(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     Seq((1, index.m, index.ks, index.dim, index.cells.length))
@@ -1037,6 +1041,10 @@ object Similarity {
       index.cells)
     IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
       index.codebook)
+  }
+
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    saveIvfPqArtifacts(index, dir)
     index.codes.write.mode("overwrite").parquet(s"$dir/codes")
   }
 
@@ -1280,14 +1288,35 @@ object Similarity {
     * the probed cells' code bytes, nothing else.
     */
   def queryIvfPqIndex(queries: DataFrame, index: IvfPqIndex, k: Int,
-                      nprobe: Int = 4): DataFrame = {
+                      nprobe: Int = 4): DataFrame =
+    ivfPqIndexServe(queries, index, k, nprobe, pruneScan = false)
+
+  /** ONE serve body for the pruned and unpruned index serves — the
+    * n52 "pruned == plain" contract is structural: the only difference
+    * is whether the probed-cell set also lands on the codes SCAN as a
+    * static filter (a semantic no-op; the join on cell already
+    * restricts to probed cells).
+    */
+  private def ivfPqIndexServe(queries: DataFrame, index: IvfPqIndex,
+                              k: Int, nprobe: Int,
+                              pruneScan: Boolean): DataFrame = {
     val sub = index.dim / index.m
     import graft.functions.{Centroids => C, PqColumns => P}
-    val q = queries.select(col("vec_id").as("q_id"),
+    val q0 = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       explode(C.centroidProbes(col("embedding"), index.cells, nprobe))
         .as("cell"))
-    q.join(index.codes, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+    // checkpoint before collecting the probed set so the probe
+    // subtree runs once, not once for the collect and once for the
+    // join (the appendToMinHashIndex discipline)
+    val q = if (pruneScan) q0.localCheckpoint() else q0
+    val c =
+      if (pruneScan) {
+        val probed = q.select("cell").distinct().collect()
+          .map(_.getInt(0))
+        index.codes.filter(col("cell").isInCollection(probed.toSeq))
+      } else index.codes
+    q.join(c, Seq("cell")).filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", P.pqAdc(
         C.centroidResidual(col("q_emb"), col("cell"), index.cells),
         col("codes"), index.codebook, sub))
@@ -1315,15 +1344,7 @@ object Similarity {
     * everywhere).
     */
   def saveIvfPqIndexPartitioned(index: IvfPqIndex, dir: String): Unit = {
-    val spark = index.codes.sparkSession
-    import spark.implicits._
-    Seq((1, index.m, index.ks, index.dim, index.cells.length))
-      .toDF("format_version", "m", "ks", "dim", "nlist")
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
-      index.cells)
-    IndexIo.saveVectors(spark, s"$dir/codebook", "sub_id", "entries",
-      index.codebook)
+    saveIvfPqArtifacts(index, dir)
     // repartition by cell first: without it every cell directory
     // holds one fragment per shuffle partition, and at serving time
     // the per-file overhead (footers, row-group minimums) dominates
@@ -1351,23 +1372,6 @@ object Similarity {
     * join to the scan.
     */
   def queryIvfPqIndexPruned(queries: DataFrame, index: IvfPqIndex,
-                            k: Int, nprobe: Int = 4): DataFrame = {
-    val sub = index.dim / index.m
-    import graft.functions.{Centroids => C, PqColumns => P}
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"),
-      explode(C.centroidProbes(col("embedding"), index.cells, nprobe))
-        .as("cell")).localCheckpoint()
-    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
-    q.join(index.codes.filter(col("cell").isInCollection(probed.toSeq)),
-        Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc", P.pqAdc(
-        C.centroidResidual(col("q_emb"), col("cell"), index.cells),
-        col("codes"), index.codebook, sub))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("adc").asc, col("n_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank", "adc")
-  }
+                            k: Int, nprobe: Int = 4): DataFrame =
+    ivfPqIndexServe(queries, index, k, nprobe, pruneScan = true)
 }

@@ -783,13 +783,19 @@ object SuffixArray {
                       dir: String): SubstrIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     // <= 2: a v2 (bucketed, width-partitioned) save reads fine through
-    // the plain path — partition discovery restores __w as a column
+    // the plain path — partition discovery restores __w as a column.
+    // dict_pairs and keys may legally be EMPTY (minLen = 2 gives
+    // targetW = 1, so NO doubling rounds; sub-minLen docs leave no
+    // keys) — readOrEmpty keeps both loaders agreeing on which
+    // artifacts are loadable.
     require(meta.getAs[Int]("format_version") <= 2,
       s"unsupported substr index format_version " +
         meta.getAs[Int]("format_version"))
     SubstrIndex(spark.read.parquet(s"$dir/dict_chars"),
-      spark.read.parquet(s"$dir/dict_pairs"),
-      spark.read.parquet(s"$dir/keys"),
+      IndexIo.readOrEmpty(spark, s"$dir/dict_pairs",
+        "__w INT, __r1 BIGINT, __r2 BIGINT, __cls BIGINT"),
+      IndexIo.readOrEmpty(spark, s"$dir/keys",
+        "__id BIGINT, __off BIGINT, __r1 BIGINT, __r2 BIGINT"),
       meta.getAs[Int]("min_len"), meta.getAs[Int]("target_w"),
       meta.getAs[Long]("stride"), meta.getAs[Long]("max_id"))
   }

@@ -569,6 +569,23 @@ class SuffixArraySpec extends SparkSpec {
     val loaded = SuffixArray.loadSubstrIndexBucketed(spark, dir,
       "substr_empty_spec")
     indexState(loaded) shouldBe indexState(idx)
+    // both loaders agree on which artifacts are legal: the plain path
+    // reads the same empty relations through the same fallback
+    indexState(SuffixArray.loadSubstrIndex(spark, dir)) shouldBe
+      indexState(idx)
+    // ... but a MISSING relation directory is a broken artifact, not
+    // an empty one — fail loudly instead of loading an empty table
+    // (the silent-empty-load class the format dispatch exists to kill)
+    val broken = java.nio.file.Files
+      .createTempDirectory("substrbrk").toString
+    SuffixArray.saveSubstrIndexBucketed(idx, broken,
+      "substr_broken_spec", buckets = 4)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete()
+    }
+    rmr(new java.io.File(s"$broken/keys"))
+    an[Exception] should be thrownBy
+      SuffixArray.loadSubstrIndex(spark, broken).keys.count()
     // the degenerate state still appends: the union build from an
     // empty start equals the one-shot
     val batch = Seq((2L, "xyxy"), (3L, "xyxy")).toDF("doc_id", "text")
