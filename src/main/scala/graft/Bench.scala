@@ -162,7 +162,7 @@ object Bench {
         "d36_minhash_index_merge", "n48_index_compact",
         "d37_substr_index_compact", "n49_ivfpq_index_merge",
         "n50_hnsw_pq_rerank", "n51_pq_encode_merge",
-        "n52_ivfpq_partitioned_serve")
+        "n52_ivfpq_partitioned_serve", "n53_graph_bucketed_serve")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

@@ -704,6 +704,57 @@ object GraphAnn {
       meta.getAs[Int]("entries_per_cell"), alpha, poolSize)
   }
 
+  /** Persist with the node table BUCKETED on n_id — the d31/d35
+    * production-volume layout applied to the graph tier: the serve's
+    * per-hop expansion (`frontier ⋈ nodes on n_id`) and candidate
+    * scoring both hash-join the corpus side on n_id, so in the
+    * shuffle-hash regime (million-query offline batches) a bucketed
+    * node scan arrives PRE-PARTITIONED and only the frontier/candidate
+    * side exchanges — per hop, per serve (gate n53 pins serve
+    * equality across layouts; the one-Exchange-per-hop plan is
+    * spec-pinned). The broadcast regime never exchanges the corpus
+    * anyway; bucketing is the same win for the append/delete verbs'
+    * n_id semi-joins. Catalog requirement and cross-session
+    * re-registration exactly as the substr/MinHash bucketed layouts.
+    */
+  def saveGraphIndexBucketed(index: GraphIndex, dir: String,
+                             tablePrefix: String,
+                             buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val fmt = if (index.alpha.isDefined) 2 else 1
+    Seq((fmt, index.cells.length, index.degree, index.crossDegree,
+        index.entriesPerCell, index.alpha.getOrElse(Double.NaN),
+        index.poolSize, buckets))
+      .toDF("format_version", "nlist", "degree", "cross_degree",
+        "entries_per_cell", "alpha", "pool_size", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
+    index.entries.write.mode("overwrite").parquet(s"$dir/entries")
+    index.nodes.write.mode("overwrite")
+      .bucketBy(buckets, "n_id").sortBy("n_id")
+      .option("path", s"$dir/nodes")
+      .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "nodes", dir))
+  }
+
+  /** Reload the bucketed layout; the catalog name is session-scoped
+    * under the default in-memory catalog but the bucketed FILES are
+    * durable — a fresh session re-registers the external table. (The
+    * plain [[loadGraphIndex]] also reads a bucketed dir correctly —
+    * it just loses the exchange-free property.)
+    */
+  def loadGraphIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, tablePrefix: String)
+      : GraphIndex = {
+    val plain = loadGraphIndex(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    plain.copy(nodes = IndexIo.resolveBucketedTable(spark,
+      IndexIo.bucketedTableName(tablePrefix, "nodes", dir),
+      s"$dir/nodes", Seq("n_id"), meta.getAs[Int]("buckets")))
+  }
+
   /** Append a batch WITHOUT touching unaffected nodes, yet EXACTLY
     * rebuild-equivalent (gate n33 pins index equality with a from-
     * scratch build over the union). The argument is heap dominance
@@ -1962,5 +2013,55 @@ object GraphAnn {
       meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
       meta.getAs[Int]("level_fanout"), meta.getAs[Int]("max_level"),
       alpha, meta.getAs[Int]("pool_size"))
+  }
+
+  /** [[saveGraphIndexBucketed]] at the layered tier: nodes AND adj
+    * bucketed on n_id — the descent's per-layer expansion joins adj on
+    * n_id and its scoring joins nodes on n_id, so in the shuffle-hash
+    * regime both corpus-sized relations arrive pre-partitioned and
+    * only the frontier exchanges, per hop, per layer (gate n53;
+    * per-layer `filter(layer = l)` preserves the bucket partitioning).
+    */
+  def saveHnswIndexBucketed(index: HnswIndex, dir: String,
+                            tablePrefix: String,
+                            buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    Seq((1, index.cells.length, index.degree, index.crossDegree,
+        index.levelFanout, index.maxLevel,
+        index.alpha.getOrElse(Double.NaN), index.poolSize, buckets))
+      .toDF("format_version", "nlist", "degree", "cross_degree",
+        "level_fanout", "max_level", "alpha", "pool_size", "buckets")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
+      index.cells)
+    index.nodes.write.mode("overwrite")
+      .bucketBy(buckets, "n_id").sortBy("n_id")
+      .option("path", s"$dir/nodes")
+      .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "nodes", dir))
+    index.adj.write.mode("overwrite")
+      .bucketBy(buckets, "n_id").sortBy("n_id")
+      .option("path", s"$dir/adj")
+      .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "adj", dir))
+  }
+
+  /** Reload the bucketed layered layout (cross-session re-registration
+    * as in every bucketed family; the plain [[loadHnswIndex]] also
+    * reads these dirs, minus the exchange-free property).
+    */
+  def loadHnswIndexBucketed(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, tablePrefix: String)
+      : HnswIndex = {
+    val plain = loadHnswIndex(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    plain.copy(
+      nodes = IndexIo.resolveBucketedTable(spark,
+        IndexIo.bucketedTableName(tablePrefix, "nodes", dir),
+        s"$dir/nodes", Seq("n_id"), buckets),
+      adj = IndexIo.resolveBucketedTable(spark,
+        IndexIo.bucketedTableName(tablePrefix, "adj", dir),
+        s"$dir/adj", Seq("n_id"), buckets))
   }
 }

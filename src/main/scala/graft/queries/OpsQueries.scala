@@ -6332,6 +6332,62 @@ object OpsQueries {
              |  TRUE AS partial_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Bucketed graph persistence (n53): the d31/d35 layout discipline
+    // applied to the graph tiers — nodes (flat) and nodes+adj
+    // (layered) bucketBy(n_id), so the shuffle-hash serve regime's
+    // per-hop expansion and scoring joins read PRE-PARTITIONED corpus
+    // relations and exchange only the frontier (the plan property is
+    // spec-pinned; per-layer filters preserve bucket partitioning).
+    // The gate pins serve equality across layouts in the shuffle
+    // regime, both tiers, against the in-memory index serve.
+    QueryDef("n53_graph_bucketed_serve",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 600)
+        val q = embs(s, dir).filter(col("vec_id") < 20)
+        val cells = Similarity.firstVectors(e, 16)
+        val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val h = GraphAnn.buildHnswIndex(e, nlist = 16, degree = 4,
+          crossDegree = 2, levelFanout = 4, maxLevel = 2,
+          centroids = Some(cells))
+        val hDir = s"/tmp/graft_gate_hnsw_bkt_$safe"
+        GraphAnn.saveHnswIndexBucketed(h, hDir, "gate_n53_hnsw",
+          buckets = 8)
+        val g = GraphAnn.buildGraphIndex(e, nlist = 16, degree = 4,
+          crossDegree = 2, centroids = Some(cells))
+        val gDir = s"/tmp/graft_gate_graph_bkt_$safe"
+        GraphAnn.saveGraphIndexBucketed(g, gDir, "gate_n53_graph",
+          buckets = 8)
+        def hServe(i: GraphAnn.HnswIndex) =
+          GraphAnn.queryHnswIndex(q, i, k = 5, beam = 3, hops = 2,
+            upperBeam = 1, upperHops = 2,
+            broadcastFrontier = Some(false))
+            .select("q_id", "n_id", "rank")
+        def gServe(i: GraphAnn.GraphIndex) =
+          GraphAnn.queryGraphIndex(q, i, k = 5, beam = 3, hops = 2,
+            broadcastFrontier = Some(false))
+            .select("q_id", "n_id", "rank")
+        val hOk = hServe(h).withColumnRenamed("rank", "r_mem")
+          .join(hServe(GraphAnn.loadHnswIndexBucketed(s, hDir,
+              "gate_n53_hnsw")).withColumnRenamed("rank", "r_bkt"),
+            Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_mem") === col("r_bkt"), 1).otherwise(0)))
+            .as("hnsw_exact"))
+        val gOk = gServe(g).withColumnRenamed("rank", "r_mem")
+          .join(gServe(GraphAnn.loadGraphIndexBucketed(s, gDir,
+              "gate_n53_graph")).withColumnRenamed("rank", "r_bkt"),
+            Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_mem") === col("r_bkt"), 1).otherwise(0)))
+            .as("graph_exact"))
+        hOk.join(gOk, Seq("q_id"), "full")
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS hnsw_exact,
+             |  TRUE AS graph_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

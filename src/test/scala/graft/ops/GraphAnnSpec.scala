@@ -1207,4 +1207,68 @@ class GraphAnnSpec extends SparkSpec {
       .toMap
     pqNodes(lifecycle) shouldBe pqNodes(oneShot)
   }
+
+  test("bucketed persistence: serves replay exactly and the corpus side joins pre-partitioned") {
+    val corpus = planted(5, 24, 16, seed = 163)
+    val queries = corpus.filter(col("vec_id") < 6)
+    val cells = Similarity.firstVectors(corpus, 5)
+    val h = GraphAnn.buildHnswIndex(corpus, nlist = 5, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 2,
+      centroids = Some(cells))
+    val hDir = java.nio.file.Files
+      .createTempDirectory("hnswbkt").toString
+    GraphAnn.saveHnswIndexBucketed(h, hDir, "hnsw_bkt_spec",
+      buckets = 4)
+    // fresh-session shape: catalog entries gone, bucketed files durable
+    for (sfx <- Seq("nodes", "adj"))
+      spark.sql(s"DROP TABLE ${IndexIo.bucketedTableName(
+        "hnsw_bkt_spec", sfx, hDir)}")
+    val hB = GraphAnn.loadHnswIndexBucketed(spark, hDir, "hnsw_bkt_spec")
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    adjMap(hB) shouldBe adjMap(h)
+    def hRun(i: GraphAnn.HnswIndex, bf: Option[Boolean]) =
+      GraphAnn.queryHnswIndex(queries, i, k = 4, beam = 3, hops = 2,
+          broadcastFrontier = bf)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = hRun(h, None)
+    hRun(hB, Some(false)) shouldBe want
+    hRun(hB, Some(true)) shouldBe want
+    // the layout's point: a shuffle-regime hop join against the
+    // bucketed adjacency exchanges ONLY the frontier — the plain
+    // layout exchanges both sides. Per-layer filters preserve the
+    // bucket partitioning.
+    val frontier = queries.select(col("vec_id").as("n_id"),
+      col("vec_id").as("q_id"))
+    def hopExchanges(adj: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r.findAllIn(
+        frontier.hint("shuffle_hash")
+          .join(adj.filter(col("layer") === 0), Seq("n_id"))
+          .queryExecution.executedPlan.toString).size
+    hopExchanges(hB.adj) shouldBe 1
+    hopExchanges(GraphAnn.loadHnswIndex(spark, hDir).adj) shouldBe 2
+    // flat tier: same contract on the node table
+    val g = GraphAnn.buildGraphIndex(corpus, nlist = 5, degree = 4,
+      crossDegree = 2, centroids = Some(cells))
+    val gDir = java.nio.file.Files
+      .createTempDirectory("graphbkt").toString
+    GraphAnn.saveGraphIndexBucketed(g, gDir, "graph_bkt_spec",
+      buckets = 4)
+    spark.sql(s"DROP TABLE ${IndexIo.bucketedTableName(
+      "graph_bkt_spec", "nodes", gDir)}")
+    val gB = GraphAnn.loadGraphIndexBucketed(spark, gDir,
+      "graph_bkt_spec")
+    def gRun(i: GraphAnn.GraphIndex, bf: Option[Boolean]) =
+      GraphAnn.queryGraphIndex(queries, i, k = 4, beam = 3, hops = 2,
+          broadcastFrontier = bf)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    gRun(gB, Some(false)) shouldBe gRun(g, None)
+    "Exchange hashpartitioning".r.findAllIn(
+      frontier.hint("shuffle_hash")
+        .join(gB.nodes.select("n_id", "neighbors"), Seq("n_id"))
+        .queryExecution.executedPlan.toString).size shouldBe 1
+  }
 }
