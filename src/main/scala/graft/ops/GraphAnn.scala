@@ -660,7 +660,13 @@ object GraphAnn {
     * node table — the only corpus-sized piece — stays distributed end
     * to end; build once, reload and serve forever.
     */
-  def saveGraphIndex(index: GraphIndex, dir: String): Unit = {
+  /** The bounded artifacts (meta/cells/entries) both flat save
+    * layouts share — one writer so a build-param addition cannot
+    * silently fork the plain and bucketed flavors (the
+    * saveIvfPqArtifacts discipline).
+    */
+  private def saveGraphArtifacts(index: GraphIndex, dir: String,
+                                 buckets: Option[Int]): Unit = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     // alpha rides as NaN-for-None (parquet-friendly; read back by
@@ -674,22 +680,26 @@ object GraphAnn {
     val fmt = if (index.alpha.isDefined) 2 else 1
     Seq((fmt, index.cells.length, index.degree, index.crossDegree,
         index.entriesPerCell, index.alpha.getOrElse(Double.NaN),
-        index.poolSize))
+        index.poolSize, buckets.getOrElse(0)))
       .toDF("format_version", "nlist", "degree", "cross_degree",
-        "entries_per_cell", "alpha", "pool_size")
+        "entries_per_cell", "alpha", "pool_size", "buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
       index.cells)
     index.entries.write.mode("overwrite").parquet(s"$dir/entries")
+  }
+
+  def saveGraphIndex(index: GraphIndex, dir: String): Unit = {
+    saveGraphArtifacts(index, dir, None)
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
   }
 
-  /** Reload a persisted index: bounded artifacts collect to the
-    * driver, the node table is a lazy parquet scan.
-    */
-  def loadGraphIndex(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): GraphIndex = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+  /** Meta-row-driven reload shared by the plain and bucketed loaders
+    * (one meta read each). */
+  private def loadGraphIndexFrom(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String,
+                                 meta: org.apache.spark.sql.Row,
+                                 nodes: DataFrame): GraphIndex = {
     require(meta.getAs[Int]("format_version") <= 2,
       s"unsupported graph index format_version " +
         meta.getAs[Int]("format_version"))
@@ -698,10 +708,19 @@ object GraphAnn {
     val alpha = if (hasAlpha && !meta.getAs[Double]("alpha").isNaN)
       Some(meta.getAs[Double]("alpha")) else None
     val poolSize = if (hasAlpha) meta.getAs[Int]("pool_size") else 0
-    GraphIndex(spark.read.parquet(s"$dir/nodes"),
-      spark.read.parquet(s"$dir/entries"), cells,
+    GraphIndex(nodes, spark.read.parquet(s"$dir/entries"), cells,
       meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
       meta.getAs[Int]("entries_per_cell"), alpha, poolSize)
+  }
+
+  /** Reload a persisted index: bounded artifacts collect to the
+    * driver, the node table is a lazy parquet scan.
+    */
+  def loadGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): GraphIndex = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    loadGraphIndexFrom(spark, dir, meta,
+      spark.read.parquet(s"$dir/nodes"))
   }
 
   /** Persist with the node table BUCKETED on n_id — the d31/d35
@@ -721,18 +740,7 @@ object GraphAnn {
                              tablePrefix: String,
                              buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val spark = index.nodes.sparkSession
-    import spark.implicits._
-    val fmt = if (index.alpha.isDefined) 2 else 1
-    Seq((fmt, index.cells.length, index.degree, index.crossDegree,
-        index.entriesPerCell, index.alpha.getOrElse(Double.NaN),
-        index.poolSize, buckets))
-      .toDF("format_version", "nlist", "degree", "cross_degree",
-        "entries_per_cell", "alpha", "pool_size", "buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
-      index.cells)
-    index.entries.write.mode("overwrite").parquet(s"$dir/entries")
+    saveGraphArtifacts(index, dir, Some(buckets))
     index.nodes.write.mode("overwrite")
       .bucketBy(buckets, "n_id").sortBy("n_id")
       .option("path", s"$dir/nodes")
@@ -748,11 +756,11 @@ object GraphAnn {
   def loadGraphIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                              dir: String, tablePrefix: String)
       : GraphIndex = {
-    val plain = loadGraphIndex(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head()
-    plain.copy(nodes = IndexIo.resolveBucketedTable(spark,
-      IndexIo.bucketedTableName(tablePrefix, "nodes", dir),
-      s"$dir/nodes", Seq("n_id"), meta.getAs[Int]("buckets")))
+    loadGraphIndexFrom(spark, dir, meta,
+      IndexIo.resolveBucketedTable(spark,
+        IndexIo.bucketedTableName(tablePrefix, "nodes", dir),
+        s"$dir/nodes", Seq("n_id"), meta.getAs[Int]("buckets")))
   }
 
   /** Append a batch WITHOUT touching unaffected nodes, yet EXACTLY
@@ -1980,19 +1988,48 @@ object GraphAnn {
     * node and adjacency tables — the corpus-sized pieces — stay
     * distributed end to end.
     */
-  def saveHnswIndex(index: HnswIndex, dir: String): Unit = {
+  /** The bounded artifacts (meta/cells) both layered save layouts
+    * share — one writer so a build-param addition cannot silently
+    * fork the plain and bucketed flavors. */
+  private def saveHnswArtifacts(index: HnswIndex, dir: String,
+                                buckets: Option[Int]): Unit = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     Seq((1, index.cells.length, index.degree, index.crossDegree,
         index.levelFanout, index.maxLevel,
-        index.alpha.getOrElse(Double.NaN), index.poolSize))
+        index.alpha.getOrElse(Double.NaN), index.poolSize,
+        buckets.getOrElse(0)))
       .toDF("format_version", "nlist", "degree", "cross_degree",
-        "level_fanout", "max_level", "alpha", "pool_size")
+        "level_fanout", "max_level", "alpha", "pool_size", "buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
       index.cells)
+  }
+
+  def saveHnswIndex(index: HnswIndex, dir: String): Unit = {
+    saveHnswArtifacts(index, dir, None)
     index.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
     index.adj.write.mode("overwrite").parquet(s"$dir/adj")
+  }
+
+  /** Meta-row-driven reload shared by the plain and bucketed loaders
+    * (one meta read each). */
+  private def loadHnswIndexFrom(spark: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                meta: org.apache.spark.sql.Row,
+                                nodes: DataFrame, adj: DataFrame)
+      : HnswIndex = {
+    require(meta.getAs[Int]("format_version") <= 1,
+      s"unsupported hnsw index format_version " +
+        meta.getAs[Int]("format_version"))
+    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id",
+      "centroid")
+    val alpha = if (meta.getAs[Double]("alpha").isNaN) None
+      else Some(meta.getAs[Double]("alpha"))
+    HnswIndex(nodes, adj, cells,
+      meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
+      meta.getAs[Int]("level_fanout"), meta.getAs[Int]("max_level"),
+      alpha, meta.getAs[Int]("pool_size"))
   }
 
   /** Reload a persisted layered index: bounded artifacts collect to
@@ -2001,18 +2038,9 @@ object GraphAnn {
   def loadHnswIndex(spark: org.apache.spark.sql.SparkSession,
                     dir: String): HnswIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("format_version") <= 1,
-      s"unsupported hnsw index format_version " +
-        meta.getAs[Int]("format_version"))
-    val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id",
-      "centroid")
-    val alpha = if (meta.getAs[Double]("alpha").isNaN) None
-      else Some(meta.getAs[Double]("alpha"))
-    HnswIndex(spark.read.parquet(s"$dir/nodes"),
-      spark.read.parquet(s"$dir/adj"), cells,
-      meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
-      meta.getAs[Int]("level_fanout"), meta.getAs[Int]("max_level"),
-      alpha, meta.getAs[Int]("pool_size"))
+    loadHnswIndexFrom(spark, dir, meta,
+      spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/adj"))
   }
 
   /** [[saveGraphIndexBucketed]] at the layered tier: nodes AND adj
@@ -2026,16 +2054,7 @@ object GraphAnn {
                             tablePrefix: String,
                             buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val spark = index.nodes.sparkSession
-    import spark.implicits._
-    Seq((1, index.cells.length, index.degree, index.crossDegree,
-        index.levelFanout, index.maxLevel,
-        index.alpha.getOrElse(Double.NaN), index.poolSize, buckets))
-      .toDF("format_version", "nlist", "degree", "cross_degree",
-        "level_fanout", "max_level", "alpha", "pool_size", "buckets")
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
-      index.cells)
+    saveHnswArtifacts(index, dir, Some(buckets))
     index.nodes.write.mode("overwrite")
       .bucketBy(buckets, "n_id").sortBy("n_id")
       .option("path", s"$dir/nodes")
@@ -2053,14 +2072,13 @@ object GraphAnn {
   def loadHnswIndexBucketed(spark: org.apache.spark.sql.SparkSession,
                             dir: String, tablePrefix: String)
       : HnswIndex = {
-    val plain = loadHnswIndex(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val buckets = meta.getAs[Int]("buckets")
-    plain.copy(
-      nodes = IndexIo.resolveBucketedTable(spark,
+    loadHnswIndexFrom(spark, dir, meta,
+      IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "nodes", dir),
         s"$dir/nodes", Seq("n_id"), buckets),
-      adj = IndexIo.resolveBucketedTable(spark,
+      IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "adj", dir),
         s"$dir/adj", Seq("n_id"), buckets))
   }

@@ -80,13 +80,17 @@ private[ops] object IndexIo {
         "must partition the corpus disjointly")
   }
 
-  /** True iff the saved-relation directory itself exists — the guard
-    * that separates "legal empty relation" (fallback applies) from
-    * "missing/partially-copied artifact" (fail loudly).
+  /** True iff the saved relation COMMITTED — the guard that separates
+    * "legal empty relation" (fallback applies) from "missing, partial,
+    * or crashed-write artifact" (fail loudly). The `_SUCCESS` marker
+    * is written by every committed save, INCLUDING empty ones, and is
+    * absent from a bare directory, a killed write (only `_temporary/`),
+    * or a copy that never reached the marker — bare directory
+    * existence would pass all three.
     */
-  private[ops] def dirExists(spark: SparkSession,
+  private[ops] def relationCommitted(spark: SparkSession,
                              location: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(location)
+    val p = new org.apache.hadoop.fs.Path(location, "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -103,7 +107,7 @@ private[ops] object IndexIo {
     try spark.read.parquet(location)
     catch {
       case _: org.apache.spark.sql.AnalysisException
-          if dirExists(spark, location) =>
+          if relationCommitted(spark, location) =>
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType.fromDDL(fallbackSchema))
@@ -146,7 +150,7 @@ private[ops] object IndexIo {
         try spark.read.parquet(location).schema.toDDL
         catch {
           case e: org.apache.spark.sql.AnalysisException
-              if dirExists(spark, location) =>
+              if relationCommitted(spark, location) =>
             fallbackSchema.getOrElse(throw e)
         }
       val cols = bucketCols.mkString(", ")
