@@ -162,7 +162,11 @@ object Bench {
         "d36_minhash_index_merge", "n48_index_compact",
         "d37_substr_index_compact", "n49_ivfpq_index_merge",
         "n50_hnsw_pq_rerank", "n51_pq_encode_merge",
-        "n52_ivfpq_partitioned_serve", "n53_graph_bucketed_serve")
+        "n52_ivfpq_partitioned_serve", "n53_graph_bucketed_serve",
+        // round-13 shard-recipe gates: n54 builds four indexes per
+        // evaluation (three shards + union), n55 five (three shards +
+        // two merge steps + union) — construction IS the operator
+        "n54_spatial_shard_merge", "n55_merge_associativity")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {
@@ -206,6 +210,19 @@ object Bench {
     val totalCpu = results.map(_._4).sum
     val totalGc = results.map(_._5).sum
     val totalSpill = results.map(_._6).sum
+    // Contention index, derived so a reader (or the driver) can flag a
+    // poisoned run from the header alone: healthy quiet-host runs sit
+    // at gc_frac ≈ 0.02-0.06; the four contended driver rounds read
+    // 0.29-0.63 at zero spill (PLANS.md interpretation guide). p95 of
+    // per-query gc/wall localizes whether pressure was suite-wide or
+    // one victim query.
+    val gcFrac = if (total > 0) totalGc / total else 0.0
+    val gcFracs = results.map(r => if (r._2 > 0) r._5 / r._2 else 0.0)
+      .sorted
+    val gcFracP95 =
+      if (gcFracs.isEmpty) 0.0
+      else gcFracs(math.min(gcFracs.length - 1,
+        (0.95 * gcFracs.length).toInt))
     // The relational headline (judge-run every round until now): the
     // full 44-model warehouse build, sequential + parallel, at the
     // 50000/500000 scale the BASELINE comparison uses — committed into
@@ -227,7 +244,7 @@ object Bench {
         s""""warehouse_build":"failed: ${e.getClass.getSimpleName}""""
       }
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,$whJson,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_spill":$qsSpill,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"gc_frac":${fmt(gcFrac)},"gc_frac_p95":${fmt(gcFracP95)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,$whJson,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_spill":$qsSpill,"sf":"$sfDir"}"""
     // Full per-query results: one stdout line (for complete logs) plus a
     // file, because the driver's artifact keeps only the LAST ~2000
     // chars of sbt output. With 120+ queries the full JSON line is
@@ -251,7 +268,7 @@ object Bench {
     val budget = 1500
     val byCost = results.sortBy(-_._2)
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"$outPath","queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"gc_frac":${fmt(gcFrac)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"$outPath","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = header.length + 2 // closing }}
     for (r <- byCost) {

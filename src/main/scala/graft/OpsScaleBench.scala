@@ -58,17 +58,23 @@ object OpsScaleBench {
     // bytes adjudicate scan pruning
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val inputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) {
-            cpuNanos.addAndGet(m.executorCpuTime)
-            inputBytes.addAndGet(m.inputMetrics.bytesRead)
-          }
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // held in a val and removed before the final report: a listener
+    // left registered would attribute any later in-session work to the
+    // measured block (the drain discipline only bounds WHEN counts
+    // land, not WHOSE tasks they are)
+    val meterListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          cpuNanos.addAndGet(m.executorCpuTime)
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          shuffleBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         }
-      })
+      }
+    }
+    spark.sparkContext.addSparkListener(meterListener)
     def cpuTime(f: => Long): (Double, Double, Long, Long) = {
       org.apache.spark.graftbridge.CoreBridge
         .drainListenerBus(spark.sparkContext)
@@ -80,6 +86,19 @@ object OpsScaleBench {
         .drainListenerBus(spark.sparkContext)
       ((cpuNanos.get() - c0) / 1e9, wall, rows,
         inputBytes.get() - b0)
+    }
+    // wall + shuffle-read bytes: the metric the bucketed serving
+    // layouts move (exchanged bytes per serve), same drain discipline
+    def shufTime(f: => Long): (Double, Long) = {
+      org.apache.spark.graftbridge.CoreBridge
+        .drainListenerBus(spark.sparkContext)
+      val s0 = shuffleBytes.get()
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.CoreBridge
+        .drainListenerBus(spark.sparkContext)
+      (wall, shuffleBytes.get() - s0)
     }
 
     val ops: Seq[(String, DataFrame => Long)] = Seq(
@@ -280,7 +299,7 @@ object OpsScaleBench {
     val dirB = "/tmp/graft-opsscale-substr-bucketed"
     graft.ops.SuffixArray.saveSubstrIndex(idx0, dirP)
     graft.ops.SuffixArray.saveSubstrIndexBucketed(idx0, dirB,
-      "opsscale_substr", buckets = 32)
+      "opsscale_substr", buckets = 32, partitionDictByWidth = true)
     val loadedP = graft.ops.SuffixArray.loadSubstrIndex(spark, dirP)
     val loadedB = graft.ops.SuffixArray.loadSubstrIndexBucketed(spark,
       dirB, "opsscale_substr")
@@ -387,6 +406,74 @@ object OpsScaleBench {
     }
     val mergeJson = f""""shard_merge":{"n_vecs":$nv,"oneshot_sec":$sOne%.2f,"parallel_build_sec":${sPar - mergeSec}%.2f,"merge_sec":$mergeSec%.2f,"affected_frac":$affectedFrac%.2f,"total_ratio":${sPar / sOne}%.2f,"pq_encode_sec":$encSec%.2f,"pq_rebuild_sec":$pqRebSec%.2f,"pq_encode_ratio":${encSec / pqRebSec}%.2f}"""
 
+    // The same merge on a CLUSTERED corpus under shardByCells — the
+    // regime the boundary-priced claim is about. The random corpus
+    // above is the honest worst case (cell2 is arbitrary →
+    // affected_frac ≈ 0.5); this fixture is the honest best case: a
+    // 1-D geodesic manifold (quarter arc of the unit circle in dims
+    // 1-2, hash noise in dims 3-32 — ORTHOGONAL noise rescales the
+    // vector norm identically across centroids, so cosine argmax
+    // ranking is exactly nearest-in-arc and cell2 is the adjacent
+    // cell; in-plane jitter of ±0.2 cell widths keeps boundaries
+    // real). Real clustered corpora sit between the two numbers.
+    // Expected: affected_frac ≈ (boundary cells)/nlist and merge_sec
+    // a small constant, vs 0.5 / edge-rerun-priced on random data.
+    val arc = math.Pi / 2
+    val jitterAmp = 0.2 * arc / nlist
+    val clusteredVecs = spark.range(nv).select(
+      col("id").as("vec_id"),
+      expr(
+        s"""transform(sequence(1, 32), j -> CASE
+           |  WHEN j = 1 THEN cast(cos((id + 0.5) / $nv * $arc +
+           |    (pmod(xxhash64(id * 53 + 1), 1001) / 500.0 - 1.0)
+           |      * $jitterAmp) as float)
+           |  WHEN j = 2 THEN cast(sin((id + 0.5) / $nv * $arc +
+           |    (pmod(xxhash64(id * 53 + 1), 1001) / 500.0 - 1.0)
+           |      * $jitterAmp) as float)
+           |  ELSE cast((pmod(xxhash64(id * 1000 + j * 17 + 5), 2001)
+           |    / 1000.0 - 1.0) * 0.25 as float) END)""".stripMargin)
+        .as("embedding")).localCheckpoint()
+    val spatialCells = Array.tabulate(nlist) { kc =>
+      val th = (kc + 0.5) / nlist * arc
+      Array.tabulate(32)(j =>
+        if (j == 0) math.cos(th) else if (j == 1) math.sin(th) else 0.0)
+    }
+    val shardMap = graft.ops.Similarity.shardCellMap(clusteredVecs,
+      spatialCells, 2)
+    val shardedC = graft.ops.Similarity.shardByCells(clusteredVecs,
+      spatialCells, 2).localCheckpoint()
+    val cProbes = graft.functions.Centroids.centroidProbes(
+      col("embedding"), spatialCells, 2)
+    val affectedFracSpatial = clusteredVecs
+      .select((element_at(lit(shardMap), cProbes.getItem(0)) =!=
+        element_at(lit(shardMap), cProbes.getItem(1)))
+        .cast("int").as("x"))
+      .agg(avg("x")).head().getDouble(0)
+    def buildSpatial(c: DataFrame) = graft.ops.GraphAnn.buildHnswIndex(
+      c, nlist = nlist, degree = 6, crossDegree = 2, levelFanout = 8,
+      maxLevel = 2, centroids = Some(spatialCells))
+    val shardCA = shardedC.filter(col("shard") === 0).drop("shard")
+      .localCheckpoint()
+    val shardCB = shardedC.filter(col("shard") === 1).drop("shard")
+      .localCheckpoint()
+    buildSpatial(clusteredVecs) // warmup: fresh plan family
+    val (sOneC, _) = time { buildSpatial(clusteredVecs).adj.count() }
+    var mergeSecC = 0.0
+    val (sParC, _) = time {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(buildSpatial(shardCA))
+      val fb = Future(buildSpatial(shardCB))
+      val ia = Await.result(fa, Duration.Inf)
+      val ib = Await.result(fb, Duration.Inf)
+      val t0 = System.nanoTime()
+      val r = graft.ops.GraphAnn.mergeHnswIndexes(ia, ib).adj.count()
+      mergeSecC = (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val mergeSpatialJson = f""""shard_merge_spatial":{"n_vecs":$nv,"nlist":$nlist,"affected_frac":$affectedFracSpatial%.4f,"oneshot_sec":$sOneC%.2f,"parallel_build_sec":${sParC - mergeSecC}%.2f,"merge_sec":$mergeSecC%.2f,"merge_vs_oneshot":${mergeSecC / sOneC}%.3f}"""
+
     // Serve-regime scale curve: per-query serve cost swept across the
     // broadcast↔shuffle-hash crossover (DefaultFrontierBroadcastLimit
     // = 65536). The number to watch is sec_per_kq flatness in the
@@ -409,6 +496,41 @@ object OpsScaleBench {
       f""""q$nQ":{"sec":$s1%.2f,"sec_per_kq":${s1 * 1000.0 / nQ}%.3f,"regime":"$regime"}"""
     }
     val serveJson = s""""serve_regime":{${servePts.mkString(",")}}"""
+
+    // Bucketed-vs-plain graph serving, measured in SHUFFLE-READ BYTES
+    // (the n53 claim, previously only plan-pinned): a fixed query
+    // batch in the shuffle-hash regime against two corpus sizes. The
+    // bucketed layout's exchanged bytes must stay ~flat as the corpus
+    // grows (only the frontier exchanges — the corpus scans arrive
+    // pre-partitioned), while the plain layout re-exchanges nodes per
+    // hop join, so its bytes grow with the corpus.
+    val bktPts = Seq(1, 4).map { kMult =>
+      val nB = nv * kMult
+      val corpusB = spark.range(nB).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 32), j -> " +
+          "cast(pmod(xxhash64(id * 31 + j), 1000) / 500.0 - 1.0 " +
+          "as float))").as("embedding")).localCheckpoint()
+      val gIdx = graft.ops.GraphAnn.buildGraphIndex(corpusB,
+        nlist = math.max(16, (nB / 64).toInt), degree = 6,
+        crossDegree = 2)
+      val dP = s"/tmp/graft-opsscale-graph-plain-$kMult"
+      val dB = s"/tmp/graft-opsscale-graph-bkt-$kMult"
+      graft.ops.GraphAnn.saveGraphIndex(gIdx, dP)
+      graft.ops.GraphAnn.saveGraphIndexBucketed(gIdx, dB,
+        s"opsscale_graph_x$kMult", buckets = 32)
+      val lP = graft.ops.GraphAnn.loadGraphIndex(spark, dP)
+      val lB = graft.ops.GraphAnn.loadGraphIndexBucketed(spark, dB,
+        s"opsscale_graph_x$kMult")
+      val qb = qBatch(131072L)
+      def serveOn(i: graft.ops.GraphAnn.GraphIndex) = sink(
+        graft.ops.GraphAnn.queryGraphIndex(qb, i, k = 5, beam = 3,
+          hops = 2, broadcastFrontier = Some(false)))
+      serveOn(lB); serveOn(lP) // warm BOTH plan families off the clock
+      val (wP, sbP) = shufTime(serveOn(lP))
+      val (wB, sbB) = shufTime(serveOn(lB))
+      f""""x$kMult":{"n_corpus":$nB,"plain_sec":$wP%.2f,"bucketed_sec":$wB%.2f,"plain_shuffle_bytes":$sbP,"bucketed_shuffle_bytes":$sbB,"bytes_ratio":${sbB.toDouble / sbP}%.3f}"""
+    }
+    val bktJson = s""""graph_bucketed":{${bktPts.mkString(",")}}"""
 
     // Cell-partitioned IVF-PQ serving layout (n52): the same pruned
     // serve over the plain vs the partitioned on-disk layout — the
@@ -446,7 +568,29 @@ object OpsScaleBench {
       .distinct().count().toDouble / pqNlist
     val pqPartJson = f""""ivfpq_partitioned":{"nlist":$pqNlist,"n_queries":4,"nprobe":4,"probed_frac":$probedFrac%.3f,"serve_plain_sec":$sPqPlain%.2f,"serve_part_sec":$sPqPart%.2f,"serve_plain_bytes":$bPqPlain,"serve_part_bytes":$bPqPart,"part_bytes_ratio":${bPqPart.toDouble / bPqPlain}%.3f}"""
 
-    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$serveJson,$pqPartJson,${parts.mkString(",")}}""")
+    // The same layout comparison at PRODUCTION list size (10× rows per
+    // list, same cells/codebook/queries so probed_frac is identical):
+    // at bench scale the lists are a few KB and the bytes ratio sits
+    // on the parquet per-file floor; with 10× rows per list the ratio
+    // should move toward probed_frac, pinning the curve's direction.
+    val vecsBig = spark.range(nv * 10L).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 32), j -> " +
+        "cast(pmod(xxhash64(id * 31 + j), 1000) / 500.0 - 1.0 " +
+        "as float))").as("embedding")).localCheckpoint()
+    val pqIdxBig = graft.ops.Similarity.buildIvfPqIndex(vecsBig,
+      nlist = pqNlist, m = 8, ks = 16, dim = 32,
+      centroids = Some(pqIdx.cells), codebook = Some(pqIdx.codebook))
+    val dirPlainPqB = "/tmp/graft-opsscale-ivfpq-plain-10x"
+    val dirPartPqB = "/tmp/graft-opsscale-ivfpq-part-10x"
+    graft.ops.Similarity.saveIvfPqIndex(pqIdxBig, dirPlainPqB)
+    graft.ops.Similarity.saveIvfPqIndexPartitioned(pqIdxBig, dirPartPqB)
+    servePq(dirPartPqB); servePq(dirPlainPqB)
+    val (_, sPqPlainB, _, bPqPlainB) = cpuTime(servePq(dirPlainPqB))
+    val (_, sPqPartB, _, bPqPartB) = cpuTime(servePq(dirPartPqB))
+    val pqPartBigJson = f""""ivfpq_partitioned_10x":{"nlist":$pqNlist,"rows_per_list":${nv * 10L / pqNlist},"n_queries":4,"nprobe":4,"probed_frac":$probedFrac%.3f,"serve_plain_sec":$sPqPlainB%.2f,"serve_part_sec":$sPqPartB%.2f,"serve_plain_bytes":$bPqPlainB,"serve_part_bytes":$bPqPartB,"part_bytes_ratio":${bPqPartB.toDouble / bPqPlainB}%.3f}"""
+
+    spark.sparkContext.removeSparkListener(meterListener)
+    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$mergeSpatialJson,$serveJson,$bktJson,$pqPartJson,$pqPartBigJson,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

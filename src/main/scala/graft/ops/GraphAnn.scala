@@ -588,7 +588,11 @@ object GraphAnn {
 
   /** Shared exact-cosine re-rank of a compressed serve's candidates:
     * candidates fetch floats by id (bounded: |Q|·rerankK rows), ranks
-    * recompute under exact similarity, n_visited carries through.
+    * recompute under exact similarity, n_visited carries through. A
+    * candidate id ABSENT from `floats` (a stale corpus after
+    * appends/deletes) fails loudly at execution — an inner join would
+    * silently return fewer than k rows per query, breaking the append
+    * verbs' fail-fast discipline one verb downstream.
     */
   private def rerankCandidates(cand: DataFrame, queries: DataFrame,
                                floats: DataFrame, k: Int): DataFrame = {
@@ -597,7 +601,14 @@ object GraphAnn {
     val cv = floats.select(col("vec_id").cast("long").as("n_id"),
       col("embedding").as("n_emb"))
     val scored = cand.select("q_id", "n_id", "n_visited")
-      .join(cv, Seq("n_id"))
+      .join(cv, Seq("n_id"), "left")
+      .withColumn("n_emb",
+        when(col("n_emb").isNull, raise_error(concat(
+          lit("rerank: candidate id "), col("n_id"),
+          lit(" is absent from the floats corpus — the corpus is " +
+            "stale relative to the index (append/delete drift); " +
+            "pass the current full-precision corpus"))))
+          .otherwise(col("n_emb")))
       .join(qv, Seq("q_id"))
       .withColumn("sim", Similarity.cosine(col("q_emb"), col("n_emb")))
     scored.groupBy("q_id", "n_visited")

@@ -87,6 +87,12 @@ private[ops] object IndexIo {
     * absent from a bare directory, a killed write (only `_temporary/`),
     * or a copy that never reached the marker — bare directory
     * existence would pass all three.
+    *
+    * REQUIREMENT: the save verbs assume the default
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=true`. Under a
+    * committer configured to skip markers, a committed-but-empty
+    * relation is indistinguishable from a crashed write and this guard
+    * fails CLOSED (load throws) — re-enable the marker or re-save.
     */
   private[ops] def relationCommitted(spark: SparkSession,
                              location: String): Boolean = {
@@ -117,11 +123,20 @@ private[ops] object IndexIo {
     * prefix plus a suffix derived from the save directory, so two
     * concurrent saves with the same prefix into DIFFERENT dirs never
     * collide on a global table name (same prefix + same dir IS a
-    * genuine overwrite).
+    * genuine overwrite). The directory is folded in as a 64-bit
+    * SHA-256 prefix over the normalized path — wide enough that a
+    * cross-directory collision is not a practical event (the 32-bit
+    * `String.hashCode` it replaces collides at ~77k directories), and
+    * normalization keeps `/a/b` and `/a/b/` the same table.
     */
   def bucketedTableName(prefix: String, suffix: String,
-                        dir: String): String =
-    s"${prefix}_${suffix}_${java.lang.Integer.toHexString(dir.hashCode)}"
+                        dir: String): String = {
+    val normalized = new org.apache.hadoop.fs.Path(dir).toString
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = sha.take(8).map(b => f"$b%02x").mkString
+    s"${prefix}_${suffix}_$hex"
+  }
 
   /** Resolve a bucketed catalog table written by a `bucketBy(...)
     * .option("path", location).saveAsTable(name)` save: if the name is
@@ -138,6 +153,28 @@ private[ops] object IndexIo {
                            partitionCols: Seq[String] = Nil,
                            fallbackSchema: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
+    // table/prefix strings reach a CREATE TABLE statement verbatim —
+    // confine them to plain identifiers up front, and escape the one
+    // legal-but-quote-breaking character a path may carry.
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bucketed table name must be a plain identifier, got '$table'")
+    // a stale catalog entry with the expected name but a DIFFERENT
+    // storage location (dropped+recreated dir, or a digest collision)
+    // would silently serve another directory's data — verify and
+    // re-register on mismatch.
+    if (spark.catalog.tableExists(table)) {
+      val registered = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def qualified(s: String): java.net.URI = {
+        val p = new org.apache.hadoop.fs.Path(s)
+        p.getFileSystem(hconf).makeQualified(p).toUri
+      }
+      if (qualified(registered.toString) != qualified(location))
+        spark.sql(s"DROP TABLE $table")
+    }
     if (!spark.catalog.tableExists(table)) {
       // an EMPTY saved relation (a degenerate but legal index state)
       // leaves no parquet data files to infer a schema from — fall
@@ -157,10 +194,11 @@ private[ops] object IndexIo {
       val partClause =
         if (partitionCols.isEmpty) ""
         else partitionCols.mkString(" PARTITIONED BY (", ", ", ")")
+      val escapedLocation = location.replace("'", "''")
       spark.sql(s"CREATE TABLE $table ($schema) USING parquet" +
         partClause +
         s" CLUSTERED BY ($cols) SORTED BY ($cols) INTO $buckets BUCKETS " +
-        s"LOCATION '$location'")
+        s"LOCATION '$escapedLocation'")
       // a partitioned external table starts with an empty partition
       // list — discover the on-disk directories or every read is empty
       if (partitionCols.nonEmpty)

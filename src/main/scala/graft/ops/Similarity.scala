@@ -168,6 +168,65 @@ object Similarity {
         }.toArray }
   }
 
+  /** Cell→shard map for spatial sharding: contiguous 1-based-cell-id
+    * ranges of the frozen codebook, cut greedily so each shard carries
+    * ~|corpus|/nShards members (occupancy-weighted, so a skewed
+    * codebook still balances the build jobs). Contiguity is the whole
+    * point — the merge verbs' work is the members of CO-OCCUPIED
+    * cells, and contiguous ranges confine co-occupancy to probe
+    * spillover at the range boundaries, which is what makes a sharded
+    * merge boundary-priced instead of full-corpus-priced (the in-verb
+    * scale note at [[GraphAnn.mergeGraphIndexes]]). Fully
+    * deterministic given (corpus, cells, nShards): the only data read
+    * is the per-cell occupancy histogram (one bounded aggregate —
+    * nlist rows to the driver, the codebook discipline). Every shard
+    * gets at least one cell; a shard can still be EMPTY if its cells
+    * are (legal — the merge verbs accept empty shards).
+    */
+  def shardCellMap(corpus: DataFrame, cells: Array[Array[Double]],
+                   nShards: Int): Array[Int] = {
+    require(nShards >= 1 && nShards <= cells.length,
+      s"nShards ($nShards) must be in [1, nlist=${cells.length}]")
+    val counts = new Array[Long](cells.length)
+    corpus
+      .select(graft.functions.Centroids
+        .centroidAssign(col("embedding"), cells).as("cell"))
+      .groupBy("cell").count().collect()
+      .foreach(r => counts(r.getInt(0) - 1) = r.getLong(1))
+    val total = counts.sum
+    val map = new Array[Int](cells.length)
+    var shard = 0
+    var cum = 0L
+    for (c <- cells.indices) {
+      map(c) = shard
+      cum += counts(c)
+      val cellsLeft = cells.length - c - 1
+      val shardsLeft = nShards - 1 - shard
+      // advance when the running shard reached its pro-rata share of
+      // members, or when the remaining cells are only just enough to
+      // hand each remaining shard one
+      if (shard < nShards - 1 &&
+          (cum * nShards >= (shard + 1).toLong * total ||
+            cellsLeft <= shardsLeft))
+        shard += 1
+    }
+    map
+  }
+
+  /** Assign each corpus row to a build shard by [[shardCellMap]]'s
+    * contiguous cell ranges: one codegen projection (assign + a
+    * 1-based literal-array lookup, nlist-bounded like the codebook
+    * itself), no shuffle, no join. The returned frame is the input
+    * plus a `shard` column in [0, nShards) — feed each slice to an
+    * independent build job and stitch with the family's merge verb.
+    */
+  def shardByCells(corpus: DataFrame, cells: Array[Array[Double]],
+                   nShards: Int): DataFrame = {
+    val map = shardCellMap(corpus, cells, nShards)
+    corpus.withColumn("shard", element_at(lit(map),
+      graft.functions.Centroids.centroidAssign(col("embedding"), cells)))
+  }
+
   /** IVF (inverted-file) approximate top-k: a centroid set partitions
     * the corpus into nlist cells; each query probes its nprobe nearest
     * cells and ranks only those candidates.

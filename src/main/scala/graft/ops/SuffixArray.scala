@@ -815,29 +815,38 @@ object SuffixArray {
     */
   def saveSubstrIndexBucketed(index: SubstrIndex, dir: String,
                               tablePrefix: String,
-                              buckets: Int = 64): Unit = {
+                              buckets: Int = 64,
+                              partitionDictByWidth: Boolean = false)
+      : Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = index.keys.sparkSession
     import spark.implicits._
-    // format_version 2 = dict_pairs PARTITIONED BY (__w); version-1
-    // artifacts (pre-partitioning) wrote it as a plain bucketed
-    // relation, and the loader registers each version with its own
-    // layout — registering a v1 save as partitioned would discover
-    // ZERO partitions and read a silently empty dictionary
-    Seq((2, index.minLen, index.targetW, index.stride, index.maxId,
+    // format_version 2 = dict_pairs ALSO PARTITIONED BY (__w), so an
+    // append's doubling rounds each read exactly one width's slice as
+    // a GUARANTEED PartitionFilter (spec-pinned) instead of relying on
+    // parquet row-group stats. OPT-IN (round-13 revisit of the
+    // round-12 measurement): on today's width-sorted writes the stats
+    // already prune (bytes ratio 0.99) while the explicit partitions
+    // cost ~1.4× save wall in file-count/partition-resolution
+    // overhead — so the default buys the cheap save and keeps the
+    // stats-pruned reads, and a deployment that rewrites dictionaries
+    // with MIXED widths per file (where stats pruning degrades) opts
+    // into the guarantee. Version-1 artifacts are the unpartitioned
+    // layout; the loader registers each version with its own layout —
+    // registering a v1 save as partitioned would discover ZERO
+    // partitions and read a silently empty dictionary.
+    val fmt = if (partitionDictByWidth) 2 else 1
+    Seq((fmt, index.minLen, index.targetW, index.stride, index.maxId,
         buckets))
       .toDF("format_version", "min_len", "target_w", "stride", "max_id",
         "buckets")
       .write.mode("overwrite").parquet(s"$dir/meta")
     index.dictChars.write.mode("overwrite").parquet(s"$dir/dict_chars")
-    // the pair dictionary ALSO partitions by width: an append's
-    // doubling rounds each read exactly one width's slice
-    // (PartitionFilters prune the rest — spec-pinned), so the
-    // per-append dictionary bytes read drop from rounds x |dict| to
-    // |dict| total. Width is NOT a bucket column (bucketing keys stay
-    // the lookup pair), and the spans-path keys table is untouched.
-    index.dictPairs.write.mode("overwrite")
-      .partitionBy("__w")
+    // width is NOT a bucket column (bucketing keys stay the lookup
+    // pair), and the spans-path keys table is untouched either way
+    val dictWriter = index.dictPairs.write.mode("overwrite")
+    (if (partitionDictByWidth) dictWriter.partitionBy("__w")
+     else dictWriter)
       .bucketBy(buckets, "__r1", "__r2").sortBy("__r1", "__r2")
       .option("path", s"$dir/dict_pairs")
       .saveAsTable(IndexIo.bucketedTableName(tablePrefix, "dict_pairs",

@@ -6388,6 +6388,90 @@ object OpsQueries {
              |  TRUE AS graph_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Spatial shard assignment (n54): the missing producer for the
+    // merge verbs' cheap regime — shardByCells cuts the frozen
+    // codebook into CONTIGUOUS cell ranges (occupancy-weighted, so
+    // skewed codebooks still balance the build jobs), which confines
+    // shard co-occupancy to probe spillover at the range boundaries
+    // and makes the merge boundary-priced (the scale note the verbs
+    // carry; measured on a clustered corpus in OpsScaleBench). The
+    // gate pins: the assignment is DETERMINISTIC (two invocations
+    // agree cell-for-cell), the ranges are contiguous and
+    // non-decreasing with every shard represented, every row lands in
+    // [0, nShards), and the sharded build + merge reproduces the
+    // one-shot union build exactly (the n46 equality under the
+    // PRODUCED shards instead of hand-written filters).
+    QueryDef("n54_spatial_shard_merge",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val cells = Similarity.firstVectors(e, 16)
+        val nShards = 3
+        val map1 = Similarity.shardCellMap(e, cells, nShards)
+        val map2 = Similarity.shardCellMap(e, cells, nShards)
+        val deterministic = map1.sameElements(map2)
+        val contiguous = map1.sliding(2).forall(p =>
+          p.length < 2 || (p(1) == p(0) || p(1) == p(0) + 1))
+        val allShards = map1.head == 0 && map1.last == nShards - 1
+        val sharded = Similarity.shardByCells(e, cells, nShards)
+          .localCheckpoint()
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildGraphIndex(c.drop("shard"), nlist = 16,
+            degree = 4, crossDegree = 2, centroids = Some(cells))
+        val merged = (0 until nShards)
+          .map(k => build(sharded.filter(col("shard") === k)))
+          .reduce(GraphAnn.mergeGraphIndexes)
+        val union = build(sharded)
+        merged.nodes.select(col("n_id"), col("neighbors").as("nb_m"))
+          .join(union.nodes.select(col("n_id"),
+            col("neighbors").as("nb_u")), Seq("n_id"), "full")
+          .join(sharded.select(col("vec_id").as("n_id"), col("shard")),
+            Seq("n_id"), "full")
+          .select(col("n_id"),
+            lit(deterministic).as("shard_det"),
+            lit(contiguous).as("ranges_contiguous"),
+            lit(allShards).as("all_shards_used"),
+            (col("shard") >= 0 && col("shard") < nShards).as("in_range"),
+            (col("nb_m") === col("nb_u")).as("nbrs_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS shard_det,
+             |  TRUE AS ranges_contiguous, TRUE AS all_shards_used,
+             |  TRUE AS in_range, TRUE AS nbrs_exact
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
+
+    // Merge associativity (n55): the 100 TB recipe is a REDUCE over
+    // many shard indexes, not one pair — so pairwise
+    // rebuild-equivalence (n46) must COMPOSE. Pins
+    // merge(merge(A, B), C) against the one-shot build over
+    // A ∪ B ∪ C, per node (neighbor lists) AND per cell (entry picks
+    // as a set), under id-interleaved shards — the worst-case
+    // geometry where every cell is co-occupied at every step.
+    QueryDef("n55_merge_associativity",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val cells = Similarity.firstVectors(e, 16)
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildGraphIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, centroids = Some(cells))
+        val merged = GraphAnn.mergeGraphIndexes(
+          GraphAnn.mergeGraphIndexes(
+            build(e.filter(col("vec_id") % 3 === 0)),
+            build(e.filter(col("vec_id") % 3 === 1))),
+          build(e.filter(col("vec_id") % 3 === 2)))
+        val union = build(e)
+        val entriesOk =
+          merged.entries.exceptAll(union.entries).count() == 0 &&
+            union.entries.exceptAll(merged.entries).count() == 0
+        merged.nodes.select(col("n_id"), col("neighbors").as("nb_m"))
+          .join(union.nodes.select(col("n_id"),
+            col("neighbors").as("nb_u")), Seq("n_id"), "full")
+          .select(col("n_id"),
+            (col("nb_m") === col("nb_u")).as("nbrs_exact"),
+            lit(entriesOk).as("entries_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS nbrs_exact,
+             |  TRUE AS entries_exact
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

@@ -1132,6 +1132,19 @@ class GraphAnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     rr.select("q_id", "n_visited").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe pv
+    // a STALE floats corpus (candidate ids missing from it) fails
+    // loudly at execution — an inner join would silently return fewer
+    // than k rows per query
+    val staleFloats = corpus.filter(col("vec_id") >= 96)
+    val ex = intercept[Exception] {
+      GraphAnn.queryHnswPqIndexReranked(queries, idx, staleFloats,
+        k = 5, rerankK = 30, beam = 6, hops = 3, upperBeam = 3,
+        upperHops = 3).collect()
+    }
+    val chainMsgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ")
+    chainMsgs should include("absent from the floats corpus")
   }
 
   test("encode projections equal the one-shot compressed builds (flat and layered)") {

@@ -151,4 +151,41 @@ class IndexPersistSpec extends SparkSpec {
         Similarity.loadIvfPqIndex(spark, plainDir), 3, nprobe = 2)
       .select("q_id", "n_id", "rank").collect().toSet shouldBe mem
   }
+
+  test("resolveBucketedTable re-registers a stale same-name entry that points at a DIFFERENT directory") {
+    // a leftover catalog entry with the expected name but another
+    // location (dropped-and-recreated dir, or a name-suffix collision)
+    // must not silently serve the other directory's rows
+    val d1 = Files.createTempDirectory("graft_bktloc1").toString
+    val d2 = Files.createTempDirectory("graft_bktloc2").toString
+    Seq((1L, "old")).toDF("n_id", "v").write.bucketBy(2, "n_id")
+      .option("path", s"$d1/t").saveAsTable("graft_loc_spec_t")
+    Seq((2L, "new")).toDF("n_id", "v").write.bucketBy(2, "n_id")
+      .option("path", s"$d2/t").saveAsTable("graft_loc_spec_tmp")
+    spark.sql("DROP TABLE graft_loc_spec_tmp") // files stay durable
+    val got = IndexIo.resolveBucketedTable(spark, "graft_loc_spec_t",
+      s"$d2/t", Seq("n_id"), 2)
+    got.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    // same name + same location is NOT stale: resolves in place
+    IndexIo.resolveBucketedTable(spark, "graft_loc_spec_t",
+      s"$d2/t", Seq("n_id"), 2)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    spark.sql("DROP TABLE graft_loc_spec_t")
+  }
+
+  test("resolveBucketedTable rejects non-identifier table names and escapes quoted locations") {
+    an[IllegalArgumentException] should be thrownBy
+      IndexIo.resolveBucketedTable(spark, "bad-name; DROP TABLE x",
+        "/tmp/never", Seq("n_id"), 2)
+    // a save directory containing a single quote must register, not
+    // break the interpolated LOCATION clause
+    val qd = Files.createTempDirectory("graft_bkt'q").toString
+    Seq((7L, "q")).toDF("n_id", "v").write.bucketBy(2, "n_id")
+      .option("path", s"$qd/t").saveAsTable("graft_quote_spec_tmp")
+    spark.sql("DROP TABLE graft_quote_spec_tmp")
+    IndexIo.resolveBucketedTable(spark, "graft_quote_spec_t",
+        s"$qd/t", Seq("n_id"), 2)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(7L)
+    spark.sql("DROP TABLE graft_quote_spec_t")
+  }
 }

@@ -410,4 +410,46 @@ class SimilaritySpec extends SparkSpec {
     Similarity.appendToIvfPqIndex(union, batch)
       .codes.count() shouldBe 122L
   }
+
+  test("shardByCells: contiguous occupancy-balanced cell ranges, deterministic under skew") {
+    // 1-D geodesic geometry (quarter arc in a 2-D plane): cosine
+    // argmax assignment is exactly nearest-in-arc, so cell membership
+    // is controlled. Cells sit at regular arc positions; the corpus
+    // SKEWS into cell 1 (60 of 100 members), so an unweighted cut
+    // would split 4/4 cells and leave shard 0 with ~75% of the corpus.
+    val nlist = 8
+    val arc = math.Pi / 2
+    val cells = Array.tabulate(nlist) { k =>
+      val th = (k + 0.5) / nlist * arc
+      Array(math.cos(th), math.sin(th), 0.0, 0.0)
+    }
+    def at(theta: Double, id: Long) = (id,
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat, 0f, 0f))
+    val pts = (0 until 60).map(i => at(0.3 / nlist * arc, i.toLong)) ++
+      (0 until 40).map { i =>
+        val cell = 1 + i % (nlist - 1) // cells 2..8, ~6 each
+        at((cell + 0.5) / nlist * arc, (100 + i).toLong)
+      }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val map1 = Similarity.shardCellMap(corpus, cells, 2)
+    val map2 = Similarity.shardCellMap(corpus, cells, 2)
+    map1.toSeq shouldBe map2.toSeq // deterministic
+    // contiguous non-decreasing ranges, both shards present
+    map1.sliding(2).forall(p => p(1) == p(0) || p(1) == p(0) + 1) shouldBe true
+    map1.head shouldBe 0
+    map1.last shouldBe 1
+    // occupancy-weighted: the skewed cell 1 alone meets shard 0's
+    // pro-rata share, so the cut lands right after it
+    map1.count(_ == 0) shouldBe 1
+    // the projection agrees with the map and loses no rows
+    val sharded = Similarity.shardByCells(corpus, cells, 2)
+    sharded.count() shouldBe 100L
+    sharded.filter(col("shard") === 0).count() shouldBe 60L
+    sharded.filter(col("shard") === 1).count() shouldBe 40L
+    // nShards must not exceed nlist, and every shard gets >= 1 cell
+    val mapMax = Similarity.shardCellMap(corpus, cells, nlist)
+    mapMax.toSeq shouldBe (0 until nlist)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.shardCellMap(corpus, cells, nlist + 1)
+  }
 }

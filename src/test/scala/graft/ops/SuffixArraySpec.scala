@@ -383,7 +383,7 @@ class SuffixArraySpec extends SparkSpec {
       "text", "doc_id", minLen = 8)
     val dir = java.nio.file.Files.createTempDirectory("substrbkt").toString
     SuffixArray.saveSubstrIndexBucketed(idx, dir, "substr_bucketed_spec",
-      buckets = 8)
+      buckets = 8, partitionDictByWidth = true)
     val loaded = SuffixArray.loadSubstrIndexBucketed(spark, dir,
       "substr_bucketed_spec")
     indexState(loaded) shouldBe indexState(idx)
@@ -426,7 +426,7 @@ class SuffixArraySpec extends SparkSpec {
       "text", "doc_id", minLen = 8)
     val dir = java.nio.file.Files.createTempDirectory("substrcat").toString
     SuffixArray.saveSubstrIndexBucketed(idx, dir, "substr_catalog_spec",
-      buckets = 4)
+      buckets = 4, partitionDictByWidth = true)
     // simulate a fresh session: drop both catalog entries; the bucketed
     // files are durable (external tables)
     for (sfx <- Seq("dict_pairs", "keys"))
@@ -544,6 +544,32 @@ class SuffixArraySpec extends SparkSpec {
     loaded.dictPairs.count() shouldBe idx.dictPairs.count()
     indexState(loaded) shouldBe indexState(idx)
     spansOf(loaded) shouldBe spansOf(idx)
+  }
+
+  test("default bucketed save is the unpartitioned layout (v1) and round-trips") {
+    // round-13 trade: the explicit width partitions bought no bytes on
+    // width-sorted writes (stats already prune) and cost ~1.4× save
+    // wall, so the guarantee became opt-in — the DEFAULT save must
+    // stamp v1, skip the partition directories, and read back whole
+    val all = randomCorpus(8, seed = 293)
+    val idx = SuffixArray.buildSubstrIndex(all.toDF("doc_id", "text"),
+      "text", "doc_id", minLen = 8)
+    val dir = java.nio.file.Files.createTempDirectory("substrdef").toString
+    SuffixArray.saveSubstrIndexBucketed(idx, dir, "substr_default_spec",
+      buckets = 4)
+    spark.read.parquet(s"$dir/meta").head()
+      .getAs[Int]("format_version") shouldBe 1
+    // no __w=... partition directories on disk
+    new java.io.File(s"$dir/dict_pairs").listFiles()
+      .count(_.getName.startsWith("__w=")) shouldBe 0
+    val loaded = SuffixArray.loadSubstrIndexBucketed(spark, dir,
+      "substr_default_spec")
+    indexState(loaded) shouldBe indexState(idx)
+    spansOf(loaded) shouldBe spansOf(idx)
+    // the exchange-free keys readout is layout-independent
+    val aggPlan = loaded.keys.groupBy("__r1", "__r2")
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    aggPlan should not include "Exchange hashpartitioning"
   }
 
   test("an EMPTY index (no doubling rounds, no keys) survives the bucketed save/load cycle") {
