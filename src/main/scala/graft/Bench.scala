@@ -166,7 +166,10 @@ object Bench {
         // round-13 shard-recipe gates: n54 builds four indexes per
         // evaluation (three shards + union), n55 five (three shards +
         // two merge steps + union) — construction IS the operator
-        "n54_spatial_shard_merge", "n55_merge_associativity")
+        "n54_spatial_shard_merge", "n55_merge_associativity",
+        // n56 builds four IVF-PQ indexes (three shards + the merged
+        // oracle) per evaluation — construction IS the operator
+        "n56_ivfpq_scatter_serve")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

@@ -1444,6 +1444,87 @@ object GraphAnn {
       upperHops, scoreCandidates(_, index.nodes, _, _),
       frontierBroadcastLimit, broadcastFrontier = broadcastFrontier)
 
+  /** The scatter-gather fold shared by the graph-tier sharded serves:
+    * per-shard serves (already per-query top-k with a `sim` score)
+    * gather through [[Similarity.gatherTopK]]; `n_visited` — constant
+    * per (query, shard) by the serve contract — sums across served
+    * shards, so the reported budget is the TOTAL work the fan-out
+    * spent on that query.
+    */
+  private def gatherShardServes(parts: Seq[DataFrame], k: Int)
+      : DataFrame = {
+    val gathered = Similarity.gatherTopK(
+      parts.map(_.drop("n_visited")), k, "sim", ascending = false)
+    val visited = parts
+      .map(_.select("q_id", "n_visited").distinct())
+      .reduce(_.unionByName(_))
+      .groupBy("q_id").agg(sum("n_visited").cast("long").as("n_visited"))
+    gathered.join(visited, Seq("q_id"))
+      .select("q_id", "n_id", "rank", "sim", "n_visited")
+  }
+
+  /** Serve a query batch against UNMERGED graph shards — the
+    * scatter-gather alternative to [[mergeGraphIndexes]]: every shard
+    * runs its own beam walk (on disjoint cluster resources at 100 TB;
+    * each walk's frontier never leaves its shard), and only the
+    * |shards|·|Q|·k gathered candidates cross shards
+    * ([[Similarity.gatherTopK]]). Unlike the IVF-PQ scatter (exact,
+    * gate n56), a graph walk's reach depends on the edges it can see,
+    * so per-shard serves explore DIFFERENT graphs than a merged build
+    * would — the gather fold itself is exact over what the shards
+    * return (gate n57 pins the fold against global brute force under
+    * exhaustive per-shard serves), and the walk-quality story is the
+    * per-shard recall the n31/n40 gates already price. Every shard
+    * must be served: a graph candidate is NOT cell-confined (cross
+    * edges reach anywhere in the shard), so routing by probed cells
+    * would silently drop whole shards' candidates — scatter here is
+    * always a full fan-out, which is why the spatial-shard MERGE
+    * (n54) remains the right recipe when query batches are broad.
+    * Shards with an empty entry table (legal: all-empty cell ranges)
+    * are skipped — a bounded check, entries is ≤ nlist·entriesPerCell
+    * rows.
+    */
+  def queryGraphIndexSharded(queries: DataFrame, shards: Seq[GraphIndex],
+                             k: Int, beam: Int = 8, hops: Int = 3,
+                             entryProbes: Int = 2,
+                             frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                             broadcastFrontier: Option[Boolean] = None)
+      : DataFrame = {
+    require(shards.nonEmpty, "queryGraphIndexSharded: no shards")
+    val live = shards.filter(s => !s.entries.isEmpty)
+    if (live.isEmpty)
+      queries.select(col("vec_id").as("q_id"),
+        col("vec_id").as("n_id"), lit(0).as("rank"), lit(0.0).as("sim"),
+        lit(0L).as("n_visited")).limit(0)
+    else
+      gatherShardServes(live.map(s => queryGraphIndex(queries, s, k,
+        beam, hops, entryProbes, frontierBroadcastLimit,
+        broadcastFrontier)), k)
+  }
+
+  /** [[queryGraphIndexSharded]] at the layered tier: per-shard HNSW
+    * descents, one bounded gather. Same contract — full fan-out,
+    * exact fold, per-shard walk quality priced by the layered-tier
+    * gates.
+    */
+  def queryHnswIndexSharded(queries: DataFrame, shards: Seq[HnswIndex],
+                            k: Int, beam: Int = 8, hops: Int = 3,
+                            upperBeam: Int = 1, upperHops: Int = 2,
+                            frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit,
+                            broadcastFrontier: Option[Boolean] = None)
+      : DataFrame = {
+    require(shards.nonEmpty, "queryHnswIndexSharded: no shards")
+    val live = shards.filter(s => !s.nodes.isEmpty)
+    if (live.isEmpty)
+      queries.select(col("vec_id").as("q_id"),
+        col("vec_id").as("n_id"), lit(0).as("rank"), lit(0.0).as("sim"),
+        lit(0L).as("n_visited")).limit(0)
+    else
+      gatherShardServes(live.map(s => queryHnswIndex(queries, s, k,
+        beam, hops, upperBeam, upperHops, frontierBroadcastLimit,
+        broadcastFrontier)), k)
+  }
+
   /** Metadata-FILTERED layered serve (the filtered-DiskANN shape, the
     * n20 semantics at the layered tier): the walk navigates the FULL
     * graph — disallowed nodes still work as waypoints, which is what

@@ -1433,4 +1433,158 @@ object Similarity {
   def queryIvfPqIndexPruned(queries: DataFrame, index: IvfPqIndex,
                             k: Int, nprobe: Int = 4): DataFrame =
     ivfPqIndexServe(queries, index, k, nprobe, pruneScan = true)
+
+  /** Exact global top-k fold for scatter-gather serving: each element
+    * of `parts` is one shard's per-query top-k (its best ≤k rows per
+    * query) over DISJOINT neighbor ids; the fold unions them and
+    * re-ranks to the global k. Exactness is the classic scatter-gather
+    * argument — every global top-k row is, within its own shard, a
+    * top-≤k row, so re-ranking the union of per-shard top-k loses
+    * nothing; with the shared (score, id) tie order the global ranks
+    * come out identical to a single-index serve. The exchanged volume
+    * is |shards|·|Q|·k rows — independent of corpus size, which is
+    * what makes serve-WITHOUT-merge viable at 100 TB: shard serves run
+    * on disjoint cluster resources and only this bounded fold crosses
+    * them. Inputs must carry (qCol, idCol, scoreCol); any per-shard
+    * `rank` is discarded and re-derived globally. Ids duplicated
+    * ACROSS shards would consume two ranks for one neighbor — the
+    * disjointness contract is the caller's (sharded builds fail fast
+    * on overlap at build/merge time; this fold adds no corpus-sized
+    * check to the serve path).
+    */
+  def gatherTopK(parts: Seq[DataFrame], k: Int, scoreCol: String,
+                 ascending: Boolean, qCol: String = "q_id",
+                 idCol: String = "n_id"): DataFrame = {
+    require(parts.nonEmpty, "gatherTopK: no shard results to gather")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    parts.map(_.drop("rank")).reduce(_.unionByName(_))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qCol).orderBy(ord, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exhaustive top-k by scatter-gather over sharded corpora: each
+    * shard scans only its own rows, the gather folds |shards|·|Q|·k
+    * candidates ([[gatherTopK]] — gate n57 pins exact equality with
+    * [[bruteForceTopK]] over the union). The corpora must hold
+    * disjoint vec_ids (the shard contract).
+    */
+  def bruteForceTopKSharded(queries: DataFrame,
+                            shardCorpora: Seq[DataFrame],
+                            k: Int): DataFrame =
+    gatherTopK(shardCorpora.map(c => bruteForceTopK(queries, c, k)),
+      k, "sim", ascending = false)
+      .select("q_id", "n_id", "rank", "sim")
+
+  /** The artifact handshake every cross-shard IVF-PQ verb requires:
+    * identical PQ shape, coarse cells, and codebook — codes produced
+    * under different artifacts are not comparable, so drift fails
+    * fast exactly like id overlap does on the build verbs.
+    */
+  private def requireSharedIvfPqArtifacts(what: String,
+                                          shards: Seq[IvfPqIndex]): Unit = {
+    val h = shards.head
+    shards.tail.foreach { s =>
+      require(s.m == h.m && s.ks == h.ks && s.dim == h.dim,
+        s"$what: PQ shapes differ across shards — " +
+          s"(m=${h.m},ks=${h.ks},dim=${h.dim}) vs (m=${s.m},ks=${s.ks},dim=${s.dim})")
+      require(s.cells.length == h.cells.length &&
+        s.cells.zip(h.cells).forall { case (x, y) => x.sameElements(y) },
+        s"$what: shard indexes were built over different coarse cells " +
+          "— sharded builds must share ONE frozen codebook")
+      require(s.codebook.length == h.codebook.length &&
+        s.codebook.zip(h.codebook).forall { case (x, y) => x.sameElements(y) },
+        s"$what: shard indexes were built over different PQ codebooks " +
+          "— sharded builds must share ONE frozen codebook")
+    }
+  }
+
+  /** Serve a query batch against UNMERGED shard indexes — the other
+    * half of the sharded recipe: where [[mergeIvfPqIndexes]] stitches
+    * shards into one index, this routes the serve to the shards and
+    * folds their answers, so a deployment can skip the merge entirely
+    * (FAISS `IndexShards` / distributed-DiskANN scatter-gather).
+    * EXACTLY equal to [[queryIvfPqIndex]] over the merged index (gate
+    * n56): candidates are cell-confined, per-shard top-k keeps every
+    * global winner, and [[gatherTopK]] re-ranks under the same
+    * (adc, n_id) tie order.
+    *
+    * With `cellShardMap` (the [[shardCellMap]] artifact the shards
+    * were cut by — map(cell-1) = owning shard), the serve ROUTES:
+    * the query batch's probed-cell set (bounded by nlist, one bounded
+    * driver job — the [[queryIvfPqIndexPruned]] trade) names the
+    * shards it can touch, and untouched shards are never scanned, nor
+    * their serve jobs launched. At 100 TB with spatial shards this is
+    * the difference between fanning every query batch out to every
+    * shard and touching nprobe/nlist of the fleet. Routing is exact
+    * for IVF-PQ because a query's candidates live ONLY in its probed
+    * cells (gate n56 pins routed ≡ unrouted ≡ merged). Each served
+    * shard's scan also gets the probed-cell set as a static filter —
+    * over a [[saveIvfPqIndexPartitioned]] layout that prunes to the
+    * probed directories (the n52 discipline, per shard).
+    */
+  def queryIvfPqIndexScatter(queries: DataFrame, shards: Seq[IvfPqIndex],
+                             k: Int, nprobe: Int = 4,
+                             cellShardMap: Option[Array[Int]] = None)
+      : DataFrame = {
+    require(shards.nonEmpty, "queryIvfPqIndexScatter: no shards")
+    requireSharedIvfPqArtifacts("queryIvfPqIndexScatter", shards)
+    val h = shards.head
+    cellShardMap.foreach { m =>
+      require(m.length == h.cells.length,
+        s"cellShardMap length ${m.length} != nlist ${h.cells.length}")
+      require(m.forall(s => s >= 0 && s < shards.length),
+        s"cellShardMap names shard ids outside [0, ${shards.length})")
+    }
+    val sub = h.dim / h.m
+    import graft.functions.{Centroids => C, PqColumns => P}
+    // checkpoint before collecting the probed set so the probe subtree
+    // runs once for the collect and once per served shard's join off
+    // the checkpoint, not re-deriving embeddings each time
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        explode(C.centroidProbes(col("embedding"), h.cells, nprobe))
+          .as("cell"))
+      .localCheckpoint()
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val served: Seq[(Int, IvfPqIndex)] = cellShardMap match {
+      case Some(map) =>
+        val touched = probed.map(c => map(c - 1)).toSet
+        shards.zipWithIndex.collect { case (s, i) if touched(i) => (i, s) }
+      case None => shards.zipWithIndex.map { case (s, i) => (i, s) }
+    }
+    val parts = served.map { case (i, s) =>
+      // routed: only this shard's probe rows reach its join (the scan
+      // restriction the routing already proved; keeps the probe side
+      // of each shard join minimal). Unrouted: full probe set — the
+      // join on cell restricts to the shard's cells anyway.
+      val probeRows = cellShardMap match {
+        case Some(map) =>
+          q.filter(element_at(lit(map), col("cell")) === i)
+        case None => q
+      }
+      probeRows
+        .join(s.codes.filter(col("cell").isInCollection(probed.toSeq)),
+          Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("adc", P.pqAdc(
+          C.centroidResidual(col("q_emb"), col("cell"), h.cells),
+          col("codes"), h.codebook, sub))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("adc").asc, col("n_id"))))
+        .filter(col("rank") <= k)
+        .select("q_id", "n_id", "rank", "adc")
+    }
+    if (parts.isEmpty)
+      // a batch can route to zero shards only if every probed cell is
+      // unowned — impossible under a total cellShardMap, but keep the
+      // degenerate shape legal and EMPTY rather than throwing
+      q.select(col("q_id"), col("q_id").as("n_id"),
+        lit(0).as("rank"), lit(0.0).as("adc")).limit(0)
+    else
+      gatherTopK(parts, k, "adc", ascending = true)
+        .select("q_id", "n_id", "rank", "adc")
+  }
 }

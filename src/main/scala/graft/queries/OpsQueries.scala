@@ -6472,6 +6472,101 @@ object OpsQueries {
              |  TRUE AS entries_exact
              |FROM embeddings WHERE vec_id < 500""".stripMargin)),
 
+    // Scatter-gather IVF-PQ serve (n56): the OTHER half of the sharded
+    // recipe — where n49/n54 stitch shards into one index, this serves
+    // the shards UNMERGED (FAISS IndexShards / distributed-DiskANN
+    // scatter-gather): per-shard top-k, one bounded |shards|·|Q|·k
+    // gather. Exact for IVF-PQ because candidates are cell-confined.
+    // The gate pins three claims: unrouted scatter ≡ the merged-index
+    // serve (per (q_id, n_id, rank)); ROUTED scatter (cellShardMap
+    // from shardByCells) ≡ unrouted at nprobe=1 where the queries'
+    // home cells all live in one shard — so routing provably SKIPPED
+    // shards (routing_skips pins touched < nShards) without changing
+    // one row.
+    QueryDef("n56_ivfpq_scatter_serve",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val full = Similarity.buildIvfPqIndex(e, nlist = 16, m = 16,
+          ks = 16)
+        val map = Similarity.shardCellMap(e, full.cells, 3)
+        val sharded = Similarity.shardByCells(e, full.cells, 3)
+          .localCheckpoint()
+        val shards = (0 until 3).map(i =>
+          Similarity.buildIvfPqIndex(
+            sharded.filter(col("shard") === i).drop("shard"),
+            nlist = 16, m = 16, ks = 16,
+            centroids = Some(full.cells),
+            codebook = Some(full.codebook)))
+        val q = e.filter(col("vec_id") < 20)
+        val merged = Similarity.queryIvfPqIndex(q, full, 5, nprobe = 4)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_merged"))
+        val scatter = Similarity.queryIvfPqIndexScatter(q, shards, 5,
+            nprobe = 4)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_scatter"))
+        val scatterOk = merged.join(scatter, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_merged") === col("r_scatter"), 1).otherwise(0)))
+            .as("scatter_exact"))
+        // routing: home-cell queries of shard 0 at nprobe=1 probe ONLY
+        // cells shard 0 owns, so the router must serve exactly one
+        // shard — and still answer identically to the full fan-out
+        val qHome = sharded.filter(col("shard") === 0).drop("shard")
+          .orderBy("vec_id").limit(20).localCheckpoint()
+        val touched = qHome
+          .select(graft.functions.Centroids.centroidAssign(
+            col("embedding"), full.cells).as("cell"))
+          .distinct().collect().map(r => map(r.getInt(0) - 1)).toSet
+        val routingSkips = touched.size < 3
+        val unrouted = Similarity.queryIvfPqIndexScatter(qHome, shards,
+            5, nprobe = 1)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_unrouted"))
+        val routed = Similarity.queryIvfPqIndexScatter(qHome, shards, 5,
+            nprobe = 1, cellShardMap = Some(map))
+          .select(col("q_id"), col("n_id"), col("rank").as("r_routed"))
+        // fold the routed-equality check to ONE boolean (its q_ids are
+        // the home-cell batch, not the reported one) so the gate's row
+        // set stays the canonical 20 query ids
+        val routedExactAll = unrouted
+          .join(routed, Seq("q_id", "n_id"), "full")
+          .agg(coalesce(min(when(col("r_unrouted") === col("r_routed"),
+            1).otherwise(0)), lit(0)).as("ok"))
+          .head().getInt(0) == 1
+        scatterOk.select(col("q_id"), col("scatter_exact"),
+          lit(routingSkips).as("routing_skips"),
+          lit(routedExactAll).as("routed_exact_all"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS scatter_exact,
+             |  TRUE AS routing_skips, TRUE AS routed_exact_all
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
+    // Scatter-gather exactness (n57): the gather fold itself, pinned
+    // against ground truth — exhaustive per-shard top-k over three
+    // id-sliced corpora, folded by gatherTopK, must equal the global
+    // brute-force top-k row for row (rank AND neighbor). This is the
+    // fold every sharded serve (n56, the graph/HNSW fan-outs) stands
+    // on: per-shard top-k keeps every global winner, and the shared
+    // (score, id) tie order makes the re-rank deterministic.
+    QueryDef("n57_scatter_gather_bruteforce",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val q = e.filter(col("vec_id") < 20)
+        val shardCorpora = (0 until 3).map(i =>
+          e.filter(col("vec_id") % 3 === i))
+        val scattered = Similarity.bruteForceTopKSharded(q, shardCorpora,
+            5)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_scat"))
+        val global = Similarity.bruteForceTopK(q, e, 5)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_glob"))
+        global.join(scattered, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_glob") === col("r_scat"), 1).otherwise(0)))
+            .as("gather_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS gather_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

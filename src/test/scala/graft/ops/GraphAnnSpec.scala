@@ -1284,4 +1284,58 @@ class GraphAnnSpec extends SparkSpec {
         .join(gB.nodes.select("n_id", "neighbors"), Seq("n_id"))
         .queryExecution.executedPlan.toString).size shouldBe 1
   }
+
+  test("sharded serves: gather fold equals per-shard re-rank, n_visited sums, empty shards skipped") {
+    val corpus = planted(6, 30, 16, seed = 113)
+    val cells = Similarity.firstVectors(corpus, 6)
+    def buildG(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildGraphIndex(c, nlist = 6, degree = 4,
+        crossDegree = 2, centroids = Some(cells))
+    val shardA = corpus.filter(col("vec_id") % 2 === 0)
+    val shardB = corpus.filter(col("vec_id") % 2 === 1)
+    val q = corpus.filter(col("vec_id") < 5)
+    val iA = buildG(shardA); val iB = buildG(shardB)
+    val got = GraphAnn.queryGraphIndexSharded(q, Seq(iA, iB), k = 4,
+        beam = 4, hops = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getLong(4))).toMap
+    // the fold is exactly a global (sim desc, n_id) re-rank of the
+    // two per-shard serves, with per-shard visit budgets summed
+    val pA = GraphAnn.queryGraphIndex(q, iA, 4, beam = 4, hops = 2)
+    val pB = GraphAnn.queryGraphIndex(q, iB, 4, beam = 4, hops = 2)
+    def pool(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    // per-shard budget is constant per query; the fold sums ACROSS
+    // shards (equal budgets from two shards still count twice)
+    def perQ(rows: Seq[(Long, Long, Double, Long)]) =
+      rows.groupBy(_._1).map { case (qid, r) => qid -> r.head._4 }
+    val vA = perQ(pool(pA).toSeq); val vB = perQ(pool(pB).toSeq)
+    val visited = (vA.keySet ++ vB.keySet).map(qid =>
+      qid -> (vA.getOrElse(qid, 0L) + vB.getOrElse(qid, 0L))).toMap
+    val want = (pool(pA) ++ pool(pB)).toSeq.groupBy(_._1).toSeq.flatMap {
+      case (qid, rows) =>
+        rows.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1))
+          .take(4).zipWithIndex.map { case ((nid, sim), i) =>
+            (qid, nid) -> (i + 1, sim, visited(qid))
+          }
+    }.toMap
+    got shouldBe want
+    // an empty shard is skipped, not served
+    val empty = buildG(corpus.filter(col("vec_id") < 0))
+    GraphAnn.queryGraphIndexSharded(q, Seq(iA, iB, empty), k = 4,
+      beam = 4, hops = 2).count() shouldBe got.size.toLong
+    // all-empty: legal, answers nothing
+    GraphAnn.queryGraphIndexSharded(q, Seq(empty), k = 4)
+      .count() shouldBe 0L
+    // layered tier: same fold, smoke the contract shape
+    def buildH(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildHnswIndex(c, nlist = 6, degree = 4, crossDegree = 2,
+        levelFanout = 4, maxLevel = 1, centroids = Some(cells))
+    val hs = GraphAnn.queryHnswIndexSharded(q, Seq(buildH(shardA),
+      buildH(shardB)), k = 3, beam = 4, hops = 2)
+    hs.columns shouldBe Array("q_id", "n_id", "rank", "sim", "n_visited")
+    hs.groupBy("q_id").count().collect()
+      .foreach(_.getLong(1) should be <= 3L)
+  }
 }

@@ -452,4 +452,67 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.shardCellMap(corpus, cells, nlist + 1)
   }
+
+  test("scatter-gather IVF-PQ serve: exact vs merged index, routing skips untouched shards") {
+    val r = new scala.util.Random(131)
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 8,
+      ks = 16)
+    val map = Similarity.shardCellMap(corpus, full.cells, 3)
+    val sharded = Similarity.shardByCells(corpus, full.cells, 3)
+      .localCheckpoint()
+    val shards = (0 until 3).map(i => Similarity.buildIvfPqIndex(
+      sharded.filter(col("shard") === i).drop("shard"), nlist = 8,
+      m = 8, ks = 16, centroids = Some(full.cells),
+      codebook = Some(full.codebook)))
+    val q = corpus.filter(col("vec_id") < 10)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(2)) -> x.getLong(1)).toMap
+    val merged = keyed(Similarity.queryIvfPqIndex(q, full, 4, nprobe = 3))
+    // unrouted scatter == the merged-index serve, rank for rank
+    keyed(Similarity.queryIvfPqIndexScatter(q, shards, 4,
+      nprobe = 3)) shouldBe merged
+    // routed scatter == unrouted (same rows), and at nprobe=1 a
+    // single-shard home batch provably touches ONE shard
+    val qHome = sharded.filter(col("shard") === 1).drop("shard")
+      .orderBy("vec_id").limit(5).localCheckpoint()
+    val un = keyed(Similarity.queryIvfPqIndexScatter(qHome, shards, 4,
+      nprobe = 1))
+    keyed(Similarity.queryIvfPqIndexScatter(qHome, shards, 4,
+      nprobe = 1, cellShardMap = Some(map))) shouldBe un
+    // artifact drift across shards fails fast (the merge discipline)
+    intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndexScatter(q, Seq(shards(0),
+        Similarity.buildIvfPqIndex(
+          sharded.filter(col("shard") === 1).drop("shard"),
+          nlist = 8, m = 8, ks = 16)), 4)
+    }.getMessage should include("frozen codebook")
+    // a malformed routing map fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.queryIvfPqIndexScatter(q, shards, 4,
+        cellShardMap = Some(Array(0, 1)))
+    }.getMessage should include("nlist")
+  }
+
+  test("gatherTopK/bruteForceTopKSharded: sharded exhaustive equals global brute force") {
+    val r = new scala.util.Random(47)
+    val corpus = (0 until 90).map { i =>
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 6)
+    val parts = (0 until 3).map(i => corpus.filter(col("vec_id") % 3 === i))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank", "sim").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getDouble(3)))
+      .toSet
+    rows(Similarity.bruteForceTopKSharded(q, parts, 5)) shouldBe
+      rows(Similarity.bruteForceTopK(q, corpus, 5))
+    // the fold re-derives rank globally: per-shard rank columns are
+    // discarded, ties break on (score, id) exactly like a single serve
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.gatherTopK(Seq.empty, 5, "sim", ascending = false)
+  }
 }
