@@ -168,8 +168,9 @@ object Bench {
         // two merge steps + union) — construction IS the operator
         "n54_spatial_shard_merge", "n55_merge_associativity",
         // n56 builds four IVF-PQ indexes (three shards + the merged
-        // oracle) per evaluation — construction IS the operator
-        "n56_ivfpq_scatter_serve")
+        // oracle) per evaluation; n58 builds/rebalances six graph
+        // indexes — construction IS the operator
+        "n56_ivfpq_scatter_serve", "n58_shard_rebalance")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

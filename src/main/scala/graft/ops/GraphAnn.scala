@@ -1095,8 +1095,15 @@ object GraphAnn {
       .select("n_id", "emb", "cell", "cell2")
       .localCheckpoint()
     val all = an.unionByName(bn)
-    val peers = all.select(col("cell"), col("n_id").as("m_id"),
-      col("emb").as("m_emb"))
+    // the edge rule only reads peers of the affected rows' home and
+    // second cells (bounded cell set) — restrict the peer relation so
+    // its scan/shuffle shrinks with the co-occupancy
+    val redoCells = affected.select("cell")
+      .unionByName(affected.select(col("cell2").as("cell")))
+      .distinct()
+    val peers = all.join(broadcast(redoCells), Seq("cell"), "left_semi")
+      .select(col("cell"), col("n_id").as("m_id"),
+        col("emb").as("m_emb"))
     val redoNbrs = neighborRule(affected.select("cell", "n_id", "emb"),
       peers, cells, a.degree, a.crossDegree, a.alpha, poolN)
     val emptyNbrs = expr("cast(array() as array<bigint>)")
@@ -1523,6 +1530,83 @@ object GraphAnn {
       gatherShardServes(live.map(s => queryHnswIndex(queries, s, k,
         beam, hops, upperBeam, upperHops, frontierBroadcastLimit,
         broadcastFrontier)), k)
+  }
+
+  /** Re-cut a sharded graph deployment to a NEW cell→shard map by
+    * MOVING only the rows whose shard changed — the lifecycle verb
+    * between build-per-shard (n54) and merge/serve: occupancy drifts
+    * as appends accumulate, the re-cut [[Similarity.shardCellMap]]
+    * rebalances the build jobs, and re-building every shard from
+    * scratch would cost the full corpus. Movers are found with ONE
+    * no-shuffle projection (assign + two literal-map lookups, the
+    * shardByCells shape); each shard then deletes its movers-out and
+    * appends its movers-in through the rebuild-exact incremental
+    * verbs, so work is ∝ moved rows + their touched cells — at 100 TB
+    * a boundary shift that moves 2% of cells costs 2% of a rebuild.
+    * EXACTLY equal to fresh builds over the new slices (gate n58)
+    * because append/delete are each rebuild-equivalent (n33/n37) and
+    * compose (n41's lifecycle pin). `corpus` must be the indexes'
+    * CURRENT full-precision corpus (union of all shard members);
+    * both maps must cover the shared frozen codebook.
+    */
+  def rebalanceGraphShards(shards: Seq[GraphIndex], corpus: DataFrame,
+                           oldMap: Array[Int], newMap: Array[Int])
+      : Seq[GraphIndex] =
+    rebalanceWith[GraphIndex]("rebalanceGraphShards", shards,
+      shards.map(_.cells), corpus, oldMap, newMap)(
+      (s, outIds, inRows) =>
+        appendToGraphIndex(deleteFromGraphIndex(s, outIds), inRows))
+
+  /** [[rebalanceGraphShards]] at the layered tier — the same
+    * delete-movers / append-movers composition over the HNSW
+    * incremental verbs, which are rebuild-exact per (layer, n_id)
+    * (gate n41), so the re-cut shards equal fresh builds over the new
+    * slices layer for layer.
+    */
+  def rebalanceHnswShards(shards: Seq[HnswIndex], corpus: DataFrame,
+                          oldMap: Array[Int], newMap: Array[Int])
+      : Seq[HnswIndex] =
+    rebalanceWith[HnswIndex]("rebalanceHnswShards", shards,
+      shards.map(_.cells), corpus, oldMap, newMap)(
+      (s, outIds, inRows) =>
+        appendToHnswIndex(deleteFromHnswIndex(s, outIds), inRows))
+
+  /** The shared rebalance skeleton: validate the frozen-codebook
+    * handshake and both maps, find the movers with one no-shuffle
+    * projection, then hand each shard its movers-out ids and
+    * movers-in rows for the tier's delete∘append composition.
+    */
+  private def rebalanceWith[I](what: String, shards: Seq[I],
+                               shardCells: Seq[Array[Array[Double]]],
+                               corpus: DataFrame, oldMap: Array[Int],
+                               newMap: Array[Int])(
+      move: (I, DataFrame, DataFrame) => I): Seq[I] = {
+    require(shards.nonEmpty, s"$what: no shards")
+    val cells = shardCells.head
+    shardCells.tail.foreach(c => require(
+      c.length == cells.length &&
+        c.zip(cells).forall { case (x, y) => x.sameElements(y) },
+      s"$what: shard indexes were built over different coarse cells " +
+        "— sharded builds must share ONE frozen codebook"))
+    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap")) {
+      require(m.length == cells.length,
+        s"$what: $which length ${m.length} != nlist ${cells.length}")
+      require(m.forall(s => s >= 0 && s < shards.length),
+        s"$what: $which names shard ids outside [0, ${shards.length})")
+    }
+    val movers = corpus
+      .select(col("vec_id"), col("embedding"),
+        Centroids.centroidAssign(col("embedding"), cells).as("cell"))
+      .withColumn("from_shard", element_at(lit(oldMap), col("cell")))
+      .withColumn("to_shard", element_at(lit(newMap), col("cell")))
+      .filter(col("from_shard") =!= col("to_shard"))
+      .localCheckpoint()
+    shards.zipWithIndex.map { case (s, i) =>
+      move(s,
+        movers.filter(col("from_shard") === i).select("vec_id"),
+        movers.filter(col("to_shard") === i)
+          .select("vec_id", "embedding"))
+    }
   }
 
   /** Metadata-FILTERED layered serve (the filtered-DiskANN shape, the
@@ -1985,29 +2069,26 @@ object GraphAnn {
     requireDisjointIds("mergeHnswIndexes", a.nodes, b.nodes)
     val poolN = hnswPool(a)
     val nodes2 = a.nodes.unionByName(b.nodes).localCheckpoint()
+    val embById = nodes2.select(col("n_id"), col("emb"))
     val adj2 = (0 to a.maxLevel).map { l =>
       val cellsL = hnswLayerCells(a.cells, a.levelFanout, l)
-      // layer members by PROJECTION off the node tables (which carry
-      // emb + level) — NOT adjacency→embedding joins: append/delete
-      // must avoid recomputing corpus geometry for a small batch (the
-      // n33 lesson), but a merge touches both shards' full geometry
-      // anyway, and one shuffle-free projection per shard beats two
-      // corpus-sized joins per layer. The projection replays the
-      // build's assignment exactly (same cells, same expression), so
-      // it agrees with the stored adj columns.
-      def members(n: DataFrame) = n.filter(col("level") >= l)
-        .select(col("n_id"), col("emb"),
-          Centroids.centroidAssign(col("emb"), cellsL).as("cell"),
-          secondCell(col("emb"), cellsL).as("cell2"))
-      // materialize the reused sets (the mergeGraphIndexes
-      // discipline): Spark does not share identical subplans, so the
-      // lazy per-layer projection — a corpus-wide centroid assignment
-      // — would re-execute once per consumer (occ distinct, both
-      // affectedOf legs, peersL) inside the single adj2 evaluation
-      val mA = members(a.nodes).localCheckpoint()
-      val mB = members(b.nodes).localCheckpoint()
-      val occA = mA.select("cell").distinct().localCheckpoint()
-      val occB = mB.select("cell").distinct().localCheckpoint()
+      // layer membership, occupancy, and the affected set all come
+      // from the STORED adjacency columns (every layer member has an
+      // adj row carrying its layer-grid cell/cell2, written by the
+      // one shared hnswLayerRows on every path) — corpus geometry is
+      // FETCHED, never recomputed, and only for the affected members
+      // and the peers of their cells. The per-layer corpus-wide
+      // centroid projection this replaces cost more than the build's
+      // own edge rule at production nlist (assign is n·nlist·dim vs
+      // the edge rule's n·cellsize·dim with cellsize = n/nlist), so
+      // the old merge could never beat one-shot wall even at zero
+      // co-occupancy; this one is scan-priced + work ∝ affected.
+      val aL = a.adj.filter(col("layer") === l)
+        .select("n_id", "cell", "cell2", "neighbors")
+      val bL = b.adj.filter(col("layer") === l)
+        .select("n_id", "cell", "cell2", "neighbors")
+      val occA = aL.select("cell").distinct().localCheckpoint()
+      val occB = bL.select("cell").distinct().localCheckpoint()
       // cell2 leg skipped at crossDegree = 0 (the flat-merge note)
       def affectedOf(m: DataFrame, occOther: DataFrame) = {
         val home = m.join(broadcast(occOther), Seq("cell"), "left_semi")
@@ -2016,19 +2097,33 @@ object GraphAnn {
           broadcast(occOther.withColumnRenamed("cell", "cell2")),
           Seq("cell2"), "left_semi"))
       }
-      // consumed by redoRows (which reads members twice) AND the
-      // left_anti carry-over join
-      val affected = affectedOf(mA, occB).unionByName(affectedOf(mB, occA))
+      // consumed by the redo legs AND the left_anti carry-over join
+      val affected = affectedOf(aL, occB).unionByName(affectedOf(bL, occA))
         .dropDuplicates("n_id")
+        .select("n_id", "cell", "cell2")
         .localCheckpoint()
-      val peersL = mA.unionByName(mB)
+      // the edge rule only reads peers of the affected rows' home and
+      // second cells — a bounded cell set, so the peer relation (and
+      // its embedding fetch) shrinks with the co-occupancy instead of
+      // spanning the layer
+      val redoCells = affected.select("cell")
+        .unionByName(affected.select(col("cell2").as("cell")))
+        .distinct()
+      val peersL = aL.unionByName(bL).select("cell", "n_id")
+        .join(broadcast(redoCells), Seq("cell"), "left_semi")
+        .join(embById, Seq("n_id"))
         .select(col("cell"), col("n_id").as("m_id"),
           col("emb").as("m_emb"))
-      val redoRows = hnswLayerRows(affected, cellsL, l, a.degree,
+        .localCheckpoint()
+      val members = affected.join(embById, Seq("n_id"))
+        .select("n_id", "emb", "cell", "cell2")
+        .localCheckpoint()
+      val redoRows = hnswLayerRows(members, cellsL, l, a.degree,
         a.crossDegree, a.alpha, poolN, Some(peersL))
-      a.adj.filter(col("layer") === l)
-        .unionByName(b.adj.filter(col("layer") === l))
+      aL.unionByName(bL)
         .join(affected.select("n_id"), Seq("n_id"), "left_anti")
+        .select(lit(l).as("layer"), col("n_id"), col("cell"),
+          col("cell2"), col("neighbors"))
         .unionByName(redoRows)
         .select("layer", "n_id", "cell", "cell2", "neighbors")
     }.reduce(_.unionByName(_)).localCheckpoint()

@@ -6567,6 +6567,66 @@ object OpsQueries {
       Some("""SELECT vec_id AS q_id, TRUE AS gather_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Shard rebalance (n58): the lifecycle verb between
+    // build-per-shard (n54) and merge/serve — when occupancy drifts,
+    // re-cut the cell→shard map and MOVE only the rows whose shard
+    // changed (delete-movers ∘ append-movers over the rebuild-exact
+    // incremental verbs; work ∝ moved rows, never the corpus). The
+    // gate drifts the n54 cut by one boundary cell, rebalances two
+    // flat-graph shards, and pins per-shard neighbor-list AND entry
+    // equality against FRESH builds over the new slices, plus that
+    // the move was genuinely partial (0 < moved < all).
+    QueryDef("n58_shard_rebalance",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+          .localCheckpoint()
+        val cells = Similarity.firstVectors(e, 16)
+        val assign = graft.functions.Centroids.centroidAssign(
+          col("embedding"), cells)
+        val map1 = Similarity.shardCellMap(e, cells, 2)
+        // drifted cut: flip shard 1's first NON-EMPTY cell to shard 0
+        // (non-empty so the move provably happens)
+        val occ = e.select(assign.as("cell")).groupBy("cell").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val b = map1.indices
+          .find(c => map1(c) == 1 && occ.getOrElse(c + 1, 0L) > 0).get
+        val map2 = map1.clone(); map2(b) = 0
+        def slice(map: Array[Int], i: Int) = e.filter(
+          element_at(lit(map), assign) === i)
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildGraphIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, centroids = Some(cells))
+        val rebalanced = GraphAnn.rebalanceGraphShards(
+          (0 until 2).map(i => build(slice(map1, i))), e, map1, map2)
+        val fresh = (0 until 2).map(i => build(slice(map2, i)))
+        val moved = occ.getOrElse(b + 1, 0L)
+        val movedPartial = moved > 0 && moved < e.count()
+        val entriesOk = (0 until 2).forall { i =>
+          rebalanced(i).entries.exceptAll(fresh(i).entries)
+            .count() == 0 &&
+            fresh(i).entries.exceptAll(rebalanced(i).entries)
+              .count() == 0
+        }
+        (0 until 2).map { i =>
+          rebalanced(i).nodes
+            .select(col("n_id"), col("neighbors").as("nb_r"))
+            .join(fresh(i).nodes
+              .select(col("n_id"), col("neighbors").as("nb_f")),
+              Seq("n_id"), "full")
+            .select(col("n_id"),
+              (col("nb_r") === col("nb_f")).as("ok"))
+        }.reduce(_.unionByName(_))
+          .groupBy("n_id")
+          .agg((min(when(col("ok"), 1).otherwise(0)) === 1)
+            .as("nbrs_exact"))
+          .select(col("n_id"), col("nbrs_exact"),
+            lit(movedPartial).as("moved_partial"),
+            lit(entriesOk).as("entries_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS nbrs_exact,
+             |  TRUE AS moved_partial, TRUE AS entries_exact
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

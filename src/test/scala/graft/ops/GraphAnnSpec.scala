@@ -1338,4 +1338,52 @@ class GraphAnnSpec extends SparkSpec {
     hs.groupBy("q_id").count().collect()
       .foreach(_.getLong(1) should be <= 3L)
   }
+
+  test("rebalanceGraphShards/rebalanceHnswShards: moved rows only, equals fresh builds over the new cut") {
+    val corpus = planted(6, 30, 16, seed = 127)
+    val cells = Similarity.firstVectors(corpus, 6)
+    val assign = graft.functions.Centroids.centroidAssign(
+      col("embedding"), cells)
+    val map1 = Similarity.shardCellMap(corpus, cells, 2)
+    // drift: flip shard 1's first cell into shard 0
+    val b = map1.indexOf(1)
+    val map2 = map1.clone(); map2(b) = 0
+    def slice(map: Array[Int], i: Int) = corpus.filter(
+      element_at(lit(map), assign) === i)
+    def buildG(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildGraphIndex(c, nlist = 6, degree = 4,
+        crossDegree = 2, centroids = Some(cells))
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val oldShards = (0 until 2).map(i => buildG(slice(map1, i)))
+    val rebalanced = GraphAnn.rebalanceGraphShards(oldShards, corpus,
+      map1, map2)
+    (0 until 2).foreach { i =>
+      nbrs(rebalanced(i)) shouldBe nbrs(buildG(slice(map2, i)))
+    }
+    // a no-op re-cut moves nothing and changes nothing
+    val noop = GraphAnn.rebalanceGraphShards(oldShards, corpus, map1,
+      map1)
+    (0 until 2).foreach(i => nbrs(noop(i)) shouldBe nbrs(oldShards(i)))
+    // malformed maps fail fast
+    an[IllegalArgumentException] should be thrownBy
+      GraphAnn.rebalanceGraphShards(oldShards, corpus, map1,
+        Array(0, 1))
+    an[IllegalArgumentException] should be thrownBy
+      GraphAnn.rebalanceGraphShards(oldShards, corpus, map1,
+        map1.map(_ + 5))
+    // layered tier: same composition, per (layer, n_id)
+    def buildH(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildHnswIndex(c, nlist = 6, degree = 4, crossDegree = 2,
+        levelFanout = 4, maxLevel = 1, centroids = Some(cells))
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val rebH = GraphAnn.rebalanceHnswShards(
+      (0 until 2).map(i => buildH(slice(map1, i))), corpus, map1, map2)
+    (0 until 2).foreach { i =>
+      adjMap(rebH(i)) shouldBe adjMap(buildH(slice(map2, i)))
+    }
+  }
 }
