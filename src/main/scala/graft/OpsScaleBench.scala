@@ -419,11 +419,11 @@ object OpsScaleBench {
     // Expected: affected_frac ≈ (boundary cells)/nlist and merge_sec
     // a small constant, vs 0.5 / edge-rerun-priced on random data.
     val arc = math.Pi / 2
-    // 5× the random fixture: the merge's remaining cost is bounded
+    // 20× the random fixture: the merge's remaining cost is bounded
     // stage constants + work ∝ affected, so the wall ratio to the
     // (linear-in-corpus) one-shot build only shows at a corpus where
     // the build dominates those constants
-    val nvC = nv * 5
+    val nvC = nv * 20
     val nlistC = math.max(16, (nvC / 64).toInt)
     val jitterAmp = 0.2 * arc / nlistC
     val clusteredVecs = spark.range(nvC).select(

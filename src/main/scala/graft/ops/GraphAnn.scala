@@ -324,6 +324,15 @@ object GraphAnn {
     */
   val DefaultFrontierBroadcastLimit: Long = 65536L
 
+  /** Affected-side ceiling for the merge redo's broadcast regime
+    * (~40 MB at production row width). Below it the redo join
+    * broadcasts the affected members and parallelizes over the peers
+    * layout regardless of cell skew; above it (random/interleaved
+    * shards, affected ≈ corpus) the shuffle join is the scalable
+    * plan.
+    */
+  val MergeSideBroadcastLimit: Long = 262144L
+
   /** The shared batched best-first loop: each round expands the best
     * `beam` scored-but-unexpanded candidates per query (NOT just the
     * newest hop's — a strong find from an earlier round stays
@@ -1104,7 +1113,15 @@ object GraphAnn {
     val peers = all.join(broadcast(redoCells), Seq("cell"), "left_semi")
       .select(col("cell"), col("n_id").as("m_id"),
         col("emb").as("m_emb"))
-    val redoNbrs = neighborRule(affected.select("cell", "n_id", "emb"),
+    // explicit join regime for the redo (the mergeHnswIndexes note):
+    // checkpointed inputs carry no statistics, so a bounded affected
+    // side must be broadcast by hand or a skewed cell serializes the
+    // redo in one sort-merge partition
+    val affectedSide =
+      if (affected.count() <= MergeSideBroadcastLimit)
+        affected.hint("broadcast")
+      else affected
+    val redoNbrs = neighborRule(affectedSide.select("cell", "n_id", "emb"),
       peers, cells, a.degree, a.crossDegree, a.alpha, poolN)
     val emptyNbrs = expr("cast(array() as array<bigint>)")
     val redoNodes = affected.join(redoNbrs, Seq("n_id"), "left")
@@ -1397,11 +1414,25 @@ object GraphAnn {
     * ≈ n/nlist while the edges reach M^ℓ× further (the long-range
     * property HNSW's upper layers exist for).
     */
+  /** Layer-ℓ routing grid: every (fanout^ℓ)-th centroid of the layer-0
+    * codebook — STRIDED, not a prefix. A prefix assumes the codebook's
+    * order carries no geometry; on any spatially-correlated order
+    * (k-means outputs often are; a 1-D manifold codebook always is)
+    * the prefix covers one corner of the space and a single upper
+    * cell absorbs most of the layer, making the upper edge rules
+    * quadratic in it (measured: a 100k clustered corpus spent ~2/3 of
+    * its build AND merge wall in one layer-1 cell under the prefix
+    * rule). Striding preserves whatever spread the order carries and
+    * degrades to the prefix's behavior on arbitrary order.
+    */
   private def hnswLayerCells(cells: Array[Array[Double]], fanout: Int,
                              l: Int): Array[Array[Double]] =
     if (l == 0) cells
-    else cells.take(math.max(1,
-      (cells.length / math.pow(fanout.toDouble, l)).toInt))
+    else {
+      val stride = math.pow(fanout.toDouble, l)
+      val n = math.max(1, (cells.length / stride).toInt)
+      Array.tabulate(n)(i => cells((i * stride).toInt))
+    }
 
   /** Wire one layer: run the edge rule over `members` (n_id, emb,
     * cell, cell2 — already on the layer's grid) and emit the adj rows.
@@ -2109,16 +2140,39 @@ object GraphAnn {
       val redoCells = affected.select("cell")
         .unionByName(affected.select(col("cell2").as("cell")))
         .distinct()
+      // round-robin re-spread before the checkpoint: AQE coalesces the
+      // small-OUTPUT n_id join to one partition, and the edge rule's
+      // per-partition work is peers-rows × matching side rows — on a
+      // skewed layer grid one coalesced partition serializes ~all of
+      // the redo's candidate pairs (measured: a 100k-corpus spatial
+      // merge spent 115 s in ONE task here; re-spread it is seconds)
       val peersL = aL.unionByName(bL).select("cell", "n_id")
         .join(broadcast(redoCells), Seq("cell"), "left_semi")
         .join(embById, Seq("n_id"))
         .select(col("cell"), col("n_id").as("m_id"),
           col("emb").as("m_emb"))
+        .repartition(a.nodes.sparkSession.sessionState.conf
+          .numShufflePartitions)
         .localCheckpoint()
       val members = affected.join(embById, Seq("n_id"))
         .select("n_id", "emb", "cell", "cell2")
         .localCheckpoint()
-      val redoRows = hnswLayerRows(members, cellsL, l, a.degree,
+      // the edge-rule join's strategy must be EXPLICIT here: both
+      // inputs are checkpointed leaves (no plan statistics), so the
+      // planner sort-merges on cell — and a skewed layer grid then
+      // serializes the whole redo in the hot cell's partition (the
+      // builds never hit this: their member plans keep statistics and
+      // broadcast). A bounded affected side broadcasts — the join
+      // parallelizes over the re-spread peers regardless of cell
+      // skew; past the bound (the random-shard regime, affected ≈
+      // corpus) broadcasting would be the non-scalable direction and
+      // the shuffle join is the right plan anyway. One count on a
+      // checkpointed leaf prices the choice.
+      val side =
+        if (members.count() <= MergeSideBroadcastLimit)
+          members.hint("broadcast")
+        else members
+      val redoRows = hnswLayerRows(side, cellsL, l, a.degree,
         a.crossDegree, a.alpha, poolN, Some(peersL))
       aL.unionByName(bL)
         .join(affected.select("n_id"), Seq("n_id"), "left_anti")

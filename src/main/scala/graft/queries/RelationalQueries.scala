@@ -197,6 +197,15 @@ object RelationalQueries {
     * shouldn't. Columns are digested in sorted NAME order (both sides
     * projected to the full side's set), so the per-side digest is
     * well-defined without a cross-side column-order handshake.
+    *
+    * localCheckpoint (lazy), not cache(): a cached digest still
+    * CARRIES the whole warehouse lineage in its logical plan, so
+    * every re-evaluation re-ANALYZES three warehouse DAGs on the
+    * driver — measured solo at sf0.1, the chained gate's repeat
+    * evaluation spent 67 s at cpu/wall ≈ 1.2 (single-threaded
+    * planning, not execution). The checkpoint replaces the plan with
+    * a leaf over the materialized rows, so repeat evaluations plan
+    * 46 leaf scans instead.
     */
   private val digestMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -204,9 +213,10 @@ object RelationalQueries {
                          m: String, df: DataFrame,
                          cols: Array[String]): DataFrame =
     memoGet(digestMemo, s, s"$dir#$side#$m") {
-      cacheOnce(df.select(cols.map(col): _*)
+      df.select(cols.map(col): _*)
         .select(xxhash64(struct(cols.map(col): _*)).as("__h"))
-        .groupBy("__h").agg(count(lit(1)).as("__n")))
+        .groupBy("__h").agg(count(lit(1)).as("__n"))
+        .localCheckpoint(false)
     }
 
   /** One-pass signed multiset diff per model (±count per side, net 0
