@@ -1603,9 +1603,9 @@ object GraphAnn {
         appendToHnswIndex(deleteFromHnswIndex(s, outIds), inRows))
 
   /** The shared rebalance skeleton: validate the frozen-codebook
-    * handshake and both maps, find the movers with one no-shuffle
-    * projection, then hand each shard its movers-out ids and
-    * movers-in rows for the tier's delete∘append composition.
+    * handshake, find the movers ([[IndexIo.shardMovers]] — one
+    * no-shuffle projection), then hand each shard its movers-out ids
+    * and movers-in rows for the tier's delete∘append composition.
     */
   private def rebalanceWith[I](what: String, shards: Seq[I],
                                shardCells: Seq[Array[Array[Double]]],
@@ -1619,19 +1619,8 @@ object GraphAnn {
         c.zip(cells).forall { case (x, y) => x.sameElements(y) },
       s"$what: shard indexes were built over different coarse cells " +
         "— sharded builds must share ONE frozen codebook"))
-    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap")) {
-      require(m.length == cells.length,
-        s"$what: $which length ${m.length} != nlist ${cells.length}")
-      require(m.forall(s => s >= 0 && s < shards.length),
-        s"$what: $which names shard ids outside [0, ${shards.length})")
-    }
-    val movers = corpus
-      .select(col("vec_id"), col("embedding"),
-        Centroids.centroidAssign(col("embedding"), cells).as("cell"))
-      .withColumn("from_shard", element_at(lit(oldMap), col("cell")))
-      .withColumn("to_shard", element_at(lit(newMap), col("cell")))
-      .filter(col("from_shard") =!= col("to_shard"))
-      .localCheckpoint()
+    val movers = IndexIo.shardMovers(what, corpus, cells, shards.length,
+      oldMap, newMap)
     shards.zipWithIndex.map { case (s, i) =>
       move(s,
         movers.filter(col("from_shard") === i).select("vec_id"),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+import org.apache.spark.sql.functions.{col, count, count_distinct, element_at, lit}
 
 /** Shared persistence scaffolding for the index families' bounded
   * vector tables (coarse cells, PQ codebooks): one writer/reader pair
@@ -45,6 +45,34 @@ private[ops] object IndexIo {
       loadVectors(spark, s"$dir/rotation_eigenvalues", "row_id",
         "row").head,
       loadVectors(spark, s"$dir/rotation_basis", "row_id", "row"))
+
+  /** The shared rebalance-movers projection (one per tier family):
+    * validate the old/new cell→shard maps against the frozen codebook
+    * and find the rows whose shard changed — one no-shuffle projection
+    * (assign + two literal-map lookups), the shardByCells shape. The
+    * result carries (vec_id, embedding, cell, from_shard, to_shard)
+    * and is checkpointed (every shard's delete/append legs consume
+    * it), so rebalance work is ∝ moved rows, never the corpus.
+    */
+  private[ops] def shardMovers(what: String, corpus: DataFrame,
+                               cells: Array[Array[Double]],
+                               nShards: Int, oldMap: Array[Int],
+                               newMap: Array[Int]): DataFrame = {
+    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap")) {
+      require(m.length == cells.length,
+        s"$what: $which length ${m.length} != nlist ${cells.length}")
+      require(m.forall(s => s >= 0 && s < nShards),
+        s"$what: $which names shard ids outside [0, $nShards)")
+    }
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.Centroids.centroidAssign(col("embedding"), cells)
+          .as("cell"))
+      .withColumn("from_shard", element_at(lit(oldMap), col("cell")))
+      .withColumn("to_shard", element_at(lit(newMap), col("cell")))
+      .filter(col("from_shard") =!= col("to_shard"))
+      .localCheckpoint()
+  }
 
   /** In-batch duplicate-id fail-fast shared by the append verbs: a
     * repeated id would insert two state rows for one element with no

@@ -1587,4 +1587,32 @@ object Similarity {
       gatherTopK(parts, k, "adc", ascending = true)
         .select("q_id", "n_id", "rank", "adc")
   }
+
+  /** Re-cut a sharded IVF-PQ deployment to a NEW cell→shard map by
+    * MOVING only the rows whose shard changed — the [[GraphAnn
+    * .rebalanceGraphShards]] composition at the code-table tier:
+    * movers found with one no-shuffle projection
+    * ([[IndexIo.shardMovers]]), each shard deletes its movers-out and
+    * appends its movers-in through the rebuild-exact incremental
+    * verbs, so work is ∝ moved rows. Exactly equal to fresh builds
+    * over the new slices because per-row assign/encode is
+    * row-independent under the shared frozen artifacts (the n22/n38
+    * equivalences; spec-pinned). `corpus` must be the shards' current
+    * full-precision corpus.
+    */
+  def rebalanceIvfPqShards(shards: Seq[IvfPqIndex], corpus: DataFrame,
+                           oldMap: Array[Int], newMap: Array[Int])
+      : Seq[IvfPqIndex] = {
+    require(shards.nonEmpty, "rebalanceIvfPqShards: no shards")
+    requireSharedIvfPqArtifacts("rebalanceIvfPqShards", shards)
+    val movers = IndexIo.shardMovers("rebalanceIvfPqShards", corpus,
+      shards.head.cells, shards.length, oldMap, newMap)
+    shards.zipWithIndex.map { case (s, i) =>
+      appendToIvfPqIndex(
+        deleteFromIvfPqIndex(s,
+          movers.filter(col("from_shard") === i).select("vec_id")),
+        movers.filter(col("to_shard") === i)
+          .select("vec_id", "embedding"))
+    }
+  }
 }

@@ -6607,6 +6607,31 @@ object OpsQueries {
             fresh(i).entries.exceptAll(rebalanced(i).entries)
               .count() == 0
         }
+        // the IVF-PQ tier under the SAME drift: rebalanced code
+        // tables must equal fresh builds over the new slices
+        // (per-row assign/encode is row-independent under the
+        // shared frozen artifacts)
+        val fullPq = Similarity.buildIvfPqIndex(e, nlist = 16, m = 16,
+          ks = 16)
+        def buildPq(c: org.apache.spark.sql.DataFrame) =
+          Similarity.buildIvfPqIndex(c, nlist = 16, m = 16, ks = 16,
+            centroids = Some(fullPq.cells),
+            codebook = Some(fullPq.codebook))
+        val assignPq = graft.functions.Centroids.centroidAssign(
+          col("embedding"), fullPq.cells)
+        val map1Pq = Similarity.shardCellMap(e, fullPq.cells, 2)
+        val bPq = map1Pq.indexOf(1)
+        val map2Pq = map1Pq.clone(); map2Pq(bPq) = 0
+        def slicePq(map: Array[Int], i: Int) = e.filter(
+          element_at(lit(map), assignPq) === i)
+        val rebPq = Similarity.rebalanceIvfPqShards(
+          (0 until 2).map(i => buildPq(slicePq(map1Pq, i))), e,
+          map1Pq, map2Pq)
+        val ivfpqOk = (0 until 2).forall { i =>
+          val freshC = buildPq(slicePq(map2Pq, i)).codes
+          rebPq(i).codes.exceptAll(freshC).count() == 0 &&
+            freshC.exceptAll(rebPq(i).codes).count() == 0
+        }
         (0 until 2).map { i =>
           rebalanced(i).nodes
             .select(col("n_id"), col("neighbors").as("nb_r"))
@@ -6621,10 +6646,12 @@ object OpsQueries {
             .as("nbrs_exact"))
           .select(col("n_id"), col("nbrs_exact"),
             lit(movedPartial).as("moved_partial"),
-            lit(entriesOk).as("entries_exact"))
+            lit(entriesOk).as("entries_exact"),
+            lit(ivfpqOk).as("ivfpq_exact"))
       },
       Some("""SELECT vec_id AS n_id, TRUE AS nbrs_exact,
-             |  TRUE AS moved_partial, TRUE AS entries_exact
+             |  TRUE AS moved_partial, TRUE AS entries_exact,
+             |  TRUE AS ivfpq_exact
              |FROM embeddings WHERE vec_id < 500""".stripMargin)),
 
     // Interpolated Kneser-Ney bigram LM (t33): the principled

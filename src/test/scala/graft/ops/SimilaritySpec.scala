@@ -497,6 +497,42 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage should include("nlist")
   }
 
+  test("rebalanceIvfPqShards: moved rows only, equals fresh builds over the new cut") {
+    val r = new scala.util.Random(139)
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Array.fill(64)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 8,
+      ks = 16)
+    val assign = graft.functions.Centroids.centroidAssign(
+      col("embedding"), full.cells)
+    val map1 = Similarity.shardCellMap(corpus, full.cells, 2)
+    val b = map1.indexOf(1)
+    val map2 = map1.clone(); map2(b) = 0
+    def slice(map: Array[Int], i: Int) = corpus.filter(
+      element_at(lit(map), assign) === i)
+    def build(c: org.apache.spark.sql.DataFrame) =
+      Similarity.buildIvfPqIndex(c, nlist = 8, m = 8, ks = 16,
+        centroids = Some(full.cells), codebook = Some(full.codebook))
+    def codeMap(i: Similarity.IvfPqIndex) = i.codes
+      .select("n_id", "cell", "codes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2))).toMap
+    val oldShards = (0 until 2).map(i => build(slice(map1, i)))
+    val rebalanced = Similarity.rebalanceIvfPqShards(oldShards, corpus,
+      map1, map2)
+    (0 until 2).foreach { i =>
+      codeMap(rebalanced(i)) shouldBe codeMap(build(slice(map2, i)))
+    }
+    // no-op re-cut: nothing moves, nothing changes
+    val noop = Similarity.rebalanceIvfPqShards(oldShards, corpus, map1,
+      map1)
+    (0 until 2).foreach(i => codeMap(noop(i)) shouldBe codeMap(oldShards(i)))
+    // malformed maps fail fast
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.rebalanceIvfPqShards(oldShards, corpus, map1,
+        Array(0, 1))
+  }
+
   test("gatherTopK/bruteForceTopKSharded: sharded exhaustive equals global brute force") {
     val r = new scala.util.Random(47)
     val corpus = (0 until 90).map { i =>
