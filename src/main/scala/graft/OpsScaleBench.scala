@@ -465,6 +465,8 @@ object OpsScaleBench {
     buildSpatial(clusteredVecs) // warmup: fresh plan family
     val (sOneC, _) = time { buildSpatial(clusteredVecs).adj.count() }
     var mergeSecC = 0.0
+    var shardIa: graft.ops.GraphAnn.HnswIndex = null
+    var shardIb: graft.ops.GraphAnn.HnswIndex = null
     val (sParC, _) = time {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -473,12 +475,35 @@ object OpsScaleBench {
       val fb = Future(buildSpatial(shardCB))
       val ia = Await.result(fa, Duration.Inf)
       val ib = Await.result(fb, Duration.Inf)
+      shardIa = ia; shardIb = ib
       val t0 = System.nanoTime()
       val r = graft.ops.GraphAnn.mergeHnswIndexes(ia, ib).adj.count()
       mergeSecC = (System.nanoTime() - t0) / 1e9
       r
     }
     val mergeSpatialJson = f""""shard_merge_spatial":{"n_vecs":$nvC,"nlist":$nlistC,"affected_frac":$affectedFracSpatial%.4f,"oneshot_sec":$sOneC%.2f,"parallel_build_sec":${sParC - mergeSecC}%.2f,"merge_sec":$mergeSecC%.2f,"merge_vs_oneshot":${mergeSecC / sOneC}%.3f}"""
+
+    // Drift re-cut on the same shards (the n58 verb): flip shard 1's
+    // first cell to shard 0 and MOVE only the crossing rows — the
+    // comparison is the verb's alternative, rebuilding both shards
+    // over the new slices (parallel_build_sec above is exactly that
+    // wall). moved_frac prices the drift; the ratio is the verb's
+    // reason to exist at 100 TB, where a rebuild is a corpus-sized
+    // job and a re-cut moves one boundary cell.
+    val mapOld = shardMap
+    val bFlip = mapOld.indexOf(1)
+    val mapNew = mapOld.clone(); mapNew(bFlip) = 0
+    val movedFrac = clusteredVecs
+      .select((graft.functions.Centroids.centroidAssign(
+        col("embedding"), spatialCells) === bFlip + 1)
+        .cast("int").as("x"))
+      .agg(avg("x")).head().getDouble(0)
+    val (sRebal, _) = time {
+      graft.ops.GraphAnn.rebalanceHnswShards(Seq(shardIa, shardIb),
+        clusteredVecs, mapOld, mapNew)
+        .map(_.adj.count()).sum
+    }
+    val rebalJson = f""""shard_rebalance":{"n_vecs":$nvC,"moved_frac":$movedFrac%.4f,"rebalance_sec":$sRebal%.2f,"rebuild_sec":${sParC - mergeSecC}%.2f,"rebalance_vs_rebuild":${sRebal / (sParC - mergeSecC)}%.3f}"""
 
     // Serve-regime scale curve: per-query serve cost swept across the
     // broadcast↔shuffle-hash crossover (DefaultFrontierBroadcastLimit
@@ -647,7 +672,7 @@ object OpsScaleBench {
     val scatterJson = f""""scatter_serve":{"n_corpus":${nv * 10L},"n_shards":$scNShards,"n_queries":64,"nprobe":1,"merged_sec":$scMergedSec%.2f,"scatter_sec":$scScatterSec%.2f,"routed_sec":$scRoutedSec%.2f,"shards_served_routed":$scTouched,"routed_vs_scatter":${scRoutedSec / scScatterSec}%.2f}"""
 
     spark.sparkContext.removeSparkListener(meterListener)
-    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$mergeSpatialJson,$serveJson,$bktJson,$pqPartJson,$pqPartBigJson,$scatterJson,${parts.mkString(",")}}""")
+    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$mergeSpatialJson,$rebalJson,$serveJson,$bktJson,$pqPartJson,$pqPartBigJson,$scatterJson,${parts.mkString(",")}}""")
     spark.stop()
   }
 }
