@@ -170,7 +170,8 @@ object Bench {
         // n56 builds four IVF-PQ indexes (three shards + the merged
         // oracle) per evaluation; n58 builds/rebalances six graph
         // indexes — construction IS the operator
-        "n56_ivfpq_scatter_serve", "n58_shard_rebalance")
+        "n56_ivfpq_scatter_serve", "n58_shard_rebalance",
+        "n59_ivfpq_scatter_agg")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

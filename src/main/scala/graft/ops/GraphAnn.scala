@@ -2006,14 +2006,36 @@ object GraphAnn {
         .dropDuplicates("n_id")
         .join(embById, Seq("n_id"))
         .select("n_id", "emb", "cell", "cell2")
-      val redo = affected.unionByName(nuL)
-      // peers = the layer's FULL post-append member set on its grid —
-      // old members from stored adj columns, new ones from the batch
-      val peersL = oldL.join(embById, Seq("n_id"))
+      // checkpointed: consumed by the edge rule (multiple legs), the
+      // carry-over anti join, and the regime count below — unmaterialized
+      // it would re-run the corpus-sized embedding fetch per consumer
+      val redo = affected.unionByName(nuL).localCheckpoint()
+      // peers restricted to the redo rows' home/second cells (the
+      // merge discipline): the edge rule reads no other cell, so the
+      // peer relation — and its embedding fetch — shrinks to the
+      // touched neighborhood instead of spanning the layer; re-spread
+      // + checkpoint so the bounded relation is materialized once with
+      // parallelism the skewed-cell joins can use
+      val redoCells = redo.select("cell")
+        .unionByName(redo.select(col("cell2").as("cell"))).distinct()
+      val peersL = oldL.select("cell", "n_id")
+        .join(broadcast(redoCells), Seq("cell"), "left_semi")
+        .join(embById, Seq("n_id"))
         .select(col("cell"), col("n_id").as("m_id"), col("emb").as("m_emb"))
-        .unionByName(nuL.select(col("cell"), col("n_id").as("m_id"),
-          col("emb").as("m_emb")))
-      val redoRows = hnswLayerRows(redo, cellsL, l, index.degree,
+        .unionByName(nuL
+          .join(broadcast(redoCells), Seq("cell"), "left_semi")
+          .select(col("cell"), col("n_id").as("m_id"),
+            col("emb").as("m_emb")))
+        .repartition(index.nodes.sparkSession.sessionState.conf
+          .numShufflePartitions)
+        .localCheckpoint()
+      // explicit join regime (the mergeHnswIndexes note): checkpointed
+      // inputs carry no statistics, so a bounded redo side must be
+      // broadcast by hand or a skewed cell serializes the redo
+      val side =
+        if (redo.count() <= MergeSideBroadcastLimit) redo.hint("broadcast")
+        else redo
+      val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
         index.crossDegree, index.alpha, poolN, Some(peersL))
       oldL.join(redo.select("n_id"), Seq("n_id"), "left_anti")
         .unionByName(redoRows)
@@ -2053,9 +2075,23 @@ object GraphAnn {
         .dropDuplicates("n_id")
         .join(embById, Seq("n_id"))
         .select("n_id", "emb", "cell", "cell2")
-      val peersL = remaining.join(embById, Seq("n_id"))
+        .localCheckpoint()
+      // peers restricted to the affected rows' home/second cells +
+      // re-spread + explicit regime — the appendToHnswIndex notes
+      val redoCells = affected.select("cell")
+        .unionByName(affected.select(col("cell2").as("cell"))).distinct()
+      val peersL = remaining.select("cell", "n_id")
+        .join(broadcast(redoCells), Seq("cell"), "left_semi")
+        .join(embById, Seq("n_id"))
         .select(col("cell"), col("n_id").as("m_id"), col("emb").as("m_emb"))
-      val redoRows = hnswLayerRows(affected, cellsL, l, index.degree,
+        .repartition(index.nodes.sparkSession.sessionState.conf
+          .numShufflePartitions)
+        .localCheckpoint()
+      val side =
+        if (affected.count() <= MergeSideBroadcastLimit)
+          affected.hint("broadcast")
+        else affected
+      val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
         index.crossDegree, index.alpha, poolN, Some(peersL))
       remaining.join(affected.select("n_id"), Seq("n_id"), "left_anti")
         .unionByName(redoRows)

@@ -1588,6 +1588,49 @@ object Similarity {
         .select("q_id", "n_id", "rank", "adc")
   }
 
+  /** The aggregate form of [[queryIvfPqIndexScatter]] — and the
+    * stream-legal one: per-shard candidates (probe join + ADC, each
+    * confined to its shard's codes) union into ONE bounded-heap top-k
+    * aggregate per query. The scatter-gather bound comes FREE from
+    * partial aggregation: each map task's heap forwards ≤ k pairs per
+    * query, so the shuffle carries |tasks|·|Q|·k rows no matter how
+    * large the shards are — the [[queryIvfPqIndexAgg]] argument,
+    * extended across shards. Identical results to the merged-index
+    * serve (gate n59; same tie order). No routing and no probed-cell
+    * collect: both need a driver-side job, which a streaming plan
+    * cannot run — a readStream of queries fans out to every shard
+    * (the static sides of |shards| stream-static joins), which is the
+    * online-serving shape anyway; ROUTED serving is the batch form's
+    * ([[queryIvfPqIndexScatter]]).
+    */
+  def queryIvfPqIndexScatterAgg(queries: DataFrame,
+                                shards: Seq[IvfPqIndex], k: Int,
+                                nprobe: Int = 4): DataFrame = {
+    require(shards.nonEmpty, "queryIvfPqIndexScatterAgg: no shards")
+    requireSharedIvfPqArtifacts("queryIvfPqIndexScatterAgg", shards)
+    val h = shards.head
+    val sub = h.dim / h.m
+    import graft.functions.{Centroids => C, PqColumns => P}
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      explode(C.centroidProbes(col("embedding"), h.cells, nprobe))
+        .as("cell"))
+    shards.map { s =>
+      q.join(s.codes, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("adc", P.pqAdc(
+          C.centroidResidual(col("q_emb"), col("cell"), h.cells),
+          col("codes"), h.codebook, sub))
+        .select("q_id", "n_id", "adc")
+    }.reduce(_.unionByName(_))
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topK(-col("adc"), col("n_id"), k)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        (-col("col.score")).as("adc"))
+  }
+
   /** Re-cut a sharded IVF-PQ deployment to a NEW cell→shard map by
     * MOVING only the rows whose shard changed — the [[GraphAnn
     * .rebalanceGraphShards]] composition at the code-table tier:

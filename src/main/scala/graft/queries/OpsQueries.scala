@@ -6654,6 +6654,43 @@ object OpsQueries {
              |  TRUE AS ivfpq_exact
              |FROM embeddings WHERE vec_id < 500""".stripMargin)),
 
+    // Stream-legal scatter serve (n59): the aggregate form of n56 —
+    // per-shard candidates union into ONE bounded-heap top-k per
+    // query, so the scatter-gather bound (≤ k rows per query per map
+    // task) comes free from partial aggregation and the plan is legal
+    // under a readStream of queries (no window, no driver collect;
+    // StreamingScatterServeSpec runs it as |shards| stream-static
+    // joins). The gate pins exact equality with the merged-index
+    // window serve, rank for rank — same tie order through the heap's
+    // (score desc, id asc) under score = −adc.
+    QueryDef("n59_ivfpq_scatter_agg",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+        val full = Similarity.buildIvfPqIndex(e, nlist = 16, m = 16,
+          ks = 16)
+        val sharded = Similarity.shardByCells(e, full.cells, 3)
+          .localCheckpoint()
+        val shards = (0 until 3).map(i =>
+          Similarity.buildIvfPqIndex(
+            sharded.filter(col("shard") === i).drop("shard"),
+            nlist = 16, m = 16, ks = 16,
+            centroids = Some(full.cells),
+            codebook = Some(full.codebook)))
+        val q = e.filter(col("vec_id") < 20)
+        val merged = Similarity.queryIvfPqIndex(q, full, 5, nprobe = 4)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_merged"))
+        val agg = Similarity.queryIvfPqIndexScatterAgg(q, shards, 5,
+            nprobe = 4)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_agg"))
+        merged.join(agg, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_merged") === col("r_agg"), 1).otherwise(0)))
+            .as("agg_exact"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS agg_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins
