@@ -819,10 +819,6 @@ object GraphAnn {
       if (index.nodes.columns.contains("cell2")) index.nodes
       else index.nodes.withColumn("cell2", secondCell(col("emb"), cells))
     val oldC = oldNodes.select("n_id", "emb", "cell", "cell2")
-    val all = oldC.select("n_id", "emb", "cell")
-      .unionByName(nu.select("n_id", "emb", "cell"))
-    val allPeers = all.select(col("cell"), col("n_id").as("m_id"),
-      col("emb").as("m_emb"))
     // affected old nodes: home or second cell received new members —
     // a semi-join on STORED columns, no per-node geometry
     val touched = nu.select("cell").distinct().localCheckpoint()
@@ -832,6 +828,19 @@ object GraphAnn {
         "left_semi"))
       .dropDuplicates("n_id")
       .localCheckpoint()
+    // peers restricted to the redo rows' (batch + affected) home and
+    // second cells — the edge rules read no other cell, so the peer
+    // scan shrinks to the touched neighborhood (the merge discipline)
+    val redoCells = nu.select("cell")
+      .unionByName(nu.select(col("cell2").as("cell")))
+      .unionByName(affected.select("cell"))
+      .unionByName(affected.select(col("cell2").as("cell")))
+      .distinct()
+    val all = oldC.select("n_id", "emb", "cell")
+      .unionByName(nu.select("n_id", "emb", "cell"))
+    val allPeers = all.join(broadcast(redoCells), Seq("cell"), "left_semi")
+      .select(col("cell"), col("n_id").as("m_id"),
+        col("emb").as("m_emb"))
     val emptyNbrs = expr("cast(array() as array<bigint>)")
     val nodes2 = (index.alpha match {
       case Some(a) =>
@@ -849,7 +858,15 @@ object GraphAnn {
         // would hit topEdges with k = 0 and yield an edge-less graph
         val poolN = resolvePool(index.alpha, index.poolSize, deg, cross)
         val redo = nu.unionByName(affected)
-        val redoNbrs = prunedNeighbors(redo.select("cell", "n_id", "emb"),
+        // explicit join regime (the mergeHnswIndexes note): both
+        // inputs derive from checkpointed leaves, so a bounded redo
+        // side broadcasts by hand or a skewed cell serializes it
+        val redoSide =
+          if (redo.count() <= MergeSideBroadcastLimit)
+            redo.hint("broadcast")
+          else redo
+        val redoNbrs = prunedNeighbors(
+          redoSide.select("cell", "n_id", "emb"),
           allPeers, cells, deg, cross, a, poolN)
         val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
           .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
@@ -862,7 +879,15 @@ object GraphAnn {
         // degree budget), so affected nodes re-run the build rule —
         // the same shape as the α branch
         val redo = nu.unionByName(affected)
-        val redoNbrs = knnNeighbors(redo.select("cell", "n_id", "emb"),
+        // one cell ⇒ one join key: the broadcast regime is the ONLY
+        // parallel plan here (a shuffle join would put the whole
+        // corpus-vs-redo product in a single partition)
+        val redoSide1 =
+          if (redo.count() <= MergeSideBroadcastLimit)
+            redo.hint("broadcast")
+          else redo
+        val redoNbrs = knnNeighbors(
+          redoSide1.select("cell", "n_id", "emb"),
           allPeers, cells, deg, cross)
         val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
           .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
@@ -874,15 +899,32 @@ object GraphAnn {
         // topK(pool ∪ batch) = topK(topK(pool) ∪ batch) per disjoint
         // intra/cross pool, so stored edges + batch candidates suffice
         // new nodes: exactly the build rule against the full member set
-        val nuNbrs = knnNeighbors(nu.select("cell", "n_id", "emb"),
+        val nuSide =
+          if (nu.count() <= MergeSideBroadcastLimit)
+            nu.hint("broadcast")
+          else nu
+        val nuNbrs = knnNeighbors(nuSide.select("cell", "n_id", "emb"),
           allPeers, cells, deg, cross)
         val nuNodes = nu.join(nuNbrs, Seq("n_id"), "left")
           .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
             coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
         // stored edges of affected nodes, re-scored and split
-        // intra/cross by the neighbor's home cell
-        val mSide = oldC.select(col("n_id").as("m_id"),
+        // intra/cross by the neighbor's home cell. When the affected
+        // set is bounded, the neighbor-side pickup is confined to the
+        // ids its lists actually name (≤ |affected|·degree, broadcast
+        // semi) — an unrestricted corpus-wide m_id join would shuffle
+        // every embedding to re-score a batch-sized edge set. Past the
+        // bound (a batch touching most cells) the named set approaches
+        // the corpus and the shuffle join is the right plan.
+        val mSideAll = oldC.select(col("n_id").as("m_id"),
           col("emb").as("m_emb"), col("cell").as("m_cell"))
+        val mSide =
+          if (affected.count() <= MergeSideBroadcastLimit) {
+            val namedIds = oldNodes
+              .join(affected.select("n_id"), Seq("n_id"), "left_semi")
+              .select(explode(col("neighbors")).as("m_id")).distinct()
+            mSideAll.join(broadcast(namedIds), Seq("m_id"), "left_semi")
+          } else mSideAll
         val oldEdges = oldNodes
           .join(affected.select("n_id"), Seq("n_id"), "left_semi")
           .select(col("n_id"), col("cell"), col("emb"),
@@ -967,16 +1009,25 @@ object GraphAnn {
     val remaining = oldNodes.join(delIds, Seq("n_id"), "left_anti")
       .localCheckpoint()
     val remC = remaining.select("n_id", "emb", "cell", "cell2")
-    val peers = remC.select(col("cell"), col("n_id").as("m_id"),
-      col("emb").as("m_emb"))
     val affected = remC.join(touched, Seq("cell"), "left_semi")
       .unionByName(remC.join(
         touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
         "left_semi"))
       .dropDuplicates("n_id")
       .localCheckpoint()
+    // peers restricted to the affected rows' home/second cells +
+    // explicit join regime — the appendToGraphIndex notes
+    val redoCells = affected.select("cell")
+      .unionByName(affected.select(col("cell2").as("cell"))).distinct()
+    val peers = remC.join(broadcast(redoCells), Seq("cell"), "left_semi")
+      .select(col("cell"), col("n_id").as("m_id"),
+        col("emb").as("m_emb"))
+    val affectedSide =
+      if (affected.count() <= MergeSideBroadcastLimit)
+        affected.hint("broadcast")
+      else affected
     val poolN = resolvePool(index.alpha, index.poolSize, deg, cross)
-    val redoNbrs = neighborRule(affected.select("cell", "n_id", "emb"),
+    val redoNbrs = neighborRule(affectedSide.select("cell", "n_id", "emb"),
       peers, cells, deg, cross, index.alpha, poolN)
     val emptyNbrs = expr("cast(array() as array<bigint>)")
     val redoNodes = affected.join(redoNbrs, Seq("n_id"), "left")
@@ -1621,12 +1672,21 @@ object GraphAnn {
         "— sharded builds must share ONE frozen codebook"))
     val movers = IndexIo.shardMovers(what, corpus, cells, shards.length,
       oldMap, newMap)
-    shards.zipWithIndex.map { case (s, i) =>
-      move(s,
+    // per-shard rebalances are independent (each touches only its own
+    // shard's state) — run them CONCURRENTLY, the shard-build
+    // discipline: on a cluster each is its own job, and even on one
+    // host the verbs' eager materializations interleave instead of
+    // serializing
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = shards.zipWithIndex.map { case (s, i) =>
+      Future(move(s,
         movers.filter(col("from_shard") === i).select("vec_id"),
         movers.filter(col("to_shard") === i)
-          .select("vec_id", "embedding"))
+          .select("vec_id", "embedding")))
     }
+    fs.map(Await.result(_, Duration.Inf))
   }
 
   /** Metadata-FILTERED layered serve (the filtered-DiskANN shape, the
