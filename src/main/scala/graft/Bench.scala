@@ -171,7 +171,10 @@ object Bench {
         // oracle) per evaluation; n58 builds/rebalances six graph
         // indexes — construction IS the operator
         "n56_ivfpq_scatter_serve", "n58_shard_rebalance",
-        "n59_ivfpq_scatter_agg")
+        "n59_ivfpq_scatter_agg",
+        // n60 builds five graph-tier indexes (three shards, the
+        // saturated oracle, HNSW + flat pair) per evaluation
+        "n60_graph_scatter_agg")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {
@@ -180,7 +183,7 @@ object Bench {
         } catch { case _: Throwable => }
       }
       val nIters = if (singleIter(name)) 1 else iters
-      val times = (1 to nIters).map { _ =>
+      def sample(): (Double, Double, Double, Double) = {
         val (c0, g0, s0) = snapshot()
         val t0 = System.nanoTime()
         try {
@@ -191,6 +194,18 @@ object Bench {
         val (c1, g1, s1) = snapshot()
         (wall, (c1 - c0) / 1e9, (g1 - g0) / 1e3, (s1 - s0).toDouble)
       }
+      val firstTimes = (1 to nIters).map(_ => sample())
+      // single-iteration (construction) gates are contention hostages:
+      // one poisoned sample IS the artifact number. When that sample's
+      // gc/wall says the host was thrashing (> 0.3 — healthy runs sit
+      // at 0.02-0.06), re-run ONCE and keep the better sample. Bounded
+      // extra wall, spent only on poisoned samples; multi-iter queries
+      // already take min-of-iters.
+      val times =
+        if (nIters == 1 && firstTimes.head._1 > 0 &&
+            firstTimes.head._3 / firstTimes.head._1 > 0.3)
+          firstTimes :+ sample()
+        else firstTimes
       // CPU/GC/spill are reported from the min-WALL sample: the tuple
       // comes from one run, so the per-query ratios (cpu/wall
       // parallelism, gc/wall pressure) stay meaningful (min-of-each

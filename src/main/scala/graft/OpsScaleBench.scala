@@ -317,6 +317,52 @@ object OpsScaleBench {
     }
     val substrIdxJson = f""""substr_index":{"acc_docs":${n1 * mult},"batch_docs":${n1 / 10},"append_sec":$sApp%.2f,"rebuild_sec":$sReb%.2f,"ratio":${sApp / sReb}%.2f,"append_loaded_plain_sec":$sAppP%.2f,"append_loaded_pruned_sec":$sAppB%.2f,"append_loaded_plain_bytes":$bAppP,"append_loaded_pruned_bytes":$bAppB,"pruned_bytes_ratio":${bAppB.toDouble / bAppP}%.2f,"spans_sec":$sSpan%.2f,"keys":$grownKeys,"spans":$rSpan}"""
 
+    // Substr-index scale exponent (the round-13 cost-center question:
+    // d28/d37/d30/d32 dominate the bench — does construction scale?):
+    // build wall AND small-batch append wall at 1×/4×/10× accumulated
+    // corpus, with the SAME fixed batch appended at every point. The
+    // fitted log-log slope names the exponent: refinement is
+    // log(minLen) rounds of keyed shuffles over one row per surviving
+    // character, so build should fit ~1 (linear in characters, the
+    // d25 curve note), and append should be FLAT-ish in the
+    // accumulated size (it refines only the batch's characters against
+    // the persisted dictionaries — sub-linear growth comes only from
+    // the dictionary probe joins' scan term).
+    val scaleBatch = base.filter(col("doc_id") < n1 / 10)
+      .select((col("doc_id") + n1 * 1000L).as("doc_id"),
+        concat(col("text"), lit(" replicaZ")).as("text"))
+      .localCheckpoint()
+    val scalePts = Seq(1, 4, 10).map { m =>
+      val c = replicated(m).localCheckpoint()
+      val mLen = c.unionByName(scaleBatch)
+        .agg(max(length(col("text")))).head().getInt(0)
+      var sIdx: graft.ops.SuffixArray.SubstrIndex = null
+      val (sBld, _) = time {
+        sIdx = graft.ops.SuffixArray.buildSubstrIndex(c, "text",
+          "doc_id", minLen = 40, maxDocLen = mLen)
+        sIdx.keys.count()
+      }
+      val (sApnd, _) = time {
+        graft.ops.SuffixArray.appendToSubstrIndex(sIdx, scaleBatch,
+          "text", "doc_id").keys.count()
+      }
+      (m, sBld, sApnd)
+    }
+    def fitSlope(pts: Seq[(Double, Double)]): Double = {
+      val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+      val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      num / den
+    }
+    val bldExp = fitSlope(scalePts.map(p => (p._1.toDouble, p._2)))
+    val apndExp = fitSlope(scalePts.map(p => (p._1.toDouble, p._3)))
+    val scaleJson = s""""substr_scale_curve":{${
+      scalePts.map { case (m, b, a) =>
+        f""""x$m":{"build_sec":$b%.2f,"append_sec":$a%.2f}""" }
+        .mkString(",")
+    },${f""""build_exponent":$bldExp%.2f,"append_exponent":$apndExp%.2f"""}}"""
+
     // Singleton-pruning CPU re-pin (round-11 evidence gap): d25's
     // pruning win is re-measured as a toggled pair on the SAME host in
     // the SAME session — wall AND task CPU — so the claim is a
@@ -671,8 +717,37 @@ object OpsScaleBench {
       .distinct().collect().map(r => scMap(r.getInt(0) - 1)).toSet.size
     val scatterJson = f""""scatter_serve":{"n_corpus":${nv * 10L},"n_shards":$scNShards,"n_queries":64,"nprobe":1,"merged_sec":$scMergedSec%.2f,"scatter_sec":$scScatterSec%.2f,"routed_sec":$scRoutedSec%.2f,"shards_served_routed":$scTouched,"routed_vs_scatter":${scRoutedSec / scScatterSec}%.2f}"""
 
+    // The same routed scatter against PERSISTED cell-partitioned
+    // shards — the full at-rest serving story: untouched shards are
+    // never planned (no scan exists for them) and the touched shard's
+    // scan partition-prunes to the probed cell directories, so the
+    // bytes actually read should track touched_shard_bytes ·
+    // probed_frac, a sliver of the fleet's resident state. read_frac
+    // is the measured input bytes over the TOTAL persisted code bytes
+    // of all shards; the analytic envelope alongside it is what the
+    // layout promises at any corpus size.
+    val scDirs = (0 until scNShards).map(i =>
+      s"/tmp/graft-opsscale-scatter-shard$i")
+    scShards.zipWithIndex.foreach { case (ix, i) =>
+      graft.ops.Similarity.saveIvfPqIndexPartitioned(ix, scDirs(i)) }
+    val scLoaded = scDirs.map(d =>
+      graft.ops.Similarity.loadIvfPqIndex(spark, d))
+    def scPersServe() = sink(graft.ops.Similarity.queryIvfPqIndexScatter(
+      scQ, scLoaded, k = 5, nprobe = 1, cellShardMap = Some(scMap)))
+    scPersServe() // warmup: file listing + codegen off the clock
+    val (_, scPersSec, _, scPersBytes) = cpuTime(scPersServe())
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val scTotalBytes = scDirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/codes")
+      p.getFileSystem(hconf).getContentSummary(p).getLength
+    }.sum
+    val scProbedFrac = scQ.select(graft.functions.Centroids
+        .centroidAssign(col("embedding"), pqIdx.cells).as("cell"))
+      .distinct().count().toDouble / pqNlist
+    val scPersJson = f""""scatter_persisted":{"n_shards":$scNShards,"shards_touched":$scTouched,"probed_frac":$scProbedFrac%.4f,"serve_sec":$scPersSec%.2f,"persisted_code_bytes":$scTotalBytes,"read_bytes":$scPersBytes,"read_frac":${scPersBytes.toDouble / scTotalBytes}%.4f,"analytic_frac":${scTouched.toDouble / scNShards * scProbedFrac}%.4f}"""
+
     spark.sparkContext.removeSparkListener(meterListener)
-    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$pruneJson,$mergeJson,$mergeSpatialJson,$rebalJson,$serveJson,$bktJson,$pqPartJson,$pqPartBigJson,$scatterJson,${parts.mkString(",")}}""")
+    println(s"""{"metric":"ops_scale","docs_1x":$n1,"mult":$mult,"substr_total_chars":$totalChars,"substr_survivors":{$survJson},$substrIdxJson,$scaleJson,$pruneJson,$mergeJson,$mergeSpatialJson,$rebalJson,$serveJson,$bktJson,$pqPartJson,$pqPartBigJson,$scatterJson,$scPersJson,${parts.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -112,12 +112,117 @@ case class TopKAggregate(scoreExpr: Expression, idExpr: Expression, k: Int,
   override def prettyName: String = "top_k"
 }
 
+/** [[TopKAggregate]] with per-id DEDUP: a repeated id occupies ONE
+  * heap slot (keeping its best score) instead of crowding out distinct
+  * candidates. The variant the stream-legal graph expansion serves
+  * need: an unpruned h-hop expansion reaches the same node along many
+  * paths, and `distinct` before the fold would be a SECOND aggregation
+  * — illegal in a streaming plan. Partial state stays bounded at k
+  * (id → score) entries; merge is the same dedup push, so map-side
+  * combine still discards below-threshold rows immediately.
+  *
+  * Result and tie order are identical to [[TopKAggregate]] over the
+  * deduped input: best-first (score desc, id asc).
+  */
+case class TopKDistinctAggregate(scoreExpr: Expression, idExpr: Expression,
+                                 k: Int,
+                                 override val mutableAggBufferOffset: Int = 0,
+                                 override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LongMap[Double]] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  // worst kept = lowest score, then HIGHEST id (the eviction candidate
+  // under the score-desc/id-asc result order)
+  private def worstOf(buf: mutable.LongMap[Double]): (Double, Long) = {
+    var ws = Double.PositiveInfinity; var wi = Long.MinValue
+    buf.foreachEntry { (i, s) =>
+      if (s < ws || (s == ws && i > wi)) { ws = s; wi = i }
+    }
+    (ws, wi)
+  }
+
+  private def push(buf: mutable.LongMap[Double], s: Double, i: Long): Unit =
+    buf.get(i) match {
+      case Some(old) => if (s > old) buf.update(i, s)
+      case None =>
+        if (buf.size < k) buf.update(i, s)
+        else {
+          val (ws, wi) = worstOf(buf)
+          if (s > ws || (s == ws && i < wi)) {
+            buf.subtractOne(wi); buf.update(i, s)
+          }
+        }
+    }
+
+  override def createAggregationBuffer(): mutable.LongMap[Double] =
+    new mutable.LongMap[Double]()
+
+  override def update(buf: mutable.LongMap[Double],
+                      input: InternalRow): mutable.LongMap[Double] = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null)
+      push(buf, s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: mutable.LongMap[Double],
+                     other: mutable.LongMap[Double]): mutable.LongMap[Double] = {
+    other.foreachEntry((i, s) => push(buf, s, i))
+    buf
+  }
+
+  override def eval(buf: mutable.LongMap[Double]): Any = {
+    val best = buf.toArray.map { case (i, s) => (s, i) }.sortWith((a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    new GenericArrayData(best.map(p => InternalRow(p._1, p._2)))
+  }
+
+  override def serialize(buf: mutable.LongMap[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreachEntry { (i, s) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => push(buf, bb.getDouble, bb.getLong))
+    buf
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKDistinctAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKDistinctAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "top_k_distinct"
+}
+
 object TopK {
   /** Column surface: `topK(score, id, k)` — casts keep any numeric
     * score / integral id welcome.
     */
   def topK(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKAggregate(
+      Bridge.expression(score.cast("double")),
+      Bridge.expression(id.cast("long")), k).toAggregateExpression())
+
+  /** [[TopKDistinctAggregate]] surface: per-id dedup inside the heap. */
+  def topKDistinct(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKDistinctAggregate(
       Bridge.expression(score.cast("double")),
       Bridge.expression(id.cast("long")), k).toAggregateExpression())
 }

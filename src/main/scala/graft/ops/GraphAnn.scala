@@ -324,14 +324,31 @@ object GraphAnn {
     */
   val DefaultFrontierBroadcastLimit: Long = 65536L
 
-  /** Affected-side ceiling for the merge redo's broadcast regime
-    * (~40 MB at production row width). Below it the redo join
-    * broadcasts the affected members and parallelizes over the peers
-    * layout regardless of cell skew; above it (random/interleaved
-    * shards, affected ≈ corpus) the shuffle join is the scalable
-    * plan.
+  /** Byte budget for the merge/append/delete redo's broadcast regime
+    * (~40 MB — a safe hinted-broadcast payload). Below it the redo
+    * join broadcasts the affected members and parallelizes over the
+    * peers layout regardless of cell skew; above it
+    * (random/interleaved shards, affected ≈ corpus) the shuffle join
+    * is the scalable plan. The ROW ceiling derives from the index's
+    * embedding dim — a fixed row count would silently broadcast
+    * hundreds of MB to GBs at 768-d (rows × (8·dim + 48) bytes per
+    * (n_id, emb, cell[, cell2]) row) and blow the driver or the
+    * broadcast size cap.
     */
-  val MergeSideBroadcastLimit: Long = 262144L
+  val MergeSideBroadcastBytes: Long = 40L << 20
+
+  /** Row ceiling for a redo side of embedding dim `dim` under the
+    * [[MergeSideBroadcastBytes]] budget. */
+  private def mergeBroadcastLimit(dim: Int): Long =
+    math.max(1024L, MergeSideBroadcastBytes / (8L * math.max(dim, 1) + 48L))
+
+  /** One bounded count on a checkpointed leaf pricing the redo join's
+    * regime: broadcast while the side fits the byte budget at this
+    * index's row width, shuffle past it.
+    */
+  private def withinBroadcastBudget(side: DataFrame,
+                                    cells: Array[Array[Double]]): Boolean =
+    side.count() <= mergeBroadcastLimit(cells.head.length)
 
   /** The shared batched best-first loop: each round expands the best
     * `beam` scored-but-unexpanded candidates per query (NOT just the
@@ -862,7 +879,7 @@ object GraphAnn {
         // inputs derive from checkpointed leaves, so a bounded redo
         // side broadcasts by hand or a skewed cell serializes it
         val redoSide =
-          if (redo.count() <= MergeSideBroadcastLimit)
+          if (withinBroadcastBudget(redo, cells))
             redo.hint("broadcast")
           else redo
         val redoNbrs = prunedNeighbors(
@@ -883,7 +900,7 @@ object GraphAnn {
         // parallel plan here (a shuffle join would put the whole
         // corpus-vs-redo product in a single partition)
         val redoSide1 =
-          if (redo.count() <= MergeSideBroadcastLimit)
+          if (withinBroadcastBudget(redo, cells))
             redo.hint("broadcast")
           else redo
         val redoNbrs = knnNeighbors(
@@ -900,7 +917,7 @@ object GraphAnn {
         // intra/cross pool, so stored edges + batch candidates suffice
         // new nodes: exactly the build rule against the full member set
         val nuSide =
-          if (nu.count() <= MergeSideBroadcastLimit)
+          if (withinBroadcastBudget(nu, cells))
             nu.hint("broadcast")
           else nu
         val nuNbrs = knnNeighbors(nuSide.select("cell", "n_id", "emb"),
@@ -919,7 +936,7 @@ object GraphAnn {
         val mSideAll = oldC.select(col("n_id").as("m_id"),
           col("emb").as("m_emb"), col("cell").as("m_cell"))
         val mSide =
-          if (affected.count() <= MergeSideBroadcastLimit) {
+          if (withinBroadcastBudget(affected, cells)) {
             val namedIds = oldNodes
               .join(affected.select("n_id"), Seq("n_id"), "left_semi")
               .select(explode(col("neighbors")).as("m_id")).distinct()
@@ -1023,7 +1040,7 @@ object GraphAnn {
       .select(col("cell"), col("n_id").as("m_id"),
         col("emb").as("m_emb"))
     val affectedSide =
-      if (affected.count() <= MergeSideBroadcastLimit)
+      if (withinBroadcastBudget(affected, cells))
         affected.hint("broadcast")
       else affected
     val poolN = resolvePool(index.alpha, index.poolSize, deg, cross)
@@ -1041,6 +1058,90 @@ object GraphAnn {
       .join(touched, Seq("cell"), "left_anti")
       .unionByName(hashEntries(
         remC.join(touched, Seq("cell"), "left_semi"),
+        index.entriesPerCell))
+      .localCheckpoint()
+    index.copy(nodes = nodes2, entries = entries2)
+  }
+
+  /** Fused move: delete `outIds` and append `inRows` in ONE redo pass
+    * — exactly equal to `appendToGraphIndex(deleteFromGraphIndex(idx,
+    * outIds), inRows)` (both composands are rebuild-exact, so the
+    * composition is a fresh build over (members \ out) ∪ in; this verb
+    * reaches the same fresh build directly). The rebalance verb's cost
+    * floor was the composition's doubled bookkeeping: delete
+    * materializes its full post-state, append materializes ANOTHER,
+    * and the delete-affected ∩ append-affected rows re-run the edge
+    * rule twice. Fused, the affected set is computed ONCE over the
+    * union of touched cells (home cells of movers-out ∪ movers-in),
+    * the edge rule runs once per affected node against the FINAL
+    * member set, and exactly one full-state materialization remains —
+    * the result itself. Work ∝ movers + members of their touched
+    * cells, never the corpus.
+    */
+  def moveGraphIndex(index: GraphIndex, outIds: DataFrame,
+                     inRows: DataFrame): GraphIndex = {
+    val cells = index.cells
+    val deg = index.degree
+    val cross = index.crossDegree
+    val delIds = outIds.select(col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    val nu = inRows.select(col("vec_id").cast("long").as("n_id"),
+        col("embedding").as("emb"),
+        Centroids.centroidAssign(col("embedding"), cells).as("cell"),
+        secondCell(col("embedding"), cells).as("cell2"))
+      .localCheckpoint()
+    IndexIo.requireBatchIdsUnique("moveGraphIndex", nu, "n_id")
+    val oldNodes =
+      if (index.nodes.columns.contains("cell2")) index.nodes
+      else index.nodes.withColumn("cell2", secondCell(col("emb"), cells))
+    // remaining is NOT checkpointed: its consumers re-run a scan of
+    // the (already materialized) old node state plus a broadcast anti
+    // join — scan-priced, while a checkpoint here was one of the two
+    // full-state copies the fused verb exists to remove
+    val remaining = oldNodes.join(delIds, Seq("n_id"), "left_anti")
+    IndexIo.requireIdsNotIndexed("moveGraphIndex", remaining, nu, "n_id")
+    val remC = remaining.select("n_id", "emb", "cell", "cell2")
+    // touched = home cells of movers-out ∪ movers-in: pool membership
+    // flows only through home cells, so these are the only cells whose
+    // member sets change
+    val touched = oldNodes.join(delIds, Seq("n_id"), "left_semi")
+      .select("cell")
+      .unionByName(nu.select("cell"))
+      .distinct().localCheckpoint()
+    val affected = remC.join(touched, Seq("cell"), "left_semi")
+      .unionByName(remC.join(
+        touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+        "left_semi"))
+      .dropDuplicates("n_id")
+      .localCheckpoint()
+    val redo = affected.unionByName(nu).localCheckpoint()
+    // peers restricted to the redo rows' home/second cells over the
+    // FINAL member set + explicit join regime — the append/delete notes
+    val redoCells = redo.select("cell")
+      .unionByName(redo.select(col("cell2").as("cell"))).distinct()
+    val all = remC.select("n_id", "emb", "cell")
+      .unionByName(nu.select("n_id", "emb", "cell"))
+    val peers = all.join(broadcast(redoCells), Seq("cell"), "left_semi")
+      .select(col("cell"), col("n_id").as("m_id"),
+        col("emb").as("m_emb"))
+    val poolN = resolvePool(index.alpha, index.poolSize, deg, cross)
+    val redoSide =
+      if (withinBroadcastBudget(redo, cells)) redo.hint("broadcast")
+      else redo
+    val redoNbrs = neighborRule(redoSide.select("cell", "n_id", "emb"),
+      peers, cells, deg, cross, index.alpha, poolN)
+    val emptyNbrs = expr("cast(array() as array<bigint>)")
+    val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
+      .select(col("n_id"), col("emb"), col("cell"), col("cell2"),
+        coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+    val nodes2 = remaining
+      .join(affected.select("n_id"), Seq("n_id"), "left_anti")
+      .unionByName(redoNodes)
+      .localCheckpoint()
+    val entries2 = index.entries
+      .join(touched, Seq("cell"), "left_anti")
+      .unionByName(hashEntries(
+        all.join(touched, Seq("cell"), "left_semi"),
         index.entriesPerCell))
       .localCheckpoint()
     index.copy(nodes = nodes2, entries = entries2)
@@ -1169,7 +1270,7 @@ object GraphAnn {
     // side must be broadcast by hand or a skewed cell serializes the
     // redo in one sort-merge partition
     val affectedSide =
-      if (affected.count() <= MergeSideBroadcastLimit)
+      if (withinBroadcastBudget(affected, cells))
         affected.hint("broadcast")
       else affected
     val redoNbrs = neighborRule(affectedSide.select("cell", "n_id", "emb"),
@@ -1537,8 +1638,14 @@ object GraphAnn {
     * per-shard serves (already per-query top-k with a `sim` score)
     * gather through [[Similarity.gatherTopK]]; `n_visited` — constant
     * per (query, shard) by the serve contract — sums across served
-    * shards, so the reported budget is the TOTAL work the fan-out
-    * spent on that query.
+    * shards, so the reported budget covers the fan-out work of every
+    * shard that RETURNED candidates for the query. A shard whose walk
+    * visited candidates but surfaced zero result rows (every scored
+    * candidate filtered — e.g. a self-match-only shard) has no row to
+    * carry its count, so the sum is a LOWER bound on total fan-out
+    * work in that corner case; budget gates (n31-shape) compare
+    * serves that return rows from every shard, where the sum is
+    * exact.
     */
   private def gatherShardServes(parts: Seq[DataFrame], k: Int)
       : DataFrame = {
@@ -1614,6 +1721,152 @@ object GraphAnn {
         broadcastFrontier)), k)
   }
 
+  /** The scored candidate relation of the UNPRUNED h-hop expansion
+    * serve — the stream-legal graph walk: probed-cell entries (one
+    * stateless projection + a broadcast stream-static join against the
+    * entry table), `hops` unrolled adjacency joins (each a
+    * stream-static join + explode, NO per-hop top-k pruning — pruning
+    * is an aggregation per hop, which is exactly what a streaming plan
+    * cannot run), then exact-cosine scoring against the static node
+    * table. No aggregation anywhere — the caller folds ONCE
+    * ([[functions.TopK.topKDistinct]], which dedups the multi-path
+    * arrivals inside the heap so `distinct` isn't needed as a second
+    * aggregation).
+    *
+    * Contract vs the beam walk: the candidate set is the FULL h-hop
+    * neighborhood of the entries — a SUPERSET of what the pruned
+    * best-first walk explores at equal hops (recall ≥, cost
+    * entries·degree^hops candidate rows per query instead of
+    * beam·degree·hops). The batch serves keep the beam walk; this
+    * shape exists so a readStream of queries can be served at all.
+    *
+    * Entry fallback: a probed cell with no entries falls back to the
+    * globally-lowest entry id — resolved ONCE driver-side at plan
+    * construction (a bounded action on the static entry table, legal
+    * during streaming setup where the batch walk's anti-join fallback
+    * is not).
+    */
+  private def expandCandidates(queries: DataFrame, nodes: DataFrame,
+                               entries: DataFrame,
+                               cells: Array[Array[Double]], hops: Int,
+                               entryProbes: Int): DataFrame = {
+    require(hops >= 0, s"hops must be >= 0, got $hops")
+    val fallbackRow = entries.agg(min("entry_id")).head()
+    require(!fallbackRow.isNullAt(0),
+      "expansion serve: the index has no entries — nothing to walk from")
+    val fallbackId = fallbackRow.getLong(0)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val seed = q.select(col("q_id"), col("q_emb"),
+        explode(Centroids.centroidProbes(col("q_emb"), cells,
+          entryProbes)).as("cell"))
+      .join(broadcast(entries), Seq("cell"), "left")
+      .select(col("q_id"), col("q_emb"),
+        coalesce(col("entry_id"), lit(fallbackId)).as("n_id"))
+    val adj = nodes.select(col("n_id"), col("neighbors"))
+    var frontier = seed
+    var reached = seed
+    var h = 0
+    while (h < hops) {
+      frontier = frontier.join(adj, Seq("n_id"))
+        .select(col("q_id"), col("q_emb"),
+          explode(col("neighbors")).as("n_id"))
+      reached = reached.unionByName(frontier)
+      h += 1
+    }
+    reached
+      .join(nodes.select(col("n_id"), col("emb").as("n_emb")),
+        Seq("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("q_emb"), col("n_emb")).as("sim"))
+  }
+
+  /** Fold scored expansion candidates to the serve contract with ONE
+    * aggregation — the only aggregation in the whole plan, so the
+    * composition is legal under a streaming query source (Complete
+    * mode, the [[Similarity.queryIvfPqIndexScatterAgg]] shape).
+    * `n_visited` counts scored candidate ROWS (path multiplicity
+    * included — the expansion's actual work), where the beam serves
+    * count distinct scored candidates; budget comparisons across the
+    * two serve families must account for that.
+    */
+  private def foldExpandTopK(cand: DataFrame, k: Int): DataFrame =
+    cand.groupBy("q_id")
+      .agg(TopK.topKDistinct(col("sim"), col("n_id"), k).as("top"),
+        count(lit(1)).cast("long").as("n_visited"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")),
+        col("n_visited"))
+      .select(col("q_id"), col("e.id").as("n_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.score").as("sim"), col("n_visited"))
+
+  /** Stream-legal single-index expansion serve (see
+    * [[expandCandidates]]): `queries` may be a readStream — the plan
+    * is stateless joins plus one bounded-heap aggregation.
+    */
+  def queryGraphIndexExpand(queries: DataFrame, index: GraphIndex,
+                            k: Int, hops: Int = 2,
+                            entryProbes: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    foldExpandTopK(expandCandidates(queries, index.nodes, index.entries,
+      index.cells, hops, entryProbes), k)
+  }
+
+  /** Stream-legal scatter over UNMERGED graph shards — the n59 shape
+    * at the graph tier: every live shard contributes its expansion
+    * candidates and the union folds through ONE bounded-heap top-k, so
+    * a readStream of queries runs as |shards| stream-static join
+    * chains feeding a single aggregation (where
+    * [[queryGraphIndexSharded]]'s window-based gather fold is batch-
+    * only). Full fan-out for the same reason as the batch scatter: a
+    * graph candidate is not cell-confined. Exactly the aggregate fold
+    * of the per-shard expansion serves, rank for rank (spec-pinned
+    * streamed ≡ batch).
+    */
+  def queryGraphIndexShardedAgg(queries: DataFrame,
+                                shards: Seq[GraphIndex], k: Int,
+                                hops: Int = 2, entryProbes: Int = 2)
+      : DataFrame = {
+    require(shards.nonEmpty, "queryGraphIndexShardedAgg: no shards")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val live = shards.filter(s => !s.entries.isEmpty)
+    require(live.nonEmpty,
+      "queryGraphIndexShardedAgg: every shard is empty")
+    foldExpandTopK(
+      live.map(s => expandCandidates(queries, s.nodes, s.entries,
+        s.cells, hops, entryProbes)).reduce(_.unionByName(_)), k)
+  }
+
+  /** [[queryGraphIndexShardedAgg]] at the layered tier. The layered
+    * descent is inherently iterative (a top-k pick per layer), so the
+    * stream-legal form serves the index's LAYER-0 graph with
+    * hash-spread per-cell entries derived from the stored layer-0
+    * adjacency (a static subtree — aggregations are legal there; only
+    * the streaming side's plan is restricted). The hierarchy is a
+    * batch-serve entry optimization; grid probing replaces it here.
+    */
+  def queryHnswIndexShardedAgg(queries: DataFrame,
+                               shards: Seq[HnswIndex], k: Int,
+                               hops: Int = 2, entryProbes: Int = 2,
+                               entriesPerCell: Int = 4): DataFrame = {
+    require(shards.nonEmpty, "queryHnswIndexShardedAgg: no shards")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val live = shards.filter(s => !s.nodes.isEmpty)
+    require(live.nonEmpty,
+      "queryHnswIndexShardedAgg: every shard is empty")
+    foldExpandTopK(
+      live.map { s =>
+        val l0 = s.adj.filter(col("layer") === 0)
+        val entries = hashEntries(l0.select("cell", "n_id"),
+          entriesPerCell)
+        expandCandidates(queries,
+          s.nodes.select("n_id", "emb")
+            .join(l0.select("n_id", "neighbors"), Seq("n_id")),
+          entries, s.cells, hops, entryProbes)
+      }.reduce(_.unionByName(_)), k)
+  }
+
   /** Re-cut a sharded graph deployment to a NEW cell→shard map by
     * MOVING only the rows whose shard changed — the lifecycle verb
     * between build-per-shard (n54) and merge/serve: occupancy drifts
@@ -1621,9 +1874,10 @@ object GraphAnn {
     * rebalances the build jobs, and re-building every shard from
     * scratch would cost the full corpus. Movers are found with ONE
     * no-shuffle projection (assign + two literal-map lookups, the
-    * shardByCells shape); each shard then deletes its movers-out and
-    * appends its movers-in through the rebuild-exact incremental
-    * verbs, so work is ∝ moved rows + their touched cells — at 100 TB
+    * shardByCells shape); each shard then applies its movers-out and
+    * movers-in in ONE fused pass ([[moveGraphIndex]] — one redo, one
+    * state materialization, instead of the delete∘append composition's
+    * two), so work is ∝ moved rows + their touched cells — at 100 TB
     * a boundary shift that moves 2% of cells costs 2% of a rebuild.
     * EXACTLY equal to fresh builds over the new slices (gate n58)
     * because append/delete are each rebuild-equivalent (n33/n37) and
@@ -1636,8 +1890,7 @@ object GraphAnn {
       : Seq[GraphIndex] =
     rebalanceWith[GraphIndex]("rebalanceGraphShards", shards,
       shards.map(_.cells), corpus, oldMap, newMap)(
-      (s, outIds, inRows) =>
-        appendToGraphIndex(deleteFromGraphIndex(s, outIds), inRows))
+      (s, outIds, inRows) => moveGraphIndex(s, outIds, inRows))
 
   /** [[rebalanceGraphShards]] at the layered tier — the same
     * delete-movers / append-movers composition over the HNSW
@@ -1650,8 +1903,7 @@ object GraphAnn {
       : Seq[HnswIndex] =
     rebalanceWith[HnswIndex]("rebalanceHnswShards", shards,
       shards.map(_.cells), corpus, oldMap, newMap)(
-      (s, outIds, inRows) =>
-        appendToHnswIndex(deleteFromHnswIndex(s, outIds), inRows))
+      (s, outIds, inRows) => moveHnswIndex(s, outIds, inRows))
 
   /** The shared rebalance skeleton: validate the frozen-codebook
     * handshake, find the movers ([[IndexIo.shardMovers]] — one
@@ -1664,29 +1916,69 @@ object GraphAnn {
                                newMap: Array[Int])(
       move: (I, DataFrame, DataFrame) => I): Seq[I] = {
     require(shards.nonEmpty, s"$what: no shards")
+    val cells = requireSharedCells(what, shardCells)
+    val movers = IndexIo.shardMovers(what, corpus, cells, shards.length,
+      oldMap, newMap)
+    // per-shard rebalances are independent (each touches only its own
+    // shard's state) — run them CONCURRENTLY on the shared bounded
+    // pool ([[IndexIo.runConcurrently]]): on a cluster each is its own
+    // job, and even on one host the verbs' eager materializations
+    // interleave instead of serializing
+    IndexIo.runConcurrently(shards.zipWithIndex,
+      RebalanceMoveParallelism) { case (s, i) =>
+      move(s,
+        movers.filter(col("from_shard") === i).select("vec_id"),
+        movers.filter(col("to_shard") === i)
+          .select("vec_id", "embedding"))
+    }
+  }
+
+  /** Concurrency bound for per-shard rebalance moves: enough to keep
+    * the scheduler fed with independent jobs, small enough that one
+    * rebalance cannot monopolize the driver's job-submission threads.
+    */
+  val RebalanceMoveParallelism: Int = 16
+
+  /** Frozen-codebook handshake shared by every cross-shard verb. */
+  private[ops] def requireSharedCells(what: String,
+                                      shardCells: Seq[Array[Array[Double]]])
+      : Array[Array[Double]] = {
     val cells = shardCells.head
     shardCells.tail.foreach(c => require(
       c.length == cells.length &&
         c.zip(cells).forall { case (x, y) => x.sameElements(y) },
       s"$what: shard indexes were built over different coarse cells " +
         "— sharded builds must share ONE frozen codebook"))
-    val movers = IndexIo.shardMovers(what, corpus, cells, shards.length,
-      oldMap, newMap)
-    // per-shard rebalances are independent (each touches only its own
-    // shard's state) — run them CONCURRENTLY, the shard-build
-    // discipline: on a cluster each is its own job, and even on one
-    // host the verbs' eager materializations interleave instead of
-    // serializing
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = shards.zipWithIndex.map { case (s, i) =>
-      Future(move(s,
-        movers.filter(col("from_shard") === i).select("vec_id"),
-        movers.filter(col("to_shard") === i)
-          .select("vec_id", "embedding")))
-    }
-    fs.map(Await.result(_, Duration.Inf))
+    cells
+  }
+
+  /** Append an arriving batch to a SHARDED graph deployment: route by
+    * the deployment's frozen cell→shard map and run the rebuild-exact
+    * per-shard append on each touched shard, concurrently — the
+    * [[IndexIo.appendRouted]] skeleton, so routing logic cannot drift
+    * between tiers. Exactly equal to slicing the batch by
+    * [[Similarity.routeByCellMap]] and appending each slice by hand
+    * (spec-pinned); with a streaming source, call this from
+    * `foreachBatch` (the nightly-ingest shape — see
+    * StreamingShardedAppendSpec).
+    */
+  def appendToGraphShards(shards: Seq[GraphIndex], batch: DataFrame,
+                          cellMap: Array[Int]): Seq[GraphIndex] = {
+    require(shards.nonEmpty, "appendToGraphShards: no shards")
+    val cells = requireSharedCells("appendToGraphShards",
+      shards.map(_.cells))
+    IndexIo.appendRouted("appendToGraphShards", shards, cells, batch,
+      cellMap, RebalanceMoveParallelism)(appendToGraphIndex)
+  }
+
+  /** [[appendToGraphShards]] at the layered tier. */
+  def appendToHnswShards(shards: Seq[HnswIndex], batch: DataFrame,
+                         cellMap: Array[Int]): Seq[HnswIndex] = {
+    require(shards.nonEmpty, "appendToHnswShards: no shards")
+    val cells = requireSharedCells("appendToHnswShards",
+      shards.map(_.cells))
+    IndexIo.appendRouted("appendToHnswShards", shards, cells, batch,
+      cellMap, RebalanceMoveParallelism)(appendToHnswIndex)
   }
 
   /** Metadata-FILTERED layered serve (the filtered-DiskANN shape, the
@@ -2093,7 +2385,7 @@ object GraphAnn {
       // inputs carry no statistics, so a bounded redo side must be
       // broadcast by hand or a skewed cell serializes the redo
       val side =
-        if (redo.count() <= MergeSideBroadcastLimit) redo.hint("broadcast")
+        if (withinBroadcastBudget(redo, index.cells)) redo.hint("broadcast")
         else redo
       val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
         index.crossDegree, index.alpha, poolN, Some(peersL))
@@ -2148,12 +2440,103 @@ object GraphAnn {
           .numShufflePartitions)
         .localCheckpoint()
       val side =
-        if (affected.count() <= MergeSideBroadcastLimit)
+        if (withinBroadcastBudget(affected, index.cells))
           affected.hint("broadcast")
         else affected
       val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
         index.crossDegree, index.alpha, poolN, Some(peersL))
       remaining.join(affected.select("n_id"), Seq("n_id"), "left_anti")
+        .unionByName(redoRows)
+        .select("layer", "n_id", "cell", "cell2", "neighbors")
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    index.copy(nodes = nodes2, adj = adj2)
+  }
+
+  /** Fused move at the layered tier — the [[moveGraphIndex]] recipe
+    * per layer: exactly equal to `appendToHnswIndex(
+    * deleteFromHnswIndex(idx, outIds), inRows)` (each composand is
+    * rebuild-exact per (layer, n_id), gate n41, so the composition is
+    * a fresh build over the moved member set — this verb reaches it
+    * with ONE redo pass per layer and one adjacency materialization
+    * instead of two full-state rounds). Per layer: touched = layer-grid
+    * home cells of movers-out ∪ movers-in, affected = remaining rows
+    * with home/second cell touched, and the one shared edge rule
+    * re-runs over affected ∪ arrivals against the layer's FINAL
+    * membership. Levels are pure id hash, so arrivals' layer
+    * memberships are frozen facts.
+    */
+  def moveHnswIndex(index: HnswIndex, outIds: DataFrame,
+                    inRows: DataFrame): HnswIndex = {
+    val poolN = hnswPool(index)
+    val delIds = outIds.select(col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    // cast-to-long before hashLevel: the build's xxhash64
+    // type-sensitivity note — batch and corpus must hash identically
+    val nu0 = inRows.select(col("vec_id").cast("long").as("n_id"),
+        col("embedding").as("emb"))
+      .withColumn("level",
+        hashLevel(col("n_id"), index.levelFanout, index.maxLevel)
+          .cast("int"))
+      .localCheckpoint()
+    IndexIo.requireBatchIdsUnique("moveHnswIndex", nu0, "n_id")
+    // NOT checkpointed (the moveGraphIndex note): consumers re-run a
+    // scan + broadcast anti join of already-materialized state
+    val remainingNodes = index.nodes.join(delIds, Seq("n_id"),
+      "left_anti")
+    IndexIo.requireIdsNotIndexed("moveHnswIndex", remainingNodes, nu0,
+      "n_id")
+    val nodes2 = remainingNodes.unionByName(
+        nu0.select(col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), index.cells).as("cell"),
+          col("level")))
+      .localCheckpoint()
+    val embById = index.nodes.select(col("n_id"), col("emb"))
+    val adj2 = (0 to index.maxLevel).map { l =>
+      val cellsL = hnswLayerCells(index.cells, index.levelFanout, l)
+      val nuL = nu0.filter(col("level") >= l)
+        .select(col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), cellsL).as("cell"),
+          secondCell(col("emb"), cellsL).as("cell2"))
+      val oldL = index.adj.filter(col("layer") === l)
+      val remaining = oldL.join(delIds, Seq("n_id"), "left_anti")
+      // touched on THIS layer's stored grid columns: home cells of the
+      // layer's departures and arrivals
+      val touched = oldL.join(delIds, Seq("n_id"), "left_semi")
+        .select("cell")
+        .unionByName(nuL.select("cell"))
+        .distinct().localCheckpoint()
+      val affected = remaining.join(touched, Seq("cell"), "left_semi")
+        .unionByName(remaining.join(
+          touched.withColumnRenamed("cell", "cell2"), Seq("cell2"),
+          "left_semi"))
+        .dropDuplicates("n_id")
+        .join(embById, Seq("n_id"))
+        .select("n_id", "emb", "cell", "cell2")
+      val redo = affected.unionByName(nuL).localCheckpoint()
+      // peers restricted to the redo rows' home/second cells over the
+      // layer's FINAL membership + re-spread + explicit regime — the
+      // append/delete notes
+      val redoCells = redo.select("cell")
+        .unionByName(redo.select(col("cell2").as("cell"))).distinct()
+      val peersL = remaining.select("cell", "n_id")
+        .join(broadcast(redoCells), Seq("cell"), "left_semi")
+        .join(embById, Seq("n_id"))
+        .select(col("cell"), col("n_id").as("m_id"),
+          col("emb").as("m_emb"))
+        .unionByName(nuL
+          .join(broadcast(redoCells), Seq("cell"), "left_semi")
+          .select(col("cell"), col("n_id").as("m_id"),
+            col("emb").as("m_emb")))
+        .repartition(index.nodes.sparkSession.sessionState.conf
+          .numShufflePartitions)
+        .localCheckpoint()
+      val side =
+        if (withinBroadcastBudget(redo, index.cells))
+          redo.hint("broadcast")
+        else redo
+      val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
+        index.crossDegree, index.alpha, poolN, Some(peersL))
+      remaining.join(redo.select("n_id"), Seq("n_id"), "left_anti")
         .unionByName(redoRows)
         .select("layer", "n_id", "cell", "cell2", "neighbors")
     }.reduce(_.unionByName(_)).localCheckpoint()
@@ -2254,7 +2637,7 @@ object GraphAnn {
       // the shuffle join is the right plan anyway. One count on a
       // checkpointed leaf prices the choice.
       val side =
-        if (members.count() <= MergeSideBroadcastLimit)
+        if (withinBroadcastBudget(members, a.cells))
           members.hint("broadcast")
         else members
       val redoRows = hnswLayerRows(side, cellsL, l, a.degree,
@@ -2321,7 +2704,14 @@ object GraphAnn {
                                 buckets: Option[Int]): Unit = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
-    Seq((1, index.cells.length, index.degree, index.crossDegree,
+    // format_version 2 = STRIDED layer grids: the adjacency's
+    // cell/cell2 ids live on the hnswLayerCells grid, and that grid
+    // changed from a codebook prefix to a stride (the clustered-skew
+    // fix). A v1 artifact's cells are on the PREFIX grid, so the
+    // incremental verbs — which recompute cellsL — would compute
+    // affected sets on the wrong grid with no error; the reader
+    // rejects v1 instead.
+    Seq((2, index.cells.length, index.degree, index.crossDegree,
         index.levelFanout, index.maxLevel,
         index.alpha.getOrElse(Double.NaN), index.poolSize,
         buckets.getOrElse(0)))
@@ -2345,9 +2735,14 @@ object GraphAnn {
                                 meta: org.apache.spark.sql.Row,
                                 nodes: DataFrame, adj: DataFrame)
       : HnswIndex = {
-    require(meta.getAs[Int]("format_version") <= 1,
-      s"unsupported hnsw index format_version " +
-        meta.getAs[Int]("format_version"))
+    val fmt = meta.getAs[Int]("format_version")
+    require(fmt != 1,
+      "hnsw index format_version 1 predates the strided layer grids: " +
+        "its adjacency cell/cell2 ids live on the PREFIX grid while " +
+        "the append/delete/merge verbs recompute cells on the STRIDED " +
+        "grid — their affected sets would be silently wrong. Rebuild " +
+        "the index (or re-save it from a live HnswIndex) first")
+    require(fmt <= 2, s"unsupported hnsw index format_version $fmt")
     val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id",
       "centroid")
     val alpha = if (meta.getAs[Double]("alpha").isNaN) None

@@ -54,16 +54,77 @@ private[ops] object IndexIo {
     * and is checkpointed (every shard's delete/append legs consume
     * it), so rebalance work is ∝ moved rows, never the corpus.
     */
+  /** Cell→shard map validation shared by every routed verb (movers,
+    * routed appends): length must cover the frozen codebook, ids must
+    * name real shards. */
+  private[ops] def requireCellMap(what: String, which: String,
+                                  map: Array[Int], nlist: Int,
+                                  nShards: Int): Unit = {
+    require(map.length == nlist,
+      s"$what: $which length ${map.length} != nlist $nlist")
+    require(map.forall(s => s >= 0 && s < nShards),
+      s"$what: $which names shard ids outside [0, $nShards)")
+  }
+
+  /** The shared bounded-concurrency runner for independent per-shard
+    * jobs (rebalance moves, routed appends): a DEDICATED fixed pool —
+    * the moves block on Spark actions, and parking blocking work on
+    * the global ExecutionContext starves its other users.
+    */
+  private[ops] def runConcurrently[A, B](items: Seq[A],
+                                         parallelism: Int)(f: A => B)
+      : Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(items.length, parallelism)))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = items.map(a => Future(f(a)))
+      fs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  /** The shared routed-append skeleton (one per tier family): route
+    * the arriving batch to its shards under the deployment's FROZEN
+    * cell→shard map ([[Similarity.routeByCellMap]] — one no-shuffle
+    * projection, checkpointed once since every shard's append slices
+    * it), then run the tier's rebuild-exact append per TOUCHED shard
+    * concurrently; untouched shards pass through verbatim (one
+    * nShards-bounded occupancy count picks them — an empty-batch
+    * append would still pay the verb's fail-fast actions per shard).
+    * This is the nightly-ingest verb for a sharded deployment: batch
+    * work ∝ arrivals + their touched cells, per shard, never the
+    * corpus.
+    */
+  private[ops] def appendRouted[I](what: String, shards: Seq[I],
+                                   cells: Array[Array[Double]],
+                                   batch: DataFrame,
+                                   cellMap: Array[Int],
+                                   parallelism: Int)(
+      append: (I, DataFrame) => I): Seq[I] = {
+    require(shards.nonEmpty, s"$what: no shards")
+    val routed = Similarity.routeByCellMap(
+        batch.select("vec_id", "embedding"), cells, cellMap,
+        shards.length)
+      .localCheckpoint()
+    val occupied = routed.groupBy("shard").count().collect()
+      .map(_.getInt(0)).toSet
+    runConcurrently(shards.zipWithIndex, parallelism) { case (s, i) =>
+      if (occupied(i))
+        append(s, routed.filter(col("shard") === i)
+          .select("vec_id", "embedding"))
+      else s
+    }
+  }
+
   private[ops] def shardMovers(what: String, corpus: DataFrame,
                                cells: Array[Array[Double]],
                                nShards: Int, oldMap: Array[Int],
                                newMap: Array[Int]): DataFrame = {
-    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap")) {
-      require(m.length == cells.length,
-        s"$what: $which length ${m.length} != nlist ${cells.length}")
-      require(m.forall(s => s >= 0 && s < nShards),
-        s"$what: $which names shard ids outside [0, $nShards)")
-    }
+    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap"))
+      requireCellMap(what, which, m, cells.length, nShards)
     corpus
       .select(col("vec_id"), col("embedding"),
         graft.functions.Centroids.centroidAssign(col("embedding"), cells)

@@ -221,9 +221,24 @@ object Similarity {
     * independent build job and stitch with the family's merge verb.
     */
   def shardByCells(corpus: DataFrame, cells: Array[Array[Double]],
-                   nShards: Int): DataFrame = {
-    val map = shardCellMap(corpus, cells, nShards)
-    corpus.withColumn("shard", element_at(lit(map),
+                   nShards: Int): DataFrame =
+    routeByCellMap(corpus, cells,
+      shardCellMap(corpus, cells, nShards), nShards)
+
+  /** THE routing projection every sharded verb shares (fresh cuts,
+    * rebalance movers, routed appends): attach each row's shard under
+    * a FROZEN cell→shard map — one codegen projection (assign + a
+    * 1-based literal-array lookup), no shuffle, no join. Appends to a
+    * live sharded deployment must route with the DEPLOYMENT's map, not
+    * a re-cut from the batch (a batch-derived map would scatter
+    * arrivals across shard boundaries the serving layout has already
+    * frozen).
+    */
+  def routeByCellMap(batch: DataFrame, cells: Array[Array[Double]],
+                     cellMap: Array[Int], nShards: Int): DataFrame = {
+    IndexIo.requireCellMap("routeByCellMap", "cellMap", cellMap,
+      cells.length, nShards)
+    batch.withColumn("shard", element_at(lit(cellMap),
       graft.functions.Centroids.centroidAssign(col("embedding"), cells)))
   }
 
@@ -1629,6 +1644,20 @@ object Similarity {
       .select(col("q_id"), col("col.id").as("n_id"),
         (col("pos") + 1).cast("int").as("rank"),
         (-col("col.score")).as("adc"))
+  }
+
+  /** [[GraphAnn.appendToGraphShards]] at the code-table tier: route
+    * the batch by the deployment's frozen map, append each touched
+    * shard's slice through the rebuild-exact [[appendToIvfPqIndex]] —
+    * the one shared [[IndexIo.appendRouted]] skeleton.
+    */
+  def appendToIvfPqShards(shards: Seq[IvfPqIndex], batch: DataFrame,
+                          cellMap: Array[Int]): Seq[IvfPqIndex] = {
+    require(shards.nonEmpty, "appendToIvfPqShards: no shards")
+    requireSharedIvfPqArtifacts("appendToIvfPqShards", shards)
+    IndexIo.appendRouted("appendToIvfPqShards", shards,
+      shards.head.cells, batch, cellMap,
+      GraphAnn.RebalanceMoveParallelism)(appendToIvfPqIndex)
   }
 
   /** Re-cut a sharded IVF-PQ deployment to a NEW cell→shard map by

@@ -6620,18 +6620,28 @@ object OpsQueries {
         val assignPq = graft.functions.Centroids.centroidAssign(
           col("embedding"), fullPq.cells)
         val map1Pq = Similarity.shardCellMap(e, fullPq.cells, 2)
-        val bPq = map1Pq.indexOf(1)
+        // mirror the graph-tier pick: drift shard 1's first NON-EMPTY
+        // cell, so the IVF-PQ move provably happens (an empty-cell
+        // flip would pass the equality trivially without exercising
+        // the rebalance verb at all)
+        val occPq = e.select(assignPq.as("cell")).groupBy("cell")
+          .count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val bPq = map1Pq.indices
+          .find(c => map1Pq(c) == 1 && occPq.getOrElse(c + 1, 0L) > 0)
+          .get
         val map2Pq = map1Pq.clone(); map2Pq(bPq) = 0
         def slicePq(map: Array[Int], i: Int) = e.filter(
           element_at(lit(map), assignPq) === i)
         val rebPq = Similarity.rebalanceIvfPqShards(
           (0 until 2).map(i => buildPq(slicePq(map1Pq, i))), e,
           map1Pq, map2Pq)
-        val ivfpqOk = (0 until 2).forall { i =>
-          val freshC = buildPq(slicePq(map2Pq, i)).codes
-          rebPq(i).codes.exceptAll(freshC).count() == 0 &&
-            freshC.exceptAll(rebPq(i).codes).count() == 0
-        }
+        val ivfpqOk = occPq.getOrElse(bPq + 1, 0L) > 0 &&
+          (0 until 2).forall { i =>
+            val freshC = buildPq(slicePq(map2Pq, i)).codes
+            rebPq(i).codes.exceptAll(freshC).count() == 0 &&
+              freshC.exceptAll(rebPq(i).codes).count() == 0
+          }
         (0 until 2).map { i =>
           rebalanced(i).nodes
             .select(col("n_id"), col("neighbors").as("nb_r"))
@@ -6689,6 +6699,80 @@ object OpsQueries {
             .as("agg_exact"))
       },
       Some("""SELECT vec_id AS q_id, TRUE AS agg_exact
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
+    // Stream-legal graph-tier scatter (n60): the n59 shape for the
+    // graph/HNSW tiers. The beam walk cannot stream (a top-k pruning
+    // aggregation per hop), so the stream-legal serve is the UNPRUNED
+    // h-hop expansion — stateless stream-static joins feeding ONE
+    // dedup bounded-heap fold (topKDistinct). Three pins: (1) the
+    // aggregate scatter over shards equals the window-based gather
+    // fold of the per-shard expansion serves, rank for rank (shards
+    // partition ids, so the per-shard heaps keep every global winner
+    // — the n57 argument); (2) saturated config (one cell, full
+    // degree) reproduces brute force exactly — the expansion's
+    // reach-everything degenerate case; (3) the layered tier's
+    // stream serve equals the flat expansion over the same build
+    // params (HNSW layer 0 IS the flat graph under the shared edge
+    // rule, and its derived entries use the same hash rule).
+    QueryDef("n60_graph_scatter_agg",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+          .localCheckpoint()
+        val cells = Similarity.firstVectors(e, 16)
+        val sharded = Similarity.shardByCells(e, cells, 3)
+          .localCheckpoint()
+        val gShards = (0 until 3).map(i => GraphAnn.buildGraphIndex(
+          sharded.filter(col("shard") === i).drop("shard"), nlist = 16,
+          degree = 4, crossDegree = 2, centroids = Some(cells)))
+        val q = e.filter(col("vec_id") < 20)
+        val agg = GraphAnn.queryGraphIndexShardedAgg(q, gShards, 5,
+            hops = 2)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_agg"))
+        val windowFold = Similarity.gatherTopK(
+            gShards.map(sh => GraphAnn.queryGraphIndexExpand(q, sh, 5,
+              hops = 2).drop("n_visited")),
+            5, "sim", ascending = false)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_win"))
+        val foldExact = agg.join(windowFold, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_agg") === col("r_win"), 1).otherwise(0)))
+            .as("fold_exact"))
+        val sat = GraphAnn.buildGraphIndex(e, nlist = 1, degree = 999,
+          crossDegree = 0)
+        val satServe = GraphAnn.queryGraphIndexExpand(q, sat, 5,
+            hops = 1, entryProbes = 1)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_sat"))
+        val brute = Similarity.bruteForceTopK(q, e, 5)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_bf"))
+        val satExact = satServe.join(brute, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_sat") === col("r_bf"), 1).otherwise(0)))
+            .as("sat_exact"))
+        val h = GraphAnn.buildHnswIndex(e, nlist = 16, degree = 4,
+          crossDegree = 2, levelFanout = 8, maxLevel = 1,
+          centroids = Some(cells))
+        val flat = GraphAnn.buildGraphIndex(e, nlist = 16, degree = 4,
+          crossDegree = 2, centroids = Some(cells))
+        val hServe = GraphAnn.queryHnswIndexShardedAgg(q, Seq(h), 5,
+            hops = 2)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_h"))
+        val fServe = GraphAnn.queryGraphIndexExpand(q, flat, 5,
+            hops = 2)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_f"))
+        val l0Exact = hServe.join(fServe, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_h") === col("r_f"), 1).otherwise(0)))
+            .as("hnsw_l0_exact"))
+        foldExact.join(satExact, Seq("q_id"))
+          .join(l0Exact, Seq("q_id"))
+          .select("q_id", "fold_exact", "sat_exact", "hnsw_l0_exact")
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS fold_exact,
+             |  TRUE AS sat_exact, TRUE AS hnsw_l0_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
     // Interpolated Kneser-Ney bigram LM (t33): the principled

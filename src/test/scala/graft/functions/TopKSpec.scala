@@ -52,6 +52,31 @@ class TopKSpec extends SparkSpec {
     out shouldBe 1
   }
 
+  test("topKDistinct equals topK over pre-deduped input; duplicates take one slot") {
+    // duplicated rows: every (g, id) appears 1-3 times, same score per
+    // id — the expansion-serve shape (multi-path arrivals)
+    val base = data(300)
+    val dups = base.unionByName(base.filter($"id" % 2 === 0))
+      .unionByName(base.filter($"id" % 3 === 0))
+    def fold(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.groupBy("g").agg(c.as("top"))
+        .select($"g", posexplode($"top").as(Seq("pos", "t")))
+        .select($"g", $"pos", $"t.id", $"t.score")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    for (layout <- Seq(dups, dups.repartition(13), dups.coalesce(1))) {
+      fold(layout, TopK.topKDistinct($"score", $"id", 7)) shouldBe
+        fold(base, TopK.topK($"score", $"id", 7))
+    }
+    // a duplicate id with DIFFERENT scores keeps its best score
+    val best = Seq((1L, 2.0), (1L, 9.0), (2L, 5.0), (1L, 4.0))
+      .toDF("id", "score")
+      .agg(TopK.topKDistinct($"score", $"id", 2).as("top"))
+      .select(explode($"top").as("t")).select($"t.score", $"t.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    best.toSeq shouldBe Seq((9.0, 1L), (5.0, 2L))
+  }
+
   test("top_k is callable from SQL via GraftExtensions") {
     // shared test context exists, so builder withExtensions would be
     // skipped — register the same builder on a child session's registry

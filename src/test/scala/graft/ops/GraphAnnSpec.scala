@@ -1386,4 +1386,59 @@ class GraphAnnSpec extends SparkSpec {
       adjMap(rebH(i)) shouldBe adjMap(buildH(slice(map2, i)))
     }
   }
+
+  test("moveGraphIndex/moveHnswIndex: one fused pass equals the delete∘append composition") {
+    val corpus = planted(6, 30, 16, seed = 131).localCheckpoint()
+    val cells = Similarity.firstVectors(corpus, 6)
+    val base = corpus.filter(col("vec_id") < 150)
+    val out = base.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val in = corpus.filter(col("vec_id") >= 150)
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def entrySet(i: GraphAnn.GraphIndex) = i.entries
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // both edge rules: kNN merges pools, α re-runs the prune — the
+    // fused pass must match the composition under each
+    for (alpha <- Seq(None, Some(1.2))) {
+      val idx = GraphAnn.buildGraphIndex(base, nlist = 6, degree = 4,
+        crossDegree = 2, centroids = Some(cells), alpha = alpha)
+      val fused = GraphAnn.moveGraphIndex(idx, out, in)
+      val composed = GraphAnn.appendToGraphIndex(
+        GraphAnn.deleteFromGraphIndex(idx, out), in)
+      nbrs(fused) shouldBe nbrs(composed)
+      entrySet(fused) shouldBe entrySet(composed)
+      // and both equal the fresh build over the moved member set
+      val movedCorpus = base.join(out, Seq("vec_id"), "left_anti")
+        .unionByName(in)
+      nbrs(fused) shouldBe nbrs(GraphAnn.buildGraphIndex(movedCorpus,
+        nlist = 6, degree = 4, crossDegree = 2, centroids = Some(cells),
+        alpha = alpha))
+    }
+    // an arrival colliding with a kept row fails fast (the append
+    // contract); one colliding with a DEPARTING row is a legal re-home
+    val idx = GraphAnn.buildGraphIndex(base, nlist = 6, degree = 4,
+      crossDegree = 2, centroids = Some(cells))
+    an[IllegalArgumentException] should be thrownBy
+      GraphAnn.moveGraphIndex(idx, out,
+        base.filter(col("vec_id") === 1))
+    GraphAnn.moveGraphIndex(idx, base.filter(col("vec_id") === 0)
+        .select("vec_id"), base.filter(col("vec_id") === 0))
+      .nodes.count() shouldBe idx.nodes.count()
+    // layered tier: per (layer, n_id) adjacency AND node equality
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    def nodeSet(i: GraphAnn.HnswIndex) = i.nodes
+      .select("n_id", "cell", "level").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val h = GraphAnn.buildHnswIndex(base, nlist = 6, degree = 4,
+      crossDegree = 2, levelFanout = 4, maxLevel = 1,
+      centroids = Some(cells))
+    val hFused = GraphAnn.moveHnswIndex(h, out, in)
+    val hComposed = GraphAnn.appendToHnswIndex(
+      GraphAnn.deleteFromHnswIndex(h, out), in)
+    adjMap(hFused) shouldBe adjMap(hComposed)
+    nodeSet(hFused) shouldBe nodeSet(hComposed)
+  }
 }

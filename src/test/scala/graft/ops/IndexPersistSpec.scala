@@ -152,6 +152,52 @@ class IndexPersistSpec extends SparkSpec {
       .select("q_id", "n_id", "rank").collect().toSet shouldBe mem
   }
 
+  test("routed scatter over PERSISTED partitioned shards: exact, probed-directory reads, untouched shards unplanned") {
+    // the full at-rest serving story: shards cut spatially, each saved
+    // cell-PARTITIONED, reloaded lazily — a routed scatter then (a)
+    // never plans an untouched shard's scan, and (b) reads only the
+    // probed cell directories of the shards it does touch
+    val corpus = vecs(120).localCheckpoint()
+    val full = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 4,
+      ks = 8, dim = dim)
+    val map = Similarity.shardCellMap(corpus, full.cells, 3)
+    val sharded = Similarity.shardByCells(corpus, full.cells, 3)
+      .localCheckpoint()
+    val dirs = (0 until 3).map(i =>
+      Files.createTempDirectory(s"graft_scat_shard$i").toString)
+    (0 until 3).foreach { i =>
+      Similarity.saveIvfPqIndexPartitioned(Similarity.buildIvfPqIndex(
+        sharded.filter(col("shard") === i).drop("shard"), nlist = 8,
+        m = 4, ks = 8, dim = dim, centroids = Some(full.cells),
+        codebook = Some(full.codebook)), dirs(i))
+    }
+    val loaded = dirs.map(d => Similarity.loadIvfPqIndex(spark, d))
+    // exactness: routed scatter over the saved shards == the merged
+    // in-memory serve, rank for rank
+    val q = corpus.filter(col("vec_id") < 8)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(2)) -> x.getLong(1)).toMap
+    keyed(Similarity.queryIvfPqIndexScatter(q, loaded, 4, nprobe = 3,
+      cellShardMap = Some(map))) shouldBe
+      keyed(Similarity.queryIvfPqIndex(q, full, 4, nprobe = 3))
+    // a home batch at nprobe=1 touches ONE shard: the routed plan
+    // must scan that shard's codes directory and NO other's, with the
+    // probed-cell partition filter on the scan it does make
+    val qHome = sharded.filter(col("shard") === 1).drop("shard")
+      .orderBy("vec_id").limit(5).localCheckpoint()
+    val routed = Similarity.queryIvfPqIndexScatter(qHome, loaded, 4,
+      nprobe = 1, cellShardMap = Some(map))
+    val plan = routed.queryExecution.executedPlan.toString
+    plan should include(new java.io.File(dirs(1)).getName)
+    plan should not include new java.io.File(dirs(0)).getName
+    plan should not include new java.io.File(dirs(2)).getName
+    "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan) should
+      not be empty
+    keyed(routed) shouldBe keyed(Similarity.queryIvfPqIndexScatter(
+      qHome, loaded, 4, nprobe = 1))
+  }
+
   test("resolveBucketedTable re-registers a stale same-name entry that points at a DIFFERENT directory") {
     // a leftover catalog entry with the expected name but another
     // location (dropped-and-recreated dir, or a name-suffix collision)
