@@ -1746,10 +1746,14 @@ object GraphAnn {
     * during streaming setup where the batch walk's anti-join fallback
     * is not).
     */
-  private def expandCandidates(queries: DataFrame, nodes: DataFrame,
-                               entries: DataFrame,
-                               cells: Array[Array[Double]], hops: Int,
-                               entryProbes: Int): DataFrame = {
+  /** The reach half of the expansion serve, scorer-agnostic: probed
+    * entries + `hops` unrolled stateless adjacency joins; rows are
+    * (q_id, q_emb, n_id) with path multiplicity (the fold dedups).
+    */
+  private def expandReach(queries: DataFrame, adj: DataFrame,
+                          entries: DataFrame,
+                          cells: Array[Array[Double]], hops: Int,
+                          entryProbes: Int): DataFrame = {
     require(hops >= 0, s"hops must be >= 0, got $hops")
     val fallbackRow = entries.agg(min("entry_id")).head()
     require(!fallbackRow.isNullAt(0),
@@ -1763,7 +1767,6 @@ object GraphAnn {
       .join(broadcast(entries), Seq("cell"), "left")
       .select(col("q_id"), col("q_emb"),
         coalesce(col("entry_id"), lit(fallbackId)).as("n_id"))
-    val adj = nodes.select(col("n_id"), col("neighbors"))
     var frontier = seed
     var reached = seed
     var h = 0
@@ -1775,11 +1778,42 @@ object GraphAnn {
       h += 1
     }
     reached
+  }
+
+  private def expandCandidates(queries: DataFrame, nodes: DataFrame,
+                               entries: DataFrame,
+                               cells: Array[Array[Double]], hops: Int,
+                               entryProbes: Int): DataFrame =
+    expandReach(queries, nodes.select(col("n_id"), col("neighbors")),
+        entries, cells, hops, entryProbes)
       .join(nodes.select(col("n_id"), col("emb").as("n_emb")),
         Seq("n_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         Similarity.cosine(col("q_emb"), col("n_emb")).as("sim"))
+
+  /** [[expandCandidates]] at the PQ-compressed tier: the reach is
+    * identical, scoring is ADC against the stored byte codes (one
+    * codegen [[graft.functions.PqColumns.pqAdc]] per candidate — the
+    * serve never touches a float corpus vector), folded under
+    * sim = −adc so the shared (score desc, id asc) heap order matches
+    * the batch walk's. OPQ-rotated indexes rotate the queries through
+    * the same model first, like every compressed serve.
+    */
+  private def expandCandidatesPq(queries: DataFrame, index: GraphPqIndex,
+                                 hops: Int, entryProbes: Int)
+      : DataFrame = {
+    val sub = index.dim / index.m
+    val qIn = index.rotation.map(Similarity.rotateToBasis(queries, _))
+      .getOrElse(queries)
+    expandReach(qIn,
+        index.nodes.select(col("n_id"), col("neighbors")),
+        index.entries, index.cells, hops, entryProbes)
+      .join(index.nodes.select(col("n_id"), col("codes")), Seq("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (-graft.functions.PqColumns.pqAdc(col("q_emb"), col("codes"),
+          index.codebook, sub)).as("sim"))
   }
 
   /** Fold scored expansion candidates to the serve contract with ONE
@@ -1838,6 +1872,60 @@ object GraphAnn {
         s.cells, hops, entryProbes)).reduce(_.unionByName(_)), k)
   }
 
+  /** [[queryGraphIndexExpand]] at the PQ-compressed tier: stream-legal
+    * ADC serving with the graph's reach — the production memory shape
+    * (m bytes + a neighbor list per resident node) behind a plan a
+    * readStream of queries can run. Output matches
+    * [[queryGraphPqIndex]]'s contract (adc ascending ranks).
+    */
+  def queryGraphPqIndexExpand(queries: DataFrame, index: GraphPqIndex,
+                              k: Int, hops: Int = 2,
+                              entryProbes: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    foldExpandTopK(expandCandidatesPq(queries, index, hops,
+        entryProbes), k)
+      .withColumn("adc", -col("sim")).drop("sim")
+      .select("q_id", "n_id", "rank", "adc", "n_visited")
+  }
+
+  /** [[queryGraphIndexShardedAgg]] at the PQ-compressed tier — the
+    * stream-legal scatter over unmerged compressed shards. Shards must
+    * share every frozen artifact (cells, codebook, PQ shape, rotation
+    * presence): ADC scores computed under different codebooks are not
+    * comparable inside one heap.
+    */
+  def queryGraphPqIndexShardedAgg(queries: DataFrame,
+                                  shards: Seq[GraphPqIndex], k: Int,
+                                  hops: Int = 2, entryProbes: Int = 2)
+      : DataFrame = {
+    require(shards.nonEmpty, "queryGraphPqIndexShardedAgg: no shards")
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireSharedCells("queryGraphPqIndexShardedAgg",
+      shards.map(_.cells))
+    val h = shards.head
+    shards.tail.foreach { s =>
+      require(s.m == h.m && s.ks == h.ks && s.dim == h.dim,
+        "queryGraphPqIndexShardedAgg: PQ shapes differ across shards")
+      require(s.codebook.length == h.codebook.length &&
+        s.codebook.zip(h.codebook).forall { case (x, y) =>
+          x.sameElements(y) },
+        "queryGraphPqIndexShardedAgg: shard indexes were built over " +
+          "different PQ codebooks — sharded builds must share ONE " +
+          "frozen codebook")
+      require(s.rotation.isDefined == h.rotation.isDefined,
+        "queryGraphPqIndexShardedAgg: rotation presence differs " +
+          "across shards")
+    }
+    val live = shards.filter(s => !s.entries.isEmpty)
+    require(live.nonEmpty,
+      "queryGraphPqIndexShardedAgg: every shard is empty")
+    foldExpandTopK(
+      live.map(s => expandCandidatesPq(queries, s, hops, entryProbes))
+        .reduce(_.unionByName(_)), k)
+      .withColumn("adc", -col("sim")).drop("sim")
+      .select("q_id", "n_id", "rank", "adc", "n_visited")
+  }
+
   /** [[queryGraphIndexShardedAgg]] at the layered tier. The layered
     * descent is inherently iterative (a top-k pick per layer), so the
     * stream-legal form serves the index's LAYER-0 graph with
@@ -1872,24 +1960,33 @@ object GraphAnn {
     * between build-per-shard (n54) and merge/serve: occupancy drifts
     * as appends accumulate, the re-cut [[Similarity.shardCellMap]]
     * rebalances the build jobs, and re-building every shard from
-    * scratch would cost the full corpus. Movers are found with ONE
-    * no-shuffle projection (assign + two literal-map lookups, the
-    * shardByCells shape); each shard then applies its movers-out and
-    * movers-in in ONE fused pass ([[moveGraphIndex]] — one redo, one
-    * state materialization, instead of the delete∘append composition's
+    * scratch would cost the full corpus. Movers come from the SHARD
+    * STATE, not a corpus re-assignment: every indexed row's cell is a
+    * stored column, so the rows whose owner changed are one cheap
+    * projection per shard (a literal-map lookup + a changed-cell
+    * filter — no embedding math; re-assigning the corpus would cost
+    * n·nlist·dim FLOPs, a corpus-sized job at 100 TB, measured ~25%
+    * of the whole rebalance wall at bench scale). This also removes
+    * the stale-corpus failure mode — the state IS the membership.
+    * Each shard then applies its movers-out and movers-in in ONE
+    * fused pass ([[moveGraphIndex]] — one redo, one state
+    * materialization, instead of the delete∘append composition's
     * two), so work is ∝ moved rows + their touched cells — at 100 TB
     * a boundary shift that moves 2% of cells costs 2% of a rebuild.
     * EXACTLY equal to fresh builds over the new slices (gate n58)
     * because append/delete are each rebuild-equivalent (n33/n37) and
-    * compose (n41's lifecycle pin). `corpus` must be the indexes'
-    * CURRENT full-precision corpus (union of all shard members);
-    * both maps must cover the shared frozen codebook.
+    * compose (n41's lifecycle pin). Both maps must cover the shared
+    * frozen codebook.
     */
-  def rebalanceGraphShards(shards: Seq[GraphIndex], corpus: DataFrame,
-                           oldMap: Array[Int], newMap: Array[Int])
+  def rebalanceGraphShards(shards: Seq[GraphIndex],
+                           oldMap: Array[Int], newMap: Array[Int],
+                           moveParallelism: Int = RebalanceMoveParallelism)
       : Seq[GraphIndex] =
     rebalanceWith[GraphIndex]("rebalanceGraphShards", shards,
-      shards.map(_.cells), corpus, oldMap, newMap)(
+      shards.map(_.cells),
+      s => s.nodes.select(col("n_id").as("vec_id"),
+        col("emb").as("embedding"), col("cell")),
+      oldMap, newMap, moveParallelism)(
       (s, outIds, inRows) => moveGraphIndex(s, outIds, inRows))
 
   /** [[rebalanceGraphShards]] at the layered tier — the same
@@ -1898,44 +1995,87 @@ object GraphAnn {
     * (gate n41), so the re-cut shards equal fresh builds over the new
     * slices layer for layer.
     */
-  def rebalanceHnswShards(shards: Seq[HnswIndex], corpus: DataFrame,
-                          oldMap: Array[Int], newMap: Array[Int])
+  def rebalanceHnswShards(shards: Seq[HnswIndex],
+                          oldMap: Array[Int], newMap: Array[Int],
+                          moveParallelism: Int = RebalanceMoveParallelism)
       : Seq[HnswIndex] =
     rebalanceWith[HnswIndex]("rebalanceHnswShards", shards,
-      shards.map(_.cells), corpus, oldMap, newMap)(
+      shards.map(_.cells),
+      s => s.nodes.select(col("n_id").as("vec_id"),
+        col("emb").as("embedding"), col("cell")),
+      oldMap, newMap, moveParallelism)(
       (s, outIds, inRows) => moveHnswIndex(s, outIds, inRows))
 
   /** The shared rebalance skeleton: validate the frozen-codebook
-    * handshake, find the movers ([[IndexIo.shardMovers]] — one
-    * no-shuffle projection), then hand each shard its movers-out ids
-    * and movers-in rows for the tier's delete∘append composition.
+    * handshake and both maps, derive the movers from the STORED cell
+    * columns (one cheap projection per shard over the changed-cell
+    * set — never an embedding re-assignment), then hand each touched
+    * shard its movers-out ids and movers-in rows for the tier's fused
+    * move. `stateRows` exposes a shard's membership as
+    * (vec_id, embedding, cell).
     */
   private def rebalanceWith[I](what: String, shards: Seq[I],
                                shardCells: Seq[Array[Array[Double]]],
-                               corpus: DataFrame, oldMap: Array[Int],
-                               newMap: Array[Int])(
+                               stateRows: I => DataFrame,
+                               oldMap: Array[Int],
+                               newMap: Array[Int],
+                               moveParallelism: Int =
+                                 RebalanceMoveParallelism)(
       move: (I, DataFrame, DataFrame) => I): Seq[I] = {
     require(shards.nonEmpty, s"$what: no shards")
     val cells = requireSharedCells(what, shardCells)
-    val movers = IndexIo.shardMovers(what, corpus, cells, shards.length,
-      oldMap, newMap)
+    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap"))
+      IndexIo.requireCellMap(what, which, m, cells.length,
+        shards.length)
+    // the changed-cell set is a DRIVER-side diff of the two bounded
+    // maps; empty means a no-op re-cut — return the shards verbatim
+    val changed = oldMap.indices
+      .collect { case c if oldMap(c) != newMap(c) => c + 1 }
+    if (changed.isEmpty) return shards
+    // movers from state: stored 1-based cell → new owner via one
+    // literal-map lookup; rows whose owner is not their current shard
+    // move. Bounded by the changed cells' membership, checkpointed
+    // once (every shard's out/in legs slice it).
+    val movers = shards.zipWithIndex.map { case (s, j) =>
+      stateRows(s)
+        .filter(col("cell").isInCollection(changed))
+        .withColumn("to_shard", element_at(lit(newMap), col("cell")))
+        .filter(col("to_shard") =!= j)
+        .select(lit(j).as("from_shard"), col("to_shard"),
+          col("vec_id"), col("embedding"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    // UNTOUCHED shards (no movers out, none in) pass through verbatim
+    // — without this, every shard would pay a full-state
+    // materialization for a no-op move. One nShards-bounded aggregate
+    // over the checkpointed movers decides; at production shard counts
+    // a boundary re-cut touches two shards and the fleet's other
+    // hundreds do nothing.
+    val touchedShards = movers.select(col("from_shard").as("s"))
+      .unionByName(movers.select(col("to_shard").as("s")))
+      .distinct().collect().map(_.getInt(0)).toSet
     // per-shard rebalances are independent (each touches only its own
     // shard's state) — run them CONCURRENTLY on the shared bounded
     // pool ([[IndexIo.runConcurrently]]): on a cluster each is its own
     // job, and even on one host the verbs' eager materializations
     // interleave instead of serializing
     IndexIo.runConcurrently(shards.zipWithIndex,
-      RebalanceMoveParallelism) { case (s, i) =>
-      move(s,
+      moveParallelism) { case (s, i) =>
+      if (!touchedShards(i)) s
+      else move(s,
         movers.filter(col("from_shard") === i).select("vec_id"),
         movers.filter(col("to_shard") === i)
           .select("vec_id", "embedding"))
     }
   }
 
-  /** Concurrency bound for per-shard rebalance moves: enough to keep
-    * the scheduler fed with independent jobs, small enough that one
-    * rebalance cannot monopolize the driver's job-submission threads.
+  /** Default concurrency for per-shard rebalance moves: enough to keep
+    * a CLUSTER's scheduler fed with independent jobs (each shard's
+    * move runs on disjoint executors), small enough that one rebalance
+    * cannot monopolize the driver's job-submission threads. Size it to
+    * capacity: on a SINGLE saturated host concurrent moves only
+    * interleave each other's bounded jobs (measured: two concurrent
+    * 200k-state moves 18 s vs 10.4 s run back-to-back) — pass
+    * `moveParallelism = 1` there.
     */
   val RebalanceMoveParallelism: Int = 16
 

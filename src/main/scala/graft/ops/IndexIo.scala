@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions.{col, count, count_distinct, element_at, l
   * everywhere at once. Tables are tiny (nlist / m rows); the ordered
   * collect-back is the codebook discipline.
   */
-private[ops] object IndexIo {
+private[graft] object IndexIo {
 
   def saveVectors(spark: SparkSession, dir: String, idCol: String,
                   vecCol: String, vecs: Array[Array[Double]]): Unit = {
@@ -46,14 +46,6 @@ private[ops] object IndexIo {
         "row").head,
       loadVectors(spark, s"$dir/rotation_basis", "row_id", "row"))
 
-  /** The shared rebalance-movers projection (one per tier family):
-    * validate the old/new cell→shard maps against the frozen codebook
-    * and find the rows whose shard changed — one no-shuffle projection
-    * (assign + two literal-map lookups), the shardByCells shape. The
-    * result carries (vec_id, embedding, cell, from_shard, to_shard)
-    * and is checkpointed (every shard's delete/append legs consume
-    * it), so rebalance work is ∝ moved rows, never the corpus.
-    */
   /** Cell→shard map validation shared by every routed verb (movers,
     * routed appends): length must cover the frozen codebook, ids must
     * name real shards. */
@@ -71,7 +63,7 @@ private[ops] object IndexIo {
     * the moves block on Spark actions, and parking blocking work on
     * the global ExecutionContext starves its other users.
     */
-  private[ops] def runConcurrently[A, B](items: Seq[A],
+  private[graft] def runConcurrently[A, B](items: Seq[A],
                                          parallelism: Int)(f: A => B)
       : Seq[B] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -117,22 +109,6 @@ private[ops] object IndexIo {
           .select("vec_id", "embedding"))
       else s
     }
-  }
-
-  private[ops] def shardMovers(what: String, corpus: DataFrame,
-                               cells: Array[Array[Double]],
-                               nShards: Int, oldMap: Array[Int],
-                               newMap: Array[Int]): DataFrame = {
-    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap"))
-      requireCellMap(what, which, m, cells.length, nShards)
-    corpus
-      .select(col("vec_id"), col("embedding"),
-        graft.functions.Centroids.centroidAssign(col("embedding"), cells)
-          .as("cell"))
-      .withColumn("from_shard", element_at(lit(oldMap), col("cell")))
-      .withColumn("to_shard", element_at(lit(newMap), col("cell")))
-      .filter(col("from_shard") =!= col("to_shard"))
-      .localCheckpoint()
   }
 
   /** In-batch duplicate-id fail-fast shared by the append verbs: a

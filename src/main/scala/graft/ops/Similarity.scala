@@ -1662,29 +1662,45 @@ object Similarity {
 
   /** Re-cut a sharded IVF-PQ deployment to a NEW cell→shard map by
     * MOVING only the rows whose shard changed — the [[GraphAnn
-    * .rebalanceGraphShards]] composition at the code-table tier:
-    * movers found with one no-shuffle projection
-    * ([[IndexIo.shardMovers]]), each shard deletes its movers-out and
-    * appends its movers-in through the rebuild-exact incremental
-    * verbs, so work is ∝ moved rows. Exactly equal to fresh builds
-    * over the new slices because per-row assign/encode is
-    * row-independent under the shared frozen artifacts (the n22/n38
-    * equivalences; spec-pinned). `corpus` must be the shards' current
-    * full-precision corpus.
+    * .rebalanceGraphShards]] recipe at the code-table tier, and the
+    * cheapest of the three: a mover KEEPS its home cell (the map
+    * changed, not the assignment), so its residual and codes are
+    * unchanged and the code ROWS move between shards verbatim — no
+    * corpus, no re-encode, no embedding ever touched. Exactly equal
+    * to fresh builds over the new slices because per-row
+    * assign/encode is row-independent under the shared frozen
+    * artifacts (the n22/n38 equivalences; spec-pinned). Untouched
+    * shards (no changed cell names them, either direction) pass
+    * through verbatim. Both maps must cover the shared frozen
+    * codebook.
     */
-  def rebalanceIvfPqShards(shards: Seq[IvfPqIndex], corpus: DataFrame,
+  def rebalanceIvfPqShards(shards: Seq[IvfPqIndex],
                            oldMap: Array[Int], newMap: Array[Int])
       : Seq[IvfPqIndex] = {
     require(shards.nonEmpty, "rebalanceIvfPqShards: no shards")
     requireSharedIvfPqArtifacts("rebalanceIvfPqShards", shards)
-    val movers = IndexIo.shardMovers("rebalanceIvfPqShards", corpus,
-      shards.head.cells, shards.length, oldMap, newMap)
+    val nlist = shards.head.cells.length
+    for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap"))
+      IndexIo.requireCellMap("rebalanceIvfPqShards", which, m, nlist,
+        shards.length)
+    val changed = oldMap.indices
+      .collect { case c if oldMap(c) != newMap(c) => c + 1 }
+    if (changed.isEmpty) return shards
+    // moving code rows, sliced once (checkpointed) from the stored
+    // cell columns — work ∝ members of the changed cells
+    val moving = shards.zipWithIndex.map { case (s, j) =>
+      s.codes.filter(col("cell").isInCollection(changed))
+        .withColumn("to_shard", element_at(lit(newMap), col("cell")))
+        .filter(col("to_shard") =!= j)
+    }.reduce(_.unionByName(_)).localCheckpoint()
     shards.zipWithIndex.map { case (s, i) =>
-      appendToIvfPqIndex(
-        deleteFromIvfPqIndex(s,
-          movers.filter(col("from_shard") === i).select("vec_id")),
-        movers.filter(col("to_shard") === i)
-          .select("vec_id", "embedding"))
+      val touched = changed.exists(c =>
+        oldMap(c - 1) == i || newMap(c - 1) == i)
+      if (!touched) s
+      else s.copy(codes = s.codes
+        .filter(element_at(lit(newMap), col("cell")) === i)
+        .unionByName(moving.filter(col("to_shard") === i)
+          .drop("to_shard")))
     }
   }
 }

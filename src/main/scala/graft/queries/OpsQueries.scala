@@ -6597,7 +6597,7 @@ object OpsQueries {
           GraphAnn.buildGraphIndex(c, nlist = 16, degree = 4,
             crossDegree = 2, centroids = Some(cells))
         val rebalanced = GraphAnn.rebalanceGraphShards(
-          (0 until 2).map(i => build(slice(map1, i))), e, map1, map2)
+          (0 until 2).map(i => build(slice(map1, i))), map1, map2)
         val fresh = (0 until 2).map(i => build(slice(map2, i)))
         val moved = occ.getOrElse(b + 1, 0L)
         val movedPartial = moved > 0 && moved < e.count()
@@ -6634,7 +6634,7 @@ object OpsQueries {
         def slicePq(map: Array[Int], i: Int) = e.filter(
           element_at(lit(map), assignPq) === i)
         val rebPq = Similarity.rebalanceIvfPqShards(
-          (0 until 2).map(i => buildPq(slicePq(map1Pq, i))), e,
+          (0 until 2).map(i => buildPq(slicePq(map1Pq, i))),
           map1Pq, map2Pq)
         val ivfpqOk = occPq.getOrElse(bPq + 1, 0L) > 0 &&
           (0 until 2).forall { i =>

@@ -1357,22 +1357,19 @@ class GraphAnnSpec extends SparkSpec {
       .select("n_id", "neighbors").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val oldShards = (0 until 2).map(i => buildG(slice(map1, i)))
-    val rebalanced = GraphAnn.rebalanceGraphShards(oldShards, corpus,
-      map1, map2)
+    val rebalanced = GraphAnn.rebalanceGraphShards(oldShards, map1,
+      map2)
     (0 until 2).foreach { i =>
       nbrs(rebalanced(i)) shouldBe nbrs(buildG(slice(map2, i)))
     }
     // a no-op re-cut moves nothing and changes nothing
-    val noop = GraphAnn.rebalanceGraphShards(oldShards, corpus, map1,
-      map1)
+    val noop = GraphAnn.rebalanceGraphShards(oldShards, map1, map1)
     (0 until 2).foreach(i => nbrs(noop(i)) shouldBe nbrs(oldShards(i)))
     // malformed maps fail fast
     an[IllegalArgumentException] should be thrownBy
-      GraphAnn.rebalanceGraphShards(oldShards, corpus, map1,
-        Array(0, 1))
+      GraphAnn.rebalanceGraphShards(oldShards, map1, Array(0, 1))
     an[IllegalArgumentException] should be thrownBy
-      GraphAnn.rebalanceGraphShards(oldShards, corpus, map1,
-        map1.map(_ + 5))
+      GraphAnn.rebalanceGraphShards(oldShards, map1, map1.map(_ + 5))
     // layered tier: same composition, per (layer, n_id)
     def buildH(c: org.apache.spark.sql.DataFrame) =
       GraphAnn.buildHnswIndex(c, nlist = 6, degree = 4, crossDegree = 2,
@@ -1381,10 +1378,42 @@ class GraphAnnSpec extends SparkSpec {
       .select("layer", "n_id", "neighbors").collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
     val rebH = GraphAnn.rebalanceHnswShards(
-      (0 until 2).map(i => buildH(slice(map1, i))), corpus, map1, map2)
+      (0 until 2).map(i => buildH(slice(map1, i))), map1, map2)
     (0 until 2).foreach { i =>
       adjMap(rebH(i)) shouldBe adjMap(buildH(slice(map2, i)))
     }
+  }
+
+  test("expansion serves: saturated configs reproduce the saturated walks exactly") {
+    // one cell + full degree: both the expansion and the beam walk
+    // reach every node, so ranks must agree pair for pair — float
+    // (vs brute force) and ADC (vs the saturated PQ walk)
+    val corpus = planted(4, 30, 16, seed = 211).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") < 6)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val sat = GraphAnn.buildGraphIndex(corpus, nlist = 1, degree = 999,
+      crossDegree = 0)
+    keyed(GraphAnn.queryGraphIndexExpand(queries, sat, k = 5, hops = 1,
+      entryProbes = 1)) shouldBe
+      keyed(Similarity.bruteForceTopK(queries, corpus, 5))
+    val satPq = GraphAnn.buildGraphPqIndex(corpus, nlist = 1,
+      degree = 999, crossDegree = 0, m = 4, ks = 16, dim = 16)
+    keyed(GraphAnn.queryGraphPqIndexExpand(queries, satPq, k = 5,
+      hops = 1, entryProbes = 1)) shouldBe
+      keyed(GraphAnn.queryGraphPqIndex(queries, satPq, k = 5,
+        beam = 999, hops = 1, entryProbes = 1))
+    // artifact drift across PQ shards fails fast
+    val other = GraphAnn.buildGraphPqIndex(corpus, nlist = 1,
+      degree = 4, crossDegree = 0, m = 4, ks = 16, dim = 16,
+      codebook = Some(Similarity.firstVectors(
+        corpus.select(col("vec_id"),
+          expr("slice(embedding, 1, 4)").as("embedding")), 16)))
+    intercept[IllegalArgumentException] {
+      GraphAnn.queryGraphPqIndexShardedAgg(queries, Seq(satPq, other),
+        k = 3)
+    }.getMessage should include("codebook")
   }
 
   test("moveGraphIndex/moveHnswIndex: one fused pass equals the delete∘append composition") {

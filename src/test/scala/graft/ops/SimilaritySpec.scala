@@ -518,19 +518,17 @@ class SimilaritySpec extends SparkSpec {
       .select("n_id", "cell", "codes").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2))).toMap
     val oldShards = (0 until 2).map(i => build(slice(map1, i)))
-    val rebalanced = Similarity.rebalanceIvfPqShards(oldShards, corpus,
-      map1, map2)
+    val rebalanced = Similarity.rebalanceIvfPqShards(oldShards, map1,
+      map2)
     (0 until 2).foreach { i =>
       codeMap(rebalanced(i)) shouldBe codeMap(build(slice(map2, i)))
     }
     // no-op re-cut: nothing moves, nothing changes
-    val noop = Similarity.rebalanceIvfPqShards(oldShards, corpus, map1,
-      map1)
+    val noop = Similarity.rebalanceIvfPqShards(oldShards, map1, map1)
     (0 until 2).foreach(i => codeMap(noop(i)) shouldBe codeMap(oldShards(i)))
     // malformed maps fail fast
     an[IllegalArgumentException] should be thrownBy
-      Similarity.rebalanceIvfPqShards(oldShards, corpus, map1,
-        Array(0, 1))
+      Similarity.rebalanceIvfPqShards(oldShards, map1, Array(0, 1))
   }
 
   test("gatherTopK/bruteForceTopKSharded: sharded exhaustive equals global brute force") {

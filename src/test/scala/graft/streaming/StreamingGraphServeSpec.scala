@@ -80,5 +80,20 @@ class StreamingGraphServeSpec extends SparkSpec {
         hops = 2)) shouldBe batchSet(
       GraphAnn.queryHnswIndexShardedAgg(batchQ, hShards, k = 4,
         hops = 2))
+
+    // PQ-compressed tier: ADC expansion scatter under shared frozen
+    // artifacts — the production memory shape served from a stream
+    val fullPq = GraphAnn.buildGraphPqIndex(corpus, nlist = 6,
+      degree = 4, crossDegree = 2, m = 4, ks = 8, dim = dim,
+      centroids = Some(cells))
+    val pqShards = (0 until 3).map(i => GraphAnn.buildGraphPqIndex(
+      sharded.filter(col("shard") === i).drop("shard"), nlist = 6,
+      degree = 4, crossDegree = 2, m = 4, ks = 8, dim = dim,
+      centroids = Some(cells), codebook = Some(fullPq.codebook)))
+    runStream("graphpq_scatter_out",
+      q => GraphAnn.queryGraphPqIndexShardedAgg(q, pqShards, k = 4,
+        hops = 2)) shouldBe batchSet(
+      GraphAnn.queryGraphPqIndexShardedAgg(batchQ, pqShards, k = 4,
+        hops = 2))
   }
 }
