@@ -173,8 +173,9 @@ object Bench {
         "n56_ivfpq_scatter_serve", "n58_shard_rebalance",
         "n59_ivfpq_scatter_agg",
         // n60 builds five graph-tier indexes (three shards, the
-        // saturated oracle, HNSW + flat pair) per evaluation
-        "n60_graph_scatter_agg")
+        // saturated oracle, HNSW + flat pair) per evaluation; n61
+        // builds/appends eight (two tiers × two shards × grown+fresh)
+        "n60_graph_scatter_agg", "n61_shard_routed_append")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

@@ -6775,6 +6775,68 @@ object OpsQueries {
              |  TRUE AS sat_exact, TRUE AS hnsw_l0_exact
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // Shard-routed append (n61): the nightly-ingest verb for a
+    // sharded deployment — an arriving batch routes under the
+    // deployment's FROZEN cell→shard map and each touched shard runs
+    // its rebuild-exact append (one shared skeleton across tiers;
+    // foreachBatch calls exactly this, StreamingShardedAppendSpec).
+    // The gate pins, at the graph and code-table tiers: routed append
+    // over a 2-shard deployment ≡ fresh builds over the grown
+    // corpus's routed slices, per-node neighbor lists and per-row
+    // codes, plus that routing is the frozen map (arrivals land by
+    // map lookup, not a re-cut).
+    QueryDef("n61_shard_routed_append",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+          .localCheckpoint()
+        val base = e.filter(col("vec_id") < 400)
+        val batch = e.filter(col("vec_id") >= 400)
+        val cells = Similarity.firstVectors(base, 16)
+        val map = Similarity.shardCellMap(base, cells, 2)
+        def slice(c: org.apache.spark.sql.DataFrame, i: Int) =
+          Similarity.routeByCellMap(c, cells, map, 2)
+            .filter(col("shard") === i).drop("shard")
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildGraphIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, centroids = Some(cells))
+        val grown = GraphAnn.appendToGraphShards(
+          (0 until 2).map(i => build(slice(base, i))), batch, map)
+        val fullPq = Similarity.buildIvfPqIndex(base, nlist = 16,
+          m = 16, ks = 16)
+        def buildPq(c: org.apache.spark.sql.DataFrame) =
+          Similarity.buildIvfPqIndex(c, nlist = 16, m = 16, ks = 16,
+            centroids = Some(fullPq.cells),
+            codebook = Some(fullPq.codebook))
+        def slicePq(c: org.apache.spark.sql.DataFrame, i: Int) =
+          Similarity.routeByCellMap(c, fullPq.cells,
+              Similarity.shardCellMap(base, fullPq.cells, 2), 2)
+            .filter(col("shard") === i).drop("shard")
+        val grownPq = Similarity.appendToIvfPqShards(
+          (0 until 2).map(i => buildPq(slicePq(base, i))), batch,
+          Similarity.shardCellMap(base, fullPq.cells, 2))
+        val ivfpqOk = (0 until 2).forall { i =>
+          val freshC = buildPq(slicePq(e, i)).codes
+          grownPq(i).codes.exceptAll(freshC).count() == 0 &&
+            freshC.exceptAll(grownPq(i).codes).count() == 0
+        }
+        (0 until 2).map { i =>
+          grown(i).nodes
+            .select(col("n_id"), col("neighbors").as("nb_g"))
+            .join(build(slice(e, i)).nodes
+              .select(col("n_id"), col("neighbors").as("nb_f")),
+              Seq("n_id"), "full")
+            .select(col("n_id"), (col("nb_g") === col("nb_f")).as("ok"))
+        }.reduce(_.unionByName(_))
+          .groupBy("n_id")
+          .agg((min(when(col("ok"), 1).otherwise(0)) === 1)
+            .as("nbrs_exact"))
+          .select(col("n_id"), col("nbrs_exact"),
+            lit(ivfpqOk).as("ivfpq_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS nbrs_exact,
+             |  TRUE AS ivfpq_exact
+             |FROM embeddings WHERE vec_id < 500""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins
