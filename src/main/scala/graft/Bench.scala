@@ -175,7 +175,11 @@ object Bench {
         // n60 builds five graph-tier indexes (three shards, the
         // saturated oracle, HNSW + flat pair) per evaluation; n61
         // builds/appends eight (two tiers × two shards × grown+fresh)
-        "n60_graph_scatter_agg", "n61_shard_routed_append")
+        "n60_graph_scatter_agg", "n61_shard_routed_append",
+        // n62 runs the whole lifecycle: seven IVF-PQ builds (three
+        // shards + three fresh-slice oracles + the merged oracle)
+        // plus append + rebalance per evaluation
+        "n62_shard_lifecycle")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

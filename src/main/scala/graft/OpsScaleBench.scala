@@ -564,18 +564,16 @@ object OpsScaleBench {
         col("embedding"), spatialCells) === bFlip + 1)
         .cast("int").as("x"))
       .agg(avg("x")).head().getDouble(0)
-    // moveParallelism = 1: on this single saturated host concurrent
-    // per-shard moves only interleave each other's bounded jobs
-    // (measured 18 s concurrent vs 10.4 s back-to-back for the same
-    // two moves); the concurrent default is the CLUSTER setting, where
-    // shards move on disjoint executors. Min of two samples: the verb
-    // is pure (inputs untouched), its wall is ~18 bounded driver jobs
-    // whose per-job cost swings 2× with JVM state, and the steady
-    // state being priced is a nightly re-cut on a long-lived session —
-    // the warm sample, same as every serve leg's warmup discipline.
+    // The rebalance is ONE batched job family across all touched
+    // shards (moveHnswShardsBatched) — no per-shard concurrency knob
+    // to size. Min of two samples: the verb is pure (inputs
+    // untouched), its wall is ~15 bounded driver jobs whose per-job
+    // cost swings 2× with JVM state, and the steady state being
+    // priced is a nightly re-cut on a long-lived session — the warm
+    // sample, same as every serve leg's warmup discipline.
     def rebalOnce(): Double = time {
       graft.ops.GraphAnn.rebalanceHnswShards(Seq(shardIa, shardIb),
-        mapOld, mapNew, moveParallelism = 1)
+        mapOld, mapNew)
         .map(_.adj.count()).sum
     }._1
     val sRebal = math.min(rebalOnce(), rebalOnce())

@@ -81,7 +81,7 @@ object RebalanceBench {
     }
     def rebalOnce(): Double = time {
       graft.ops.GraphAnn.rebalanceHnswShards(Seq(ia, ib),
-        mapOld, mapNew, moveParallelism = 1).map(_.adj.count()).sum
+        mapOld, mapNew).map(_.adj.count()).sum
     }
     if (sys.env.contains("GRAFT_REBAL_DEBUG")) {
       val r1 = rebalOnce(); val r2 = rebalOnce()

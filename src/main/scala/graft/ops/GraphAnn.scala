@@ -88,14 +88,19 @@ object GraphAnn {
     else if (poolSize > 0) poolSize
     else 3 * (degree + crossDegree)
 
-  /** Top-`d` scored out-edges of `side` (cell, n_id, emb) against the
-    * peer relation (cell, m_id, m_emb): per-cell join + fused cosine +
-    * bounded-heap per node. Shared by build and append.
+  /** Top-`d` scored out-edges of `side` (keys…, n_id, emb) against the
+    * peer relation (keys…, m_id, m_emb): per-key join + fused cosine +
+    * bounded-heap per node. Shared by build and append. `keys` is the
+    * pool-scoping join key — `cell` for a single index, `(shard,
+    * cell)` for the batched cross-shard verbs, where pools must never
+    * mix members of different shards. The per-node fold groups on
+    * `n_id` alone: ids are globally unique across a deployment's
+    * shards (they partition one corpus), so no key column is needed.
     */
   private def topEdges(side: DataFrame, peers: DataFrame,
-                       d: Int): DataFrame =
-    side.select("cell", "n_id", "emb")
-      .join(peers, Seq("cell")).filter(col("n_id") =!= col("m_id"))
+                       d: Int, keys: Seq[String] = Seq("cell")): DataFrame =
+    side.select((keys :+ "n_id" :+ "emb").map(col): _*)
+      .join(peers, keys).filter(col("n_id") =!= col("m_id"))
       .withColumn("sim", Similarity.cosine(col("emb"), col("m_emb")))
       .groupBy("n_id").agg(TopK.topK(col("sim"), col("m_id"), d).as("top"))
       .select(col("n_id"), explode(col("top")).as("e"))
@@ -113,12 +118,14 @@ object GraphAnn {
 
   /** The same nodes re-keyed by their SECOND-closest cell (via
     * [[secondCell]], so a single-cell grid degrades to the home cell
-    * instead of indexing past the probe list).
+    * instead of indexing past the probe list). Non-`cell` scoping
+    * keys (the batched verbs' `shard`) pass through unchanged — a
+    * node's cross pool lives in ITS OWN shard's second cell.
     */
-  private def secondCellSide(c: DataFrame,
-                             cells: Array[Array[Double]]): DataFrame =
-    c.select(col("n_id"), col("emb"),
-      secondCell(col("emb"), cells).as("cell"))
+  private def secondCellSide(c: DataFrame, cells: Array[Array[Double]],
+                             keys: Seq[String] = Seq("cell")): DataFrame =
+    c.select(keys.filterNot(_ == "cell").map(col) ++ Seq(col("n_id"),
+      col("emb"), secondCell(col("emb"), cells).as("cell")): _*)
 
   /** The plain kNN edge rule: per-pool top-k (intra `degree`, cross
     * `crossDegree`) folded to one best-first neighbor list. Shared by
@@ -126,7 +133,8 @@ object GraphAnn {
     */
   private def knnNeighbors(side: DataFrame, peers: DataFrame,
                            cells: Array[Array[Double]], degree: Int,
-                           crossDegree: Int): DataFrame = {
+                           crossDegree: Int,
+                           keys: Seq[String] = Seq("cell")): DataFrame = {
     // single-cell grid: the home pool already spans everything, so the
     // cross pool would be the SAME rows — unioning it would feed
     // duplicate (n_id, m_id) pairs into the final top-k (TopK keeps
@@ -134,9 +142,10 @@ object GraphAnn {
     // full degree budget is the faithful degenerate case.
     val edges =
       if (crossDegree == 0 || cells.length < 2)
-        topEdges(side, peers, degree + crossDegree)
-      else topEdges(side, peers, degree).unionByName(
-        topEdges(secondCellSide(side, cells), peers, crossDegree))
+        topEdges(side, peers, degree + crossDegree, keys)
+      else topEdges(side, peers, degree, keys).unionByName(
+        topEdges(secondCellSide(side, cells, keys), peers, crossDegree,
+          keys))
     edges.groupBy("n_id")
       .agg(TopK.topK(col("sim"), col("m_id"),
         degree + crossDegree).as("top"))
@@ -154,14 +163,15 @@ object GraphAnn {
   private def prunedNeighbors(side: DataFrame, peers: DataFrame,
                               cells: Array[Array[Double]], degree: Int,
                               crossDegree: Int, alpha: Double,
-                              poolN: Int): DataFrame = {
-    val intra = topEdges(side, peers, poolN)
+                              poolN: Int,
+                              keys: Seq[String] = Seq("cell")): DataFrame = {
+    val intra = topEdges(side, peers, poolN, keys)
     // single-cell grid: the cross pool would duplicate the home pool
     // row-for-row (see knnNeighbors) — wasted collect_list budget
     val pool =
       if (crossDegree == 0 || cells.length < 2) intra
       else intra.unionByName(
-        topEdges(secondCellSide(side, cells), peers, poolN))
+        topEdges(secondCellSide(side, cells, keys), peers, poolN, keys))
     pool.join(peers.select(col("m_id"), col("m_emb")), Seq("m_id"))
       .groupBy("n_id")
       .agg(collect_list(struct(col("sim").as("sim"),
@@ -175,18 +185,23 @@ object GraphAnn {
   private def neighborRule(side: DataFrame, peers: DataFrame,
                            cells: Array[Array[Double]], degree: Int,
                            crossDegree: Int, alpha: Option[Double],
-                           poolN: Int): DataFrame = alpha match {
-    case Some(a) =>
-      prunedNeighbors(side, peers, cells, degree, crossDegree, a, poolN)
-    case None => knnNeighbors(side, peers, cells, degree, crossDegree)
-  }
+                           poolN: Int,
+                           keys: Seq[String] = Seq("cell")): DataFrame =
+    alpha match {
+      case Some(a) =>
+        prunedNeighbors(side, peers, cells, degree, crossDegree, a,
+          poolN, keys)
+      case None =>
+        knnNeighbors(side, peers, cells, degree, crossDegree, keys)
+    }
 
-  /** Hash-spread entry selection over a member relation (cell, n_id). */
-  private def hashEntries(members: DataFrame, e: Int): DataFrame =
-    members.groupBy("cell")
+  /** Hash-spread entry selection over a member relation (keys…, n_id). */
+  private def hashEntries(members: DataFrame, e: Int,
+                          keys: Seq[String] = Seq("cell")): DataFrame =
+    members.groupBy(keys.map(col): _*)
       .agg(TopK.topK(-abs(xxhash64(col("n_id"))).cast("double"),
         col("n_id"), e).as("top"))
-      .select(col("cell"), explode(col("top.id")).as("entry_id"))
+      .select(keys.map(col) :+ explode(col("top.id")).as("entry_id"): _*)
 
   /** Build the neighborhood graph.
     *
@@ -1147,6 +1162,120 @@ object GraphAnn {
     index.copy(nodes = nodes2, entries = entries2)
   }
 
+  /** [[moveGraphIndex]] batched across a deployment's shards: ONE job
+    * family processes every touched shard's movers instead of ~15
+    * bounded driver jobs PER shard. At a boundary re-cut the per-shard
+    * form is fine (two shards move); at a large drift re-cut touching
+    * hundreds of shards, per-shard job submission becomes a
+    * driver-side scale axis (the q47/q49 lesson: driver planning is a
+    * cost term too) — here every step is one shard-tagged plan, so
+    * driver work is constant in the shard count and the final state
+    * is ONE materialization for the whole fleet. Pool scoping rides
+    * the `(shard, cell)` join keys through the one shared edge rule,
+    * so no shard's pools ever see another shard's members; ids must
+    * be globally unique across shards (they partition one corpus —
+    * the deployment invariant every sharded verb assumes).
+    *
+    * `movers` carries (from_shard, to_shard, vec_id, embedding), one
+    * row per moving vector. Untouched shards are returned verbatim;
+    * touched shards get views filtered off the SHARED checkpoints.
+    * Equality with the per-shard [[moveGraphIndex]] composition (and
+    * so with fresh builds over the new slices) is spec-pinned.
+    */
+  private[ops] def moveGraphShardsBatched(shards: Seq[GraphIndex],
+                                          touchedShards: Set[Int],
+                                          movers: DataFrame)
+      : Seq[GraphIndex] = {
+    val head = shards.head
+    val cells = head.cells
+    require(shards.forall(s => s.degree == head.degree &&
+      s.crossDegree == head.crossDegree && s.alpha == head.alpha &&
+      s.poolSize == head.poolSize &&
+      s.entriesPerCell == head.entriesPerCell),
+      "moveGraphShardsBatched: shard build parameters differ — a " +
+        "sharded deployment must share one frozen edge rule")
+    val touched = touchedShards.toSeq.sorted
+    val sc = Seq("shard", "cell")
+    val oldNodesU = touched.map { j =>
+      val n = shards(j).nodes
+      val withC2 =
+        if (n.columns.contains("cell2")) n
+        else n.withColumn("cell2", secondCell(col("emb"), cells))
+      withC2.select(lit(j).as("shard"), col("n_id"), col("emb"),
+        col("cell"), col("cell2"), col("neighbors"))
+    }.reduce(_.unionByName(_))
+    val delIds = movers.select(col("from_shard").as("shard"),
+        col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    val nu = movers.select(col("to_shard").as("shard"),
+        col("vec_id").cast("long").as("n_id"),
+        col("embedding").as("emb"),
+        Centroids.centroidAssign(col("embedding"), cells).as("cell"),
+        secondCell(col("embedding"), cells).as("cell2"))
+      .localCheckpoint()
+    // one destination per mover ⇒ ids unique across the whole batch
+    IndexIo.requireBatchIdsUnique("moveGraphShardsBatched", nu, "n_id")
+    val remaining = oldNodesU.join(delIds, Seq("shard", "n_id"),
+      "left_anti")
+    // an arriving id's source shard is touched by construction, so a
+    // global id check suffices (its old row left `remaining` above)
+    IndexIo.requireIdsNotIndexed("moveGraphShardsBatched", remaining,
+      nu, "n_id")
+    val remC = remaining.select("shard", "n_id", "emb", "cell", "cell2")
+    val touchedCells = oldNodesU
+      .join(delIds, Seq("shard", "n_id"), "left_semi")
+      .select("shard", "cell")
+      .unionByName(nu.select("shard", "cell"))
+      .distinct().localCheckpoint()
+    val affected = remC.join(touchedCells, sc, "left_semi")
+      .unionByName(remC.join(
+        touchedCells.withColumnRenamed("cell", "cell2"),
+        Seq("shard", "cell2"), "left_semi"))
+      .dropDuplicates("shard", "n_id")
+      .localCheckpoint()
+    val redo = affected.unionByName(nu).localCheckpoint()
+    val redoCells = redo.select("shard", "cell")
+      .unionByName(redo.select(col("shard"), col("cell2").as("cell")))
+      .distinct()
+    val all = remC.select("shard", "n_id", "emb", "cell")
+      .unionByName(nu.select("shard", "n_id", "emb", "cell"))
+    val peers = all.join(broadcast(redoCells), sc, "left_semi")
+      .select(col("shard"), col("cell"), col("n_id").as("m_id"),
+        col("emb").as("m_emb"))
+    val poolN = resolvePool(head.alpha, head.poolSize, head.degree,
+      head.crossDegree)
+    val redoSide =
+      if (withinBroadcastBudget(redo, cells)) redo.hint("broadcast")
+      else redo
+    val redoNbrs = neighborRule(
+      redoSide.select("shard", "cell", "n_id", "emb"), peers, cells,
+      head.degree, head.crossDegree, head.alpha, poolN, keys = sc)
+    val emptyNbrs = expr("cast(array() as array<bigint>)")
+    val redoNodes = redo.join(redoNbrs, Seq("n_id"), "left")
+      .select(col("shard"), col("n_id"), col("emb"), col("cell"),
+        col("cell2"),
+        coalesce(col("neighbors"), emptyNbrs).as("neighbors"))
+    val nodes2U = remaining
+      .join(affected.select("shard", "n_id"), Seq("shard", "n_id"),
+        "left_anti")
+      .unionByName(redoNodes)
+      .localCheckpoint()
+    val entriesU = touched.map(j => shards(j).entries.select(
+        lit(j).as("shard"), col("cell"), col("entry_id")))
+      .reduce(_.unionByName(_))
+    val entries2U = entriesU.join(touchedCells, sc, "left_anti")
+      .unionByName(hashEntries(
+        all.join(touchedCells, sc, "left_semi"), head.entriesPerCell,
+        keys = sc))
+      .localCheckpoint()
+    shards.zipWithIndex.map { case (s, j) =>
+      if (!touchedShards(j)) s
+      else s.copy(
+        nodes = nodes2U.filter(col("shard") === j).drop("shard"),
+        entries = entries2U.filter(col("shard") === j).drop("shard"))
+    }
+  }
+
   /** The two shard indexes a [[mergeGraphIndexes]]/[[mergeHnswIndexes]]
     * can merge must be built with IDENTICAL frozen parameters — same
     * codebook, same edge rule — or per-node equality with the union
@@ -1597,17 +1726,22 @@ object GraphAnn {
                             cellsL: Array[Array[Double]], l: Int,
                             degree: Int, crossDegree: Int,
                             alpha: Option[Double], poolN: Int,
-                            peersOverride: Option[DataFrame] = None)
+                            peersOverride: Option[DataFrame] = None,
+                            keys: Seq[String] = Seq("cell"))
       : DataFrame = {
-    val peers = peersOverride.getOrElse(members.select(col("cell"),
-      col("n_id").as("m_id"), col("emb").as("m_emb")))
-    val nbrs = neighborRule(members.select("cell", "n_id", "emb"), peers,
-      cellsL, degree, crossDegree, alpha, poolN)
-    members.select("n_id", "cell", "cell2")
+    val extras = keys.filterNot(_ == "cell")
+    val peers = peersOverride.getOrElse(members.select(
+      keys.map(col) :+ col("n_id").as("m_id") :+
+        col("emb").as("m_emb"): _*))
+    val nbrs = neighborRule(
+      members.select((keys :+ "n_id" :+ "emb").map(col): _*), peers,
+      cellsL, degree, crossDegree, alpha, poolN, keys)
+    members.select((extras ++ Seq("n_id", "cell", "cell2")).map(col): _*)
       .join(nbrs, Seq("n_id"), "left")
-      .select(lit(l).as("layer"), col("n_id"), col("cell"), col("cell2"),
+      .select(extras.map(col) ++ Seq(lit(l).as("layer"), col("n_id"),
+        col("cell"), col("cell2"),
         coalesce(col("neighbors"),
-          expr("cast(array() as array<bigint>)")).as("neighbors"))
+          expr("cast(array() as array<bigint>)")).as("neighbors")): _*)
   }
 
   /** Layered serve: start every query at ONE deterministic entry (the
@@ -1979,49 +2113,43 @@ object GraphAnn {
     * frozen codebook.
     */
   def rebalanceGraphShards(shards: Seq[GraphIndex],
-                           oldMap: Array[Int], newMap: Array[Int],
-                           moveParallelism: Int = RebalanceMoveParallelism)
+                           oldMap: Array[Int], newMap: Array[Int])
       : Seq[GraphIndex] =
     rebalanceWith[GraphIndex]("rebalanceGraphShards", shards,
       shards.map(_.cells),
       s => s.nodes.select(col("n_id").as("vec_id"),
         col("emb").as("embedding"), col("cell")),
-      oldMap, newMap, moveParallelism)(
-      (s, outIds, inRows) => moveGraphIndex(s, outIds, inRows))
+      oldMap, newMap)(moveGraphShardsBatched)
 
   /** [[rebalanceGraphShards]] at the layered tier — the same
-    * delete-movers / append-movers composition over the HNSW
-    * incremental verbs, which are rebuild-exact per (layer, n_id)
-    * (gate n41), so the re-cut shards equal fresh builds over the new
-    * slices layer for layer.
+    * batched fused move over the HNSW incremental machinery, which is
+    * rebuild-exact per (layer, n_id) (gate n41), so the re-cut shards
+    * equal fresh builds over the new slices layer for layer.
     */
   def rebalanceHnswShards(shards: Seq[HnswIndex],
-                          oldMap: Array[Int], newMap: Array[Int],
-                          moveParallelism: Int = RebalanceMoveParallelism)
+                          oldMap: Array[Int], newMap: Array[Int])
       : Seq[HnswIndex] =
     rebalanceWith[HnswIndex]("rebalanceHnswShards", shards,
       shards.map(_.cells),
       s => s.nodes.select(col("n_id").as("vec_id"),
         col("emb").as("embedding"), col("cell")),
-      oldMap, newMap, moveParallelism)(
-      (s, outIds, inRows) => moveHnswIndex(s, outIds, inRows))
+      oldMap, newMap)(moveHnswShardsBatched)
 
   /** The shared rebalance skeleton: validate the frozen-codebook
     * handshake and both maps, derive the movers from the STORED cell
     * columns (one cheap projection per shard over the changed-cell
-    * set — never an embedding re-assignment), then hand each touched
-    * shard its movers-out ids and movers-in rows for the tier's fused
-    * move. `stateRows` exposes a shard's membership as
+    * set — never an embedding re-assignment), then hand the whole
+    * mover set to the tier's BATCHED fused move — one job family for
+    * every touched shard, one state materialization for the fleet.
+    * `stateRows` exposes a shard's membership as
     * (vec_id, embedding, cell).
     */
   private def rebalanceWith[I](what: String, shards: Seq[I],
                                shardCells: Seq[Array[Array[Double]]],
                                stateRows: I => DataFrame,
                                oldMap: Array[Int],
-                               newMap: Array[Int],
-                               moveParallelism: Int =
-                                 RebalanceMoveParallelism)(
-      move: (I, DataFrame, DataFrame) => I): Seq[I] = {
+                               newMap: Array[Int])(
+      moveBatched: (Seq[I], Set[Int], DataFrame) => Seq[I]): Seq[I] = {
     require(shards.nonEmpty, s"$what: no shards")
     val cells = requireSharedCells(what, shardCells)
     for ((m, which) <- Seq(oldMap -> "oldMap", newMap -> "newMap"))
@@ -2053,29 +2181,15 @@ object GraphAnn {
     val touchedShards = movers.select(col("from_shard").as("s"))
       .unionByName(movers.select(col("to_shard").as("s")))
       .distinct().collect().map(_.getInt(0)).toSet
-    // per-shard rebalances are independent (each touches only its own
-    // shard's state) — run them CONCURRENTLY on the shared bounded
-    // pool ([[IndexIo.runConcurrently]]): on a cluster each is its own
-    // job, and even on one host the verbs' eager materializations
-    // interleave instead of serializing
-    IndexIo.runConcurrently(shards.zipWithIndex,
-      moveParallelism) { case (s, i) =>
-      if (!touchedShards(i)) s
-      else move(s,
-        movers.filter(col("from_shard") === i).select("vec_id"),
-        movers.filter(col("to_shard") === i)
-          .select("vec_id", "embedding"))
-    }
+    if (touchedShards.isEmpty) shards
+    else moveBatched(shards, touchedShards, movers)
   }
 
-  /** Default concurrency for per-shard rebalance moves: enough to keep
-    * a CLUSTER's scheduler fed with independent jobs (each shard's
-    * move runs on disjoint executors), small enough that one rebalance
-    * cannot monopolize the driver's job-submission threads. Size it to
-    * capacity: on a SINGLE saturated host concurrent moves only
-    * interleave each other's bounded jobs (measured: two concurrent
-    * 200k-state moves 18 s vs 10.4 s run back-to-back) — pass
-    * `moveParallelism = 1` there.
+  /** Default concurrency for per-shard ROUTED appends (the rebalance
+    * moves themselves are batched into one job family — see
+    * [[moveGraphShardsBatched]]): enough to keep a CLUSTER's scheduler
+    * fed with independent jobs, small enough that one verb cannot
+    * monopolize the driver's job-submission threads.
     */
   val RebalanceMoveParallelism: Int = 16
 
@@ -2681,6 +2795,121 @@ object GraphAnn {
         .select("layer", "n_id", "cell", "cell2", "neighbors")
     }.reduce(_.unionByName(_)).localCheckpoint()
     index.copy(nodes = nodes2, adj = adj2)
+  }
+
+  /** [[moveHnswIndex]] batched across a deployment's shards — the
+    * [[moveGraphShardsBatched]] recipe at the layered tier: per layer,
+    * every touched shard's redo runs in ONE shard-tagged job family
+    * ((shard, cell) join keys through the one shared edge rule), so
+    * driver jobs are O(layers) for the WHOLE fleet instead of
+    * O(layers · shards), and the final node/adjacency states are one
+    * materialization each. Untouched shards return verbatim; touched
+    * shards get views filtered off the shared checkpoints. Equality
+    * with the per-shard [[moveHnswIndex]] composition is spec-pinned.
+    */
+  private[ops] def moveHnswShardsBatched(shards: Seq[HnswIndex],
+                                         touchedShards: Set[Int],
+                                         movers: DataFrame)
+      : Seq[HnswIndex] = {
+    val head = shards.head
+    require(shards.forall(s => s.degree == head.degree &&
+      s.crossDegree == head.crossDegree && s.alpha == head.alpha &&
+      s.poolSize == head.poolSize &&
+      s.levelFanout == head.levelFanout &&
+      s.maxLevel == head.maxLevel),
+      "moveHnswShardsBatched: shard build parameters differ — a " +
+        "sharded deployment must share one frozen edge rule")
+    val poolN = hnswPool(head)
+    val touched = touchedShards.toSeq.sorted
+    val sc = Seq("shard", "cell")
+    val delIds = movers.select(col("from_shard").as("shard"),
+        col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    val nu0 = movers.select(col("to_shard").as("shard"),
+        col("vec_id").cast("long").as("n_id"),
+        col("embedding").as("emb"))
+      .withColumn("level",
+        hashLevel(col("n_id"), head.levelFanout, head.maxLevel)
+          .cast("int"))
+      .localCheckpoint()
+    IndexIo.requireBatchIdsUnique("moveHnswShardsBatched", nu0, "n_id")
+    val oldNodesU = touched.map(j => shards(j).nodes.select(
+        lit(j).as("shard"), col("n_id"), col("emb"), col("cell"),
+        col("level")))
+      .reduce(_.unionByName(_))
+    val remainingNodes = oldNodesU.join(delIds, Seq("shard", "n_id"),
+      "left_anti")
+    IndexIo.requireIdsNotIndexed("moveHnswShardsBatched",
+      remainingNodes, nu0, "n_id")
+    val nodes2U = remainingNodes.unionByName(
+        nu0.select(col("shard"), col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), head.cells).as("cell"),
+          col("level")))
+      .localCheckpoint()
+    // ids are globally unique across shards, so ONE embedding fetch
+    // relation serves every layer's affected join
+    val embById = oldNodesU.select(col("n_id"), col("emb"))
+    val adjU = touched.map(j => shards(j).adj.select(
+        lit(j).as("shard"), col("layer"), col("n_id"), col("cell"),
+        col("cell2"), col("neighbors")))
+      .reduce(_.unionByName(_))
+    val adj2U = (0 to head.maxLevel).map { l =>
+      val cellsL = hnswLayerCells(head.cells, head.levelFanout, l)
+      val nuL = nu0.filter(col("level") >= l)
+        .select(col("shard"), col("n_id"), col("emb"),
+          Centroids.centroidAssign(col("emb"), cellsL).as("cell"),
+          secondCell(col("emb"), cellsL).as("cell2"))
+      val oldL = adjU.filter(col("layer") === l)
+      val remaining = oldL.join(delIds, Seq("shard", "n_id"),
+        "left_anti")
+      val touchedL = oldL.join(delIds, Seq("shard", "n_id"),
+          "left_semi")
+        .select("shard", "cell")
+        .unionByName(nuL.select("shard", "cell"))
+        .distinct().localCheckpoint()
+      val affected = remaining.join(touchedL, sc, "left_semi")
+        .unionByName(remaining.join(
+          touchedL.withColumnRenamed("cell", "cell2"),
+          Seq("shard", "cell2"), "left_semi"))
+        .dropDuplicates("shard", "n_id")
+        .join(embById, Seq("n_id"))
+        .select("shard", "n_id", "emb", "cell", "cell2")
+      val redo = affected.unionByName(nuL).localCheckpoint()
+      val redoCells = redo.select("shard", "cell")
+        .unionByName(redo.select(col("shard"),
+          col("cell2").as("cell")))
+        .distinct()
+      val peersL = remaining.select("shard", "cell", "n_id")
+        .join(broadcast(redoCells), sc, "left_semi")
+        .join(embById, Seq("n_id"))
+        .select(col("shard"), col("cell"), col("n_id").as("m_id"),
+          col("emb").as("m_emb"))
+        .unionByName(nuL
+          .join(broadcast(redoCells), sc, "left_semi")
+          .select(col("shard"), col("cell"), col("n_id").as("m_id"),
+            col("emb").as("m_emb")))
+        .repartition(head.nodes.sparkSession.sessionState.conf
+          .numShufflePartitions)
+        .localCheckpoint()
+      val side =
+        if (withinBroadcastBudget(redo, head.cells))
+          redo.hint("broadcast")
+        else redo
+      val redoRows = hnswLayerRows(side, cellsL, l, head.degree,
+        head.crossDegree, head.alpha, poolN, Some(peersL), keys = sc)
+      remaining.join(redo.select("shard", "n_id"), Seq("shard", "n_id"),
+          "left_anti")
+        .unionByName(redoRows
+          .select("shard", "layer", "n_id", "cell", "cell2",
+            "neighbors"))
+        .select("shard", "layer", "n_id", "cell", "cell2", "neighbors")
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    shards.zipWithIndex.map { case (s, j) =>
+      if (!touchedShards(j)) s
+      else s.copy(
+        nodes = nodes2U.filter(col("shard") === j).drop("shard"),
+        adj = adj2U.filter(col("shard") === j).drop("shard"))
+    }
   }
 
   /** Merge two layered indexes built INDEPENDENTLY over disjoint id

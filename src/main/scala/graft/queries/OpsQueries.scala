@@ -6837,6 +6837,76 @@ object OpsQueries {
              |  TRUE AS ivfpq_exact
              |FROM embeddings WHERE vec_id < 500""".stripMargin)),
 
+    // Capstone deployment lifecycle (n62): the WHOLE sharded story
+    // composed end-to-end on the code-table tier — fresh spatial cut →
+    // per-shard builds → routed append of an arriving batch → drift
+    // (one boundary cell re-homed) → state-derived rebalance → ROUTED
+    // scatter serve — pinned EXACT, rank for rank, against ONE fresh
+    // merged index built over the final corpus. Composes the n54/n56/
+    // n58/n61 arguments: per-row assign/encode is row-independent
+    // under the shared frozen artifacts (append and rebalance are
+    // rebuild-exact), shards partition ids so per-shard top-k keeps
+    // every global winner, and the cell-map routing only skips shards
+    // that own none of a query's probed cells.
+    QueryDef("n62_shard_lifecycle",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+          .localCheckpoint()
+        val base = e.filter(col("vec_id") < 400)
+        val batch = e.filter(col("vec_id") >= 400)
+        val full = Similarity.buildIvfPqIndex(base, nlist = 16, m = 16,
+          ks = 16)
+        def build(c: org.apache.spark.sql.DataFrame) =
+          Similarity.buildIvfPqIndex(c, nlist = 16, m = 16, ks = 16,
+            centroids = Some(full.cells),
+            codebook = Some(full.codebook))
+        def slice(c: org.apache.spark.sql.DataFrame, map: Array[Int],
+                  i: Int) =
+          Similarity.routeByCellMap(c, full.cells, map, 3)
+            .filter(col("shard") === i).drop("shard")
+        val map1 = Similarity.shardCellMap(base, full.cells, 3)
+        val grown = Similarity.appendToIvfPqShards(
+          (0 until 3).map(i => build(slice(base, map1, i))), batch,
+          map1)
+        // drift: re-home shard 1's first NON-EMPTY cell (occupancy
+        // over the FINAL corpus, so the move provably happens)
+        val assign = graft.functions.Centroids.centroidAssign(
+          col("embedding"), full.cells)
+        val occ = e.select(assign.as("cell")).groupBy("cell").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val b = map1.indices
+          .find(c => map1(c) == 1 && occ.getOrElse(c + 1, 0L) > 0).get
+        val map2 = map1.clone(); map2(b) = 0
+        val reb = Similarity.rebalanceIvfPqShards(grown, map1, map2)
+        // the lifecycle state equals fresh builds over the final
+        // corpus's new slices…
+        val stateOk = (0 until 3).forall { i =>
+          val freshC = build(slice(e, map2, i)).codes
+          reb(i).codes.exceptAll(freshC).count() == 0 &&
+            freshC.exceptAll(reb(i).codes).count() == 0
+        }
+        // …and the ROUTED scatter serve over it equals the one-index
+        // serve over the final corpus, rank for rank
+        val q = e.filter(col("vec_id") < 20)
+        val scatter = Similarity.queryIvfPqIndexScatter(q, reb, 5,
+            nprobe = 4, cellShardMap = Some(map2))
+          .select(col("q_id"), col("n_id"), col("rank").as("r_s"))
+        val merged = Similarity.queryIvfPqIndex(q, build(e), 5,
+            nprobe = 4)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_m"))
+        merged.join(scatter, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_m") === col("r_s"), 1).otherwise(0)))
+            .as("serve_exact"))
+          .select(col("q_id"), col("serve_exact"),
+            lit(stateOk).as("state_exact"),
+            lit(occ.getOrElse(b + 1, 0L) > 0).as("moved"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS serve_exact,
+             |  TRUE AS state_exact, TRUE AS moved
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

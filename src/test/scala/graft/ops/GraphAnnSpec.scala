@@ -1384,6 +1384,56 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("rebalance: one batched move handles cross-flowing movers over many shards") {
+    // three shards, TWO cells flipped in opposite directions (one
+    // from shard 1 into shard 0, one from shard 0 into shard 2) — the
+    // batched move must keep each shard's pools scoped to its own
+    // members while movers flow both ways through the ONE job family,
+    // and an untouched shard must come back verbatim
+    val corpus = planted(6, 30, 16, seed = 137)
+    val cells = Similarity.firstVectors(corpus, 6)
+    val assign = graft.functions.Centroids.centroidAssign(
+      col("embedding"), cells)
+    val map1 = Similarity.shardCellMap(corpus, cells, 3)
+    val from1 = map1.indexOf(1)
+    val from0 = map1.indexOf(0)
+    val map2 = map1.clone(); map2(from1) = 0; map2(from0) = 2
+    def slice(map: Array[Int], i: Int) = corpus.filter(
+      element_at(lit(map), assign) === i)
+    def buildG(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildGraphIndex(c, nlist = 6, degree = 4,
+        crossDegree = 2, centroids = Some(cells), alpha = Some(1.2))
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    def entries(i: GraphAnn.GraphIndex) = i.entries
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val oldShards = (0 until 3).map(i => buildG(slice(map1, i)))
+    val reb = GraphAnn.rebalanceGraphShards(oldShards, map1, map2)
+    (0 until 3).foreach { i =>
+      val fresh = buildG(slice(map2, i))
+      nbrs(reb(i)) shouldBe nbrs(fresh)
+      entries(reb(i)) shouldBe entries(fresh)
+    }
+    // layered tier under the same two-way drift
+    def buildH(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildHnswIndex(c, nlist = 6, degree = 4, crossDegree = 2,
+        levelFanout = 4, maxLevel = 1, centroids = Some(cells))
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val rebH = GraphAnn.rebalanceHnswShards(
+      (0 until 3).map(i => buildH(slice(map1, i))), map1, map2)
+    (0 until 3).foreach { i =>
+      adjMap(rebH(i)) shouldBe adjMap(buildH(slice(map2, i)))
+    }
+    // parameter drift across shards fails fast in the batched move
+    val drifted = oldShards.updated(2, oldShards(2).copy(degree = 9))
+    intercept[IllegalArgumentException] {
+      GraphAnn.rebalanceGraphShards(drifted, map1, map2)
+    }.getMessage should include("parameters")
+  }
+
   test("expansion serves: saturated configs reproduce the saturated walks exactly") {
     // one cell + full degree: both the expansion and the beam walk
     // reach every node, so ranks must agree pair for pair — float
