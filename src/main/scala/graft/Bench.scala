@@ -178,8 +178,10 @@ object Bench {
         "n60_graph_scatter_agg", "n61_shard_routed_append",
         // n62 runs the whole lifecycle: seven IVF-PQ builds (three
         // shards + three fresh-slice oracles + the merged oracle)
-        // plus append + rebalance per evaluation
-        "n62_shard_lifecycle")
+        // plus append + rebalance per evaluation; n63 builds six
+        // graph indexes plus append + rebalance for the state-derived
+        // re-cut loop
+        "n62_shard_lifecycle", "n63_recut_from_state")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

@@ -2221,8 +2221,8 @@ object GraphAnn {
     require(shards.nonEmpty, "appendToGraphShards: no shards")
     val cells = requireSharedCells("appendToGraphShards",
       shards.map(_.cells))
-    IndexIo.appendRouted("appendToGraphShards", shards, cells, batch,
-      cellMap, RebalanceMoveParallelism)(appendToGraphIndex)
+    routedAppendBatched("appendToGraphShards", shards, cells, batch,
+      cellMap)(moveGraphShardsBatched)
   }
 
   /** [[appendToGraphShards]] at the layered tier. */
@@ -2231,8 +2231,38 @@ object GraphAnn {
     require(shards.nonEmpty, "appendToHnswShards: no shards")
     val cells = requireSharedCells("appendToHnswShards",
       shards.map(_.cells))
-    IndexIo.appendRouted("appendToHnswShards", shards, cells, batch,
-      cellMap, RebalanceMoveParallelism)(appendToHnswIndex)
+    routedAppendBatched("appendToHnswShards", shards, cells, batch,
+      cellMap)(moveHnswShardsBatched)
+  }
+
+  /** The routed-append skeleton for the graph-tier families: route the
+    * arriving batch under the deployment's FROZEN map (one no-shuffle
+    * projection, checkpointed) and run it as a movers-in-only batched
+    * move — ONE job family and one state materialization for every
+    * touched shard, the [[moveGraphShardsBatched]] driver-scale
+    * argument applied to the nightly-ingest verb (an arriving batch
+    * routinely touches MANY shards, where per-shard appends pay
+    * per-shard job submission). A sentinel `from_shard = -1` carries
+    * "no departures": it can never match a real shard in the delete
+    * anti-joins and is excluded from the touched set. The code-table
+    * tier keeps [[IndexIo.appendRouted]] (its per-shard append is one
+    * row-independent projection — nothing to batch).
+    */
+  private def routedAppendBatched[I](what: String, shards: Seq[I],
+                                     cells: Array[Array[Double]],
+                                     batch: DataFrame,
+                                     cellMap: Array[Int])(
+      moveBatched: (Seq[I], Set[Int], DataFrame) => Seq[I]): Seq[I] = {
+    val routed = Similarity.routeByCellMap(
+        batch.select("vec_id", "embedding"), cells, cellMap,
+        shards.length)
+      .localCheckpoint()
+    val touched = routed.select("shard").distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (touched.isEmpty) shards
+    else moveBatched(shards, touched,
+      routed.select(lit(-1).as("from_shard"),
+        col("shard").as("to_shard"), col("vec_id"), col("embedding")))
   }
 
   /** Metadata-FILTERED layered serve (the filtered-DiskANN shape, the

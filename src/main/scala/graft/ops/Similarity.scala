@@ -185,26 +185,62 @@ object Similarity {
     */
   def shardCellMap(corpus: DataFrame, cells: Array[Array[Double]],
                    nShards: Int): Array[Int] = {
-    require(nShards >= 1 && nShards <= cells.length,
-      s"nShards ($nShards) must be in [1, nlist=${cells.length}]")
     val counts = new Array[Long](cells.length)
     corpus
       .select(graft.functions.Centroids
         .centroidAssign(col("embedding"), cells).as("cell"))
       .groupBy("cell").count().collect()
       .foreach(r => counts(r.getInt(0) - 1) = r.getLong(1))
+    cellMapFromCounts(counts, nShards)
+  }
+
+  /** [[shardCellMap]] for a LIVE deployment: the occupancy histogram
+    * comes from the shards' own stored `cell` columns (`members` =
+    * one (cell) relation per shard — `nodes` for the graph tiers,
+    * `codes` for IVF-PQ), so a drift re-cut never reads the corpus:
+    * ONE nlist-bounded aggregate over state, then the same greedy
+    * contiguous cut. Because every indexed row's stored cell IS its
+    * codebook assignment, this returns exactly [[shardCellMap]] of
+    * the corpus the deployment currently indexes — the nightly re-cut
+    * loop (occupancy → new map → [[GraphAnn.rebalanceGraphShards]])
+    * runs entirely off index state (gate n63).
+    */
+  def shardCellMapFromState(members: Seq[DataFrame], nlist: Int,
+                            nShards: Int): Array[Int] = {
+    require(members.nonEmpty, "shardCellMapFromState: no shards")
+    val counts = new Array[Long](nlist)
+    members.map(_.select(col("cell")))
+      .reduce(_.unionByName(_))
+      .groupBy("cell").count().collect()
+      .foreach { r =>
+        val c = r.getInt(0)
+        require(c >= 1 && c <= nlist,
+          s"shardCellMapFromState: state names cell $c outside " +
+            s"[1, $nlist] — wrong codebook for this deployment?")
+        counts(c - 1) = r.getLong(1)
+      }
+    cellMapFromCounts(counts, nShards)
+  }
+
+  /** The one greedy contiguous occupancy cut behind both map builders:
+    * walk the codebook in order, advancing to the next shard when the
+    * running shard reached its pro-rata member share (or when the
+    * remaining cells are only just enough to hand each remaining
+    * shard one). Deterministic in the counts alone.
+    */
+  private[ops] def cellMapFromCounts(counts: Array[Long],
+                                     nShards: Int): Array[Int] = {
+    require(nShards >= 1 && nShards <= counts.length,
+      s"nShards ($nShards) must be in [1, nlist=${counts.length}]")
     val total = counts.sum
-    val map = new Array[Int](cells.length)
+    val map = new Array[Int](counts.length)
     var shard = 0
     var cum = 0L
-    for (c <- cells.indices) {
+    for (c <- counts.indices) {
       map(c) = shard
       cum += counts(c)
-      val cellsLeft = cells.length - c - 1
+      val cellsLeft = counts.length - c - 1
       val shardsLeft = nShards - 1 - shard
-      // advance when the running shard reached its pro-rata share of
-      // members, or when the remaining cells are only just enough to
-      // hand each remaining shard one
       if (shard < nShards - 1 &&
           (cum * nShards >= (shard + 1).toLong * total ||
             cellsLeft <= shardsLeft))

@@ -6907,6 +6907,84 @@ object OpsQueries {
              |  TRUE AS state_exact, TRUE AS moved
              |FROM embeddings WHERE vec_id < 20""".stripMargin)),
 
+    // State-derived re-cut (n63): the nightly drift loop with the
+    // corpus NEVER read — occupancy from the shards' stored cell
+    // columns (shardCellMapFromState), movers from state (the
+    // rebalance verbs), one batched move. Pins: (1) the state-derived
+    // map equals the corpus-derived map over exactly what the
+    // deployment indexes (a stored cell IS its row's codebook
+    // assignment); (2) the arriving batch is SKEWED into shard 0's
+    // cells so the pro-rata boundary provably shifts (map_moved);
+    // (3) rebalancing to the state-derived map equals fresh builds
+    // over the new slices, neighbor list for neighbor list.
+    QueryDef("n63_recut_from_state",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+          .localCheckpoint()
+        val base = e.filter(col("vec_id") < 400)
+        val cells = Similarity.firstVectors(base, 16)
+        val assign = graft.functions.Centroids.centroidAssign(
+          col("embedding"), cells)
+        val map1 = Similarity.shardCellMap(base, cells, 3)
+        // drift: arrivals concentrated at the LOW end of the cell
+        // order (home cell ≤ 5 — inside/near shard 0's contiguous
+        // range), so the pro-rata boundaries shift left
+        val batch = e.filter(col("vec_id") >= 400)
+          .filter(assign <= 5)
+        val indexedCorpus = base.unionByName(batch).localCheckpoint()
+        def slice(c: org.apache.spark.sql.DataFrame, map: Array[Int],
+                  i: Int) =
+          Similarity.routeByCellMap(c, cells, map, 3)
+            .filter(col("shard") === i).drop("shard")
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildGraphIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, centroids = Some(cells))
+        val grown = GraphAnn.appendToGraphShards(
+          (0 until 3).map(i => build(slice(base, map1, i))), batch,
+          map1)
+        val map2 = Similarity.shardCellMapFromState(
+          grown.map(_.nodes.select("cell")), 16, 3)
+        val mapOk = map2.sameElements(
+          Similarity.shardCellMap(indexedCorpus, cells, 3))
+        val mapMoved = !map2.sameElements(map1)
+        val reb = GraphAnn.rebalanceGraphShards(grown, map1, map2)
+        (0 until 3).map { i =>
+          reb(i).nodes
+            .select(col("n_id"), col("neighbors").as("nb_r"))
+            .join(build(slice(indexedCorpus, map2, i)).nodes
+              .select(col("n_id"), col("neighbors").as("nb_f")),
+              Seq("n_id"), "full")
+            .select(col("n_id"),
+              (col("nb_r") === col("nb_f")).as("ok"))
+        }.reduce(_.unionByName(_))
+          .groupBy("n_id")
+          .agg((min(when(col("ok"), 1).otherwise(0)) === 1)
+            .as("nbrs_exact"))
+          .select(col("n_id"), col("nbrs_exact"),
+            lit(mapOk).as("map_from_state_exact"),
+            lit(mapMoved).as("map_moved"))
+      },
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding AS cemb
+             |  FROM embeddings WHERE vec_id < 16),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_cosine_similarity(e.embedding, c.cemb) AS s
+             |  FROM embeddings e, cent c
+             |  WHERE e.vec_id >= 400 AND e.vec_id < 500),
+             |home AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+             |    FROM sims) WHERE rn = 1)
+             |SELECT vec_id AS n_id, TRUE AS nbrs_exact,
+             |  TRUE AS map_from_state_exact, TRUE AS map_moved
+             |FROM embeddings WHERE vec_id < 400
+             |UNION ALL
+             |SELECT vec_id AS n_id, TRUE AS nbrs_exact,
+             |  TRUE AS map_from_state_exact, TRUE AS map_moved
+             |FROM home WHERE cid <= 4""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

@@ -451,6 +451,25 @@ class SimilaritySpec extends SparkSpec {
     mapMax.toSeq shouldBe (0 until nlist)
     an[IllegalArgumentException] should be thrownBy
       Similarity.shardCellMap(corpus, cells, nlist + 1)
+    // the state-derived cut replays the corpus-derived one exactly:
+    // the shards' stored cell columns carry the same histogram the
+    // corpus scan would produce (here via the IVF-PQ code tables)
+    val full = Similarity.buildIvfPqIndex(corpus, nlist = nlist,
+      m = 4, ks = 16, centroids = Some(cells))
+    val shards = (0 until 2).map(i =>
+      Similarity.buildIvfPqIndex(
+        Similarity.routeByCellMap(corpus, cells, map1, 2)
+          .filter(col("shard") === i).drop("shard"),
+        nlist = nlist, m = 4, ks = 16, centroids = Some(cells),
+        codebook = Some(full.codebook)))
+    Similarity.shardCellMapFromState(shards.map(_.codes), nlist,
+      2).toSeq shouldBe map1.toSeq
+    // a state row naming a cell outside the codebook fails fast
+    intercept[IllegalArgumentException] {
+      Similarity.shardCellMapFromState(
+        Seq(corpus.select((col("vec_id") + 100).cast("int")
+          .as("cell"))), nlist, 2)
+    }.getMessage should include("outside")
   }
 
   test("scatter-gather IVF-PQ serve: exact vs merged index, routing skips untouched shards") {
