@@ -181,7 +181,10 @@ object Bench {
         // plus append + rebalance per evaluation; n63 builds six
         // graph indexes plus append + rebalance for the state-derived
         // re-cut loop
-        "n62_shard_lifecycle", "n63_recut_from_state")
+        // n64 builds six indexes (two tiers × two shards + fresh
+        // survivor oracles) plus the batched routed delete
+        "n62_shard_lifecycle", "n63_recut_from_state",
+        "n64_shard_routed_delete")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {

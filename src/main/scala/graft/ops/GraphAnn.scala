@@ -1204,10 +1204,15 @@ object GraphAnn {
       withC2.select(lit(j).as("shard"), col("n_id"), col("emb"),
         col("cell"), col("cell2"), col("neighbors"))
     }.reduce(_.unionByName(_))
-    val delIds = movers.select(col("from_shard").as("shard"),
+    // sentinel shard −1 on either side means "no departure" (a routed
+    // append) / "no arrival" (a routed delete) — drop those legs here
+    // so one job-family skeleton serves all three routed verbs
+    val delIds = movers.filter(col("from_shard") >= 0)
+      .select(col("from_shard").as("shard"),
         col("vec_id").cast("long").as("n_id"))
       .distinct().localCheckpoint()
-    val nu = movers.select(col("to_shard").as("shard"),
+    val nu = movers.filter(col("to_shard") >= 0)
+      .select(col("to_shard").as("shard"),
         col("vec_id").cast("long").as("n_id"),
         col("embedding").as("emb"),
         Centroids.centroidAssign(col("embedding"), cells).as("cell"),
@@ -2235,6 +2240,51 @@ object GraphAnn {
       cellMap)(moveHnswShardsBatched)
   }
 
+  /** Delete ids from a SHARDED graph deployment: each id's owning
+    * shard comes from the shards' own stored state (one lazy-unioned
+    * semi-join over the bounded delete set — ONE job, no corpus, no
+    * routing map needed: membership IS ownership), then everything
+    * runs as a movers-out-only batched move (sentinel `to_shard = -1`
+    * — no arrivals), so the whole fleet's delete is one job family
+    * with one state materialization. Ids absent from every shard
+    * no-op, matching [[deleteFromGraphIndex]]. Completes the sharded
+    * CRUD set next to [[appendToGraphShards]] and
+    * [[rebalanceGraphShards]]; spec-pinned equal to fresh builds over
+    * the surviving slices.
+    */
+  def deleteFromGraphShards(shards: Seq[GraphIndex], ids: DataFrame)
+      : Seq[GraphIndex] = {
+    require(shards.nonEmpty, "deleteFromGraphShards: no shards")
+    requireSharedCells("deleteFromGraphShards", shards.map(_.cells))
+    routedDeleteBatched(shards, ids,
+      (s: GraphIndex) => s.nodes)(moveGraphShardsBatched)
+  }
+
+  /** [[deleteFromGraphShards]] at the layered tier. */
+  def deleteFromHnswShards(shards: Seq[HnswIndex], ids: DataFrame)
+      : Seq[HnswIndex] = {
+    require(shards.nonEmpty, "deleteFromHnswShards: no shards")
+    requireSharedCells("deleteFromHnswShards", shards.map(_.cells))
+    routedDeleteBatched(shards, ids,
+      (s: HnswIndex) => s.nodes)(moveHnswShardsBatched)
+  }
+
+  private def routedDeleteBatched[I](shards: Seq[I], ids: DataFrame,
+                                     nodesOf: I => DataFrame)(
+      moveBatched: (Seq[I], Set[Int], DataFrame) => Seq[I]): Seq[I] = {
+    val del = ids.select(col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    val movers = shards.zipWithIndex.map { case (s, j) =>
+      nodesOf(s).join(del, Seq("n_id"), "left_semi")
+        .select(lit(j).as("from_shard"), lit(-1).as("to_shard"),
+          col("n_id").as("vec_id"), col("emb").as("embedding"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val touched = movers.select("from_shard").distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (touched.isEmpty) shards
+    else moveBatched(shards, touched, movers)
+  }
+
   /** The routed-append skeleton for the graph-tier families: route the
     * arriving batch under the deployment's FROZEN map (one no-shuffle
     * projection, checkpointed) and run it as a movers-in-only batched
@@ -2852,10 +2902,13 @@ object GraphAnn {
     val poolN = hnswPool(head)
     val touched = touchedShards.toSeq.sorted
     val sc = Seq("shard", "cell")
-    val delIds = movers.select(col("from_shard").as("shard"),
+    // sentinel shard −1 legs dropped — the moveGraphShardsBatched note
+    val delIds = movers.filter(col("from_shard") >= 0)
+      .select(col("from_shard").as("shard"),
         col("vec_id").cast("long").as("n_id"))
       .distinct().localCheckpoint()
-    val nu0 = movers.select(col("to_shard").as("shard"),
+    val nu0 = movers.filter(col("to_shard") >= 0)
+      .select(col("to_shard").as("shard"),
         col("vec_id").cast("long").as("n_id"),
         col("embedding").as("emb"))
       .withColumn("level",

@@ -1249,6 +1249,21 @@ object Similarity {
       ids.select(col("vec_id").cast("long").as("n_id")).distinct(),
       Seq("n_id"), "left_anti"))
 
+  /** [[GraphAnn.deleteFromGraphShards]] at the code-table tier: no
+    * routing map needed — membership is ownership, and the per-shard
+    * delete is one lazy anti-join (row-independent codes, nothing to
+    * re-run), so the fleet delete is |shards| filters over state.
+    */
+  def deleteFromIvfPqShards(shards: Seq[IvfPqIndex], ids: DataFrame)
+      : Seq[IvfPqIndex] = {
+    require(shards.nonEmpty, "deleteFromIvfPqShards: no shards")
+    requireSharedIvfPqArtifacts("deleteFromIvfPqShards", shards)
+    val del = ids.select(col("vec_id").cast("long").as("n_id"))
+      .distinct().localCheckpoint()
+    shards.map(s => deleteFromIvfPqIndex(s,
+      del.select(col("n_id").as("vec_id"))))
+  }
+
   /** Index health report — the numbers that decide when to re-train
     * (the drift caveat on [[appendToIvfPqIndex]]): how the corpus
     * spreads over the coarse cells. Hot cells slow every query that

@@ -6985,6 +6985,72 @@ object OpsQueries {
              |  TRUE AS map_from_state_exact, TRUE AS map_moved
              |FROM home WHERE cid <= 4""".stripMargin)),
 
+    // Routed sharded delete (n64): the last CRUD verb for a sharded
+    // deployment — each id's owning shard comes from the shards' OWN
+    // state (membership is ownership; no routing map, no corpus), and
+    // the whole fleet's delete runs as one movers-out-only batched
+    // move. Pins: delete ids that cross BOTH shards; the shrunk
+    // shards equal fresh builds over the surviving slices (graph
+    // neighbor lists + entries, IVF-PQ code tables).
+    QueryDef("n64_shard_routed_delete",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+          .localCheckpoint()
+        val dels = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+        val surviving = e.filter(col("vec_id") % 7 =!= 0)
+        val cells = Similarity.firstVectors(e, 16)
+        val map = Similarity.shardCellMap(e, cells, 2)
+        def slice(c: org.apache.spark.sql.DataFrame, i: Int) =
+          Similarity.routeByCellMap(c, cells, map, 2)
+            .filter(col("shard") === i).drop("shard")
+        def build(c: org.apache.spark.sql.DataFrame) =
+          GraphAnn.buildGraphIndex(c, nlist = 16, degree = 4,
+            crossDegree = 2, centroids = Some(cells))
+        val shrunk = GraphAnn.deleteFromGraphShards(
+          (0 until 2).map(i => build(slice(e, i))), dels)
+        val entriesOk = (0 until 2).forall { i =>
+          val freshE = build(slice(surviving, i)).entries
+          shrunk(i).entries.exceptAll(freshE).count() == 0 &&
+            freshE.exceptAll(shrunk(i).entries).count() == 0
+        }
+        val fullPq = Similarity.buildIvfPqIndex(e, nlist = 16, m = 16,
+          ks = 16)
+        def buildPq(c: org.apache.spark.sql.DataFrame) =
+          Similarity.buildIvfPqIndex(c, nlist = 16, m = 16, ks = 16,
+            centroids = Some(fullPq.cells),
+            codebook = Some(fullPq.codebook))
+        def slicePq(c: org.apache.spark.sql.DataFrame, i: Int) =
+          Similarity.routeByCellMap(c, fullPq.cells,
+              Similarity.shardCellMap(e, fullPq.cells, 2), 2)
+            .filter(col("shard") === i).drop("shard")
+        val shrunkPq = Similarity.deleteFromIvfPqShards(
+          (0 until 2).map(i => buildPq(slicePq(e, i))), dels)
+        val ivfpqOk = (0 until 2).forall { i =>
+          val freshC = buildPq(slicePq(surviving, i)).codes
+          shrunkPq(i).codes.exceptAll(freshC).count() == 0 &&
+            freshC.exceptAll(shrunkPq(i).codes).count() == 0
+        }
+        (0 until 2).map { i =>
+          shrunk(i).nodes
+            .select(col("n_id"), col("neighbors").as("nb_s"))
+            .join(build(slice(surviving, i)).nodes
+              .select(col("n_id"), col("neighbors").as("nb_f")),
+              Seq("n_id"), "full")
+            .select(col("n_id"),
+              (col("nb_s") === col("nb_f")).as("ok"))
+        }.reduce(_.unionByName(_))
+          .groupBy("n_id")
+          .agg((min(when(col("ok"), 1).otherwise(0)) === 1)
+            .as("nbrs_exact"))
+          .select(col("n_id"), col("nbrs_exact"),
+            lit(entriesOk).as("entries_exact"),
+            lit(ivfpqOk).as("ivfpq_exact"))
+      },
+      Some("""SELECT vec_id AS n_id, TRUE AS nbrs_exact,
+             |  TRUE AS entries_exact, TRUE AS ivfpq_exact
+             |FROM embeddings
+             |WHERE vec_id < 500 AND vec_id % 7 <> 0""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins

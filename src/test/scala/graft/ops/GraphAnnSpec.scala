@@ -1434,6 +1434,46 @@ class GraphAnnSpec extends SparkSpec {
     }.getMessage should include("parameters")
   }
 
+  test("deleteFromGraphShards/deleteFromHnswShards: owners from state, equals fresh builds over survivors") {
+    val corpus = planted(6, 30, 16, seed = 139)
+    val cells = Similarity.firstVectors(corpus, 6)
+    val assign = graft.functions.Centroids.centroidAssign(
+      col("embedding"), cells)
+    val map = Similarity.shardCellMap(corpus, cells, 2)
+    def slice(c: org.apache.spark.sql.DataFrame, i: Int) = c.filter(
+      element_at(lit(map), assign) === i)
+    def buildG(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildGraphIndex(c, nlist = 6, degree = 4,
+        crossDegree = 2, centroids = Some(cells))
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // delete ids crossing BOTH shards; absent ids (negative) no-op
+    val dels = corpus.filter(col("vec_id") % 5 === 0).select("vec_id")
+      .unionByName(Seq(-1L, -2L).toDF("vec_id"))
+    val surviving = corpus.filter(col("vec_id") % 5 =!= 0)
+    val shards = (0 until 2).map(i => buildG(slice(corpus, i)))
+    val shrunk = GraphAnn.deleteFromGraphShards(shards, dels)
+    (0 until 2).foreach { i =>
+      nbrs(shrunk(i)) shouldBe nbrs(buildG(slice(surviving, i)))
+    }
+    // a delete set touching NOTHING returns the fleet verbatim
+    GraphAnn.deleteFromGraphShards(shards,
+      Seq(-9L).toDF("vec_id")) shouldBe shards
+    // layered tier
+    def buildH(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildHnswIndex(c, nlist = 6, degree = 4, crossDegree = 2,
+        levelFanout = 4, maxLevel = 1, centroids = Some(cells))
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val shrunkH = GraphAnn.deleteFromHnswShards(
+      (0 until 2).map(i => buildH(slice(corpus, i))), dels)
+    (0 until 2).foreach { i =>
+      adjMap(shrunkH(i)) shouldBe adjMap(buildH(slice(surviving, i)))
+    }
+  }
+
   test("expansion serves: saturated configs reproduce the saturated walks exactly") {
     // one cell + full degree: both the expansion and the beam walk
     // reach every node, so ranks must agree pair for pair — float
