@@ -1434,6 +1434,79 @@ class GraphAnnSpec extends SparkSpec {
     }.getMessage should include("parameters")
   }
 
+  test("batched shard move: driver job count is flat in the shard count") {
+    // the 100 TB claim behind moveGraphShardsBatched: ONE job family
+    // regardless of how many shards a re-cut touches, vs the
+    // per-shard composition's O(shards) submissions
+    val corpus = planted(8, 25, 16, seed = 149)
+    val cells = Similarity.firstVectors(corpus, 8)
+    val assign = graft.functions.Centroids.centroidAssign(
+      col("embedding"), cells)
+    def buildG(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildGraphIndex(c, nlist = 8, degree = 4,
+        crossDegree = 2, centroids = Some(cells))
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart)
+            : Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        org.apache.spark.graftbridge.CoreBridge
+          .drainListenerBus(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    def recut(nShards: Int): Int = {
+      val map1 = Similarity.shardCellMap(corpus, cells, nShards)
+      // flip every shard's first cell to its left neighbor — every
+      // shard both sends and receives
+      val map2 = map1.clone()
+      (1 until nShards).foreach { s =>
+        map2(map1.indexOf(s)) = s - 1
+      }
+      val shards = (0 until nShards).map(i => buildG(corpus.filter(
+        element_at(lit(map1), assign) === i)))
+      countJobs {
+        GraphAnn.rebalanceGraphShards(shards, map1, map2)
+      }
+    }
+    val jobs2 = recut(2)
+    val jobs4 = recut(4)
+    info(s"batched recut jobs: 2 shards = $jobs2, 4 shards = $jobs4")
+    // sub-linear in the shard count (AQE stage-jobs wobble with join
+    // strategy picks, but doubling the touched shards must not come
+    // near doubling the submissions — the per-shard form does exactly
+    // 2× here by construction)…
+    jobs4.toDouble should be < (jobs2 * 1.6)
+    // …and well under the per-shard composition's bill at 4 shards
+    val map1 = Similarity.shardCellMap(corpus, cells, 4)
+    val map2 = map1.clone()
+    (1 until 4).foreach(s => map2(map1.indexOf(s)) = s - 1)
+    val shards = (0 until 4).map(i => buildG(corpus.filter(
+      element_at(lit(map1), assign) === i)))
+    val movers = shards.zipWithIndex.map { case (s, j) =>
+      s.nodes.withColumn("to_shard",
+          element_at(lit(map2), col("cell")))
+        .filter(col("to_shard") =!= j)
+        .select(lit(j).as("from_shard"), col("to_shard"),
+          col("n_id").as("vec_id"), col("emb").as("embedding"))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val jobsPerShard = countJobs {
+      (0 until 4).foreach { i =>
+        GraphAnn.moveGraphIndex(shards(i),
+          movers.filter(col("from_shard") === i).select("vec_id"),
+          movers.filter(col("to_shard") === i)
+            .select("vec_id", "embedding"))
+      }
+    }
+    info(s"per-shard composition jobs: 4 shards = $jobsPerShard")
+    jobs4.toDouble should be < (jobsPerShard * 0.6)
+  }
+
   test("deleteFromGraphShards/deleteFromHnswShards: owners from state, equals fresh builds over survivors") {
     val corpus = planted(6, 30, 16, seed = 139)
     val cells = Similarity.firstVectors(corpus, 6)
