@@ -751,7 +751,9 @@ object GraphAnn {
   private def loadGraphIndexFrom(spark: org.apache.spark.sql.SparkSession,
                                  dir: String,
                                  meta: org.apache.spark.sql.Row,
-                                 nodes: DataFrame): GraphIndex = {
+                                 nodes: DataFrame,
+                                 entriesOverride: Option[DataFrame] =
+                                   None): GraphIndex = {
     require(meta.getAs[Int]("format_version") <= 2,
       s"unsupported graph index format_version " +
         meta.getAs[Int]("format_version"))
@@ -760,7 +762,9 @@ object GraphAnn {
     val alpha = if (hasAlpha && !meta.getAs[Double]("alpha").isNaN)
       Some(meta.getAs[Double]("alpha")) else None
     val poolSize = if (hasAlpha) meta.getAs[Int]("pool_size") else 0
-    GraphIndex(nodes, spark.read.parquet(s"$dir/entries"), cells,
+    GraphIndex(nodes,
+      entriesOverride.getOrElse(spark.read.parquet(s"$dir/entries")),
+      cells,
       meta.getAs[Int]("degree"), meta.getAs[Int]("cross_degree"),
       meta.getAs[Int]("entries_per_cell"), alpha, poolSize)
   }
@@ -813,6 +817,49 @@ object GraphAnn {
       IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "nodes", dir),
         s"$dir/nodes", Seq("n_id"), meta.getAs[Int]("buckets")))
+  }
+
+  /** Persist a whole sharded graph deployment as ONE artifact: each
+    * shard at `dir/shard_<i>` (the [[saveGraphIndex]] layout) plus
+    * the FROZEN cell→shard routing map at `dir/cell_map`
+    * ([[IndexIo.saveCellMap]]) — the map is serving state a restart
+    * cannot recover from shard contents after drift, so the at-rest
+    * deployment carries it. Reload with [[loadGraphShards]] and every
+    * routed verb (scatter serve, routed append/delete, rebalance)
+    * picks up where the fleet left off.
+    */
+  def saveGraphShards(shards: Seq[GraphIndex], cellMap: Array[Int],
+                      dir: String): Unit = {
+    require(shards.nonEmpty, "saveGraphShards: no shards")
+    requireSharedCells("saveGraphShards", shards.map(_.cells))
+    IndexIo.requireCellMap("saveGraphShards", "cellMap", cellMap,
+      shards.head.cells.length, shards.length)
+    shards.zipWithIndex.foreach { case (s, i) =>
+      saveGraphIndex(s, s"$dir/shard_$i")
+    }
+    IndexIo.saveCellMap(shards.head.nodes.sparkSession,
+      s"$dir/cell_map", cellMap, shards.length)
+  }
+
+  /** Reload a [[saveGraphShards]] deployment: (shards, cell→shard
+    * map). A drift-emptied shard reloads with empty node/entry tables
+    * under the shared artifacts ([[IndexIo.readOrEmpty]]); the
+    * embedding fallback type is the engine's production `float` —
+    * only an EMPTY table ever takes it.
+    */
+  def loadGraphShards(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (Seq[GraphIndex], Array[Int]) = {
+    val (map, nShards) = IndexIo.loadCellMap(spark, s"$dir/cell_map")
+    ((0 until nShards).map { i =>
+      val d = s"$dir/shard_$i"
+      val meta = spark.read.parquet(s"$d/meta").head()
+      loadGraphIndexFrom(spark, d, meta,
+        IndexIo.readOrEmpty(spark, s"$d/nodes",
+          "n_id BIGINT, emb ARRAY<FLOAT>, cell INT, cell2 INT, " +
+            "neighbors ARRAY<BIGINT>"),
+        entriesOverride = Some(IndexIo.readOrEmpty(spark,
+          s"$d/entries", "cell INT, entry_id BIGINT")))
+    }, map)
   }
 
   /** Append a batch WITHOUT touching unaffected nodes, yet EXACTLY
@@ -3254,5 +3301,38 @@ object GraphAnn {
       IndexIo.resolveBucketedTable(spark,
         IndexIo.bucketedTableName(tablePrefix, "adj", dir),
         s"$dir/adj", Seq("n_id"), buckets))
+  }
+
+  /** [[saveGraphShards]] at the layered tier: per-shard
+    * [[saveHnswIndex]] layouts plus the frozen routing map. */
+  def saveHnswShards(shards: Seq[HnswIndex], cellMap: Array[Int],
+                     dir: String): Unit = {
+    require(shards.nonEmpty, "saveHnswShards: no shards")
+    requireSharedCells("saveHnswShards", shards.map(_.cells))
+    IndexIo.requireCellMap("saveHnswShards", "cellMap", cellMap,
+      shards.head.cells.length, shards.length)
+    shards.zipWithIndex.foreach { case (s, i) =>
+      saveHnswIndex(s, s"$dir/shard_$i")
+    }
+    IndexIo.saveCellMap(shards.head.nodes.sparkSession,
+      s"$dir/cell_map", cellMap, shards.length)
+  }
+
+  /** Reload a [[saveHnswShards]] deployment: (shards, cell→shard
+    * map); drift-emptied shards reload with empty tables (the
+    * [[loadGraphShards]] note). */
+  def loadHnswShards(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (Seq[HnswIndex], Array[Int]) = {
+    val (map, nShards) = IndexIo.loadCellMap(spark, s"$dir/cell_map")
+    ((0 until nShards).map { i =>
+      val d = s"$dir/shard_$i"
+      val meta = spark.read.parquet(s"$d/meta").head()
+      loadHnswIndexFrom(spark, d, meta,
+        IndexIo.readOrEmpty(spark, s"$d/nodes",
+          "n_id BIGINT, emb ARRAY<FLOAT>, cell INT, level INT"),
+        IndexIo.readOrEmpty(spark, s"$d/adj",
+          "layer INT, n_id BIGINT, cell INT, cell2 INT, " +
+            "neighbors ARRAY<BIGINT>"))
+    }, map)
   }
 }

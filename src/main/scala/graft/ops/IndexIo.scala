@@ -24,6 +24,45 @@ private[graft] object IndexIo {
     spark.read.parquet(dir).orderBy(idCol).collect()
       .map(r => r.getSeq[Double](r.fieldIndex(vecCol)).toArray)
 
+  /** Persist a deployment's FROZEN cell→shard routing map. The map is
+    * serving state that CANNOT be recovered from shard contents after
+    * drift ([[graft.ops.Similarity.shardCellMapFromState]] returns a
+    * fresh pro-rata cut, not the map the fleet was last rebalanced
+    * to), so an at-rest deployment must carry it. `nShards` rides
+    * along because a drifted map may leave the highest shard with no
+    * cells — max(shard)+1 would under-count the fleet.
+    */
+  def saveCellMap(spark: SparkSession, dir: String, map: Array[Int],
+                  nShards: Int): Unit = {
+    requireCellMap("saveCellMap", "cellMap", map, map.length, nShards)
+    import spark.implicits._
+    map.indices.map(c => (c + 1, map(c), nShards)).toDF(
+        "cell", "shard", "n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a [[saveCellMap]] artifact: (cell→shard map, nShards).
+    * Fails fast on a torn artifact (missing or duplicated cells). */
+  def loadCellMap(spark: SparkSession, dir: String)
+      : (Array[Int], Int) = {
+    val rows = spark.read.parquet(dir)
+      .select("cell", "shard", "n_shards").collect()
+    require(rows.nonEmpty, s"loadCellMap: empty artifact at $dir")
+    val nShards = rows.head.getInt(2)
+    val map = new Array[Int](rows.length)
+    val seen = new Array[Boolean](rows.length)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      require(c >= 1 && c <= map.length && !seen(c - 1),
+        s"loadCellMap: torn artifact at $dir (cell $c out of range " +
+          "or duplicated)")
+      seen(c - 1) = true
+      map(c - 1) = r.getInt(1)
+    }
+    requireCellMap("loadCellMap", "cellMap", map, map.length, nShards)
+    (map, nShards)
+  }
+
   /** Persist a trained OPQ/PCA rotation under `dir` — ONE layout
     * (basis/mean/eigenvalues tables) shared by every rotated index
     * family, so a model-shape change cannot silently diverge between

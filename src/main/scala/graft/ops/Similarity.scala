@@ -1163,7 +1163,9 @@ object Similarity {
     * them; the encoded corpus is a lazy parquet scan.
     */
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): IvfPqIndex = {
+                     dir: String,
+                     codesOverride: Option[DataFrame] = None)
+      : IvfPqIndex = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     // by-name access, never ordinal: a reordered/extended meta schema must
     // not silently swap m/ks/dim into a plausible-but-wrong index
@@ -1174,7 +1176,8 @@ object Similarity {
     require(version <= 1, s"unsupported IVF-PQ index format_version $version")
     val cells = IndexIo.loadVectors(spark, s"$dir/cells", "cell_id", "centroid")
     val cb = IndexIo.loadVectors(spark, s"$dir/codebook", "sub_id", "entries")
-    IvfPqIndex(cells, cb, spark.read.parquet(s"$dir/codes"),
+    IvfPqIndex(cells, cb,
+      codesOverride.getOrElse(spark.read.parquet(s"$dir/codes")),
       meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"))
   }
 
@@ -1480,6 +1483,48 @@ object Similarity {
     index.codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/codes")
+  }
+
+  /** Persist a whole sharded IVF-PQ deployment as ONE artifact:
+    * every shard cell-partitioned at `dir/shard_<i>` (the
+    * [[saveIvfPqIndexPartitioned]] layout, so a routed scatter
+    * against the reloaded fleet still reads only probed directories
+    * of touched shards) plus the FROZEN cell→shard routing map at
+    * `dir/cell_map` ([[IndexIo.saveCellMap]] — the map is what a
+    * restart cannot recover from shard contents). Empty shards
+    * persist fine (their code tables are empty; `n_shards` in the
+    * map artifact keeps the fleet width).
+    */
+  def saveIvfPqShards(shards: Seq[IvfPqIndex], cellMap: Array[Int],
+                      dir: String): Unit = {
+    require(shards.nonEmpty, "saveIvfPqShards: no shards")
+    requireSharedIvfPqArtifacts("saveIvfPqShards", shards)
+    IndexIo.requireCellMap("saveIvfPqShards", "cellMap", cellMap,
+      shards.head.cells.length, shards.length)
+    shards.zipWithIndex.foreach { case (s, i) =>
+      saveIvfPqIndexPartitioned(s, s"$dir/shard_$i")
+    }
+    IndexIo.saveCellMap(shards.head.codes.sparkSession,
+      s"$dir/cell_map", cellMap, shards.length)
+  }
+
+  /** Reload a [[saveIvfPqShards]] deployment: (shards, cell→shard
+    * map), ready for the routed verbs (scatter serve, routed append/
+    * delete, rebalance). A drift-emptied shard reloads as an empty
+    * code table under the shared artifacts ([[IndexIo.readOrEmpty]]
+    * — a committed empty partitioned dir has no parquet footer to
+    * infer from).
+    */
+  def loadIvfPqShards(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (Seq[IvfPqIndex], Array[Int]) = {
+    val (map, nShards) = IndexIo.loadCellMap(spark, s"$dir/cell_map")
+    ((0 until nShards).map { i =>
+      val d = s"$dir/shard_$i"
+      val idx = loadIvfPqIndex(spark, d,
+        codesOverride = Some(IndexIo.readOrEmpty(spark, s"$d/codes",
+          "n_id BIGINT, codes ARRAY<INT>, cell INT")))
+      idx
+    }, map)
   }
 
   /** [[queryIvfPqIndex]] with the probed-cell set pushed to the SCAN

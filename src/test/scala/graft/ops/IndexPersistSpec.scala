@@ -198,6 +198,83 @@ class IndexPersistSpec extends SparkSpec {
       qHome, loaded, 4, nprobe = 1))
   }
 
+  test("sharded deployment persists as one artifact: map + shards round-trip, empty shards included") {
+    // the at-rest DEPLOYMENT story: the frozen cell→shard map is
+    // serving state a restart cannot recover from shard contents
+    // (after drift the pro-rata re-cut differs from the deployed
+    // map), so save/load carries it alongside the shard layouts
+    val corpus = vecs(150)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as float))")
+          .as("embedding"))
+    val full = Similarity.buildIvfPqIndex(corpus, nlist = 8, m = 4,
+      ks = 8, dim = dim)
+    val map = Similarity.shardCellMap(corpus, full.cells, 3)
+    // drift the map by hand so shard 2 ends up EMPTY — the load must
+    // still come back three wide
+    val drifted = map.map(s => if (s == 2) 1 else s)
+    def slices(m: Array[Int]) = Similarity.routeByCellMap(corpus,
+      full.cells, m, 3)
+    val shards = (0 until 3).map(i =>
+      Similarity.buildIvfPqIndex(
+        slices(drifted).filter(col("shard") === i).drop("shard"),
+        nlist = 8, m = 4, ks = 8, dim = dim,
+        centroids = Some(full.cells), codebook = Some(full.codebook)))
+    val dir = Files.createTempDirectory("graft_fleet").toString
+    Similarity.saveIvfPqShards(shards, drifted, dir)
+    val (back, mapBack) = Similarity.loadIvfPqShards(spark, dir)
+    mapBack.toSeq shouldBe drifted.toSeq
+    back.length shouldBe 3
+    back(2).codes.count() shouldBe 0L
+    // routed scatter over the reloaded fleet equals the in-memory one
+    val q = corpus.filter(col("vec_id") < 5)
+    def served(ss: Seq[Similarity.IvfPqIndex]) =
+      Similarity.queryIvfPqIndexScatter(q, ss, 3, nprobe = 4,
+          cellShardMap = Some(drifted))
+        .select("q_id", "n_id", "rank").collect().toSet
+    served(back) shouldBe served(shards)
+    // graph tier: fleet + map round-trip, neighbor lists intact
+    val mapG = Similarity.shardCellMap(corpus, full.cells, 2)
+    def buildG(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildGraphIndex(c, nlist = 8, degree = 4,
+        crossDegree = 2, centroids = Some(full.cells))
+    val gShards = (0 until 2).map(i =>
+      buildG(Similarity.routeByCellMap(corpus, full.cells, mapG, 2)
+        .filter(col("shard") === i).drop("shard")))
+    val gDir = Files.createTempDirectory("graft_gfleet").toString
+    GraphAnn.saveGraphShards(gShards, mapG, gDir)
+    val (gBack, gMapBack) = GraphAnn.loadGraphShards(spark, gDir)
+    gMapBack.toSeq shouldBe mapG.toSeq
+    def nbrs(i: GraphAnn.GraphIndex) = i.nodes
+      .select("n_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0 until 2).foreach(i => nbrs(gBack(i)) shouldBe nbrs(gShards(i)))
+    // layered tier
+    def buildH(c: org.apache.spark.sql.DataFrame) =
+      GraphAnn.buildHnswIndex(c, nlist = 8, degree = 4,
+        crossDegree = 2, levelFanout = 4, maxLevel = 1,
+        centroids = Some(full.cells))
+    val hShards = (0 until 2).map(i =>
+      buildH(Similarity.routeByCellMap(corpus, full.cells, mapG, 2)
+        .filter(col("shard") === i).drop("shard")))
+    val hDir = Files.createTempDirectory("graft_hfleet").toString
+    GraphAnn.saveHnswShards(hShards, mapG, hDir)
+    val (hBack, hMapBack) = GraphAnn.loadHnswShards(spark, hDir)
+    hMapBack.toSeq shouldBe mapG.toSeq
+    def adjMap(i: GraphAnn.HnswIndex) = i.adj
+      .select("layer", "n_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    (0 until 2).foreach(i =>
+      adjMap(hBack(i)) shouldBe adjMap(hShards(i)))
+    // a torn map artifact (duplicated cell rows) fails fast
+    val tornDir = Files.createTempDirectory("graft_torn").toString
+    Seq((1, 0, 2), (1, 1, 2)).toDF("cell", "shard", "n_shards")
+      .write.mode("overwrite").parquet(tornDir)
+    intercept[IllegalArgumentException] {
+      IndexIo.loadCellMap(spark, tornDir)
+    }.getMessage should include("torn")
+  }
+
   test("resolveBucketedTable re-registers a stale same-name entry that points at a DIFFERENT directory") {
     // a leftover catalog entry with the expected name but another
     // location (dropped-and-recreated dir, or a name-suffix collision)
