@@ -1779,7 +1779,8 @@ object GraphAnn {
                             degree: Int, crossDegree: Int,
                             alpha: Option[Double], poolN: Int,
                             peersOverride: Option[DataFrame] = None,
-                            keys: Seq[String] = Seq("cell"))
+                            keys: Seq[String] = Seq("cell"),
+                            projectFrom: Option[DataFrame] = None)
       : DataFrame = {
     val extras = keys.filterNot(_ == "cell")
     val peers = peersOverride.getOrElse(members.select(
@@ -1788,7 +1789,13 @@ object GraphAnn {
     val nbrs = neighborRule(
       members.select((keys :+ "n_id" :+ "emb").map(col): _*), peers,
       cellsL, degree, crossDegree, alpha, poolN, keys)
-    members.select((extras ++ Seq("n_id", "cell", "cell2")).map(col): _*)
+    // the output projection sits on the PRESERVED side of a left
+    // join, where a broadcast hint is unsupported — a hinted caller
+    // passes its unhinted frame via projectFrom so the hint is
+    // consumed only in the edge rule's inner joins (same rows either
+    // way; this only silences a per-layer resolver warning)
+    projectFrom.getOrElse(members)
+      .select((extras ++ Seq("n_id", "cell", "cell2")).map(col): _*)
       .join(nbrs, Seq("n_id"), "left")
       .select(extras.map(col) ++ Seq(lit(l).as("layer"), col("n_id"),
         col("cell"), col("cell2"),
@@ -2769,7 +2776,8 @@ object GraphAnn {
         if (withinBroadcastBudget(redo, index.cells)) redo.hint("broadcast")
         else redo
       val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
-        index.crossDegree, index.alpha, poolN, Some(peersL))
+        index.crossDegree, index.alpha, poolN, Some(peersL),
+        projectFrom = Some(redo))
       oldL.join(redo.select("n_id"), Seq("n_id"), "left_anti")
         .unionByName(redoRows)
         .select("layer", "n_id", "cell", "cell2", "neighbors")
@@ -2825,7 +2833,8 @@ object GraphAnn {
           affected.hint("broadcast")
         else affected
       val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
-        index.crossDegree, index.alpha, poolN, Some(peersL))
+        index.crossDegree, index.alpha, poolN, Some(peersL),
+        projectFrom = Some(affected))
       remaining.join(affected.select("n_id"), Seq("n_id"), "left_anti")
         .unionByName(redoRows)
         .select("layer", "n_id", "cell", "cell2", "neighbors")
@@ -2916,7 +2925,8 @@ object GraphAnn {
           redo.hint("broadcast")
         else redo
       val redoRows = hnswLayerRows(side, cellsL, l, index.degree,
-        index.crossDegree, index.alpha, poolN, Some(peersL))
+        index.crossDegree, index.alpha, poolN, Some(peersL),
+        projectFrom = Some(redo))
       remaining.join(redo.select("n_id"), Seq("n_id"), "left_anti")
         .unionByName(redoRows)
         .select("layer", "n_id", "cell", "cell2", "neighbors")
@@ -3026,7 +3036,8 @@ object GraphAnn {
           redo.hint("broadcast")
         else redo
       val redoRows = hnswLayerRows(side, cellsL, l, head.degree,
-        head.crossDegree, head.alpha, poolN, Some(peersL), keys = sc)
+        head.crossDegree, head.alpha, poolN, Some(peersL), keys = sc,
+        projectFrom = Some(redo))
       remaining.join(redo.select("shard", "n_id"), Seq("shard", "n_id"),
           "left_anti")
         .unionByName(redoRows
@@ -3140,7 +3151,8 @@ object GraphAnn {
           members.hint("broadcast")
         else members
       val redoRows = hnswLayerRows(side, cellsL, l, a.degree,
-        a.crossDegree, a.alpha, poolN, Some(peersL))
+        a.crossDegree, a.alpha, poolN, Some(peersL),
+        projectFrom = Some(members))
       aL.unionByName(bL)
         .join(affected.select("n_id"), Seq("n_id"), "left_anti")
         .select(lit(l).as("layer"), col("n_id"), col("cell"),
