@@ -112,6 +112,24 @@ case class TopKAggregate(scoreExpr: Expression, idExpr: Expression, k: Int,
   override def prettyName: String = "top_k"
 }
 
+/** Buffer for [[TopKDistinctAggregate]]: the bounded id→score map plus
+  * a lazily-maintained cache of its WORST entry. The cache exists so a
+  * full buffer rejects a losing candidate in O(1) — without it every
+  * new-id arrival rescans all k entries even when it loses, a k×
+  * map-side constant the non-dedup heap variant doesn't pay. The cache
+  * is invalidated (not eagerly recomputed) whenever the worst entry
+  * may have changed: an insert below capacity, an eviction, or a
+  * score-raise of the cached-worst id; the next full-buffer rejection
+  * test recomputes it once, so the scan is amortized per ACCEPTED row,
+  * not per offered row.
+  */
+private[functions] final class DistinctTopKBuffer {
+  val m = new mutable.LongMap[Double]()
+  var worstScore: Double = Double.PositiveInfinity
+  var worstId: Long = Long.MinValue
+  var worstValid: Boolean = false
+}
+
 /** [[TopKAggregate]] with per-id DEDUP: a repeated id occupies ONE
   * heap slot (keeping its best score) instead of crowding out distinct
   * candidates. The variant the stream-legal graph expansion serves
@@ -128,38 +146,44 @@ case class TopKDistinctAggregate(scoreExpr: Expression, idExpr: Expression,
                                  k: Int,
                                  override val mutableAggBufferOffset: Int = 0,
                                  override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.LongMap[Double]] {
+  extends TypedImperativeAggregate[DistinctTopKBuffer] {
 
   require(k > 0, s"k must be positive, got $k")
 
   // worst kept = lowest score, then HIGHEST id (the eviction candidate
   // under the score-desc/id-asc result order)
-  private def worstOf(buf: mutable.LongMap[Double]): (Double, Long) = {
+  private def refreshWorst(buf: DistinctTopKBuffer): Unit = {
     var ws = Double.PositiveInfinity; var wi = Long.MinValue
-    buf.foreachEntry { (i, s) =>
+    buf.m.foreachEntry { (i, s) =>
       if (s < ws || (s == ws && i > wi)) { ws = s; wi = i }
     }
-    (ws, wi)
+    buf.worstScore = ws; buf.worstId = wi; buf.worstValid = true
   }
 
-  private def push(buf: mutable.LongMap[Double], s: Double, i: Long): Unit =
-    buf.get(i) match {
-      case Some(old) => if (s > old) buf.update(i, s)
+  private def push(buf: DistinctTopKBuffer, s: Double, i: Long): Unit =
+    buf.m.get(i) match {
+      case Some(old) =>
+        if (s > old) {
+          buf.m.update(i, s)
+          if (buf.worstValid && i == buf.worstId) buf.worstValid = false
+        }
       case None =>
-        if (buf.size < k) buf.update(i, s)
+        if (buf.m.size < k) { buf.m.update(i, s); buf.worstValid = false }
         else {
-          val (ws, wi) = worstOf(buf)
-          if (s > ws || (s == ws && i < wi)) {
-            buf.subtractOne(wi); buf.update(i, s)
+          if (!buf.worstValid) refreshWorst(buf)
+          if (s > buf.worstScore ||
+              (s == buf.worstScore && i < buf.worstId)) {
+            buf.m.subtractOne(buf.worstId); buf.m.update(i, s)
+            buf.worstValid = false
           }
         }
     }
 
-  override def createAggregationBuffer(): mutable.LongMap[Double] =
-    new mutable.LongMap[Double]()
+  override def createAggregationBuffer(): DistinctTopKBuffer =
+    new DistinctTopKBuffer
 
-  override def update(buf: mutable.LongMap[Double],
-                      input: InternalRow): mutable.LongMap[Double] = {
+  override def update(buf: DistinctTopKBuffer,
+                      input: InternalRow): DistinctTopKBuffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
     if (s != null && i != null)
@@ -167,26 +191,26 @@ case class TopKDistinctAggregate(scoreExpr: Expression, idExpr: Expression,
     buf
   }
 
-  override def merge(buf: mutable.LongMap[Double],
-                     other: mutable.LongMap[Double]): mutable.LongMap[Double] = {
-    other.foreachEntry((i, s) => push(buf, s, i))
+  override def merge(buf: DistinctTopKBuffer,
+                     other: DistinctTopKBuffer): DistinctTopKBuffer = {
+    other.m.foreachEntry((i, s) => push(buf, s, i))
     buf
   }
 
-  override def eval(buf: mutable.LongMap[Double]): Any = {
-    val best = buf.toArray.map { case (i, s) => (s, i) }.sortWith((a, b) =>
+  override def eval(buf: DistinctTopKBuffer): Any = {
+    val best = buf.m.toArray.map { case (i, s) => (s, i) }.sortWith((a, b) =>
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
     new GenericArrayData(best.map(p => InternalRow(p._1, p._2)))
   }
 
-  override def serialize(buf: mutable.LongMap[Double]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
-    bb.putInt(buf.size)
-    buf.foreachEntry { (i, s) => bb.putDouble(s); bb.putLong(i) }
+  override def serialize(buf: DistinctTopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.m.size)
+    bb.putInt(buf.m.size)
+    buf.m.foreachEntry { (i, s) => bb.putDouble(s); bb.putLong(i) }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Double] = {
+  override def deserialize(bytes: Array[Byte]): DistinctTopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()

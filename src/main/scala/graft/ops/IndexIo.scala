@@ -36,23 +36,36 @@ private[graft] object IndexIo {
                   nShards: Int): Unit = {
     requireCellMap("saveCellMap", "cellMap", map, map.length, nShards)
     import spark.implicits._
-    map.indices.map(c => (c + 1, map(c), nShards)).toDF(
-        "cell", "shard", "n_shards")
+    map.indices.map(c => (c + 1, map(c), nShards, map.length)).toDF(
+        "cell", "shard", "n_shards", "nlist")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** Reload a [[saveCellMap]] artifact: (cell→shard map, nShards).
-    * Fails fast on a torn artifact (missing or duplicated cells). */
+    * Fails fast on a torn artifact — missing or duplicated cells, and
+    * in particular TAIL truncation: sizing the map from the surviving
+    * row count would let an artifact that lost only its
+    * highest-numbered cells pass the range/duplicate checks and
+    * surface later as a confusing nlist-length mismatch in whichever
+    * verb consumes it, so the artifact carries `nlist` and the row
+    * count must equal it. */
   def loadCellMap(spark: SparkSession, dir: String)
       : (Array[Int], Int) = {
     val rows = spark.read.parquet(dir)
-      .select("cell", "shard", "n_shards").collect()
+      .select("cell", "shard", "n_shards", "nlist").collect()
     require(rows.nonEmpty, s"loadCellMap: empty artifact at $dir")
     val nShards = rows.head.getInt(2)
-    val map = new Array[Int](rows.length)
-    val seen = new Array[Boolean](rows.length)
+    val nlist = rows.head.getInt(3)
+    require(rows.length == nlist,
+      s"loadCellMap: torn artifact at $dir (${rows.length} rows for " +
+        s"declared nlist=$nlist — tail truncation?)")
+    val map = new Array[Int](nlist)
+    val seen = new Array[Boolean](nlist)
     rows.foreach { r =>
       val c = r.getInt(0)
+      require(r.getInt(3) == nlist,
+        s"loadCellMap: torn artifact at $dir (cell $c declares " +
+          s"nlist=${r.getInt(3)}, head declares $nlist)")
       require(c >= 1 && c <= map.length && !seen(c - 1),
         s"loadCellMap: torn artifact at $dir (cell $c out of range " +
           "or duplicated)")

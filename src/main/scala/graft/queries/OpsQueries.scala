@@ -6589,7 +6589,9 @@ object OpsQueries {
         val occ = e.select(assign.as("cell")).groupBy("cell").count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val b = map1.indices
-          .find(c => map1(c) == 1 && occ.getOrElse(c + 1, 0L) > 0).get
+          .find(c => map1(c) == 1 && occ.getOrElse(c + 1, 0L) > 0)
+          .getOrElse(sys.error(
+            "n58: shard 1 owns no non-empty cell — cannot stage drift"))
         val map2 = map1.clone(); map2(b) = 0
         def slice(map: Array[Int], i: Int) = e.filter(
           element_at(lit(map), assign) === i)
@@ -6875,7 +6877,9 @@ object OpsQueries {
         val occ = e.select(assign.as("cell")).groupBy("cell").count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val b = map1.indices
-          .find(c => map1(c) == 1 && occ.getOrElse(c + 1, 0L) > 0).get
+          .find(c => map1(c) == 1 && occ.getOrElse(c + 1, 0L) > 0)
+          .getOrElse(sys.error(
+            "n62: shard 1 owns no non-empty cell — cannot stage drift"))
         val map2 = map1.clone(); map2(b) = 0
         val reb = Similarity.rebalanceIvfPqShards(grown, map1, map2)
         // the lifecycle state equals fresh builds over the final
@@ -7019,9 +7023,9 @@ object OpsQueries {
           Similarity.buildIvfPqIndex(c, nlist = 16, m = 16, ks = 16,
             centroids = Some(fullPq.cells),
             codebook = Some(fullPq.codebook))
+        val mapPq = Similarity.shardCellMap(e, fullPq.cells, 2)
         def slicePq(c: org.apache.spark.sql.DataFrame, i: Int) =
-          Similarity.routeByCellMap(c, fullPq.cells,
-              Similarity.shardCellMap(e, fullPq.cells, 2), 2)
+          Similarity.routeByCellMap(c, fullPq.cells, mapPq, 2)
             .filter(col("shard") === i).drop("shard")
         val shrunkPq = Similarity.deleteFromIvfPqShards(
           (0 until 2).map(i => buildPq(slicePq(e, i))), dels)

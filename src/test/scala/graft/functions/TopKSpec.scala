@@ -77,6 +77,31 @@ class TopKSpec extends SparkSpec {
     best.toSeq shouldBe Seq((9.0, 1L), (5.0, 2L))
   }
 
+  test("topKDistinct under heavy load: cached-worst invalidation survives raise-the-worst and eviction churn") {
+    // single group, k small, ids cycling so the same id keeps
+    // RAISING its own score (including while it IS the cached worst)
+    // and full-buffer evictions interleave with O(1) rejections — the
+    // exact update sequence the worst-entry cache must survive.
+    val n = 4000
+    val churn = (0 until n).map { step =>
+      val id = (step * 13 % 50).toLong                // 50 ids, revisited
+      val score = ((step * 7919 + id * 31) % 97).toDouble // raises + drops
+      (id, score)
+    }.toDF("id", "score")
+    val bestPerId = churn.groupBy("id")
+      .agg(max($"score").as("score"))
+    val expected = windowed(bestPerId.withColumn("g", lit("g")), 9)
+      .select("id", "score")
+    for (layout <- Seq(churn, churn.repartition(17), churn.coalesce(1))) {
+      val got = layout
+        .agg(TopK.topKDistinct($"score", $"id", 9).as("top"))
+        .select(explode($"top").as("t"))
+        .select($"t.id".as("id"), $"t.score".as("score"))
+      got.except(expected).count() shouldBe 0
+      expected.except(got).count() shouldBe 0
+    }
+  }
+
   test("top_k is callable from SQL via GraftExtensions") {
     // shared test context exists, so builder withExtensions would be
     // skipped — register the same builder on a child session's registry

@@ -268,11 +268,22 @@ class IndexPersistSpec extends SparkSpec {
       adjMap(hBack(i)) shouldBe adjMap(hShards(i)))
     // a torn map artifact (duplicated cell rows) fails fast
     val tornDir = Files.createTempDirectory("graft_torn").toString
-    Seq((1, 0, 2), (1, 1, 2)).toDF("cell", "shard", "n_shards")
+    Seq((1, 0, 2, 2), (1, 1, 2, 2)).toDF(
+        "cell", "shard", "n_shards", "nlist")
       .write.mode("overwrite").parquet(tornDir)
     intercept[IllegalArgumentException] {
       IndexIo.loadCellMap(spark, tornDir)
     }.getMessage should include("torn")
+    // TAIL truncation fails fast too: an artifact that lost only its
+    // highest-numbered cell rows is internally consistent (contiguous
+    // 1..n, no duplicates) and would otherwise load as a SHORTER map
+    val tailDir = Files.createTempDirectory("graft_tail").toString
+    Seq((1, 0, 2, 4), (2, 1, 2, 4), (3, 0, 2, 4)).toDF(
+        "cell", "shard", "n_shards", "nlist")
+      .write.mode("overwrite").parquet(tailDir)
+    intercept[IllegalArgumentException] {
+      IndexIo.loadCellMap(spark, tailDir)
+    }.getMessage should include("tail truncation")
   }
 
   test("resolveBucketedTable re-registers a stale same-name entry that points at a DIFFERENT directory") {
