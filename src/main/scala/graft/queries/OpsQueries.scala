@@ -7055,6 +7055,81 @@ object OpsQueries {
              |FROM embeddings
              |WHERE vec_id < 500 AND vec_id % 7 <> 0""".stripMargin)),
 
+    // Persisted-fleet drift loop (n65): the n62 lifecycle with DISK at
+    // both ends — load a SAVED fleet, grow it with a routed append,
+    // re-cut the map from index STATE (never the corpus), batch-
+    // rebalance, save, RELOAD, and serve a routed scatter off the
+    // reloaded shards. Pins: (a) the reloaded cell_map artifact is the
+    // REBALANCED map (round-trip exact, and ≠ the original cut — the
+    // artifact carries serving state a restart cannot re-derive);
+    // (b) the scatter over the reloaded fleet is EXACT rank-for-rank
+    // vs ONE fresh merged index over the final corpus. At 100 TB this
+    // is the nightly loop: every hop is state-derived and
+    // rebuild-exact, so restarts splice into the loop anywhere.
+    QueryDef("n65_persisted_fleet_drift",
+      (s, dir) => {
+        val e = embs(s, dir).filter(col("vec_id") < 500)
+          .localCheckpoint()
+        val base = e.filter(col("vec_id") < 400)
+        val batch = e.filter(col("vec_id") >= 400)
+        val full = Similarity.buildIvfPqIndex(base, nlist = 16, m = 16,
+          ks = 16)
+        def build(c: org.apache.spark.sql.DataFrame) =
+          Similarity.buildIvfPqIndex(c, nlist = 16, m = 16, ks = 16,
+            centroids = Some(full.cells),
+            codebook = Some(full.codebook))
+        def slice(c: org.apache.spark.sql.DataFrame, map: Array[Int],
+                  i: Int) =
+          Similarity.routeByCellMap(c, full.cells, map, 3)
+            .filter(col("shard") === i).drop("shard")
+        val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val dirA = s"/tmp/graft_gate_fleetdrift_a_$safe"
+        val dirB = s"/tmp/graft_gate_fleetdrift_b_$safe"
+        val map1 = Similarity.shardCellMap(base, full.cells, 3)
+        Similarity.saveIvfPqShards(
+          (0 until 3).map(i => build(slice(base, map1, i))), map1, dirA)
+        val (loadedA, mapA) = Similarity.loadIvfPqShards(s, dirA)
+        val grown = Similarity.appendToIvfPqShards(loadedA, batch, mapA)
+        // re-cut from STATE; if the append didn't shift the greedy
+        // cut, stage the drift by re-homing the last shard's first
+        // non-empty cell (occupancy from state too — corpus-free)
+        val recut = Similarity.shardCellMapFromState(
+          grown.map(_.codes), full.cells.length, 3)
+        val map2 =
+          if (!recut.sameElements(mapA)) recut
+          else {
+            val occ = grown.map(_.codes.select(col("cell")))
+              .reduce(_.unionByName(_)).groupBy("cell").count()
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val b = recut.indices
+              .find(c => recut(c) == 2 && occ.getOrElse(c + 1, 0L) > 0)
+              .getOrElse(sys.error(
+                "n65: shard 2 owns no non-empty cell — cannot stage drift"))
+            val m = recut.clone(); m(b) = 1; m
+          }
+        Similarity.saveIvfPqShards(
+          Similarity.rebalanceIvfPqShards(grown, mapA, map2), map2, dirB)
+        val (loadedB, mapB) = Similarity.loadIvfPqShards(s, dirB)
+        val mapOk = mapB.sameElements(map2) && !mapB.sameElements(map1)
+        val q = e.filter(col("vec_id") < 20)
+        val scatter = Similarity.queryIvfPqIndexScatter(q, loadedB, 5,
+            nprobe = 4, cellShardMap = Some(mapB))
+          .select(col("q_id"), col("n_id"), col("rank").as("r_s"))
+        val merged = Similarity.queryIvfPqIndex(q, build(e), 5,
+            nprobe = 4)
+          .select(col("q_id"), col("n_id"), col("rank").as("r_m"))
+        merged.join(scatter, Seq("q_id", "n_id"), "full")
+          .groupBy("q_id")
+          .agg((count(lit(1)) === sum(when(
+            col("r_m") === col("r_s"), 1).otherwise(0)))
+            .as("scatter_exact"))
+          .select(col("q_id"), col("scatter_exact"),
+            lit(mapOk).as("map_roundtrip"))
+      },
+      Some("""SELECT vec_id AS q_id, TRUE AS scatter_exact,
+             |  TRUE AS map_roundtrip
+             |FROM embeddings WHERE vec_id < 20""".stripMargin)),
+
     // Interpolated Kneser-Ney bigram LM (t33): the principled
     // smoothing next to t15's stupid backoff — absolute discounting
     // plus the continuation-count backoff distribution. The gate pins
