@@ -128,6 +128,30 @@ object Bench {
     // runs them fully every round. e04 is timed cold with no warmup:
     // nothing in it memoizes (training IS the operator), so a warmup
     // would only double its wall.
+    // Quiet-run reference for the contention retry below: per-query
+    // wall/cpu from a committed clean-host full-suite artifact
+    // (BENCH_quiet_ref.json, refreshed when the catalog or a gate's
+    // cost profile changes on purpose). Missing file or missing query
+    // (a gate newer than the reference) just disables that trigger.
+    val (refWall, refCpu) = {
+      def block(txt: String, key: String): Map[String, Double] =
+        ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").toSeq.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                try Some(k.replace("\"", "") -> v.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty[String, Double])
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_quiet_ref.json")), "UTF-8")
+        (block(txt, "queries"), block(txt, "queries_cpu"))
+      } catch { case _: Throwable =>
+        (Map.empty[String, Double], Map.empty[String, Double])
+      }
+    }
     val warmFirst = Set("q47_warehouse_batch2", "q49_warehouse_batch3_chain")
     // t23/t24 join e04 in the cold-single-sample tier: training (t23)
     // and state building (t24) ARE the operators and nothing memoizes,
@@ -184,7 +208,10 @@ object Bench {
         // n64 builds six indexes (two tiers × two shards + fresh
         // survivor oracles) plus the batched routed delete
         "n62_shard_lifecycle", "n63_recut_from_state",
-        "n64_shard_routed_delete")
+        "n64_shard_routed_delete",
+        // n65 runs the whole persisted drift loop: five IVF-PQ builds
+        // plus append + rebalance + two fleet saves AND reloads
+        "n65_persisted_fleet_drift")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmFirst(name)) {
         try {
@@ -206,16 +233,27 @@ object Bench {
       }
       val firstTimes = (1 to nIters).map(_ => sample())
       // single-iteration (construction) gates are contention hostages:
-      // one poisoned sample IS the artifact number. When that sample's
-      // gc/wall says the host was thrashing (> 0.3 — healthy runs sit
-      // at 0.02-0.06), re-run ONCE and keep the better sample. Bounded
-      // extra wall, spent only on poisoned samples; multi-iter queries
-      // already take min-of-iters.
-      val times =
-        if (nIters == 1 && firstTimes.head._1 > 0 &&
-            firstTimes.head._3 / firstTimes.head._1 > 0.3)
-          firstTimes :+ sample()
-        else firstTimes
+      // one poisoned sample IS the artifact number. Re-run ONCE and
+      // keep the better sample when the sample looks poisoned:
+      //  - gc/wall > 0.3 (healthy runs sit at 0.02-0.06) — host
+      //    memory pressure;
+      //  - wall or task-CPU > 2× the committed quiet-run reference
+      //    (BENCH_quiet_ref.json) — pure CPU-steal, which the
+      //    six-rounds-running contended driver host shows WITHOUT gc
+      //    (same-code back-to-back samples read 7.7 s then 1.2 s at
+      //    proportional task CPU, so a cpu/wall RATIO test can't see
+      //    it; the absolute-vs-quiet-reference test can). The 1 s
+      //    reference floor keeps trivia from re-running on noise; a
+      //    genuine code regression just re-runs once and reproduces.
+      // Bounded extra wall, spent only on poisoned samples; multi-iter
+      // queries already take min-of-iters.
+      val poisoned = nIters == 1 && firstTimes.head._1 > 0 && {
+        val (w, c, g, _) = firstTimes.head
+        g / w > 0.3 ||
+          refWall.get(name).exists(r => r > 1.0 && w > 2.0 * r) ||
+          refCpu.get(name).exists(r => r > 1.0 && c > 2.0 * r)
+      }
+      val times = if (poisoned) firstTimes :+ sample() else firstTimes
       // CPU/GC/spill are reported from the min-WALL sample: the tuple
       // comes from one run, so the per-query ratios (cpu/wall
       // parallelism, gc/wall pressure) stay meaningful (min-of-each
