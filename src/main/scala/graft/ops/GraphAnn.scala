@@ -483,11 +483,17 @@ object GraphAnn {
     *                 and the serve rotates queries through the same
     *                 model before anything else
     */
+  /** `degree`/`crossDegree` record the underlying float graph's build
+    * fan-out so the expansion serves can price their candidate budget;
+    * 0 = unknown (an artifact saved before the fields existed), which
+    * skips the budget guard rather than failing a legacy load.
+    */
   case class GraphPqIndex(nodes: DataFrame, entries: DataFrame,
                           cells: Array[Array[Double]],
                           codebook: Array[Array[Double]],
                           m: Int, ks: Int, dim: Int,
-                          rotation: Option[Embeddings.PcaModel] = None)
+                          rotation: Option[Embeddings.PcaModel] = None,
+                          degree: Int = 0, crossDegree: Int = 0)
 
   /** Build: the float graph build (edges need real geometry), then one
     * encode projection and the floats are DROPPED. `codebook` defaults
@@ -559,7 +565,7 @@ object GraphAnn {
       .select("n_id", "cell", "neighbors", "codes")
       .localCheckpoint()
     GraphPqIndex(nodes, index.entries, index.cells, cb, m, ks, dim,
-      rotation)
+      rotation, index.degree, index.crossDegree)
   }
 
   /** ADC beam search over the compressed graph: identical walk to
@@ -674,8 +680,9 @@ object GraphAnn {
     // the threaded rotation exists to prevent
     val fmt = if (index.rotation.isDefined) 2 else 1
     Seq((fmt, index.cells.length, index.m, index.ks, index.dim,
-        index.rotation.isDefined))
-      .toDF("format_version", "nlist", "m", "ks", "dim", "has_rotation")
+        index.rotation.isDefined, index.degree, index.crossDegree))
+      .toDF("format_version", "nlist", "m", "ks", "dim", "has_rotation",
+        "degree", "cross_degree")
       .write.mode("overwrite").parquet(s"$dir/meta")
     IndexIo.saveVectors(spark, s"$dir/cells", "cell_id", "centroid",
       index.cells)
@@ -700,10 +707,14 @@ object GraphAnn {
           meta.getAs[Boolean]("has_rotation"))
         Some(IndexIo.loadRotation(spark, dir))
       else None
+    // by-name with schema probe: older metas have no degree columns —
+    // 0 (unknown) skips the expansion budget guard for them
+    def intOr0(f: String): Int =
+      if (meta.schema.fieldNames.contains(f)) meta.getAs[Int](f) else 0
     GraphPqIndex(spark.read.parquet(s"$dir/nodes"),
       spark.read.parquet(s"$dir/entries"), cells, cb,
       meta.getAs[Int]("m"), meta.getAs[Int]("ks"), meta.getAs[Int]("dim"),
-      rotation)
+      rotation, intOr0("degree"), intOr0("cross_degree"))
   }
 
   /** Persist the index as four parquet tables under `dir` (the n21
@@ -2028,14 +2039,51 @@ object GraphAnn {
         (col("pos") + 1).cast("int").as("rank"),
         col("e.score").as("sim"), col("n_visited"))
 
+  /** Hard ceiling on the candidate rows PER QUERY an unpruned
+    * expansion serve may plan: the h-hop reach is
+    * entryProbes·entriesPerCell seeds × Σ_{h≤hops} degree^h rows, so
+    * an innocent-looking (hops=6, degree=32) call plans a 10⁹-row
+    * join per query — a cluster-melting job no one intended. The
+    * serves fail fast at plan construction instead; callers that
+    * genuinely need deeper reach should serve with the batch beam
+    * walk (per-hop pruning bounds its frontier) or shrink the fan-out.
+    */
+  val ExpandCandidateBudget: Long = 10L * 1000 * 1000
+
+  private def requireExpandBudget(name: String, degreeTotal: Int,
+                                  hops: Int, entryProbes: Int,
+                                  entriesPerCell: Int): Unit =
+    if (degreeTotal > 0) {
+      val seeds = math.max(entryProbes, 1).toDouble *
+        math.max(entriesPerCell, 1)
+      var perHop = 1.0
+      var reach = 1.0
+      var h = 0
+      while (h < hops && seeds * reach <= ExpandCandidateBudget) {
+        perHop *= degreeTotal; reach += perHop; h += 1
+      }
+      require(seeds * reach <= ExpandCandidateBudget,
+        s"$name: the unpruned expansion plans up to " +
+          f"${seeds * reach}%.0f candidate rows PER QUERY " +
+          s"($entryProbes probes x $entriesPerCell entries/cell seeds, " +
+          s"degree $degreeTotal, hops $hops) > budget " +
+          s"$ExpandCandidateBudget - lower hops/entryProbes or use " +
+          "the batch beam serve")
+    }
+
   /** Stream-legal single-index expansion serve (see
     * [[expandCandidates]]): `queries` may be a readStream — the plan
-    * is stateless joins plus one bounded-heap aggregation.
+    * is stateless joins plus one bounded-heap aggregation. Fails fast
+    * when the planned per-query reach exceeds
+    * [[ExpandCandidateBudget]].
     */
   def queryGraphIndexExpand(queries: DataFrame, index: GraphIndex,
                             k: Int, hops: Int = 2,
                             entryProbes: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requireExpandBudget("queryGraphIndexExpand",
+      index.degree + index.crossDegree, hops, entryProbes,
+      index.entriesPerCell)
     foldExpandTopK(expandCandidates(queries, index.nodes, index.entries,
       index.cells, hops, entryProbes), k)
   }
@@ -2057,6 +2105,8 @@ object GraphAnn {
       : DataFrame = {
     require(shards.nonEmpty, "queryGraphIndexShardedAgg: no shards")
     require(k >= 1, s"k must be >= 1, got $k")
+    shards.foreach(s => requireExpandBudget("queryGraphIndexShardedAgg",
+      s.degree + s.crossDegree, hops, entryProbes, s.entriesPerCell))
     val live = shards.filter(s => !s.entries.isEmpty)
     require(live.nonEmpty,
       "queryGraphIndexShardedAgg: every shard is empty")
@@ -2075,6 +2125,9 @@ object GraphAnn {
                               k: Int, hops: Int = 2,
                               entryProbes: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requireExpandBudget("queryGraphPqIndexExpand",
+      index.degree + index.crossDegree, hops, entryProbes,
+      entriesPerCell = 4)
     foldExpandTopK(expandCandidatesPq(queries, index, hops,
         entryProbes), k)
       .withColumn("adc", -col("sim")).drop("sim")
@@ -2093,6 +2146,9 @@ object GraphAnn {
       : DataFrame = {
     require(shards.nonEmpty, "queryGraphPqIndexShardedAgg: no shards")
     require(k >= 1, s"k must be >= 1, got $k")
+    shards.foreach(s => requireExpandBudget(
+      "queryGraphPqIndexShardedAgg", s.degree + s.crossDegree, hops,
+      entryProbes, entriesPerCell = 4))
     requireSharedCells("queryGraphPqIndexShardedAgg",
       shards.map(_.cells))
     val h = shards.head
@@ -2133,6 +2189,8 @@ object GraphAnn {
                                entriesPerCell: Int = 4): DataFrame = {
     require(shards.nonEmpty, "queryHnswIndexShardedAgg: no shards")
     require(k >= 1, s"k must be >= 1, got $k")
+    shards.foreach(s => requireExpandBudget("queryHnswIndexShardedAgg",
+      s.degree + s.crossDegree, hops, entryProbes, entriesPerCell))
     val live = shards.filter(s => !s.nodes.isEmpty)
     require(live.nonEmpty,
       "queryHnswIndexShardedAgg: every shard is empty")

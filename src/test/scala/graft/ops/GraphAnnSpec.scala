@@ -1579,6 +1579,44 @@ class GraphAnnSpec extends SparkSpec {
     }.getMessage should include("codebook")
   }
 
+  test("expansion serves fail fast when the planned per-query reach exceeds the candidate budget") {
+    val corpus = planted(4, 30, 16, seed = 223).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") < 3)
+    val idx = GraphAnn.buildGraphIndex(corpus, nlist = 4, degree = 8,
+      crossDegree = 2)
+    // 10 total degree, hops 9: 2*4 seeds x sum(10^h) > 10^7 budget
+    intercept[IllegalArgumentException] {
+      GraphAnn.queryGraphIndexExpand(queries, idx, k = 3, hops = 9)
+    }.getMessage should include("budget")
+    intercept[IllegalArgumentException] {
+      GraphAnn.queryGraphIndexShardedAgg(queries, Seq(idx), k = 3,
+        hops = 9)
+    }.getMessage should include("budget")
+    // a within-budget call at the same index still plans fine
+    GraphAnn.queryGraphIndexExpand(queries, idx, k = 3, hops = 2)
+      .collect().length should be > 0
+    // the PQ tier carries the float graph's degree through encode AND
+    // its save/load meta, so the guard fires there too...
+    val pq = GraphAnn.buildGraphPqIndex(corpus, nlist = 4, degree = 8,
+      crossDegree = 2, m = 4, ks = 16, dim = 16)
+    pq.degree shouldBe 8
+    intercept[IllegalArgumentException] {
+      GraphAnn.queryGraphPqIndexExpand(queries, pq, k = 3, hops = 9)
+    }.getMessage should include("budget")
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_pq_budget").toString
+    GraphAnn.saveGraphPqIndex(pq, pqDir)
+    val back = GraphAnn.loadGraphPqIndex(spark, pqDir)
+    back.degree shouldBe 8
+    back.crossDegree shouldBe 2
+    // ...while a degree-unknown legacy index (0) skips the guard:
+    // plan construction succeeds (not executed — the plan would be
+    // exactly the blow-up the guard exists to stop)
+    noException should be thrownBy
+      GraphAnn.queryGraphPqIndexExpand(queries, pq.copy(degree = 0,
+        crossDegree = 0), k = 3, hops = 9)
+  }
+
   test("moveGraphIndex/moveHnswIndex: one fused pass equals the delete∘append composition") {
     val corpus = planted(6, 30, 16, seed = 131).localCheckpoint()
     val cells = Similarity.firstVectors(corpus, 6)
