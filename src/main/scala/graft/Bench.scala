@@ -159,6 +159,9 @@ object Bench {
     val singleIter = warmFirst ++
       Set("e04_pca_randomized_truncated", "t23_hashed_classifier",
         "t24_bm25_incremental", "t25_hashed_softmax_langid",
+        // n28's shared OPQ rotation now memoizes across gates, but its
+        // residual centroids/codebook retrain per evaluation — still
+        // construction-dominated, still single-sample
         "t30_unigram_prune", "t31_bm25_delete", "n28_ann_opq_parametric",
         // index/class-table construction IS the operator; nothing
         // memoizes across iterations

@@ -25,10 +25,21 @@ object OpsQueries {
     * cells, queries): 500 corpus vectors, the 16 shared routing
     * cells, 20 re-identified member queries.
     */
+  private val straddleMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, Array[Array[Double]],
+       org.apache.spark.sql.DataFrame)]
   private def straddleFixture(s: org.apache.spark.sql.SparkSession,
                               dir: String)
       : (org.apache.spark.sql.DataFrame, Array[Array[Double]],
-         org.apache.spark.sql.DataFrame) = {
+         org.apache.spark.sql.DataFrame) =
+    // Shared across n31/n35/n40 (and every within-gate action): the
+    // fixture is hash-derived and deterministic, so the first gate in
+    // a session materializes the 500-row corpus once (localCheckpoint)
+    // and the rest reuse it — the corpus join pipeline otherwise
+    // re-ran on EVERY action of every consumer (three gates × builds,
+    // brute-force baselines, and serves).
+    RelationalQueries.memoGet(straddleMemo, s, dir) {
     val e = embs(s, dir).filter(col("vec_id") < 500)
     val centers = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"),
@@ -55,13 +66,35 @@ object OpsQueries {
         .as("embedding"))
     val cells = centers.orderBy("cid").collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val q = corpus.filter(col("vec_id") >= 16 && col("vec_id") < 36)
+    val corpusCk = corpus.localCheckpoint()
+    val q = corpusCk.filter(col("vec_id") >= 16 && col("vec_id") < 36)
       .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
-    (corpus, cells, q)
+    (corpusCk, cells, q)
   }
 
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings")
+
+  /** The canonical OPQ training four gates share (n28/n36/n42/n43):
+    * the IDENTICAL seeded call (full embeddings table, m=16, ks=64,
+    * iters=4) trained four times per suite run. The training is
+    * deterministic (fixed seed, fixed sample), so memoizing per
+    * (session, dir) cannot change any gate's rows — the first gate in
+    * a session pays the training, the rest reuse the driver-side
+    * (rotation, codebook) arrays. Gates that train OTHER models (the
+    * n28 residual centroids/codebook, every t-gate) still train them
+    * inside the gate: training is only shared where the model is
+    * literally the same artifact.
+    */
+  private val opqMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (Embeddings.PcaModel, Array[Array[Double]])]
+  private def canonicalOpq(s: org.apache.spark.sql.SparkSession,
+                           dir: String)
+      : (Embeddings.PcaModel, Array[Array[Double]]) =
+    RelationalQueries.memoGet(opqMemo, s, dir)(
+      Embeddings.opqTrain(embs(s, dir), "vec_id", "embedding",
+        m = 16, ks = 64, iters = 4))
 
   // ---- SQL mirrors of TextOps formulas ---------------------------------
   /** The fixed merge table for the t19 encode gate — the shape of a
@@ -774,8 +807,7 @@ object OpsQueries {
     QueryDef("n28_ann_opq_parametric",
       (s, dir) => {
         val e = embs(s, dir)
-        val (model, _) = Embeddings.opqTrain(e, "vec_id", "embedding",
-          m = 16, ks = 64, iters = 4)
+        val (model, _) = canonicalOpq(s, dir)
         val rot = Similarity.rotateToBasis(e, model)
         val q = rot.filter(col("vec_id") < 20)
         val cells = KMeans.trainCentroidsDistributed(rot, "vec_id",
@@ -4579,8 +4611,7 @@ object OpsQueries {
       (s, dir) => {
         val e = embs(s, dir)
         val n = e.count().toInt
-        val (model, cb) = Embeddings.opqTrain(e, "vec_id", "embedding",
-          m = 16, ks = 64, iters = 4)
+        val (model, cb) = canonicalOpq(s, dir)
         val idx = GraphAnn.buildGraphPqIndex(e, nlist = 1,
           degree = n - 1, crossDegree = 0, m = 16, ks = 64,
           codebook = Some(cb), rotation = Some(model))
@@ -4615,8 +4646,7 @@ object OpsQueries {
       (s, dir) => {
         val e = embs(s, dir)
         val n = e.count().toInt
-        val (model, cb) = Embeddings.opqTrain(e, "vec_id", "embedding",
-          m = 16, ks = 64, iters = 4)
+        val (model, cb) = canonicalOpq(s, dir)
         val idx = GraphAnn.buildHnswPqIndex(e, nlist = 1,
           degree = n - 1, crossDegree = 0, levelFanout = 8,
           maxLevel = 2, m = 16, ks = 64, codebook = Some(cb),
@@ -4650,8 +4680,7 @@ object OpsQueries {
       (s, dir) => {
         val e = embs(s, dir)
         val q = e.filter(col("vec_id") < 20)
-        val (model, cb) = Embeddings.opqTrain(e, "vec_id", "embedding",
-          m = 16, ks = 64, iters = 4)
+        val (model, cb) = canonicalOpq(s, dir)
         val idx = GraphAnn.buildHnswPqIndex(e, nlist = 16, degree = 6,
           crossDegree = 2, levelFanout = 8, maxLevel = 2, m = 16,
           ks = 64, codebook = Some(cb), rotation = Some(model))
@@ -6357,13 +6386,19 @@ object OpsQueries {
         val gDir = s"/tmp/graft_gate_graph_bkt_$safe"
         GraphAnn.saveGraphIndexBucketed(g, gDir, "gate_n53_graph",
           buckets = 8)
+        // ONE hop per layer: the pin is round-trip EQUALITY (mem vs
+        // bucketed serve over identical adjacency/entries/levels), and
+        // equality is hop-count-independent — every extra hop re-walks
+        // the same loaded tables through another ~1 s shuffle-join
+        // round ×4 serves (the round-14 suite-cost item; measured 20 s
+        // → 11 s serve wall at hops 2→1 with the pin unchanged).
         def hServe(i: GraphAnn.HnswIndex) =
-          GraphAnn.queryHnswIndex(q, i, k = 5, beam = 3, hops = 2,
-            upperBeam = 1, upperHops = 2,
+          GraphAnn.queryHnswIndex(q, i, k = 5, beam = 3, hops = 1,
+            upperBeam = 1, upperHops = 1,
             broadcastFrontier = Some(false))
             .select("q_id", "n_id", "rank")
         def gServe(i: GraphAnn.GraphIndex) =
-          GraphAnn.queryGraphIndex(q, i, k = 5, beam = 3, hops = 2,
+          GraphAnn.queryGraphIndex(q, i, k = 5, beam = 3, hops = 1,
             broadcastFrontier = Some(false))
             .select("q_id", "n_id", "rank")
         val hOk = hServe(h).withColumnRenamed("rank", "r_mem")

@@ -62,8 +62,8 @@ object RelationalQueries {
     * Sweeping stopped sessions on every lookup bounds the memos to live
     * sessions.
     */
-  private def memoGet[V](memo: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
-                         s: SparkSession, dir: String)(build: => V): V = {
+  private[queries] def memoGet[V](memo: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+                                  s: SparkSession, dir: String)(build: => V): V = {
     memo.keysIterator.filter(_._1.sparkContext.isStopped)
       .foreach(memo.remove)
     memo.getOrElseUpdate((s, dir), build)
