@@ -239,6 +239,27 @@ object SuffixArray {
         coalesce(col("__r2"), -col("__pos") - 1).as("__r2"))
   }
 
+  /** [[widenRel]] for a DENSE relation (the index paths, which never
+    * prune): every position 0..n−1 of every doc has a row, so "the
+    * class `shift` positions right" is `lead(__cls, shift)` over a
+    * per-doc window — ONE exchange (by doc) + sort instead of the
+    * self-join's two corpus-sized shuffles on `__pos` per round (the
+    * round-14 substr constant-factor lever). Off-end rows get the
+    * identical `−pos − 1` sentinel `widenRel`'s left join assigns, so
+    * the two forms are row-for-row equal on dense input (spec-pinned);
+    * the pruned one-shot path keeps the join — with rows dropped,
+    * row-offset ≠ position-offset. Window partitions are single
+    * documents (bounded by the grid), never frequency-skewed.
+    */
+  private def widenSeq(cur: DataFrame, shift: Int,
+                       stride: Long): DataFrame = {
+    val byDoc = Window
+      .partitionBy(expr(s"__pos div ${stride}L")).orderBy("__pos")
+    cur.select(col("__pos"), col("__cls").as("__r1"),
+      coalesce(lead(col("__cls"), shift).over(byDoc),
+        -col("__pos") - 1).as("__r2"))
+  }
+
   /** Gap-and-island merge of marked (id, off) window starts into
     * maximal spans (the d15 cutSpans shape): a new span starts when a
     * window's first position clears the running max covered end by
@@ -505,7 +526,7 @@ object SuffixArray {
           // dictionary streams, batch broadcasts: hits pick up their
           // established class with no dictionary exchange; misses are
           // a batch-vs-batch anti join
-          val paired = widenRel(ranks, width).localCheckpoint()
+          val paired = widenSeq(ranks, width, stride).localCheckpoint()
           val hits = dw.join(broadcast(paired), Seq("__r1", "__r2"))
             .select(col("__pos"), col("__dcls"))
             .localCheckpoint()
@@ -519,7 +540,7 @@ object SuffixArray {
             .localCheckpoint()
           (r, np)
         } else {
-          val paired = widenRel(ranks, width)
+          val paired = widenSeq(ranks, width, stride)
           val joined = paired.join(dw, Seq("__r1", "__r2"), "left")
           val np = joined.filter(col("__dcls").isNull)
             .groupBy("__r1", "__r2").agg(min("__pos").as("__cls"))
@@ -541,7 +562,7 @@ object SuffixArray {
       width *= 2
     }
     val lengths = staged.select(col("__id"), col("__n"))
-    val keys = widenRel(ranks, minLen - width)
+    val keys = widenSeq(ranks, minLen - width, stride)
       .select(expr(s"__pos div ${stride}L").as("__id"),
         pmod(col("__pos"), lit(stride)).as("__off"),
         col("__r1"), col("__r2"))

@@ -80,6 +80,27 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("dense lead-widen (index) equals the join-widen one-shot on randomized fixtures") {
+    // The index build widens via a per-doc `lead` window (dense
+    // relation); the one-shot path widens via the position self-join.
+    // Random small-alphabet docs exercise both off-end sentinels and
+    // deep repeat structure — the two forms must produce identical
+    // spans.
+    val r = new scala.util.Random(191)
+    val docs = (0L until 10L).map { id =>
+      (id, (1 to 50 + r.nextInt(50)).map(_ => ('a' + r.nextInt(3)).toChar)
+        .mkString)
+    }
+    val df = docs.toDF("doc_id", "text").repartition(4)
+    for (minLen <- Seq(5, 9)) withClue(s"minLen=$minLen: ") {
+      val idx = SuffixArray.buildSubstrIndex(df, "text", "doc_id", minLen)
+      SuffixArray.substrIndexSpans(idx, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet shouldBe
+        SuffixArray.repeatedSpans(df, "text", "doc_id", minLen).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    }
+  }
+
   test("docs shorter than minLen never mark; no spans on unique text") {
     val docs = Seq((0L, "tiny"), (1L, "abcdefghij"), (2L, "qrstuvwxyz"))
     run(docs, minLen = 8) shouldBe Set.empty
