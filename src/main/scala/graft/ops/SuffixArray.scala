@@ -251,8 +251,8 @@ object SuffixArray {
     * row-offset ≠ position-offset. Window partitions are single
     * documents (bounded by the grid), never frequency-skewed.
     */
-  private def widenSeq(cur: DataFrame, shift: Int,
-                       stride: Long): DataFrame = {
+  private[graft] def widenSeq(cur: DataFrame, shift: Int,
+                              stride: Long): DataFrame = {
     val byDoc = Window
       .partitionBy(expr(s"__pos div ${stride}L")).orderBy("__pos")
     cur.select(col("__pos"), col("__cls").as("__r1"),

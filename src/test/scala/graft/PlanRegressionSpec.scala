@@ -495,6 +495,21 @@ class PlanRegressionSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("substr index widen is one per-doc window, never a position self-join") {
+    // The round-15 constant cut: the dense (index-path) widen must
+    // stay a lead() over a per-doc window — ONE exchange on the doc
+    // key — and never regress to the one-shot path's self-join on
+    // __pos, which shuffles the corpus-char relation twice per
+    // doubling round.
+    val rel = spark.range(0, 60).select(
+      (($"id" / 10).cast("long") * 100L + $"id" % 10).as("__pos"),
+      ($"id" % 7).as("__cls"))
+    val p = formatted(graft.ops.SuffixArray.widenSeq(rel, 3, 100L))
+    windowCount(p) shouldBe 1
+    p should not include "Join"
+    p.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+  }
+
   test("signWords packing is a zero-exchange projection; rrfFuse and p20 use bounded exchanges") {
     val vecs = spark.range(0, 40).select($"id".as("vec_id"),
       array((0 until 64).map(i => ($"id" * i).cast("float")): _*).as("embedding"))
