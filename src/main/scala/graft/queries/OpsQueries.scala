@@ -4688,9 +4688,14 @@ object OpsQueries {
           dir.replaceAll("[^A-Za-z0-9]", "_")
         GraphAnn.saveHnswPqIndex(idx, idxDir)
         val loaded = GraphAnn.loadHnswPqIndex(s, idxDir)
+        // ONE hop per layer, the n53 argument: the pin is round-trip
+        // EQUALITY (pre-save vs reloaded serve over identical state),
+        // which is hop-count-independent — extra hops only re-walk the
+        // same tables through more iterative join rounds in a
+        // driver-job-bound gate (cpu/wall ≈ 0.6 at hops 2).
         def search(i: GraphAnn.HnswPqIndex) =
-          GraphAnn.queryHnswPqIndex(q, i, k = 5, beam = 3, hops = 2,
-            upperBeam = 1, upperHops = 2).select("q_id", "n_id", "rank")
+          GraphAnn.queryHnswPqIndex(q, i, k = 5, beam = 3, hops = 1,
+            upperBeam = 1, upperHops = 1).select("q_id", "n_id", "rank")
         val base = search(idx)
         val got = search(loaded)
         base.withColumnRenamed("rank", "rank_base")
