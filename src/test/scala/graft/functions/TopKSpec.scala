@@ -102,6 +102,52 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("buffer-level property: random streams, merge trees, and serialize round-trips equal brute force") {
+    // Drives the DistinctTopKBuffer's cached-worst logic directly
+    // (no Spark job per trial, so hundreds of adversarial cases run
+    // in milliseconds): tiny score domain forces constant ties — the
+    // (score desc, id asc) tie-eviction is the subtle path — and each
+    // trial splits the stream into a random merge tree with
+    // serialize/deserialize round-trips at random points, the shape
+    // map-side partial aggregation actually produces.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val r = new scala.util.Random(407)
+    for (trial <- 1 to 200) withClue(s"trial=$trial: ") {
+      val k = 1 + r.nextInt(8)
+      val agg = TopKDistinctAggregate(
+        BoundReference(0, DoubleType, nullable = true),
+        BoundReference(1, LongType, nullable = true), k)
+      val n = 1 + r.nextInt(120)
+      val stream = (1 to n).map(_ =>
+        (r.nextInt(6).toDouble, r.nextInt(25).toLong))
+      // random merge tree: split into 1-6 chunks, each folded into its
+      // own buffer (some round-tripped through bytes), then merged
+      val chunks = stream.grouped(1 + r.nextInt(math.max(n / 2, 1)))
+        .toSeq
+      val bufs = chunks.map { ch =>
+        var b = agg.createAggregationBuffer()
+        ch.foreach { case (s, i) => agg.update(b, InternalRow(s, i)) }
+        if (r.nextBoolean()) b = agg.deserialize(agg.serialize(b))
+        b
+      }
+      val merged = bufs.reduce { (a, b) => agg.merge(a, b) }
+      val got = agg.eval(merged).asInstanceOf[GenericArrayData].array
+        .map { row =>
+          val ir = row.asInstanceOf[InternalRow]
+          (ir.getDouble(0), ir.getLong(1))
+        }.toSeq
+      val expect = stream.groupBy(_._2).view
+        .mapValues(_.map(_._1).max).toSeq
+        .map { case (i, s) => (s, i) }
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(k)
+      got shouldBe expect
+    }
+  }
+
   test("top_k is callable from SQL via GraftExtensions") {
     // shared test context exists, so builder withExtensions would be
     // skipped — register the same builder on a child session's registry
