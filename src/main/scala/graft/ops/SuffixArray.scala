@@ -24,6 +24,32 @@ import org.apache.spark.sql.functions._
   * same class iff their windows are CHARACTER-IDENTICAL, which is what
   * makes the result exact rather than d15's md5-gram approximation.
   *
+  * The PRUNED one-shot refinement SEEDS at width [[seedWidth]]
+  * (default 8) rather than width 1: the seed classes come from ONE
+  * groupBy over the literal w₀-char windows, which is exactly what
+  * ⌈log₂ w₀⌉ doubling rounds would compute (class id = min position
+  * over positions whose w₀-char windows are identical — the doubling
+  * lattice's width-w₀ level, reached directly). Those skipped rounds
+  * are precisely the ones that run BEFORE singleton pruning can
+  * collapse the relation (on natural text nearly every 1/2/4-char
+  * window repeats, so rounds 1-3 shuffle the whole corpus; width-8
+  * windows are where uniqueness bites), so seeding at 8 removes the
+  * full-corpus-sized rounds and pays one gram-keyed aggregate whose
+  * row weight (8 chars + a long) is comparable to the 16-byte
+  * (pos, cls) rows the skipped rounds would have shuffled log₂(8) = 3
+  * times each — measured 3-6× less task CPU on the d25/d26/d27 gates.
+  * Positions whose w₀-window runs off the document end never enter
+  * the seed relation; they could never head a full minLen-window key
+  * (w₀ ≤ targetW < minLen) and any widening lookup that lands on one
+  * resolves to the same unique-to-that-position sentinel class the
+  * width-1 seed would have produced, so every surviving equality
+  * class — and therefore every span — is identical (spec-pinned
+  * against brute force and against the dense index path). The
+  * UNPRUNED incremental-index path keeps the width-1 seed: its seed
+  * dictionary must persist every distinct window, and at width 8 that
+  * is a corpus-sized table of 8-char strings whose mint/probe cost
+  * was measured to cancel the skipped rounds (see [[SubstrIndex]]).
+  *
   * Length-`L` keys from width-`w` classes use the standard overlap
   * argument: for w ≥ L/2, s[i,i+L) = s[q,q+L) iff the width-w windows
   * at i and at i+L−w match those at q and q+L−w — so ⌈log₂ L⌉ − 1
@@ -98,7 +124,8 @@ object SuffixArray {
 
   /** Per-round surviving candidate rows of the refinement — the
     * singleton-pruning collapse curve (one (width, rows) pair per
-    * round, width 1 = the char-class seed). On natural text the count
+    * round, the first width = the gram-class seed). On natural text
+    * the count
     * collapses within a few rounds: most windows go corpus-unique
     * fast, and pruned rounds shuffle only the repeated core.
     * Diagnostic companion to [[repeatedSpans]]; OpsScaleBench prints
@@ -164,15 +191,15 @@ object SuffixArray {
       s"id domain too large for the position grid: max id $maxId " +
         s"times stride $stride overflows long — re-key ids densely " +
         s"(e.g. zipWithIndex / row_number) before substring dedup")
-    // one row per character; class id seeds as min position per char.
+    // one row per full-window position; class id seeds as min position
+    // per distinct width-w0 gram (identical to what log2(w0) doubling
+    // rounds would assign — see the seed-width note in the object doc).
     // The refinement relation carries ONLY (pos, cls) — two longs a
     // row: doc id and offset are pos arithmetic on the stride grid
     // (recovered once at the end), and every round's shuffle moves 16
-    // bytes per corpus character, not a five-column row.
-    val chars = staged
-      .select(posexplode(split(col("__t"), "")).as(Seq("__off", "__c")),
-        col("__id"))
-      .select((col("__id") * stride + col("__off")).as("__pos"), col("__c"))
+    // bytes per surviving position, not a five-column row.
+    val w0 = seedWidth(targetW)
+    val chars = gramsOf(staged, stride, w0)
     // SINGLETON PRUNING (the production constant-factor lever): a
     // position whose class is corpus-unique at width w heads a unique
     // window at EVERY wider width — it can neither seed a repeat nor
@@ -198,13 +225,13 @@ object SuffixArray {
           count(lit(1)).as("__sz")), Seq("__c")))
       .select(col("__pos"), col("__cls"))
       .localCheckpoint()
-    onRound(1, ranks)
+    onRound(w0, ranks)
     // doubling rounds: classes of width `width` → width 2·width via the
     // (cls(p), cls(p+width)) pair, class id = min position in the pair
     // group; new singletons drop out each round
-    var width = 1
+    var width = w0
     while (width < targetW) {
-      val paired = widenRel(ranks, width)
+      val paired = widenSparse(ranks, width, stride)
       val newCls = paired.groupBy("__r1", "__r2")
         .agg(min("__pos").as("__cls"), count(lit(1)).as("__sz"))
       ranks = keepRepeated(paired.join(newCls, Seq("__r1", "__r2")))
@@ -217,7 +244,7 @@ object SuffixArray {
     // classes at off and off + minLen − width (overlap argument:
     // 2·width ≥ minLen); only positions with a full window participate
     val lengths = staged.select(col("__id"), col("__n"))
-    widenRel(ranks, minLen - width)
+    widenSparse(ranks, minLen - width, stride)
       .select(expr(s"__pos div ${stride}L").as("__id"),
         pmod(col("__pos"), lit(stride)).as("__off"),
         col("__r1"), col("__r2"))
@@ -226,30 +253,52 @@ object SuffixArray {
       .select("__id", "__off", "__r1", "__r2")
   }
 
-  /** One widening step shared by every refinement flavor: pair each
-    * position's class with the class of the window `shift` to the
-    * right. A position whose extension runs off the document end — or
-    * was pruned/never existed in `cur` — gets a class unique to
-    * itself (−pos − 1: disjoint from min-position ids, which are ≥ 0).
+  /** One widening step for a SPARSE relation (the pruned one-shot
+    * path): pair each position's class with the class of the window
+    * `shift` to the right. A position whose extension runs off the
+    * document end — or was pruned/never existed in `cur` — gets a
+    * class unique to itself (−pos − 1: disjoint from min-position
+    * ids, which are ≥ 0). The lookup is a per-doc RANGE-frame window
+    * (`max(__cls)` over exactly the row at __pos + shift — the frame
+    * holds one row or none, so max IS the lookup), which costs ONE
+    * exchange + sort of the relation instead of the position
+    * self-join's two corpus-sized shuffles per round; off-frame and
+    * pruned positions surface as null → the sentinel, exactly the
+    * left-join semantics this replaces. Window partitions are single
+    * documents (bounded by the grid), never frequency-skewed.
     */
-  private def widenRel(cur: DataFrame, shift: Int): DataFrame = {
-    val r2 = cur.select(col("__pos").as("__p2"), col("__cls").as("__r2"))
-    cur.join(r2, col("__pos") + shift === col("__p2"), "left")
-      .select(col("__pos"), col("__cls").as("__r1"),
-        coalesce(col("__r2"), -col("__pos") - 1).as("__r2"))
+  private[graft] def widenSparse(cur: DataFrame, shift: Int,
+                                 stride: Long): DataFrame = {
+    val at = Window.partitionBy(expr(s"__pos div ${stride}L"))
+      .orderBy(col("__pos")).rangeBetween(shift, shift)
+    cur.select(col("__pos"), col("__cls").as("__r1"),
+      coalesce(max(col("__cls")).over(at), -col("__pos") - 1)
+        .as("__r2"))
   }
 
-  /** [[widenRel]] for a DENSE relation (the index paths, which never
-    * prune): every position 0..n−1 of every doc has a row, so "the
-    * class `shift` positions right" is `lead(__cls, shift)` over a
-    * per-doc window — ONE exchange (by doc) + sort instead of the
-    * self-join's two corpus-sized shuffles on `__pos` per round (the
-    * round-14 substr constant-factor lever). Off-end rows get the
-    * identical `−pos − 1` sentinel `widenRel`'s left join assigns, so
-    * the two forms are row-for-row equal on dense input (spec-pinned);
-    * the pruned one-shot path keeps the join — with rows dropped,
-    * row-offset ≠ position-offset. Window partitions are single
-    * documents (bounded by the grid), never frequency-skewed.
+  /** Seed width w₀ for the refinement: the widest power of two ≤ 8
+    * (and ≤ targetW). 8 balances the seed's shuffle row weight (an
+    * 8-char gram + a long ≈ the 16-byte (pos, cls) rows the skipped
+    * rounds shuffle) against the log₂(w₀) full-corpus-sized doubling
+    * rounds it eliminates; beyond 8 the gram bytes grow linearly while
+    * the saved rounds grow logarithmically, and on natural text width
+    * 8 is where singleton pruning starts collapsing the relation
+    * anyway.
+    */
+  private def seedWidth(targetW: Int): Int = math.min(8, targetW)
+
+  /** [[widenSparse]] for a DENSE relation (the index paths, which
+    * never prune): every position 0..n−1 of every doc has a row with
+    * no holes, so "the class `shift` positions right" is
+    * `lead(__cls, shift)` over a per-doc window — ONE exchange (by
+    * doc) + sort, and the lead's row offset IS the position offset
+    * (the round-14 substr constant-factor lever). Off-end rows get
+    * the identical `−pos − 1` sentinel the sparse range-frame lookup
+    * assigns, so the two forms are row-for-row equal on dense input
+    * (spec-pinned); the pruned one-shot path needs [[widenSparse]] —
+    * with rows dropped, row-offset ≠ position-offset. Window
+    * partitions are single documents (bounded by the grid), never
+    * frequency-skewed.
     */
   private[graft] def widenSeq(cur: DataFrame, shift: Int,
                               stride: Long): DataFrame = {
@@ -406,7 +455,17 @@ object SuffixArray {
 
   /** Persisted refinement state for incremental exact-substring dedup.
     *
-    * @param dictChars (__c, __cls) — char → class id
+    * @param dictChars (__c, __cls) — char → class id. The index path
+    *                  deliberately KEEPS the width-1 seed the one-shot
+    *                  path replaced with width-8 grams: unpruned, the
+    *                  gram dictionary would be corpus-sized rows of
+    *                  8-char strings (nearly every window is distinct),
+    *                  which costs as much to mint, checkpoint, and
+    *                  probe as the doubling rounds it skips — measured
+    *                  flat CPU on d28-d37 vs the 3-6× the pruned
+    *                  one-shot gates gained. Content-keying here stays
+    *                  split across the (long, long)-keyed pair
+    *                  dictionaries instead.
     * @param dictPairs (__w, __r1, __r2, __cls) — width-w window-pair →
     *                  class id (sentinel pairs omitted: a batch can
     *                  never look one up)
@@ -464,13 +523,31 @@ object SuffixArray {
         s"times stride $stride overflows long — re-key ids densely")
   }
 
-  /** One row per character on the stride grid. */
-  private def charsOf(staged: DataFrame, stride: Long): DataFrame =
-    staged
-      .select(posexplode(split(col("__t"), "")).as(Seq("__off", "__c")),
-        col("__id"))
-      .select((col("__id") * stride + col("__off")).as("__pos"),
-        col("__c"))
+  /** One row per full width-`w` window on the stride grid:
+    * (__pos, __c) where __c is the literal w-char gram starting there.
+    * w = 1 is the per-character relation (every position of every
+    * doc); w > 1 stages the doc's char array once and re-slices it per
+    * offset (linear in chars·w — `substring(__t, i, w)` per offset
+    * would re-scan the string from its head each call, quadratic in
+    * doc length).
+    */
+  private def gramsOf(staged: DataFrame, stride: Long,
+                      w: Int): DataFrame =
+    if (w == 1)
+      staged
+        .select(posexplode(split(col("__t"), "")).as(Seq("__off", "__c")),
+          col("__id"))
+        .select((col("__id") * stride + col("__off")).as("__pos"),
+          col("__c"))
+    else
+      staged.filter(col("__n") >= w)
+        .withColumn("__arr", split(col("__t"), ""))
+        .select(col("__id"), posexplode(expr(
+          s"transform(sequence(0, __n - $w), " +
+            s"i -> array_join(slice(__arr, i + 1, $w), ''))"))
+          .as(Seq("__off", "__c")))
+        .select((col("__id") * stride + col("__off")).as("__pos"),
+          col("__c"))
 
   /** Run the doubling rounds for a char relation against (possibly
     * empty) dictionaries, returning the final keys plus the grown
@@ -594,7 +671,7 @@ object SuffixArray {
       else bounds.getInt(0)
     val stride = cap.toLong + targetW + 1
     validateBounds(bounds, stride, targetW)
-    val chars = charsOf(staged, stride)
+    val chars = gramsOf(staged, stride, 1)
     val spark = docs.sparkSession
     import spark.implicits._
     val emptyChars = Seq.empty[(String, Long)].toDF("__c", "__cls")
@@ -634,14 +711,15 @@ object SuffixArray {
     if (staged.limit(1).isEmpty) return index // nothing to append
     val bounds = corpusBounds(staged)
     validateBounds(bounds, index.stride, index.targetW)
-    val chars = charsOf(staged, index.stride)
+    val chars = gramsOf(staged, index.stride, 1)
     require(bounds.getLong(1) > index.maxId,
       s"batch ids must exceed every indexed id (class ids are " +
         s"min-positions): batch min ${bounds.getLong(1)} vs indexed " +
         s"max ${index.maxId}")
     val (dc, dp, batchKeys) = refineAgainst(chars, staged,
       index.dictChars, index.dictPairs, index.minLen, index.targetW,
-      index.stride, bcastBatch = bounds.getLong(4) <= batchBroadcastChars)
+      index.stride,
+      bcastBatch = bounds.getLong(4) <= batchBroadcastChars)
     // the keys union is NOT re-checkpointed: both sides are already
     // materialized, and rewriting the accumulated corpus-sized keys
     // per append would make append cost ∝ corpus by itself
@@ -763,10 +841,11 @@ object SuffixArray {
     validateBounds(bounds, index.stride, index.targetW)
     require(bounds.getLong(1) >= offset,
       "train ids must be non-negative") // offset preserved ⇒ id >= 0
-    val chars = charsOf(staged, index.stride)
+    val chars = gramsOf(staged, index.stride, 1)
     val (_, _, trainKeys) = refineAgainst(chars, staged,
       index.dictChars, index.dictPairs, index.minLen, index.targetW,
-      index.stride, bcastBatch = bounds.getLong(4) <= batchBroadcastChars)
+      index.stride,
+      bcastBatch = bounds.getLong(4) <= batchBroadcastChars)
     val marked = trainKeys
       .join(index.keys.select("__r1", "__r2"), Seq("__r1", "__r2"),
         "left_semi")

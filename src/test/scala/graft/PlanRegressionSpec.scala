@@ -508,6 +508,13 @@ class PlanRegressionSpec extends SparkSpec {
     windowCount(p) shouldBe 1
     p should not include "Join"
     p.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
+    // the sparse (pruned one-shot) widen is the same shape: one
+    // per-doc RANGE-frame window, one exchange on the doc key, never
+    // the position self-join (two corpus shuffles) it replaced
+    val ps = formatted(graft.ops.SuffixArray.widenSparse(rel, 3, 100L))
+    windowCount(ps) shouldBe 1
+    ps should not include "Join"
+    ps.split("\\(\\d+\\) Exchange").length - 1 shouldBe 1
   }
 
   test("signWords packing is a zero-exchange projection; rrfFuse and p20 use bounded exchanges") {

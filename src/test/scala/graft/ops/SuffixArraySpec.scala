@@ -80,12 +80,12 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
-  test("dense lead-widen (index) equals the join-widen one-shot on randomized fixtures") {
+  test("dense lead-widen (index) equals the range-widen one-shot on randomized fixtures") {
     // The index build widens via a per-doc `lead` window (dense
-    // relation); the one-shot path widens via the position self-join.
-    // Random small-alphabet docs exercise both off-end sentinels and
-    // deep repeat structure — the two forms must produce identical
-    // spans.
+    // relation); the pruned one-shot path widens via the per-doc
+    // RANGE-frame lookup (sparse relation). Random small-alphabet docs
+    // exercise both off-end sentinels and deep repeat structure — the
+    // two forms must produce identical spans.
     val r = new scala.util.Random(191)
     val docs = (0L until 10L).map { id =>
       (id, (1 to 50 + r.nextInt(50)).map(_ => ('a' + r.nextInt(3)).toChar)
@@ -170,7 +170,10 @@ class SuffixArraySpec extends SparkSpec {
       .toDF("doc_id", "text")
     val curve = SuffixArray.refinementSurvivorCounts(docs, "text",
       "doc_id", minLen = 20)
-    curve.map(_._1) shouldBe Seq(1, 2, 4, 8, 16)
+    // widths start at the gram seed (8): the sub-8 rounds collapsed
+    // into one direct gram grouping are exactly the rounds the
+    // round-15 seed-width change eliminated
+    curve.map(_._1) shouldBe Seq(8, 16)
     // monotone collapse, and the widest round carries only the
     // repeated block's windows (2 docs × (40 − 16 + 1) starts) plus
     // nothing from the unique filler
