@@ -566,18 +566,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("comp").as("vcomp")), "v")
         .groupBy(col("u").as("node")).agg(min("vcomp").as("nmin"))
+      // carry the round's OLD label through the step so convergence is
+      // a filter over the already-checkpointed result — the previous
+      // join-back against `labels` re-shuffled both label relations
+      // once per round just to ask "did anything change"
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("oc"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
       val jumped = stepped.alias("x")
         .join(stepped.select(col("node").as("jn"), col("comp").as("jc")),
           col("x.comp") === col("jn"), "left")
-        .select(col("x.node").as("node"),
+        .select(col("x.node").as("node"), col("x.oc").as("oc"),
           coalesce(col("jc"), col("x.comp")).as("comp"))
         .localCheckpoint()
-      converged = jumped.alias("n")
-        .join(labels.select(col("node"), col("comp").as("oc")), "node")
-        .filter(col("comp") =!= col("oc")).isEmpty
+      converged = jumped.filter(col("comp") =!= col("oc")).isEmpty
       labels.unpersist() // jumped is checkpointed; last round's blocks can go
       labels = jumped
       i += 1

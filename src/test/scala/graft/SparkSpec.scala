@@ -13,6 +13,11 @@ trait SparkSpec extends AnyFunSuite with Matchers {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // match the driver mains: AQE may re-optimize cached plans (see
+    // Bench.scala) — specs must pin plans under the regime the engine
+    // actually runs
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     // unique per JVM: a fixed path leaves orphan table dirs behind that a
     // fresh in-memory catalog then refuses to overwrite (LOCATION_ALREADY_EXISTS)
     .config("spark.sql.warehouse.dir",
