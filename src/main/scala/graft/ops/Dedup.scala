@@ -555,9 +555,16 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b",
                           maxIter: Int = 25): DataFrame = {
+    // cache the symmetrized edges PRE-PARTITIONED on the per-round
+    // join key: distinct() leaves them hash-partitioned on (u, v), so
+    // every round's `edges ⋈ labels ON v` re-exchanged the cached
+    // corpus-sized edge relation; keyed on v once, the rounds reuse
+    // the cached partitioning and only the (much smaller) label
+    // relation moves (guide §2.4 — operations keyed the same way
+    // share one exchange)
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().cache()
+      .distinct().repartition(col("v")).cache()
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     var converged = false

@@ -272,7 +272,11 @@ object GraphAnn {
     // Hash-spread entries land one in each sizeable sub-cluster with
     // high probability — the flat-index substitute for HNSW's
     // long-range upper-layer links.
-    val entries = hashEntries(c, entriesPerCell).localCheckpoint()
+    // entry picks read (cell, n_id) off the CHECKPOINTED node table —
+    // hashEntries over `c` re-ran the corpus scan + centroid-assign
+    // pipeline a second time per build for the same pairs
+    val entries = hashEntries(nodes.select(col("cell"), col("n_id")),
+      entriesPerCell).localCheckpoint()
     GraphIndex(nodes, entries, cells, degree, crossDegree, entriesPerCell,
       alpha, poolN)
   }

@@ -695,57 +695,82 @@ object TextOps {
     grams.unionByName(biasRows)
   }
 
+  /** Per-doc FEATURE MAP form of [[hashedNgramFeatures]]: one row per
+    * document carrying bucket→x as a ≤(buckets+1)-entry map (bias row
+    * included). This is the training layout: per-doc z becomes a
+    * ROW-LOCAL fold over the map against the weight vector as a plan
+    * LITERAL — no per-iteration join, no per-doc shuffle — and the
+    * softmax normalizer becomes in-row array arithmetic instead of a
+    * per-doc window. Keys are unique by construction (the count
+    * aggregate groups on (doc, bucket); the bias key −1 collides with
+    * nothing).
+    */
+  private def hashedFeatureMap(df: org.apache.spark.sql.DataFrame,
+                               textCol: String, idCol: String,
+                               buckets: Int): org.apache.spark.sql.DataFrame =
+    hashedNgramFeatures(df, textCol, idCol, buckets)
+      .select(col(idCol).as("__id"), col("bucket"), col("x"))
+      .groupBy("__id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("x"))))
+        .as("fm"))
+
+  /** Per-doc z = Σ x·w over the feature map, with the weight vector a
+    * plan literal (weights(0) = bias at bucket −1, weights(b+1) =
+    * bucket b) — one codegen fold per row, zero exchanges.
+    */
+  private def zFromMap(fm: Column, weights: Array[Double]): Column = {
+    val wArr = typedLit(weights.toSeq)
+    aggregate(map_entries(fm), lit(0.0), (acc, e) =>
+      acc + e.getField("value") *
+        element_at(wArr, (e.getField("key") + lit(2)).cast("int")))
+  }
+
   /** Train the hashed-n-gram logistic classifier with full-batch GD —
-    * the production fastText shape at corpus scale: the feature
-    * relation is bounded by docs × min(grams, buckets) rows and is
-    * computed ONCE (cached); each iteration is one broadcast join of
-    * the (buckets+1)-row weight table for per-doc z, then one
-    * map-side-combined groupBy(bucket) for ALL gradients (bias
-    * included, via the pseudo-feature row); the driver takes an
-    * O(buckets) step. Raw tokens never shuffle — only (doc, bucket)
-    * pairs do. Weights quantize to the 1e-9 grid after every step
-    * (`round(·, 9)`), putting the whole training trajectory on a
-    * decimal lattice ~1e6× coarser than the cross-engine
-    * summation-order noise (~1e-16) — so an independent engine
-    * replaying the same arithmetic lands on bit-identical weights
-    * every iteration instead of accumulating last-bit drift (gate
-    * t23).
+    * the production fastText shape at corpus scale: ONE cached
+    * relation of (label, per-doc feature map), and each iteration is
+    * a SINGLE job — z, σ, δ are row-local folds against the weight
+    * vector as a plan literal ([[zFromMap]]; the former per-iteration
+    * broadcast-join + per-doc aggregate round is gone), and all
+    * gradients (bias included, via the pseudo-feature entry) come
+    * from one map-side-combined groupBy(bucket) over the exploded
+    * entries. Raw tokens never shuffle — only ≤(buckets+1)-row
+    * partial aggregates do. Weights quantize to the 1e-9 grid after
+    * every step (`round(·, 9)`), putting the whole training
+    * trajectory on a decimal lattice ~1e6× coarser than the
+    * summation-order noise (~1e-16) — so an independent engine (or a
+    * different fold order over the same entries) lands on
+    * bit-identical weights every iteration instead of accumulating
+    * last-bit drift (gate t23).
     */
   def trainHashedClassifier(df: org.apache.spark.sql.DataFrame,
                             textCol: String, idCol: String, label: Column,
                             buckets: Int = 16, iters: Int = 10,
                             lr: Double = 0.5): HashedLogisticModel = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val id = col(idCol)
-    val labels = df.select(id.as("__id"), label.cast("double").as("y")).persist()
-    val feats = hashedNgramFeatures(df, textCol, idCol, buckets)
-      .select(id.as("__id"), col("bucket"), col("x")).persist()
+    val base = df.select(id.as("__id"), label.cast("double").as("y"))
+      .join(hashedFeatureMap(df, textCol, idCol, buckets), Seq("__id"))
+      .persist()
     try {
-      val n = labels.count().toDouble
+      val n = base.count().toDouble
       def rnd9(v: Double): Double =
         BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       // weights(0) = bias (bucket -1), weights(b+1) = bucket b
       var w = new Array[Double](buckets + 1)
       var it = 0
       while (it < iters) {
-        val wDf = broadcast(
-          w.zipWithIndex.map { case (v, j) => (j - 1, v) }.toSeq
-            .toDF("bucket", "w"))
-        val delta = feats.join(wDf, "bucket")
-          .groupBy("__id").agg(sum(col("x") * col("w")).as("__z"))
-          .join(labels, "__id")
-          .select(col("__id"), (sigmoid(col("__z")) - col("y")).as("delta"))
-        val grads = feats.join(delta, "__id")
-          .groupBy("bucket")
-          .agg((sum(col("delta") * col("x")) / lit(n)).as("g"))
+        val delta = sigmoid(zFromMap(col("fm"), w)) - col("y")
+        val grads = base
+          .select(delta.as("delta"),
+            explode(map_entries(col("fm"))).as("e"))
+          .groupBy(col("e.key").as("bucket"))
+          .agg((sum(col("delta") * col("e.value")) / lit(n)).as("g"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
         w = Array.tabulate(buckets + 1)(j =>
           rnd9(w(j) - lr * grads.getOrElse(j - 1, 0.0)))
         it += 1
       }
       HashedLogisticModel(buckets, w)
-    } finally { labels.unpersist(); feats.unpersist() }
+    } finally base.unpersist()
   }
 
   /** Multiclass sibling of [[HashedLogisticModel]]: softmax weights
@@ -756,18 +781,38 @@ object TextOps {
   final case class HashedSoftmaxModel(classes: Array[String], buckets: Int,
                                       weights: Array[Array[Double]])
 
+  /** Per-doc logits for EVERY class as one in-row array: class ci's
+    * z is the [[zFromMap]] fold against row ci of the weight matrix
+    * (a plan literal). Row-local — the per-(doc, class) join +
+    * aggregate + window round this replaces exchanged the corpus
+    * C+1 times per use.
+    */
+  private def logitsFromMap(fm: Column, weights: Array[Array[Double]])
+      : Column = {
+    val wMat = typedLit(weights.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(weights.length - 1)), ci =>
+      aggregate(map_entries(fm), lit(0.0), (acc, e) =>
+        acc + e.getField("value") *
+          element_at(element_at(wMat, (ci + lit(1)).cast("int")),
+            (e.getField("key") + lit(2)).cast("int"))))
+  }
+
   /** Train a hashed-n-gram SOFTMAX classifier — fastText's actual
     * shape (its flagship use case, language ID, is C-way): full-batch
-    * GD on softmax cross-entropy over [[hashedNgramFeatures]]. Each
-    * iteration: ONE broadcast join of the C·(buckets+1)-row weight
-    * table builds per-(doc, class) logits, a per-doc window turns
-    * them into probabilities, and ONE map-side-combined
-    * groupBy(class, bucket) yields every gradient — biases included,
-    * via the pseudo-feature row. Driver work is O(C·buckets)/iter.
-    * Weights quantize to the 1e-9 grid per step (the t23 discipline),
-    * so the whole trajectory — including the softmax normalizer,
-    * whose 4-term sums differ across engines only in last bits —
-    * replays bit-identically in an independent engine (gate t25).
+    * GD on softmax cross-entropy over the per-doc feature maps
+    * ([[hashedFeatureMap]], cached once with the labels). Each
+    * iteration is a SINGLE job: per-doc logits for all C classes are
+    * one in-row array fold against the weight matrix as a plan
+    * literal ([[logitsFromMap]]), the softmax normalizer and δ are
+    * in-row array arithmetic (the former per-doc window exchange is
+    * gone along with the per-iteration broadcast join), and ONE
+    * map-side-combined groupBy(class, bucket) yields every gradient —
+    * biases included, via the pseudo-feature entry. Driver work is
+    * O(C·buckets)/iter. Weights quantize to the 1e-9 grid per step
+    * (the t23 discipline), so the whole trajectory — including the
+    * softmax normalizer, whose C-term sums differ across engines (or
+    * fold orders) only in last bits — replays bit-identically in an
+    * independent engine (gate t25).
     */
   def trainHashedSoftmax(df: org.apache.spark.sql.DataFrame,
                          textCol: String, idCol: String, labelCol: String,
@@ -778,76 +823,72 @@ object TextOps {
     val id = col(idCol)
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .as[String].collect().sorted
-    val labels = df.select(id.as("__id"),
-      col(labelCol).cast("string").as("__y")).persist()
-    val feats = hashedNgramFeatures(df, textCol, idCol, buckets)
-      .select(id.as("__id"), col("bucket"), col("x")).persist()
+    val classesLit = typedLit(classes.toSeq)
+    val base = df.select(id.as("__id"),
+        col(labelCol).cast("string").as("__y"))
+      .join(hashedFeatureMap(df, textCol, idCol, buckets), Seq("__id"))
+      .persist()
     try {
-      val n = labels.count().toDouble
+      val n = base.count().toDouble
       def rnd9(v: Double): Double =
         BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       var w = Array.fill(classes.length, buckets + 1)(0.0)
-      val wIdx = classes.zipWithIndex.toMap
       var it = 0
       while (it < iters) {
-        val wDf = broadcast(
-          (for { (c, ci) <- classes.zipWithIndex; j <- 0 to buckets }
-            yield (c, j - 1, w(ci)(j))).toSeq.toDF("__c", "bucket", "w"))
-        val z = feats.join(wDf, "bucket")
-          .groupBy("__id", "__c").agg(sum(col("x") * col("w")).as("__z"))
-        val e = exp(greatest(least(col("__z"), lit(30.0)), lit(-30.0)))
-        val p = z.withColumn("__e", e)
-          .withColumn("__p", col("__e") / sum(col("__e")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("__id")))
-        val delta = p.join(labels, "__id")
-          .select(col("__id"), col("__c"),
-            (col("__p") - when(col("__c") === col("__y"), 1.0).otherwise(0.0))
-              .as("delta"))
-        val grads = feats.join(delta, "__id")
-          .groupBy("__c", "bucket")
-          .agg((sum(col("delta") * col("x")) / lit(n)).as("g"))
+        val es = transform(logitsFromMap(col("fm"), w), z =>
+          exp(greatest(least(z, lit(30.0)), lit(-30.0))))
+        val sumE = aggregate(es, lit(0.0), (a, x) => a + x)
+        val deltas = transform(
+          sequence(lit(0), lit(classes.length - 1)), ci =>
+            element_at(es, (ci + lit(1)).cast("int")) / sumE -
+              when(element_at(classesLit, (ci + lit(1)).cast("int"))
+                === col("__y"), 1.0).otherwise(0.0))
+        val grads = base
+          .select(col("fm"), posexplode(deltas).as(Seq("ci", "delta")))
+          .select(col("ci"), col("delta"),
+            explode(map_entries(col("fm"))).as("e"))
+          .groupBy(col("ci"), col("e.key").as("bucket"))
+          .agg((sum(col("delta") * col("e.value")) / lit(n)).as("g"))
           .collect()
-          .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
         w = Array.tabulate(classes.length, buckets + 1) { (ci, j) =>
-          rnd9(w(ci)(j) - lr * grads.getOrElse((classes(ci), j - 1), 0.0))
+          rnd9(w(ci)(j) - lr * grads.getOrElse((ci, j - 1), 0.0))
         }
         it += 1
       }
       HashedSoftmaxModel(classes, buckets, w)
-    } finally { labels.unpersist(); feats.unpersist() }
+    } finally base.unpersist()
   }
 
-  /** Predict with a trained softmax model: per-doc logits from the
-    * feature relation against the broadcast weight table, winner by
-    * (6dp-rounded logit, class) — softmax preserves logit order, and
-    * the rounding puts cross-engine last-bit noise (~1e-15) six
+  /** Predict with a trained softmax model: per-doc logits as ONE
+    * in-row array fold against the weight matrix as a plan literal
+    * ([[logitsFromMap]]), winner by (6dp-rounded logit, class) picked
+    * with an in-row comparator sort — softmax preserves logit order,
+    * and the rounding puts cross-engine last-bit noise (~1e-15) six
     * decades below the decision grid, so predictions replay exactly.
     * Returns (idCol, pred, logit) — `logit` is the winner's
-    * 4dp-rounded raw score. (A zero-exchange projection variant in
-    * the [[scoreHashedClassifier]] style is possible — C array
-    * literals — but the relational form is what composes with
-    * downstream per-class calibration joins.)
+    * 4dp-rounded raw score. The whole prediction is the feature-map
+    * aggregate plus a zero-exchange projection; the former
+    * broadcast-join + per-(doc, class) aggregate + per-doc window
+    * exchanged the corpus three times.
     */
   def predictHashedSoftmax(df: org.apache.spark.sql.DataFrame,
                            textCol: String, idCol: String,
                            model: HashedSoftmaxModel): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val id = col(idCol)
-    val wDf = broadcast(
-      (for { (c, ci) <- model.classes.zipWithIndex; j <- 0 to model.buckets }
-        yield (c, j - 1, model.weights(ci)(j))).toSeq
-        .toDF("__c", "bucket", "w"))
-    val z = hashedNgramFeatures(df, textCol, idCol, model.buckets)
-      .select(id.as("__id"), col("bucket"), col("x"))
-      .join(wDf, "bucket")
-      .groupBy("__id", "__c").agg(sum(col("x") * col("w")).as("__z"))
-    z.withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__id")
-          .orderBy(round(col("__z"), 6).desc, col("__c"))))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("__c").as("pred"),
-        round(col("__z"), 4).as("logit"))
+    val classesLit = typedLit(model.classes.toSeq)
+    val ranked = array_sort(
+      zip_with(classesLit, logitsFromMap(col("fm"), model.weights),
+        (c, z) => struct(c.as("c"), z.as("z"))),
+      (l, r) => when(round(l.getField("z"), 6) > round(r.getField("z"), 6),
+          lit(-1))
+        .when(round(l.getField("z"), 6) < round(r.getField("z"), 6), lit(1))
+        .when(l.getField("c") < r.getField("c"), lit(-1))
+        .when(l.getField("c") > r.getField("c"), lit(1))
+        .otherwise(lit(0)))
+    hashedFeatureMap(df, textCol, idCol, model.buckets)
+      .select(col("__id").as(idCol),
+        element_at(ranked, 1).getField("c").as("pred"),
+        round(element_at(ranked, 1).getField("z"), 4).as("logit"))
   }
 
   /** Score with a trained hashed model as a ZERO-EXCHANGE projection:

@@ -631,4 +631,41 @@ class TextOpsSpec extends SparkSpec {
       .as[Double].collect().head
     bias shouldBe 1.0 / (1.0 + math.exp(-model.weights.head)) +- 1e-12
   }
+
+  test("predictHashedSoftmax (in-row fold) equals the relational window reference") {
+    // pins the row-local predict plan (feature-map fold + comparator
+    // sort) against the join + per-(doc, class) aggregate + window
+    // formulation it replaced: same winner by (round(z, 6) desc,
+    // class asc), same 4dp logit — including bias-only empty docs and
+    // round(z, 6) ties (two classes with IDENTICAL zero weights tie
+    // exactly and must resolve by class order)
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, "alpha beta gamma", "aa"), (2L, "uno dos tres", "bb"),
+      (3L, "alpha dos", "aa"), (4L, "", "bb"),
+      (5L, "eins zwei", "cc")).toDF("doc_id", "text", "lang")
+    val m0 = TextOps.trainHashedSoftmax(df, "text", "doc_id", "lang",
+      buckets = 8, iters = 3, lr = 1.0)
+    // plant an exact tie: classes 0 and 1 share identical weights
+    val m = m0.copy(weights = m0.weights.updated(1, m0.weights(0).clone()))
+    val got = TextOps.predictHashedSoftmax(df, "text", "doc_id", m)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val wDf = broadcast(
+      (for { (c, ci) <- m.classes.zipWithIndex; j <- 0 to m.buckets }
+        yield (c, j - 1, m.weights(ci)(j))).toSeq
+        .toDF("__c", "bucket", "w"))
+    val ref = TextOps.hashedNgramFeatures(df, "text", "doc_id", m.buckets)
+      .select(col("doc_id").as("__id"), col("bucket"), col("x"))
+      .join(wDf, "bucket")
+      .groupBy("__id", "__c").agg(sum(col("x") * col("w")).as("__z"))
+      .withColumn("__rn", row_number().over(Window.partitionBy("__id")
+        .orderBy(round(col("__z"), 6).desc, col("__c"))))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__c"), round(col("__z"), 4))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    got.map(t => (t._1, t._2)) shouldBe ref.map(t => (t._1, t._2))
+    got.zip(ref).foreach { case (g, r) => g._3 shouldBe r._3 +- 1e-9 }
+  }
 }
