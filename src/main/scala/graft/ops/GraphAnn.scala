@@ -434,23 +434,37 @@ object GraphAnn {
                        beam: Int, hops: Int,
                        score: (DataFrame, DataFrame, Boolean) => DataFrame,
                        bcast: Boolean): DataFrame = {
-    var scored = score(entryCand, q, bcast).localCheckpoint()
-    var expanded = scored.select("q_id", "n_id").limit(0).localCheckpoint()
+    // the pool and the expanded set accumulate as LAZY unions of
+    // per-hop CHECKPOINTED pieces: each hop's expensive work (the
+    // scoring join, the frontier pick) is still materialized once,
+    // but the union-and-re-checkpoint actions the loop used to pay on
+    // top (re-writing the whole accumulated pool every hop — 3
+    // driver-sequenced actions per hop instead of 2, plus O(hops)
+    // re-materialized bytes) are gone; consumers scan the flat list
+    // of in-memory pieces. Plan depth grows linearly in hops (each
+    // piece is a checkpoint leaf), so the exponential join-on-join
+    // lineage the old re-checkpointing guarded against never forms.
+    var scoredPieces =
+      List(score(entryCand, q, bcast).localCheckpoint())
+    def scored = scoredPieces.reduce(_.unionByName(_))
+    var frontierPieces = List.empty[DataFrame]
+    def expanded = frontierPieces match {
+      case Nil => scoredPieces.head.select("q_id", "n_id").limit(0)
+      case ps => ps.reduce(_.unionByName(_))
+    }
     var h = 0
     while (h < hops) {
       val frontier = topPerQuery(
         scored.join(expanded, Seq("q_id", "n_id"), "left_anti"), beam)
         .localCheckpoint()
-      expanded = expanded.unionByName(frontier).localCheckpoint()
+      frontierPieces ::= frontier
       val adjSide = if (bcast) frontier else frontier.hint("shuffle_hash")
       val cand = adjSide
         .join(adj, Seq("n_id"))
         .select(col("q_id"), explode(col("neighbors")).as("n_id"))
         .distinct()
         .join(scored.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
-      scored = scored
-        .unionByName(score(cand, q, bcast))
-        .localCheckpoint()
+      scoredPieces ::= score(cand, q, bcast).localCheckpoint()
       h += 1
     }
     scored
@@ -849,8 +863,10 @@ object GraphAnn {
     requireSharedCells("saveGraphShards", shards.map(_.cells))
     IndexIo.requireCellMap("saveGraphShards", "cellMap", cellMap,
       shards.head.cells.length, shards.length)
-    shards.zipWithIndex.foreach { case (s, i) =>
-      saveGraphIndex(s, s"$dir/shard_$i")
+    // disjoint per-shard directories: independent driver-sequenced
+    // write chains — overlap them on the shared bounded pool
+    IndexIo.runConcurrently(shards.zipWithIndex, shards.length) {
+      case (s, i) => saveGraphIndex(s, s"$dir/shard_$i")
     }
     IndexIo.saveCellMap(shards.head.nodes.sparkSession,
       s"$dir/cell_map", cellMap, shards.length)
@@ -865,7 +881,9 @@ object GraphAnn {
   def loadGraphShards(spark: org.apache.spark.sql.SparkSession,
                       dir: String): (Seq[GraphIndex], Array[Int]) = {
     val (map, nShards) = IndexIo.loadCellMap(spark, s"$dir/cell_map")
-    ((0 until nShards).map { i =>
+    // per-shard loads are independent driver-sequenced chains (footer
+    // reads + bounded artifact collects) — overlap them
+    (IndexIo.runConcurrently(0 until nShards, nShards) { i =>
       val d = s"$dir/shard_$i"
       val meta = spark.read.parquet(s"$d/meta").head()
       loadGraphIndexFrom(spark, d, meta,
@@ -3385,8 +3403,10 @@ object GraphAnn {
     requireSharedCells("saveHnswShards", shards.map(_.cells))
     IndexIo.requireCellMap("saveHnswShards", "cellMap", cellMap,
       shards.head.cells.length, shards.length)
-    shards.zipWithIndex.foreach { case (s, i) =>
-      saveHnswIndex(s, s"$dir/shard_$i")
+    // disjoint per-shard directories: independent driver-sequenced
+    // write chains — overlap them on the shared bounded pool
+    IndexIo.runConcurrently(shards.zipWithIndex, shards.length) {
+      case (s, i) => saveHnswIndex(s, s"$dir/shard_$i")
     }
     IndexIo.saveCellMap(shards.head.nodes.sparkSession,
       s"$dir/cell_map", cellMap, shards.length)
@@ -3398,7 +3418,9 @@ object GraphAnn {
   def loadHnswShards(spark: org.apache.spark.sql.SparkSession,
                      dir: String): (Seq[HnswIndex], Array[Int]) = {
     val (map, nShards) = IndexIo.loadCellMap(spark, s"$dir/cell_map")
-    ((0 until nShards).map { i =>
+    // per-shard loads are independent driver-sequenced chains —
+    // overlap them
+    (IndexIo.runConcurrently(0 until nShards, nShards) { i =>
       val d = s"$dir/shard_$i"
       val meta = spark.read.parquet(s"$d/meta").head()
       loadHnswIndexFrom(spark, d, meta,

@@ -1501,8 +1501,11 @@ object Similarity {
     requireSharedIvfPqArtifacts("saveIvfPqShards", shards)
     IndexIo.requireCellMap("saveIvfPqShards", "cellMap", cellMap,
       shards.head.cells.length, shards.length)
-    shards.zipWithIndex.foreach { case (s, i) =>
-      saveIvfPqIndexPartitioned(s, s"$dir/shard_$i")
+    // disjoint per-shard directories: the shard writes are independent
+    // driver-sequenced job chains — run them on the shared bounded
+    // pool so one shard's commit latency overlaps another's write
+    IndexIo.runConcurrently(shards.zipWithIndex, shards.length) {
+      case (s, i) => saveIvfPqIndexPartitioned(s, s"$dir/shard_$i")
     }
     IndexIo.saveCellMap(shards.head.codes.sparkSession,
       s"$dir/cell_map", cellMap, shards.length)
@@ -1518,12 +1521,13 @@ object Similarity {
   def loadIvfPqShards(spark: org.apache.spark.sql.SparkSession,
                       dir: String): (Seq[IvfPqIndex], Array[Int]) = {
     val (map, nShards) = IndexIo.loadCellMap(spark, s"$dir/cell_map")
-    ((0 until nShards).map { i =>
+    // per-shard loads are independent driver-sequenced chains (footer
+    // reads + bounded artifact collects) — overlap them
+    (IndexIo.runConcurrently(0 until nShards, nShards) { i =>
       val d = s"$dir/shard_$i"
-      val idx = loadIvfPqIndex(spark, d,
+      loadIvfPqIndex(spark, d,
         codesOverride = Some(IndexIo.readOrEmpty(spark, s"$d/codes",
           "n_id BIGINT, codes ARRAY<INT>, cell INT")))
-      idx
     }, map)
   }
 

@@ -89,9 +89,7 @@ object SuffixArray {
                     minLen: Int, minOccurrences: Int = 2): DataFrame = {
     require(minOccurrences >= 2,
       s"minOccurrences below 2 would mark every position, got $minOccurrences")
-    val staged = docs.select(col(idCol).cast("long").as("__id"),
-        col(textCol).as("__t"))
-      .withColumn("__n", length(col("__t")))
+    val staged = stageDocs(docs, textCol, idCol)
     val keyed = lengthKeys(staged, minLen)
     val repeatedKeys = keyed.groupBy("__r1", "__r2")
       .agg(count(lit(1)).as("__cnt"))
@@ -110,9 +108,7 @@ object SuffixArray {
   private[graft] def repeatedSpansPruneToggle(docs: DataFrame,
       textCol: String, idCol: String, minLen: Int,
       prune: Boolean): DataFrame = {
-    val staged = docs.select(col(idCol).cast("long").as("__id"),
-        col(textCol).as("__t"))
-      .withColumn("__n", length(col("__t")))
+    val staged = stageDocs(docs, textCol, idCol)
     val keyed = lengthKeys(staged, minLen, prune = prune)
     val repeatedKeys = keyed.groupBy("__r1", "__r2")
       .agg(count(lit(1)).as("__cnt"))
@@ -199,7 +195,12 @@ object SuffixArray {
     // (recovered once at the end), and every round's shuffle moves 16
     // bytes per surviving position, not a five-column row.
     val w0 = seedWidth(targetW)
-    val chars = gramsOf(staged, stride, w0)
+    // checkpointed: the seed round reads this relation TWICE (class
+    // minting + join-back), and the w₀-gram extraction (per-position
+    // array slice + join) is the single most expensive projection in
+    // the refinement — left lazy it ran twice inside the seed job
+    // (profiled as the gate's largest job at 2× its necessary cost)
+    val chars = gramsOf(staged, stride, w0).localCheckpoint()
     // SINGLETON PRUNING (the production constant-factor lever): a
     // position whose class is corpus-unique at width w heads a unique
     // window at EVERY wider width — it can neither seed a repeat nor
@@ -231,7 +232,9 @@ object SuffixArray {
     // group; new singletons drop out each round
     var width = w0
     while (width < targetW) {
-      val paired = widenSparse(ranks, width, stride)
+      // checkpointed: the round reads it twice (class minting +
+      // join-back) — left lazy, the widen window ran twice per round
+      val paired = widenSparse(ranks, width, stride).localCheckpoint()
       val newCls = paired.groupBy("__r1", "__r2")
         .agg(min("__pos").as("__cls"), count(lit(1)).as("__sz"))
       ranks = keepRepeated(paired.join(newCls, Seq("__r1", "__r2")))
@@ -244,6 +247,9 @@ object SuffixArray {
     // classes at off and off + minLen − width (overlap argument:
     // 2·width ≥ minLen); only positions with a full window participate
     val lengths = staged.select(col("__id"), col("__n"))
+    // checkpointed: every caller reads the keyed relation twice
+    // (repeated-key counting + the join-back that marks positions) —
+    // left lazy, the final widen ran twice
     widenSparse(ranks, minLen - width, stride)
       .select(expr(s"__pos div ${stride}L").as("__id"),
         pmod(col("__pos"), lit(stride)).as("__off"),
@@ -251,6 +257,7 @@ object SuffixArray {
       .join(lengths, Seq("__id"))
       .filter(col("__off") <= col("__n") - minLen)
       .select("__id", "__off", "__r1", "__r2")
+      .localCheckpoint()
   }
 
   /** One widening step for a SPARSE relation (the pruned one-shot
@@ -358,8 +365,9 @@ object SuffixArray {
     def half(df: DataFrame, parity: Int): DataFrame =
       df.select((expr(s"try_multiply(cast($idCol as long), 2L)")
         + parity).as("__id"), col(textCol).as("__t"))
-    val staged = half(train, 0).unionByName(half(eval, 1))
-      .withColumn("__n", length(col("__t")))
+    val staged = spreadLowParallelism(
+      half(train, 0).unionByName(half(eval, 1))
+        .withColumn("__n", length(col("__t"))))
     val keyed = lengthKeys(staged, minLen)
     val crossKeys = keyed
       .groupBy("__r1", "__r2")
@@ -486,11 +494,29 @@ object SuffixArray {
     targetW
   }
 
+  /** Re-hash a staged corpus by doc when its scan parallelism is
+    * below the session's default: every per-position projection
+    * downstream (gram extraction, the position grid) runs at the
+    * SCAN's parallelism, so a corpus arriving as a handful of small
+    * files serializes the most expensive map work in the build. At
+    * production scale the scan already has enough splits and the
+    * corpus-text exchange would be pure overhead — the re-hash only
+    * fires below the threshold. (Deterministic hash partitioning —
+    * results are partition-independent anyway.)
+    */
+  private def spreadLowParallelism(staged: DataFrame): DataFrame = {
+    val sc = staged.sparkSession.sparkContext
+    if (staged.rdd.getNumPartitions < sc.defaultParallelism)
+      staged.repartition(col("__id"))
+    else staged
+  }
+
   private def stageDocs(docs: DataFrame, textCol: String,
                         idCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("__id"),
-        col(textCol).as("__t"))
-      .withColumn("__n", length(col("__t")))
+    spreadLowParallelism(
+      docs.select(col(idCol).cast("long").as("__id"),
+          col(textCol).as("__t"))
+        .withColumn("__n", length(col("__t"))))
 
   /** One bounded aggregate over the staged corpus: (max doc length,
     * min id, max id, null-id count, total chars). Computed ONCE per
@@ -577,8 +603,11 @@ object SuffixArray {
     // position over the accumulated corpus — immutable because batch
     // positions are larger); miss mints min-batch-position, exactly
     // the union build's id for a class with no prior member
+    // checkpointed: read twice (miss minting + class assignment) — a
+    // lazy plan probed the width-1 dictionary twice per build/append
     val withD = chars.join(
       dictChars.withColumnRenamed("__cls", "__dcls"), Seq("__c"), "left")
+      .localCheckpoint()
     val newChars = withD.filter(col("__dcls").isNull)
       .groupBy("__c").agg(min("__pos").as("__cls"))
     val dictChars2 = dictChars
@@ -618,7 +647,11 @@ object SuffixArray {
           (r, np)
         } else {
           val paired = widenSeq(ranks, width, stride)
+          // checkpointed: read twice (mint + assign) — left lazy, the
+          // round's widen exchange + sort and the dictionary probe
+          // both ran TWICE per round
           val joined = paired.join(dw, Seq("__r1", "__r2"), "left")
+            .localCheckpoint()
           val np = joined.filter(col("__dcls").isNull)
             .groupBy("__r1", "__r2").agg(min("__pos").as("__cls"))
             .localCheckpoint()

@@ -714,16 +714,19 @@ object TextOps {
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("x"))))
         .as("fm"))
 
-  /** Per-doc z = Σ x·w over the feature map, with the weight vector a
-    * plan literal (weights(0) = bias at bucket −1, weights(b+1) =
-    * bucket b) — one codegen fold per row, zero exchanges.
+  /** Per-doc z = Σ x·w over the feature map against the weight vector
+    * as a plan literal (weights(0) = bias at bucket −1, weights(b+1)
+    * = bucket b) — one codegen fold per row, zero exchanges. A
+    * broadcast-one-row-weights variant (constant plan text across GD
+    * steps, betting on the codegen cache) was tried and MEASURED
+    * SLOWER (t23 8.2 → 13.6 s, t25 14.7 → 21.3 s at sf0.1): the
+    * nested-loop join and non-foldable array lookups cost more per
+    * row than the per-step replanning they avoid. Literals stay.
     */
-  private def zFromMap(fm: Column, weights: Array[Double]): Column = {
-    val wArr = typedLit(weights.toSeq)
+  private def zFromMap(fm: Column, wArr: Column): Column =
     aggregate(map_entries(fm), lit(0.0), (acc, e) =>
       acc + e.getField("value") *
         element_at(wArr, (e.getField("key") + lit(2)).cast("int")))
-  }
 
   /** Train the hashed-n-gram logistic classifier with full-batch GD —
     * the production fastText shape at corpus scale: ONE cached
@@ -758,7 +761,8 @@ object TextOps {
       var w = new Array[Double](buckets + 1)
       var it = 0
       while (it < iters) {
-        val delta = sigmoid(zFromMap(col("fm"), w)) - col("y")
+        val delta = sigmoid(zFromMap(col("fm"), typedLit(w.toSeq)))
+          .minus(col("y"))
         val grads = base
           .select(delta.as("delta"),
             explode(map_entries(col("fm"))).as("e"))
@@ -782,20 +786,20 @@ object TextOps {
                                       weights: Array[Array[Double]])
 
   /** Per-doc logits for EVERY class as one in-row array: class ci's
-    * z is the [[zFromMap]] fold against row ci of the weight matrix
-    * (a plan literal). Row-local — the per-(doc, class) join +
-    * aggregate + window round this replaces exchanged the corpus
-    * C+1 times per use.
+    * z is the [[zFromMap]] fold against row ci of the weight-matrix
+    * COLUMN (a broadcast one-row frame during training, a literal at
+    * one-shot predict time — see zFromMap for why training must not
+    * inline per-step literals). Row-local — the per-(doc, class)
+    * join + aggregate + window round this replaces exchanged the
+    * corpus C+1 times per use.
     */
-  private def logitsFromMap(fm: Column, weights: Array[Array[Double]])
-      : Column = {
-    val wMat = typedLit(weights.map(_.toSeq).toSeq)
-    transform(sequence(lit(0), lit(weights.length - 1)), ci =>
+  private def logitsFromMap(fm: Column, wMat: Column, nClasses: Int)
+      : Column =
+    transform(sequence(lit(0), lit(nClasses - 1)), ci =>
       aggregate(map_entries(fm), lit(0.0), (acc, e) =>
         acc + e.getField("value") *
           element_at(element_at(wMat, (ci + lit(1)).cast("int")),
             (e.getField("key") + lit(2)).cast("int"))))
-  }
 
   /** Train a hashed-n-gram SOFTMAX classifier — fastText's actual
     * shape (its flagship use case, language ID, is C-way): full-batch
@@ -835,8 +839,10 @@ object TextOps {
       var w = Array.fill(classes.length, buckets + 1)(0.0)
       var it = 0
       while (it < iters) {
-        val es = transform(logitsFromMap(col("fm"), w), z =>
-          exp(greatest(least(z, lit(30.0)), lit(-30.0))))
+        val es = transform(
+          logitsFromMap(col("fm"), typedLit(w.map(_.toSeq).toSeq),
+            classes.length), z =>
+            exp(greatest(least(z, lit(30.0)), lit(-30.0))))
         val sumE = aggregate(es, lit(0.0), (a, x) => a + x)
         val deltas = transform(
           sequence(lit(0), lit(classes.length - 1)), ci =>
@@ -876,8 +882,10 @@ object TextOps {
                            textCol: String, idCol: String,
                            model: HashedSoftmaxModel): org.apache.spark.sql.DataFrame = {
     val classesLit = typedLit(model.classes.toSeq)
+    val wMat = typedLit(model.weights.map(_.toSeq).toSeq)
     val ranked = array_sort(
-      zip_with(classesLit, logitsFromMap(col("fm"), model.weights),
+      zip_with(classesLit,
+        logitsFromMap(col("fm"), wMat, model.classes.length),
         (c, z) => struct(c.as("c"), z.as("z"))),
       (l, r) => when(round(l.getField("z"), 6) > round(r.getField("z"), 6),
           lit(-1))
