@@ -247,9 +247,8 @@ object Bench {
         (wall, (c1 - c0) / 1e9, (g1 - g0) / 1e3, (s1 - s0).toDouble)
       }
       val firstTimes = (1 to nIters).map(_ => sample())
-      // single-iteration (construction) gates are contention hostages:
-      // one poisoned sample IS the artifact number. Re-run ONCE and
-      // keep the better sample when the sample looks poisoned:
+      // Contention-poisoned samples re-run ONCE (keep the better
+      // sample). A sample looks poisoned when:
       //  - gc/wall > 0.3 (healthy runs sit at 0.02-0.06) — host
       //    memory pressure;
       //  - wall or task-CPU > 2× the committed quiet-run reference
@@ -260,29 +259,38 @@ object Bench {
       //    it; the absolute-vs-quiet-reference test can). The 1 s
       //    reference floor keeps trivia from re-running on noise; a
       //    genuine code regression just re-runs once and reproduces.
-      // Bounded extra wall, spent only on poisoned samples; multi-iter
-      // queries already take min-of-iters.
-      val poisoned = nIters == 1 && firstTimes.head._1 > 0 && {
-        val (w, c, g, _) = firstTimes.head
-        g / w > 0.3 ||
+      // Round-16 extension (suite-wide contention self-defense): the
+      // retry now also fires for MULTI-iter gates when EVERY sample
+      // is poisoned — min-of-iters cannot rescue a run where a
+      // throttle window spanned both back-to-back samples, which is
+      // exactly what 8 of the 10 phantom regressions in PERF_r15 were.
+      // Bounded extra wall, spent only on fully-poisoned gates.
+      def isPoisoned(t: (Double, Double, Double, Double)): Boolean = {
+        val (w, c, g, _) = t
+        w > 0 && (g / w > 0.3 ||
           refWall.get(name).exists(r => r > 1.0 && w > 2.0 * r) ||
-          refCpu.get(name).exists(r => r > 1.0 && c > 2.0 * r)
+          refCpu.get(name).exists(r => r > 1.0 && c > 2.0 * r))
       }
-      val times = if (poisoned) firstTimes :+ sample() else firstTimes
+      val times =
+        if (firstTimes.forall(isPoisoned)) firstTimes :+ sample()
+        else firstTimes
       // CPU/GC/spill are reported from the min-WALL sample: the tuple
       // comes from one run, so the per-query ratios (cpu/wall
       // parallelism, gc/wall pressure) stay meaningful (min-of-each
-      // would mix runs).
+      // would mix runs). `isPoisoned(best)` feeds the header's
+      // poisoned_pct: the share of gates whose REPORTED sample still
+      // looks contention-poisoned after the retry, so a PERF reader
+      // can discount a dirty run from the artifact alone.
       val best = times.minBy(_._1)
       (name, best._1, times.map(_._1).sum / times.length, best._2,
-        best._3, best._4)
+        best._3, best._4, isPoisoned(best))
     }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which
     // in comma-decimal locales would emit "361,530" — invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonMap(f: ((String, Double, Double, Double, Double, Double)) => Double)
-        : String =
+    def jsonMap(f: ((String, Double, Double, Double, Double, Double,
+        Boolean)) => Double): String =
       results.map(r => s"\"" + r._1 + "\":" + fmt(f(r))).mkString("{", ",", "}")
     val qs = jsonMap(_._2)
     val qsMean = jsonMap(_._3)
@@ -300,6 +308,12 @@ object Bench {
     // per-query gc/wall localizes whether pressure was suite-wide or
     // one victim query.
     val gcFrac = if (total > 0) totalGc / total else 0.0
+    // share of gates whose reported sample still fails the poisoned
+    // test after the retry — 0 on a quiet host; a PERF comparison can
+    // auto-discount per-query walls when this is high
+    val poisonedPct =
+      if (results.isEmpty) 0.0
+      else 100.0 * results.count(_._7) / results.length
     val gcFracs = results.map(r => if (r._2 > 0) r._5 / r._2 else 0.0)
       .sorted
     val gcFracP95 =
@@ -326,8 +340,17 @@ object Bench {
         e.printStackTrace()
         s""""warehouse_build":"failed: ${e.getClass.getSimpleName}""""
       }
+    // shared_fixtures: gates whose timed sample EXCLUDES work another
+    // gate's evaluation already paid inside the same session — today
+    // only the memoized OPQ training (OpsQueries.opqMemo): the first
+    // gate of the suite to need it (n28 in sorted order) trains it in
+    // its timed region, these later consumers reuse the driver-side
+    // arrays. Same design as the documented warmFirst tier; listed so
+    // the artifact is self-describing.
+    val sharedFixtures =
+      """"shared_fixtures":["n36_ann_graph_opq","n42_ann_hnsw_pq","n43_hnsw_pq_persist"]"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"gc_frac":${fmt(gcFrac)},"gc_frac_p95":${fmt(gcFracP95)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,$whJson,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_spill":$qsSpill,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"gc_frac":${fmt(gcFrac)},"gc_frac_p95":${fmt(gcFracP95)},"poisoned_pct":${fmt(poisonedPct)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,$sharedFixtures,$whJson,"queries":$qs,"queries_mean":$qsMean,"queries_cpu":$qsCpu,"queries_gc":$qsGc,"queries_spill":$qsSpill,"sf":"$sfDir"}"""
     // Full per-query results: one stdout line (for complete logs) plus a
     // file, because the driver's artifact keeps only the LAST ~2000
     // chars of sbt output. With 120+ queries the full JSON line is
@@ -341,8 +364,15 @@ object Bench {
     // Named-query (partial) runs are solo-profiling tools — writing the
     // committed artifact from one would clobber the full-suite numbers
     // with a handful of queries. Partial output goes to /tmp instead.
+    // Reduced-core scaling runs (SPARK_GRAFT_CPUS below the host's
+    // core count) write BENCH_full_c<cpus>.json: round 15's c8 scaling
+    // run overwrote the committed 32-core BENCH_full.json, destroying
+    // the per-query CPU/GC columns the round's adjudication needed.
+    val hostCores = Runtime.getRuntime.availableProcessors
     val outPath =
-      if (args.isEmpty) "BENCH_full.json" else "/tmp/BENCH_partial.json"
+      if (args.nonEmpty) "/tmp/BENCH_partial.json"
+      else if (cpus.toInt < hostCores) s"BENCH_full_c$cpus.json"
+      else "BENCH_full.json"
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
@@ -351,7 +381,7 @@ object Bench {
     val budget = 1500
     val byCost = results.sortBy(-_._2)
     val header =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"gc_frac":${fmt(gcFrac)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"$outPath","queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cpu_sec":${fmt(totalCpu)},"gc_sec":${fmt(totalGc)},"gc_frac":${fmt(gcFrac)},"poisoned_pct":${fmt(poisonedPct)},"spill_bytes":${fmt(totalSpill)},"iters":$iters,"sf":"$sfDir","nq":${results.length},"full":"$outPath","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = header.length + 2 // closing }}
     for (r <- byCost) {

@@ -91,12 +91,25 @@ object SuffixArray {
       s"minOccurrences below 2 would mark every position, got $minOccurrences")
     val staged = stageDocs(docs, textCol, idCol)
     val keyed = lengthKeys(staged, minLen)
+    islandSpans(markRepeated(keyed, minOccurrences), idCol, minLen)
+  }
+
+  /** Keep exactly the rows whose (__r1, __r2) composite key occurs at
+    * least `minOccurrences` times — count-aggregate + join-back. A
+    * one-window form (count over the pair key) was tried and MEASURED
+    * worse (round 16: d27 task CPU +29%, d25 wall +20% at flat CPU):
+    * the surviving repeated-key set is SMALL on real text, so the
+    * aggregate's map-side combine plus a broadcast join-back never
+    * re-exchanges the keyed relation, while the window pays a full
+    * corpus-sized sort for the same marking.
+    */
+  private def markRepeated(keyed: DataFrame,
+                           minOccurrences: Int): DataFrame = {
     val repeatedKeys = keyed.groupBy("__r1", "__r2")
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minOccurrences)
       .select("__r1", "__r2")
-    islandSpans(keyed.join(repeatedKeys, Seq("__r1", "__r2")), idCol,
-      minLen)
+    keyed.join(repeatedKeys, Seq("__r1", "__r2"))
   }
 
   /** [[repeatedSpans]] with the singleton pruning toggleable —
@@ -110,12 +123,7 @@ object SuffixArray {
       prune: Boolean): DataFrame = {
     val staged = stageDocs(docs, textCol, idCol)
     val keyed = lengthKeys(staged, minLen, prune = prune)
-    val repeatedKeys = keyed.groupBy("__r1", "__r2")
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2)
-      .select("__r1", "__r2")
-    islandSpans(keyed.join(repeatedKeys, Seq("__r1", "__r2")), idCol,
-      minLen)
+    islandSpans(markRepeated(keyed, 2), idCol, minLen)
   }
 
   /** Per-round surviving candidate rows of the refinement — the
@@ -195,12 +203,6 @@ object SuffixArray {
     // (recovered once at the end), and every round's shuffle moves 16
     // bytes per surviving position, not a five-column row.
     val w0 = seedWidth(targetW)
-    // checkpointed: the seed round reads this relation TWICE (class
-    // minting + join-back), and the w₀-gram extraction (per-position
-    // array slice + join) is the single most expensive projection in
-    // the refinement — left lazy it ran twice inside the seed job
-    // (profiled as the gate's largest job at 2× its necessary cost)
-    val chars = gramsOf(staged, stride, w0).localCheckpoint()
     // SINGLETON PRUNING (the production constant-factor lever): a
     // position whose class is corpus-unique at width w heads a unique
     // window at EVERY wider width — it can neither seed a repeat nor
@@ -221,6 +223,19 @@ object SuffixArray {
     // OpsScaleBench can measure the win instead of asserting it)
     def keepRepeated(df: DataFrame): DataFrame =
       if (prune) df.filter(col("__sz") >= 2) else df
+    // checkpointed: the seed round reads this relation TWICE (class
+    // minting + join-back), and the w₀-gram extraction (per-position
+    // array slice + join) is the single most expensive projection in
+    // the refinement — left lazy it ran twice inside the seed job.
+    // (A one-window min+count form of this seed and the doubling
+    // rounds below was tried in round 16 and MEASURED worse on this
+    // pruned path — d26/d27 task CPU +17-44%: the pruned relation
+    // collapses fast, so the mint aggregate's map-side combine plus a
+    // small join-back beat a full corpus-sized sort of the surviving
+    // rows. The UNPRUNED dense path keeps the window form — see
+    // refineAgainst — where nothing collapses and the join-back side
+    // is itself corpus-sized.)
+    val chars = gramsOf(staged, stride, w0).localCheckpoint()
     var ranks = keepRepeated(chars
         .join(chars.groupBy("__c").agg(min("__pos").as("__cls"),
           count(lit(1)).as("__sz")), Seq("__c")))
@@ -369,6 +384,9 @@ object SuffixArray {
       half(train, 0).unionByName(half(eval, 1))
         .withColumn("__n", length(col("__t"))))
     val keyed = lengthKeys(staged, minLen)
+    // aggregate + join-back, not a window — same measured reasoning
+    // as [[markRepeated]]: the cross-corpus key set is small, so the
+    // join-back broadcasts and the keyed relation exchanges once
     val crossKeys = keyed
       .groupBy("__r1", "__r2")
       .agg(sum(when(pmod(col("__id"), lit(2L)) === 1, 1).otherwise(0))
@@ -622,11 +640,11 @@ object SuffixArray {
       val w2 = width * 2
       val dw = dictPairs2.filter(col("__w") === w2)
         .select(col("__r1"), col("__r2"), col("__cls").as("__dcls"))
-      // newPairs checkpointed at mint time: it is read twice right
-      // here (class assignment + dictionary growth) and again by
-      // every LATER append's `dw` filter — uncheckpointed, a
-      // build-plus-append sequence would re-derive the whole union
-      // chain each time it was touched
+      // bcast branch: newPairs checkpointed at mint time — it is read
+      // twice right there (class assignment + dictionary growth).
+      // Shuffle branch: newPairs is a LAZY aggregate over the round's
+      // checkpointed relation (see the comment inside) — evaluated
+      // only by consumers that actually probe that width.
       val (ranksNext, newPairs) =
         if (bcastBatch) {
           // dictionary streams, batch broadcasts: hits pick up their
@@ -647,18 +665,36 @@ object SuffixArray {
           (r, np)
         } else {
           val paired = widenSeq(ranks, width, stride)
-          // checkpointed: read twice (mint + assign) — left lazy, the
-          // round's widen exchange + sort and the dictionary probe
-          // both ran TWICE per round
+          // checkpointed: the round's ONE corpus-sized
+          // materialization — the widen exchange + sort plus the
+          // dictionary probe
           val joined = paired.join(dw, Seq("__r1", "__r2"), "left")
             .localCheckpoint()
+          // class assignment as ONE window over the pair key instead
+          // of the former mint-aggregate + corpus-sized join-back: a
+          // pair group either hit the dictionary (every member row
+          // carries the same __dcls — the dictionary is keyed on the
+          // pair) or missed wholesale, in which case min(__pos) over
+          // the group IS the minted class id. Same ids row-for-row,
+          // one corpus exchange and one corpus materialization fewer
+          // per doubling round (guide §2.3/§2.4). Skew note: the
+          // window's hot pair groups are exactly the sort-merge
+          // join-back's hot keys — the exposure is unchanged, the
+          // pass count is not.
+          val byPair = Window.partitionBy("__r1", "__r2")
+          val r = joined.select(col("__pos"),
+              coalesce(col("__dcls"), min(col("__pos")).over(byPair))
+                .as("__cls"))
+            .localCheckpoint()
+          // dictionary growth stays LAZY over the checkpointed round
+          // relation: spans-only consumers (build → spans / delete /
+          // compact) never evaluate the mint aggregate at all; an
+          // append or contamination probe evaluates exactly the
+          // widths it looks up (the lit(__w) filter constant-folds
+          // per union leg), reading this round's checkpoint — never
+          // the whole union chain.
           val np = joined.filter(col("__dcls").isNull)
             .groupBy("__r1", "__r2").agg(min("__pos").as("__cls"))
-            .localCheckpoint()
-          val r = joined.join(np, Seq("__r1", "__r2"), "left")
-            .select(col("__pos"),
-              coalesce(col("__dcls"), col("__cls")).as("__cls"))
-            .localCheckpoint()
           (r, np)
         }
       ranks = ranksNext
@@ -772,12 +808,8 @@ object SuffixArray {
     require(minOccurrences >= 2,
       s"minOccurrences below 2 would mark every position, " +
         s"got $minOccurrences")
-    val repeatedKeys = index.keys.groupBy("__r1", "__r2")
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minOccurrences)
-      .select("__r1", "__r2")
-    islandSpans(index.keys.join(repeatedKeys, Seq("__r1", "__r2")),
-      idCol, index.minLen)
+    islandSpans(markRepeated(index.keys, minOccurrences), idCol,
+      index.minLen)
   }
 
   /** Delete documents from the index — one filter over the keys
@@ -849,12 +881,13 @@ object SuffixArray {
     * is never re-refined (d27 re-refines the union per call).
     *
     * Read-only: the train batch refines against the persisted
-    * dictionaries exactly like an append, but the grown state is
-    * discarded and the index is untouched. A train window is
-    * contaminated iff its final composite key exists among the
-    * index's keys — a hit requires every refinement level to have
-    * been a dictionary hit, i.e. character-identical presence in the
-    * indexed corpus. Train ids are offset above `maxId` internally
+    * dictionaries like an append, except misses PRUNE out of the
+    * refinement immediately instead of minting classes (nothing
+    * grows, the index is untouched — see the miss-pruning argument
+    * in the body). A train window is contaminated iff its final
+    * composite key exists among the index's keys — a hit requires
+    * every refinement level to have been a dictionary hit, i.e.
+    * character-identical presence in the indexed corpus. Train ids are offset above `maxId` internally
     * (and restored in the output), so a freshly minted class id can
     * never collide numerically with an indexed one — train ids may
     * overlap indexed ids freely, unlike [[appendToSubstrIndex]].
@@ -874,11 +907,56 @@ object SuffixArray {
     validateBounds(bounds, index.stride, index.targetW)
     require(bounds.getLong(1) >= offset,
       "train ids must be non-negative") // offset preserved ⇒ id >= 0
+    // MISS-PRUNED read-only refinement (round 16): a contamination hit
+    // requires EVERY refinement level to have been a dictionary hit,
+    // and a miss can never recover — a missed position's class is a
+    // freshly minted id (a train position on the offset grid), which
+    // is numerically disjoint from every indexed class id (indexed
+    // positions — the id offset guarantees it), so any later pair
+    // containing it can neither hit the pair dictionary nor match an
+    // indexed key. Dropping misses at every level is therefore
+    // result-invisible (the one-shot-equality gate d29 and the spec
+    // pin it) and turns the screen into singleton-pruning's
+    // cross-corpus twin: on real data the train relation COLLAPSES at
+    // the width where its text stops matching the indexed corpus,
+    // instead of refining every train character through all
+    // log₂(targetW) rounds to discard it at the very end. Pruned
+    // lookups surface through widenSparse's −pos−1 sentinel, which no
+    // dictionary row matches (sentinel pairs are never persisted).
+    // The grown-state plumbing is gone with the misses: this path
+    // never mints classes at all.
     val chars = gramsOf(staged, index.stride, 1)
-    val (_, _, trainKeys) = refineAgainst(chars, staged,
-      index.dictChars, index.dictPairs, index.minLen, index.targetW,
-      index.stride,
-      bcastBatch = bounds.getLong(4) <= batchBroadcastChars)
+    // the batch side broadcasts below the caller's byte threshold so
+    // the corpus-sized dictionaries stream with zero exchange (the
+    // append path's orientation switch); above it the planner picks —
+    // the pruned train side usually collapses under the broadcast
+    // threshold after the first rounds anyway
+    val bcast = bounds.getLong(4) <= batchBroadcastChars
+    def trainSide(df: DataFrame): DataFrame =
+      if (bcast) broadcast(df) else df
+    var ranks = trainSide(chars)
+      .join(index.dictChars, Seq("__c"))
+      .select(col("__pos"), col("__cls"))
+      .localCheckpoint()
+    var width = 1
+    while (width < index.targetW) {
+      val w2 = width * 2
+      val dw = index.dictPairs.filter(col("__w") === w2)
+        .select(col("__r1"), col("__r2"), col("__cls"))
+      ranks = trainSide(widenSparse(ranks, width, index.stride))
+        .join(dw, Seq("__r1", "__r2"))
+        .select(col("__pos"), col("__cls"))
+        .localCheckpoint()
+      width *= 2
+    }
+    val lengths = staged.select(col("__id"), col("__n"))
+    val trainKeys = widenSparse(ranks, index.minLen - width,
+        index.stride)
+      .select(expr(s"__pos div ${index.stride}L").as("__id"),
+        pmod(col("__pos"), lit(index.stride)).as("__off"),
+        col("__r1"), col("__r2"))
+      .join(lengths, Seq("__id"))
+      .filter(col("__off") <= col("__n") - index.minLen)
     val marked = trainKeys
       .join(index.keys.select("__r1", "__r2"), Seq("__r1", "__r2"),
         "left_semi")

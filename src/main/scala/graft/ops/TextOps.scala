@@ -750,6 +750,14 @@ object TextOps {
                             buckets: Int = 16, iters: Int = 10,
                             lr: Double = 0.5): HashedLogisticModel = {
     val id = col(idCol)
+    // NOT re-spread before the persist, unlike trainHashedSoftmax: the
+    // binary trainer's per-iteration job is one fold + one ≤17-row
+    // gradient aggregate per doc, and forcing the cache to session
+    // parallelism was MEASURED slower at bench scale (t23 8.9 → 10.2 s
+    // wall, task CPU 7.5 → 24.9 s — 10 iterations × 32 near-empty
+    // tasks of fixed overhead outweigh the serial win). AQE sizes the
+    // cached layout to the data, which is the correct call at every
+    // scale for work this light per row.
     val base = df.select(id.as("__id"), label.cast("double").as("y"))
       .join(hashedFeatureMap(df, textCol, idCol, buckets), Seq("__id"))
       .persist()
@@ -828,9 +836,22 @@ object TextOps {
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .as[String].collect().sorted
     val classesLit = typedLit(classes.toSeq)
+    // re-spread to session parallelism BY DOC ID before the persist:
+    // with AQE allowed to re-optimize cached plans, the per-doc
+    // feature-map cache coalesces to ~1 partition at bench scale and
+    // every GD iteration's softmax-gradient job — which explodes
+    // C×entries rows per doc (posexplode × map_entries) — then runs
+    // SERIALLY (measured: t25 quiet 9.0 → 13.5 s in round 15; this
+    // re-spread restores 13.4 → ~10 s). defaultParallelism is the
+    // scale knob, not a local constant. The binary trainer
+    // (trainHashedClassifier) deliberately does NOT re-spread — its
+    // per-row work is too light to pay 32 tasks × iterations of fixed
+    // overhead (measured there, see its comment).
     val base = df.select(id.as("__id"),
         col(labelCol).cast("string").as("__y"))
       .join(hashedFeatureMap(df, textCol, idCol, buckets), Seq("__id"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
       .persist()
     try {
       val n = base.count().toDouble
