@@ -444,27 +444,23 @@ object GraphAnn {
     // of in-memory pieces. Plan depth grows linearly in hops (each
     // piece is a checkpoint leaf), so the exponential join-on-join
     // lineage the old re-checkpointing guarded against never forms.
-    var scoredPieces =
-      List(score(entryCand, q, bcast).localCheckpoint())
-    def scored = scoredPieces.reduce(_.unionByName(_))
-    var frontierPieces = List.empty[DataFrame]
-    def expanded = frontierPieces match {
-      case Nil => scoredPieces.head.select("q_id", "n_id").limit(0)
-      case ps => ps.reduce(_.unionByName(_))
-    }
+    var scored = score(entryCand, q, bcast).localCheckpoint()
+    var expanded = scored.select("q_id", "n_id").limit(0).localCheckpoint()
     var h = 0
     while (h < hops) {
       val frontier = topPerQuery(
         scored.join(expanded, Seq("q_id", "n_id"), "left_anti"), beam)
         .localCheckpoint()
-      frontierPieces ::= frontier
+      expanded = expanded.unionByName(frontier).localCheckpoint()
       val adjSide = if (bcast) frontier else frontier.hint("shuffle_hash")
       val cand = adjSide
         .join(adj, Seq("n_id"))
         .select(col("q_id"), explode(col("neighbors")).as("n_id"))
         .distinct()
         .join(scored.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
-      scoredPieces ::= score(cand, q, bcast).localCheckpoint()
+      scored = scored
+        .unionByName(score(cand, q, bcast))
+        .localCheckpoint()
       h += 1
     }
     scored
